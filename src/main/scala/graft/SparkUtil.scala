@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Shared session config + table loading for the graft engine. */
+object SparkUtil {
+
+  /** Configs every graft session needs. Applied by Verify/Bench/tests.
+    *
+    *  - `nanosAsLong`: the testdata `events.ts` column is parquet
+    *    TIMESTAMP(NANOS), which Spark 4 otherwise refuses to read.
+    *  - AQE on: runtime coalescing + skew-join handling is part of the
+    *    100TB design (skewed series keys get split automatically).
+    */
+  def configure(b: SparkSession.Builder, cpus: String): SparkSession.Builder =
+    b.config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "127.0.0.1")
+
+  /** Read one of the testdata tables from `dir`. Column pruning and filter
+    * pushdown reach the parquet scan because this stays a plain relation. */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+}

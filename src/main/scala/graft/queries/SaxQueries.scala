@@ -1,0 +1,280 @@
+package graft.queries
+
+import graft.SparkUtil.table
+import graft.sax.SaxFunctions._
+import graft.sql.OracleGen
+import graft.sql.OracleGen._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import QueryBase._
+
+/** SAX operator queries over the `events` time-series table
+  * (series key = user_id, order = ts with event_id tie-break, metric =
+  * value). Each query has a DuckDB oracle that reproduces the SAX
+  * arithmetic with exact float-widened literals (see OracleGen).
+  *
+  * Scale notes (100 TB design): the per-key window sort is the only
+  * shuffle; it partitions by the series key, which is the natural
+  * parallelism unit on a real cluster (millions of keys). Pattern tables
+  * are broadcast — never shuffled. Word grouping is a map-side-combinable
+  * aggregation on an 8-byte string.
+  */
+object SaxQueries {
+
+  // flagship params: n=8 values per window, w=4 frames, c=4 alphabet
+  private val N = 8
+  private val W = 4
+  private val C = 4
+
+  private def byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+  private def trail = byUser.rowsBetween(-(N - 1), 0)
+
+  // ---- shared oracle fragments --------------------------------------------
+
+  /** CTE producing (event_id, user_id, word): the sliding-window encode of
+    * every event row, with NaN left-padding below n (ring prefill). */
+  private val windowWordsSql: String = {
+    val pad = padExpr("raw", N)
+    s"""WITH base AS (
+       |  SELECT event_id, user_id,
+       |         list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                           ROWS BETWEEN ${N - 1} PRECEDING AND CURRENT ROW) AS raw
+       |  FROM events),
+       |padded AS (SELECT event_id, user_id, $pad AS vals FROM base),
+       |ws AS (SELECT event_id, user_id, vals, ${welfordExpr(finExpr("vals"))} AS ws FROM padded),
+       |st AS (SELECT event_id, user_id, vals, ${wsMu("ws")} AS mu, ${wsStd("ws")} AS std FROM ws)
+       |SELECT event_id, user_id, ${saxWordExpr("vals", "mu", "std", N, W, C)} AS word FROM st""".stripMargin
+  }
+
+  /** CTE producing (user_id, word): batch encode of each user's FIRST n
+    * values (users with fewer than n events excluded). */
+  private def firstNWordSql(valueExpr: String, w: Int, c: Int): String =
+    s"""WITH ranked AS (
+       |  SELECT user_id, $valueExpr AS v,
+       |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+       |  FROM events),
+       |base AS (
+       |  SELECT user_id, list(v ORDER BY rn) AS vals FROM ranked
+       |  WHERE rn <= $N GROUP BY user_id HAVING count(*) = $N),
+       |ws AS (SELECT user_id, vals, ${welfordExpr(finExpr("vals"))} AS ws FROM base),
+       |st AS (SELECT user_id, vals, ${wsMu("ws")} AS mu, ${wsStd("ws")} AS std FROM ws)
+       |SELECT user_id, ${saxWordExpr("vals", "mu", "std", N, w, c)} AS word FROM st""".stripMargin
+
+  // ---- Spark-side shared frames -------------------------------------------
+
+  private def windowWords: QFn = (spark, dir) => {
+    val ev = table(spark, dir, "events")
+    ev.select(col("event_id"), col("user_id"),
+        sax_encode_window(collect_list(col("value")).over(trail), N, W, C).as("word"))
+  }
+
+  private def firstNWords(w: Int, c: Int, masked: Boolean): QFn = (spark, dir) => {
+    val ev = table(spark, dir, "events")
+    val v =
+      if (masked) when(col("event_type") === "click", lit(Double.NaN)).otherwise(col("value"))
+      else col("value")
+    ev.select(col("user_id"),
+        row_number().over(byUser).as("rn"),
+        collect_list(v).over(trail).as("vals"))
+      .where(col("rn") === N)
+      .select(col("user_id"), sax_encode(col("vals"), w, c).as("word"))
+  }
+
+  // ---- queries -------------------------------------------------------------
+
+  val defs: Map[String, QFn] = Map(
+    // batch encode: sts_from_double_array as a grouped-series query
+    "q01_sax_batch_encode" -> firstNWords(W, C, masked = false),
+
+    // the core operator: sliding-window encode with '#' prefill semantics
+    "q02_sax_window_encode" -> windowWords,
+
+    // numerosity reduction: groupBy(word).count (map-side combinable)
+    "q03_sax_numerosity" -> ((spark, dir) =>
+      windowWords(spark, dir).groupBy("word").agg(count(lit(1)).as("cnt"))),
+
+    // mindist projection vs a literal pattern word (wildcard n_values=0)
+    "q04_sax_mindist" -> ((spark, dir) => {
+      val md = sax_mindist(col("word"), lit(N.toLong), lit("BDBB"), lit(0L), C)
+      windowWords(spark, dir)
+        .select(col("event_id"), col("word"), md.as("md"))
+        .select(col("event_id"), col("word"), pround(col("md.dist"), 6).as("dist"))
+    }),
+
+    // top-k nearest windows to the pattern (k-NN pattern search)
+    "q05_sax_topk" -> ((spark, dir) => {
+      val md = sax_mindist(col("word"), lit(N.toLong), lit("BDBB"), lit(0L), C)
+      windowWords(spark, dir)
+        .select(col("event_id"), col("word"), md.as("md"))
+        .select(col("event_id"), col("word"), pround(col("md.dist"), 6).as("dist"))
+        .orderBy(col("dist"), col("event_id"))
+        .limit(20)
+    }),
+
+    // threshold similarity search against a small pattern collection
+    "q06_sax_threshold" -> ((spark, dir) => {
+      val words = windowWords(spark, dir).cache()
+      Patterns.map { p =>
+        val md = sax_mindist(col("word"), lit(N.toLong), lit(p), lit(0L), C)
+        words.select(pround(md.getField("dist"), 6).as("dist"))
+          .where(col("dist") <= 1.0)
+          .agg(count(lit(1)).as("matches"))
+          .select(lit(p).as("pattern"), col("matches"))
+      }.reduce(_ union _)
+    }),
+
+    // word equi-join (sts_words_equal as a join key): users sharing a word
+    "q07_sax_word_join" -> ((spark, dir) => {
+      val uw = windowWords(spark, dir).select("user_id", "word").distinct()
+      uw.as("a").join(uw.as("b"),
+          col("a.word") === col("b.word") && col("a.user_id") < col("b.user_id"))
+        .groupBy(col("a.word").as("word")).agg(count(lit(1)).as("pairs"))
+    }),
+
+    // estimate_mu_and_std as a grouped aggregate (finite filter, pop std)
+    "q08_sax_moments" -> ((spark, dir) => {
+      val ev = table(spark, dir, "events")
+      val fin = isFiniteCol(col("value"))
+      val vdec = dec6(when(fin, col("value")))
+      ev.groupBy("user_id").agg(
+          count(when(fin, lit(1))).as("n_finite"),
+          sum(vdec).cast("double").as("s"),
+          sum(vdec * vdec).cast("double").as("ss"))
+        .select(col("user_id"), col("n_finite"),
+          pround(col("s") / col("n_finite"), 6).as("mu"),
+          pround(sqrt(greatest(lit(0.0),
+            col("ss") / col("n_finite") -
+              (col("s") / col("n_finite")) * (col("s") / col("n_finite")))), 6).as("std"))
+    }),
+
+    // sparse-series '#' semantics: NaN injection by event_type
+    "q09_sax_sparse" -> firstNWords(W, 5, masked = true),
+
+    // mindist with above/below decomposition vs a '#'-bearing pattern
+    "q10_sax_mindist_ab" -> ((spark, dir) => {
+      val md = sax_mindist(col("word"), lit(N.toLong), lit("A#CB"), lit(0L), C)
+      windowWords(spark, dir)
+        .select(col("event_id"), md.as("md"))
+        .select(col("event_id"),
+          pround(col("md.dist"), 6).as("dist"),
+          pround(col("md.above"), 6).as("above"),
+          pround(col("md.below"), 6).as("below"))
+    }),
+
+    // PAA normalized frame values (pre-symbolization z-scores)
+    "q11_sax_paa" -> ((spark, dir) => {
+      val paa = udf((vs: Seq[Double]) => graft.sax.Sax.paaNormalized(vs.toArray, W))
+      val ev = table(spark, dir, "events")
+      ev.select(col("user_id"),
+          row_number().over(byUser).as("rn"),
+          collect_list(col("value")).over(trail).as("vals"))
+        .where(col("rn") === N)
+        .select(col("user_id"), paa(col("vals")).as("p"))
+        .select(col("user_id"),
+          pround(col("p")(0), 6).as("paa0"), pround(col("p")(1), 6).as("paa1"),
+          pround(col("p")(2), 6).as("paa2"), pround(col("p")(3), 6).as("paa3"))
+    }),
+
+    // numerosity-reduction runs: consecutive identical words collapse
+    "q12_sax_runs" -> ((spark, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      windowWords(spark, dir)
+        .withColumn("prev", lag("word", 1).over(w))
+        .select(col("user_id"),
+          when(col("prev").isNull || col("prev") =!= col("word"), 1).otherwise(0).as("isNew"))
+        .groupBy("user_id").agg(sum("isNew").cast("long").as("n_runs"))
+    })
+  )
+
+  private val Patterns = Seq("BDBB", "ACCA", "DBBD")
+
+  val oracles: Map[String, String] = {
+    val mdBDBB = OracleGen.mindistVsLiteral("word", "BDBB", N, C)
+    val mdSharp = OracleGen.mindistVsLiteral("word", "A#CB", N, C)
+    Map(
+      "q01_sax_batch_encode" -> firstNWordSql("value", W, C),
+
+      "q02_sax_window_encode" -> windowWordsSql,
+
+      "q03_sax_numerosity" ->
+        s"WITH q AS ($windowWordsSql)\nSELECT word, count(*)::BIGINT AS cnt FROM q GROUP BY word",
+
+      "q04_sax_mindist" ->
+        s"WITH q AS ($windowWordsSql)\nSELECT event_id, word, ${mdBDBB.dist} AS dist FROM q",
+
+      "q05_sax_topk" ->
+        s"WITH q AS ($windowWordsSql)\nSELECT event_id, word, ${mdBDBB.dist} AS dist FROM q ORDER BY dist, event_id LIMIT 20",
+
+      "q06_sax_threshold" -> {
+        // one pass over the words CTE; per-pattern counts as FILTER aggs,
+        // then constant-unpivoted (keeps DuckDB from re-evaluating the big
+        // window CTE per pattern, which exhausts its expression memory)
+        val counts = Patterns.zipWithIndex.map { case (p, i) =>
+          val md = OracleGen.mindistVsLiteral("word", p, N, C)
+          s"count(*) FILTER (WHERE ${md.dist} <= 1.0) AS c$i"
+        }.mkString(", ")
+        val unpivot = Patterns.zipWithIndex.map { case (p, i) =>
+          s"SELECT '$p' AS pattern, CAST(c$i AS BIGINT) AS matches FROM agg"
+        }.mkString("\nUNION ALL\n")
+        s"WITH q AS ($windowWordsSql),\nagg AS (SELECT $counts FROM q)\n$unpivot"
+      },
+
+      "q07_sax_word_join" ->
+        s"""WITH q AS ($windowWordsSql),
+           |uw AS (SELECT DISTINCT user_id, word FROM q)
+           |SELECT a.word AS word, count(*)::BIGINT AS pairs
+           |FROM uw a JOIN uw b ON a.word = b.word AND a.user_id < b.user_id
+           |GROUP BY a.word""".stripMargin,
+
+      "q08_sax_moments" ->
+        s"""WITH agg AS (
+           |  SELECT user_id,
+           |         CAST(count(*) FILTER (WHERE isfinite(value)) AS BIGINT) AS n_finite,
+           |         CAST(sum(CAST(value AS DECIMAL(18,6))) FILTER (WHERE isfinite(value)) AS DOUBLE) AS s,
+           |         CAST(sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) FILTER (WHERE isfinite(value)) AS DOUBLE) AS ss
+           |  FROM events GROUP BY user_id)
+           |SELECT user_id, n_finite,
+           |       ${sround("s / n_finite", 6)} AS mu,
+           |       ${sround("sqrt(greatest(0.0, ss / n_finite - (s / n_finite) * (s / n_finite)))", 6)} AS std
+           |FROM agg""".stripMargin,
+
+      "q09_sax_sparse" -> firstNWordSql(
+        "CASE WHEN event_type = 'click' THEN 'NaN'::DOUBLE ELSE value END", W, 5),
+
+      "q10_sax_mindist_ab" ->
+        s"""WITH q AS ($windowWordsSql)
+           |SELECT event_id, ${mdSharp.dist} AS dist, ${mdSharp.above} AS above, ${mdSharp.below} AS below FROM q""".stripMargin,
+
+      "q11_sax_paa" -> {
+        val frames = (0 until W).map { i =>
+          val fs = N / W
+          val lo = i * fs + 1; val hi = (i + 1) * fs
+          val fin = s"list_filter(vals[$lo:$hi], x -> NOT isnan(x))"
+          val norm = s"""(CASE WHEN list_sum($fin) IS NULL OR isnan(list_sum($fin)) THEN 'NaN'::DOUBLE
+                         WHEN isinf(list_sum($fin)) THEN list_sum($fin)
+                         WHEN std < ${graft.sax.Tables.StatEps} THEN 0.0
+                         ELSE (list_sum($fin) - len($fin) * mu) / (len($fin) * std) END)"""
+            .replaceAll("\\s+", " ")
+          s"${sround(norm, 6)} AS paa$i"
+        }.mkString(", ")
+        s"""WITH ranked AS (
+           |  SELECT user_id, value AS v,
+           |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           |  FROM events),
+           |base AS (SELECT user_id, list(v ORDER BY rn) AS vals FROM ranked
+           |         WHERE rn <= $N GROUP BY user_id HAVING count(*) = $N),
+           |ws AS (SELECT user_id, vals, ${welfordExpr(finExpr("vals"))} AS ws FROM base),
+           |st AS (SELECT user_id, vals, ${wsMu("ws")} AS mu, ${wsStd("ws")} AS std FROM ws)
+           |SELECT user_id, $frames FROM st""".stripMargin
+      },
+
+      "q12_sax_runs" ->
+        s"""WITH q AS ($windowWordsSql),
+           |l AS (SELECT user_id,
+           |             CASE WHEN lag(word) OVER (PARTITION BY user_id ORDER BY event_id) IS DISTINCT FROM word
+           |                  THEN 1 ELSE 0 END AS isNew
+           |      FROM q)
+           |SELECT user_id, sum(isNew)::BIGINT AS n_runs FROM l GROUP BY user_id""".stripMargin
+    )
+  }
+}

@@ -134,6 +134,39 @@ object Sax {
     encode(buf, w, c)
   }
 
+  /** Normalized PAA frame values (the z-scores that symbolization would
+    * bucket) — the same arithmetic as [[saxTransform]] minus the final
+    * symbol lookup. NaN marks all-NaN / Inf+(-Inf) frames; ±Inf passes
+    * through. */
+  def paaNormalized(series: Array[Double], w: Int): Array[Double] = {
+    if (series == null || series.length == 0 || series.length % w != 0)
+      return null
+    val n = series.length
+    val (mu, std) = estimateMuStd(series)
+    val frameSize = n / w
+    val out = new Array[Double](w)
+    var vi = 0
+    var i = 0
+    while (i < w) {
+      var sum = 0.0
+      var cnt = frameSize
+      var j = 0
+      while (j < frameSize) {
+        val v = series(vi)
+        if (java.lang.Double.isNaN(v)) cnt -= 1 else sum += v
+        vi += 1
+        j += 1
+      }
+      out(i) =
+        if (cnt == 0 || java.lang.Double.isNaN(sum)) Double.NaN
+        else if (!isFinite(sum)) sum
+        else if (std < Tables.StatEps) 0.0
+        else (sum - cnt * mu) / (cnt * std)
+      i += 1
+    }
+    out
+  }
+
   /** Render internal symbols as a SAX string ('A' lowest, '#' NaN frame).
     * Reference: sts_word_to_sax_string, src/symtseries.c:556-576. */
   def render(symbols: Array[Int], c: Int): String = {

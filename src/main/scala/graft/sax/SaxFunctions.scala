@@ -1,0 +1,67 @@
+package graft.sax
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions.udf
+
+/** Spark SQL surface of the SAX core: scalar UDFs over the pure functions in
+  * [[Sax]]. The canonical word form is the SAX string, so words group, join
+  * and equality-compare with plain Spark operators (the reference's
+  * `sts_words_equal` ignores n_values — string equality at fixed c matches
+  * that exactly, SURVEY.md §2 op 14).
+  *
+  * These are Scala UDFs (not codegen Expressions) — each is a tight loop
+  * over a small array/string, so the UDF-call overhead, not the arithmetic,
+  * is the cost; they stay inside whole-stage-codegen pipelines as leaf
+  * calls. A native `Expression` port is a planned perf upgrade if BENCH
+  * demands (SURVEY.md §7.2 step 6).
+  */
+object SaxFunctions {
+
+  /** sax_encode(values, w, c) -> SAX string; null on invalid (n%w!=0, bad c).
+    * Reference sts_from_double_array (src/symtseries.c:515-532). */
+  val saxEncode: UserDefinedFunction =
+    udf((values: Seq[Double], w: Int, c: Int) =>
+      if (values == null) null else Sax.encode(values.toArray, w, c))
+
+  /** sax_encode_window(values, n, w, c): encode the trailing window of n
+    * values, left-padding with NaN below n (ring prefill) and keeping only
+    * the last n above (sts_append_array semantics). */
+  val saxEncodeWindow: UserDefinedFunction =
+    udf((values: Seq[Double], n: Int, w: Int, c: Int) =>
+      if (values == null) null else Sax.encodePadded(values.toArray, n, w, c))
+
+  /** sax_mindist(a, nA, b, nB, c) -> struct(dist, above, below); null when
+    * the words are incompatible (the reference returns NaN / Lua nil).
+    * Reference sts_mindist_ab (src/symtseries.c:585-636). */
+  val saxMindist: UserDefinedFunction =
+    udf((a: String, aN: Long, b: String, bN: Long, c: Int) =>
+      Sax.mindist(a, aN, b, bN, c))
+
+  /** sax_is_valid(word, c): true iff the string parses at cardinality c. */
+  val saxIsValid: UserDefinedFunction =
+    udf((s: String, c: Int) => Sax.isValidWord(s, c))
+
+  /** Register all functions for SQL use (spark.sql("... sax_encode(...)")). */
+  def register(spark: SparkSession): Unit = {
+    spark.udf.register("sax_encode", saxEncode)
+    spark.udf.register("sax_encode_window", saxEncodeWindow)
+    spark.udf.register("sax_mindist", saxMindist)
+    spark.udf.register("sax_is_valid", saxIsValid)
+  }
+
+  /** Column helpers for the DataFrame API. */
+  def sax_encode(values: Column, w: Int, c: Int): Column =
+    saxEncode(values, org.apache.spark.sql.functions.lit(w),
+      org.apache.spark.sql.functions.lit(c))
+
+  def sax_encode_window(values: Column, n: Int, w: Int, c: Int): Column = {
+    import org.apache.spark.sql.functions.lit
+    saxEncodeWindow(values, lit(n), lit(w), lit(c))
+  }
+
+  def sax_mindist(a: Column, aN: Column, b: Column, bN: Column, c: Int): Column = {
+    import org.apache.spark.sql.functions.lit
+    saxMindist(a, aN, b, bN, lit(c))
+  }
+}

@@ -1,0 +1,64 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's correctness gate: run graft.Verify output
+against the DuckDB oracle and diff per query (row count, schema, values).
+
+Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
+"""
+import json, sys, math
+import duckdb
+import pyarrow.parquet as pq
+import pandas as pd
+from pathlib import Path
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize ints vs floats: compare as strings with float rounding
+    def cell(v):
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            return "NULL"
+        if isinstance(v, float):
+            return repr(v)
+        return str(v)
+    out = df.apply(lambda col: col.map(cell))
+    rows = sorted(out.itertuples(index=False, name=None))
+    return rows
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = Path(sf_dir) / f"{t}.parquet"
+        if p.exists():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        res_dir = Path(out_dir) / name
+        if not res_dir.exists():
+            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+        try:
+            spark_df = pq.read_table(res_dir).to_pandas()
+        except Exception as e:
+            print(f"FAIL {name}: read spark output: {e}"); n_fail += 1; continue
+        try:
+            duck_df = con.execute(sql).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: oracle sql error: {e}"); n_fail += 1; continue
+        a, b = canon(spark_df), canon(duck_df)
+        if len(a) != len(b):
+            print(f"FAIL {name}: rows spark={len(a)} duck={len(b)}")
+            for i,(x,y) in enumerate(zip(a[:5], b[:5])): print("  s:",x,"\n  d:",y)
+            n_fail += 1
+        elif a != b:
+            diffs = [(x, y) for x, y in zip(a, b) if x != y]
+            print(f"FAIL {name}: {len(diffs)}/{len(a)} row diffs; first: \n  s: {diffs[0][0]}\n  d: {diffs[0][1]}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(a)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
