@@ -12,12 +12,15 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     SaxQueries.defs("q03_sax_numerosity")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2, plus the
+    * relational checklist and the training-data-pipeline operators. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    SaxQueries.defs
+    SaxQueries.defs ++ RelQueries.defs ++ DedupQueries.defs ++
+      TextQueries.defs ++ VectorQueries.defs ++ MultimodalQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    SaxQueries.oracles
+    SaxQueries.oracles ++ RelQueries.oracles ++ DedupQueries.oracles ++
+      TextQueries.oracles ++ VectorQueries.oracles ++ MultimodalQueries.oracles
 }

@@ -1,0 +1,201 @@
+package graft.queries
+
+import graft.SparkUtil.table
+import graft.text.TextHash
+import graft.sql.OracleGen.sround
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import QueryBase._
+
+/** Deduplication operators over the `documents` table: exact (normalized
+  * hash), MinHash+LSH near-dup candidate generation with Jaccard
+  * verification, and SimHash with banded Hamming pairing.
+  *
+  * All hashes derive from md5 hex (identical in Spark and DuckDB); the
+  * minhash permutation constants live in [[TextHash]] and are embedded into
+  * the oracle SQL from the same arrays, so both engines compute the same
+  * signatures.
+  *
+  * Scale notes: LSH banding turns the O(n²) near-dup problem into
+  * equi-joins on band keys — at 100 TB this is a shuffle on a
+  * high-cardinality key with bounded bucket sizes (band rows tuned so
+  * P(collision) ≈ jaccard^rows). The exact-dedup groupBy is map-side
+  * combinable; candidate verification joins only the candidate pairs, never
+  * the full cross product.
+  */
+object DedupQueries {
+
+  import TextHash.{HashA, HashB, NumHashes, P}
+
+  private val BandRows = 4
+  private val NumBands = NumHashes / BandRows // 4
+
+  // ---- SQL fragments -------------------------------------------------------
+
+  private val toksSql = "string_split_regex(lower(trim(text)), '\\s+')"
+  private def hexcast(e: String) = s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
+
+  /** Distinct 3-token shingles; short docs fall back to one whole-doc
+    * shingle (mirrors TextHash.shingles). */
+  private val shinglesSql =
+    s"""(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END)"""
+      .replaceAll("\\s+", " ")
+
+  private def sigSql(j: Int): String =
+    s"list_aggregate(list_transform(hs, h -> (${HashA(j)} * (h % $P) + ${HashB(j)}) % $P), 'min')"
+
+  private def bandSql(b: Int): String =
+    (s"'$b'" +: (b * BandRows until (b + 1) * BandRows).map(j => s"sig[${j + 1}]"))
+      .mkString(" || ':' || ")
+
+  /** CTE yielding (doc_id, sh, sig list, b0..b3). */
+  private val sigCte =
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |sh AS (SELECT doc_id, $shinglesSql AS sh FROM toks),
+       |hs AS (SELECT doc_id, sh, list_transform(sh, s -> ${hexcast("s")}) AS hs FROM sh),
+       |sig AS (SELECT doc_id, sh, ${(0 until NumHashes).map(sigSql).mkString("[", ", ", "]")} AS sig FROM hs),
+       |bands AS (SELECT doc_id, sh, ${(0 until NumBands).map(b => s"${bandSql(b)} AS b$b").mkString(", ")} FROM sig)""".stripMargin
+
+  private val normSql =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+
+  /** Shared 60-bit simhash CTE (doc_id, simhash) + a trailing query. */
+  private def simhashOracle(tail: String, withCte: Boolean = false): String = {
+    val bits = (0 until TextHash.SimBits).map { j =>
+      s"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |hs AS (SELECT doc_id, list_transform(toks, t -> ${hexcast("t")}) AS hs FROM toks),
+       |s AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM hs)${if (withCte) "," else ""}
+       |$tail""".stripMargin
+  }
+
+  // ---- Spark-side shared frames -------------------------------------------
+
+  private val shinglesUdf = udf((text: String) =>
+    TextHash.shingles(TextHash.tokenize(text), 3))
+  private val bandsUdf = udf((sh: Seq[String]) =>
+    TextHash.bandKeys(TextHash.minhash(sh.toArray), BandRows))
+  private val jaccardUdf = udf((a: Seq[String], b: Seq[String]) => {
+    val sa = a.toSet; val sb = b.toSet
+    (sa & sb).size.toDouble / (sa | sb).size
+  })
+
+  private def docBands(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    spread(table(spark, dir, "documents"))
+      .select(col("doc_id"), shinglesUdf(col("text")).as("sh"))
+      .withColumn("bands", bandsUdf(col("sh")))
+
+  // ---- queries -------------------------------------------------------------
+
+  val defs: Map[String, QFn] = Map(
+    // exact dedup on normalized text: corpus-level summary (always 1 row)
+    "q30_dedup_exact" -> ((spark, dir) => {
+      val norm = trim(regexp_replace(regexp_replace(
+        lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+      table(spark, dir, "documents")
+        .select(md5(norm).as("h"))
+        .agg(count(lit(1)).as("n_docs"),
+             countDistinct(col("h")).as("n_distinct"))
+        .withColumn("n_dup_docs", col("n_docs") - col("n_distinct"))
+    }),
+
+    // minhash signatures -> LSH band keys per document
+    "q31_minhash_bands" -> ((spark, dir) =>
+      docBands(spark, dir).select(
+        col("doc_id"),
+        col("bands")(0).as("b0"), col("bands")(1).as("b1"),
+        col("bands")(2).as("b2"), col("bands")(3).as("b3"))),
+
+    // LSH candidate pairs verified by exact shingle-Jaccard
+    "q32_lsh_jaccard_pairs" -> ((spark, dir) => {
+      val db = docBands(spark, dir).cache()
+      val exploded = db.select(col("doc_id"), explode(col("bands")).as("bk"))
+      val cand = exploded.as("a")
+        .join(exploded.as("b"),
+          col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val sh = db.select(col("doc_id"), col("sh"))
+      cand
+        .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .select(col("doc_a"), col("doc_b"),
+          pround(jaccardUdf(col("sa.sh"), col("sb.sh")), 6).as("jaccard"))
+        .where(col("jaccard") >= 0.3)
+    }),
+
+    // 60-bit simhash per document (token multiset, md5-derived bits)
+    "q33_simhash" -> ((spark, dir) => {
+      val simUdf = udf((text: String) => TextHash.simhash(TextHash.tokenize(text)))
+      spread(table(spark, dir, "documents"))
+        .select(col("doc_id"), simUdf(col("text")).as("simhash"))
+    }),
+
+    // near-dup pairs by simhash: 4 x 15-bit band blocking + hamming <= 3.
+    // Pigeonhole: <= 3 differing bits over 4 bands leaves one band clean,
+    // so recall is exact. 15-bit bands keep buckets small even though
+    // same-vocabulary simhashes are heavily correlated; at larger corpora
+    // widen the hash / add bands rather than shrinking them.
+    "q34_simhash_pairs" -> ((spark, dir) => {
+      val simUdf = udf((text: String) => TextHash.simhash(TextHash.tokenize(text)))
+      val s = spread(table(spark, dir, "documents"))
+        .select(col("doc_id"), simUdf(col("text")).as("simhash"))
+      val banded = s.select(col("doc_id"), col("simhash"),
+          explode(array((0 until TextHash.SimBands).map(j =>
+            struct(lit(j).as("j"),
+              shiftright(col("simhash"), TextHash.SimBandBits * j)
+                .bitwiseAND(lit((1L << TextHash.SimBandBits) - 1)).as("bv"))): _*)).as("band"))
+        .select(col("doc_id"), col("simhash"), col("band.j"), col("band.bv"))
+      // hamming filter BEFORE the distinct: the band join emits up to 4
+      // copies of each candidate pair, so dedup after the cheap selective
+      // filter shuffles a fraction of the rows
+      banded.as("a").join(banded.as("b"),
+          col("a.j") === col("b.j") && col("a.bv") === col("b.bv") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("ham"))
+        .where(col("ham") <= 3)
+        .distinct()
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q30_dedup_exact" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(count(DISTINCT md5($normSql)) AS BIGINT) AS n_distinct,
+         |       CAST(count(*) - count(DISTINCT md5($normSql)) AS BIGINT) AS n_dup_docs
+         |FROM documents""".stripMargin,
+
+    "q31_minhash_bands" ->
+      s"$sigCte\nSELECT doc_id, b0, b1, b2, b3 FROM bands",
+
+    "q32_lsh_jaccard_pairs" ->
+      s"""$sigCte,
+         |exploded AS (SELECT doc_id, unnest([b0, b1, b2, b3]) AS bk FROM bands),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM exploded a JOIN exploded b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+         |shs AS (SELECT doc_id, sh FROM sh)
+         |SELECT doc_a, doc_b,
+         |       ${sround("len(list_intersect(sa.sh, sb.sh))::DOUBLE / len(list_distinct(list_concat(sa.sh, sb.sh)))", 6)} AS jaccard
+         |FROM cand JOIN shs sa ON doc_a = sa.doc_id JOIN shs sb ON doc_b = sb.doc_id
+         |WHERE ${sround("len(list_intersect(sa.sh, sb.sh))::DOUBLE / len(list_distinct(list_concat(sa.sh, sb.sh)))", 6)} >= 0.3""".stripMargin,
+
+    "q33_simhash" -> simhashOracle("SELECT doc_id, simhash FROM s"),
+
+    "q34_simhash_pairs" -> {
+      val mask = (1L << TextHash.SimBandBits) - 1
+      val bandSel = (0 until TextHash.SimBands).map(j =>
+        s"SELECT doc_id, simhash, $j AS j, (simhash >> ${TextHash.SimBandBits * j}) & $mask AS bv FROM s")
+        .mkString("\nUNION ALL\n")
+      simhashOracle(
+        s"""banded AS ($bandSel)
+           |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS ham
+           |FROM banded a JOIN banded b ON a.j = b.j AND a.bv = b.bv AND a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin, withCte = true)
+    }
+  )
+}

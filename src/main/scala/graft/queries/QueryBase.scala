@@ -21,9 +21,24 @@ object QueryBase {
   def isFiniteCol(c: Column): Column =
     !isnan(c) && c =!= lit(Double.PositiveInfinity) && c =!= lit(Double.NegativeInfinity)
 
-  /** Exact-decimal cast used for order-independent sums: double sums are
-    * nondeterministic under Spark's parallel partial aggregation, decimal
-    * sums are exact, so `cast(sum(decimal) as double)` is reproducible and
-    * matches the oracle's identical formulation bit-for-bit. */
-  def dec6(c: Column): Column = c.cast("decimal(18,6)")
+  /** Order-independent, engine-portable sum of doubles: quantize each value
+    * to `digits` decimals as an integer-valued double (floor(x*10^d+0.5) —
+    * identical IEEE ops in Spark and DuckDB), sum exactly (integer sums
+    * commute; keep Σ|x|·10^d below 2^53), then scale back. Plain double
+    * sums are nondeterministic under parallel partial aggregation, and
+    * double->DECIMAL casts round differently between engines (Spark via
+    * shortest-string repr, DuckDB via double arithmetic), so neither
+    * hash-matches a single-threaded oracle; this does. */
+  def xsum(c: Column, digits: Int): Column = {
+    val p = math.pow(10, digits)
+    sum(floor(c * lit(p) + lit(0.5))) / lit(p)
+  }
+
+  /** Repartition a small single-file table before UDF-heavy work: the
+    * testdata tables are one parquet file each, so Spark plans ONE input
+    * split and the whole pipeline above the first shuffle runs on a single
+    * core. One cheap round-robin shuffle buys full parallelism. (At real
+    * scale inputs arrive in many files and this is a no-op decision.) */
+  def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 }

@@ -1,0 +1,151 @@
+package graft.queries
+
+import graft.SparkUtil.table
+import graft.sql.OracleGen.xsumSql
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import QueryBase._
+
+/** Relational compositions over the TPC-H-ish tables — the scan / filter /
+  * join / aggregate / window / sort / limit / set-op checklist around the
+  * SAX core (SURVEY.md §2.3).
+  *
+  * Numeric policy: monetary sums use [[QueryBase.xsum]] (scaled-integer
+  * double sums) so the aggregate is order-independent and engine-portable.
+  *
+  * Scale notes: nation/region/part/customer are broadcast-size dimensions
+  * (explicit broadcast() hints; at 100 TB lineitem only the fact side
+  * shuffles, and only when the aggregation key demands it).
+  */
+object RelQueries {
+
+  val defs: Map[String, QFn] = Map(
+    // TPC-H Q1-style pricing summary: full-scan agg, map-side combinable
+    "q20_pricing_summary" -> ((spark, dir) => {
+      val l = table(spark, dir, "lineitem")
+      val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      l.groupBy("l_returnflag", "l_linestatus").agg(
+          xsum(col("l_quantity"), 4).as("sum_qty"),
+          xsum(col("l_extendedprice"), 4).as("sum_base_price"),
+          xsum(disc, 4).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .withColumn("avg_qty", pround(col("sum_qty") / col("count_order"), 6))
+    }),
+
+    // 3-way join with broadcast dims + agg: revenue by nation in ASIA
+    "q21_revenue_by_nation" -> ((spark, dir) => {
+      val c = table(spark, dir, "customer")
+      val o = table(spark, dir, "orders")
+      val n = table(spark, dir, "nation")
+      val r = table(spark, dir, "region")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .where(r("r_name") === "ASIA")
+        .groupBy(col("n_name"))
+        .agg(xsum(col("o_totalprice"), 4).as("revenue"),
+             count(lit(1)).as("n_orders"))
+    }),
+
+    // top-k by aggregate: 10 biggest customers by spend
+    "q22_top_customers" -> ((spark, dir) => {
+      val c = table(spark, dir, "customer")
+      val o = table(spark, dir, "orders")
+      o.groupBy("o_custkey")
+        .agg(xsum(col("o_totalprice"), 4).as("revenue"),
+             count(lit(1)).as("n_orders"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("revenue"), col("n_orders"))
+        .orderBy(desc("revenue"), col("c_custkey"))
+        .limit(10)
+    }),
+
+    // window ranking: each customer's 3 largest orders
+    "q23_order_rank" -> ((spark, dir) => {
+      val o = table(spark, dir, "orders")
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      o.select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).as("rnk"))
+        .where(col("rnk") <= 3)
+    }),
+
+    // fact-to-dim join + agg: per-brand lineitem stats (part broadcasts)
+    "q24_brand_agg" -> ((spark, dir) => {
+      val p = table(spark, dir, "part")
+      val l = table(spark, dir, "lineitem")
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_items"),
+             xsum(col("l_quantity"), 4).as("sum_qty"),
+             xsum(col("l_extendedprice"), 4).as("sum_price"))
+    }),
+
+    // set op: customers that are both big spenders and BUILDING segment
+    "q25_segment_intersect" -> ((spark, dir) => {
+      val c = table(spark, dir, "customer")
+      val o = table(spark, dir, "orders")
+      val spenders = o.groupBy("o_custkey")
+        .agg(xsum(col("o_totalprice"), 4).as("rev"))
+        .where(col("rev") > 100000.0)
+        .select(col("o_custkey").as("custkey"))
+      val building = c.where(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("custkey"))
+      spenders.intersect(building)
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q20_pricing_summary" ->
+      s"""WITH agg AS (
+         |  SELECT l_returnflag, l_linestatus,
+         |         ${xsumSql("l_quantity", 4)} AS sum_qty,
+         |         ${xsumSql("l_extendedprice", 4)} AS sum_base_price,
+         |         ${xsumSql("l_extendedprice * (1.0 - l_discount)", 4)} AS sum_disc_price,
+         |         CAST(count(*) AS BIGINT) AS count_order
+         |  FROM lineitem GROUP BY l_returnflag, l_linestatus)
+         |SELECT *, floor((sum_qty / count_order) * 1000000.0 + 0.5) / 1000000.0 AS avg_qty FROM agg""".stripMargin,
+
+    "q21_revenue_by_nation" ->
+      s"""SELECT n_name,
+         |       ${xsumSql("o_totalprice", 4)} AS revenue,
+         |       CAST(count(*) AS BIGINT) AS n_orders
+         |FROM orders
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |GROUP BY n_name""".stripMargin,
+
+    "q22_top_customers" ->
+      s"""WITH rev AS (
+         |  SELECT o_custkey, ${xsumSql("o_totalprice", 4)} AS revenue,
+         |         CAST(count(*) AS BIGINT) AS n_orders
+         |  FROM orders GROUP BY o_custkey)
+         |SELECT c_custkey, c_name, revenue, n_orders
+         |FROM rev JOIN customer ON o_custkey = c_custkey
+         |ORDER BY revenue DESC, c_custkey LIMIT 10""".stripMargin,
+
+    "q23_order_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rnk
+        |  FROM orders)
+        |WHERE rnk <= 3""".stripMargin,
+
+    "q24_brand_agg" ->
+      s"""SELECT p_brand,
+         |       CAST(count(*) AS BIGINT) AS n_items,
+         |       ${xsumSql("l_quantity", 4)} AS sum_qty,
+         |       ${xsumSql("l_extendedprice", 4)} AS sum_price
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY p_brand""".stripMargin,
+
+    "q25_segment_intersect" ->
+      s"""SELECT o_custkey AS custkey FROM orders
+         |GROUP BY o_custkey
+         |HAVING ${xsumSql("o_totalprice", 4)} > 100000.0
+         |INTERSECT
+         |SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'""".stripMargin
+  )
+}

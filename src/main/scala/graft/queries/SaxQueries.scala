@@ -135,11 +135,10 @@ object SaxQueries {
     "q08_sax_moments" -> ((spark, dir) => {
       val ev = table(spark, dir, "events")
       val fin = isFiniteCol(col("value"))
-      val vdec = dec6(when(fin, col("value")))
       ev.groupBy("user_id").agg(
           count(when(fin, lit(1))).as("n_finite"),
-          sum(vdec).cast("double").as("s"),
-          sum(vdec * vdec).cast("double").as("ss"))
+          xsum(when(fin, col("value")), 6).as("s"),
+          xsum(when(fin, col("value") * col("value")), 6).as("ss"))
         .select(col("user_id"), col("n_finite"),
           pround(col("s") / col("n_finite"), 6).as("mu"),
           pround(sqrt(greatest(lit(0.0),
@@ -230,8 +229,8 @@ object SaxQueries {
         s"""WITH agg AS (
            |  SELECT user_id,
            |         CAST(count(*) FILTER (WHERE isfinite(value)) AS BIGINT) AS n_finite,
-           |         CAST(sum(CAST(value AS DECIMAL(18,6))) FILTER (WHERE isfinite(value)) AS DOUBLE) AS s,
-           |         CAST(sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) FILTER (WHERE isfinite(value)) AS DOUBLE) AS ss
+           |         ${OracleGen.xsumSql("CASE WHEN isfinite(value) THEN value END", 6)} AS s,
+           |         ${OracleGen.xsumSql("CASE WHEN isfinite(value) THEN value * value END", 6)} AS ss
            |  FROM events GROUP BY user_id)
            |SELECT user_id, n_finite,
            |       ${sround("s / n_finite", 6)} AS mu,

@@ -1,0 +1,141 @@
+package graft.queries
+
+import graft.SparkUtil.table
+import graft.sql.OracleGen.sround
+import org.apache.spark.sql.functions._
+import QueryBase._
+
+/** Text-analysis operators for a training-data pipeline over `documents`:
+  * language-ID (stopword-profile heuristic), quality scoring, token
+  * counting (whitespace + BPE-ish regex), and document fingerprinting.
+  *
+  * Everything is expressed with built-in Spark SQL functions (codegen'd, no
+  * UDFs except the md5-min fingerprint) and has an exactly-matching DuckDB
+  * formulation: integer counts, exact divisions, portable rounding.
+  */
+object TextQueries {
+
+  // language marker profiles (deterministic heuristic, ties -> CASE order)
+  private val Profiles = Seq(
+    "de" -> Seq("der", "die", "und", "das"),
+    "en" -> Seq("the", "a", "of", "and"),
+    "es" -> Seq("el", "la", "y", "los"),
+    "fr" -> Seq("le", "la", "et", "les"))
+
+  private val Stopwords = Seq("the", "a", "of", "and", "to", "in")
+
+  private val toksSqlD = "string_split_regex(lower(trim(text)), '\\s+')"
+
+  val defs: Map[String, QFn] = Map(
+    // language ID: argmax of marker-token counts (ties by profile order)
+    "q35_lang_id" -> ((spark, dir) => {
+      val toks = split(lower(trim(col("text"))), "\\s+")
+      val scored = spread(table(spark, dir, "documents"))
+        .select(col("doc_id"), toks.as("toks"))
+        .select(Seq(col("doc_id")) ++ Profiles.map { case (lang, words) =>
+          size(filter(col("toks"),
+            t => words.map(w => t === w).reduce(_ || _))).as(s"s_$lang")
+        }: _*)
+      val g = greatest(Profiles.map(p => col(s"s_${p._1}")): _*)
+      val pred = Profiles.foldRight(lit("und")) { case ((lang, _), acc) =>
+        when(col(s"s_$lang") === g, lang).otherwise(acc)
+      }
+      // NOTE foldRight gives de->en->es->fr priority like the SQL CASE chain
+      scored.select(col("doc_id"),
+        when(g === 0, "und").otherwise(pred).as("pred_lang"))
+    }),
+
+    // quality score: token stats + punctuation + stopword density
+    "q36_quality_score" -> ((spark, dir) => {
+      val toks = split(lower(trim(col("text"))), "\\s+")
+      val d = spread(table(spark, dir, "documents"))
+        .select(col("doc_id"), col("text"), toks.as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).as("n_tokens"),
+          size(array_distinct(col("toks"))).as("n_types"),
+          length(regexp_replace(lower(col("text")), "[a-z0-9\\s]", "")).as("n_punct"),
+          length(col("text")).as("n_chars"),
+          size(filter(col("toks"),
+            t => Stopwords.map(w => t === w).reduce(_ || _))).as("n_stop"))
+      d.select(col("doc_id"), col("n_tokens"),
+        pround(col("n_types").cast("double") / col("n_tokens"), 6).as("ttr"),
+        pround(col("n_punct").cast("double") / col("n_chars"), 6).as("punct_ratio"),
+        pround(col("n_stop").cast("double") / col("n_tokens"), 6).as("stop_ratio"),
+        pround(
+          col("n_types").cast("double") / col("n_tokens") * 0.5 +
+            (lit(1.0) - col("n_punct").cast("double") / col("n_chars")) * 0.3 +
+            (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")) * 0.2, 6).as("quality"))
+    }),
+
+    // token counting: whitespace tokens + BPE-ish regex pieces
+    "q37_token_count" -> ((spark, dir) =>
+      spread(table(spark, dir, "documents")).select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).as("ws_tokens"),
+        size(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("subword_tokens"))),
+
+    // fingerprints: exact md5 + min-shingle-hash (1-permutation minhash)
+    "q38_fingerprint" -> ((spark, dir) => {
+      val minShingle = udf((text: String) => {
+        val sh = graft.text.TextHash.shingles(graft.text.TextHash.tokenize(text), 3)
+        sh.map(graft.text.TextHash.md5Hex).min
+      })
+      val norm = trim(regexp_replace(regexp_replace(
+        lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+      spread(table(spark, dir, "documents")).select(col("doc_id"),
+        md5(norm).as("fp"), minShingle(col("text")).as("min_shingle"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q35_lang_id" -> {
+      val scores = Profiles.map { case (lang, words) =>
+        val in = words.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(toks, t -> t IN ($in))) AS s_$lang"
+      }.mkString(", ")
+      val g = Profiles.map(p => s"s_${p._1}").mkString("greatest(", ", ", ")")
+      val chain = Profiles.map { case (lang, _) =>
+        s"WHEN s_$lang = $g THEN '$lang'"
+      }.mkString(" ")
+      s"""WITH t AS (SELECT doc_id, $toksSqlD AS toks FROM documents),
+         |s AS (SELECT doc_id, $scores FROM t)
+         |SELECT doc_id, CASE WHEN $g = 0 THEN 'und' $chain ELSE 'und' END AS pred_lang FROM s""".stripMargin
+    },
+
+    "q36_quality_score" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksSqlD AS toks FROM documents),
+         |d AS (SELECT doc_id,
+         |        CAST(len(toks) AS INT) AS n_tokens,
+         |        CAST(len(list_distinct(toks)) AS INT) AS n_types,
+         |        CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS INT) AS n_punct,
+         |        CAST(length(text) AS INT) AS n_chars,
+         |        CAST(len(list_filter(toks, t -> t IN (${Stopwords.map(w => s"'$w'").mkString(", ")}))) AS INT) AS n_stop
+         |      FROM t)
+         |SELECT doc_id, n_tokens,
+         |  ${sround("n_types::DOUBLE / n_tokens", 6)} AS ttr,
+         |  ${sround("n_punct::DOUBLE / n_chars", 6)} AS punct_ratio,
+         |  ${sround("n_stop::DOUBLE / n_tokens", 6)} AS stop_ratio,
+         |  ${sround("n_types::DOUBLE / n_tokens * 0.5 + (1.0 - n_punct::DOUBLE / n_chars) * 0.3 + (1.0 - n_stop::DOUBLE / n_tokens) * 0.2", 6)} AS quality
+         |FROM d""".stripMargin,
+
+    "q37_token_count" ->
+      """SELECT doc_id,
+        |       CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS ws_tokens,
+        |       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS subword_tokens
+        |FROM documents""".stripMargin,
+
+    "q38_fingerprint" -> {
+      val norm = "trim(regexp_replace(regexpreplace_TMP, ' +', ' ', 'g'))"
+        .replace("regexpreplace_TMP", "regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')")
+      val sh = s"""(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                   ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END)"""
+        .replaceAll("\\s+", " ")
+      s"""WITH t AS (SELECT doc_id, text, $toksSqlD AS toks FROM documents),
+         |s AS (SELECT doc_id, text, $sh AS sh FROM t)
+         |SELECT doc_id, md5($norm) AS fp,
+         |       list_aggregate(list_transform(sh, x -> md5(x)), 'min') AS min_shingle
+         |FROM s""".stripMargin
+    }
+  )
+}

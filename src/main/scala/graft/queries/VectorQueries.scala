@@ -1,0 +1,154 @@
+package graft.queries
+
+import graft.SparkUtil.table
+import graft.sql.OracleGen.sround
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import QueryBase._
+
+/** Similarity search over the `embeddings` table (`Array[Float]` vectors):
+  * brute-force cosine top-k as the exact baseline, and a random-hyperplane
+  * (sign-projection) LSH bucketing as the scale path.
+  *
+  * Cosine is computed in DOUBLE in ascending index order on both sides —
+  * DuckDB's builtin list_cosine_similarity accumulates in float and does
+  * NOT match; the oracle uses an explicit list_transform formulation that
+  * is bit-identical to the Scala loop.
+  *
+  * Scale notes: the query set is broadcast (never shuffle the corpus); the
+  * LSH variant turns ANN into an equi-join on bucket ids, which shuffles
+  * the corpus once on a uniform 8-bit key and scales linearly. At 100 TB
+  * you'd raise the bit count with corpus size (buckets ~ n / target
+  * bucket size) and add multi-probe; the plan shape stays the same.
+  */
+object VectorQueries {
+
+  /** Deterministic ±1 hyperplane signs (8 planes × 64 dims) from a fixed
+    * LCG — embedded into the oracle SQL from these same values. */
+  val NumPlanes = 8
+  val Dim = 64
+  val Signs: Array[Array[Double]] = {
+    var x = 42L
+    Array.fill(NumPlanes, Dim) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      if (((x >>> 62) & 1L) == 1L) 1.0 else -1.0
+    }
+  }
+
+  private val cosUdf = udf((a: Seq[Float], b: Seq[Float]) => {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  })
+
+  private val bucketUdf = udf((e: Seq[Float]) => {
+    var bucket = 0
+    var j = 0
+    while (j < NumPlanes) {
+      var acc = 0.0
+      var i = 0
+      while (i < Dim) { acc += Signs(j)(i) * e(i).toDouble; i += 1 }
+      if (acc > 0) bucket |= (1 << j)
+      j += 1
+    }
+    bucket
+  })
+
+  private val QueryCount = 10 // vec_id < 10 are the query vectors
+
+  val defs: Map[String, QFn] = Map(
+    // exact ANN baseline: brute-force cosine top-5 per query vector
+    "q40_ann_brute" -> ((spark, dir) => {
+      val emb = spread(table(spark, dir, "embeddings"))
+      val q = emb.where(col("vec_id") < QueryCount)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val scored = emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          pround(cosUdf(col("qe"), col("embedding")), 6).as("cos"))
+      val w = Window.partitionBy("query_id").orderBy(desc("cos"), col("vec_id"))
+      scored.withColumn("rn", row_number().over(w)).where(col("rn") <= 5)
+        .select("query_id", "vec_id", "cos")
+    }),
+
+    // LSH bucket per vector (sign of 8 random-hyperplane projections)
+    "q41_ann_lsh_buckets" -> ((spark, dir) =>
+      spread(table(spark, dir, "embeddings"))
+        .select(col("vec_id"), bucketUdf(col("embedding")).as("bucket"))),
+
+    // LSH candidate retrieval: same-bucket vectors for each query + cosine
+    "q42_ann_lsh_probe" -> ((spark, dir) => {
+      val emb = spread(table(spark, dir, "embeddings"))
+        .select(col("vec_id"), col("embedding"), bucketUdf(col("embedding")).as("bucket"))
+      val q = emb.where(col("vec_id") < QueryCount)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("bucket"))
+      emb.join(broadcast(q), Seq("bucket"))
+        .where(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          pround(cosUdf(col("qe"), col("embedding")), 6).as("cos"))
+    }),
+
+    // per-label corpus stats: count + mean vector L2 norm (decimal-exact)
+    "q43_vector_stats" -> ((spark, dir) => {
+      val normUdf = udf((e: Seq[Float]) => {
+        var s = 0.0; var i = 0
+        while (i < e.length) { s += e(i).toDouble * e(i).toDouble; i += 1 }
+        math.sqrt(s)
+      })
+      spread(table(spark, dir, "embeddings"))
+        .select(col("label"), normUdf(col("embedding")).as("nrm"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"), xsum(col("nrm"), 6).as("s"))
+        .select(col("label"), col("n"), pround(col("s") / col("n"), 6).as("avg_norm"))
+    })
+  )
+
+  // ---- oracle SQL ----------------------------------------------------------
+
+  private def cosSql(a: String, b: String): String =
+    s"""(list_sum(list_transform(range(1, len($a) + 1), i -> ($a[i]::DOUBLE) * ($b[i]::DOUBLE)))
+        / (sqrt(list_sum(list_transform($a, x -> (x::DOUBLE) * (x::DOUBLE))))
+           * sqrt(list_sum(list_transform($b, x -> (x::DOUBLE) * (x::DOUBLE))))))"""
+      .replaceAll("\\s+", " ")
+
+  private def bucketSql(e: String): String = {
+    val bits = (0 until NumPlanes).map { j =>
+      val terms = (0 until Dim).map { i =>
+        if (Signs(j)(i) > 0) s"($e[${i + 1}]::DOUBLE)" else s"(-($e[${i + 1}]::DOUBLE))"
+      }.mkString(" + ")
+      s"(CASE WHEN ($terms) > 0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString(" + ")
+    s"CAST($bits AS INT)"
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q40_ann_brute" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < $QueryCount)
+         |SELECT query_id, vec_id, cos FROM (
+         |  SELECT query_id, vec_id, ${sround(cosSql("qe", "embedding"), 6)} AS cos,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY ${sround(cosSql("qe", "embedding"), 6)} DESC, vec_id) AS rn
+         |  FROM embeddings, q WHERE vec_id <> query_id)
+         |WHERE rn <= 5""".stripMargin,
+
+    "q41_ann_lsh_buckets" ->
+      s"SELECT vec_id, ${bucketSql("embedding")} AS bucket FROM embeddings",
+
+    "q42_ann_lsh_probe" ->
+      s"""WITH e AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM e WHERE vec_id < $QueryCount)
+         |SELECT query_id, e.vec_id, ${sround(cosSql("qe", "e.embedding"), 6)} AS cos
+         |FROM e JOIN q USING (bucket) WHERE e.vec_id <> q.query_id""".stripMargin,
+
+    "q43_vector_stats" ->
+      s"""WITH n AS (SELECT label,
+         |  sqrt(list_sum(list_transform(embedding, x -> (x::DOUBLE) * (x::DOUBLE)))) AS nrm
+         |  FROM embeddings)
+         |SELECT label, CAST(count(*) AS BIGINT) AS n,
+         |       ${sround(graft.sql.OracleGen.xsumSql("nrm", 6) + " / count(*)", 6)} AS avg_norm
+         |FROM n GROUP BY label""".stripMargin
+  )
+}

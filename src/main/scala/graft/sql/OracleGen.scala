@@ -35,6 +35,12 @@ object OracleGen {
     s"floor(($e) * $p.0 + 0.5) / $p.0"
   }
 
+  /** Order-independent portable sum (see QueryBase.xsum). */
+  def xsumSql(e: String, digits: Int): String = {
+    val p = math.pow(10, digits).toLong
+    s"sum(floor(($e) * $p.0 + 0.5)) / $p.0"
+  }
+
   /** SAX symbol char for a frame z-value expression `v` at cardinality c:
     * NaN -> '#', v < breaks(0) -> 'A', ..., else top char. */
   def symbolCase(v: String, c: Int): String = {

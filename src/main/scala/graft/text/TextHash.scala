@@ -24,14 +24,38 @@ object TextHash {
     Array.fill(NumHashes) { x = (x * 6364136223846793005L + 1442695040888963407L) & Long.MaxValue; x % P }
   }
 
-  def md5Hex(s: String): String = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-    d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  private val Hex = "0123456789abcdef".toCharArray
+  private val DigestTL = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
+  private def md5Bytes(s: String): Array[Byte] = {
+    val d = DigestTL.get()
+    d.reset()
+    d.digest(s.getBytes("UTF-8"))
   }
 
-  /** 60-bit hash = first 15 hex chars of md5, as the oracle's
-    * CAST(concat('0x', substr(md5(s),1,15)) AS BIGINT). */
-  def hash60(s: String): Long = java.lang.Long.parseLong(md5Hex(s).take(15), 16)
+  def md5Hex(s: String): String = {
+    val b = md5Bytes(s)
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = Hex((b(i) >> 4) & 0xf)
+      out(2 * i + 1) = Hex(b(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** 60-bit hash = first 15 hex chars of md5 (7 bytes + high nibble of the
+    * 8th), as the oracle's CAST(concat('0x', substr(md5(s),1,15)) AS
+    * BIGINT). Computed from the digest bytes directly — no hex string. */
+  def hash60(s: String): Long = {
+    val b = md5Bytes(s)
+    var h = 0L
+    var i = 0
+    while (i < 7) { h = (h << 8) | (b(i) & 0xffL); i += 1 }
+    (h << 4) | ((b(7) & 0xffL) >>> 4)
+  }
 
   /** Whitespace tokenization after lowercasing — matches the oracle's
     * string_split_regex(lower(trim(text)), '\s+'). */
@@ -81,15 +105,22 @@ object TextHash {
       (b +: sig.slice(b * rows, (b + 1) * rows).toSeq).mkString(":"))
   }
 
-  /** 32-bit simhash over the token multiset, bit j driven by bit j of each
+  /** Simhash width: 60 bits (full width of the md5-derived token hash).
+    * Split into 4 bands of 15 bits for blocking — by pigeonhole, any pair
+    * within Hamming distance 3 shares at least one identical band. */
+  final val SimBits = 60
+  final val SimBands = 4
+  final val SimBandBits = SimBits / SimBands // 15
+
+  /** 60-bit simhash over the token multiset, bit j driven by bit j of each
     * token's 60-bit hash. */
-  def simhash32(tokens: Array[String]): Long = {
-    val counts = new Array[Long](32)
+  def simhash(tokens: Array[String]): Long = {
+    val counts = new Array[Long](SimBits)
     var i = 0
     while (i < tokens.length) {
       val h = hash60(tokens(i))
       var j = 0
-      while (j < 32) {
+      while (j < SimBits) {
         counts(j) += (if (((h >> j) & 1L) == 1L) 1L else -1L)
         j += 1
       }
@@ -97,7 +128,7 @@ object TextHash {
     }
     var out = 0L
     var j = 0
-    while (j < 32) {
+    while (j < SimBits) {
       if (counts(j) > 0) out |= (1L << j)
       j += 1
     }
