@@ -26,6 +26,8 @@ final class SaxWindow(val n: Int, val w: Int, val c: Int) extends Serializable {
     !java.lang.Double.isNaN(v) && !java.lang.Double.isInfinite(v)
 
   def currentMu: Double = mu
+  def currentS2: Double = s2
+  def currentFiniteCnt: Long = finiteCnt
   def currentStd: Double = // reference get_window_std, src/symtseries.c:409-414
     if (finiteCnt == 0) 0.0 else math.sqrt(s2 / finiteCnt)
 
@@ -109,5 +111,24 @@ final class SaxWindow(val n: Int, val w: Int, val c: Int) extends Serializable {
     var i = 0
     while (i < n) { out(i) = buffer((head + i) % n); i += 1 }
     out
+  }
+}
+
+object SaxWindow {
+  /** Rebuild a window from checkpointed state (insertion-order values +
+    * moments) — the restore half of the reference's serialize_sax
+    * (/root/reference/lua/lua_sax.c:293-342). */
+  def restore(n: Int, w: Int, c: Int, values: Array[Double],
+              mu: Double, s2: Double, finiteCnt: Long): SaxWindow = {
+    require(values.length == n, s"state length ${values.length} != n=$n")
+    val win = new SaxWindow(n, w, c)
+    var i = 0
+    while (i < n) { win.buffer(i) = values(i); i += 1 }
+    win.head = 0
+    win.mu = mu
+    win.s2 = s2
+    win.finiteCnt = finiteCnt
+    win.dirty = true
+    win
   }
 }

@@ -1,0 +1,66 @@
+package graft.streaming
+
+import graft.sax.SaxWindow
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming port of the reference's stateful sliding-window
+  * operator (`sts_window`, SURVEY.md §2 ops 7-10): per-key state holds the
+  * NaN-prefilled ring plus the O(1) online moments, exactly the 3-case
+  * update algebra of append_value (/root/reference/src/symtseries.c:434-479).
+  *
+  * The GroupState snapshot/restore round-trip is the Spark analogue of the
+  * reference's lua_sandbox serialize_sax checkpoint
+  * (/root/reference/lua/lua_sax.c:293-342): Spark persists [[SaxState]] to
+  * the checkpoint state store between micro-batches.
+  *
+  * Semantics: strictly arrival-ordered like the reference (no watermark /
+  * late-data reordering). Within a micro-batch, events are ordered by
+  * (ts, eventId); across batches, ordering is arrival order — matching the
+  * reference's append semantics rather than event-time semantics. At 100 TB
+  * scale the state is O(n) doubles per key and the only shuffle is the
+  * groupByKey on the series key.
+  */
+object SaxStreaming {
+
+  final case class SeriesEvent(userId: Long, eventId: Long, ts: Long, value: Double)
+  final case class WordOut(userId: Long, eventId: Long, word: String)
+
+  /** Serializable window state (ring contents in insertion order + moments). */
+  final case class SaxState(values: Array[Double], mu: Double, s2: Double,
+                            finiteCnt: Long)
+
+  /** Per-event sliding-window SAX encode over a (possibly streaming)
+    * Dataset, emitting the updated word after every append — the streaming
+    * equivalent of the batch q02 window query. */
+  def encodeStream(events: Dataset[SeriesEvent], n: Int, w: Int, c: Int)
+  : Dataset[WordOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.userId)
+      .flatMapGroupsWithState[SaxState, WordOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[SeriesEvent], state: GroupState[SaxState]) =>
+          val win = state.getOption match {
+            case Some(s) => restore(s, n, w, c)
+            case None    => new SaxWindow(n, w, c)
+          }
+          val out = rows.toSeq.sortBy(e => (e.ts, e.eventId)).map { e =>
+            WordOut(userId, e.eventId, win.append(e.value))
+          }
+          state.update(snapshot(win))
+          out.iterator
+      }
+  }
+
+  /** Streaming numerosity reduction: running count per SAX word
+    * (Update-mode aggregation downstream of the stateful encode). */
+  def wordCounts(events: Dataset[SeriesEvent], n: Int, w: Int, c: Int) = {
+    encodeStream(events, n, w, c).groupBy("word").count()
+  }
+
+  def snapshot(win: SaxWindow): SaxState =
+    SaxState(win.values, win.currentMu, win.currentS2, win.currentFiniteCnt)
+
+  def restore(s: SaxState, n: Int, w: Int, c: Int): SaxWindow =
+    SaxWindow.restore(n, w, c, s.values, s.mu, s.s2, s.finiteCnt)
+}

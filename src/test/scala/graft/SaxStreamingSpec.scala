@@ -1,0 +1,91 @@
+package graft
+
+import graft.sax.{Sax, SaxWindow}
+import graft.streaming.SaxStreaming
+import graft.streaming.SaxStreaming.SeriesEvent
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The streaming operator must replay to exactly the batch window query's
+  * words (the reference's sliding-window == batch equivalence,
+  * src/symtseries.c:816-850, lifted to the cluster operator level). */
+class SaxStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = graft.SparkUtil.configure(
+        SparkSession.builder().master("local[4]"), "4")
+      .config("spark.sql.streaming.checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("snapshot/restore round-trip continues identically (serialize_sax semantics)") {
+    val a = new SaxWindow(8, 4, 4)
+    val values = Array(1.0, 5.0, Double.NaN, 3.0, -2.0, Double.PositiveInfinity, 4.0)
+    values.foreach(a.push)
+    val restored = SaxStreaming.restore(SaxStreaming.snapshot(a), 8, 4, 4)
+    assert(restored.currentWord == a.currentWord)
+    val more = Array(0.5, -1.5, 2.5, Double.NaN, 7.0)
+    more.foreach { v =>
+      a.push(v); restored.push(v)
+      assert(restored.currentWord == a.currentWord)
+      assert(restored.currentMu == a.currentMu && restored.currentS2 == a.currentS2)
+    }
+  }
+
+  test("streaming windowed encode over 3 micro-batches equals the batch window query") {
+    val ss = spark
+    import ss.implicits._
+    val n = 8; val w = 4; val c = 4
+
+    val events = spark.read
+      .parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("user_id").as("userId"), col("event_id").as("eventId"),
+        col("ts"), col("value"))
+      .as[SeriesEvent]
+      .collect()
+      .sortBy(e => (e.ts, e.eventId))
+
+    val stream = MemoryStream[SeriesEvent](spark)
+    val query = SaxStreaming.encodeStream(stream.toDS(), n, w, c)
+      .writeStream.format("memory").queryName("stream_words")
+      .outputMode("append").start()
+
+    // three micro-batches split on global arrival order (preserves per-key
+    // (ts, eventId) order across batches)
+    val chunks = events.grouped(math.ceil(events.length / 3.0).toInt).toSeq
+    chunks.foreach { chunk =>
+      stream.addData(chunk.toIndexedSeq)
+      query.processAllAvailable()
+    }
+    query.stop()
+
+    val streamed = spark.table("stream_words")
+      .select("eventId", "word").as[(Long, String)].collect().toMap
+
+    // batch reference: q02-style sliding window encode
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(-(n - 1), 0)
+    val saxEnc = udf((vs: Seq[Double]) => Sax.encodePadded(vs.toArray, n, w, c))
+    val expected = spark.read
+      .parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("event_id"),
+        saxEnc(collect_list(col("value")).over(byUser)).as("word"))
+      .as[(Long, String)].collect().toMap
+
+    assert(streamed.size == expected.size)
+    val diffs = expected.collect {
+      case (id, word) if streamed(id) != word => (id, word, streamed(id))
+    }
+    assert(diffs.isEmpty, s"first diffs: ${diffs.take(5)}")
+  }
+}
