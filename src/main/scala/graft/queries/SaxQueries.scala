@@ -123,9 +123,11 @@ object SaxQueries {
       }.reduce(_ union _)
     }),
 
-    // word equi-join (sts_words_equal as a join key): users sharing a word
+    // word equi-join (sts_words_equal as a join key): users sharing a word.
+    // The distinct frame is cached so the self-join doesn't recompute the
+    // window encode for both sides.
     "q07_sax_word_join" -> ((spark, dir) => {
-      val uw = windowWords(spark, dir).select("user_id", "word").distinct()
+      val uw = windowWords(spark, dir).select("user_id", "word").distinct().cache()
       uw.as("a").join(uw.as("b"),
           col("a.word") === col("b.word") && col("a.user_id") < col("b.user_id"))
         .groupBy(col("a.word").as("word")).agg(count(lit(1)).as("pairs"))
@@ -172,6 +174,20 @@ object SaxQueries {
         .select(col("user_id"),
           pround(col("p")(0), 6).as("paa0"), pround(col("p")(1), 6).as("paa1"),
           pround(col("p")(2), 6).as("paa2"), pround(col("p")(3), 6).as("paa3"))
+    }),
+
+    // iSAX-style prefix-bucketed pattern search: prune candidates by word
+    // prefix BEFORE the mindist evaluation — the join-pruning pattern the
+    // reference motivates for "HUGE pattern collections" (README.md:32).
+    // At scale the prefix is a partition/bucket key: only matching buckets
+    // are scanned, the rest are pruned at the source.
+    "q13_sax_prefix_search" -> ((spark, dir) => {
+      val pattern = "BDBB"
+      val md = sax_mindist(col("word"), lit(N.toLong), lit(pattern), lit(0L), C)
+      windowWords(spark, dir)
+        .where(substring(col("word"), 1, 2) === pattern.substring(0, 2))
+        .select(col("event_id"), col("word"), pround(md.getField("dist"), 6).as("dist"))
+        .where(col("dist") <= 1.5)
     }),
 
     // numerosity-reduction runs: consecutive identical words collapse
@@ -265,6 +281,13 @@ object SaxQueries {
            |ws AS (SELECT user_id, vals, ${welfordExpr(finExpr("vals"))} AS ws FROM base),
            |st AS (SELECT user_id, vals, ${wsMu("ws")} AS mu, ${wsStd("ws")} AS std FROM ws)
            |SELECT user_id, $frames FROM st""".stripMargin
+      },
+
+      "q13_sax_prefix_search" -> {
+        val md = OracleGen.mindistVsLiteral("word", "BDBB", N, C)
+        s"""WITH q AS ($windowWordsSql)
+           |SELECT event_id, word, ${md.dist} AS dist FROM q
+           |WHERE substr(word, 1, 2) = 'BD' AND ${md.dist} <= 1.5""".stripMargin
       },
 
       "q12_sax_runs" ->

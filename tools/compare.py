@@ -6,9 +6,15 @@ Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
 """
 import json, sys, math
 import duckdb
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pandas as pd
 from pathlib import Path
+
+# the sandbox caps thread creation; pyarrow's default pools plus duckdb's
+# workers overrun it mid-run and abort the process
+pa.set_cpu_count(2)
+pa.set_io_thread_count(2)
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
@@ -25,12 +31,19 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     rows = sorted(out.itertuples(index=False, name=None))
     return rows
 
-def main(sf_dir, out_dir):
-    con = duckdb.connect()
+def fresh_con(sf_dir):
+    # configure at connect time: the default pool (32 threads, 80%-RAM
+    # memory_limit) trips this container's sandbox limits — pthread_create
+    # EAGAIN aborts the process and small allocs spuriously fail
+    con = duckdb.connect(config={"threads": 4, "memory_limit": "8GB"})
     for t in TABLES:
         p = Path(sf_dir) / f"{t}.parquet"
         if p.exists():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+def main(sf_dir, out_dir):
+    con = fresh_con(sf_dir)
     oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
@@ -44,7 +57,17 @@ def main(sf_dir, out_dir):
         try:
             duck_df = con.execute(sql).fetchdf()
         except Exception as e:
-            print(f"FAIL {name}: oracle sql error: {e}"); n_fail += 1; continue
+            # transient allocator failures poison the connection: rebuild and
+            # retry once before declaring failure
+            try:
+                con.close()
+            except Exception:
+                pass
+            con = fresh_con(sf_dir)
+            try:
+                duck_df = con.execute(sql).fetchdf()
+            except Exception as e2:
+                print(f"FAIL {name}: oracle sql error: {e2}"); n_fail += 1; continue
         a, b = canon(spark_df), canon(duck_df)
         if len(a) != len(b):
             print(f"FAIL {name}: rows spark={len(a)} duck={len(b)}")
