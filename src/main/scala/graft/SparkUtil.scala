@@ -13,7 +13,8 @@ object SparkUtil {
     *    100TB design (skewed series keys get split automatically).
     */
   def configure(b: SparkSession.Builder, cpus: String): SparkSession.Builder =
-    b.config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    b.config("spark.sql.extensions", "graft.spark.GraftExtensions")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

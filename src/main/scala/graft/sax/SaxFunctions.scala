@@ -50,18 +50,22 @@ object SaxFunctions {
     spark.udf.register("sax_is_valid", saxIsValid)
   }
 
-  /** Column helpers for the DataFrame API. */
+  /** Column helpers for the DataFrame API — these build the NATIVE codegen
+    * expressions (no UDF invocation/boxing in the hot path); the UDF
+    * registrations above remain for spark.udf-style use. */
+  private def colOf(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(e)
+  private def exprOf(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.GraftColumnBridge.expression(c)
+  private def litE(v: Any) =
+    org.apache.spark.sql.catalyst.expressions.Literal(v)
+
   def sax_encode(values: Column, w: Int, c: Int): Column =
-    saxEncode(values, org.apache.spark.sql.functions.lit(w),
-      org.apache.spark.sql.functions.lit(c))
+    colOf(SaxEncodeExpr(exprOf(values), litE(w), litE(c)))
 
-  def sax_encode_window(values: Column, n: Int, w: Int, c: Int): Column = {
-    import org.apache.spark.sql.functions.lit
-    saxEncodeWindow(values, lit(n), lit(w), lit(c))
-  }
+  def sax_encode_window(values: Column, n: Int, w: Int, c: Int): Column =
+    colOf(SaxEncodeWindowExpr(exprOf(values), litE(n), litE(w), litE(c)))
 
-  def sax_mindist(a: Column, aN: Column, b: Column, bN: Column, c: Int): Column = {
-    import org.apache.spark.sql.functions.lit
-    saxMindist(a, aN, b, bN, lit(c))
-  }
+  def sax_mindist(a: Column, aN: Column, b: Column, bN: Column, c: Int): Column =
+    colOf(SaxMindistExpr(Seq(exprOf(a), exprOf(aN), exprOf(b), exprOf(bN), litE(c))))
 }

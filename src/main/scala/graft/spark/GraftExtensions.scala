@@ -1,0 +1,48 @@
+package graft.spark
+
+import graft.sax.{SaxEncodeExpr, SaxEncodeWindowExpr, SaxMindistExpr}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.types._
+
+/** SparkSessionExtensions hook: registers the native SAX expressions in the
+  * session's FunctionRegistry, so plain SQL can call them:
+  *
+  * {{{
+  * spark.sql("SELECT sax_encode(array(1.0,2.0,3.0,10.1), 2, 4)")
+  * }}}
+  *
+  * Activate with `.config("spark.sql.extensions", "graft.spark.GraftExtensions")`
+  * (done by SparkUtil.configure) or `.withExtensions(new GraftExtensions)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "")
+
+  private def arity(name: String, n: Int, args: Seq[Expression]): Unit =
+    require(args.length == n,
+      s"$name takes exactly $n arguments, got ${args.length}")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("sax_encode"),
+      info("sax_encode", "sax_encode(values, w, c) - SAX-encode an array of doubles"),
+      (args: Seq[Expression]) => { arity("sax_encode", 3, args); SaxEncodeExpr(
+        Cast(args(0), ArrayType(DoubleType)), Cast(args(1), IntegerType),
+        Cast(args(2), IntegerType)) }))
+
+    ext.injectFunction((FunctionIdentifier("sax_encode_window"),
+      info("sax_encode_window", "sax_encode_window(values, n, w, c) - trailing-window SAX encode with NaN prefill"),
+      (args: Seq[Expression]) => { arity("sax_encode_window", 4, args); SaxEncodeWindowExpr(
+        Cast(args(0), ArrayType(DoubleType)), Cast(args(1), IntegerType),
+        Cast(args(2), IntegerType), Cast(args(3), IntegerType)) }))
+
+    ext.injectFunction((FunctionIdentifier("sax_mindist"),
+      info("sax_mindist", "sax_mindist(a, nA, b, nB, c) - lower-bounding distance as struct(dist, above, below)"),
+      (args: Seq[Expression]) => { arity("sax_mindist", 5, args); SaxMindistExpr(Seq(
+        Cast(args(0), StringType), Cast(args(1), LongType),
+        Cast(args(2), StringType), Cast(args(3), LongType),
+        Cast(args(4), IntegerType))) }))
+  }
+}
