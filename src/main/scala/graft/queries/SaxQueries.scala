@@ -190,6 +190,23 @@ object SaxQueries {
         .where(col("dist") <= 1.5)
     }),
 
+    // incremental trailing-window encode as a typed Aggregator: bounded
+    // last-n state with map-side partial combine (sts_append_array
+    // keep-last-n semantics) — no unbounded collect_list
+    "q14_sax_agg_encode" -> ((spark, dir) => {
+      import graft.sax.SaxWindowAggregator
+      import SaxWindowAggregator.{In, Keyed}
+      import org.apache.spark.sql.Encoders
+      val ev = table(spark, dir, "events")
+      ev.select(col("user_id").as("userId"), col("ts"),
+          col("event_id").as("eventId"), col("value"))
+        .as[Keyed](Encoders.product[Keyed])
+        .groupByKey(_.userId)(Encoders.scalaLong)
+        .mapValues(k => In(k.ts, k.eventId, k.value))(Encoders.product[In])
+        .agg(new SaxWindowAggregator(N, W, C).toColumn.name("word"))
+        .toDF("user_id", "word")
+    }),
+
     // numerosity-reduction runs: consecutive identical words collapse
     "q12_sax_runs" -> ((spark, dir) => {
       val w = Window.partitionBy("user_id").orderBy("event_id")
@@ -281,6 +298,21 @@ object SaxQueries {
            |ws AS (SELECT user_id, vals, ${welfordExpr(finExpr("vals"))} AS ws FROM base),
            |st AS (SELECT user_id, vals, ${wsMu("ws")} AS mu, ${wsStd("ws")} AS std FROM ws)
            |SELECT user_id, $frames FROM st""".stripMargin
+      },
+
+      "q14_sax_agg_encode" -> {
+        val pad = padExpr("vals", N)
+        s"""WITH ranked AS (
+           |  SELECT user_id, value AS v, ts, event_id,
+           |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rnd
+           |  FROM events),
+           |base AS (
+           |  SELECT user_id, list(v ORDER BY ts, event_id) AS vals FROM ranked
+           |  WHERE rnd <= $N GROUP BY user_id),
+           |padded AS (SELECT user_id, $pad AS vals FROM base),
+           |ws AS (SELECT user_id, vals, ${welfordExpr(finExpr("vals"))} AS ws FROM padded),
+           |st AS (SELECT user_id, vals, ${wsMu("ws")} AS mu, ${wsStd("ws")} AS std FROM ws)
+           |SELECT user_id, ${saxWordExpr("vals", "mu", "std", N, W, C)} AS word FROM st""".stripMargin
       },
 
       "q13_sax_prefix_search" -> {
