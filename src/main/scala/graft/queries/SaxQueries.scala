@@ -190,6 +190,20 @@ object SaxQueries {
         .where(col("dist") <= 1.5)
     }),
 
+    // composite-key windowed encode: series key = (user_id, event_type).
+    // Finer keys mean more parallel window partitions — the shape that
+    // scales (the single-column variant has only as many partitions as
+    // users). Words group per composite series.
+    "q15_sax_multikey" -> ((spark, dir) => {
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy("ts", "event_id").rowsBetween(-(N - 1), 0)
+      table(spark, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          sax_encode_window(collect_list(col("value")).over(w), N, W, C).as("word"))
+        .groupBy("user_id", "event_type", "word")
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
     // incremental trailing-window encode as a typed Aggregator: bounded
     // last-n state with map-side partial combine (sts_append_array
     // keep-last-n semantics) — no unbounded collect_list
@@ -298,6 +312,21 @@ object SaxQueries {
            |ws AS (SELECT user_id, vals, ${welfordExpr(finExpr("vals"))} AS ws FROM base),
            |st AS (SELECT user_id, vals, ${wsMu("ws")} AS mu, ${wsStd("ws")} AS std FROM ws)
            |SELECT user_id, $frames FROM st""".stripMargin
+      },
+
+      "q15_sax_multikey" -> {
+        val pad = padExpr("raw", N)
+        s"""WITH base AS (
+           |  SELECT user_id, event_type,
+           |         list(value) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id
+           |                           ROWS BETWEEN ${N - 1} PRECEDING AND CURRENT ROW) AS raw
+           |  FROM events),
+           |padded AS (SELECT user_id, event_type, $pad AS vals FROM base),
+           |ws AS (SELECT user_id, event_type, vals, ${welfordExpr(finExpr("vals"))} AS ws FROM padded),
+           |st AS (SELECT user_id, event_type, vals, ${wsMu("ws")} AS mu, ${wsStd("ws")} AS std FROM ws),
+           |words AS (SELECT user_id, event_type, ${saxWordExpr("vals", "mu", "std", N, W, C)} AS word FROM st)
+           |SELECT user_id, event_type, word, count(*)::BIGINT AS cnt
+           |FROM words GROUP BY user_id, event_type, word""".stripMargin
       },
 
       "q14_sax_agg_encode" -> {

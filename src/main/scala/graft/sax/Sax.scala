@@ -24,6 +24,10 @@ package graft.sax
   */
 object Sax {
 
+  /** Reference API version this library is semantics-compatible with
+    * (lua `sax.version()`, /root/reference/lua/lua_sax.c:381-385). */
+  final val CompatVersion = "0.5.0"
+
   import Tables._
 
   /** Result of a mindist computation (reference `sts_mindist_ab`,
