@@ -62,7 +62,11 @@ object VectorQueries {
   private val QueryCount = 10 // vec_id < 10 are the query vectors
 
   val defs: Map[String, QFn] = Map(
-    // exact ANN baseline: brute-force cosine top-5 per query vector
+    // exact ANN baseline: brute-force cosine top-5 per query vector.
+    // Plans as BroadcastNestedLoopJoin with the 10-row query side broadcast
+    // — the correct physical shape for deliberate all-pairs scoring (the
+    // corpus streams once; no shuffle). The LSH variant below is the
+    // sub-linear path.
     "q40_ann_brute" -> ((spark, dir) => {
       val emb = spread(table(spark, dir, "embeddings"))
       val q = emb.where(col("vec_id") < QueryCount)
