@@ -33,18 +33,20 @@ object SaxQueries {
 
   /** CTE producing (event_id, user_id, word): the sliding-window encode of
     * every event row, with NaN left-padding below n (ring prefill). */
-  private val windowWordsSql: String = {
-    val pad = padExpr("raw", N)
+  private def windowWordsSqlFor(n: Int, w: Int, c: Int): String = {
+    val pad = padExpr("raw", n)
     s"""WITH base AS (
        |  SELECT event_id, user_id,
        |         list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-       |                           ROWS BETWEEN ${N - 1} PRECEDING AND CURRENT ROW) AS raw
+       |                           ROWS BETWEEN ${n - 1} PRECEDING AND CURRENT ROW) AS raw
        |  FROM events),
        |padded AS (SELECT event_id, user_id, $pad AS vals FROM base),
        |ws AS (SELECT event_id, user_id, vals, ${welfordExpr(finExpr("vals"))} AS ws FROM padded),
        |st AS (SELECT event_id, user_id, vals, ${wsMu("ws")} AS mu, ${wsStd("ws")} AS std FROM ws)
-       |SELECT event_id, user_id, ${saxWordExpr("vals", "mu", "std", N, W, C)} AS word FROM st""".stripMargin
+       |SELECT event_id, user_id, ${saxWordExpr("vals", "mu", "std", n, w, c)} AS word FROM st""".stripMargin
   }
+
+  private val windowWordsSql: String = windowWordsSqlFor(N, W, C)
 
   /** CTE producing (user_id, word): batch encode of each user's FIRST n
     * values (users with fewer than n events excluded). */
@@ -62,11 +64,14 @@ object SaxQueries {
 
   // ---- Spark-side shared frames -------------------------------------------
 
-  private def windowWords: QFn = (spark, dir) => {
+  private def windowWordsFor(n: Int, w: Int, c: Int): QFn = (spark, dir) => {
+    val spec = byUser.rowsBetween(-(n - 1), 0)
     val ev = table(spark, dir, "events")
     ev.select(col("event_id"), col("user_id"),
-        sax_encode_window(collect_list(col("value")).over(trail), N, W, C).as("word"))
+        sax_encode_window(collect_list(col("value")).over(spec), n, w, c).as("word"))
   }
+
+  private def windowWords: QFn = windowWordsFor(N, W, C)
 
   private def firstNWords(w: Int, c: Int, masked: Boolean): QFn = (spark, dir) => {
     val ev = table(spark, dir, "events")
@@ -189,6 +194,13 @@ object SaxQueries {
         .select(col("event_id"), col("word"), pround(md.getField("dist"), 6).as("dist"))
         .where(col("dist") <= 1.5)
     }),
+
+    // higher-resolution encode: n=16, w=8, c=8 exercises the richer
+    // breakpoint/distance tables end-to-end (the flagship params only
+    // touch c=4/5)
+    "q16_sax_hires" -> ((spark, dir) =>
+      windowWordsFor(16, 8, 8)(spark, dir)
+        .groupBy("word").agg(count(lit(1)).as("cnt"))),
 
     // composite-key windowed encode: series key = (user_id, event_type).
     // Finer keys mean more parallel window partitions — the shape that
@@ -313,6 +325,9 @@ object SaxQueries {
            |st AS (SELECT user_id, vals, ${wsMu("ws")} AS mu, ${wsStd("ws")} AS std FROM ws)
            |SELECT user_id, $frames FROM st""".stripMargin
       },
+
+      "q16_sax_hires" ->
+        s"WITH q AS (${windowWordsSqlFor(16, 8, 8)})\nSELECT word, count(*)::BIGINT AS cnt FROM q GROUP BY word",
 
       "q15_sax_multikey" -> {
         val pad = padExpr("raw", N)

@@ -88,4 +88,33 @@ class SaxStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(diffs.isEmpty, s"first diffs: ${diffs.take(5)}")
   }
+
+  test("streaming numerosity (Update-mode word counts) matches batch groupBy") {
+    val ss = spark
+    import ss.implicits._
+    val events = spark.read
+      .parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("user_id").as("userId"), col("event_id").as("eventId"),
+        col("ts"), col("value"))
+      .as[SeriesEvent].collect().sortBy(e => (e.ts, e.eventId))
+
+    val stream = MemoryStream[SeriesEvent](spark)
+    val query = SaxStreaming.wordCounts(stream.toDS(), 8, 4, 4)
+      .writeStream.format("memory").queryName("stream_counts")
+      .outputMode("complete").start()
+    events.grouped(400).foreach { chunk =>
+      stream.addData(chunk.toIndexedSeq); query.processAllAvailable()
+    }
+    query.stop()
+
+    val streamed = spark.table("stream_counts")
+      .as[(String, Long)].collect().toMap
+    val saxEnc = udf((vs: Seq[Double]) => graft.sax.Sax.encodePadded(vs.toArray, 8, 4, 4))
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(-7, 0)
+    val expected = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(saxEnc(collect_list(col("value")).over(byUser)).as("word"))
+      .groupBy("word").count().as[(String, Long)].collect().toMap
+    assert(streamed == expected)
+  }
 }

@@ -54,20 +54,25 @@ def main(sf_dir, out_dir):
             spark_df = pq.read_table(res_dir).to_pandas()
         except Exception as e:
             print(f"FAIL {name}: read spark output: {e}"); n_fail += 1; continue
-        try:
-            duck_df = con.execute(sql).fetchdf()
-        except Exception as e:
-            # transient allocator failures poison the connection: rebuild and
-            # retry once before declaring failure
-            try:
-                con.close()
-            except Exception:
-                pass
-            con = fresh_con(sf_dir)
+        duck_df = None
+        err = None
+        for attempt in range(3):
             try:
                 duck_df = con.execute(sql).fetchdf()
-            except Exception as e2:
-                print(f"FAIL {name}: oracle sql error: {e2}"); n_fail += 1; continue
+                break
+            except Exception as e:
+                # transient allocator failures poison the connection:
+                # rebuild, give the sandbox a beat to reap threads, retry
+                err = e
+                try:
+                    con.close()
+                except Exception:
+                    pass
+                import gc, time
+                gc.collect(); time.sleep(1.0)
+                con = fresh_con(sf_dir)
+        if duck_df is None:
+            print(f"FAIL {name}: oracle sql error: {err}"); n_fail += 1; continue
         a, b = canon(spark_df), canon(duck_df)
         if len(a) != len(b):
             print(f"FAIL {name}: rows spark={len(a)} duck={len(b)}")
