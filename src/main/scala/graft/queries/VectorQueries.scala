@@ -96,6 +96,20 @@ object VectorQueries {
           pround(cosUdf(col("qe"), col("embedding")), 6).as("cos"))
     }),
 
+    // embedding-cosine near-duplicate detection: all same-bucket pairs
+    // (not just query probes) verified by exact cosine — the vector
+    // analogue of MinHash near-dup. Bucket count scales with corpus size
+    // so in-bucket pair counts stay bounded.
+    "q44_embed_neardup" -> ((spark, dir) => {
+      val emb = spread(table(spark, dir, "embeddings"))
+        .select(col("vec_id"), col("embedding"), bucketUdf(col("embedding")).as("bucket"))
+      emb.as("a").join(emb.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          pround(cosUdf(col("a.embedding"), col("b.embedding")), 6).as("cos"))
+        .where(col("cos") >= 0.3)
+    }),
+
     // per-label corpus stats: count + mean vector L2 norm (decimal-exact)
     "q43_vector_stats" -> ((spark, dir) => {
       val normUdf = udf((e: Seq[Float]) => {
@@ -146,6 +160,13 @@ object VectorQueries {
          |q AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM e WHERE vec_id < $QueryCount)
          |SELECT query_id, e.vec_id, ${sround(cosSql("qe", "e.embedding"), 6)} AS cos
          |FROM e JOIN q USING (bucket) WHERE e.vec_id <> q.query_id""".stripMargin,
+
+    "q44_embed_neardup" ->
+      s"""WITH e AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |       ${sround(cosSql("a.embedding", "b.embedding"), 6)} AS cos
+         |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE ${sround(cosSql("a.embedding", "b.embedding"), 6)} >= 0.3""".stripMargin,
 
     "q43_vector_stats" ->
       s"""WITH n AS (SELECT label,
