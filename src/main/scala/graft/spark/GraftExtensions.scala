@@ -26,6 +26,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       s"$name takes exactly $n arguments, got ${args.length}")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // iSAX-style pruning of pattern-threshold mindist filters (SURVEY.md §4)
+    ext.injectOptimizerRule(_ => MindistPruneRule)
+
     ext.injectFunction((FunctionIdentifier("sax_encode"),
       info("sax_encode", "sax_encode(values, w, c) - SAX-encode an array of doubles"),
       (args: Seq[Expression]) => { arity("sax_encode", 3, args); SaxEncodeExpr(

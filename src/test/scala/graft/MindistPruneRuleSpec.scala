@@ -1,0 +1,73 @@
+package graft
+
+import graft.sax.SaxFunctions._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The injected iSAX pruning predicates must (a) appear in optimized plans
+  * for pattern-threshold filters and (b) never change results — pruning is
+  * a sound necessary condition, verified against the UDF path the rule
+  * cannot match. */
+class MindistPruneRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = graft.SparkUtil.configure(
+      SparkSession.builder().master("local[4]"), "4").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def words = {
+    import org.apache.spark.sql.expressions.Window
+    val trail = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(-7, 0)
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("event_id"),
+        sax_encode_window(collect_list(col("value")).over(trail), 8, 4, 4).as("word"))
+  }
+
+  test("rule injects substring IN predicates for pattern-threshold filters") {
+    val md = sax_mindist(col("word"), lit(8L), lit("ADBB"), lit(0L), 4)
+    val q = words
+      .select(col("event_id"), col("word"),
+        graft.queries.QueryBase.pround(md.getField("dist"), 6).as("dist"))
+      .where(col("dist") <= 0.8)
+    val plan = q.queryExecution.optimizedPlan.toString
+    assert(plan.contains("substring"), s"no pruning predicate in:\n$plan")
+    assert(plan.contains("IN (A,B)") || plan.contains("IN (B,A)"), plan)
+  }
+
+  test("pruned results equal the unprunable UDF-path results across thresholds") {
+    for (tau <- Seq(0.0, 0.5, 1.0, 2.0, 100.0)) {
+      val mdN = sax_mindist(col("word"), lit(8L), lit("BDBB"), lit(0L), 4)
+      val native = words
+        .select(col("event_id"), graft.queries.QueryBase.pround(mdN.getField("dist"), 6).as("dist"))
+        .where(col("dist") <= tau)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      val mdU = saxMindist(col("word"), lit(8L), lit("BDBB"), lit(0L), lit(4))
+      val viaUdf = words
+        .select(col("event_id"), graft.queries.QueryBase.pround(mdU.getField("dist"), 6).as("dist"))
+        .where(col("dist") <= tau)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(native == viaUdf, s"tau=$tau: ${native.size} vs ${viaUdf.size}")
+    }
+  }
+
+  test("rule leaves unrelated filters and wildcard-n patterns intact") {
+    // unrelated filter: no mindist involved
+    val q1 = words.where(col("word") =!= "AAAA")
+    assert(!q1.queryExecution.optimizedPlan.toString.contains("substring"))
+    // above-threshold direction (dist >= tau) is NOT a necessary-condition
+    // prune; rule must not fire
+    val md = sax_mindist(col("word"), lit(8L), lit("ADBB"), lit(0L), 4)
+    val q2 = words
+      .select(col("word"), graft.queries.QueryBase.pround(md.getField("dist"), 6).as("dist"))
+      .where(col("dist") >= 0.8)
+    assert(!q2.queryExecution.optimizedPlan.toString.contains("substring"))
+  }
+}
