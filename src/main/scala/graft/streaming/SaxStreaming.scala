@@ -58,6 +58,30 @@ object SaxStreaming {
     encodeStream(events, n, w, c).groupBy("word").count()
   }
 
+  /** Event-time extension the reference lacks (it is strictly
+    * arrival-ordered): watermarked tumbling-window word production. Each
+    * (key, event-time window) group batch-encodes the values that arrived
+    * for that window, tolerating `lateness` of out-of-order data — the
+    * idiomatic Structured Streaming treatment when event time, not arrival
+    * order, defines the series. */
+  def eventTimeWords(events: Dataset[SeriesEvent], windowLength: String,
+                     lateness: String, w: Int, c: Int) = {
+    import org.apache.spark.sql.functions._
+    val enc = udf((vs: Seq[Double]) => {
+      // event-time windows have data-dependent sizes; truncate to the
+      // largest encodable prefix (n % w == 0)
+      val n = vs.length - vs.length % w
+      if (n == 0) null else graft.sax.Sax.encode(vs.take(n).toArray, w, c)
+    })
+    events
+      .withColumn("ets", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withWatermark("ets", lateness)
+      .groupBy(window(col("ets"), windowLength), col("userId"))
+      .agg(sort_array(collect_list(struct(col("ts"), col("eventId"), col("value")))).as("rows"))
+      .select(col("window"), col("userId"),
+        enc(expr("transform(rows, r -> r.value)")).as("word"))
+  }
+
   def snapshot(win: SaxWindow): SaxState =
     SaxState(win.values, win.currentMu, win.currentS2, win.currentFiniteCnt)
 

@@ -89,6 +89,30 @@ class SaxStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(diffs.isEmpty, s"first diffs: ${diffs.take(5)}")
   }
 
+  test("event-time windowed words: watermarked agg emits after watermark passes") {
+    val ss = spark
+    import ss.implicits._
+    val base = 1_700_000_000_000_000_000L // ns epoch
+    val min = 60L * 1_000_000_000L
+    def ev(id: Long, user: Long, tsNs: Long, v: Double) = SeriesEvent(user, id, tsNs, v)
+    val stream = MemoryStream[SeriesEvent](spark)
+    val q = SaxStreaming.eventTimeWords(stream.toDS(), "1 minute", "30 seconds", 2, 4)
+      .writeStream.format("memory").queryName("et_words").outputMode("append").start()
+    // window [base, base+1min): 4 values; then an out-of-order straggler
+    stream.addData(ev(1, 7, base + 1, 1.0), ev(2, 7, base + 2, 2.0))
+    q.processAllAvailable()
+    stream.addData(ev(3, 7, base + 3, 3.0), ev(4, 7, base + 4, 10.1))
+    q.processAllAvailable()
+    // advance the watermark well past the first window
+    stream.addData(ev(5, 7, base + 3 * min, 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("et_words").select("userId", "word")
+      .as[(Long, String)].collect()
+    // the closed first window holds [1,2,3,10.1] -> "AD" (golden vector)
+    assert(rows.contains((7L, "AD")), rows.mkString(","))
+  }
+
   test("streaming numerosity (Update-mode word counts) matches batch groupBy") {
     val ss = spark
     import ss.implicits._
