@@ -80,6 +80,7 @@ object SaxStreaming {
       .agg(sort_array(collect_list(struct(col("ts"), col("eventId"), col("value")))).as("rows"))
       .select(col("window"), col("userId"),
         enc(expr("transform(rows, r -> r.value)")).as("word"))
+      .where(col("word").isNotNull) // windows with fewer than w values don't encode
   }
 
   def snapshot(win: SaxWindow): SaxState =
