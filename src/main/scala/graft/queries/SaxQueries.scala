@@ -195,6 +195,20 @@ object SaxQueries {
         .where(col("dist") <= 1.5)
     }),
 
+    // dictionary distance matrix: mindist between pairs of DISTINCT words
+    // (word-vs-word, no literal side) — the iSAX trick of computing
+    // distances on the deduplicated dictionary instead of raw rows. The
+    // dictionary is tiny (numerosity reduction), so the all-pairs join is
+    // a deliberate broadcast product of a few hundred rows.
+    "q17_sax_word_matrix" -> ((spark, dir) => {
+      val dict = windowWords(spark, dir).select("word").distinct()
+      val md = sax_mindist(col("a.word"), lit(N.toLong), col("b.word"), lit(N.toLong), C)
+      dict.as("a").join(dict.as("b"), col("a.word") < col("b.word"))
+        .select(col("a.word").as("word_a"), col("b.word").as("word_b"),
+          pround(md.getField("dist"), 6).as("dist"))
+        .where(col("dist") <= 1.0)
+    }),
+
     // higher-resolution encode: n=16, w=8, c=8 exercises the richer
     // breakpoint/distance tables end-to-end (the flagship params only
     // touch c=4/5)
@@ -324,6 +338,15 @@ object SaxQueries {
            |ws AS (SELECT user_id, vals, ${welfordExpr(finExpr("vals"))} AS ws FROM base),
            |st AS (SELECT user_id, vals, ${wsMu("ws")} AS mu, ${wsStd("ws")} AS std FROM ws)
            |SELECT user_id, $frames FROM st""".stripMargin
+      },
+
+      "q17_sax_word_matrix" -> {
+        val md = OracleGen.mindistColCol("a.word", "b.word", W, N, C)
+        s"""WITH q AS ($windowWordsSql),
+           |dict AS (SELECT DISTINCT word FROM q)
+           |SELECT a.word AS word_a, b.word AS word_b, ${md.dist} AS dist
+           |FROM dict a JOIN dict b ON a.word < b.word
+           |WHERE ${md.dist} <= 1.0""".stripMargin
       },
 
       "q16_sax_hires" ->

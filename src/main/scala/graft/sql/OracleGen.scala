@@ -118,6 +118,46 @@ object OracleGen {
   final case class MindistSql(above2: String, below2: String,
                               dist: String, above: String, below: String)
 
+  /** mindist between two word COLUMNS (same w, c, n) — the general form
+    * with no literal side: per position, a CASE over all (charA, charB)
+    * combinations including the '#' sentinel, squared cells precomputed in
+    * Scala. Addition order matches Sax.mindistSymbols (above and below
+    * accumulate separately; zero terms are exact no-ops). */
+  def mindistColCol(aCol: String, bCol: String, w: Int, n: Long, c: Int,
+                    digits: Int = 6): MindistSql = {
+    val table = Tables.distTable(c - 2)
+    val chars = (0 until c).map(i => ('A' + i).toChar) :+ '#'
+
+    def cellSq(wa: Char, wb: Char): (Double, Boolean) = {
+      var sa = if (wa == '#') c else c - (wa - 'A') - 1
+      var sb = if (wb == '#') c else c - (wb - 'A') - 1
+      if (sa == sb) return (0.0, true)
+      if (sa == c) sa = if (sb > c - 1 - sb) 0 else c - 1
+      else if (sb == c) sb = if (sa > c - 1 - sa) 0 else c - 1
+      val d = table(sa * c + sb).toDouble
+      (d * d, sa < sb)
+    }
+
+    def caseFor(pos: Int, wantAbove: Boolean): String = {
+      val arms = for {
+        wa <- chars; wb <- chars
+        (sq, above) = cellSq(wa, wb)
+        if sq != 0.0 && above == wantAbove
+      } yield s"WHEN substr($aCol, ${pos + 1}, 1) = '$wa' AND substr($bCol, ${pos + 1}, 1) = '$wb' THEN ${dlit(sq)}"
+      if (arms.isEmpty) "0.0"
+      else s"(CASE ${arms.mkString(" ")} ELSE 0.0 END)"
+    }
+
+    val above2 = (0 until w).map(caseFor(_, wantAbove = true)).mkString("(", " + ", ")")
+    val below2 = (0 until w).map(caseFor(_, wantAbove = false)).mkString("(", " + ", ")")
+    val comp = dlit(math.sqrt(n.toDouble / w.toDouble))
+    MindistSql(
+      above2, below2,
+      sround(s"$comp * sqrt($above2 + $below2)", digits),
+      sround(s"$comp * sqrt($above2)", digits),
+      sround(s"$comp * sqrt($below2)", digits))
+  }
+
   def mindistVsLiteral(wordCol: String, pattern: String, n: Long, c: Int,
                        digits: Int = 6): MindistSql = {
     val pSym = Sax.parseSymbols(pattern, c)
