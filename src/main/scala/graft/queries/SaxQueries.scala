@@ -33,11 +33,12 @@ object SaxQueries {
 
   /** CTE producing (event_id, user_id, word): the sliding-window encode of
     * every event row, with NaN left-padding below n (ring prefill). */
-  private def windowWordsSqlFor(n: Int, w: Int, c: Int): String = {
+  private def windowWordsSqlFor(n: Int, w: Int, c: Int,
+                                valueExpr: String = "value"): String = {
     val pad = padExpr("raw", n)
     s"""WITH base AS (
        |  SELECT event_id, user_id,
-       |         list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |         list($valueExpr) OVER (PARTITION BY user_id ORDER BY ts, event_id
        |                           ROWS BETWEEN ${n - 1} PRECEDING AND CURRENT ROW) AS raw
        |  FROM events),
        |padded AS (SELECT event_id, user_id, $pad AS vals FROM base),
@@ -195,6 +196,17 @@ object SaxQueries {
         .where(col("dist") <= 1.5)
     }),
 
+    // semi-structured series: extract the numeric payload from the JSON
+    // props column (regexp-based, engine-portable) and encode THAT series
+    "q18_sax_props_series" -> ((spark, dir) => {
+      val k = regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("double")
+      val spec = byUser.rowsBetween(-(N - 1), 0)
+      table(spark, dir, "events")
+        .select(col("user_id"),
+          sax_encode_window(collect_list(k).over(spec), N, W, C).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+    }),
+
     // dictionary distance matrix: mindist between pairs of DISTINCT words
     // (word-vs-word, no literal side) — the iSAX trick of computing
     // distances on the deduplicated dictionary instead of raw rows. The
@@ -338,6 +350,12 @@ object SaxQueries {
            |ws AS (SELECT user_id, vals, ${welfordExpr(finExpr("vals"))} AS ws FROM base),
            |st AS (SELECT user_id, vals, ${wsMu("ws")} AS mu, ${wsStd("ws")} AS std FROM ws)
            |SELECT user_id, $frames FROM st""".stripMargin
+      },
+
+      "q18_sax_props_series" -> {
+        val cte = windowWordsSqlFor(N, W, C,
+          "TRY_CAST(regexp_extract(props, '\"k\": ([0-9]+)', 1) AS DOUBLE)")
+        s"WITH q AS ($cte)\nSELECT word, count(*)::BIGINT AS cnt FROM q GROUP BY word"
       },
 
       "q17_sax_word_matrix" -> {
