@@ -61,6 +61,11 @@ object VectorQueries {
 
   private val QueryCount = 10 // vec_id < 10 are the query vectors
 
+  /** IVF coarse quantizer: every vector whose id is a multiple of this is a
+    * centroid (deterministic "training"); cells are the centroid-nearest
+    * partitions of the corpus. */
+  private val CentroidStride = 100
+
   val defs: Map[String, QFn] = Map(
     // exact ANN baseline: brute-force cosine top-5 per query vector.
     // Plans as BroadcastNestedLoopJoin with the 10-row query side broadcast
@@ -108,6 +113,35 @@ object VectorQueries {
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
           pround(cosUdf(col("a.embedding"), col("b.embedding")), 6).as("cos"))
         .where(col("cos") >= 0.3)
+    }),
+
+    // IVF-style ANN: assign every vector to its nearest centroid (coarse
+    // quantization -> inverted lists), then probe each query against ONLY
+    // its own cell — the classic sub-linear index layout. Centroids are
+    // broadcast for assignment; the probe is an equi-join on cell id.
+    "q46_ann_ivf" -> ((spark, dir) => {
+      val emb = spread(table(spark, dir, "embeddings"))
+      val cents = emb.where(col("vec_id") % CentroidStride === 0)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+      // nearest centroid per vector: max (rounded cos, -cent_id) —
+      // deterministic tie-break toward the lowest centroid id
+      val assigned = emb.join(broadcast(cents))
+        .select(col("vec_id"), col("embedding"), col("cent_id"),
+          pround(cosUdf(col("embedding"), col("ce")), 6).as("ccos"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(desc("ccos"), col("cent_id"))))
+        .where(col("rn") === 1)
+        .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+      val q = assigned.where(col("vec_id") < QueryCount)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("cell"))
+      assigned.join(broadcast(q), Seq("cell"))
+        .where(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          pround(cosUdf(col("qe"), col("embedding")), 6).as("cos"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("query_id").orderBy(desc("cos"), col("vec_id"))))
+        .where(col("rn") <= 5)
+        .select("query_id", "vec_id", "cos")
     }),
 
     // per-label corpus stats: count + mean vector L2 norm (decimal-exact)
@@ -167,6 +201,23 @@ object VectorQueries {
          |       ${sround(cosSql("a.embedding", "b.embedding"), 6)} AS cos
          |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE ${sround(cosSql("a.embedding", "b.embedding"), 6)} >= 0.3""".stripMargin,
+
+    "q46_ann_ivf" ->
+      s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
+         |               WHERE vec_id % $CentroidStride = 0),
+         |scored AS (SELECT e.vec_id, e.embedding, c.cent_id,
+         |                  ${sround(cosSql("e.embedding", "c.ce"), 6)} AS ccos
+         |           FROM embeddings e CROSS JOIN cents c),
+         |assigned AS (SELECT vec_id, embedding, cent_id AS cell FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn
+         |  FROM scored) WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, embedding AS qe, cell FROM assigned WHERE vec_id < $QueryCount)
+         |SELECT query_id, vec_id, cos FROM (
+         |  SELECT q.query_id, a.vec_id, ${sround(cosSql("q.qe", "a.embedding"), 6)} AS cos,
+         |         row_number() OVER (PARTITION BY q.query_id
+         |                            ORDER BY ${sround(cosSql("q.qe", "a.embedding"), 6)} DESC, a.vec_id) AS rn
+         |  FROM assigned a JOIN q USING (cell) WHERE a.vec_id <> q.query_id)
+         |WHERE rn <= 5""".stripMargin,
 
     "q43_vector_stats" ->
       s"""WITH n AS (SELECT label,
