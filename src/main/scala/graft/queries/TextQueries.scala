@@ -74,6 +74,46 @@ object TextQueries {
         size(regexp_extract_all(lower(col("text")),
           lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("subword_tokens"))),
 
+    // chunking: split documents into fixed-size token windows with overlap
+    // (stride = size - overlap), the standard pre-training segmentation.
+    // Chunk boundaries are pure arithmetic over token indices, so the
+    // explode parallelizes per document with no shuffle.
+    "q39_chunking" -> ((spark, dir) => {
+      val size = 20; val stride = 15
+      val toks = split(lower(trim(col("text"))), "\\s+")
+      spread(table(spark, dir, "documents"))
+        .select(col("doc_id"), toks.as("toks"))
+        .select(col("doc_id"), col("toks"),
+          explode(expr(s"sequence(0, greatest(0, cast(ceil((size(toks) - $size) / $stride.0) as int)))")).as("ci"))
+        .select(col("doc_id"), col("ci").as("chunk_idx"),
+          expr(s"array_join(slice(toks, ci * $stride + 1, $size), ' ')").as("chunk"),
+          expr(s"size(slice(toks, ci * $stride + 1, $size))").as("chunk_tokens"))
+        .where(col("chunk_tokens") > 0)
+    }),
+
+    // deterministic hash split: stable train/val/test assignment from the
+    // doc id (survives reshuffles and re-runs, unlike random sampling)
+    "q47_hash_split" -> ((spark, dir) => {
+      val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 100).cast("int")
+      spread(table(spark, dir, "documents"))
+        .select(col("doc_id"), bucket.as("bucket"))
+        .select(col("doc_id"),
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val").otherwise("test").as("split"))
+    }),
+
+    // corpus vocabulary stats: top-50 tokens by frequency (map-side
+    // combinable token counts; ties broken lexicographically)
+    "q48_vocab" -> ((spark, dir) => {
+      val toks = split(lower(trim(col("text"))), "\\s+")
+      spread(table(spark, dir, "documents"))
+        .select(explode(toks).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("freq"))
+        .orderBy(desc("freq"), col("token"))
+        .limit(50)
+    }),
+
     // fingerprints: exact md5 + min-shingle-hash (1-permutation minhash)
     "q38_fingerprint" -> ((spark, dir) => {
       val minShingle = udf((text: String) => {
@@ -123,6 +163,29 @@ object TextQueries {
         |       CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS ws_tokens,
         |       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS subword_tokens
         |FROM documents""".stripMargin,
+
+    "q39_chunking" ->
+      s"""WITH t AS (SELECT doc_id, $toksSqlD AS toks FROM documents),
+         |n AS (SELECT doc_id, toks,
+         |             greatest(0, CAST(ceil((len(toks) - 20) / 15.0) AS INT)) AS nc
+         |      FROM t),
+         |c AS (SELECT doc_id, toks, unnest(range(0, nc + 1)) AS ci FROM n)
+         |SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+         |       array_to_string(toks[ci*15+1 : ci*15+20], ' ') AS chunk,
+         |       CAST(len(toks[ci*15+1 : ci*15+20]) AS INT) AS chunk_tokens
+         |FROM c WHERE len(toks[ci*15+1 : ci*15+20]) > 0""".stripMargin,
+
+    "q47_hash_split" ->
+      """SELECT doc_id,
+        |       CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |             CAST(CAST(concat('0x', substr(md5(doc_id::VARCHAR), 1, 15)) AS BIGINT) % 100 AS INT) AS b
+        |      FROM documents)""".stripMargin,
+
+    "q48_vocab" ->
+      s"""SELECT token, CAST(count(*) AS BIGINT) AS freq
+         |FROM (SELECT unnest($toksSqlD) AS token FROM documents)
+         |GROUP BY token ORDER BY freq DESC, token LIMIT 50""".stripMargin,
 
     "q38_fingerprint" -> {
       val norm = "trim(regexp_replace(regexpreplace_TMP, ' +', ' ', 'g'))"
