@@ -81,6 +81,26 @@ object RelQueries {
              xsum(col("l_extendedprice"), 4).as("sum_price"))
     }),
 
+    // as-of join — an operator Spark lacks natively, composed from an
+    // equi-join + window rank: for each (sampled) purchase event, the same
+    // user's latest view/click strictly before it. The standard
+    // formulation at scale: join on the entity key, filter the time
+    // range, keep rank-1 per left row (AQE handles key skew).
+    "q26_asof_join" -> ((spark, dir) => {
+      val ev = table(spark, dir, "events")
+      val purchases = ev.where(col("event_type") === "purchase" && col("event_id") % 50 === 0)
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+      val views = ev.where(col("event_type").isin("view", "click"))
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      val w = Window.partitionBy("purchase_id").orderBy(desc("ts"), desc("event_id"))
+      purchases.join(views, Seq("user_id"))
+        .where(col("ts") < col("p_ts"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("purchase_id"), col("user_id"), col("event_id").as("asof_event"),
+          pround(col("value"), 6).as("asof_value"))
+    }),
+
     // set op: customers that are both big spenders and BUILDING segment
     "q25_segment_intersect" -> ((spark, dir) => {
       val c = table(spark, dir, "customer")
@@ -140,6 +160,20 @@ object RelQueries {
          |       ${xsumSql("l_extendedprice", 4)} AS sum_price
          |FROM lineitem JOIN part ON l_partkey = p_partkey
          |GROUP BY p_brand""".stripMargin,
+
+    "q26_asof_join" ->
+      """WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts
+        |           FROM events WHERE event_type = 'purchase' AND event_id % 50 = 0),
+        |v AS (SELECT user_id, ts, event_id, value FROM events
+        |      WHERE event_type IN ('view', 'click')),
+        |j AS (SELECT p.purchase_id, p.user_id, v.event_id, v.value,
+        |             row_number() OVER (PARTITION BY p.purchase_id
+        |                                ORDER BY v.ts DESC, v.event_id DESC) AS rn
+        |      FROM p JOIN v ON p.user_id = v.user_id
+        |      WHERE v.ts < p.p_ts)
+        |SELECT purchase_id, user_id, event_id AS asof_event,
+        |       floor(value * 1000000.0 + 0.5) / 1000000.0 AS asof_value
+        |FROM j WHERE rn = 1""".stripMargin,
 
     "q25_segment_intersect" ->
       s"""SELECT o_custkey AS custkey FROM orders
