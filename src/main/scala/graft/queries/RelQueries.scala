@@ -19,7 +19,32 @@ import QueryBase._
   */
 object RelQueries {
 
+  /** Session inactivity threshold, in MICROSECONDS — microsecond precision
+    * on both sides because the oracle's DuckDB reads the ns parquet column
+    * as a us TIMESTAMP. One constant feeds the Spark def and the oracle
+    * SQL so they cannot drift. */
+  private val SessionGapUs = 2L * 24 * 3600 * 1000000L
+
   val defs: Map[String, QFn] = Map(
+    // sessionization: split each user's event stream on inactivity gaps
+    // via lag + running sum of session starts, then per-session stats —
+    // the classic stream-analytics composition of window functions
+    "q27_sessionize" -> ((spark, dir) => {
+      val byU = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      table(spark, dir, "events")
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+          col("event_id"), col("value"))
+        .withColumn("prev_us", lag("ts_us", 1).over(byU))
+        .withColumn("is_new",
+          when(col("prev_us").isNull || col("ts_us") - col("prev_us") > SessionGapUs, 1)
+            .otherwise(0))
+        .withColumn("session_id",
+          sum("is_new").over(byU.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+             xsum(col("value"), 6).as("sum_value"),
+             expr("(max(ts_us) - min(ts_us)) div 1000000").as("duration_s"))
+    }),
     // TPC-H Q1-style pricing summary: full-scan agg, map-side combinable
     "q20_pricing_summary" -> ((spark, dir) => {
       val l = table(spark, dir, "lineitem")
@@ -83,22 +108,27 @@ object RelQueries {
 
     // as-of join — an operator Spark lacks natively, composed from an
     // equi-join + window rank: for each (sampled) purchase event, the same
-    // user's latest view/click strictly before it. The standard
+    // user's latest view/click strictly before it; purchases with no prior
+    // match keep a NULL row (left as-of semantics). The standard
     // formulation at scale: join on the entity key, filter the time
-    // range, keep rank-1 per left row (AQE handles key skew).
+    // range, keep rank-1 per left row (AQE handles key skew). Timestamps
+    // compare at MICROSECOND precision on both sides — the oracle's DuckDB
+    // reads the ns parquet column as a us TIMESTAMP, so ns-precision
+    // comparisons would diverge structurally.
     "q26_asof_join" -> ((spark, dir) => {
       val ev = table(spark, dir, "events")
       val purchases = ev.where(col("event_type") === "purchase" && col("event_id") % 50 === 0)
-        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          expr("ts div 1000").as("p_us"))
       val views = ev.where(col("event_type").isin("view", "click"))
-        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
-      val w = Window.partitionBy("purchase_id").orderBy(desc("ts"), desc("event_id"))
-      purchases.join(views, Seq("user_id"))
-        .where(col("ts") < col("p_ts"))
+        .select(col("user_id"), expr("ts div 1000").as("v_us"), col("event_id"), col("value"))
+      val w = Window.partitionBy("purchase_id").orderBy(desc("v_us"), desc("event_id"))
+      purchases.join(views,
+          purchases("user_id") === views("user_id") && col("v_us") < col("p_us"), "left")
         .withColumn("rn", row_number().over(w))
         .where(col("rn") === 1)
-        .select(col("purchase_id"), col("user_id"), col("event_id").as("asof_event"),
-          pround(col("value"), 6).as("asof_value"))
+        .select(col("purchase_id"), purchases("user_id"),
+          col("event_id").as("asof_event"), pround(col("value"), 6).as("asof_value"))
     }),
 
     // set op: customers that are both big spenders and BUILDING segment
@@ -116,6 +146,19 @@ object RelQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q27_sessionize" ->
+      s"""WITH l AS (
+         |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, value,
+         |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+         |  FROM events),
+         |m AS (SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > $SessionGapUs THEN 1 ELSE 0 END AS is_new FROM l),
+         |s AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM m)
+         |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+         |       CAST(count(*) AS BIGINT) AS n_events,
+         |       ${graft.sql.OracleGen.xsumSql("value", 6)} AS sum_value,
+         |       CAST((max(ts_us) - min(ts_us)) // 1000000 AS BIGINT) AS duration_s
+         |FROM s GROUP BY user_id, session_id""".stripMargin,
     "q20_pricing_summary" ->
       s"""WITH agg AS (
          |  SELECT l_returnflag, l_linestatus,
@@ -161,19 +204,19 @@ object RelQueries {
          |FROM lineitem JOIN part ON l_partkey = p_partkey
          |GROUP BY p_brand""".stripMargin,
 
-    "q26_asof_join" ->
-      """WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts
-        |           FROM events WHERE event_type = 'purchase' AND event_id % 50 = 0),
-        |v AS (SELECT user_id, ts, event_id, value FROM events
-        |      WHERE event_type IN ('view', 'click')),
-        |j AS (SELECT p.purchase_id, p.user_id, v.event_id, v.value,
-        |             row_number() OVER (PARTITION BY p.purchase_id
-        |                                ORDER BY v.ts DESC, v.event_id DESC) AS rn
-        |      FROM p JOIN v ON p.user_id = v.user_id
-        |      WHERE v.ts < p.p_ts)
-        |SELECT purchase_id, user_id, event_id AS asof_event,
-        |       floor(value * 1000000.0 + 0.5) / 1000000.0 AS asof_value
-        |FROM j WHERE rn = 1""".stripMargin,
+    "q26_asof_join" -> {
+      s"""WITH p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS p_us
+         |           FROM events WHERE event_type = 'purchase' AND event_id % 50 = 0),
+         |v AS (SELECT user_id, epoch_us(ts) AS v_us, event_id, value FROM events
+         |      WHERE event_type IN ('view', 'click')),
+         |j AS (SELECT p.purchase_id, p.user_id, v.event_id, v.value,
+         |             row_number() OVER (PARTITION BY p.purchase_id
+         |                                ORDER BY v.v_us DESC, v.event_id DESC) AS rn
+         |      FROM p LEFT JOIN v ON p.user_id = v.user_id AND v.v_us < p.p_us)
+         |SELECT purchase_id, user_id, event_id AS asof_event,
+         |       ${graft.sql.OracleGen.sround("value", 6)} AS asof_value
+         |FROM j WHERE rn = 1""".stripMargin
+    },
 
     "q25_segment_intersect" ->
       s"""SELECT o_custkey AS custkey FROM orders

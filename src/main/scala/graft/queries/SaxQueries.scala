@@ -196,26 +196,6 @@ object SaxQueries {
         .where(col("dist") <= 1.5)
     }),
 
-    // sessionization: split each user's event stream on inactivity gaps
-    // (> 2 days) via lag + running sum of session starts, then per-session
-    // stats — the classic stream-analytics composition of window functions
-    "q19_sax_sessionize" -> ((spark, dir) => {
-      val gapNs = 2L * 24 * 3600 * 1000000000L
-      val byU = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      table(spark, dir, "events")
-        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
-        .withColumn("prev_ts", lag("ts", 1).over(byU))
-        .withColumn("is_new",
-          when(col("prev_ts").isNull || col("ts") - col("prev_ts") > gapNs, 1).otherwise(0))
-        .withColumn("session_id", sum("is_new").over(byU.rowsBetween(Window.unboundedPreceding, 0)))
-        .groupBy("user_id", "session_id")
-        .agg(count(lit(1)).as("n_events"),
-             xsum(col("value"), 6).as("sum_value"),
-             // integer seconds: ns-precision division differs between
-             // engines (DuckDB arithmetic drops to us), integer div doesn't
-             expr("(max(ts) - min(ts)) div 1000000000").as("duration_s"))
-    }),
-
     // semi-structured series: extract the numeric payload from the JSON
     // props column (regexp-based, engine-portable) and encode THAT series
     "q18_sax_props_series" -> ((spark, dir) => {
@@ -370,23 +350,6 @@ object SaxQueries {
            |ws AS (SELECT user_id, vals, ${welfordExpr(finExpr("vals"))} AS ws FROM base),
            |st AS (SELECT user_id, vals, ${wsMu("ws")} AS mu, ${wsStd("ws")} AS std FROM ws)
            |SELECT user_id, $frames FROM st""".stripMargin
-      },
-
-      "q19_sax_sessionize" -> {
-        val gapNs = 2L * 24 * 3600 * 1000000000L
-        s"""WITH l AS (
-           |  SELECT user_id, ts, event_id, value,
-           |         lag(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ns,
-           |         epoch_ns(ts) AS ts_ns
-           |  FROM events),
-           |m AS (SELECT *, CASE WHEN prev_ns IS NULL OR ts_ns - prev_ns > $gapNs THEN 1 ELSE 0 END AS is_new FROM l),
-           |s AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-           |                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM m)
-           |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
-           |       CAST(count(*) AS BIGINT) AS n_events,
-           |       ${OracleGen.xsumSql("value", 6)} AS sum_value,
-           |       CAST((max(ts_ns) - min(ts_ns)) // 1000000000 AS BIGINT) AS duration_s
-           |FROM s GROUP BY user_id, session_id""".stripMargin
       },
 
       "q18_sax_props_series" -> {
