@@ -26,7 +26,12 @@ object SaxQueries {
   private val W = 4
   private val C = 4
 
-  private def byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+  // Order by MICROSECOND-truncated ts + event_id: the oracle's DuckDB
+  // reads the ns parquet column as a us TIMESTAMP, so ordering by raw ns
+  // would diverge from the oracle whenever two same-user events share a
+  // microsecond (latent in the fixtures, structural in general).
+  private def byUser = Window.partitionBy("user_id")
+    .orderBy(expr("ts div 1000"), col("event_id"))
   private def trail = byUser.rowsBetween(-(N - 1), 0)
 
   // ---- shared oracle fragments --------------------------------------------
@@ -234,7 +239,7 @@ object SaxQueries {
     // users). Words group per composite series.
     "q15_sax_multikey" -> ((spark, dir) => {
       val w = Window.partitionBy("user_id", "event_type")
-        .orderBy("ts", "event_id").rowsBetween(-(N - 1), 0)
+        .orderBy(expr("ts div 1000"), col("event_id")).rowsBetween(-(N - 1), 0)
       table(spark, dir, "events")
         .select(col("user_id"), col("event_type"),
           sax_encode_window(collect_list(col("value")).over(w), N, W, C).as("word"))
@@ -250,7 +255,7 @@ object SaxQueries {
       import SaxWindowAggregator.{In, Keyed}
       import org.apache.spark.sql.Encoders
       val ev = table(spark, dir, "events")
-      ev.select(col("user_id").as("userId"), col("ts"),
+      ev.select(col("user_id").as("userId"), expr("ts div 1000").as("ts"),
           col("event_id").as("eventId"), col("value"))
         .as[Keyed](Encoders.product[Keyed])
         .groupByKey(_.userId)(Encoders.scalaLong)
