@@ -32,16 +32,7 @@ object DedupQueries {
 
   // ---- SQL fragments -------------------------------------------------------
 
-  private val toksSql = "string_split_regex(lower(trim(text)), '\\s+')"
-  private def hexcast(e: String) = s"CAST(concat('0x', substr(md5($e), 1, 15)) AS BIGINT)"
-
-  /** Distinct 3-token shingles; short docs fall back to one whole-doc
-    * shingle (mirrors TextHash.shingles). */
-  private val shinglesSql =
-    s"""(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-        ELSE list_distinct(list_transform(range(1, len(toks) - 1),
-          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END)"""
-      .replaceAll("\\s+", " ")
+  import graft.sql.TextSql.{toks => toksSql, shingles => shinglesSql, hexcast}
 
   private def sigSql(j: Int): String =
     s"list_aggregate(list_transform(hs, h -> (${HashA(j)} * (h % $P) + ${HashB(j)}) % $P), 'min')"
@@ -58,8 +49,7 @@ object DedupQueries {
        |sig AS (SELECT doc_id, sh, ${(0 until NumHashes).map(sigSql).mkString("[", ", ", "]")} AS sig FROM hs),
        |bands AS (SELECT doc_id, sh, ${(0 until NumBands).map(b => s"${bandSql(b)} AS b$b").mkString(", ")} FROM sig)""".stripMargin
 
-  private val normSql =
-    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+  private val normSql = graft.sql.TextSql.norm
 
   /** Shared 60-bit simhash CTE (doc_id, simhash) + a trailing query. */
   private def simhashOracle(tail: String, withCte: Boolean = false): String = {

@@ -24,7 +24,7 @@ object TextQueries {
 
   private val Stopwords = Seq("the", "a", "of", "and", "to", "in")
 
-  private val toksSqlD = "string_split_regex(lower(trim(text)), '\\s+')"
+  private val toksSqlD = graft.sql.TextSql.toks
 
   val defs: Map[String, QFn] = Map(
     // language ID: argmax of marker-token counts (ties by profile order)
@@ -188,12 +188,8 @@ object TextQueries {
          |GROUP BY token ORDER BY freq DESC, token LIMIT 50""".stripMargin,
 
     "q38_fingerprint" -> {
-      val norm = "trim(regexp_replace(regexpreplace_TMP, ' +', ' ', 'g'))"
-        .replace("regexpreplace_TMP", "regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g')")
-      val sh = s"""(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-                   ELSE list_distinct(list_transform(range(1, len(toks) - 1),
-                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END)"""
-        .replaceAll("\\s+", " ")
+      val norm = graft.sql.TextSql.norm
+      val sh = graft.sql.TextSql.shingles
       s"""WITH t AS (SELECT doc_id, text, $toksSqlD AS toks FROM documents),
          |s AS (SELECT doc_id, text, $sh AS sh FROM t)
          |SELECT doc_id, md5($norm) AS fp,
