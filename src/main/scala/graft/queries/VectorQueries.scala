@@ -144,6 +144,22 @@ object VectorQueries {
         .select("query_id", "vec_id", "cos")
     }),
 
+    // ANN evaluation: recall@5 of the LSH probe against brute-force
+    // ground truth — the metric operator an ANN pipeline tunes against
+    "q49_ann_recall" -> ((spark, dir) => {
+      val truth = defs("q40_ann_brute")(spark, dir)
+        .select(col("query_id"), col("vec_id"))
+      val cand = defs("q42_ann_lsh_probe")(spark, dir)
+        .select(col("query_id"), col("vec_id"))
+      val hits = truth.join(cand, Seq("query_id", "vec_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+      val queries = truth.select("query_id").distinct()
+      queries.join(hits, Seq("query_id"), "left")
+        .select(coalesce(col("hits"), lit(0L)).as("hits"))
+        .agg(count(lit(1)).as("n_queries"),
+             pround(sum(col("hits")).cast("double") / (count(lit(1)) * 5), 6).as("recall_at_5"))
+    }),
+
     // per-label corpus stats: count + mean vector L2 norm (decimal-exact)
     "q43_vector_stats" -> ((spark, dir) => {
       val normUdf = udf((e: Seq[Float]) => {
@@ -218,6 +234,25 @@ object VectorQueries {
          |                            ORDER BY ${sround(cosSql("q.qe", "a.embedding"), 6)} DESC, a.vec_id) AS rn
          |  FROM assigned a JOIN q USING (cell) WHERE a.vec_id <> q.query_id)
          |WHERE rn <= 5""".stripMargin,
+
+    "q49_ann_recall" ->
+      s"""WITH truth AS (SELECT query_id, vec_id FROM (
+         |  SELECT query_id, vec_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY ${sround(cosSql("qe", "embedding"), 6)} DESC, vec_id) AS rn
+         |  FROM embeddings, (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < $QueryCount) q
+         |  WHERE vec_id <> query_id) WHERE rn <= 5),
+         |e AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
+         |qs AS (SELECT vec_id AS query_id, bucket FROM e WHERE vec_id < $QueryCount),
+         |cand AS (SELECT qs.query_id, e.vec_id FROM e JOIN qs USING (bucket) WHERE e.vec_id <> qs.query_id),
+         |hits AS (SELECT t.query_id, count(*) AS hits
+         |         FROM truth t JOIN cand c ON t.query_id = c.query_id AND t.vec_id = c.vec_id
+         |         GROUP BY t.query_id),
+         |perq AS (SELECT q.query_id, coalesce(h.hits, 0) AS hits
+         |         FROM (SELECT DISTINCT query_id FROM truth) q LEFT JOIN hits h USING (query_id))
+         |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         |       ${sround("CAST(sum(hits) AS DOUBLE) / (count(*) * 5)", 6)} AS recall_at_5
+         |FROM perq""".stripMargin,
 
     "q43_vector_stats" ->
       s"""WITH n AS (SELECT label,
