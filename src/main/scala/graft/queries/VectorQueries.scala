@@ -17,19 +17,24 @@ import QueryBase._
   *
   * Scale notes: the query set is broadcast (never shuffle the corpus); the
   * LSH variant turns ANN into an equi-join on bucket ids, which shuffles
-  * the corpus once on a uniform 8-bit key and scales linearly. At 100 TB
-  * you'd raise the bit count with corpus size (buckets ~ n / target
-  * bucket size) and add multi-probe; the plan shape stays the same.
+  * the corpus once per table on uniform 8-bit keys and scales linearly. At
+  * 100 TB you'd raise bits per table with corpus size (buckets ~ n /
+  * target bucket size) and tune table count for recall; the plan shape
+  * stays the same.
   */
 object VectorQueries {
 
-  /** Deterministic ±1 hyperplane signs (8 planes × 64 dims) from a fixed
-    * LCG — embedded into the oracle SQL from these same values. */
+  /** Deterministic ±1 hyperplane signs (4 tables × 8 planes × 64 dims)
+    * from a fixed LCG — embedded into the oracle SQL from these same
+    * values. Multi-table LSH: each table is an independent 8-bit bucket
+    * function; a pair is a candidate if ANY table buckets them together,
+    * trading a constant factor of work for ~NumTables× recall. */
   val NumPlanes = 8
+  val NumTables = 4
   val Dim = 64
   val Signs: Array[Array[Double]] = {
     var x = 42L
-    Array.fill(NumPlanes, Dim) {
+    Array.fill(NumTables * NumPlanes, Dim) {
       x = x * 6364136223846793005L + 1442695040888963407L
       if (((x >>> 62) & 1L) == 1L) 1.0 else -1.0
     }
@@ -46,18 +51,25 @@ object VectorQueries {
     dot / (math.sqrt(na) * math.sqrt(nb))
   })
 
-  private val bucketUdf = udf((e: Seq[Float]) => {
+  private def bucketFor(e: Seq[Float], table: Int): Int = {
     var bucket = 0
     var j = 0
     while (j < NumPlanes) {
       var acc = 0.0
       var i = 0
-      while (i < Dim) { acc += Signs(j)(i) * e(i).toDouble; i += 1 }
+      while (i < Dim) { acc += Signs(table * NumPlanes + j)(i) * e(i).toDouble; i += 1 }
       if (acc > 0) bucket |= (1 << j)
       j += 1
     }
     bucket
-  })
+  }
+
+  private val bucketUdf = udf((e: Seq[Float]) => bucketFor(e, 0))
+
+  /** All table keys, table id encoded in the high bits so keys from
+    * different tables never join. */
+  private val bucketsUdf = udf((e: Seq[Float]) =>
+    (0 until NumTables).map(t => (t << NumPlanes) | bucketFor(e, t)))
 
   private val QueryCount = 10 // vec_id < 10 are the query vectors
 
@@ -89,14 +101,17 @@ object VectorQueries {
       spread(table(spark, dir, "embeddings"))
         .select(col("vec_id"), bucketUdf(col("embedding")).as("bucket"))),
 
-    // LSH candidate retrieval: same-bucket vectors for each query + cosine
+    // LSH candidate retrieval: vectors sharing ANY of the 4 table buckets
+    // with each query, scored by exact cosine
     "q42_ann_lsh_probe" -> ((spark, dir) => {
       val emb = spread(table(spark, dir, "embeddings"))
-        .select(col("vec_id"), col("embedding"), bucketUdf(col("embedding")).as("bucket"))
+        .select(col("vec_id"), col("embedding"), explode(bucketsUdf(col("embedding"))).as("bucket"))
       val q = emb.where(col("vec_id") < QueryCount)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("bucket"))
       emb.join(broadcast(q), Seq("bucket"))
         .where(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("qe"), col("vec_id"), col("embedding"))
+        .distinct()
         .select(col("query_id"), col("vec_id"),
           pround(cosUdf(col("qe"), col("embedding")), 6).as("cos"))
     }),
@@ -107,12 +122,13 @@ object VectorQueries {
     // so in-bucket pair counts stay bounded.
     "q44_embed_neardup" -> ((spark, dir) => {
       val emb = spread(table(spark, dir, "embeddings"))
-        .select(col("vec_id"), col("embedding"), bucketUdf(col("embedding")).as("bucket"))
+        .select(col("vec_id"), col("embedding"), explode(bucketsUdf(col("embedding"))).as("bucket"))
       emb.as("a").join(emb.as("b"),
           col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
           pround(cosUdf(col("a.embedding"), col("b.embedding")), 6).as("cos"))
         .where(col("cos") >= 0.3)
+        .distinct()
     }),
 
     // IVF-style ANN: assign every vector to its nearest centroid (coarse
@@ -183,15 +199,21 @@ object VectorQueries {
            * sqrt(list_sum(list_transform($b, x -> (x::DOUBLE) * (x::DOUBLE))))))"""
       .replaceAll("\\s+", " ")
 
-  private def bucketSql(e: String): String = {
+  private def bucketSql(e: String, t: Int = 0): String = {
     val bits = (0 until NumPlanes).map { j =>
       val terms = (0 until Dim).map { i =>
-        if (Signs(j)(i) > 0) s"($e[${i + 1}]::DOUBLE)" else s"(-($e[${i + 1}]::DOUBLE))"
+        if (Signs(t * NumPlanes + j)(i) > 0) s"($e[${i + 1}]::DOUBLE)"
+        else s"(-($e[${i + 1}]::DOUBLE))"
       }.mkString(" + ")
       s"(CASE WHEN ($terms) > 0 THEN ${1 << j} ELSE 0 END)"
     }.mkString(" + ")
     s"CAST($bits AS INT)"
   }
+
+  /** All NumTables bucket keys (table id in the high bits). */
+  private def bucketsSql(e: String): String =
+    (0 until NumTables).map(t => s"(${t << NumPlanes} | ${bucketSql(e, t)})")
+      .mkString("[", ", ", "]")
 
   val oracles: Map[String, String] = Map(
     "q40_ann_brute" ->
@@ -206,14 +228,15 @@ object VectorQueries {
       s"SELECT vec_id, ${bucketSql("embedding")} AS bucket FROM embeddings",
 
     "q42_ann_lsh_probe" ->
-      s"""WITH e AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
-         |q AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM e WHERE vec_id < $QueryCount)
-         |SELECT query_id, e.vec_id, ${sround(cosSql("qe", "e.embedding"), 6)} AS cos
-         |FROM e JOIN q USING (bucket) WHERE e.vec_id <> q.query_id""".stripMargin,
+      s"""WITH e AS (SELECT vec_id, embedding, unnest(${bucketsSql("embedding")}) AS bucket FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM e WHERE vec_id < $QueryCount),
+         |cand AS (SELECT DISTINCT q.query_id, q.qe, e.vec_id, e.embedding
+         |         FROM e JOIN q USING (bucket) WHERE e.vec_id <> q.query_id)
+         |SELECT query_id, vec_id, ${sround(cosSql("qe", "embedding"), 6)} AS cos FROM cand""".stripMargin,
 
     "q44_embed_neardup" ->
-      s"""WITH e AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings)
-         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      s"""WITH e AS (SELECT vec_id, embedding, unnest(${bucketsSql("embedding")}) AS bucket FROM embeddings)
+         |SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |       ${sround(cosSql("a.embedding", "b.embedding"), 6)} AS cos
          |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE ${sround(cosSql("a.embedding", "b.embedding"), 6)} >= 0.3""".stripMargin,
@@ -242,9 +265,9 @@ object VectorQueries {
          |                            ORDER BY ${sround(cosSql("qe", "embedding"), 6)} DESC, vec_id) AS rn
          |  FROM embeddings, (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < $QueryCount) q
          |  WHERE vec_id <> query_id) WHERE rn <= 5),
-         |e AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
+         |e AS (SELECT vec_id, embedding, unnest(${bucketsSql("embedding")}) AS bucket FROM embeddings),
          |qs AS (SELECT vec_id AS query_id, bucket FROM e WHERE vec_id < $QueryCount),
-         |cand AS (SELECT qs.query_id, e.vec_id FROM e JOIN qs USING (bucket) WHERE e.vec_id <> qs.query_id),
+         |cand AS (SELECT DISTINCT qs.query_id, e.vec_id FROM e JOIN qs USING (bucket) WHERE e.vec_id <> qs.query_id),
          |hits AS (SELECT t.query_id, count(*) AS hits
          |         FROM truth t JOIN cand c ON t.query_id = c.query_id AND t.vec_id = c.vec_id
          |         GROUP BY t.query_id),
