@@ -204,7 +204,12 @@ object SaxQueries {
     // semi-structured series: extract the numeric payload from the JSON
     // props column (regexp-based, engine-portable) and encode THAT series
     "q18_sax_props_series" -> ((spark, dir) => {
-      val k = regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("double")
+      // coalesce failed extractions to NaN: collect_list DROPS nulls while
+      // the oracle's window list keeps them positionally — NaN stays in
+      // place on both sides and hits the '#' frame semantics
+      val k = coalesce(
+        regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("double"),
+        lit(Double.NaN))
       val spec = byUser.rowsBetween(-(N - 1), 0)
       table(spark, dir, "events")
         .select(col("user_id"),
@@ -359,7 +364,7 @@ object SaxQueries {
 
       "q18_sax_props_series" -> {
         val cte = windowWordsSqlFor(N, W, C,
-          "TRY_CAST(regexp_extract(props, '\"k\": ([0-9]+)', 1) AS DOUBLE)")
+          "COALESCE(TRY_CAST(regexp_extract(props, '\"k\": ([0-9]+)', 1) AS DOUBLE), 'NaN'::DOUBLE)")
         s"WITH q AS ($cte)\nSELECT word, count(*)::BIGINT AS cnt FROM q GROUP BY word"
       },
 

@@ -29,7 +29,7 @@ object TextQueries {
   val defs: Map[String, QFn] = Map(
     // language ID: argmax of marker-token counts (ties by profile order)
     "q35_lang_id" -> ((spark, dir) => {
-      val toks = split(lower(trim(col("text"))), "\\s+")
+      val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
       val scored = spread(table(spark, dir, "documents"))
         .select(col("doc_id"), toks.as("toks"))
         .select(Seq(col("doc_id")) ++ Profiles.map { case (lang, words) =>
@@ -47,7 +47,7 @@ object TextQueries {
 
     // quality score: token stats + punctuation + stopword density
     "q36_quality_score" -> ((spark, dir) => {
-      val toks = split(lower(trim(col("text"))), "\\s+")
+      val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
       val d = spread(table(spark, dir, "documents"))
         .select(col("doc_id"), col("text"), toks.as("toks"))
         .select(col("doc_id"),
@@ -70,7 +70,7 @@ object TextQueries {
     // token counting: whitespace tokens + BPE-ish regex pieces
     "q37_token_count" -> ((spark, dir) =>
       spread(table(spark, dir, "documents")).select(col("doc_id"),
-        size(split(trim(col("text")), "\\s+")).as("ws_tokens"),
+        size(filter(split(col("text"), "\\s+"), t => t =!= "")).as("ws_tokens"),
         size(regexp_extract_all(lower(col("text")),
           lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("subword_tokens"))),
 
@@ -80,7 +80,7 @@ object TextQueries {
     // explode parallelizes per document with no shuffle.
     "q39_chunking" -> ((spark, dir) => {
       val size = 20; val stride = 15
-      val toks = split(lower(trim(col("text"))), "\\s+")
+      val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
       spread(table(spark, dir, "documents"))
         .select(col("doc_id"), toks.as("toks"))
         .select(col("doc_id"), col("toks"),
@@ -106,7 +106,7 @@ object TextQueries {
     // corpus vocabulary stats: top-50 tokens by frequency (map-side
     // combinable token counts; ties broken lexicographically)
     "q48_vocab" -> ((spark, dir) => {
-      val toks = split(lower(trim(col("text"))), "\\s+")
+      val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
       spread(table(spark, dir, "documents"))
         .select(explode(toks).as("token"))
         .groupBy("token").agg(count(lit(1)).as("freq"))
@@ -160,7 +160,7 @@ object TextQueries {
 
     "q37_token_count" ->
       """SELECT doc_id,
-        |       CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS ws_tokens,
+        |       CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS INT) AS ws_tokens,
         |       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS subword_tokens
         |FROM documents""".stripMargin,
 

@@ -216,6 +216,7 @@ object Sax {
   def mindistSymbols(a: Array[Int], aN: Long, b: Array[Int], bN: Long,
                      c: Int): MinDist = {
     if (a == null || b == null || a.length != b.length) return null
+    if (aN < 0 || bN < 0) return null // size_t in the reference; reject here
     if (aN != bN && aN != 0 && bN != 0) return null
     if (c < MinCardinality || c > MaxCardinality) return null
     val w = a.length

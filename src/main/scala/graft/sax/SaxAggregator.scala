@@ -25,9 +25,24 @@ class SaxWindowAggregator(n: Int, w: Int, c: Int)
   override def zero: Buf = Buf(Array.empty)
 
   override def reduce(b: Buf, e: In): Buf = {
-    val merged = (b.entries :+ ((e.ts, e.eventId, e.value)))
-      .sortBy(t => (t._1, t._2))
-    Buf(merged.takeRight(n))
+    // entries stays sorted: binary-insert the new triple (O(n) copy)
+    // instead of re-sorting the whole buffer per input row
+    val entry = (e.ts, e.eventId, e.value)
+    val es = b.entries
+    var lo = 0
+    var hi = es.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      val m = es(mid)
+      if (m._1 < entry._1 || (m._1 == entry._1 && m._2 <= entry._2)) lo = mid + 1
+      else hi = mid
+    }
+    if (es.length == n && lo == 0) return b // older than everything we keep
+    val out = new Array[(Long, Long, Double)](es.length + 1)
+    System.arraycopy(es, 0, out, 0, lo)
+    out(lo) = entry
+    System.arraycopy(es, lo, out, lo + 1, es.length - lo)
+    Buf(if (out.length > n) out.drop(out.length - n) else out)
   }
 
   override def merge(a: Buf, b: Buf): Buf = {

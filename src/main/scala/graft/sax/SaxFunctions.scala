@@ -18,18 +18,23 @@ import org.apache.spark.sql.functions.udf
   */
 object SaxFunctions {
 
+  // null elements map to NaN ('#' semantics), matching the native
+  // expressions — Seq[Double] UDFs would silently unbox null to 0.0
+  private def unbox(values: Seq[java.lang.Double]): Array[Double] =
+    values.map(v => if (v == null) Double.NaN else v.doubleValue()).toArray
+
   /** sax_encode(values, w, c) -> SAX string; null on invalid (n%w!=0, bad c).
     * Reference sts_from_double_array (src/symtseries.c:515-532). */
   val saxEncode: UserDefinedFunction =
-    udf((values: Seq[Double], w: Int, c: Int) =>
-      if (values == null) null else Sax.encode(values.toArray, w, c))
+    udf((values: Seq[java.lang.Double], w: Int, c: Int) =>
+      if (values == null) null else Sax.encode(unbox(values), w, c))
 
   /** sax_encode_window(values, n, w, c): encode the trailing window of n
     * values, left-padding with NaN below n (ring prefill) and keeping only
     * the last n above (sts_append_array semantics). */
   val saxEncodeWindow: UserDefinedFunction =
-    udf((values: Seq[Double], n: Int, w: Int, c: Int) =>
-      if (values == null) null else Sax.encodePadded(values.toArray, n, w, c))
+    udf((values: Seq[java.lang.Double], n: Int, w: Int, c: Int) =>
+      if (values == null) null else Sax.encodePadded(unbox(values), n, w, c))
 
   /** sax_mindist(a, nA, b, nB, c) -> struct(dist, above, below); null when
     * the words are incompatible (the reference returns NaN / Lua nil).
@@ -60,12 +65,30 @@ object SaxFunctions {
   private def litE(v: Any) =
     org.apache.spark.sql.catalyst.expressions.Literal(v)
 
+  // explicit Casts: the expressions read children positionally (ArrayData /
+  // Long / Int) and would CCE in the interpreted path on e.g. an int
+  // literal where a long is expected; Cast makes coercion analysis-time
+  private def castE(e: org.apache.spark.sql.catalyst.expressions.Expression,
+                    t: org.apache.spark.sql.types.DataType) =
+    org.apache.spark.sql.catalyst.expressions.Cast(e, t)
+
   def sax_encode(values: Column, w: Int, c: Int): Column =
-    colOf(SaxEncodeExpr(exprOf(values), litE(w), litE(c)))
+    colOf(SaxEncodeExpr(
+      castE(exprOf(values), org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType)),
+      litE(w), litE(c)))
 
   def sax_encode_window(values: Column, n: Int, w: Int, c: Int): Column =
-    colOf(SaxEncodeWindowExpr(exprOf(values), litE(n), litE(w), litE(c)))
+    colOf(SaxEncodeWindowExpr(
+      castE(exprOf(values), org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType)),
+      litE(n), litE(w), litE(c)))
 
   def sax_mindist(a: Column, aN: Column, b: Column, bN: Column, c: Int): Column =
-    colOf(SaxMindistExpr(Seq(exprOf(a), exprOf(aN), exprOf(b), exprOf(bN), litE(c))))
+    colOf(SaxMindistExpr(Seq(
+      castE(exprOf(a), org.apache.spark.sql.types.StringType),
+      castE(exprOf(aN), org.apache.spark.sql.types.LongType),
+      castE(exprOf(b), org.apache.spark.sql.types.StringType),
+      castE(exprOf(bN), org.apache.spark.sql.types.LongType),
+      litE(c))))
 }

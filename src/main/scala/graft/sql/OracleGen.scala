@@ -118,38 +118,26 @@ object OracleGen {
   final case class MindistSql(above2: String, below2: String,
                               dist: String, above: String, below: String)
 
-  /** mindist between two word COLUMNS (same w, c, n) — the general form
-    * with no literal side: per position, a CASE over all (charA, charB)
-    * combinations including the '#' sentinel, squared cells precomputed in
-    * Scala. Addition order matches Sax.mindistSymbols (above and below
-    * accumulate separately; zero terms are exact no-ops). */
-  def mindistColCol(aCol: String, bCol: String, w: Int, n: Long, c: Int,
-                    digits: Int = 6): MindistSql = {
-    val table = Tables.distTable(c - 2)
-    val chars = (0 until c).map(i => ('A' + i).toChar) :+ '#'
+  /** Shared symbol algebra: squared cell distance for raw internal symbols
+    * (sentinel = c) with the '#'-maps-to-farthest rule, plus whether the
+    * pair contributes to the `above` component. One definition feeds both
+    * oracle forms so they cannot diverge from each other or from
+    * Sax.mindistSymbols. */
+  private def cellSq(saRaw: Int, sbRaw: Int, c: Int): (Double, Boolean) = {
+    var sa = saRaw
+    var sb = sbRaw
+    if (sa == sb) return (0.0, true)
+    if (sa == c) sa = if (sb > c - 1 - sb) 0 else c - 1
+    else if (sb == c) sb = if (sa > c - 1 - sa) 0 else c - 1
+    val d = Tables.distTable(c - 2)(sa * c + sb).toDouble
+    (d * d, sa < sb)
+  }
 
-    def cellSq(wa: Char, wb: Char): (Double, Boolean) = {
-      var sa = if (wa == '#') c else c - (wa - 'A') - 1
-      var sb = if (wb == '#') c else c - (wb - 'A') - 1
-      if (sa == sb) return (0.0, true)
-      if (sa == c) sa = if (sb > c - 1 - sb) 0 else c - 1
-      else if (sb == c) sb = if (sa > c - 1 - sa) 0 else c - 1
-      val d = table(sa * c + sb).toDouble
-      (d * d, sa < sb)
-    }
+  private def symOf(ch: Char, c: Int): Int =
+    if (ch == '#') c else c - (ch - 'A') - 1
 
-    def caseFor(pos: Int, wantAbove: Boolean): String = {
-      val arms = for {
-        wa <- chars; wb <- chars
-        (sq, above) = cellSq(wa, wb)
-        if sq != 0.0 && above == wantAbove
-      } yield s"WHEN substr($aCol, ${pos + 1}, 1) = '$wa' AND substr($bCol, ${pos + 1}, 1) = '$wb' THEN ${dlit(sq)}"
-      if (arms.isEmpty) "0.0"
-      else s"(CASE ${arms.mkString(" ")} ELSE 0.0 END)"
-    }
-
-    val above2 = (0 until w).map(caseFor(_, wantAbove = true)).mkString("(", " + ", ")")
-    val below2 = (0 until w).map(caseFor(_, wantAbove = false)).mkString("(", " + ", ")")
+  private def assemble(above2: String, below2: String, n: Long, w: Int,
+                       digits: Int): MindistSql = {
     val comp = dlit(math.sqrt(n.toDouble / w.toDouble))
     MindistSql(
       above2, below2,
@@ -158,29 +146,39 @@ object OracleGen {
       sround(s"$comp * sqrt($below2)", digits))
   }
 
+  private def wordChars(c: Int): Seq[Char] =
+    (0 until c).map(i => ('A' + i).toChar) :+ '#'
+
+  /** mindist between two word COLUMNS (same w, c, n) — the general form
+    * with no literal side: per position, a CASE over all (charA, charB)
+    * combinations including the '#' sentinel, squared cells precomputed in
+    * Scala. Addition order matches Sax.mindistSymbols (above and below
+    * accumulate separately; zero terms are exact no-ops). */
+  def mindistColCol(aCol: String, bCol: String, w: Int, n: Long, c: Int,
+                    digits: Int = 6): MindistSql = {
+    def caseFor(pos: Int, wantAbove: Boolean): String = {
+      val arms = for {
+        wa <- wordChars(c); wb <- wordChars(c)
+        (sq, above) = cellSq(symOf(wa, c), symOf(wb, c), c)
+        if sq != 0.0 && above == wantAbove
+      } yield s"WHEN substr($aCol, ${pos + 1}, 1) = '$wa' AND substr($bCol, ${pos + 1}, 1) = '$wb' THEN ${dlit(sq)}"
+      if (arms.isEmpty) "0.0"
+      else s"(CASE ${arms.mkString(" ")} ELSE 0.0 END)"
+    }
+    assemble(
+      (0 until w).map(caseFor(_, wantAbove = true)).mkString("(", " + ", ")"),
+      (0 until w).map(caseFor(_, wantAbove = false)).mkString("(", " + ", ")"),
+      n, w, digits)
+  }
+
   def mindistVsLiteral(wordCol: String, pattern: String, n: Long, c: Int,
                        digits: Int = 6): MindistSql = {
     val pSym = Sax.parseSymbols(pattern, c)
     require(pSym != null, s"bad pattern $pattern at c=$c")
     val w = pattern.length
-    val table = Tables.distTable(c - 2)
-    // chars a word position can hold: 'A'..'A'+c-1 and '#'
-    val wordChars = (0 until c).map(i => ('A' + i).toChar) :+ '#'
-
-    def cellSq(wc: Char, pi: Int): (Double, Boolean) = {
-      // returns (squared distance, contributesToAbove)
-      var sa = if (wc == '#') c else c - (wc - 'A') - 1
-      var sb = pSym(pi)
-      if (sa == sb) return (0.0, true)
-      if (sa == c) sa = if (sb > c - 1 - sb) 0 else c - 1
-      else if (sb == c) sb = if (sa > c - 1 - sa) 0 else c - 1
-      val d = table(sa * c + sb).toDouble
-      (d * d, sa < sb)
-    }
-
     def caseFor(pi: Int, wantAbove: Boolean): String = {
-      val whens = wordChars.flatMap { wc =>
-        val (sq, above) = cellSq(wc, pi)
+      val whens = wordChars(c).flatMap { wc =>
+        val (sq, above) = cellSq(symOf(wc, c), pSym(pi), c)
         if (sq != 0.0 && above == wantAbove)
           Some(s"WHEN '$wc' THEN ${dlit(sq)}")
         else None
@@ -188,14 +186,9 @@ object OracleGen {
       if (whens.isEmpty) "0.0"
       else s"(CASE substr($wordCol, ${pi + 1}, 1) ${whens.mkString(" ")} ELSE 0.0 END)"
     }
-
-    val above2 = (0 until w).map(caseFor(_, wantAbove = true)).mkString("(", " + ", ")")
-    val below2 = (0 until w).map(caseFor(_, wantAbove = false)).mkString("(", " + ", ")")
-    val comp = dlit(math.sqrt(n.toDouble / w.toDouble))
-    MindistSql(
-      above2, below2,
-      sround(s"$comp * sqrt($above2 + $below2)", digits),
-      sround(s"$comp * sqrt($above2)", digits),
-      sround(s"$comp * sqrt($below2)", digits))
+    assemble(
+      (0 until w).map(caseFor(_, wantAbove = true)).mkString("(", " + ", ")"),
+      (0 until w).map(caseFor(_, wantAbove = false)).mkString("(", " + ", ")"),
+      n, w, digits)
   }
 }

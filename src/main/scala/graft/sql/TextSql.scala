@@ -4,9 +4,11 @@ package graft.sql
   * concept so the Spark side and every oracle stay in lockstep. */
 object TextSql {
 
-  /** Whitespace tokens of lowercased trimmed text (matches
-    * TextHash.tokenize). */
-  val toks = "string_split_regex(lower(trim(text)), '\\s+')"
+  /** Whitespace tokens of lowercased text, empty tokens dropped (matches
+    * TextHash.tokenize and the Spark-side filter(split(...)) exactly —
+    * trim()-based formulations differ between engines on non-space
+    * whitespace and on empty text). */
+  val toks = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
 
   /** Lowercase alnum-normalized text (matches the Spark norm column). */
   val norm =

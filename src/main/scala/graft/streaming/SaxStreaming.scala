@@ -74,7 +74,8 @@ object SaxStreaming {
       if (n == 0) null else graft.sax.Sax.encode(vs.take(n).toArray, w, c)
     })
     events
-      .withColumn("ets", timestamp_micros((col("ts") / 1000L).cast("long")))
+      // integer div: FP division of ns epochs loses precision above 2^53
+      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ets", lateness)
       .groupBy(window(col("ets"), windowLength), col("userId"))
       .agg(sort_array(collect_list(struct(col("ts"), col("eventId"), col("value")))).as("rows"))

@@ -57,12 +57,14 @@ object TextHash {
     (h << 4) | ((b(7) & 0xffL) >>> 4)
   }
 
-  /** Whitespace tokenization after lowercasing — matches the oracle's
-    * string_split_regex(lower(trim(text)), '\s+'). */
-  def tokenize(text: String): Array[String] = {
-    val t = text.toLowerCase.trim
-    if (t.isEmpty) Array.empty else t.split("\\s+")
-  }
+  /** Whitespace tokenization after lowercasing: split on \s+ and drop
+    * empty tokens. The filter-nonempty formulation is what ALL surfaces
+    * use (TextSql.toks in DuckDB, filter(split(...)) in Spark SQL), so
+    * leading/trailing whitespace and empty text behave identically
+    * everywhere — engine trim() functions differ on non-space whitespace
+    * and empty splits, filters don't. */
+  def tokenize(text: String): Array[String] =
+    text.toLowerCase.split("\\s+").filter(_.nonEmpty)
 
   /** k-word shingles joined by a single space, distinct. Shorter-than-k
     * token lists produce a single shingle of all tokens (so no doc is
