@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The native expressions must produce identical results through the
+  * interpreted eval path (codegen disabled) — type-coercion bugs hide
+  * there because generated Java silently widens primitives where
+  * `asInstanceOf` throws. */
+class InterpretedPathSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = graft.SparkUtil.configure(
+        SparkSession.builder().master("local[4]"), "4")
+      .config("spark.sql.codegen.wholeStage", "false")
+      .config("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("SAX queries run and agree with goldens under NO_CODEGEN") {
+    val dir = "/root/testdata/sf0.001"
+    // windowed encode: histogram top entry matches the known fixture value
+    val words = SparkEntry.queries("q02_sax_window_encode")(spark, dir)
+    val top = words.groupBy("word").count()
+      .orderBy(org.apache.spark.sql.functions.desc("count"),
+        org.apache.spark.sql.functions.asc("word"))
+      .head()
+    assert(top.getString(0) == "BDBB" && top.getLong(1) == 47L, top)
+    // mindist via the struct expression (int literals coerced, not CCE)
+    val md = SparkEntry.queries("q04_sax_mindist")(spark, dir)
+    assert(md.count() == 1000)
+    // SQL registration path
+    graft.sax.SaxFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT sax_encode(array(1.0D, 2.0D, 3.0D, 10.1D), 2, 4) AS w").head()
+    assert(r.getString(0) == "AD")
+  }
+}
