@@ -201,6 +201,26 @@ object SaxQueries {
         .where(col("dist") <= 1.5)
     }),
 
+    // calendar-bucketed encode: one word per (user, week) from the first
+    // n values in the bucket — the batch analogue of the event-time
+    // streaming variant (tumbling windows instead of sliding), and a
+    // group-parallel shape: buckets encode independently, no window spec
+    "q28_sax_weekly" -> ((spark, dir) => {
+      val weekUs = 7L * 24 * 3600 * 1000000L
+      val ev = table(spark, dir, "events")
+        .select(col("user_id"), expr(s"(ts div 1000) div $weekUs").as("week"),
+          expr("ts div 1000").as("ts_us"), col("event_id"), col("value"))
+      val byBucket = Window.partitionBy("user_id", "week").orderBy("ts_us", "event_id")
+      ev.withColumn("rn", row_number().over(byBucket))
+        .where(col("rn") <= N)
+        .groupBy("user_id", "week")
+        .agg(count(lit(1)).as("k"),
+             sort_array(collect_list(struct(col("rn"), col("value")))).as("pairs"))
+        .where(col("k") === N)
+        .select(col("user_id"), col("week"),
+          sax_encode(expr("transform(pairs, p -> p.value)"), W, C).as("word"))
+    }),
+
     // semi-structured series: extract the numeric payload from the JSON
     // props column (regexp-based, engine-portable) and encode THAT series
     "q18_sax_props_series" -> ((spark, dir) => {
@@ -360,6 +380,21 @@ object SaxQueries {
            |ws AS (SELECT user_id, vals, ${welfordExpr(finExpr("vals"))} AS ws FROM base),
            |st AS (SELECT user_id, vals, ${wsMu("ws")} AS mu, ${wsStd("ws")} AS std FROM ws)
            |SELECT user_id, $frames FROM st""".stripMargin
+      },
+
+      "q28_sax_weekly" -> {
+        val weekUs = 7L * 24 * 3600 * 1000000L
+        s"""WITH b AS (
+           |  SELECT user_id, epoch_us(ts) // $weekUs AS week, epoch_us(ts) AS ts_us, event_id, value,
+           |         row_number() OVER (PARTITION BY user_id, epoch_us(ts) // $weekUs
+           |                            ORDER BY epoch_us(ts), event_id) AS rn
+           |  FROM events),
+           |g AS (SELECT user_id, week, list(value ORDER BY rn) AS vals FROM b
+           |      WHERE rn <= $N GROUP BY user_id, week HAVING count(*) = $N),
+           |ws AS (SELECT user_id, week, vals, ${welfordExpr(finExpr("vals"))} AS ws FROM g),
+           |st AS (SELECT user_id, week, vals, ${wsMu("ws")} AS mu, ${wsStd("ws")} AS std FROM ws)
+           |SELECT user_id, CAST(week AS BIGINT) AS week,
+           |       ${saxWordExpr("vals", "mu", "std", N, W, C)} AS word FROM st""".stripMargin
       },
 
       "q18_sax_props_series" -> {
