@@ -1,11 +1,21 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver-run benchmark: times every SparkEntry query at the given scale
   * factor and prints one JSON line. A short warmup runs first so the
   * first timed query doesn't absorb JVM/codegen/session startup. */
 object Bench {
+
+  /** Fully materialize a frame. `df.count()` lets Catalyst prune every
+    * projection the count doesn't need — projection-only queries (the
+    * window encode, hashing, chunking…) then time the scan instead of the
+    * work. Counting the PHYSICAL plan's row RDD forces each operator to
+    * actually produce its output rows. */
+  private def force(df: DataFrame): Long = df.queryExecution.toRdd.count()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -17,20 +27,27 @@ object Bench {
     try {
       spark.range(1 << 20).selectExpr("sum(id)").collect()
       SparkEntry.queries.get("q02_sax_window_encode")
-        .foreach(_(spark, sfDir).count())
+        .foreach(fn => force(fn(spark, sfDir)))
     } catch { case _: Throwable => () }
     spark.catalog.clearCache()
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try force(fn(spark, sfDir)) catch { case _: Throwable => -1L }
       spark.catalog.clearCache() // queries may cache(); don't leak across timings
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // stdout for the driver (build.sbt routes `run` output straight to
+    // stdout, no [info] prefix) + a file copy in case the log gets framed
+    println(line)
+    try Files.writeString(
+      Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")), line + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

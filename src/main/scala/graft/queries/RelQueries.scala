@@ -122,13 +122,18 @@ object RelQueries {
           expr("ts div 1000").as("p_us"))
       val views = ev.where(col("event_type").isin("view", "click"))
         .select(col("user_id"), expr("ts div 1000").as("v_us"), col("event_id"), col("value"))
+      // explicit aliases: both frames share lineage from the same events
+      // read, and `purchases("user_id") === views("user_id")` resolves to
+      // the SAME attribute id — a trivially-true predicate Spark 4 only
+      // rescues via self-join disambiguation (and other versions silently
+      // turn into a filtered cross join)
       val w = Window.partitionBy("purchase_id").orderBy(desc("v_us"), desc("event_id"))
-      purchases.join(views,
-          purchases("user_id") === views("user_id") && col("v_us") < col("p_us"), "left")
+      purchases.alias("p").join(views.alias("v"),
+          col("p.user_id") === col("v.user_id") && col("v.v_us") < col("p.p_us"), "left")
         .withColumn("rn", row_number().over(w))
         .where(col("rn") === 1)
-        .select(col("purchase_id"), purchases("user_id"),
-          col("event_id").as("asof_event"), pround(col("value"), 6).as("asof_value"))
+        .select(col("purchase_id"), col("p.user_id").as("user_id"),
+          col("v.event_id").as("asof_event"), pround(col("v.value"), 6).as("asof_value"))
     }),
 
     // set op: customers that are both big spenders and BUILDING segment

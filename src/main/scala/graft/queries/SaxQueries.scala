@@ -134,15 +134,20 @@ object SaxQueries {
       }.reduce(_ union _)
     }),
 
-    // word equi-join (sts_words_equal as a join key): users sharing a word.
-    // The distinct frame is cached so the self-join doesn't recompute the
-    // window encode for both sides.
-    "q07_sax_word_join" -> ((spark, dir) => {
-      val uw = windowWords(spark, dir).select("user_id", "word").distinct().cache()
-      uw.as("a").join(uw.as("b"),
-          col("a.word") === col("b.word") && col("a.user_id") < col("b.user_id"))
-        .groupBy(col("a.word").as("word")).agg(count(lit(1)).as("pairs"))
-    }),
+    // word equi-join semantics (sts_words_equal as a join key): pairs of
+    // users sharing a word. The pair count per word is k·(k−1)/2 of the
+    // per-word distinct-user count, so it's computed by arithmetic after a
+    // map-side-combinable groupBy — NEVER by enumerating the pairs. (The
+    // enumerating self-join is the textbook skewed low-cardinality-key
+    // shuffle: with ~176 words the pair count grows quadratically in users
+    // and was 111 s of the 197 s round-1 bench at sf0.1.) The oracle keeps
+    // the independent join formulation as a cross-check.
+    "q07_sax_word_join" -> ((spark, dir) =>
+      windowWords(spark, dir).select("user_id", "word").distinct()
+        .groupBy("word").agg(count(lit(1)).as("k"))
+        .where(col("k") >= 2)
+        .select(col("word"),
+          ((col("k") * (col("k") - lit(1))) / lit(2)).cast("long").as("pairs"))),
 
     // estimate_mu_and_std as a grouped aggregate (finite filter, pop std)
     "q08_sax_moments" -> ((spark, dir) => {
@@ -289,6 +294,39 @@ object SaxQueries {
         .toDF("user_id", "word")
     }),
 
+    // the streaming operator's batch replay: the O(1) 3-case moment algebra
+    // (append_value, /root/reference/src/symtseries.c:434-479) driven per
+    // arrival over each user's stream, emitting the word after every append
+    // — exactly what the Structured Streaming operator
+    // (graft.streaming.SaxStreaming) does per micro-batch, but on the
+    // oracle-checked surface. Shape: ONE hash shuffle on the series key +
+    // a partition-local secondary sort, then a streaming pass that never
+    // buffers a group — the replay scales to arbitrarily long per-key
+    // histories (unlike collect_list windows or mapGroups buffering).
+    "q19_sax_stream_replay" -> ((spark, dir) => {
+      import org.apache.spark.sql.Encoders
+      val (n, w, c) = (N, W, C)
+      val in = table(spark, dir, "events")
+        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"),
+          col("value"))
+        .repartition(col("user_id"))
+        .sortWithinPartitions("user_id", "ts_us", "event_id")
+        .as[(Long, Long, Long, Double)](Encoders.tuple(
+          Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong,
+          Encoders.scalaDouble))
+      in.mapPartitions { it =>
+        var uid = 0L
+        var win: graft.sax.SaxWindow = null
+        it.map { case (eventId, userId, _, value) =>
+          if (win == null || userId != uid) {
+            win = new graft.sax.SaxWindow(n, w, c); uid = userId
+          }
+          (eventId, userId, win.append(value))
+        }
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.STRING))
+        .toDF("event_id", "user_id", "word")
+    }),
+
     // numerosity-reduction runs: consecutive identical words collapse
     "q12_sax_runs" -> ((spark, dir) => {
       val w = Window.partitionBy("user_id").orderBy("event_id")
@@ -309,6 +347,10 @@ object SaxQueries {
       "q01_sax_batch_encode" -> firstNWordSql("value", W, C),
 
       "q02_sax_window_encode" -> windowWordsSql,
+
+      // the stateful replay must equal the batch sliding-window encode
+      // (the reference's window==batch equivalence, src/symtseries.c:816-850)
+      "q19_sax_stream_replay" -> windowWordsSql,
 
       "q03_sax_numerosity" ->
         s"WITH q AS ($windowWordsSql)\nSELECT word, count(*)::BIGINT AS cnt FROM q GROUP BY word",

@@ -34,8 +34,16 @@ object Sax {
     * /root/reference/src/symtseries.c:585-636). */
   final case class MinDist(dist: Double, above: Double, below: Double)
 
+  /** Construction caps of the reference API (lua check_nwc,
+    * /root/reference/lua/lua_sax.c:26-35). They bound numeric
+    * constructors only — string parse (sts_from_sax_string) checks just
+    * the cardinality, so parse paths don't route through [[validNwc]]. */
+  final val MaxNValues = 4096
+  final val MaxWordLen = 2048
+
   @inline def validNwc(n: Int, w: Int, c: Int): Boolean =
-    w > 0 && n % w == 0 && c >= MinCardinality && c <= MaxCardinality
+    n > 1 && n <= MaxNValues && w > 1 && w <= MaxWordLen && n % w == 0 &&
+      c >= MinCardinality && c <= MaxCardinality
 
   /** z-value -> symbol in reversed iSAX ordering; NaN -> sentinel `c`,
     * +Inf -> 0 (top sector), -Inf -> c-1 (bottom) via comparison

@@ -17,7 +17,7 @@ class SaxPropertySpec extends AnyFunSuite {
   }
 
   private val nwc: Gen[(Int, Int, Int)] = for {
-    w <- Gen.choose(1, 16)
+    w <- Gen.choose(2, 16) // check_nwc bounds: w > 1, n > 1
     mult <- Gen.choose(1, 8)
     c <- Gen.choose(2, 16)
   } yield (w * mult, w, c)
@@ -99,7 +99,7 @@ class SaxPropertySpec extends AnyFunSuite {
     check(gen) { case (logN, seed) =>
       val n = 1 << logN
       val rnd = new scala.util.Random(seed)
-      val win = new SaxWindow(n, 1, 4)
+      val win = new SaxWindow(n, 2, 4) // w irrelevant to moments; 2 = min valid
       val ring = Array.fill(n)(Double.NaN)
       var ok = true
       var idx = 0

@@ -46,7 +46,7 @@ class SaxSpec extends AnyFunSuite {
   test("stationary guard: ~constant series encodes to all zero-symbols (src/symtseries.c:761-794)") {
     val rnd = new scala.util.Random(7)
     val base = Array.fill(60)(8.0 + (rnd.nextDouble() - 0.5) * 2e-2 * 0.99)
-    for (w <- 1 to 60; c <- 2 to 16) {
+    for (w <- 2 to 60; c <- 2 to 16) { // w > 1: check_nwc lower bound
       val n = 60 - 60 % w
       val word = Sax.encode(base.take(n), w, c)
       val zeroChar = (c - (c / 2 - 1 + c % 2) - 1 + 'A').toChar

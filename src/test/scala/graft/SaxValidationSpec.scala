@@ -15,23 +15,34 @@ class SaxValidationSpec extends AnyFunSuite {
   test("encode rejects bad (n, w, c) combinations") {
     assert(Sax.encode(good, 3, 4) == null)        // n % w != 0
     assert(Sax.encode(good, 0, 4) == null)        // w = 0
+    assert(Sax.encode(good, 1, 4) == null)        // w = 1 (word.new({1,2,3},1,5))
     assert(Sax.encode(good, 2, 0) == null)        // c < 2
     assert(Sax.encode(good, 2, 1) == null)
     assert(Sax.encode(good, 2, 17) == null)       // c > 16
     assert(Sax.encode(good, 2, 255) == null)
     assert(Sax.encode(Array.empty[Double], 1, 4) == null) // empty series
+    assert(Sax.encode(Array(1.0), 1, 4) == null)  // n = 1 below min
     assert(Sax.encode(null, 2, 4) == null)        // null series
+    // n > 4096 rejected even when divisible (check_nwc upper bound)
+    assert(Sax.encode(Array.fill(5000)(1.0), 5, 5) == null)
+    assert(Sax.encode(Array.fill(4096)(1.0), 2, 4) != null) // at the cap
     for (c <- 2 to 16)                            // all valid c accept
       assert(Sax.encode(good, 2, c) != null, s"c=$c")
   }
 
-  test("window construction rejects bad params (sts_new_window)") {
-    intercept[IllegalArgumentException](new SaxWindow(5, 2, 4))  // n % w != 0
-    intercept[IllegalArgumentException](new SaxWindow(4, 0, 4))  // w = 0
-    intercept[IllegalArgumentException](new SaxWindow(4, 2, 1))  // c < 2
-    intercept[IllegalArgumentException](new SaxWindow(4, 2, 17)) // c > 16
-    new SaxWindow(4, 2, 2) // minimum valid cardinality accepted
+  test("window construction rejects bad params (sts_new_window + check_nwc)") {
+    intercept[IllegalArgumentException](new SaxWindow(5, 2, 4))    // n % w != 0
+    intercept[IllegalArgumentException](new SaxWindow(4, 0, 4))    // w = 0
+    intercept[IllegalArgumentException](new SaxWindow(1, 3, 3))    // n = 1 (test.lua:73)
+    intercept[IllegalArgumentException](new SaxWindow(9, 1, 3))    // w = 1 (test.lua:74)
+    intercept[IllegalArgumentException](new SaxWindow(4, 2, 1))    // c < 2 (test.lua:75)
+    intercept[IllegalArgumentException](new SaxWindow(4, 2, 17))   // c > 16 (test.lua:76)
+    intercept[IllegalArgumentException](new SaxWindow(5000, 5, 5)) // n > 4096 (test.lua:77)
+    intercept[IllegalArgumentException](new SaxWindow(10, 3, 3))   // n % w != 0 (test.lua:78)
+    intercept[IllegalArgumentException](new SaxWindow(8192, 4096, 4)) // w > 2048
+    new SaxWindow(4, 2, 2)       // minimum valid cardinality accepted
     new SaxWindow(4, 2, 16)
+    new SaxWindow(4096, 2048, 4) // at both caps
   }
 
   test("parse rejects malformed SAX strings (sts_from_sax_string)") {
