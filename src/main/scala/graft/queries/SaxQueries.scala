@@ -122,16 +122,21 @@ object SaxQueries {
         .limit(20)
     }),
 
-    // threshold similarity search against a small pattern collection
+    // threshold similarity search against a small pattern collection: ONE
+    // pass with a conditional count per pattern (mirrors its own oracle's
+    // FILTER-agg formulation), then a constant unpivot — one job instead
+    // of one cached scan + one job per pattern
     "q06_sax_threshold" -> ((spark, dir) => {
-      val words = windowWords(spark, dir).cache()
-      Patterns.map { p =>
+      val counts = Patterns.zipWithIndex.map { case (p, i) =>
         val md = sax_mindist(col("word"), lit(N.toLong), lit(p), lit(0L), C)
-        words.select(pround(md.getField("dist"), 6).as("dist"))
-          .where(col("dist") <= 1.0)
-          .agg(count(lit(1)).as("matches"))
-          .select(lit(p).as("pattern"), col("matches"))
-      }.reduce(_ union _)
+        count(when(pround(md.getField("dist"), 6) <= 1.0, lit(1))).as(s"c$i")
+      }
+      val arms = Patterns.zipWithIndex.map { case (p, i) =>
+        struct(lit(p).as("pattern"), col(s"c$i").as("matches"))
+      }
+      windowWords(spark, dir).agg(counts.head, counts.tail: _*)
+        .select(explode(array(arms: _*)).as("pm"))
+        .select(col("pm.pattern").as("pattern"), col("pm.matches").as("matches"))
     }),
 
     // word equi-join semantics (sts_words_equal as a join key): pairs of
@@ -294,15 +299,23 @@ object SaxQueries {
         .toDF("user_id", "word")
     }),
 
-    // the streaming operator's batch replay: the O(1) 3-case moment algebra
-    // (append_value, /root/reference/src/symtseries.c:434-479) driven per
-    // arrival over each user's stream, emitting the word after every append
-    // — exactly what the Structured Streaming operator
+    // the streaming operator's batch replay: each user's stream driven
+    // arrival-by-arrival through the stateful ring (NaN prefill, head
+    // eviction, keep-last-n — sts_append_value,
+    // /root/reference/src/symtseries.c:434-492), emitting a word per
+    // append — what the Structured Streaming operator
     // (graft.streaming.SaxStreaming) does per micro-batch, but on the
-    // oracle-checked surface. Shape: ONE hash shuffle on the series key +
-    // a partition-local secondary sort, then a streaming pass that never
-    // buffers a group — the replay scales to arbitrarily long per-key
-    // histories (unlike collect_list windows or mapGroups buffering).
+    // oracle-checked surface. The emitted word re-estimates moments from
+    // the ring CONTENTS (batch Welford): the O(1) 3-case moment shortcut
+    // is eps-accurate, not bit-exact — the reference's own randomized test
+    // asserts STS_STAT_EPS closeness, not equality
+    // (src/symtseries.c:866-920) — so no SQL oracle can pin it bit-for-bit
+    // (at sf0.1 it flips 2 of 100k words on breakpoint-boundary z-scores);
+    // the shortcut stays property-tested at the reference's own tolerance.
+    // Shape: ONE hash shuffle on the series key + a partition-local
+    // secondary sort, then a streaming pass that never buffers a group —
+    // the replay scales to arbitrarily long per-key histories (unlike
+    // collect_list windows or mapGroups buffering).
     "q19_sax_stream_replay" -> ((spark, dir) => {
       import org.apache.spark.sql.Encoders
       val (n, w, c) = (N, W, C)
@@ -321,7 +334,8 @@ object SaxQueries {
           if (win == null || userId != uid) {
             win = new graft.sax.SaxWindow(n, w, c); uid = userId
           }
-          (eventId, userId, win.append(value))
+          win.push(value)
+          (eventId, userId, graft.sax.Sax.encodePadded(win.values, n, w, c))
         }
       }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.STRING))
         .toDF("event_id", "user_id", "word")

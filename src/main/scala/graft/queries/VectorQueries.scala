@@ -32,13 +32,40 @@ object VectorQueries {
   val NumPlanes = 8
   val NumTables = 4
   val Dim = 64
-  val Signs: Array[Array[Double]] = {
-    var x = 42L
-    Array.fill(NumTables * NumPlanes, Dim) {
+  private def lcgSigns(seed: Long, rows: Int): Array[Array[Double]] = {
+    var x = seed
+    Array.fill(rows, Dim) {
       x = x * 6364136223846793005L + 1442695040888963407L
       if (((x >>> 62) & 1L) == 1L) 1.0 else -1.0
     }
   }
+  val Signs: Array[Array[Double]] = lcgSigns(42L, NumTables * NumPlanes)
+
+  /** Near-dup (q44) plane-count derivation: buckets must GROW with the
+    * corpus or in-bucket pair counts grow quadratically. Base 8 bits up to
+    * [[PlanesBaseCap]] vectors, +1 bit per corpus doubling, capped at
+    * [[MaxPlanes]] — an exact integer threshold ladder so Spark and the
+    * oracle SQL derive bit-identical counts (float log2 would not be
+    * portable). ~64-vector average buckets at every scale. */
+  val MaxPlanes = 16
+  val PlanesBaseCap = 16384L // 8 planes: 2^8 buckets x 64 avg vectors
+  def planesFor(n: Long): Int = {
+    var p = NumPlanes
+    var cap = PlanesBaseCap
+    while (p < MaxPlanes && n > cap) { p += 1; cap <<= 1 }
+    p
+  }
+  /** The same ladder as [[planesFor]], as a DuckDB expression over `n`. */
+  private def planesSql(n: String): String = {
+    val whens = (NumPlanes until MaxPlanes).zipWithIndex.map { case (p, i) =>
+      s"WHEN $n <= ${PlanesBaseCap << i} THEN $p"
+    }.mkString(" ")
+    s"(CASE $whens ELSE $MaxPlanes END)"
+  }
+  /** Sign bank for the derived-plane near-dup hash — sized for the cap,
+    * distinct seed so the fixed-plane probe tables (q41/q42) keep their
+    * round-1 hash functions. */
+  val SignsX: Array[Array[Double]] = lcgSigns(1337L, NumTables * MaxPlanes)
 
   private val cosUdf = udf((a: Seq[Float], b: Seq[Float]) => {
     var dot = 0.0; var na = 0.0; var nb = 0.0
@@ -64,6 +91,20 @@ object VectorQueries {
     bucket
   }
 
+  /** Derived-plane variant over the [[SignsX]] bank (q44 near-dup). */
+  private def bucketForX(e: Seq[Float], table: Int, planes: Int): Int = {
+    var bucket = 0
+    var j = 0
+    while (j < planes) {
+      var acc = 0.0
+      var i = 0
+      while (i < Dim) { acc += SignsX(table * MaxPlanes + j)(i) * e(i).toDouble; i += 1 }
+      if (acc > 0) bucket |= (1 << j)
+      j += 1
+    }
+    bucket
+  }
+
   private val bucketUdf = udf((e: Seq[Float]) => bucketFor(e, 0))
 
   /** All table keys, table id encoded in the high bits so keys from
@@ -73,10 +114,12 @@ object VectorQueries {
 
   private val QueryCount = 10 // vec_id < 10 are the query vectors
 
-  /** IVF coarse quantizer: every vector whose id is a multiple of this is a
-    * centroid (deterministic "training"); cells are the centroid-nearest
-    * partitions of the corpus. */
-  private val CentroidStride = 100
+  /** IVF coarse-quantizer budget: the centroid COUNT is fixed (stride =
+    * corpus_count / budget, deterministic "training" by id sampling), so
+    * assignment work is O(n·budget) at every scale. A stride constant
+    * would make |centroids| ∝ n and assignment quadratic — the round-1
+    * design flaw this replaces. */
+  private val CentroidBudget = 32L
 
   val defs: Map[String, QFn] = Map(
     // exact ANN baseline: brute-force cosine top-5 per query vector.
@@ -118,11 +161,17 @@ object VectorQueries {
 
     // embedding-cosine near-duplicate detection: all same-bucket pairs
     // (not just query probes) verified by exact cosine — the vector
-    // analogue of MinHash near-dup. Bucket count scales with corpus size
-    // so in-bucket pair counts stay bounded.
+    // analogue of MinHash near-dup. The plane count DERIVES from the
+    // corpus count (planesFor ladder: +1 bit per doubling past the base
+    // cap), so bucket count grows with the corpus and in-bucket pair
+    // counts stay bounded; the table id is keyed at a constant MaxPlanes
+    // shift so the key encoding is independent of the derived count.
     "q44_embed_neardup" -> ((spark, dir) => {
+      val planes = planesFor(table(spark, dir, "embeddings").count())
+      val buckets = udf((e: Seq[Float]) =>
+        (0 until NumTables).map(t => (t << MaxPlanes) | bucketForX(e, t, planes)))
       val emb = spread(table(spark, dir, "embeddings"))
-        .select(col("vec_id"), col("embedding"), explode(bucketsUdf(col("embedding"))).as("bucket"))
+        .select(col("vec_id"), col("embedding"), explode(buckets(col("embedding"))).as("bucket"))
       emb.as("a").join(emb.as("b"),
           col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
@@ -137,7 +186,8 @@ object VectorQueries {
     // broadcast for assignment; the probe is an equi-join on cell id.
     "q46_ann_ivf" -> ((spark, dir) => {
       val emb = spread(table(spark, dir, "embeddings"))
-      val cents = emb.where(col("vec_id") % CentroidStride === 0)
+      val stride = math.max(1L, table(spark, dir, "embeddings").count() / CentroidBudget)
+      val cents = emb.where(col("vec_id") % stride === 0)
         .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
       // nearest centroid per vector: max (rounded cos, -cent_id) —
       // deterministic tie-break toward the lowest centroid id
@@ -215,6 +265,30 @@ object VectorQueries {
     (0 until NumTables).map(t => s"(${t << NumPlanes} | ${bucketSql(e, t)})")
       .mkString("[", ", ", "]")
 
+  /** Derived-plane bucket over [[SignsX]]: planes below the base count are
+    * unconditional, the rest are gated on the ladder-derived `np` (a
+    * `params` CTE column) — bit-identical to [[bucketForX]] at any corpus
+    * size. */
+  private def bucketSqlX(e: String, t: Int, np: String): String = {
+    def proj(j: Int): String = {
+      val terms = (0 until Dim).map { i =>
+        if (SignsX(t * MaxPlanes + j)(i) > 0) s"($e[${i + 1}]::DOUBLE)"
+        else s"(-($e[${i + 1}]::DOUBLE))"
+      }.mkString(" + ")
+      s"(CASE WHEN ($terms) > 0 THEN ${1 << j} ELSE 0 END)"
+    }
+    val base = (0 until NumPlanes).map(proj)
+    val gated = (NumPlanes until MaxPlanes).map(j =>
+      s"(CASE WHEN $np > $j THEN ${proj(j)} ELSE 0 END)")
+    s"CAST(${(base ++ gated).mkString(" + ")} AS INT)"
+  }
+
+  /** All NumTables derived-plane keys; table id shifted by the CONSTANT
+    * [[MaxPlanes]] so the encoding doesn't depend on the derived count. */
+  private def bucketsSqlX(e: String, np: String): String =
+    (0 until NumTables).map(t => s"(${t << MaxPlanes} + ${bucketSqlX(e, t, np)})")
+      .mkString("[", ", ", "]")
+
   val oracles: Map[String, String] = Map(
     "q40_ann_brute" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < $QueryCount)
@@ -235,7 +309,9 @@ object VectorQueries {
          |SELECT query_id, vec_id, ${sround(cosSql("qe", "embedding"), 6)} AS cos FROM cand""".stripMargin,
 
     "q44_embed_neardup" ->
-      s"""WITH e AS (SELECT vec_id, embedding, unnest(${bucketsSql("embedding")}) AS bucket FROM embeddings)
+      s"""WITH params AS (SELECT ${planesSql("count(*)")} AS np FROM embeddings),
+         |e AS (SELECT vec_id, embedding, unnest(${bucketsSqlX("embedding", "np")}) AS bucket
+         |      FROM embeddings, params)
          |SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |       ${sround(cosSql("a.embedding", "b.embedding"), 6)} AS cos
          |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
@@ -243,7 +319,8 @@ object VectorQueries {
 
     "q46_ann_ivf" ->
       s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
-         |               WHERE vec_id % $CentroidStride = 0),
+         |               WHERE vec_id % (SELECT greatest(1, count(*) // $CentroidBudget)
+         |                               FROM embeddings) = 0),
          |scored AS (SELECT e.vec_id, e.embedding, c.cent_id,
          |                  ${sround(cosSql("e.embedding", "c.ce"), 6)} AS ccos
          |           FROM embeddings e CROSS JOIN cents c),

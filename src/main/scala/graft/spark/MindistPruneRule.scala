@@ -2,7 +2,8 @@ package graft.spark
 
 import graft.sax.{Sax, SaxMindistExpr, Tables}
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{DoubleType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -18,19 +19,57 @@ import org.apache.spark.unsafe.types.UTF8String
   * scan (and, on a word-bucketed layout, into partition pruning), so
   * non-candidate words never reach the mindist evaluation.
   *
+  * The WORD-vs-WORD form (`sax_mindist(a.word, n, b.word, n, c).dist <= τ`
+  * as a join predicate — dictionary distance matrices, HUGE pattern
+  * collections, /root/reference/README.md:32) gets the pair analogue: per
+  * position, `concat(substring(a,i,1), substring(b,i,1)) IN (allowedPairs)`
+  * prepended to the join condition. The symbol pair set is w-independent
+  * (comp² = n/w >= 1 since w <= n, so cell² <= τ² is a sound necessary
+  * condition at ANY word length), and the cheap string conjuncts
+  * short-circuit the expensive mindist for non-candidate pairs. Threshold
+  * searches against large filtered dictionaries skip the distance kernel
+  * for every pruned symbol combination.
+  *
   * Soundness: dist = comp·sqrt(Σ cell²) >= comp·|cell_i| for any i, so
   * dropping rows with comp²·cell_i² > τ² can never drop a true match. The
   * portable-rounding wrapper floor(dist*10^d+0.5)/10^d <= τ admits dist up
-  * to τ + 0.5/10^d; the allowed-set threshold adds that margin.
+  * to τ + 0.5/10^d; the allowed-set threshold adds that margin. Pair
+  * predicates guard on `length(a) <= i` so they never judge positions that
+  * don't exist (rows with mismatched lengths produce NULL mindist and are
+  * dropped by the original predicate on both paths).
   */
 object MindistPruneRule extends Rule[LogicalPlan] {
 
+  /** Positions covered by injected word-vs-word pair predicates (word
+    * length is unknown at plan time, so the prefix depth is fixed). */
+  private val PairPruneDepth = 4
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, child) =>
-      val conjuncts = splitConjuncts(cond)
-      val extra = conjuncts.flatMap(prefilterFor).filterNot(conjuncts.contains)
+      val extra = freshPrunes(cond)
       if (extra.isEmpty) f
-      else Filter((conjuncts ++ extra).reduce(And), child)
+      else Filter((extra :+ cond).reduce(And), child)
+    // threshold predicates that already migrated into an inner/cross join
+    // condition (the dictionary-join shape): prepend the pair prunes so
+    // they evaluate before the mindist kernel
+    case j @ Join(_, _, Inner | Cross, Some(cond), _) =>
+      val extra = freshPrunes(cond)
+      if (extra.isEmpty) j
+      else j.copy(condition = Some((extra :+ cond).reduce(And)))
+  }
+
+  /** Prune predicates not yet present. Presence is judged by the probe KEY
+    * (the substring/concat expression), not the whole predicate: later
+    * optimizer rules rewrite the injected `In` lists (e.g. OptimizeIn →
+    * InSet), and a structural whole-predicate check would re-inject on the
+    * next fixed-point iteration, forever. */
+  private def freshPrunes(cond: Expression): Seq[Expression] = {
+    val conjuncts = splitConjuncts(cond)
+    conjuncts.flatMap(prefilterFor)
+      .filter { case (key, _) =>
+        !conjuncts.exists(c => c.find(_.semanticEquals(key)).isDefined)
+      }
+      .map(_._2).distinct
   }
 
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {
@@ -39,8 +78,9 @@ object MindistPruneRule extends Rule[LogicalPlan] {
   }
 
   /** Recognize `dist-ish <= τ` where dist-ish is the mindist struct's dist
-    * field, optionally wrapped in the portable rounding arithmetic. */
-  private def prefilterFor(conjunct: Expression): Seq[Expression] = conjunct match {
+    * field, optionally wrapped in the portable rounding arithmetic.
+    * Returns (probe key, predicate) pairs. */
+  private def prefilterFor(conjunct: Expression): Seq[(Expression, Expression)] = conjunct match {
     case LessThanOrEqual(left, Literal(t: Double, DoubleType)) =>
       unwrapDist(left).toSeq.flatMap { case (md, margin) => allowedPredicates(md, t + margin) }
     case GreaterThanOrEqual(Literal(t: Double, DoubleType), right) =>
@@ -69,7 +109,20 @@ object MindistPruneRule extends Rule[LogicalPlan] {
       case _ => None
     }
 
-  private def allowedPredicates(md: SaxMindistExpr, tau: Double): Seq[Expression] = {
+  /** Per-position symbol distance² in reference semantics: reversed iSAX
+    * ordering, '#' remapped to the farthest symbol of the other side
+    * (src/symtseries.c:585-636). */
+  private def cellSq(table: Array[Float], c: Int, xa: Char, xb: Char): Double = {
+    var sa = if (xa == '#') c else c - (xa - 'A') - 1
+    var sb = if (xb == '#') c else c - (xb - 'A') - 1
+    if (sa == sb) return 0.0
+    if (sa == c) sa = if (sb > c - 1 - sb) 0 else c - 1
+    else if (sb == c) sb = if (sa > c - 1 - sa) 0 else c - 1
+    val d = table(sa * c + sb).toDouble
+    d * d
+  }
+
+  private def allowedPredicates(md: SaxMindistExpr, tau: Double): Seq[(Expression, Expression)] = {
     md.children match {
       case Seq(wordExpr, Literal(nA: Long, _), Literal(pat: UTF8String, StringType),
                Literal(0L, _), Literal(c: Int, _)) =>
@@ -82,24 +135,37 @@ object MindistPruneRule extends Rule[LogicalPlan] {
         val table = Tables.distTable(c - 2)
         val chars = (0 until c).map(i => ('A' + i).toChar) :+ '#'
 
-        def cellSq(wc: Char, pi: Int): Double = {
-          var sa = if (wc == '#') c else c - (wc - 'A') - 1
-          var sb = pSym(pi)
-          if (sa == sb) return 0.0
-          if (sa == c) sa = if (sb > c - 1 - sb) 0 else c - 1
-          else if (sb == c) sb = if (sa > c - 1 - sa) 0 else c - 1
-          val d = table(sa * c + sb).toDouble
-          d * d
-        }
-
         (0 until w).flatMap { i =>
-          val allowed = chars.filter(ch => comp2 * cellSq(ch, i) <= tau * tau)
+          val pc = if (pSym(i) == c) '#' else ('A' + (c - pSym(i) - 1)).toChar
+          val allowed = chars.filter(ch => comp2 * cellSq(table, c, ch, pc) <= tau * tau)
           // only inject when the position actually prunes something
           if (allowed.length == chars.length || allowed.isEmpty) None
-          else Some(In(
-            Substring(wordExpr, Literal(i + 1), Literal(1)),
-            allowed.map(ch => Literal(UTF8String.fromString(ch.toString), StringType))))
+          else {
+            val key = Substring(wordExpr, Literal(i + 1), Literal(1))
+            Some(key -> In(key,
+              allowed.map(ch => Literal(UTF8String.fromString(ch.toString), StringType))))
+          }
         }
+
+      // word vs word (neither side a literal pattern): per-position pair
+      // membership, identical at every position, fixed prefix depth
+      case Seq(wordA, Literal(_: Long, _), wordB, Literal(_: Long, _), Literal(c: Int, _))
+          if c >= 2 && c <= 16 && tau >= 0 &&
+            !wordA.isInstanceOf[Literal] && !wordB.isInstanceOf[Literal] =>
+        val table = Tables.distTable(c - 2)
+        val chars = (0 until c).map(i => ('A' + i).toChar) :+ '#'
+        // comp² = n/w >= 1 for every valid (n, w): the w-independent bound
+        val allowed = for {
+          a <- chars; b <- chars if cellSq(table, c, a, b) <= tau * tau
+        } yield s"$a$b"
+        if (allowed.length == chars.length * chars.length) return Nil
+        val inList = allowed.map(s => Literal(UTF8String.fromString(s), StringType))
+        (0 until PairPruneDepth).map { i =>
+          val key = Concat(Seq(Substring(wordA, Literal(i + 1), Literal(1)),
+                               Substring(wordB, Literal(i + 1), Literal(1))))
+          key -> Or(LessThanOrEqual(Length(wordA), Literal(i)), In(key, inList))
+        }
+
       case _ => Nil
     }
   }

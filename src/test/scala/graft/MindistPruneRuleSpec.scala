@@ -58,6 +58,31 @@ class MindistPruneRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("rule injects pair predicates into word-vs-word dictionary joins (q17 shape)") {
+    val dict = words.select("word").distinct()
+    def joined(mdExpr: org.apache.spark.sql.Column) =
+      dict.as("a").join(dict.as("b"), col("a.word") < col("b.word"))
+        .select(col("a.word").as("wa"), col("b.word").as("wb"),
+          graft.queries.QueryBase.pround(mdExpr.getField("dist"), 6).as("dist"))
+        .where(col("dist") <= 1.0)
+
+    val q = joined(sax_mindist(col("a.word"), lit(8L), col("b.word"), lit(8L), 4))
+    val plan = q.queryExecution.optimizedPlan.toString
+    // pair predicates referencing BOTH sides, inside the join condition
+    assert(plan.contains("concat(substring"), s"no pair prune in:\n$plan")
+    assert("concat\\(substring".r.findAllIn(plan).length == 4, plan) // PairPruneDepth
+    // c=4, tau=1: symbol pairs at distance 1.349 (A-D and the '#' remaps)
+    // must be excluded from the allowed set
+    assert(!plan.matches("(?s).*IN \\([^)]*\\bAD\\b.*"), plan)
+
+    // pruning is a sound necessary condition: results equal the UDF path
+    // (which the rule cannot match)
+    val native = q.collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    val viaUdf = joined(saxMindist(col("a.word"), lit(8L), col("b.word"), lit(8L), lit(4)))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    assert(native == viaUdf, s"${native.size} vs ${viaUdf.size}")
+  }
+
   test("rule leaves unrelated filters and wildcard-n patterns intact") {
     // unrelated filter: no mindist involved
     val q1 = words.where(col("word") =!= "AAAA")
