@@ -1,7 +1,8 @@
 package graft.queries
 
 import graft.SparkUtil.table
-import graft.sql.OracleGen.sround
+import graft.sql.OracleGen.{dlit, sround, xsumSql}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import QueryBase._
 
@@ -25,6 +26,24 @@ object TextQueries {
   private val Stopwords = Seq("the", "a", "of", "and", "to", "in")
 
   private val toksSqlD = graft.sql.TextSql.toks
+
+  /** BM25 constants. Derived values are precomputed ONCE in Scala and
+    * embedded into both engines (k1 + 1 and 1 - b as literals), so neither
+    * engine re-derives them with its own literal parsing. */
+  private val K1 = 1.2
+  private val B = 0.75
+  private val K1p1 = K1 + 1.0
+  private val OneMinusB = 1.0 - B
+  private val QueryTerms = 2 // BM25 query = top-k corpus tokens
+  private val TopDocs = 20
+
+  /** Cross-engine log parity: `ln` differs between the JVM intrinsic and
+    * DuckDB's libm by 1 ulp on ~2% of inputs (measured on this image), so
+    * raw log output can flip a 6-digit rounding. The IDF — the only log in
+    * these queries — is therefore quantized with pround IMMEDIATELY, and
+    * everything downstream is exact IEEE arithmetic on the quantized
+    * value: a flip now needs an idf within 1 ulp of a rounding boundary,
+    * ~1e-10 per DISTINCT TERM rather than per score. */
 
   val defs: Map[String, QFn] = Map(
     // language ID: argmax of marker-token counts (ties by profile order)
@@ -114,6 +133,60 @@ object TextQueries {
         .limit(50)
     }),
 
+    // TF-IDF: top-5 terms per document by smoothed tf-idf. df and the doc
+    // count are map-side-combinable aggregates; the idf is quantized at 6
+    // digits before the tf product (see the log-parity note above). At
+    // scale: one shuffle for tf, one for df (vocab-sized, broadcast back),
+    // one for the per-doc top-k window.
+    "q50_tfidf" -> ((spark, dir) => {
+      val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+      val pairs = spread(table(spark, dir, "documents"))
+        .select(col("doc_id"), explode(toks).as("token"))
+      val tf = pairs.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val dfreq = pairs.distinct().groupBy("token").agg(count(lit(1)).as("df"))
+      val nd = table(spark, dir, "documents").agg(count(lit(1)).as("n_docs"))
+      val idfR = pround(
+        log((lit(1.0) + col("n_docs")) / (lit(1.0) + col("df"))) + lit(1.0), 6)
+      val scored = tf.join(broadcast(dfreq), Seq("token")).crossJoin(broadcast(nd))
+        .select(col("doc_id"), col("token"),
+          pround(col("tf").cast("double") * idfR, 6).as("tfidf"))
+      val w = Window.partitionBy("doc_id").orderBy(desc("tfidf"), col("token"))
+      scored.withColumn("rn", row_number().over(w)).where(col("rn") <= 5)
+        .select(col("doc_id"), col("token"), col("tfidf"))
+    }),
+
+    // BM25 retrieval: query = the corpus's top-2 tokens (deterministic,
+    // data-derived), score = Σ_t idf_t · tf-saturation with document-length
+    // normalization, top-20 docs. Per-term scores are quantized, summed
+    // with the order-independent scaled-integer sum, and ranked — the
+    // composition a search pipeline runs (vocab stats → scoring → top-k).
+    "q51_bm25" -> ((spark, dir) => {
+      val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+      val docs = spread(table(spark, dir, "documents"))
+        .select(col("doc_id"), toks.as("toks"))
+      val dl = docs.select(col("doc_id"), size(col("toks")).as("dl"))
+      val pairs = docs.select(col("doc_id"), explode(col("toks")).as("token"))
+      val tf = pairs.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val dfreq = pairs.distinct().groupBy("token").agg(count(lit(1)).as("df"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+      val qterms = pairs.groupBy("token").agg(count(lit(1)).as("freq"))
+        .orderBy(desc("freq"), col("token")).limit(QueryTerms).select("token")
+      val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+      val idfR = pround(log(
+        ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)) + lit(1.0)), 6)
+      val tnorm = (col("tf").cast("double") * lit(K1p1)) /
+        (col("tf").cast("double") +
+          lit(K1) * (lit(OneMinusB) + lit(B) * (col("dl").cast("double") / avgdl)))
+      tf.join(broadcast(qterms), Seq("token"))
+        .join(broadcast(dfreq), Seq("token"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"), pround(idfR * tnorm, 6).as("s"))
+        .groupBy("doc_id").agg(xsum(col("s"), 6).as("bm25"))
+        .orderBy(desc("bm25"), col("doc_id")).limit(TopDocs)
+    }),
+
     // fingerprints: exact md5 + min-shingle-hash (1-permutation minhash)
     "q38_fingerprint" -> ((spark, dir) => {
       val minShingle = udf((text: String) => {
@@ -195,6 +268,40 @@ object TextQueries {
          |SELECT doc_id, md5($norm) AS fp,
          |       list_aggregate(list_transform(sh, x -> md5(x)), 'min') AS min_shingle
          |FROM s""".stripMargin
+    },
+
+    "q50_tfidf" -> {
+      val idf = sround(s"ln((${dlit(1.0)} + n_docs) / (${dlit(1.0)} + df)) + ${dlit(1.0)}", 6)
+      s"""WITH t AS (SELECT doc_id, $toksSqlD AS toks FROM documents),
+         |p AS (SELECT doc_id, unnest(toks) AS token FROM t),
+         |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM p GROUP BY doc_id, token),
+         |dfq AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM p GROUP BY token),
+         |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         |s AS (SELECT doc_id, token, ${sround(s"tf::DOUBLE * ($idf)", 6)} AS tfidf
+         |      FROM tf JOIN dfq USING (token) CROSS JOIN nd)
+         |SELECT doc_id, token, tfidf FROM (
+         |  SELECT s.*, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rn FROM s) z
+         |WHERE rn <= 5""".stripMargin
+    },
+
+    "q51_bm25" -> {
+      val idf = sround(
+        s"ln((CAST(n_docs - df AS DOUBLE) + ${dlit(0.5)}) / (CAST(df AS DOUBLE) + ${dlit(0.5)}) + ${dlit(1.0)})", 6)
+      val avgdl = "(CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+      val tnorm = s"(tf::DOUBLE * ${dlit(K1p1)}) / (tf::DOUBLE + ${dlit(K1)} * (${dlit(OneMinusB)} + ${dlit(B)} * (dl::DOUBLE / $avgdl)))"
+      s"""WITH t AS (SELECT doc_id, $toksSqlD AS toks FROM documents),
+         |d AS (SELECT doc_id, CAST(len(toks) AS INT) AS dl FROM t),
+         |p AS (SELECT doc_id, unnest(toks) AS token FROM t),
+         |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM p GROUP BY doc_id, token),
+         |dfq AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM p GROUP BY token),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM d),
+         |q AS (SELECT token FROM (SELECT token, count(*) AS freq FROM p GROUP BY token
+         |                         ORDER BY freq DESC, token LIMIT $QueryTerms)),
+         |s AS (SELECT tf.doc_id, ${sround(s"($idf) * ($tnorm)", 6)} AS s
+         |      FROM tf JOIN q USING (token) JOIN dfq USING (token)
+         |      JOIN d ON tf.doc_id = d.doc_id CROSS JOIN st)
+         |SELECT doc_id, ${xsumSql("s", 6)} AS bm25 FROM s GROUP BY doc_id
+         |ORDER BY bm25 DESC, doc_id LIMIT $TopDocs""".stripMargin
     }
   )
 }
