@@ -2,8 +2,9 @@ package graft.queries
 
 import graft.SparkUtil.table
 import graft.text.TextHash
-import graft.sql.OracleGen.sround
+import graft.sql.OracleGen.{dlit, sround}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import QueryBase._
 
@@ -29,6 +30,10 @@ object DedupQueries {
 
   private val BandRows = 4
   private val NumBands = NumHashes / BandRows // 4
+
+  /** q52's exact-join threshold. Shared with the oracle via [[dlit]] so
+    * both engines run the identical IEEE ceil(t*|x|) prefix bound. */
+  private val JaccardThreshold = 0.6
 
   // ---- SQL fragments -------------------------------------------------------
 
@@ -124,6 +129,44 @@ object DedupQueries {
         .select(col("doc_id"), simUdf(col("text")).as("simhash"))
     }),
 
+    // EXACT n-gram Jaccard similarity join via prefix filtering (SSJoin /
+    // PPJoin family): order each doc's shingle set by ascending global
+    // frequency (rarest first, ties by string), keep only the first
+    // |x| - ceil(t*|x|) + 1 shingles as the "prefix", and equi-join on
+    // prefix shingles. Any pair with J >= t MUST share a prefix shingle
+    // (pigeonhole on the shared global order), so unlike MinHash-LSH (q32)
+    // this has NO false negatives — it is the exact set of pairs with
+    // jaccard >= t. Scale shape: the join key is a rare shingle (bounded
+    // df by construction), so bucket sizes stay small where LSH bands can
+    // collide arbitrarily; df table is a broadcastable aggregate.
+    "q52_jaccard_prefix_join" -> ((spark, dir) => {
+      val t = JaccardThreshold
+      val docs = spread(table(spark, dir, "documents"))
+        .select(col("doc_id"), shinglesUdf(col("text")).as("sh")).cache()
+      val ex = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+      val dfreq = ex.groupBy("s").agg(count(lit(1)).as("df"))
+      val byDoc = Window.partitionBy("doc_id")
+      val ord = ex.join(broadcast(dfreq), "s")
+        .withColumn("rn", row_number().over(byDoc.orderBy(col("df"), col("s"))))
+        .withColumn("sz", count(lit(1)).over(byDoc))
+      // prefix length |x| - ceil(t*|x|) + 1: IEEE multiply + ceil, same ops
+      // as the oracle's ceil(dlit(t) * sz), so boundary sizes agree exactly
+      val pref = ord
+        .where(col("rn") <= col("sz") - ceil(col("sz") * lit(t)) + 1)
+        .select(col("doc_id"), col("s"))
+      val cand = pref.as("a")
+        .join(pref.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      cand
+        .join(docs.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(docs.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .select(col("doc_a"), col("doc_b"),
+          pround(jaccardUdf(col("sa.sh"), col("sb.sh")), 6).as("jaccard"))
+        .where(col("jaccard") >= t)
+    }),
+
     // near-dup pairs by simhash: 4 x 15-bit band blocking + hamming <= 3.
     // Pigeonhole: <= 3 differing bits over 4 bands leaves one band clean,
     // so recall is exact. 15-bit bands keep buckets small even though
@@ -172,6 +215,25 @@ object DedupQueries {
          |       ${sround("len(list_intersect(sa.sh, sb.sh))::DOUBLE / len(list_distinct(list_concat(sa.sh, sb.sh)))", 6)} AS jaccard
          |FROM cand JOIN shs sa ON doc_a = sa.doc_id JOIN shs sb ON doc_b = sb.doc_id
          |WHERE ${sround("len(list_intersect(sa.sh, sb.sh))::DOUBLE / len(list_distinct(list_concat(sa.sh, sb.sh)))", 6)} >= 0.3""".stripMargin,
+
+    "q52_jaccard_prefix_join" -> {
+      val t = dlit(JaccardThreshold)
+      val jac = "len(list_intersect(sa.sh, sb.sh))::DOUBLE / len(list_distinct(list_concat(sa.sh, sb.sh)))"
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sh AS (SELECT doc_id, $shinglesSql AS sh FROM toks),
+         |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+         |dfreq AS (SELECT s, count(*) AS df FROM ex GROUP BY s),
+         |ord AS (SELECT ex.doc_id, ex.s,
+         |        row_number() OVER (PARTITION BY ex.doc_id ORDER BY d.df, ex.s) AS rn,
+         |        count(*) OVER (PARTITION BY ex.doc_id) AS sz
+         |        FROM ex JOIN dfreq d ON ex.s = d.s),
+         |pref AS (SELECT doc_id, s FROM ord WHERE rn <= sz - ceil($t * sz) + 1),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM pref a JOIN pref b ON a.s = b.s AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, ${sround(jac, 6)} AS jaccard
+         |FROM cand JOIN sh sa ON doc_a = sa.doc_id JOIN sh sb ON doc_b = sb.doc_id
+         |WHERE ${sround(jac, 6)} >= $t""".stripMargin
+    },
 
     "q33_simhash" -> simhashOracle("SELECT doc_id, simhash FROM s"),
 
