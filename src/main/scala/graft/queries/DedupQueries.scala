@@ -97,6 +97,24 @@ object DedupQueries {
         .withColumn("n_dup_docs", col("n_docs") - col("n_distinct"))
     }),
 
+    // exact-dedup survivor selection: the operator that actually rewrites
+    // a corpus — annotate EVERY document with the lowest doc_id of its
+    // normalized-text hash group (its canonical survivor), the group size,
+    // and a drop flag. Map-side-combinable min per hash + equi-join back
+    // on the hash key; no window sort, no skew (hash keys are uniform
+    // md5). Downstream keeps `NOT is_dup` and rewrites references via
+    // canonical_id.
+    "q56_dedup_survivors" -> ((spark, dir) => {
+      val norm = trim(regexp_replace(regexp_replace(
+        lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+      val h = table(spark, dir, "documents").select(col("doc_id"), md5(norm).as("h"))
+      val canon = h.groupBy("h")
+        .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("group_size"))
+      h.join(canon, "h")
+        .select(col("doc_id"), col("canonical_id"), col("group_size"),
+          (col("doc_id") =!= col("canonical_id")).as("is_dup"))
+    }),
+
     // minhash signatures -> LSH band keys per document
     "q31_minhash_bands" -> ((spark, dir) =>
       docBands(spark, dir).select(
@@ -143,12 +161,14 @@ object DedupQueries {
       val t = JaccardThreshold
       val docs = spread(table(spark, dir, "documents"))
         .select(col("doc_id"), shinglesUdf(col("text")).as("sh")).cache()
-      val ex = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+      val ex = docs.select(col("doc_id"), size(col("sh")).as("sz"), explode(col("sh")).as("s"))
       val dfreq = ex.groupBy("s").agg(count(lit(1)).as("df"))
-      val byDoc = Window.partitionBy("doc_id")
-      val ord = ex.join(broadcast(dfreq), "s")
-        .withColumn("rn", row_number().over(byDoc.orderBy(col("df"), col("s"))))
-        .withColumn("sz", count(lit(1)).over(byDoc))
+      // dfreq is a VOCABULARY-sized dictionary — it grows with the corpus,
+      // so never broadcast-hint it; the shuffle equi-join on `s` is the
+      // scale shape (AQE still broadcasts it while it is genuinely small)
+      val ord = ex.join(dfreq, "s")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("df"), col("s"))))
       // prefix length |x| - ceil(t*|x|) + 1: IEEE multiply + ceil, same ops
       // as the oracle's ceil(dlit(t) * sz), so boundary sizes agree exactly
       val pref = ord
@@ -204,6 +224,15 @@ object DedupQueries {
 
     "q31_minhash_bands" ->
       s"$sigCte\nSELECT doc_id, b0, b1, b2, b3 FROM bands",
+
+    "q56_dedup_survivors" ->
+      s"""WITH h AS (SELECT doc_id, md5($normSql) AS h FROM documents),
+         |c AS (SELECT h, min(doc_id) AS canonical_id,
+         |             CAST(count(*) AS BIGINT) AS group_size
+         |      FROM h GROUP BY h)
+         |SELECT doc_id, canonical_id, group_size,
+         |       doc_id <> canonical_id AS is_dup
+         |FROM h JOIN c USING (h)""".stripMargin,
 
     "q32_lsh_jaccard_pairs" ->
       s"""$sigCte,

@@ -25,6 +25,12 @@ object MultimodalQueries {
 
   private val DecodeBytes = 16
 
+  /** q57 frame sampling: a 64-byte "frame" every 128 bytes (i.e. sample
+    * every other frame — the video-pipeline shape where decoding all
+    * frames is the cost driver). */
+  private val FrameBytes = 64
+  private val FrameStride = 128
+
   val defs: Map[String, QFn] = Map(
     "q45_multimodal_decode" -> ((spark, dir) => {
       val docs = spread(table(spark, dir, "documents"))
@@ -52,6 +58,45 @@ object MultimodalQueries {
           Row(id, meta.getInt(1), math.floor(f0 * 1e6 + 0.5) / 1e6)
         }
       }(enc)
+    }),
+
+    // frame sampling over a binary payload: generate sampled frame offsets
+    // relationally (sequence + explode — Catalyst sizes the fan-out, no
+    // driver loop), then batch-"decode" each frame slice per partition.
+    // The real pipeline swaps the slice-mean stub for a codec call; the
+    // fan-out/partitioning/batch shape is exactly this. Tail frames keep
+    // their true (shorter) length — resize semantics stay explicit.
+    "q57_multimodal_frames" -> ((spark, dir) => {
+      val docs = spread(table(spark, dir, "documents"))
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .withColumn("n_bytes", length(col("payload")).cast("int"))
+        // `div` yields LONG, so the sequence elements are longs — cast
+        // back down after the explode (generators can't be nested in cast)
+        .withColumn("frame_l",
+          explode(sequence(lit(0), expr(s"(n_bytes - 1) div $FrameStride"))))
+        .select(col("doc_id"), col("payload"), col("n_bytes"),
+          col("frame_l").cast("int").as("frame"))
+      val outSchema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("frame", IntegerType),
+        StructField("off", IntegerType),
+        StructField("f_len", IntegerType),
+        StructField("f_mean", DoubleType)))
+      val enc = org.apache.spark.sql.Encoders.row(outSchema)
+      docs.mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val payload = r.getAs[Array[Byte]](1)
+          val nBytes = r.getInt(2)
+          val f = r.getInt(3)
+          val off = f * FrameStride
+          val len = math.min(FrameBytes, nBytes - off)
+          var s = 0.0
+          var i = 0
+          while (i < len) { s += (payload(off + i) & 0xff).toDouble; i += 1 }
+          Row(id, f, off, len, math.floor(s / len * 1e6 + 0.5) / 1e6)
+        }
+      }(enc)
     })
   )
 
@@ -62,6 +107,23 @@ object MultimodalQueries {
          |       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
          |       ${sround(s"$byteSum / $DecodeBytes.0", 6)} AS f0
          |FROM documents""".stripMargin
+    },
+
+    "q57_multimodal_frames" -> {
+      val fb = FrameBytes; val fs = FrameStride
+      val byteSum =
+        s"list_sum(list_transform(range(off + 1, off + f_len + 1), i -> ascii(substr(text, i, 1))::DOUBLE))"
+      s"""WITH d AS (SELECT doc_id, text, CAST(octet_length(encode(text)) AS INT) AS n_bytes FROM documents),
+         |f AS (SELECT doc_id, text, n_bytes,
+         |             unnest(range(0, (n_bytes - 1) // $fs + 1)) AS frame
+         |      FROM d),
+         |g AS (SELECT doc_id, text, CAST(frame AS INT) AS frame,
+         |             CAST(frame * $fs AS INT) AS off,
+         |             CAST(least($fb, n_bytes - frame * $fs) AS INT) AS f_len
+         |      FROM f)
+         |SELECT doc_id, frame, off, f_len,
+         |       ${sround(s"$byteSum / f_len", 6)} AS f_mean
+         |FROM g""".stripMargin
     }
   )
 }

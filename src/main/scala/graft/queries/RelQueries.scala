@@ -95,11 +95,14 @@ object RelQueries {
         .where(col("rnk") <= 3)
     }),
 
-    // fact-to-dim join + agg: per-brand lineitem stats (part broadcasts)
+    // fact-to-dim join + agg: per-brand lineitem stats. Unlike
+    // nation/region (constant 25/5 rows, hinted), part GROWS with the
+    // scale factor — no broadcast hint; AQE broadcasts while it fits and
+    // falls back to a shuffle join when it doesn't.
     "q24_brand_agg" -> ((spark, dir) => {
       val p = table(spark, dir, "part")
       val l = table(spark, dir, "lineitem")
-      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      l.join(p, l("l_partkey") === p("p_partkey"))
         .groupBy("p_brand")
         .agg(count(lit(1)).as("n_items"),
              xsum(col("l_quantity"), 4).as("sum_qty"),
@@ -134,6 +137,35 @@ object RelQueries {
         .where(col("rn") === 1)
         .select(col("purchase_id"), col("p.user_id").as("user_id"),
           col("v.event_id").as("asof_event"), pround(col("v.value"), 6).as("asof_value"))
+    }),
+
+    // multi-level aggregate: ROLLUP over (returnflag, linestatus) — the
+    // grouping-sets surface. One shuffle produces all three levels
+    // (Spark expands the sets map-side); grouping_id disambiguates
+    // subtotal NULLs from data NULLs.
+    "q54_rollup_pricing" -> ((spark, dir) =>
+      table(spark, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(grouping_id().cast("long").as("gid"),
+             xsum(col("l_quantity"), 4).as("sum_qty"),
+             count(lit(1)).as("n"))
+        .select("l_returnflag", "l_linestatus", "gid", "sum_qty", "n")),
+
+    // exact per-group median by explicit rank arithmetic: rank values,
+    // keep the middle one (odd n) or two (even n), average. Portable —
+    // interpolating percentile builtins differ between engines; this is
+    // the same row_number + integer-div + IEEE mean on both sides. One
+    // window sort per group key, same shape as any ranked analytic.
+    "q55_median_value" -> ((spark, dir) => {
+      val byType = Window.partitionBy("event_type")
+      table(spark, dir, "events")
+        .select(col("event_type"), col("value"), col("event_id"))
+        .withColumn("rn", row_number().over(byType.orderBy(col("value"), col("event_id"))))
+        .withColumn("n", count(lit(1)).over(byType))
+        .where(col("rn") === expr("(n + 1) div 2") || col("rn") === expr("n div 2 + 1"))
+        .groupBy("event_type")
+        .agg(max(col("n")).as("n_values"),
+             pround(sum(col("value")) / count(lit(1)), 6).as("median_value"))
     }),
 
     // set op: customers that are both big spenders and BUILDING segment
@@ -222,6 +254,25 @@ object RelQueries {
          |       ${graft.sql.OracleGen.sround("value", 6)} AS asof_value
          |FROM j WHERE rn = 1""".stripMargin
     },
+
+    "q54_rollup_pricing" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+         |       ${xsumSql("l_quantity", 4)} AS sum_qty,
+         |       CAST(count(*) AS BIGINT) AS n
+         |FROM lineitem
+         |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q55_median_value" ->
+      s"""WITH r AS (
+         |  SELECT event_type, value,
+         |         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         |         count(*) OVER (PARTITION BY event_type) AS n
+         |  FROM events)
+         |SELECT event_type, CAST(max(n) AS BIGINT) AS n_values,
+         |       ${graft.sql.OracleGen.sround("sum(value) / count(*)", 6)} AS median_value
+         |FROM r WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+         |GROUP BY event_type""".stripMargin,
 
     "q25_segment_intersect" ->
       s"""SELECT o_custkey AS custkey FROM orders

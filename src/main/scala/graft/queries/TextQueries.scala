@@ -122,6 +122,21 @@ object TextQueries {
             .when(col("bucket") < 90, "val").otherwise("test").as("split"))
     }),
 
+    // deterministic stratified sampling: downsample the dominant stratum
+    // (keep 50% of 'en' docs, all others) by hash bucket — corpus
+    // rebalancing without an RNG, so it is reproducible across runs,
+    // engines and task retries, and pure map-side (no shuffle, no state).
+    // The hash is salted with the purpose ("sample:") so the kept set is
+    // independent of the q47 train/val/test assignment.
+    "q58_stratified_sample" -> ((spark, dir) => {
+      val bucket = (conv(substring(md5(concat(lit("sample:"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+        .cast("long") % 100).cast("int")
+      spread(table(spark, dir, "documents"))
+        .select(col("doc_id"), col("lang"), bucket.as("b"))
+        .where(col("lang") =!= "en" || col("b") < 50)
+        .select(col("doc_id"), col("lang"))
+    }),
+
     // corpus vocabulary stats: top-50 tokens by frequency (map-side
     // combinable token counts; ties broken lexicographically)
     "q48_vocab" -> ((spark, dir) => {
@@ -136,8 +151,11 @@ object TextQueries {
     // TF-IDF: top-5 terms per document by smoothed tf-idf. df and the doc
     // count are map-side-combinable aggregates; the idf is quantized at 6
     // digits before the tf product (see the log-parity note above). At
-    // scale: one shuffle for tf, one for df (vocab-sized, broadcast back),
-    // one for the per-doc top-k window.
+    // scale: one shuffle for tf, one for df, one shuffle equi-join on
+    // token to combine them (df is a VOCABULARY-sized dictionary — it
+    // grows with the corpus, so it must never be broadcast-hinted; AQE
+    // still broadcasts it while genuinely small), one per-doc top-k
+    // window.
     "q50_tfidf" -> ((spark, dir) => {
       val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
       val pairs = spread(table(spark, dir, "documents"))
@@ -147,7 +165,7 @@ object TextQueries {
       val nd = table(spark, dir, "documents").agg(count(lit(1)).as("n_docs"))
       val idfR = pround(
         log((lit(1.0) + col("n_docs")) / (lit(1.0) + col("df"))) + lit(1.0), 6)
-      val scored = tf.join(broadcast(dfreq), Seq("token")).crossJoin(broadcast(nd))
+      val scored = tf.join(dfreq, Seq("token")).crossJoin(broadcast(nd))
         .select(col("doc_id"), col("token"),
           pround(col("tf").cast("double") * idfR, 6).as("tfidf"))
       val w = Window.partitionBy("doc_id").orderBy(desc("tfidf"), col("token"))
@@ -178,8 +196,11 @@ object TextQueries {
       val tnorm = (col("tf").cast("double") * lit(K1p1)) /
         (col("tf").cast("double") +
           lit(K1) * (lit(OneMinusB) + lit(B) * (col("dl").cast("double") / avgdl)))
-      tf.join(broadcast(qterms), Seq("token"))
-        .join(broadcast(dfreq), Seq("token"))
+      // cut the vocabulary-sized df dictionary down to the |q| query terms
+      // FIRST — that 2-row frame is the broadcastable side (broadcasting
+      // dfreq itself would ship the whole vocabulary to every executor)
+      val qdf = dfreq.join(broadcast(qterms), Seq("token"))
+      tf.join(broadcast(qdf), Seq("token"))
         .join(dl, Seq("doc_id"))
         .crossJoin(broadcast(stats))
         .select(col("doc_id"), pround(idfR * tnorm, 6).as("s"))
@@ -254,6 +275,13 @@ object TextQueries {
         |FROM (SELECT doc_id,
         |             CAST(CAST(concat('0x', substr(md5(doc_id::VARCHAR), 1, 15)) AS BIGINT) % 100 AS INT) AS b
         |      FROM documents)""".stripMargin,
+
+    "q58_stratified_sample" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |         CAST(CAST(concat('0x', substr(md5('sample:' || doc_id::VARCHAR), 1, 15)) AS BIGINT) % 100 AS INT) AS b
+        |  FROM documents)
+        |WHERE lang <> 'en' OR b < 50""".stripMargin,
 
     "q48_vocab" ->
       s"""SELECT token, CAST(count(*) AS BIGINT) AS freq

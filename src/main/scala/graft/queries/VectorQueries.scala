@@ -159,6 +159,30 @@ object VectorQueries {
           pround(cosUdf(col("qe"), col("embedding")), 6).as("cos"))
     }),
 
+    // multi-probe LSH: each query probes its own bucket PLUS every 1-bit-
+    // flip neighbor bucket in each table (NumPlanes probes/table). The
+    // standard recall booster — neighbors most likely to hold near misses
+    // are the ones differing by a single hyperplane sign — and it costs
+    // extra PROBE keys (broadcast side), not extra index tables, so the
+    // corpus is still hashed/shuffled exactly once per table. Bucket keys
+    // are integers, so probing is exact integer arithmetic on both engines.
+    "q53_ann_multiprobe" -> ((spark, dir) => {
+      val emb = spread(table(spark, dir, "embeddings"))
+        .select(col("vec_id"), col("embedding"), explode(bucketsUdf(col("embedding"))).as("bucket"))
+      // flipping a low bit (< NumPlanes) of the encoded key flips one
+      // bucket bit and leaves the table id in the high bits intact
+      val probes = emb.where(col("vec_id") < QueryCount)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          explode(array(col("bucket") +: (0 until NumPlanes).map(j =>
+            col("bucket").bitwiseXOR(lit(1 << j))): _*)).as("bucket"))
+      emb.join(broadcast(probes), Seq("bucket"))
+        .where(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("qe"), col("vec_id"), col("embedding"))
+        .distinct()
+        .select(col("query_id"), col("vec_id"),
+          pround(cosUdf(col("qe"), col("embedding")), 6).as("cos"))
+    }),
+
     // embedding-cosine near-duplicate detection: all same-bucket pairs
     // (not just query probes) verified by exact cosine — the vector
     // analogue of MinHash near-dup. The plane count DERIVES from the
@@ -224,6 +248,35 @@ object VectorQueries {
         .select(coalesce(col("hits"), lit(0L)).as("hits"))
         .agg(count(lit(1)).as("n_queries"),
              pround(sum(col("hits")).cast("double") / (count(lit(1)) * 5), 6).as("recall_at_5"))
+    }),
+
+    // int8 quantization: per-vector symmetric scale to [-127, 127] — the
+    // storage/serving compression step of an embedding pipeline. Pure
+    // map-side arithmetic (no shuffle); the checksum is position-weighted
+    // so the oracle verifies every quantized value, not just the multiset.
+    "q59_vector_quantize" -> ((spark, dir) => {
+      val quant = udf((e: Seq[Float]) => {
+        var mx = 1e-12 // zero-vector guard, mirrored in the oracle
+        var i = 0
+        while (i < e.length) {
+          val a = math.abs(e(i).toDouble); if (a > mx) mx = a; i += 1
+        }
+        val scale = 127.0 / mx
+        var cks = 0L; var qmin = Int.MaxValue; var qmax = Int.MinValue
+        i = 0
+        while (i < e.length) {
+          val q = math.floor(e(i).toDouble * scale + 0.5).toInt
+          cks += q.toLong * (i + 1)
+          if (q < qmin) qmin = q
+          if (q > qmax) qmax = q
+          i += 1
+        }
+        (math.floor(scale * 1e6 + 0.5) / 1e6, cks, qmin, qmax)
+      })
+      spread(table(spark, dir, "embeddings"))
+        .select(col("vec_id"), quant(col("embedding")).as("q"))
+        .select(col("vec_id"), col("q._1").as("scale"), col("q._2").as("checksum"),
+          col("q._3").as("q_min"), col("q._4").as("q_max"))
     }),
 
     // per-label corpus stats: count + mean vector L2 norm (decimal-exact)
@@ -308,6 +361,16 @@ object VectorQueries {
          |         FROM e JOIN q USING (bucket) WHERE e.vec_id <> q.query_id)
          |SELECT query_id, vec_id, ${sround(cosSql("qe", "embedding"), 6)} AS cos FROM cand""".stripMargin,
 
+    "q53_ann_multiprobe" ->
+      s"""WITH e AS (SELECT vec_id, embedding, unnest(${bucketsSql("embedding")}) AS bucket FROM embeddings),
+         |qp AS (SELECT query_id, qe, unnest(probes) AS bucket FROM (
+         |  SELECT vec_id AS query_id, embedding AS qe,
+         |         list_concat([bucket], list_transform(range(0, $NumPlanes), j -> xor(bucket, CAST(1 << j AS INT)))) AS probes
+         |  FROM e WHERE vec_id < $QueryCount)),
+         |cand AS (SELECT DISTINCT qp.query_id, qp.qe, e.vec_id, e.embedding
+         |         FROM e JOIN qp USING (bucket) WHERE e.vec_id <> qp.query_id)
+         |SELECT query_id, vec_id, ${sround(cosSql("qe", "embedding"), 6)} AS cos FROM cand""".stripMargin,
+
     "q44_embed_neardup" ->
       s"""WITH params AS (SELECT ${planesSql("count(*)")} AS np FROM embeddings),
          |e AS (SELECT vec_id, embedding, unnest(${bucketsSqlX("embedding", "np")}) AS bucket
@@ -353,6 +416,20 @@ object VectorQueries {
          |SELECT CAST(count(*) AS BIGINT) AS n_queries,
          |       ${sround("CAST(sum(hits) AS DOUBLE) / (count(*) * 5)", 6)} AS recall_at_5
          |FROM perq""".stripMargin,
+
+    "q59_vector_quantize" ->
+      s"""WITH m AS (SELECT vec_id, embedding,
+         |                  greatest(list_max(list_transform(embedding, x -> abs(x::DOUBLE))), 1e-12) AS mx
+         |           FROM embeddings),
+         |q AS (SELECT vec_id, 127.0 / mx AS scale,
+         |             list_transform(range(1, len(embedding) + 1),
+         |                            i -> CAST(floor((embedding[i]::DOUBLE) * (127.0 / mx) + 0.5) AS BIGINT)) AS qs
+         |      FROM m)
+         |SELECT vec_id, floor(scale * 1000000.0 + 0.5) / 1000000.0 AS scale,
+         |       CAST(list_sum(list_transform(range(1, len(qs) + 1), i -> qs[i] * i)) AS BIGINT) AS checksum,
+         |       CAST(list_min(qs) AS INT) AS q_min,
+         |       CAST(list_max(qs) AS INT) AS q_max
+         |FROM q""".stripMargin,
 
     "q43_vector_stats" ->
       s"""WITH n AS (SELECT label,
