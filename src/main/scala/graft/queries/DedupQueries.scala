@@ -187,6 +187,31 @@ object DedupQueries {
         .where(col("jaccard") >= t)
     }),
 
+    // incremental dedup: probe a NEW ingest batch against the already-
+    // indexed corpus — the shape of every production dedup after day one
+    // (the corpus's band keys are a persisted index; only the batch is
+    // re-hashed). Candidates come from band-key equi-joins between batch
+    // and corpus only — never batch×batch or corpus×corpus — then exact
+    // Jaccard verification. Batch/corpus split is the deterministic q47
+    // hash so the oracle reproduces it.
+    "q62_incremental_dedup" -> ((spark, dir) => {
+      val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 100).cast("int")
+      val db = docBands(spark, dir).withColumn("b", bucket).cache()
+      val ce = db.where(col("b") < 80)
+        .select(col("doc_id").as("corpus_id"), explode(col("bands")).as("bk"))
+      val be = db.where(col("b") >= 80)
+        .select(col("doc_id").as("new_id"), explode(col("bands")).as("bk"))
+      val cand = be.join(ce, Seq("bk")).select("new_id", "corpus_id").distinct()
+      val sh = db.select(col("doc_id"), col("sh"))
+      cand
+        .join(sh.as("sa"), col("new_id") === col("sa.doc_id"))
+        .join(sh.as("sb"), col("corpus_id") === col("sb.doc_id"))
+        .select(col("new_id"), col("corpus_id"),
+          pround(jaccardUdf(col("sa.sh"), col("sb.sh")), 6).as("jaccard"))
+        .where(col("jaccard") >= 0.3)
+    }),
+
     // near-dup pairs by simhash: 4 x 15-bit band blocking + hamming <= 3.
     // Pigeonhole: <= 3 differing bits over 4 bands leaves one band clean,
     // so recall is exact. 15-bit bands keep buckets small even though
@@ -262,6 +287,22 @@ object DedupQueries {
          |SELECT doc_a, doc_b, ${sround(jac, 6)} AS jaccard
          |FROM cand JOIN sh sa ON doc_a = sa.doc_id JOIN sh sb ON doc_b = sb.doc_id
          |WHERE ${sround(jac, 6)} >= $t""".stripMargin
+    },
+
+    "q62_incremental_dedup" -> {
+      val jac = "len(list_intersect(sa.sh, sb.sh))::DOUBLE / len(list_distinct(list_concat(sa.sh, sb.sh)))"
+      s"""$sigCte,
+         |bux AS (SELECT doc_id, sh, b0, b1, b2, b3,
+         |               CAST(CAST(concat('0x', substr(md5(doc_id::VARCHAR), 1, 15)) AS BIGINT) % 100 AS INT) AS b
+         |        FROM bands),
+         |exploded AS (SELECT doc_id, b, unnest([b0, b1, b2, b3]) AS bk FROM bux),
+         |cand AS (SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+         |         FROM exploded n JOIN exploded c ON n.bk = c.bk
+         |         WHERE n.b >= 80 AND c.b < 80),
+         |shs AS (SELECT doc_id, sh FROM sh)
+         |SELECT new_id, corpus_id, ${sround(jac, 6)} AS jaccard
+         |FROM cand JOIN shs sa ON new_id = sa.doc_id JOIN shs sb ON corpus_id = sb.doc_id
+         |WHERE ${sround(jac, 6)} >= 0.3""".stripMargin
     },
 
     "q33_simhash" -> simhashOracle("SELECT doc_id, simhash FROM s"),

@@ -104,6 +104,20 @@ object SaxQueries {
     "q03_sax_numerosity" -> ((spark, dir) =>
       windowWords(spark, dir).groupBy("word").agg(count(lit(1)).as("cnt"))),
 
+    // salted two-phase top-k words: the skew-safe form of q03's aggregate.
+    // `word` has only ~176 distinct values over 100k windows, so at
+    // cluster scale a direct groupBy lands each entire hot key on one
+    // reducer; salting fans each word over 16 sub-keys for the partial
+    // count, and a second (tiny, 176×16-row) aggregate merges them.
+    // Integer counts commute — the result is bit-identical to the direct
+    // plan, which is exactly what the unsalted oracle checks.
+    "q61_salted_word_topk" -> ((spark, dir) =>
+      windowWords(spark, dir)
+        .withColumn("salt", pmod(col("event_id"), lit(16)))
+        .groupBy("word", "salt").agg(count(lit(1)).as("c"))
+        .groupBy("word").agg(sum("c").as("cnt"))
+        .orderBy(desc("cnt"), col("word")).limit(10)),
+
     // mindist projection vs a literal pattern word (wildcard n_values=0)
     "q04_sax_mindist" -> ((spark, dir) => {
       val md = sax_mindist(col("word"), lit(N.toLong), lit("BDBB"), lit(0L), C)
@@ -368,6 +382,11 @@ object SaxQueries {
 
       "q03_sax_numerosity" ->
         s"WITH q AS ($windowWordsSql)\nSELECT word, count(*)::BIGINT AS cnt FROM q GROUP BY word",
+
+      "q61_salted_word_topk" ->
+        s"""WITH q AS ($windowWordsSql)
+           |SELECT word, count(*)::BIGINT AS cnt FROM q
+           |GROUP BY word ORDER BY cnt DESC, word LIMIT 10""".stripMargin,
 
       "q04_sax_mindist" ->
         s"WITH q AS ($windowWordsSql)\nSELECT event_id, word, ${mdBDBB.dist} AS dist FROM q",

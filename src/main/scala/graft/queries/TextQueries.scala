@@ -37,6 +37,10 @@ object TextQueries {
   private val QueryTerms = 2 // BM25 query = top-k corpus tokens
   private val TopDocs = 20
 
+  /** q60's quality floor — shared with the oracle via [[dlit]] so both
+    * engines compare the identical rounded double at the boundary. */
+  private val QualityCut = 0.7
+
   /** Cross-engine log parity: `ln` differs between the JVM intrinsic and
     * DuckDB's libm by 1 ulp on ~2% of inputs (measured on this image), so
     * raw log output can flip a 6-digit rounding. The IDF — the only log in
@@ -135,6 +139,42 @@ object TextQueries {
         .select(col("doc_id"), col("lang"), bucket.as("b"))
         .where(col("lang") =!= "en" || col("b") < 50)
         .select(col("doc_id"), col("lang"))
+    }),
+
+    // end-to-end training-data prep: quality floor -> stratified language
+    // rebalance -> exact-dedup survivor keep -> per-language corpus stats.
+    // The operators above composed the way a real prep job chains them; the
+    // quality/sample stages are pure map-side, so the first shuffle is the
+    // dedup groupBy — filters run BEFORE the expensive stage, the order
+    // that matters at 100 TB.
+    "q60_pipeline_e2e" -> ((spark, dir) => {
+      val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+      val d = spread(table(spark, dir, "documents"))
+        .select(col("doc_id"), col("lang"), col("text"), toks.as("toks"))
+        .select(col("doc_id"), col("lang"), col("text"),
+          size(col("toks")).as("n_tokens"),
+          size(array_distinct(col("toks"))).as("n_types"),
+          length(regexp_replace(lower(col("text")), "[a-z0-9\\s]", "")).as("n_punct"),
+          length(col("text")).as("n_chars"),
+          size(filter(col("toks"),
+            t => Stopwords.map(w => t === w).reduce(_ || _))).as("n_stop"))
+        .withColumn("quality", pround(
+          col("n_types").cast("double") / col("n_tokens") * 0.5 +
+            (lit(1.0) - col("n_punct").cast("double") / col("n_chars")) * 0.3 +
+            (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")) * 0.2, 6))
+      val bucket = (conv(substring(md5(concat(lit("sample:"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+        .cast("long") % 100).cast("int")
+      val kept = d.where(col("quality") >= QualityCut)
+        .where(col("lang") =!= "en" || bucket < 50)
+      val norm = trim(regexp_replace(regexp_replace(
+        lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+      val hashed = kept.withColumn("h", md5(norm))
+      val canon = hashed.groupBy("h").agg(min("doc_id").as("canonical_id"))
+      hashed.join(canon, "h").where(col("doc_id") === col("canonical_id"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_tokens").cast("long")).as("sum_tokens"),
+             pround(xsum(col("quality"), 6) / count(lit(1)), 6).as("avg_quality"))
     }),
 
     // corpus vocabulary stats: top-50 tokens by frequency (map-side
@@ -282,6 +322,27 @@ object TextQueries {
         |         CAST(CAST(concat('0x', substr(md5('sample:' || doc_id::VARCHAR), 1, 15)) AS BIGINT) % 100 AS INT) AS b
         |  FROM documents)
         |WHERE lang <> 'en' OR b < 50""".stripMargin,
+
+    "q60_pipeline_e2e" ->
+      s"""WITH t AS (SELECT doc_id, lang, text, $toksSqlD AS toks FROM documents),
+         |d AS (SELECT doc_id, lang, text,
+         |        CAST(len(toks) AS INT) AS n_tokens,
+         |        CAST(len(list_distinct(toks)) AS INT) AS n_types,
+         |        CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS INT) AS n_punct,
+         |        CAST(length(text) AS INT) AS n_chars,
+         |        CAST(len(list_filter(toks, t -> t IN (${Stopwords.map(w => s"'$w'").mkString(", ")}))) AS INT) AS n_stop
+         |      FROM t),
+         |q AS (SELECT *, ${sround("n_types::DOUBLE / n_tokens * 0.5 + (1.0 - n_punct::DOUBLE / n_chars) * 0.3 + (1.0 - n_stop::DOUBLE / n_tokens) * 0.2", 6)} AS quality FROM d),
+         |kept AS (SELECT * FROM q
+         |         WHERE quality >= ${dlit(QualityCut)}
+         |           AND (lang <> 'en' OR CAST(CAST(concat('0x', substr(md5('sample:' || doc_id::VARCHAR), 1, 15)) AS BIGINT) % 100 AS INT) < 50)),
+         |h AS (SELECT *, md5(${graft.sql.TextSql.norm}) AS h FROM kept),
+         |c AS (SELECT h, min(doc_id) AS canonical_id FROM h GROUP BY h),
+         |surv AS (SELECT h.* FROM h JOIN c USING (h) WHERE doc_id = canonical_id)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         |       ${sround(xsumSql("quality", 6) + " / count(*)", 6)} AS avg_quality
+         |FROM surv GROUP BY lang""".stripMargin,
 
     "q48_vocab" ->
       s"""SELECT token, CAST(count(*) AS BIGINT) AS freq

@@ -1,6 +1,6 @@
 package graft
 
-import graft.queries.{DedupQueries, RelQueries, VectorQueries}
+import graft.queries.{DedupQueries, RelQueries, TextQueries, VectorQueries}
 import org.apache.spark.sql.SparkSession
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
@@ -68,5 +68,23 @@ class PipelineQuerySpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().head.getAs[Long]("n_dup_docs")
     assert(rows.count(_.getAs[Boolean]("is_dup")) == dupCount,
       "one dup flag per non-surviving duplicate")
+  }
+
+  test("q60 pipeline stats respect the stage filters") {
+    val perLang = spark.read.parquet(s"$dir/documents.parquet")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = TextQueries.defs("q60_pipeline_e2e")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val lang = r.getString(0)
+      assert(r.getLong(1) <= perLang(lang), "kept docs never exceed the stratum")
+      // every kept doc clears the 0.7 quality floor, so the average must too
+      assert(r.getDouble(3) >= 0.7)
+    }
+    // the dominant stratum is actually downsampled: strictly fewer 'en'
+    // docs than the quality floor alone would keep
+    val enKept = rows.find(_.getString(0) == "en").map(_.getLong(1)).getOrElse(0L)
+    assert(enKept < perLang("en"))
   }
 }
