@@ -171,9 +171,13 @@ object DedupQueries {
           Window.partitionBy("doc_id").orderBy(col("df"), col("s"))))
       // prefix length |x| - ceil(t*|x|) + 1: IEEE multiply + ceil, same ops
       // as the oracle's ceil(dlit(t) * sz), so boundary sizes agree exactly
+      // cache: the self-join below would otherwise recompute the whole
+      // df-join + window-sort derivation on BOTH sides (at scale this
+      // prefix index is the thing you persist between runs)
       val pref = ord
         .where(col("rn") <= col("sz") - ceil(col("sz") * lit(t)) + 1)
         .select(col("doc_id"), col("s"))
+        .cache()
       val cand = pref.as("a")
         .join(pref.as("b"),
           col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
