@@ -216,6 +216,53 @@ object DedupQueries {
         .where(col("jaccard") >= 0.3)
     }),
 
+    // corpus-duplicated n-gram fraction: per document, the share of its
+    // distinct shingles that occur in at least one OTHER document — the
+    // boilerplate/duplication quality signal computed corpus-wide. Two
+    // map-side-combinable aggregates (shingle df, per-doc counts) around
+    // one equi-join on the shingle key; nothing quadratic, so the shape
+    // survives any corpus size.
+    "q63_dup_ngram_fraction" -> ((spark, dir) => {
+      val docs = spread(table(spark, dir, "documents"))
+        .select(col("doc_id"), shinglesUdf(col("text")).as("sh"))
+      val ex = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+      // shingles are distinct per doc, so count(*) per shingle = doc freq
+      val dfreq = ex.groupBy("s").agg(count(lit(1)).as("df"))
+      // dfreq is vocabulary-sized: no broadcast hint (see q52)
+      ex.join(dfreq, "s")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_ngrams"),
+             sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+        .select(col("doc_id"), col("n_ngrams"), col("n_dup"),
+          pround(col("n_dup").cast("double") / col("n_ngrams"), 6).as("dup_frac"))
+    }),
+
+    // train/test contamination check: which held-out documents share
+    // shingles with the training split (the q47 deterministic hash split:
+    // train = bucket < 80, test = bucket >= 90). The train shingle set is
+    // a distinct projection probed with a LEFT SEMI join — Spark never
+    // materializes matched pairs, only the hit flag. At extreme scale the
+    // semi-join side becomes a bloom/in-set filter pushed to the scan; the
+    // plan shape (distinct -> semi-join on a uniform key) is already the
+    // right one.
+    "q64_contamination" -> ((spark, dir) => {
+      val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 100).cast("int")
+      val ex = spread(table(spark, dir, "documents"))
+        .select(col("doc_id"), bucket.as("b"), shinglesUdf(col("text")).as("sh"))
+        .select(col("doc_id"), col("b"), explode(col("sh")).as("s"))
+      val train = ex.where(col("b") < 80).select("s").distinct()
+      val test = ex.where(col("b") >= 90).select(col("doc_id"), col("s"))
+      val hits = test.join(train, Seq("s"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+      test.groupBy("doc_id").agg(count(lit(1)).as("n_ngrams"))
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_ngrams"),
+          coalesce(col("n_hit"), lit(0L)).as("n_contaminated"),
+          pround(coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_ngrams"), 6)
+            .as("contam_frac"))
+    }),
+
     // near-dup pairs by simhash: 4 x 15-bit band blocking + hamming <= 3.
     // Pigeonhole: <= 3 differing bits over 4 bands leaves one band clean,
     // so recall is exact. 15-bit bands keep buckets small even though
@@ -308,6 +355,34 @@ object DedupQueries {
          |FROM cand JOIN shs sa ON new_id = sa.doc_id JOIN shs sb ON corpus_id = sb.doc_id
          |WHERE ${sround(jac, 6)} >= 0.3""".stripMargin
     },
+
+    "q63_dup_ngram_fraction" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sh AS (SELECT doc_id, $shinglesSql AS sh FROM toks),
+         |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+         |dfreq AS (SELECT s, count(*) AS df FROM ex GROUP BY s)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+         |       CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+         |       ${sround("CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 6)} AS dup_frac
+         |FROM ex JOIN dfreq USING (s)
+         |GROUP BY doc_id""".stripMargin,
+
+    "q64_contamination" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sh AS (SELECT doc_id, $shinglesSql AS sh FROM toks),
+         |bux AS (SELECT doc_id, sh,
+         |               CAST(CAST(concat('0x', substr(md5(doc_id::VARCHAR), 1, 15)) AS BIGINT) % 100 AS INT) AS b
+         |        FROM sh),
+         |ex AS (SELECT doc_id, b, unnest(sh) AS s FROM bux),
+         |train AS (SELECT DISTINCT s FROM ex WHERE b < 80),
+         |test AS (SELECT doc_id, s FROM ex WHERE b >= 90),
+         |hits AS (SELECT doc_id, count(*) AS n_hit FROM test
+         |         WHERE s IN (SELECT s FROM train) GROUP BY doc_id),
+         |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams FROM test GROUP BY doc_id)
+         |SELECT t.doc_id, t.n_ngrams,
+         |       CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_contaminated,
+         |       ${sround("CAST(coalesce(h.n_hit, 0) AS DOUBLE) / t.n_ngrams", 6)} AS contam_frac
+         |FROM tot t LEFT JOIN hits h USING (doc_id)""".stripMargin,
 
     "q33_simhash" -> simhashOracle("SELECT doc_id, simhash FROM s"),
 

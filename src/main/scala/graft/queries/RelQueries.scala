@@ -168,6 +168,22 @@ object RelQueries {
              pround(sum(col("value")) / count(lit(1)), 6).as("median_value"))
     }),
 
+    // semi-structured extraction: pull a typed field out of the JSON
+    // `props` payload and aggregate it — the schema-on-read pattern every
+    // event pipeline runs before anything relational can happen. The
+    // extraction is a codegen'd per-row expression (no UDF); the aggregate
+    // is map-side combinable, so the op is scan-shaped at any scale.
+    "q68_json_extract" -> ((spark, dir) =>
+      table(spark, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+             sum(col("k")).as("sum_k"),
+             min(col("k")).as("min_k"),
+             max(col("k")).as("max_k"))
+        .withColumn("avg_k", pround(col("sum_k").cast("double") / col("n_events"), 6))),
+
     // set op: customers that are both big spenders and BUILDING segment
     "q25_segment_intersect" -> ((spark, dir) => {
       val c = table(spark, dir, "customer")
@@ -273,6 +289,15 @@ object RelQueries {
          |       ${graft.sql.OracleGen.sround("sum(value) / count(*)", 6)} AS median_value
          |FROM r WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
          |GROUP BY event_type""".stripMargin,
+
+    "q68_json_extract" ->
+      s"""WITH k AS (SELECT event_type, json_extract(props, '$$.k')::BIGINT AS k FROM events)
+         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+         |       CAST(sum(k) AS BIGINT) AS sum_k,
+         |       CAST(min(k) AS BIGINT) AS min_k,
+         |       CAST(max(k) AS BIGINT) AS max_k,
+         |       ${graft.sql.OracleGen.sround("CAST(sum(k) AS DOUBLE) / count(*)", 6)} AS avg_k
+         |FROM k GROUP BY event_type""".stripMargin,
 
     "q25_segment_intersect" ->
       s"""SELECT o_custkey AS custkey FROM orders

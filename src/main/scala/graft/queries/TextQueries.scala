@@ -248,6 +248,28 @@ object TextQueries {
         .orderBy(desc("bm25"), col("doc_id")).limit(TopDocs)
     }),
 
+    // intra-document repetition: the share of POSITIONAL 3-gram slots a
+    // document spends repeating itself (1 - distinct/total), the
+    // boilerplate-within-doc quality gate. Pure per-row array arithmetic —
+    // no shuffle, no state, embarrassingly parallel at any scale. Short
+    // docs (< 3 tokens) degrade to one whole-doc gram like TextHash
+    // .shingles, so rep_frac = 0 rather than a divide-by-zero.
+    "q67_intradoc_repetition" -> ((spark, dir) => {
+      val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+      spread(table(spark, dir, "documents"))
+        .select(col("doc_id"), toks.as("toks"))
+        .select(col("doc_id"),
+          when(size(col("toks")) < 3, array(array_join(col("toks"), " ")))
+            .otherwise(expr(
+              "transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))"))
+            .as("grams"))
+        .select(col("doc_id"),
+          size(col("grams")).as("n_grams"),
+          size(array_distinct(col("grams"))).as("n_distinct"))
+        .withColumn("rep_frac",
+          pround(lit(1.0) - col("n_distinct").cast("double") / col("n_grams"), 6))
+    }),
+
     // fingerprints: exact md5 + min-shingle-hash (1-permutation minhash)
     "q38_fingerprint" -> ((spark, dir) => {
       val minShingle = udf((text: String) => {
@@ -348,6 +370,18 @@ object TextQueries {
       s"""SELECT token, CAST(count(*) AS BIGINT) AS freq
          |FROM (SELECT unnest($toksSqlD) AS token FROM documents)
          |GROUP BY token ORDER BY freq DESC, token LIMIT 50""".stripMargin,
+
+    "q67_intradoc_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $toksSqlD AS toks FROM documents),
+         |g AS (SELECT doc_id,
+         |        CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         |             ELSE list_transform(range(1, len(toks) - 1),
+         |                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) END AS grams
+         |      FROM t)
+         |SELECT doc_id, CAST(len(grams) AS INT) AS n_grams,
+         |       CAST(len(list_distinct(grams)) AS INT) AS n_distinct,
+         |       ${sround("1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)", 6)} AS rep_frac
+         |FROM g""".stripMargin,
 
     "q38_fingerprint" -> {
       val norm = graft.sql.TextSql.norm

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.SparkUtil.table
-import graft.sql.OracleGen.sround
+import graft.sql.OracleGen.{dlit, sround, xsumSql}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import QueryBase._
@@ -113,6 +113,32 @@ object VectorQueries {
     (0 until NumTables).map(t => (t << NumPlanes) | bucketFor(e, t)))
 
   private val QueryCount = 10 // vec_id < 10 are the query vectors
+
+  /** k-means / semantic-dedup clustering constants (q65/q66): K fixed seed
+    * centroids (the first K vectors — deterministic "init"), a bounded
+    * SemDeDup comparison window, and the near-dup cosine floor (shared
+    * with the oracle via dlit). */
+  private val KmeansK = 8
+  private val SemWindow = 8
+  private val SemThreshold = 0.3
+
+  /** Shared q65/q66 cluster assignment: nearest of the K seed centroids by
+    * rounded cosine, ties toward the lowest centroid id. The K-row
+    * centroid frame is broadcast — assignment is a map-side O(n·K) pass,
+    * never a shuffle of the corpus. */
+  private def kmeansAssign(spark: org.apache.spark.sql.SparkSession,
+                           dir: String): org.apache.spark.sql.DataFrame = {
+    val emb = spread(table(spark, dir, "embeddings"))
+    val cents = emb.where(col("vec_id") < KmeansK)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+    emb.join(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cent_id"),
+        pround(cosUdf(col("embedding"), col("ce")), 6).as("ccos"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(desc("ccos"), col("cent_id"))))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"), col("ccos"))
+  }
 
   /** IVF coarse-quantizer budget: the centroid COUNT is fixed (stride =
     * corpus_count / budget, deterministic "training" by id sampling), so
@@ -234,6 +260,54 @@ object VectorQueries {
         .select("query_id", "vec_id", "cos")
     }),
 
+    // k-means update step (one Lloyd iteration over fixed seed centroids):
+    // assign via the broadcast K-row centroid table, then recompute every
+    // centroid component as the per-(cell, dimension) mean. The update is
+    // ONE map-side-combinable aggregation after a posexplode — per-dim
+    // partial sums combine locally, so the shuffle carries K·dim rows no
+    // matter the corpus size. Emitting all K·dim means oracle-checks the
+    // entire update bit-for-bit.
+    "q65_kmeans_step" -> ((spark, dir) =>
+      kmeansAssign(spark, dir)
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("cell", "pos")
+        .agg(count(lit(1)).as("n"),
+             pround(xsum(col("v").cast("double"), 6) / count(lit(1)), 6).as("mean"))
+        .select(col("cell"), col("pos"), col("n"), col("mean"))),
+
+    // SemDeDup-style semantic dedup: within each cluster, rank members by
+    // closeness to the centroid and compare each member against only its
+    // next SemWindow neighbors in that ranking (near-identical vectors
+    // land adjacent because they share the centroid cosine). The pairing
+    // is lead() columns over ONE per-cell window sort — no self-join, no
+    // quadratic in-cluster blowup; per-vector work is O(SemWindow) at any
+    // corpus size. Dropped vectors attribute to their best-ranked keeper.
+    "q66_semantic_dedup" -> ((spark, dir) => {
+      val byCell = Window.partitionBy("cell").orderBy(desc("ccos"), col("vec_id"))
+      val ranked = kmeansAssign(spark, dir).withColumn("rnk", row_number().over(byCell))
+      val withL = (1 to SemWindow).foldLeft(ranked) { (df, j) =>
+        df.withColumn(s"nid_$j", lead(col("vec_id"), j).over(byCell))
+          .withColumn(s"ne_$j", lead(col("embedding"), j).over(byCell))
+      }
+      val pairs = withL.select(col("cell"), col("vec_id").as("keep_id"),
+          col("rnk").as("keep_rnk"), col("embedding"),
+          // strip the null leads INSIDE the array (rows at the tail of a
+          // cell have fewer than SemWindow successors) so the generator
+          // never emits them — a post-explode null filter can be reordered
+          // after the cosine UDF by the optimizer
+          explode(filter(array((1 to SemWindow).map(j =>
+            struct(col(s"nid_$j").as("nid"), col(s"ne_$j").as("ne"))): _*),
+            s => s.getField("nid").isNotNull)).as("nb"))
+        .select(col("cell"), col("keep_id"), col("keep_rnk"),
+          col("nb.nid").as("drop_id"),
+          pround(cosUdf(col("embedding"), col("nb.ne")), 6).as("cos"))
+        .where(col("cos") >= SemThreshold)
+      pairs.withColumn("krn", row_number().over(
+          Window.partitionBy("drop_id").orderBy(col("keep_rnk"), col("keep_id"))))
+        .where(col("krn") === 1)
+        .select(col("cell"), col("drop_id"), col("keep_id"), col("cos"))
+    }),
+
     // ANN evaluation: recall@5 of the LSH probe against brute-force
     // ground truth — the metric operator an ANN pipeline tunes against
     "q49_ann_recall" -> ((spark, dir) => {
@@ -342,7 +416,37 @@ object VectorQueries {
     (0 until NumTables).map(t => s"(${t << MaxPlanes} + ${bucketSqlX(e, t, np)})")
       .mkString("[", ", ", "]")
 
+  /** Shared q65/q66 assignment CTEs (mirrors [[kmeansAssign]]). */
+  private def kmeansCte: String =
+    s"""cents AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings WHERE vec_id < $KmeansK),
+       |scored AS (SELECT e.vec_id, e.embedding, c.cent_id,
+       |                  ${sround(cosSql("e.embedding", "c.ce"), 6)} AS ccos
+       |           FROM embeddings e CROSS JOIN cents c),
+       |assigned AS (SELECT vec_id, embedding, cent_id AS cell, ccos FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn
+       |  FROM scored) WHERE rn = 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q65_kmeans_step" ->
+      s"""WITH $kmeansCte,
+         |p AS (SELECT cell, embedding, unnest(range(1, len(embedding) + 1)) AS i FROM assigned)
+         |SELECT cell, CAST(i - 1 AS INT) AS pos, CAST(count(*) AS BIGINT) AS n,
+         |       ${sround(xsumSql("embedding[i]::DOUBLE", 6) + " / count(*)", 6)} AS mean
+         |FROM p GROUP BY cell, i""".stripMargin,
+
+    "q66_semantic_dedup" ->
+      s"""WITH $kmeansCte,
+         |r AS (SELECT vec_id, embedding, cell, ccos,
+         |             row_number() OVER (PARTITION BY cell ORDER BY ccos DESC, vec_id) AS rnk
+         |      FROM assigned),
+         |pairs AS (SELECT a.cell, a.vec_id AS keep_id, a.rnk AS keep_rnk, b.vec_id AS drop_id,
+         |                 ${sround(cosSql("a.embedding", "b.embedding"), 6)} AS cos
+         |          FROM r a JOIN r b ON a.cell = b.cell AND b.rnk > a.rnk AND b.rnk <= a.rnk + $SemWindow
+         |          WHERE ${sround(cosSql("a.embedding", "b.embedding"), 6)} >= ${dlit(SemThreshold)})
+         |SELECT cell, drop_id, keep_id, cos FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY drop_id ORDER BY keep_rnk, keep_id) AS krn FROM pairs)
+         |WHERE krn = 1""".stripMargin,
+
     "q40_ann_brute" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < $QueryCount)
          |SELECT query_id, vec_id, cos FROM (

@@ -1,0 +1,113 @@
+package graft
+
+import graft.queries.{DedupQueries, RelQueries, TextQueries, VectorQueries}
+import graft.text.TextHash
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants of the corpus-analysis operators (q63-q68) beyond the DuckDB
+  * oracle: driver-side recomputation of the n-gram stats, contamination
+  * set membership, k-means mass conservation, and the no-self-join plan
+  * shape of the SemDeDup window pairing. */
+class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val dir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = graft.SparkUtil.configure(
+      SparkSession.builder().master("local[4]"), "4").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def docShingles(): Map[Long, Array[String]] =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> TextHash.shingles(TextHash.tokenize(r.getString(1)), 3))
+      .toMap
+
+  test("q63 dup-ngram fraction matches a driver-side corpus recount") {
+    val sh = docShingles()
+    val df = sh.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val rows = DedupQueries.defs("q63_dup_ngram_fraction")(spark, dir).collect()
+    assert(rows.length == sh.size, "one row per document")
+    for (r <- rows) {
+      val mine = sh(r.getLong(0))
+      val dup = mine.count(s => df(s) >= 2)
+      assert(r.getLong(1) == mine.length && r.getLong(2) == dup)
+      assert(r.getDouble(3) == math.floor(dup.toDouble / mine.length * 1e6 + 0.5) / 1e6)
+    }
+  }
+
+  test("q64 contaminated shingles really occur in the train split") {
+    val sh = docShingles()
+    def bucket(id: Long): Int =
+      (java.lang.Long.parseLong(TextHash.md5Hex(id.toString).take(15), 16) % 100).toInt
+    val train = sh.collect { case (id, s) if bucket(id) < 80 => s }.flatten.toSet
+    val rows = DedupQueries.defs("q64_contamination")(spark, dir).collect()
+    val testIds = sh.keys.filter(bucket(_) >= 90).toSet
+    assert(rows.map(_.getLong(0)).toSet == testIds, "one row per held-out doc")
+    for (r <- rows) {
+      val overlap = sh(r.getLong(0)).count(train.contains)
+      assert(r.getLong(2) == overlap, s"doc ${r.getLong(0)} overlap")
+      assert(r.getLong(2) <= r.getLong(1))
+    }
+  }
+
+  test("q65 k-means step conserves mass and covers every seed cell") {
+    val rows = VectorQueries.defs("q65_kmeans_step")(spark, dir).collect()
+    val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    val cells = rows.map(_.getLong(0)).toSet
+    assert(rows.length == cells.size * 64, "K cells x 64 dimensions")
+    // every dimension slice carries the full corpus exactly once
+    val perPos = rows.groupBy(_.getInt(1)).view.mapValues(_.map(_.getLong(2)).sum)
+    assert(perPos.values.forall(_ == n), "per-dimension member counts sum to the corpus")
+    // each seed centroid captures at least itself (cos=1 to its own cell)
+    assert(cells == (0L until 8L).toSet)
+  }
+
+  test("q66 semantic dedup pairs without any sort-merge self-join") {
+    val q = VectorQueries.defs("q66_semantic_dedup")(spark, dir)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      "neighbor pairing must be lead() windows, not a self-join")
+    val rows = q.collect()
+    for (r <- rows) {
+      assert(r.getLong(1) != r.getLong(2), "a vector never dedups against itself")
+      assert(r.getDouble(3) >= 0.3)
+    }
+    assert(rows.map(_.getLong(1)).distinct.length == rows.length,
+      "each dropped vector attributes to exactly one keeper")
+  }
+
+  test("q67 intra-doc repetition matches a driver-side recount") {
+    val rows = TextQueries.defs("q67_intradoc_repetition")(spark, dir).collect()
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> TextHash.tokenize(r.getString(1))).toMap
+    assert(rows.length == docs.size)
+    for (r <- rows) {
+      val toks = docs(r.getLong(0))
+      val grams =
+        if (toks.length < 3) Array(toks.mkString(" "))
+        else toks.sliding(3).map(_.mkString(" ")).toArray
+      assert(r.getInt(1) == grams.length && r.getInt(2) == grams.distinct.length)
+    }
+  }
+
+  test("q68 json aggregates match a driver-side parse") {
+    val rows = RelQueries.defs("q68_json_extract")(spark, dir).collect()
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select("event_type", "props").collect()
+      .map(r => r.getString(0) -> """"k":\s*(-?\d+)""".r
+        .findFirstMatchIn(r.getString(1)).get.group(1).toLong)
+    val expected = ev.groupBy(_._1).view.mapValues(vs => (vs.length.toLong, vs.map(_._2).sum))
+    for (r <- rows) {
+      val (n, s) = expected(r.getString(0))
+      assert(r.getLong(1) == n && r.getLong(2) == s)
+    }
+  }
+}
