@@ -173,14 +173,20 @@ object DedupQueries {
       // as the oracle's ceil(dlit(t) * sz), so boundary sizes agree exactly
       // cache: the self-join below would otherwise recompute the whole
       // df-join + window-sort derivation on BOTH sides (at scale this
-      // prefix index is the thing you persist between runs)
+      // prefix index is the thing you persist between runs).
+      // The join key is xxhash64(shingle), not the string: an 8-byte
+      // shuffle key instead of a ~30-char one. A hash collision can only
+      // ADD a candidate pair, and every candidate is verified by exact
+      // Jaccard below — and since prefix filtering already guarantees all
+      // true pairs are candidates, the verified result set is provably
+      // identical to the string-keyed join.
       val pref = ord
         .where(col("rn") <= col("sz") - ceil(col("sz") * lit(t)) + 1)
-        .select(col("doc_id"), col("s"))
+        .select(col("doc_id"), xxhash64(col("s")).as("k"))
         .cache()
       val cand = pref.as("a")
         .join(pref.as("b"),
-          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+          col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
       cand
