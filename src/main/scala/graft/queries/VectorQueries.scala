@@ -67,16 +67,13 @@ object VectorQueries {
     * round-1 hash functions. */
   val SignsX: Array[Array[Double]] = lcgSigns(1337L, NumTables * MaxPlanes)
 
-  private val cosUdf = udf((a: Seq[Float], b: Seq[Float]) => {
-    var dot = 0.0; var na = 0.0; var nb = 0.0
-    var i = 0
-    while (i < a.length) {
-      val x = a(i).toDouble; val y = b(i).toDouble
-      dot += x * y; na += x * x; nb += y * y
-      i += 1
-    }
-    dot / (math.sqrt(na) * math.sqrt(nb))
-  })
+  /** Native codegen cosine (graft.functions.CosineSimExpr) — the identical
+    * double-accumulation loop the original UDF ran, minus the per-row
+    * Seq[Float] boxing and UDF invocation; candidate scoring stays inside
+    * WholeStageCodegen. */
+  private def cosUdf(a: org.apache.spark.sql.Column,
+                     b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.VectorFunctions.vec_cosine(a, b)
 
   private def bucketFor(e: Seq[Float], table: Int): Int = {
     var bucket = 0
@@ -355,13 +352,9 @@ object VectorQueries {
 
     // per-label corpus stats: count + mean vector L2 norm (decimal-exact)
     "q43_vector_stats" -> ((spark, dir) => {
-      val normUdf = udf((e: Seq[Float]) => {
-        var s = 0.0; var i = 0
-        while (i < e.length) { s += e(i).toDouble * e(i).toDouble; i += 1 }
-        math.sqrt(s)
-      })
       spread(table(spark, dir, "embeddings"))
-        .select(col("label"), normUdf(col("embedding")).as("nrm"))
+        .select(col("label"),
+          graft.functions.VectorFunctions.vec_l2norm(col("embedding")).as("nrm"))
         .groupBy("label")
         .agg(count(lit(1)).as("n"), xsum(col("nrm"), 6).as("s"))
         .select(col("label"), col("n"), pround(col("s") / col("n"), 6).as("avg_norm"))

@@ -41,6 +41,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         Cast(args(0), ArrayType(DoubleType)), Cast(args(1), IntegerType),
         Cast(args(2), IntegerType), Cast(args(3), IntegerType)) }))
 
+    ext.injectFunction((FunctionIdentifier("vec_cosine"),
+      info("vec_cosine", "vec_cosine(a, b) - cosine similarity of two float vectors (double accumulation)"),
+      (args: Seq[Expression]) => { arity("vec_cosine", 2, args); graft.functions.CosineSimExpr(
+        Cast(args(0), ArrayType(FloatType)), Cast(args(1), ArrayType(FloatType))) }))
+
+    ext.injectFunction((FunctionIdentifier("vec_l2norm"),
+      info("vec_l2norm", "vec_l2norm(a) - L2 norm of a float vector"),
+      (args: Seq[Expression]) => { arity("vec_l2norm", 1, args); graft.functions.L2NormExpr(
+        Cast(args(0), ArrayType(FloatType))) }))
+
     ext.injectFunction((FunctionIdentifier("sax_mindist"),
       info("sax_mindist", "sax_mindist(a, nA, b, nB, c) - lower-bounding distance as struct(dist, above, below)"),
       (args: Seq[Expression]) => { arity("sax_mindist", 5, args); SaxMindistExpr(Seq(

@@ -41,4 +41,27 @@ class InterpretedPathSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT sax_encode(array(1.0D, 2.0D, 3.0D, 10.1D), 2, 4) AS w").head()
     assert(r.getString(0) == "AD")
   }
+
+  test("vector expressions agree with a driver-side loop under NO_CODEGEN") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = spark.read.parquet(s"$dir/embeddings.parquet")
+      .where(org.apache.spark.sql.functions.col("vec_id") < 3)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"),
+        graft.functions.VectorFunctions.vec_l2norm(
+          org.apache.spark.sql.functions.col("embedding")).as("nrm"))
+      .collect()
+    for (r <- rows) {
+      val e = r.getSeq[Float](1)
+      var s = 0.0; e.foreach(x => s += x.toDouble * x.toDouble)
+      assert(r.getDouble(2) == math.sqrt(s), s"norm of vec ${r.getLong(0)}")
+    }
+    // cosine through the SQL registration (GraftExtensions) — interpreted
+    val c = spark.sql(
+      """SELECT vec_cosine(CAST(array(1.0, 2.0, 2.0) AS ARRAY<FLOAT>),
+        |                  CAST(array(2.0, 4.0, 4.0) AS ARRAY<FLOAT>)) AS c""".stripMargin).head()
+    assert(math.abs(c.getDouble(0) - 1.0) < 1e-15)
+    // ANN brute query end-to-end on the interpreted path
+    assert(SparkEntry.queries("q40_ann_brute")(spark, dir).count() > 0)
+  }
 }
