@@ -34,6 +34,24 @@ object VectorCodegenOps {
     while (i < n) { val x = a.getFloat(i).toDouble; s += x * x; i += 1 }
     math.sqrt(s)
   }
+
+  /** Set Jaccard of two string arrays: |A∩B| / |A∪B| — exact integer
+    * counts then one IEEE division, identical to the former Scala-Set UDF
+    * and the oracle's list_intersect/list_distinct formulation. */
+  def jaccard(a: ArrayData, b: ArrayData): Double = {
+    val sa = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
+    var i = 0
+    val na = a.numElements()
+    while (i < na) { sa.add(a.getUTF8String(i)); i += 1 }
+    val sb = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
+    var j = 0
+    val nb = b.numElements()
+    while (j < nb) { sb.add(b.getUTF8String(j)); j += 1 }
+    var inter = 0
+    val it = sa.iterator()
+    while (it.hasNext) if (sb.contains(it.next())) inter += 1
+    inter.toDouble / (sa.size + sb.size - inter)
+  }
 }
 
 /** Native `vec_cosine(a, b)` over two array&lt;float&gt; columns: stays inside
@@ -52,6 +70,27 @@ case class CosineSimExpr(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"${ev.value} = graft.functions.VectorCodegenOps.cosine($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Native `arr_jaccard(a, b)` over two array&lt;string&gt; columns — the
+  * dedup-verification kernel (runs once per candidate pair in the LSH /
+  * prefix-filter joins). */
+case class JaccardExpr(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "arr_jaccard"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorCodegenOps.jaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorCodegenOps.jaccard($a, $b);")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
@@ -89,4 +128,9 @@ object VectorFunctions {
 
   def vec_l2norm(a: Column): Column =
     colOf(L2NormExpr(castF(a)))
+
+  def arr_jaccard(a: Column, b: Column): Column =
+    colOf(JaccardExpr(
+      Cast(exprOf(a), ArrayType(StringType)),
+      Cast(exprOf(b), ArrayType(StringType))))
 }

@@ -73,10 +73,12 @@ object DedupQueries {
     TextHash.shingles(TextHash.tokenize(text), 3))
   private val bandsUdf = udf((sh: Seq[String]) =>
     TextHash.bandKeys(TextHash.minhash(sh.toArray), BandRows))
-  private val jaccardUdf = udf((a: Seq[String], b: Seq[String]) => {
-    val sa = a.toSet; val sb = b.toSet
-    (sa & sb).size.toDouble / (sa | sb).size
-  })
+  /** Native codegen set-Jaccard (graft.functions.JaccardExpr) — the exact
+    * former Scala-Set UDF arithmetic without per-pair Seq boxing; runs
+    * once per LSH / prefix-filter candidate pair. */
+  private def jaccardUdf(a: org.apache.spark.sql.Column,
+                         b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.VectorFunctions.arr_jaccard(a, b)
 
   private def docBands(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     spread(table(spark, dir, "documents"))

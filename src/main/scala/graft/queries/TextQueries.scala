@@ -177,6 +177,32 @@ object TextQueries {
              pround(xsum(col("quality"), 6) / count(lit(1)), 6).as("avg_quality"))
     }),
 
+    // sequence packing (concatenate-and-chunk): assign every document to
+    // the training chunk its first token lands in, after concatenating
+    // the corpus in doc_id order under a fixed token budget per chunk —
+    // the batch-construction step of an LLM training pipeline. Documents
+    // are sharded by a salted hash FIRST (each shard packs
+    // independently), so the prefix sum is a per-shard window, never a
+    // global single-task sort — exactly how a 1000-worker packer shards
+    // the same job. Integer arithmetic end to end.
+    "q69_sequence_packing" -> ((spark, dir) => {
+      val budget = 512L
+      val nShards = 8
+      val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+      val shard = (conv(substring(md5(concat(lit("pack:"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+        .cast("long") % nShards).cast("int")
+      val d = spread(table(spark, dir, "documents"))
+        .select(col("doc_id"), shard.as("shard"), size(toks).cast("long").as("n_tokens"))
+      val w = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      d.withColumn("cum", sum("n_tokens").over(w))
+        // `div` is Spark's LONG integer division (see CLAUDE.md note) —
+        // matches DuckDB's `//` on BIGINT with no double rounding anywhere
+        .withColumn("bin", expr(s"(cum - n_tokens) div $budget"))
+        .groupBy("shard", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
+    }),
+
     // corpus vocabulary stats: top-50 tokens by frequency (map-side
     // combinable token counts; ties broken lexicographically)
     "q48_vocab" -> ((spark, dir) => {
@@ -365,6 +391,20 @@ object TextQueries {
          |       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
          |       ${sround(xsumSql("quality", 6) + " / count(*)", 6)} AS avg_quality
          |FROM surv GROUP BY lang""".stripMargin,
+
+    "q69_sequence_packing" ->
+      s"""WITH t AS (SELECT doc_id,
+         |             CAST(CAST(concat('0x', substr(md5('pack:' || doc_id::VARCHAR), 1, 15)) AS BIGINT) % 8 AS INT) AS shard,
+         |             CAST(len($toksSqlD) AS BIGINT) AS n_tokens
+         |           FROM documents),
+         |c AS (SELECT doc_id, shard, n_tokens,
+         |             sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |      FROM t)
+         |SELECT shard, CAST((cum - n_tokens) // 512 AS BIGINT) AS bin,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+         |FROM c GROUP BY shard, bin""".stripMargin,
 
     "q48_vocab" ->
       s"""SELECT token, CAST(count(*) AS BIGINT) AS freq

@@ -51,6 +51,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => { arity("vec_l2norm", 1, args); graft.functions.L2NormExpr(
         Cast(args(0), ArrayType(FloatType))) }))
 
+    ext.injectFunction((FunctionIdentifier("arr_jaccard"),
+      info("arr_jaccard", "arr_jaccard(a, b) - set Jaccard similarity of two string arrays"),
+      (args: Seq[Expression]) => { arity("arr_jaccard", 2, args); graft.functions.JaccardExpr(
+        Cast(args(0), ArrayType(StringType)), Cast(args(1), ArrayType(StringType))) }))
+
     ext.injectFunction((FunctionIdentifier("sax_mindist"),
       info("sax_mindist", "sax_mindist(a, nA, b, nB, c) - lower-bounding distance as struct(dist, above, below)"),
       (args: Seq[Expression]) => { arity("sax_mindist", 5, args); SaxMindistExpr(Seq(
