@@ -271,6 +271,31 @@ object DedupQueries {
             .as("contam_frac"))
     }),
 
+    // KMV (k-minimum-values) distinct-cardinality sketch over the corpus
+    // shingle set: keep the K smallest 60-bit hashes, estimate
+    // |distinct| ≈ (K-1)·2^60 / kth_min. Deterministic given the hash, so
+    // unlike HLL it is oracle-checkable bit-for-bit. orderBy+limit plans
+    // as per-partition top-K + merge (TakeOrdered) — the sketch never
+    // shuffles more than K rows per partition at any corpus size. Exact
+    // count emitted alongside to expose the estimation error.
+    "q70_kmv_distinct" -> ((spark, dir) => {
+      val K = 64
+      // 63 * 2^60 — 6 significant bits, exactly representable; embedded
+      // into the oracle via dlit so both engines divide the same numerator
+      val numer = (K - 1).toDouble * math.pow(2.0, 60)
+      val hashes = spread(table(spark, dir, "documents"))
+        .select(shinglesUdf(col("text")).as("sh"))
+        .select(explode(col("sh")).as("s")).distinct()
+        .select(conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("h"))
+      val sketch = hashes.orderBy("h").limit(K)
+        .agg(count(lit(1)).as("k_actual"), max(col("h")).as("kth_min"))
+      val exact = hashes.agg(countDistinct(col("h")).as("exact_distinct"))
+      sketch.crossJoin(broadcast(exact))
+        .select(col("k_actual"), col("kth_min"), col("exact_distinct"),
+          pround(when(col("k_actual") < K, col("exact_distinct").cast("double"))
+            .otherwise(lit(numer) / col("kth_min").cast("double")), 6).as("est_distinct"))
+    }),
+
     // near-dup pairs by simhash: 4 x 15-bit band blocking + hamming <= 3.
     // Pigeonhole: <= 3 differing bits over 4 bands leaves one band clean,
     // so recall is exact. 15-bit bands keep buckets small even though
@@ -391,6 +416,20 @@ object DedupQueries {
          |       CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_contaminated,
          |       ${sround("CAST(coalesce(h.n_hit, 0) AS DOUBLE) / t.n_ngrams", 6)} AS contam_frac
          |FROM tot t LEFT JOIN hits h USING (doc_id)""".stripMargin,
+
+    "q70_kmv_distinct" -> {
+      val numer = dlit(63.0 * math.pow(2.0, 60))
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sh AS (SELECT doc_id, $shinglesSql AS sh FROM toks),
+         |hs AS (SELECT ${hexcast("s")} AS h
+         |       FROM (SELECT DISTINCT unnest(sh) AS s FROM sh)),
+         |sk AS (SELECT CAST(count(*) AS BIGINT) AS k_actual, max(h) AS kth_min
+         |       FROM (SELECT h FROM hs ORDER BY h LIMIT 64)),
+         |ex AS (SELECT CAST(count(DISTINCT h) AS BIGINT) AS exact_distinct FROM hs)
+         |SELECT k_actual, kth_min, exact_distinct,
+         |       ${sround(s"CASE WHEN k_actual < 64 THEN exact_distinct::DOUBLE ELSE $numer / kth_min::DOUBLE END", 6)} AS est_distinct
+         |FROM sk CROSS JOIN ex""".stripMargin
+    },
 
     "q33_simhash" -> simhashOracle("SELECT doc_id, simhash FROM s"),
 

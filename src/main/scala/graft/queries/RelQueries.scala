@@ -168,6 +168,41 @@ object RelQueries {
              pround(sum(col("value")) / count(lit(1)), 6).as("median_value"))
     }),
 
+    // time-series resample: downsample the event stream to fixed 1-hour
+    // buckets per type — the resample/rollup every monitoring pipeline
+    // runs. Bucket ids are INTEGER microsecond division (ts div 1000 is
+    // the shared microsecond rule; FP division of ns epochs would lose
+    // precision above 2^53). One map-side-combinable aggregation.
+    "q71_time_resample" -> ((spark, dir) =>
+      table(spark, dir, "events")
+        .select(col("event_type"),
+          expr("(ts div 1000) div 3600000000").as("hour_bucket"), col("value"))
+        .groupBy("event_type", "hour_bucket")
+        .agg(count(lit(1)).as("n_events"), xsum(col("value"), 6).as("sum_value"))
+        .withColumn("avg_value", pround(col("sum_value") / col("n_events"), 6))),
+
+    // exact multi-quantile by rank arithmetic (generalizes q55): the
+    // lower (type-1) quantile at rank floor(q*(n-1)) + 1 per group.
+    // Target ranks form a (|types| x |quantiles|)-row frame — broadcast
+    // against the ranked events, so the only heavy operation is the same
+    // per-group window sort any ranked analytic needs.
+    "q72_quantiles" -> ((spark, dir) => {
+      val qs = Seq(0.25, 0.5, 0.75, 0.95)
+      val byType = Window.partitionBy("event_type")
+      val ranked = table(spark, dir, "events")
+        .select(col("event_type"), col("value"), col("event_id"))
+        .withColumn("rn", row_number().over(byType.orderBy(col("value"), col("event_id"))))
+        .withColumn("n", count(lit(1)).over(byType))
+      val targets = ranked.groupBy("event_type").agg(max("n").as("n"))
+        .select(col("event_type").as("t_type"),
+          explode(array(qs.map(lit): _*)).as("q"), col("n"))
+        .select(col("t_type"), col("q"),
+          (floor(col("q") * (col("n") - 1)) + 1).as("trn"))
+      ranked.join(broadcast(targets),
+          col("event_type") === col("t_type") && col("rn") === col("trn"))
+        .select(col("event_type"), col("q"), col("value").as("q_value"))
+    }),
+
     // semi-structured extraction: pull a typed field out of the JSON
     // `props` payload and aggregate it — the schema-on-read pattern every
     // event pipeline runs before anything relational can happen. The
@@ -289,6 +324,27 @@ object RelQueries {
          |       ${graft.sql.OracleGen.sround("sum(value) / count(*)", 6)} AS median_value
          |FROM r WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
          |GROUP BY event_type""".stripMargin,
+
+    "q71_time_resample" ->
+      s"""WITH b AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hour_bucket, value FROM events)
+         |SELECT event_type, CAST(hour_bucket AS BIGINT) AS hour_bucket,
+         |       CAST(count(*) AS BIGINT) AS n_events,
+         |       ${xsumSql("value", 6)} AS sum_value,
+         |       ${graft.sql.OracleGen.sround(xsumSql("value", 6) + " / count(*)", 6)} AS avg_value
+         |FROM b GROUP BY event_type, hour_bucket""".stripMargin,
+
+    "q72_quantiles" -> {
+      val qs = Seq(0.25, 0.5, 0.75, 0.95).map(graft.sql.OracleGen.dlit).mkString(", ")
+      s"""WITH r AS (SELECT event_type, value, event_id,
+         |             row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         |             count(*) OVER (PARTITION BY event_type) AS n
+         |           FROM events),
+         |t AS (SELECT event_type AS t_type, n, unnest([$qs]) AS q
+         |      FROM (SELECT event_type, max(n) AS n FROM r GROUP BY event_type)),
+         |tt AS (SELECT t_type, q, floor(q * (n - 1)) + 1 AS trn FROM t)
+         |SELECT r.event_type, tt.q, r.value AS q_value
+         |FROM r JOIN tt ON r.event_type = tt.t_type AND r.rn = tt.trn""".stripMargin
+    },
 
     "q68_json_extract" ->
       s"""WITH k AS (SELECT event_type, json_extract(props, '$$.k')::BIGINT AS k FROM events)

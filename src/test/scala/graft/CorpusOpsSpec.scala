@@ -83,6 +83,33 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "each dropped vector attributes to exactly one keeper")
   }
 
+  test("q70 KMV sketch lands within sampling error of the exact count") {
+    val r = DedupQueries.defs("q70_kmv_distinct")(spark, dir).collect().head
+    val (k, kth, exact, est) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    assert(k == 64 && kth > 0)
+    assert(exact >= k, "sketch only engages above K distinct values")
+    // KMV relative stderr ~ 1/sqrt(K-2) ≈ 13% at K=64; 3 sigma bound
+    assert(math.abs(est - exact) / exact < 0.4, s"est=$est exact=$exact")
+  }
+
+  test("q71 resample conserves the event count across buckets") {
+    val rows = RelQueries.defs("q71_time_resample")(spark, dir).collect()
+    val total = spark.read.parquet(s"$dir/events.parquet").count()
+    assert(rows.map(_.getLong(2)).sum == total)
+    assert(rows.forall(_.getLong(1) >= 0))
+  }
+
+  test("q72 quantiles are monotone in q within each group") {
+    val rows = RelQueries.defs("q72_quantiles")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val types = rows.map(_._1).distinct
+    assert(rows.length == types.length * 4, "four quantiles per event type")
+    for (t <- types) {
+      val vs = rows.filter(_._1 == t).sortBy(_._2).map(_._3)
+      assert(vs.zip(vs.tail).forall { case (a, b) => a <= b }, s"$t: ${vs.toSeq}")
+    }
+  }
+
   test("q67 intra-doc repetition matches a driver-side recount") {
     val rows = TextQueries.defs("q67_intradoc_repetition")(spark, dir).collect()
     val docs = spark.read.parquet(s"$dir/documents.parquet")
