@@ -168,6 +168,33 @@ object RelQueries {
              pround(sum(col("value")) / count(lit(1)), 6).as("median_value"))
     }),
 
+    // anti join: customers with no high-value order — the NOT EXISTS
+    // probe that completes the join-type surface (inner/broadcast/theta/
+    // as-of/semi/anti). The price filter runs BEFORE the join, so the
+    // anti side shrinks to the qualifying keys at the scan (pushdown +
+    // pruning), and AQE broadcasts whichever side fits.
+    "q73_anti_join" -> ((spark, dir) =>
+      table(spark, dir, "customer")
+        .join(table(spark, dir, "orders")
+            .where(col("o_totalprice") > 300000.0).select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")),
+
+    // pivot: per-user event counts spread across a FIXED event-type value
+    // list (explicit values keep the output schema static, so the pivot
+    // is one map-side-combinable aggregation — a dynamic pivot would need
+    // a driver-side distinct pass first). The canonical long-to-wide
+    // reshape of feature engineering.
+    "q74_pivot" -> ((spark, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      table(spark, dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .na.fill(0L, types)
+        .select(col("user_id") +: types.map(t => col(t).as(s"n_$t")): _*)
+    }),
+
     // time-series resample: downsample the event stream to fixed 1-hour
     // buckets per type — the resample/rollup every monitoring pipeline
     // runs. Bucket ids are INTEGER microsecond division (ts div 1000 is
@@ -324,6 +351,18 @@ object RelQueries {
          |       ${graft.sql.OracleGen.sround("sum(value) / count(*)", 6)} AS median_value
          |FROM r WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
          |GROUP BY event_type""".stripMargin,
+
+    "q73_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)""".stripMargin,
+
+    "q74_pivot" -> {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val cols = types.map(t =>
+        s"CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS n_$t").mkString(", ")
+      s"SELECT user_id, $cols FROM events GROUP BY user_id"
+    },
 
     "q71_time_resample" ->
       s"""WITH b AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hour_bucket, value FROM events)

@@ -3,6 +3,7 @@ package graft
 import graft.queries.{DedupQueries, RelQueries, TextQueries, VectorQueries}
 import graft.text.TextHash
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -123,6 +124,25 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         else toks.sliding(3).map(_.mkString(" ")).toArray
       assert(r.getInt(1) == grams.length && r.getInt(2) == grams.distinct.length)
     }
+  }
+
+  test("q73 plans a LeftAnti join and excludes exactly the right customers") {
+    val q = RelQueries.defs("q73_anti_join")(spark, dir)
+    assert(q.queryExecution.executedPlan.toString.contains("LeftAnti"))
+    val got = q.collect().map(_.getLong(0)).toSet
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+      .where(col("o_totalprice") > 300000.0)
+      .select("o_custkey").collect().map(_.getLong(0)).toSet
+    val custs = spark.read.parquet(s"$dir/customer.parquet")
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    assert(got == custs.diff(orders))
+    assert(got.nonEmpty, "the threshold must leave a non-trivial anti set")
+  }
+
+  test("q74 pivot conserves the event count across type columns") {
+    val rows = RelQueries.defs("q74_pivot")(spark, dir).collect()
+    val total = spark.read.parquet(s"$dir/events.parquet").count()
+    assert(rows.map(r => (1 to 5).map(r.getLong).sum).sum == total)
   }
 
   test("q68 json aggregates match a driver-side parse") {
