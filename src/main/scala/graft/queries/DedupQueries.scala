@@ -271,6 +271,32 @@ object DedupQueries {
             .as("contam_frac"))
     }),
 
+    // near-dup connected components: fold the q32 LSH-verified pair graph
+    // into clusters by BOUNDED min-label propagation (3 rounds) — the
+    // grouping step that turns pairwise near-dup hits into dedup groups.
+    // Each round is one equi-join + min-aggregation (both map-side
+    // combinable); the round COUNT is fixed, so the plan is 3 bounded
+    // shuffles, not an unbounded driver loop — labels converge for any
+    // component of diameter <= 3, and the bound is part of the operator's
+    // contract (the oracle iterates identically, so parity is exact even
+    // on wider components).
+    "q75_neardup_components" -> ((spark, dir) => {
+      val pairs = defs("q32_lsh_jaccard_pairs")(spark, dir)
+        .select(col("doc_a"), col("doc_b"))
+      val e = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .cache()
+      var labels = table(spark, dir, "documents")
+        .select(col("doc_id"), col("doc_id").as("label"))
+      for (_ <- 1 to 3) {
+        val nbr = e.join(labels, e("dst") === labels("doc_id"))
+          .select(col("src").as("doc_id"), col("label"))
+        labels = labels.union(nbr)
+          .groupBy("doc_id").agg(min("label").as("label"))
+      }
+      labels.select(col("doc_id"), col("label").as("component"))
+    }),
+
     // KMV (k-minimum-values) distinct-cardinality sketch over the corpus
     // shingle set: keep the K smallest 60-bit hashes, estimate
     // |distinct| ≈ (K-1)·2^60 / kth_min. Deterministic given the hash, so
@@ -416,6 +442,30 @@ object DedupQueries {
          |       CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_contaminated,
          |       ${sround("CAST(coalesce(h.n_hit, 0) AS DOUBLE) / t.n_ngrams", 6)} AS contam_frac
          |FROM tot t LEFT JOIN hits h USING (doc_id)""".stripMargin,
+
+    "q75_neardup_components" -> {
+      val jac = "len(list_intersect(sa.sh, sb.sh))::DOUBLE / len(list_distinct(list_concat(sa.sh, sb.sh)))"
+      val rounds = (1 to 3).map { i =>
+        val prev = s"l${i - 1}"
+        s"""l$i AS (SELECT doc_id, min(label) AS label FROM (
+           |         SELECT doc_id, label FROM $prev
+           |         UNION ALL
+           |         SELECT e.src AS doc_id, $prev.label FROM e JOIN $prev ON e.dst = $prev.doc_id)
+           |       GROUP BY doc_id)""".stripMargin
+      }.mkString(",\n")
+      s"""$sigCte,
+         |exploded AS (SELECT doc_id, unnest([b0, b1, b2, b3]) AS bk FROM bands),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM exploded a JOIN exploded b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+         |pairs AS (SELECT doc_a, doc_b FROM cand
+         |          JOIN sh sa ON doc_a = sa.doc_id JOIN sh sb ON doc_b = sb.doc_id
+         |          WHERE ${sround(jac, 6)} >= 0.3),
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |      UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+         |l0 AS (SELECT doc_id, doc_id AS label FROM documents),
+         |$rounds
+         |SELECT doc_id, label AS component FROM l3""".stripMargin
+    },
 
     "q70_kmv_distinct" -> {
       val numer = dlit(63.0 * math.pow(2.0, 60))

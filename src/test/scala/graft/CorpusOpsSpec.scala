@@ -145,6 +145,41 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(r => (1 to 5).map(r.getLong).sum).sum == total)
   }
 
+  test("q75 components agree with a driver-side union-find over the q32 pairs") {
+    val pairs = DedupQueries.defs("q32_lsh_jaccard_pairs")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    val parent = scala.collection.mutable.Map(docs.map(d => d -> d): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // full union-find labels = min doc id per component; 3 propagation
+    // rounds reach them whenever component diameter <= 3
+    val expected = docs.map(d => d -> find(d)).toMap
+    val got = DedupQueries.defs("q75_neardup_components")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == expected.keySet)
+    val mismatches = expected.count { case (d, c) => got(d) != c }
+    assert(mismatches == 0,
+      s"$mismatches labels unconverged — a component wider than the 3-round bound")
+  }
+
+  test("partitioned parquet sink round-trips with partition pruning at the scan") {
+    val out = java.nio.file.Files.createTempDirectory("graft-part").toString
+    spark.read.parquet(s"$dir/documents.parquet")
+      .write.mode("overwrite").partitionBy("lang").parquet(out)
+    val back = spark.read.parquet(out).where(col("lang") === "en")
+    val scan = back.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("lang"),
+      "the lang predicate must prune partitions, not filter rows")
+    val expected = spark.read.parquet(s"$dir/documents.parquet")
+      .where(col("lang") === "en").count()
+    assert(back.count() == expected)
+  }
+
   test("q68 json aggregates match a driver-side parse") {
     val rows = RelQueries.defs("q68_json_extract")(spark, dir).collect()
     val ev = spark.read.parquet(s"$dir/events.parquet")
