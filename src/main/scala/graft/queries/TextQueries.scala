@@ -296,6 +296,29 @@ object TextQueries {
           pround(lit(1.0) - col("n_distinct").cast("double") / col("n_grams"), 6))
     }),
 
+    // unigram language-model scoring: train token probabilities from the
+    // corpus itself (freq/N), score each document by its mean token log-
+    // probability — the perplexity-filter shape of model-based quality
+    // gating (low avg_logprob = unusual token mix). The log is quantized
+    // per DISTINCT TOKEN immediately (same parity discipline as the
+    // TF-IDF idf); everything downstream is exact IEEE arithmetic. The
+    // vocabulary dictionary joins unhinted (it grows with the corpus);
+    // the 1-row total is the broadcast side.
+    "q76_unigram_logprob" -> ((spark, dir) => {
+      val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+      val pairs = spread(table(spark, dir, "documents"))
+        .select(col("doc_id"), explode(toks).as("token"))
+      val freq = pairs.groupBy("token").agg(count(lit(1)).as("freq"))
+      val tot = pairs.agg(count(lit(1)).as("n_total"))
+      val logp = pround(log(col("freq").cast("double") / col("n_total")), 6)
+      pairs.join(freq, Seq("token"))
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"), logp.as("lp"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+             pround(xsum(col("lp"), 6) / count(lit(1)), 6).as("avg_logprob"))
+    }),
+
     // fingerprints: exact md5 + min-shingle-hash (1-permutation minhash)
     "q38_fingerprint" -> ((spark, dir) => {
       val minShingle = udf((text: String) => {
@@ -422,6 +445,18 @@ object TextQueries {
          |       CAST(len(list_distinct(grams)) AS INT) AS n_distinct,
          |       ${sround("1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)", 6)} AS rep_frac
          |FROM g""".stripMargin,
+
+    "q76_unigram_logprob" -> {
+      val logp = sround("ln(freq::DOUBLE / n_total)", 6)
+      s"""WITH t AS (SELECT doc_id, $toksSqlD AS toks FROM documents),
+         |p AS (SELECT doc_id, unnest(toks) AS token FROM t),
+         |f AS (SELECT token, CAST(count(*) AS BIGINT) AS freq FROM p GROUP BY token),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM p),
+         |s AS (SELECT doc_id, $logp AS lp FROM p JOIN f USING (token) CROSS JOIN n)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |       ${sround(xsumSql("lp", 6) + " / count(*)", 6)} AS avg_logprob
+         |FROM s GROUP BY doc_id""".stripMargin
+    },
 
     "q38_fingerprint" -> {
       val norm = graft.sql.TextSql.norm
