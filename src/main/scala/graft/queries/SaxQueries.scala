@@ -26,6 +26,11 @@ object SaxQueries {
   private val W = 4
   private val C = 4
 
+  /** q77's anomaly floor on mindist(word, dominant word) — shared with the
+    * oracle via [[graft.sql.OracleGen.dlit]] embedding inside mindistColCol
+    * output, so the boundary compare is the identical rounded double. */
+  private val AnomalyThreshold = 2.0
+
   // Order by MICROSECOND-truncated ts + event_id: the oracle's DuckDB
   // reads the ns parquet column as a us TIMESTAMP, so ordering by raw ns
   // would diverge from the oracle whenever two same-user events share a
@@ -266,6 +271,28 @@ object SaxQueries {
     // distances on the deduplicated dictionary instead of raw rows. The
     // dictionary is tiny (numerosity reduction), so the all-pairs join is
     // a deliberate broadcast product of a few hundred rows.
+    // anomaly detection — the reference's headline use case (README "detect
+    // patterns/anomalies"): each user's DOMINANT window word (mode, ties
+    // to the smallest word) is their normal regime; windows whose word
+    // sits further than the mindist threshold from it are anomalous.
+    // The dominant-word dictionary is one row per series key — it grows
+    // with the corpus, so it joins UNHINTED on user_id (the words frame
+    // is already hash-partitioned by user from the window sort; at scale
+    // this is a co-partitioned join, no extra shuffle of the big side).
+    "q77_sax_anomaly" -> ((spark, dir) => {
+      val words = windowWords(spark, dir)
+      val counts = words.groupBy("user_id", "word").agg(count(lit(1)).as("cnt"))
+      val dom = counts.withColumn("rn", row_number().over(
+          Window.partitionBy("user_id").orderBy(desc("cnt"), col("word"))))
+        .where(col("rn") === 1)
+        .select(col("user_id"), col("word").as("dom_word"))
+      val md = sax_mindist(col("word"), lit(N.toLong), col("dom_word"), lit(N.toLong), C)
+      words.join(dom, "user_id")
+        .select(col("user_id"), col("event_id"), col("word"), col("dom_word"),
+          pround(md.getField("dist"), 6).as("dist"))
+        .where(col("dist") > AnomalyThreshold)
+    }),
+
     "q17_sax_word_matrix" -> ((spark, dir) => {
       val dict = windowWords(spark, dir).select("word").distinct()
       val md = sax_mindist(col("a.word"), lit(N.toLong), col("b.word"), lit(N.toLong), C)
@@ -476,6 +503,18 @@ object SaxQueries {
         val cte = windowWordsSqlFor(N, W, C,
           "COALESCE(TRY_CAST(regexp_extract(props, '\"k\": ([0-9]+)', 1) AS DOUBLE), 'NaN'::DOUBLE)")
         s"WITH q AS ($cte)\nSELECT word, count(*)::BIGINT AS cnt FROM q GROUP BY word"
+      },
+
+      "q77_sax_anomaly" -> {
+        val md = OracleGen.mindistColCol("q.word", "d.dom_word", W, N, C)
+        s"""WITH q AS ($windowWordsSql),
+           |counts AS (SELECT user_id, word, count(*) AS cnt FROM q GROUP BY user_id, word),
+           |dom AS (SELECT user_id, word AS dom_word FROM (
+           |  SELECT user_id, word, row_number() OVER (PARTITION BY user_id ORDER BY cnt DESC, word) AS rn
+           |  FROM counts) WHERE rn = 1)
+           |SELECT q.user_id, q.event_id, q.word, d.dom_word, ${md.dist} AS dist
+           |FROM q JOIN dom d ON q.user_id = d.user_id
+           |WHERE ${md.dist} > ${OracleGen.dlit(AnomalyThreshold)}""".stripMargin
       },
 
       "q17_sax_word_matrix" -> {
