@@ -37,11 +37,16 @@ object Bench {
       spark.catalog.clearCache() // queries may cache(); don't leak across timings
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // keep the line WELL under the driver's ~2,000-char tail capture that
+    // truncated rounds 1+2 ("parsed": null): times at 3 decimals and
+    // per-query keys shortened to their unique qNN prefix (~1,100 chars
+    // for 78 queries vs ~2,450 full-precision/full-name)
+    def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => "\"" + k.split("_").head + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // stdout for the driver (build.sbt routes `run` output straight to
     // stdout, no [info] prefix) + a file copy in case the log gets framed
     println(line)

@@ -119,22 +119,40 @@ object VectorQueries {
   private val SemWindow = 8
   private val SemThreshold = 0.3
 
+  /** Per-vector argmax over a broadcast centroid ARRAY: score every
+    * centroid inside ONE projection (`transform` + `array_max` over
+    * struct(ccos, -cent_id)) so the assignment never leaves the scan
+    * stage. The former formulation joined the corpus against the centroid
+    * ROWS and ranked with a window — a shuffle of n·K rows each carrying
+    * the full embedding, 8-32 corpus copies through the exchange at scale.
+    * Struct max is lexicographic, so max(ccos, -cent_id) = highest rounded
+    * cosine, ties toward the LOWEST centroid id — the exact ordering of
+    * the old `ORDER BY ccos DESC, cent_id` rank (and of the unchanged
+    * oracle SQL). */
+  private def assignNearest(emb: org.apache.spark.sql.DataFrame,
+                            cents: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val packed = cents
+      .agg(collect_list(struct(col("cent_id"), col("ce"))).as("cents"))
+    emb.join(broadcast(packed))
+      .select(col("vec_id"), col("embedding"),
+        array_max(transform(col("cents"), c =>
+          struct(pround(cosUdf(col("embedding"), c.getField("ce")), 6).as("ccos"),
+            (-c.getField("cent_id")).as("nid")))).as("best"))
+      .select(col("vec_id"), col("embedding"),
+        (-col("best.nid")).as("cell"), col("best.ccos").as("ccos"))
+  }
+
   /** Shared q65/q66 cluster assignment: nearest of the K seed centroids by
-    * rounded cosine, ties toward the lowest centroid id. The K-row
-    * centroid frame is broadcast — assignment is a map-side O(n·K) pass,
-    * never a shuffle of the corpus. */
-  private def kmeansAssign(spark: org.apache.spark.sql.SparkSession,
-                           dir: String): org.apache.spark.sql.DataFrame = {
+    * rounded cosine, ties toward the lowest centroid id — via the map-side
+    * [[assignNearest]] argmax (no shuffle between the embeddings scan and
+    * the assignment; `KmeansAssignPlanSpec` pins the plan shape). */
+  private[queries] def kmeansAssign(spark: org.apache.spark.sql.SparkSession,
+                                    dir: String): org.apache.spark.sql.DataFrame = {
     val emb = spread(table(spark, dir, "embeddings"))
     val cents = emb.where(col("vec_id") < KmeansK)
       .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
-    emb.join(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("cent_id"),
-        pround(cosUdf(col("embedding"), col("ce")), 6).as("ccos"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("vec_id").orderBy(desc("ccos"), col("cent_id"))))
-      .where(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"), col("ccos"))
+    assignNearest(emb, cents)
   }
 
   /** IVF coarse-quantizer budget: the centroid COUNT is fixed (stride =
@@ -236,15 +254,11 @@ object VectorQueries {
       val stride = math.max(1L, table(spark, dir, "embeddings").count() / CentroidBudget)
       val cents = emb.where(col("vec_id") % stride === 0)
         .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
-      // nearest centroid per vector: max (rounded cos, -cent_id) —
-      // deterministic tie-break toward the lowest centroid id
-      val assigned = emb.join(broadcast(cents))
-        .select(col("vec_id"), col("embedding"), col("cent_id"),
-          pround(cosUdf(col("embedding"), col("ce")), 6).as("ccos"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("vec_id").orderBy(desc("ccos"), col("cent_id"))))
-        .where(col("rn") === 1)
-        .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+      // nearest centroid per vector: map-side argmax over the broadcast
+      // centroid array (max (rounded cos, -cent_id) — deterministic
+      // tie-break toward the lowest centroid id), no window shuffle
+      val assigned = assignNearest(emb, cents)
+        .select(col("vec_id"), col("embedding"), col("cell"))
       val q = assigned.where(col("vec_id") < QueryCount)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("cell"))
       assigned.join(broadcast(q), Seq("cell"))
