@@ -69,10 +69,14 @@ object DedupQueries {
 
   // ---- Spark-side shared frames -------------------------------------------
 
-  private val shinglesUdf = udf((text: String) =>
-    TextHash.shingles(TextHash.tokenize(text), 3))
-  private val bandsUdf = udf((sh: Seq[String]) =>
-    TextHash.bandKeys(TextHash.minhash(sh.toArray), BandRows))
+  /** Native codegen shingles / band keys (graft.functions.ShinglesExpr /
+    * MinhashBandsExpr) — the identical [[TextHash]] kernels the former
+    * Scala UDFs called, minus per-document UDF invocation overhead; these
+    * run once per document in every dedup query. */
+  private def shinglesUdf(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.TextFunctions.doc_shingles(text, 3)
+  private def bandsUdf(sh: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.TextFunctions.minhash_bands(sh, BandRows)
   /** Native codegen set-Jaccard (graft.functions.JaccardExpr) — the exact
     * former Scala-Set UDF arithmetic without per-pair Seq boxing; runs
     * once per LSH / prefix-filter candidate pair. */
@@ -142,12 +146,12 @@ object DedupQueries {
         .where(col("jaccard") >= 0.3)
     }),
 
-    // 60-bit simhash per document (token multiset, md5-derived bits)
-    "q33_simhash" -> ((spark, dir) => {
-      val simUdf = udf((text: String) => TextHash.simhash(TextHash.tokenize(text)))
+    // 60-bit simhash per document (token multiset, md5-derived bits) —
+    // native codegen expression (graft.functions.SimhashExpr)
+    "q33_simhash" -> ((spark, dir) =>
       spread(table(spark, dir, "documents"))
-        .select(col("doc_id"), simUdf(col("text")).as("simhash"))
-    }),
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.doc_simhash(col("text")).as("simhash"))),
 
     // EXACT n-gram Jaccard similarity join via prefix filtering (SSJoin /
     // PPJoin family): order each doc's shingle set by ascending global
@@ -281,8 +285,11 @@ object DedupQueries {
     // contract (the oracle iterates identically, so parity is exact even
     // on wider components).
     "q75_neardup_components" -> ((spark, dir) => {
+      // cache the verified pair set BEFORE the two-direction union: the
+      // union reads `pairs` twice, and without the cache each branch
+      // re-runs the whole LSH + Jaccard-verify derivation
       val pairs = defs("q32_lsh_jaccard_pairs")(spark, dir)
-        .select(col("doc_a"), col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).cache()
       val e = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
         .cache()
@@ -328,9 +335,9 @@ object DedupQueries {
     // same-vocabulary simhashes are heavily correlated; at larger corpora
     // widen the hash / add bands rather than shrinking them.
     "q34_simhash_pairs" -> ((spark, dir) => {
-      val simUdf = udf((text: String) => TextHash.simhash(TextHash.tokenize(text)))
       val s = spread(table(spark, dir, "documents"))
-        .select(col("doc_id"), simUdf(col("text")).as("simhash"))
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.doc_simhash(col("text")).as("simhash"))
       val banded = s.select(col("doc_id"), col("simhash"),
           explode(array((0 until TextHash.SimBands).map(j =>
             struct(lit(j).as("j"),

@@ -210,24 +210,23 @@ object RelQueries {
 
     // exact multi-quantile by rank arithmetic (generalizes q55): the
     // lower (type-1) quantile at rank floor(q*(n-1)) + 1 per group.
-    // Target ranks form a (|types| x |quantiles|)-row frame — broadcast
-    // against the ranked events, so the only heavy operation is the same
-    // per-group window sort any ranked analytic needs.
+    // Single pass: with rn and n both window columns, each row decides
+    // FOR ITSELF which quantiles it is the target rank of (a per-row
+    // filtered array + explode) — no second aggregation, no join back,
+    // so the per-group window sort executes exactly once. (The earlier
+    // formulation derived a target-rank frame from the same window and
+    // joined it back — the ranked sort ran in two jobs.)
     "q72_quantiles" -> ((spark, dir) => {
       val qs = Seq(0.25, 0.5, 0.75, 0.95)
       val byType = Window.partitionBy("event_type")
-      val ranked = table(spark, dir, "events")
+      table(spark, dir, "events")
         .select(col("event_type"), col("value"), col("event_id"))
         .withColumn("rn", row_number().over(byType.orderBy(col("value"), col("event_id"))))
         .withColumn("n", count(lit(1)).over(byType))
-      val targets = ranked.groupBy("event_type").agg(max("n").as("n"))
-        .select(col("event_type").as("t_type"),
-          explode(array(qs.map(lit): _*)).as("q"), col("n"))
-        .select(col("t_type"), col("q"),
-          (floor(col("q") * (col("n") - 1)) + 1).as("trn"))
-      ranked.join(broadcast(targets),
-          col("event_type") === col("t_type") && col("rn") === col("trn"))
-        .select(col("event_type"), col("q"), col("value").as("q_value"))
+        .select(col("event_type"),
+          explode(filter(array(qs.map(lit): _*),
+            q => col("rn") === floor(q * (col("n") - 1)) + lit(1))).as("q"),
+          col("value").as("q_value"))
     }),
 
     // semi-structured extraction: pull a typed field out of the JSON

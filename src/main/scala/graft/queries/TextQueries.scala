@@ -319,16 +319,14 @@ object TextQueries {
              pround(xsum(col("lp"), 6) / count(lit(1)), 6).as("avg_logprob"))
     }),
 
-    // fingerprints: exact md5 + min-shingle-hash (1-permutation minhash)
+    // fingerprints: exact md5 + min-shingle-hash (1-permutation minhash,
+    // native codegen expression graft.functions.MinShingleExpr)
     "q38_fingerprint" -> ((spark, dir) => {
-      val minShingle = udf((text: String) => {
-        val sh = graft.text.TextHash.shingles(graft.text.TextHash.tokenize(text), 3)
-        sh.map(graft.text.TextHash.md5Hex).min
-      })
       val norm = trim(regexp_replace(regexp_replace(
         lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
       spread(table(spark, dir, "documents")).select(col("doc_id"),
-        md5(norm).as("fp"), minShingle(col("text")).as("min_shingle"))
+        md5(norm).as("fp"),
+        graft.functions.TextFunctions.min_shingle(col("text"), 3).as("min_shingle"))
     })
   )
 

@@ -28,18 +28,14 @@ object VectorQueries {
     * from a fixed LCG — embedded into the oracle SQL from these same
     * values. Multi-table LSH: each table is an independent 8-bit bucket
     * function; a pair is a candidate if ANY table buckets them together,
-    * trading a constant factor of work for ~NumTables× recall. */
-  val NumPlanes = 8
-  val NumTables = 4
+    * trading a constant factor of work for ~NumTables× recall. The banks
+    * live in [[graft.functions.VectorCodegenOps]] next to the native
+    * bucket kernel; these aliases keep the oracle-SQL embedding reading
+    * from the same arrays. */
+  val NumPlanes: Int = graft.functions.VectorCodegenOps.NumPlanes
+  val NumTables: Int = graft.functions.VectorCodegenOps.NumTables
   val Dim = 64
-  private def lcgSigns(seed: Long, rows: Int): Array[Array[Double]] = {
-    var x = seed
-    Array.fill(rows, Dim) {
-      x = x * 6364136223846793005L + 1442695040888963407L
-      if (((x >>> 62) & 1L) == 1L) 1.0 else -1.0
-    }
-  }
-  val Signs: Array[Array[Double]] = lcgSigns(42L, NumTables * NumPlanes)
+  val Signs: Array[Array[Double]] = graft.functions.VectorCodegenOps.Signs
 
   /** Near-dup (q44) plane-count derivation: buckets must GROW with the
     * corpus or in-bucket pair counts grow quadratically. Base 8 bits up to
@@ -47,7 +43,7 @@ object VectorQueries {
     * [[MaxPlanes]] — an exact integer threshold ladder so Spark and the
     * oracle SQL derive bit-identical counts (float log2 would not be
     * portable). ~64-vector average buckets at every scale. */
-  val MaxPlanes = 16
+  val MaxPlanes: Int = graft.functions.VectorCodegenOps.MaxPlanes
   val PlanesBaseCap = 16384L // 8 planes: 2^8 buckets x 64 avg vectors
   def planesFor(n: Long): Int = {
     var p = NumPlanes
@@ -65,7 +61,7 @@ object VectorQueries {
   /** Sign bank for the derived-plane near-dup hash — sized for the cap,
     * distinct seed so the fixed-plane probe tables (q41/q42) keep their
     * round-1 hash functions. */
-  val SignsX: Array[Array[Double]] = lcgSigns(1337L, NumTables * MaxPlanes)
+  val SignsX: Array[Array[Double]] = graft.functions.VectorCodegenOps.SignsX
 
   /** Native codegen cosine (graft.functions.CosineSimExpr) — the identical
     * double-accumulation loop the original UDF ran, minus the per-row
@@ -75,39 +71,19 @@ object VectorQueries {
                      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     graft.functions.VectorFunctions.vec_cosine(a, b)
 
-  private def bucketFor(e: Seq[Float], table: Int): Int = {
-    var bucket = 0
-    var j = 0
-    while (j < NumPlanes) {
-      var acc = 0.0
-      var i = 0
-      while (i < Dim) { acc += Signs(table * NumPlanes + j)(i) * e(i).toDouble; i += 1 }
-      if (acc > 0) bucket |= (1 << j)
-      j += 1
-    }
-    bucket
-  }
+  /** Native codegen bucket keys (graft.functions.LshBucketsExpr): all
+    * NumTables keys, table id encoded in the high bits so keys from
+    * different tables never join. The identical double-accumulation loop
+    * the former Scala UDFs ran, minus the per-row Seq[Float] boxing —
+    * corpus hashing stays inside WholeStageCodegen. */
+  private def bucketsCol(e: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    graft.functions.VectorFunctions.lsh_buckets(e, 0, NumPlanes, NumPlanes)
 
-  /** Derived-plane variant over the [[SignsX]] bank (q44 near-dup). */
-  private def bucketForX(e: Seq[Float], table: Int, planes: Int): Int = {
-    var bucket = 0
-    var j = 0
-    while (j < planes) {
-      var acc = 0.0
-      var i = 0
-      while (i < Dim) { acc += SignsX(table * MaxPlanes + j)(i) * e(i).toDouble; i += 1 }
-      if (acc > 0) bucket |= (1 << j)
-      j += 1
-    }
-    bucket
-  }
-
-  private val bucketUdf = udf((e: Seq[Float]) => bucketFor(e, 0))
-
-  /** All table keys, table id encoded in the high bits so keys from
-    * different tables never join. */
-  private val bucketsUdf = udf((e: Seq[Float]) =>
-    (0 until NumTables).map(t => (t << NumPlanes) | bucketFor(e, t)))
+  /** Derived-plane variant over the [[SignsX]] bank (q44 near-dup); table
+    * id shifted by the CONSTANT MaxPlanes so the key encoding is
+    * independent of the derived plane count. */
+  private def bucketsColX(e: org.apache.spark.sql.Column, planes: Int): org.apache.spark.sql.Column =
+    graft.functions.VectorFunctions.lsh_buckets(e, 1, planes, MaxPlanes)
 
   private val QueryCount = 10 // vec_id < 10 are the query vectors
 
@@ -180,16 +156,17 @@ object VectorQueries {
         .select("query_id", "vec_id", "cos")
     }),
 
-    // LSH bucket per vector (sign of 8 random-hyperplane projections)
+    // LSH bucket per vector (sign of 8 random-hyperplane projections):
+    // table 0's key carries no shift, so it IS the plain bucket id
     "q41_ann_lsh_buckets" -> ((spark, dir) =>
       spread(table(spark, dir, "embeddings"))
-        .select(col("vec_id"), bucketUdf(col("embedding")).as("bucket"))),
+        .select(col("vec_id"), bucketsCol(col("embedding")).getItem(0).as("bucket"))),
 
     // LSH candidate retrieval: vectors sharing ANY of the 4 table buckets
     // with each query, scored by exact cosine
     "q42_ann_lsh_probe" -> ((spark, dir) => {
       val emb = spread(table(spark, dir, "embeddings"))
-        .select(col("vec_id"), col("embedding"), explode(bucketsUdf(col("embedding"))).as("bucket"))
+        .select(col("vec_id"), col("embedding"), explode(bucketsCol(col("embedding"))).as("bucket"))
       val q = emb.where(col("vec_id") < QueryCount)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("bucket"))
       emb.join(broadcast(q), Seq("bucket"))
@@ -209,7 +186,7 @@ object VectorQueries {
     // are integers, so probing is exact integer arithmetic on both engines.
     "q53_ann_multiprobe" -> ((spark, dir) => {
       val emb = spread(table(spark, dir, "embeddings"))
-        .select(col("vec_id"), col("embedding"), explode(bucketsUdf(col("embedding"))).as("bucket"))
+        .select(col("vec_id"), col("embedding"), explode(bucketsCol(col("embedding"))).as("bucket"))
       // flipping a low bit (< NumPlanes) of the encoded key flips one
       // bucket bit and leaves the table id in the high bits intact
       val probes = emb.where(col("vec_id") < QueryCount)
@@ -233,10 +210,9 @@ object VectorQueries {
     // shift so the key encoding is independent of the derived count.
     "q44_embed_neardup" -> ((spark, dir) => {
       val planes = planesFor(table(spark, dir, "embeddings").count())
-      val buckets = udf((e: Seq[Float]) =>
-        (0 until NumTables).map(t => (t << MaxPlanes) | bucketForX(e, t, planes)))
       val emb = spread(table(spark, dir, "embeddings"))
-        .select(col("vec_id"), col("embedding"), explode(buckets(col("embedding"))).as("bucket"))
+        .select(col("vec_id"), col("embedding"),
+          explode(bucketsColX(col("embedding"), planes)).as("bucket"))
       emb.as("a").join(emb.as("b"),
           col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
@@ -322,8 +298,10 @@ object VectorQueries {
     // ANN evaluation: recall@5 of the LSH probe against brute-force
     // ground truth — the metric operator an ANN pipeline tunes against
     "q49_ann_recall" -> ((spark, dir) => {
+      // truth feeds BOTH the hit join and the query-id universe below —
+      // cache it so the brute-force scoring pass runs once per execution
       val truth = defs("q40_ann_brute")(spark, dir)
-        .select(col("query_id"), col("vec_id"))
+        .select(col("query_id"), col("vec_id")).cache()
       val cand = defs("q42_ann_lsh_probe")(spark, dir)
         .select(col("query_id"), col("vec_id"))
       val hits = truth.join(cand, Seq("query_id", "vec_id"))
@@ -339,30 +317,12 @@ object VectorQueries {
     // storage/serving compression step of an embedding pipeline. Pure
     // map-side arithmetic (no shuffle); the checksum is position-weighted
     // so the oracle verifies every quantized value, not just the multiset.
-    "q59_vector_quantize" -> ((spark, dir) => {
-      val quant = udf((e: Seq[Float]) => {
-        var mx = 1e-12 // zero-vector guard, mirrored in the oracle
-        var i = 0
-        while (i < e.length) {
-          val a = math.abs(e(i).toDouble); if (a > mx) mx = a; i += 1
-        }
-        val scale = 127.0 / mx
-        var cks = 0L; var qmin = Int.MaxValue; var qmax = Int.MinValue
-        i = 0
-        while (i < e.length) {
-          val q = math.floor(e(i).toDouble * scale + 0.5).toInt
-          cks += q.toLong * (i + 1)
-          if (q < qmin) qmin = q
-          if (q > qmax) qmax = q
-          i += 1
-        }
-        (math.floor(scale * 1e6 + 0.5) / 1e6, cks, qmin, qmax)
-      })
+    "q59_vector_quantize" -> ((spark, dir) =>
       spread(table(spark, dir, "embeddings"))
-        .select(col("vec_id"), quant(col("embedding")).as("q"))
-        .select(col("vec_id"), col("q._1").as("scale"), col("q._2").as("checksum"),
-          col("q._3").as("q_min"), col("q._4").as("q_max"))
-    }),
+        .select(col("vec_id"),
+          graft.functions.VectorFunctions.int8_quantize(col("embedding")).as("q"))
+        .select(col("vec_id"), col("q.scale").as("scale"), col("q.checksum").as("checksum"),
+          col("q.q_min").as("q_min"), col("q.q_max").as("q_max"))),
 
     // per-label corpus stats: count + mean vector L2 norm (decimal-exact)
     "q43_vector_stats" -> ((spark, dir) => {

@@ -56,6 +56,45 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => { arity("arr_jaccard", 2, args); graft.functions.JaccardExpr(
         Cast(args(0), ArrayType(StringType)), Cast(args(1), ArrayType(StringType))) }))
 
+    // constant int params (shingle k, band rows, plane counts) are
+    // plan-time fields of the expression, not child exprs — fold them out
+    // of the literal argument here
+    def intArg(e: Expression): Int = e.eval(null) match {
+      case n: Number => n.intValue
+      case other => throw new IllegalArgumentException(
+        s"expected a constant integer argument, got $other")
+    }
+
+    ext.injectFunction((FunctionIdentifier("doc_shingles"),
+      info("doc_shingles", "doc_shingles(text, k) - distinct k-word shingles of the tokenized text"),
+      (args: Seq[Expression]) => { arity("doc_shingles", 2, args); graft.functions.ShinglesExpr(
+        Cast(args(0), StringType), intArg(args(1))) }))
+
+    ext.injectFunction((FunctionIdentifier("minhash_bands"),
+      info("minhash_bands", "minhash_bands(shingles, rows) - MinHash LSH band-key strings"),
+      (args: Seq[Expression]) => { arity("minhash_bands", 2, args); graft.functions.MinhashBandsExpr(
+        Cast(args(0), ArrayType(StringType)), intArg(args(1))) }))
+
+    ext.injectFunction((FunctionIdentifier("doc_simhash"),
+      info("doc_simhash", "doc_simhash(text) - 60-bit simhash of the token multiset"),
+      (args: Seq[Expression]) => { arity("doc_simhash", 1, args); graft.functions.SimhashExpr(
+        Cast(args(0), StringType)) }))
+
+    ext.injectFunction((FunctionIdentifier("min_shingle"),
+      info("min_shingle", "min_shingle(text, k) - min md5 shingle fingerprint"),
+      (args: Seq[Expression]) => { arity("min_shingle", 2, args); graft.functions.MinShingleExpr(
+        Cast(args(0), StringType), intArg(args(1))) }))
+
+    ext.injectFunction((FunctionIdentifier("int8_quantize"),
+      info("int8_quantize", "int8_quantize(vec) - struct(scale, checksum, q_min, q_max) of the int8-quantized vector"),
+      (args: Seq[Expression]) => { arity("int8_quantize", 1, args); graft.functions.Int8QuantizeExpr(
+        Cast(args(0), ArrayType(FloatType))) }))
+
+    ext.injectFunction((FunctionIdentifier("lsh_buckets"),
+      info("lsh_buckets", "lsh_buckets(vec, bank, planes, shift) - per-table random-hyperplane bucket keys"),
+      (args: Seq[Expression]) => { arity("lsh_buckets", 4, args); graft.functions.LshBucketsExpr(
+        Cast(args(0), ArrayType(FloatType)), intArg(args(1)), intArg(args(2)), intArg(args(3))) }))
+
     ext.injectFunction((FunctionIdentifier("sax_mindist"),
       info("sax_mindist", "sax_mindist(a, nA, b, nB, c) - lower-bounding distance as struct(dist, above, below)"),
       (args: Seq[Expression]) => { arity("sax_mindist", 5, args); SaxMindistExpr(Seq(

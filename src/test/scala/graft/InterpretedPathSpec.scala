@@ -64,4 +64,61 @@ class InterpretedPathSpec extends AnyFunSuite with BeforeAndAfterAll {
     // ANN brute query end-to-end on the interpreted path
     assert(SparkEntry.queries("q40_ann_brute")(spark, dir).count() > 0)
   }
+
+  test("text/bucket/quantize natives agree with TextHash + driver loops under NO_CODEGEN") {
+    import org.apache.spark.sql.functions.col
+    import graft.text.TextHash
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .where(col("doc_id") < 5)
+      .select(col("doc_id"), col("text"),
+        graft.functions.TextFunctions.doc_shingles(col("text"), 3).as("sh"),
+        graft.functions.TextFunctions.doc_simhash(col("text")).as("sim"),
+        graft.functions.TextFunctions.min_shingle(col("text"), 3).as("ms"))
+    val withBands = docs.select(col("doc_id"), col("text"), col("sh"), col("sim"), col("ms"),
+      graft.functions.TextFunctions.minhash_bands(col("sh"), 4).as("bands"))
+    for (r <- withBands.collect()) {
+      val text = r.getString(1)
+      val sh = TextHash.shingles(TextHash.tokenize(text), 3)
+      assert(r.getSeq[String](2) == sh.toSeq, s"shingles of doc ${r.getLong(0)}")
+      assert(r.getLong(3) == TextHash.simhash(TextHash.tokenize(text)))
+      assert(r.getString(4) == sh.map(TextHash.md5Hex).min)
+      assert(r.getSeq[String](5) == TextHash.bandKeys(TextHash.minhash(sh), 4).toSeq)
+    }
+    // LSH buckets + int8 quantize vs a driver-side loop over the sign bank
+    import graft.functions.VectorCodegenOps.{NumPlanes, NumTables, Signs}
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .where(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.VectorFunctions.lsh_buckets(col("embedding"), 0, NumPlanes, NumPlanes).as("bk"),
+        graft.functions.VectorFunctions.int8_quantize(col("embedding")).as("q"))
+    for (r <- vecs.collect()) {
+      val e = r.getSeq[Float](1)
+      val expected = (0 until NumTables).map { t =>
+        var bucket = 0
+        for (j <- 0 until NumPlanes) {
+          var acc = 0.0
+          for (i <- e.indices) acc += Signs(t * NumPlanes + j)(i) * e(i).toDouble
+          if (acc > 0) bucket |= (1 << j)
+        }
+        (t << NumPlanes) | bucket
+      }
+      assert(r.getSeq[Int](2) == expected, s"buckets of vec ${r.getLong(0)}")
+      val q = r.getStruct(3)
+      val mx = math.max(1e-12, e.map(x => math.abs(x.toDouble)).max)
+      assert(q.getDouble(0) == math.floor(127.0 / mx * 1e6 + 0.5) / 1e6)
+      val qs = e.zipWithIndex.map { case (x, i) => (math.floor(x.toDouble * (127.0 / mx) + 0.5).toInt, i) }
+      assert(q.getLong(1) == qs.map { case (v, i) => v.toLong * (i + 1) }.sum)
+      assert(q.getInt(2) == qs.map(_._1).min && q.getInt(3) == qs.map(_._1).max)
+    }
+    // SQL registration path for the new natives
+    val s = spark.sql(
+      "SELECT doc_shingles('a b c d', 3) AS sh, doc_simhash('a b c') AS sim").head()
+    assert(s.getSeq[String](0) == Seq("a b c", "b c d"))
+    assert(s.getLong(1) == TextHash.simhash(Array("a", "b", "c")))
+    // dedup / fingerprint / quantize queries end-to-end interpreted
+    assert(SparkEntry.queries("q31_minhash_bands")(spark, dir).count() > 0)
+    assert(SparkEntry.queries("q38_fingerprint")(spark, dir).count() > 0)
+    assert(SparkEntry.queries("q59_vector_quantize")(spark, dir).count() > 0)
+  }
 }

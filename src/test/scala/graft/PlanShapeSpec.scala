@@ -1,0 +1,49 @@
+package graft
+
+import graft.queries.{RelQueries, VectorQueries}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regressions the oracle can't catch (the values stay right
+  * even when the plan degrades): q44 must verify candidate pairs BEFORE
+  * deduplicating them, and q72's per-group ranking must sort once. */
+class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val dir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = graft.SparkUtil.configure(
+      SparkSession.builder().master("local[4]"), "4").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("q44 runs the cosine filter below the candidate distinct") {
+    val plan = VectorQueries.defs("q44_embed_neardup")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // plans print top-down: the distinct (HashAggregate) must appear
+    // ABOVE the cos >= 0.3 filter, i.e. the selective verify runs first
+    // and the distinct shuffles only surviving pairs
+    val agg = plan.indexOf("HashAggregate")
+    val cut = plan.indexOf(">= 0.3")
+    assert(agg >= 0 && cut >= 0, plan)
+    assert(agg < cut,
+      s"the cosine filter must run before (below) the distinct:\n$plan")
+  }
+
+  test("q72 ranks the events window in a single sort") {
+    val q = RelQueries.defs("q72_quantiles")(spark, dir)
+    val plan = q.queryExecution.executedPlan.toString
+    val sorts = "(?m)^\\s*(?:[+:]-\\s*)?\\*?\\(?\\d*\\)?\\s*Sort \\[".r
+      .findAllIn(plan).size
+    assert(sorts == 1, s"expected exactly one Sort, got $sorts:\n$plan")
+    assert(!plan.contains("Join"), s"single-pass q72 must not join back:\n$plan")
+    // still correct: 4 quantiles per event type present in the data
+    val rows = q.collect()
+    val types = rows.map(_.getString(0)).distinct
+    assert(rows.length == types.length * 4)
+  }
+}
