@@ -25,6 +25,11 @@ object RelQueries {
     * SQL so they cannot drift. */
   private val SessionGapUs = 2L * 24 * 3600 * 1000000L
 
+  /** q79 rank depth + salt fan-out; the oracle ranks the same top-k with
+    * one direct window, so k feeds both surfaces from here. */
+  private val SkewTopK = 3
+  private val SkewSaltFan = 16
+
   val defs: Map[String, QFn] = Map(
     // sessionization: split each user's event stream on inactivity gaps
     // via lag + running sum of session starts, then per-session stats —
@@ -245,6 +250,29 @@ object RelQueries {
              max(col("k")).as("max_k"))
         .withColumn("avg_k", pround(col("sum_k").cast("double") / col("n_events"), 6))),
 
+    // deliberately-skewed window top-k: event_type has FIVE values, so a
+    // direct per-type rank funnels 1/5 of the corpus through one reducer
+    // at any scale. Two-phase salted ranking runs the big sort on
+    // (event_type, salt) — SkewSaltFan× the parallelism — then re-ranks
+    // only the 5·fan·k survivors. Each true top-k row is top-k within its
+    // own salt group, so the survivor set is a superset of the answer and
+    // the final ranks are bit-identical to the direct-window oracle.
+    // (q61 is the aggregation face of this pattern; this is the row face.)
+    "q79_skew_type_topk" -> ((spark, dir) => {
+      val bySalt = Window.partitionBy("event_type", "salt")
+        .orderBy(desc("value"), col("event_id"))
+      val byType = Window.partitionBy("event_type")
+        .orderBy(desc("value"), col("event_id"))
+      table(spark, dir, "events")
+        .select(col("event_type"), col("event_id"), col("value"))
+        .withColumn("salt", pmod(col("event_id"), lit(SkewSaltFan)))
+        .withColumn("rn", row_number().over(bySalt))
+        .where(col("rn") <= SkewTopK)
+        .withColumn("rnk", row_number().over(byType))
+        .where(col("rnk") <= SkewTopK)
+        .select(col("event_type"), col("rnk"), col("event_id"), col("value"))
+    }),
+
     // set op: customers that are both big spenders and BUILDING segment
     "q25_segment_intersect" -> ((spark, dir) => {
       val c = table(spark, dir, "customer")
@@ -392,6 +420,16 @@ object RelQueries {
          |       CAST(max(k) AS BIGINT) AS max_k,
          |       ${graft.sql.OracleGen.sround("CAST(sum(k) AS DOUBLE) / count(*)", 6)} AS avg_k
          |FROM k GROUP BY event_type""".stripMargin,
+
+    // the salting is an execution detail — ranks must equal ONE direct
+    // window per type
+    "q79_skew_type_topk" ->
+      s"""SELECT event_type, rnk, event_id, value FROM (
+         |  SELECT event_type, event_id, value,
+         |         CAST(row_number() OVER (PARTITION BY event_type
+         |                                 ORDER BY value DESC, event_id) AS INT) AS rnk
+         |  FROM events)
+         |WHERE rnk <= $SkewTopK""".stripMargin,
 
     "q25_segment_intersect" ->
       s"""SELECT o_custkey AS custkey FROM orders

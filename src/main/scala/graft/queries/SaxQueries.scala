@@ -84,6 +84,31 @@ object SaxQueries {
 
   private def windowWords: QFn = windowWordsFor(N, W, C)
 
+  /** Write the word dictionary + per-word counts as word-bucketed tables —
+    * the iSAX "index at rest" layout (reference README.md:32, HUGE pattern
+    * collections). Written ONCE per (session, dataset); every q78 call
+    * afterwards joins the two bucketed tables co-located, zero Exchange.
+    * Bucket count is fixed so both sides' at-rest hash partitioning agrees
+    * (at 100 TB you'd size it to the dictionary, e.g. 4096). */
+  private val WordBuckets = 8
+  private val bucketedOnce =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private def bucketedWordTables(spark: org.apache.spark.sql.SparkSession,
+                                 dir: String): (String, String) =
+    bucketedOnce.computeIfAbsent(s"${System.identityHashCode(spark)}:$dir", _ => {
+      val words = windowWords(spark, dir)
+      val base = java.nio.file.Files.createTempDirectory("graft-q78-").toString
+      val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val uwT = s"graft_q78_uw_$sfx"; val wcT = s"graft_q78_wc_$sfx"
+      words.select("user_id", "word").distinct()
+        .write.mode("overwrite").option("path", s"$base/uw")
+        .bucketBy(WordBuckets, "word").sortBy("word").saveAsTable(uwT)
+      words.groupBy("word").agg(count(lit(1)).as("word_cnt"))
+        .write.mode("overwrite").option("path", s"$base/wc")
+        .bucketBy(WordBuckets, "word").sortBy("word").saveAsTable(wcT)
+      (uwT, wcT)
+    })
+
   private def firstNWords(w: Int, c: Int, masked: Boolean): QFn = (spark, dir) => {
     val ev = table(spark, dir, "events")
     val v =
@@ -382,6 +407,18 @@ object SaxQueries {
         .toDF("event_id", "user_id", "word")
     }),
 
+    // the at-rest half of the iSAX scale story: both the (user, word)
+    // dictionary and the per-word counts live word-BUCKETED on disk, so
+    // the serving-path word equi-join is co-located — no Exchange on
+    // either side, at any dictionary size (the shuffle was paid once, at
+    // layout time). The merge hint pins the sort-merge form the layout
+    // exists for (both sides grow with the corpus; broadcast is wrong).
+    "q78_bucketed_word_join" -> ((spark, dir) => {
+      val (uwT, wcT) = bucketedWordTables(spark, dir)
+      spark.table(uwT).hint("merge").join(spark.table(wcT), "word")
+        .select(col("user_id"), col("word"), col("word_cnt"))
+    }),
+
     // numerosity-reduction runs: consecutive identical words collapse
     "q12_sax_runs" -> ((spark, dir) => {
       val w = Window.partitionBy("user_id").orderBy("event_id")
@@ -565,6 +602,15 @@ object SaxQueries {
            |SELECT event_id, word, ${md.dist} AS dist FROM q
            |WHERE substr(word, 1, 2) = 'BD' AND ${md.dist} <= 1.5""".stripMargin
       },
+
+      // the bucketed layout is an execution detail — results must equal
+      // the plain dictionary⋈counts join
+      "q78_bucketed_word_join" ->
+        s"""WITH q AS ($windowWordsSql),
+           |uw AS (SELECT DISTINCT user_id, word FROM q),
+           |wc AS (SELECT word, count(*)::BIGINT AS word_cnt FROM q GROUP BY word)
+           |SELECT uw.user_id, uw.word, wc.word_cnt
+           |FROM uw JOIN wc ON uw.word = wc.word""".stripMargin,
 
       "q12_sax_runs" ->
         s"""WITH q AS ($windowWordsSql),

@@ -53,4 +53,13 @@ class SaxBucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
       col("a.word") === col("b.word") && col("a.event_id") < col("b.event_id"))
     assert(joined.count() == unbucketed.count())
   }
+
+  test("q78's served join reads both bucketed sides with no Exchange") {
+    val df = graft.queries.SaxQueries
+      .defs("q78_bucketed_word_join")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Exchange"), s"q78 join must not shuffle:\n$plan")
+    assert(df.count() > 0)
+  }
 }
