@@ -17,6 +17,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Queries may cache intermediates (q75's edge relation, q52's prefix
+      // index); evict between queries so one query's pins don't squeeze the
+      // next 70 — mirrors Bench.scala's per-query clearCache.
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

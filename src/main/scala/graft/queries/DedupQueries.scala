@@ -285,37 +285,31 @@ object DedupQueries {
     // contract (the oracle iterates identically, so parity is exact even
     // on wider components).
     "q75_neardup_components" -> ((spark, dir) => {
-      // MATERIALIZE the edge set once: the 3-round loop reads `e` three
-      // times, and each round's plan reads the previous round's labels
-      // TWICE (union branch + join branch). Left lazy, that doubles the
-      // plan tree every round — 2^3 branches each re-deriving the whole
-      // LSH + Jaccard-verify pipeline concurrently (this is exactly what
-      // made the r3 bench's q75 pathological under ambient load). Forcing
-      // each round behind a cache() + count() barrier is the standard
-      // iterative-graph pattern (GraphX/MLlib do the same): every round
-      // then executes exactly once, and the whole query costs q32 + 3
-      // bounded label shuffles.
       val pairs = defs("q32_lsh_jaccard_pairs")(spark, dir)
         .select(col("doc_a"), col("doc_b"))
       val docs = table(spark, dir, "documents").select(col("doc_id"))
       // Edges in both directions PLUS one self-loop per doc. With
       // self-loops, each round is ONE join + min-agg that reads the
-      // previous labels ONCE — a linear lazy chain (the union-based
-      // formulation reads them twice, doubling the plan tree every round:
-      // 2^3 branches each re-deriving the LSH pipeline, which is what made
-      // the r3 bench's q75 pathological under load). min over {self label}
-      // ∪ {neighbor labels} is identical to the oracle's union form.
-      // Pre-partitioned on dst so the cached edge relation satisfies the
-      // join's required distribution — rounds re-shuffle only the thin
-      // label frame, never the edges.
+      // previous labels ONCE — a linear lazy chain (a union-based
+      // round formulation reads them twice, doubling the plan tree every
+      // round: 2^3 branches each re-deriving the LSH pipeline, which is
+      // what made the r3 bench's q75 pathological under load). min over
+      // {self label} ∪ {neighbor labels} is identical to the oracle's
+      // union form. Pre-partitioned on dst so the cached edge relation
+      // satisfies the join's required distribution — rounds re-shuffle
+      // only the thin label frame, never the edges.
       val e = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
         .union(docs.select(col("doc_id").as("src"), col("doc_id").as("dst")))
         .repartition(col("dst"))
         .cache()
-      // one barrier: derive the pair graph exactly once — without it the
-      // three per-round join stages have no dependency ordering and can
-      // each race to recompute the uncached q32 derivation concurrently
+      // One barrier — the standard iterative-graph pattern (GraphX/MLlib
+      // do the same): derive the pair graph exactly once, so the three
+      // per-round join stages never race to recompute the uncached q32
+      // derivation concurrently. CONTRACT NOTE: this makes the def EAGER —
+      // building the DataFrame executes the LSH pipeline. Bench/Verify
+      // timers account for it; plan-only callers should inspect the
+      // per-round subplans instead.
       e.count()
       var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
       for (_ <- 1 to 3) {

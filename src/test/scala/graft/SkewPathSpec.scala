@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.joins.SortMergeJoinExec
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -67,8 +67,14 @@ class SkewPathSpec extends AnyFunSuite with BeforeAndAfterAll {
     // SMJ(Sort(ShuffleStage), Sort(ShuffleStage)) — an aggregate between
     // shuffle and join defeats it), so the probe side is a filtered scan
     val skewKey = when(col("user_id") < 120, lit(0L)).otherwise(col("user_id")).as("k")
+    // repartition(4) gives the join's shuffle FOUR map tasks: AQE splits a
+    // skewed reduce partition at map-output granularity, so the single-file
+    // local scan's one mapper makes every partition unsplittable (skew
+    // count 0 even at 20x median). At real scale inputs arrive in
+    // thousands of mappers — same rationale as QueryBase.spread.
     val ev = spark.read
       .parquet("/root/testdata/sf0.01/events.parquet")
+      .repartition(4)
       .select(skewKey, col("event_id"), col("props"))
     val probes = spark.read
       .parquet("/root/testdata/sf0.01/events.parquet")
@@ -76,12 +82,24 @@ class SkewPathSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select(skewKey, col("event_id").as("probe_id"))
     val joined = ev.join(probes, "k")
 
-    assert(joined.count() > 0)
+    // execute THIS DataFrame's QueryExecution — count() builds a separate
+    // aggregate plan, leaving joined's AdaptiveSparkPlanExec un-replanned
+    // (isSkewJoin only flips after the adaptive re-plan actually runs)
+    assert(joined.collect().length > 0)
     val finalPlan = joined.queryExecution.executedPlan match {
       case a: AdaptiveSparkPlanExec => a.executedPlan
       case p => p
     }
-    val smjs = finalPlan.collect { case s: SortMergeJoinExec => s }
+    // QueryStageExec nodes are leaves — plain collect stops at
+    // ResultQueryStage/ShuffleQueryStage boundaries, so descend into each
+    // stage's materialized plan explicitly
+    def collectSmj(p: org.apache.spark.sql.execution.SparkPlan): Seq[SortMergeJoinExec] =
+      p.collect {
+        case s: SortMergeJoinExec => Seq(s)
+        case q: QueryStageExec => collectSmj(q.plan)
+        case a: AdaptiveSparkPlanExec => collectSmj(a.executedPlan)
+      }.flatten
+    val smjs = collectSmj(finalPlan)
     assert(smjs.nonEmpty, s"expected a sort-merge join:\n$finalPlan")
     assert(smjs.exists(_.isSkewJoin),
       s"AQE should have split the skewed partition:\n$finalPlan")
