@@ -45,6 +45,10 @@ object TextCodegenOps {
     val sh = TextHash.shingles(TextHash.tokenize(text.toString), k)
     UTF8String.fromString(sh.map(TextHash.md5Hex).min)
   }
+
+  /** Full MinHash signature (NumHashes longs) over the shingle set. */
+  def minhashSig(sh: ArrayData): ArrayData =
+    new GenericArrayData(TextHash.minhash(toStrings(sh)).map(v => v: Any))
 }
 
 /** Native `doc_shingles(text)`: tokenize + distinct k-shingles. Feeds
@@ -100,6 +104,25 @@ case class SimhashExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Native `minhash_sig(sh)`: the full 16-value MinHash signature as an
+  * array of longs — the raw estimator the band keys compress (q81 compares
+  * its per-position agreement against exact Jaccard). */
+case class MinhashSigExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override protected def nullSafeEval(a: Any): Any =
+    TextCodegenOps.minhashSig(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.TextCodegenOps.minhashSig($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Native `min_shingle(text)`: min-md5 shingle fingerprint (q38). */
 case class MinShingleExpr(child: Expression, k: Int) extends UnaryExpression {
 
@@ -129,6 +152,9 @@ object TextFunctions {
 
   def minhash_bands(sh: Column, rows: Int): Column =
     colOf(MinhashBandsExpr(Cast(exprOf(sh), ArrayType(StringType)), rows))
+
+  def minhash_sig(sh: Column): Column =
+    colOf(MinhashSigExpr(Cast(exprOf(sh), ArrayType(StringType))))
 
   def doc_simhash(text: Column): Column =
     colOf(SimhashExpr(Cast(exprOf(text), StringType)))

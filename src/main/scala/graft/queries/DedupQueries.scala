@@ -146,6 +146,45 @@ object DedupQueries {
         .where(col("jaccard") >= 0.3)
     }),
 
+    // MinHash estimator quality: for every LSH candidate pair, the
+    // signature-agreement Jaccard estimate (matching positions / 16) next
+    // to the exact shingle Jaccard — the operator that decides whether a
+    // pipeline can SKIP the exact verify at scale (estimate-only dedup
+    // reads two 128-byte signatures per pair instead of two shingle sets;
+    // the estimate is unbiased with σ = sqrt(J(1-J)/16)). Same banded
+    // candidate generation as q32; per-pair arithmetic is exact integers
+    // until the final division.
+    "q81_minhash_est" -> ((spark, dir) => {
+      val d = spread(table(spark, dir, "documents"))
+        .select(col("doc_id"), shinglesUdf(col("text")).as("sh"))
+        .withColumn("sig", graft.functions.TextFunctions.minhash_sig(col("sh")))
+        // band keys straight from the signature (b + ":" + 4 sig values) —
+        // same strings TextHash.bandKeys builds, without re-hashing
+        .withColumn("bands", array((0 until NumBands).map(b =>
+          concat_ws(":", lit(b.toString) +: (b * BandRows until (b + 1) * BandRows)
+            .map(j => col("sig")(j).cast("string")): _*)): _*))
+        .cache()
+      val exploded = d.select(col("doc_id"), explode(col("bands")).as("bk"))
+      val cand = exploded.as("a")
+        .join(exploded.as("b"),
+          col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val sigs = d.select(col("doc_id"), col("sh"), col("sig"))
+      cand
+        .join(sigs.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sigs.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .select(col("doc_a"), col("doc_b"),
+          aggregate(
+            zip_with(col("sa.sig"), col("sb.sig"),
+              (x, y) => when(x === y, lit(1L)).otherwise(lit(0L))),
+            lit(0L), (acc, v) => acc + v).as("n_agree"),
+          pround(jaccardUdf(col("sa.sh"), col("sb.sh")), 6).as("jaccard"))
+        .withColumn("est_jaccard",
+          pround(col("n_agree").cast("double") / NumHashes, 6))
+        .select("doc_a", "doc_b", "n_agree", "est_jaccard", "jaccard")
+    }),
+
     // 60-bit simhash per document (token multiset, md5-derived bits) —
     // native codegen expression (graft.functions.SimhashExpr)
     "q33_simhash" -> ((spark, dir) =>
@@ -319,6 +358,17 @@ object DedupQueries {
       labels.select(col("doc_id"), col("label").as("component"))
     }),
 
+    // dedup-cluster size histogram: how many near-dup clusters of each
+    // size the corpus holds — the summary a dedup run reports (and the
+    // input to "how much would we delete" capacity planning). Two
+    // map-side-combinable aggregations over the q75 labels; the label key
+    // is a doc_id (uniform), the size key has tiny cardinality, so both
+    // shuffles carry counts, not documents.
+    "q83_component_stats" -> ((spark, dir) =>
+      defs("q75_neardup_components")(spark, dir)
+        .groupBy("component").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))),
+
     // KMV (k-minimum-values) distinct-cardinality sketch over the corpus
     // shingle set: keep the K smallest 60-bit hashes, estimate
     // |distinct| ≈ (K-1)·2^60 / kth_min. Deterministic given the hash, so
@@ -465,29 +515,13 @@ object DedupQueries {
          |       ${sround("CAST(coalesce(h.n_hit, 0) AS DOUBLE) / t.n_ngrams", 6)} AS contam_frac
          |FROM tot t LEFT JOIN hits h USING (doc_id)""".stripMargin,
 
-    "q75_neardup_components" -> {
-      val jac = "len(list_intersect(sa.sh, sb.sh))::DOUBLE / len(list_distinct(list_concat(sa.sh, sb.sh)))"
-      val rounds = (1 to 3).map { i =>
-        val prev = s"l${i - 1}"
-        s"""l$i AS (SELECT doc_id, min(label) AS label FROM (
-           |         SELECT doc_id, label FROM $prev
-           |         UNION ALL
-           |         SELECT e.src AS doc_id, $prev.label FROM e JOIN $prev ON e.dst = $prev.doc_id)
-           |       GROUP BY doc_id)""".stripMargin
-      }.mkString(",\n")
-      s"""$sigCte,
-         |exploded AS (SELECT doc_id, unnest([b0, b1, b2, b3]) AS bk FROM bands),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |         FROM exploded a JOIN exploded b ON a.bk = b.bk AND a.doc_id < b.doc_id),
-         |pairs AS (SELECT doc_a, doc_b FROM cand
-         |          JOIN sh sa ON doc_a = sa.doc_id JOIN sh sb ON doc_b = sb.doc_id
-         |          WHERE ${sround(jac, 6)} >= 0.3),
-         |e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |      UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
-         |l0 AS (SELECT doc_id, doc_id AS label FROM documents),
-         |$rounds
-         |SELECT doc_id, label AS component FROM l3""".stripMargin
-    },
+    "q75_neardup_components" -> s"$componentCtes\nSELECT doc_id, label AS component FROM l3",
+
+    "q83_component_stats" ->
+      s"""$componentCtes,
+         |sz AS (SELECT label, CAST(count(*) AS BIGINT) AS cluster_size FROM l3 GROUP BY label)
+         |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+         |FROM sz GROUP BY cluster_size""".stripMargin,
 
     "q70_kmv_distinct" -> {
       val numer = dlit(63.0 * math.pow(2.0, 60))

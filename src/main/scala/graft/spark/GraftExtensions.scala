@@ -75,6 +75,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => { arity("minhash_bands", 2, args); graft.functions.MinhashBandsExpr(
         Cast(args(0), ArrayType(StringType)), intArg(args(1))) }))
 
+    ext.injectFunction((FunctionIdentifier("minhash_sig"),
+      info("minhash_sig", "minhash_sig(shingles) - full 16-value MinHash signature"),
+      (args: Seq[Expression]) => { arity("minhash_sig", 1, args); graft.functions.MinhashSigExpr(
+        Cast(args(0), ArrayType(StringType))) }))
+
     ext.injectFunction((FunctionIdentifier("doc_simhash"),
       info("doc_simhash", "doc_simhash(text) - 60-bit simhash of the token multiset"),
       (args: Seq[Expression]) => { arity("doc_simhash", 1, args); graft.functions.SimhashExpr(
