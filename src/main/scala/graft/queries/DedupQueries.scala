@@ -54,6 +54,34 @@ object DedupQueries {
        |sig AS (SELECT doc_id, sh, ${(0 until NumHashes).map(sigSql).mkString("[", ", ", "]")} AS sig FROM hs),
        |bands AS (SELECT doc_id, sh, ${(0 until NumBands).map(b => s"${bandSql(b)} AS b$b").mkString(", ")} FROM sig)""".stripMargin
 
+  /** Shared q75/q83 CTE chain: [[sigCte]] → banded candidate pairs →
+    * Jaccard-verified edges (threshold 0.3, sround-6 like q32) → symmetric
+    * edge list → 3 bounded min-label propagation rounds (l0..l3). Ends at
+    * the `l3` CTE with no trailing comma; q75 appends its final SELECT and
+    * q83 appends `, sz AS (...)` plus its SELECT. */
+  private lazy val componentCtes: String = {
+    val jac = "len(list_intersect(sa.sh, sb.sh))::DOUBLE / len(list_distinct(list_concat(sa.sh, sb.sh)))"
+    val rounds = (1 to 3).map { i =>
+      val prev = s"l${i - 1}"
+      s"""l$i AS (SELECT doc_id, min(label) AS label FROM (
+         |         SELECT doc_id, label FROM $prev
+         |         UNION ALL
+         |         SELECT e.src AS doc_id, $prev.label FROM e JOIN $prev ON e.dst = $prev.doc_id)
+         |       GROUP BY doc_id)""".stripMargin
+    }.mkString(",\n")
+    s"""$sigCte,
+       |exploded AS (SELECT doc_id, unnest([b0, b1, b2, b3]) AS bk FROM bands),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM exploded a JOIN exploded b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+       |pairs AS (SELECT doc_a, doc_b FROM cand
+       |          JOIN sh sa ON doc_a = sa.doc_id JOIN sh sb ON doc_b = sb.doc_id
+       |          WHERE ${sround(jac, 6)} >= 0.3),
+       |e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |      UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+       |l0 AS (SELECT doc_id, doc_id AS label FROM documents),
+       |$rounds""".stripMargin
+  }
+
   private val normSql = graft.sql.TextSql.norm
 
   /** Shared 60-bit simhash CTE (doc_id, simhash) + a trailing query. */
