@@ -167,6 +167,37 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"$mismatches labels unconverged — a component wider than the 3-round bound")
   }
 
+  test("q81 signature agreement matches a driver-side recount of the minhash kernel") {
+    import graft.text.TextHash
+    val sigs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        TextHash.minhash(TextHash.shingles(TextHash.tokenize(r.getString(1)), 3)))
+      .toMap
+    val rows = DedupQueries.defs("q81_minhash_est")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val expected = sigs(a).zip(sigs(b)).count { case (x, y) => x == y }.toLong
+      assert(r.getLong(2) == expected, s"n_agree of pair ($a,$b)")
+      assert(r.getDouble(3) == math.floor(expected / 16.0 * 1e6 + 0.5) / 1e6,
+        s"est_jaccard of pair ($a,$b)")
+    }
+    // the estimator runs over the same banded candidates q32 verifies, so
+    // every surviving q32 pair must appear here
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val q32 = DedupQueries.defs("q32_lsh_jaccard_pairs")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(q32.subsetOf(pairs))
+  }
+
+  test("q83 cluster-size histogram conserves the document count") {
+    val rows = DedupQueries.defs("q83_component_stats")(spark, dir).collect()
+    val docs = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(rows.map(r => r.getLong(0) * r.getLong(1)).sum == docs,
+      "sum(cluster_size * n_clusters) must equal the number of documents")
+  }
+
   test("partitioned parquet sink round-trips with partition pruning at the scan") {
     val out = java.nio.file.Files.createTempDirectory("graft-part").toString
     spark.read.parquet(s"$dir/documents.parquet")

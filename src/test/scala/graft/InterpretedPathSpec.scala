@@ -75,8 +75,17 @@ class InterpretedPathSpec extends AnyFunSuite with BeforeAndAfterAll {
         graft.functions.TextFunctions.doc_shingles(col("text"), 3).as("sh"),
         graft.functions.TextFunctions.doc_simhash(col("text")).as("sim"),
         graft.functions.TextFunctions.min_shingle(col("text"), 3).as("ms"))
+    // three band-key surfaces pinned together per row: MinhashBandsExpr,
+    // the q81-style reconstruction from MinhashSigExpr (concat_ws over sig
+    // slices), and the TextHash.bandKeys kernel — drift in any one fails here
+    import org.apache.spark.sql.functions.{array, concat_ws, lit}
+    val sigCol = graft.functions.TextFunctions.minhash_sig(col("sh"))
+    val bandsFromSig = array((0 until 4).map(b =>
+      concat_ws(":", lit(b.toString) +: (b * 4 until (b + 1) * 4)
+        .map(j => sigCol(j).cast("string")): _*)): _*)
     val withBands = docs.select(col("doc_id"), col("text"), col("sh"), col("sim"), col("ms"),
-      graft.functions.TextFunctions.minhash_bands(col("sh"), 4).as("bands"))
+      graft.functions.TextFunctions.minhash_bands(col("sh"), 4).as("bands"),
+      sigCol.as("sig"), bandsFromSig.as("bands_from_sig"))
     for (r <- withBands.collect()) {
       val text = r.getString(1)
       val sh = TextHash.shingles(TextHash.tokenize(text), 3)
@@ -84,6 +93,9 @@ class InterpretedPathSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(r.getLong(3) == TextHash.simhash(TextHash.tokenize(text)))
       assert(r.getString(4) == sh.map(TextHash.md5Hex).min)
       assert(r.getSeq[String](5) == TextHash.bandKeys(TextHash.minhash(sh), 4).toSeq)
+      assert(r.getSeq[Long](6) == TextHash.minhash(sh).toSeq, s"sig of doc ${r.getLong(0)}")
+      assert(r.getSeq[String](7) == r.getSeq[String](5),
+        s"bands-from-sig drift on doc ${r.getLong(0)}")
     }
     // LSH buckets + int8 quantize vs a driver-side loop over the sign bank
     import graft.functions.VectorCodegenOps.{NumPlanes, NumTables, Signs}
@@ -118,6 +130,7 @@ class InterpretedPathSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s.getLong(1) == TextHash.simhash(Array("a", "b", "c")))
     // dedup / fingerprint / quantize queries end-to-end interpreted
     assert(SparkEntry.queries("q31_minhash_bands")(spark, dir).count() > 0)
+    assert(SparkEntry.queries("q81_minhash_est")(spark, dir).count() > 0)
     assert(SparkEntry.queries("q38_fingerprint")(spark, dir).count() > 0)
     assert(SparkEntry.queries("q59_vector_quantize")(spark, dir).count() > 0)
   }
