@@ -112,6 +112,15 @@ object DedupQueries {
                          b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     graft.functions.VectorFunctions.arr_jaccard(a, b)
 
+  /** Band keys derived straight from an already-computed signature column
+    * ("b:h:h:h:h") — the same strings TextHash.bandKeys / MinhashBandsExpr
+    * produce, without re-hashing the shingles (drift across the three
+    * surfaces is pinned by InterpretedPathSpec). */
+  private def bandsFromSig(sig: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    array((0 until NumBands).map(b =>
+      concat_ws(":", lit(b.toString) +: (b * BandRows until (b + 1) * BandRows)
+        .map(j => sig(j).cast("string")): _*)): _*)
+
   private def docBands(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     spread(table(spark, dir, "documents"))
       .select(col("doc_id"), shinglesUdf(col("text")).as("sh"))
@@ -229,11 +238,7 @@ object DedupQueries {
       val d = spread(table(spark, dir, "documents"))
         .select(col("doc_id"), shinglesUdf(col("text")).as("sh"))
         .withColumn("sig", graft.functions.TextFunctions.minhash_sig(col("sh")))
-        // band keys straight from the signature (b + ":" + 4 sig values) —
-        // same strings TextHash.bandKeys builds, without re-hashing
-        .withColumn("bands", array((0 until NumBands).map(b =>
-          concat_ws(":", lit(b.toString) +: (b * BandRows until (b + 1) * BandRows)
-            .map(j => col("sig")(j).cast("string")): _*)): _*))
+        .withColumn("bands", bandsFromSig(col("sig")))
         .cache()
       val exploded = d.select(col("doc_id"), explode(col("bands")).as("bk"))
       val cand = exploded.as("a")
@@ -254,6 +259,41 @@ object DedupQueries {
         .withColumn("est_jaccard",
           pround(col("n_agree").cast("double") / NumHashes, 6))
         .select("doc_a", "doc_b", "n_agree", "est_jaccard", "jaccard")
+    }),
+
+    // Estimate-only near-dup dedup — the 100 TB fast path the q81
+    // estimator justifies: candidates from LSH bands, similarity decided
+    // from the SIGNATURE alone. The shingle sets never leave the map side
+    // — every shuffle row is doc_id + 16 longs (~136 bytes) instead of the
+    // document's token stream, and the exact-verify join disappears
+    // entirely. The threshold is the integer agreement count
+    // (est >= 0.5 <=> n_agree >= 8), so no double compare anywhere. q32 is
+    // the exact-verified face of the same pipeline; a corpus run picks
+    // this one when the estimator's σ = sqrt(J(1-J)/16) is acceptable.
+    "q84_estimate_dedup" -> ((spark, dir) => {
+      val d = spread(table(spark, dir, "documents"))
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.minhash_sig(shinglesUdf(col("text"))).as("sig"))
+        .withColumn("bands", bandsFromSig(col("sig")))
+        .cache()
+      val exploded = d.select(col("doc_id"), explode(col("bands")).as("bk"))
+      val cand = exploded.as("a")
+        .join(exploded.as("b"),
+          col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val sigs = d.select(col("doc_id"), col("sig"))
+      cand
+        .join(sigs.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sigs.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .select(col("doc_a"), col("doc_b"),
+          aggregate(
+            zip_with(col("sa.sig"), col("sb.sig"),
+              (x, y) => when(x === y, lit(1L)).otherwise(lit(0L))),
+            lit(0L), (acc, v) => acc + v).as("n_agree"))
+        .where(col("n_agree") >= NumHashes / 2)
+        .withColumn("est_jaccard",
+          pround(col("n_agree").cast("double") / NumHashes, 6))
     }),
 
     // 60-bit simhash per document (token multiset, md5-derived bits) —
@@ -505,6 +545,19 @@ object DedupQueries {
          |       ${sround(s"CAST($agree AS DOUBLE) / ${dlit(NumHashes.toDouble)}", 6)} AS est_jaccard,
          |       ${sround(jac, 6)} AS jaccard
          |FROM cand JOIN sig sa ON doc_a = sa.doc_id JOIN sig sb ON doc_b = sb.doc_id""".stripMargin
+    },
+
+    "q84_estimate_dedup" -> {
+      val agree = s"CAST(list_sum(list_transform(range(1, ${NumHashes + 1}), " +
+        "j -> CASE WHEN sa.sig[j] = sb.sig[j] THEN 1 ELSE 0 END)) AS BIGINT)"
+      s"""$sigCte,
+         |exploded AS (SELECT doc_id, unnest([b0, b1, b2, b3]) AS bk FROM bands),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM exploded a JOIN exploded b ON a.bk = b.bk AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, $agree AS n_agree,
+         |       ${sround(s"CAST($agree AS DOUBLE) / ${dlit(NumHashes.toDouble)}", 6)} AS est_jaccard
+         |FROM cand JOIN sig sa ON doc_a = sa.doc_id JOIN sig sb ON doc_b = sb.doc_id
+         |WHERE $agree >= ${NumHashes / 2}""".stripMargin
     },
 
     "q52_jaccard_prefix_join" -> {

@@ -319,6 +319,51 @@ object TextQueries {
              pround(xsum(col("lp"), 6) / count(lit(1)), 6).as("avg_logprob"))
     }),
 
+    // per-document token-frequency profile: hapax share (tokens seen
+    // exactly once) and top-token share (burstiness) — repetition quality
+    // signals q36's list-side TTR can't see. Deliberately the DISTRIBUTED
+    // formulation: explode + two map-side-combinable aggregation levels on
+    // (doc_id, token), so the per-doc frequency table never materializes
+    // as a single in-memory map — the shape that survives documents wider
+    // than one task's heap.
+    "q85_token_burstiness" -> ((spark, dir) => {
+      val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+      val tf = spread(table(spark, dir, "documents"))
+        .select(col("doc_id"), explode(toks).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
+      tf.groupBy("doc_id")
+        .agg(sum("cnt").as("n_tokens"),
+             count(lit(1)).as("n_types"),
+             sum(when(col("cnt") === 1, lit(1L)).otherwise(lit(0L))).as("n_hapax"),
+             max("cnt").as("top_cnt"))
+        .select(col("doc_id"), col("n_tokens"), col("n_types"), col("n_hapax"),
+          pround(col("n_hapax").cast("double") / col("n_types"), 6).as("hapax_frac"),
+          pround(col("top_cnt").cast("double") / col("n_tokens"), 6).as("top_tok_frac"))
+    }),
+
+    // distribution-based quality gate: keep documents whose n_chars falls
+    // inside the corpus's exact [p10, p90] rank band. The thresholds come
+    // from a HISTOGRAM cumulative sum, not a global sort: the heavy table
+    // does one map-side-combinable groupBy(n_chars); the single-partition
+    // window then runs over |distinct n_chars| rows (a bounded value
+    // domain), never over documents — one small shuffle + one broadcast at
+    // any corpus size. Rank arithmetic is q72's exact floor(q*(n-1))+1
+    // form, no interpolation.
+    "q86_length_gate" -> ((spark, dir) => {
+      val docs = table(spark, dir, "documents").select(col("doc_id"), col("n_chars"))
+      val hist = docs.groupBy("n_chars").agg(count(lit(1)).as("cnt"))
+      val tot = docs.agg(count(lit(1)).as("n"))
+      val cum = hist
+        .withColumn("cum", sum("cnt").over(Window.orderBy("n_chars")))
+        .crossJoin(broadcast(tot))
+      val thr = cum.agg(
+        min(when(col("cum") >= floor(lit(0.1) * (col("n") - 1)) + 1, col("n_chars"))).as("lo"),
+        min(when(col("cum") >= floor(lit(0.9) * (col("n") - 1)) + 1, col("n_chars"))).as("hi"))
+      docs.crossJoin(broadcast(thr))
+        .where(col("n_chars") >= col("lo") && col("n_chars") <= col("hi"))
+        .select(col("doc_id"), col("n_chars"), col("lo"), col("hi"))
+    }),
+
     // fingerprints: exact md5 + min-shingle-hash (1-permutation minhash,
     // native codegen expression graft.functions.MinShingleExpr)
     "q38_fingerprint" -> ((spark, dir) => {
@@ -455,6 +500,29 @@ object TextQueries {
          |       ${sround(xsumSql("lp", 6) + " / count(*)", 6)} AS avg_logprob
          |FROM s GROUP BY doc_id""".stripMargin
     },
+
+    "q85_token_burstiness" -> {
+      val hapax = "sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)"
+      s"""WITH t AS (SELECT doc_id, $toksSqlD AS toks FROM documents),
+         |ex AS (SELECT doc_id, unnest(toks) AS token FROM t),
+         |tf AS (SELECT doc_id, token, count(*) AS cnt FROM ex GROUP BY doc_id, token)
+         |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         |       CAST(count(*) AS BIGINT) AS n_types,
+         |       CAST($hapax AS BIGINT) AS n_hapax,
+         |       ${sround(s"CAST($hapax AS DOUBLE) / count(*)", 6)} AS hapax_frac,
+         |       ${sround("CAST(max(cnt) AS DOUBLE) / sum(cnt)", 6)} AS top_tok_frac
+         |FROM tf GROUP BY doc_id""".stripMargin
+    },
+
+    "q86_length_gate" ->
+      s"""WITH h AS (SELECT n_chars, count(*) AS cnt FROM documents GROUP BY n_chars),
+         |c AS (SELECT n_chars, sum(cnt) OVER (ORDER BY n_chars) AS cum FROM h),
+         |t AS (SELECT count(*) AS n FROM documents),
+         |thr AS (SELECT min(CASE WHEN cum >= floor(${dlit(0.1)} * (n - 1)) + 1 THEN n_chars END) AS lo,
+         |               min(CASE WHEN cum >= floor(${dlit(0.9)} * (n - 1)) + 1 THEN n_chars END) AS hi
+         |        FROM c CROSS JOIN t)
+         |SELECT doc_id, n_chars, lo, hi FROM documents CROSS JOIN thr
+         |WHERE n_chars BETWEEN lo AND hi""".stripMargin,
 
     "q38_fingerprint" -> {
       val norm = graft.sql.TextSql.norm

@@ -191,6 +191,48 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(q32.subsetOf(pairs))
   }
 
+  test("q84 estimate-only pairs are exactly the q81 pairs at n_agree >= 8") {
+    val est = DedupQueries.defs("q81_minhash_est")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val got = DedupQueries.defs("q84_estimate_dedup")(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    assert(got.map(_._1).toSet == est.filter(_._2 >= 8).keySet)
+    for ((pair, n, e) <- got) {
+      assert(n == est(pair), s"n_agree drift on $pair")
+      assert(e == math.floor(n / 16.0 * 1e6 + 0.5) / 1e6)
+    }
+  }
+
+  test("q85 burstiness matches a driver-side token recount") {
+    val texts = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> TextHash.tokenize(r.getString(1))).toMap
+    val got = TextQueries.defs("q85_token_burstiness")(spark, dir).collect()
+    assert(got.length == texts.count(_._2.nonEmpty))
+    for (r <- got) {
+      val freq = texts(r.getLong(0)).groupBy(identity).view.mapValues(_.length)
+      assert(r.getLong(1) == freq.values.sum.toLong, "n_tokens")
+      assert(r.getLong(2) == freq.size.toLong, "n_types")
+      assert(r.getLong(3) == freq.values.count(_ == 1).toLong, "n_hapax")
+    }
+  }
+
+  test("q86 gate keeps exactly the docs inside the corpus [p10, p90] rank band") {
+    val lens = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val sorted = lens.map(_._2).sorted
+    val n = sorted.length
+    def rankVal(q: Double): Long = sorted((math.floor(q * (n - 1)) + 1 - 1).toInt)
+    val (lo, hi) = (rankVal(0.1), rankVal(0.9))
+    val got = TextQueries.defs("q86_length_gate")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.forall(g => g._3 == lo && g._4 == hi))
+    assert(got.map(_._1).toSet ==
+      lens.filter(l => l._2 >= lo && l._2 <= hi).map(_._1).toSet)
+  }
+
   test("q83 cluster-size histogram conserves the document count") {
     val rows = DedupQueries.defs("q83_component_stats")(spark, dir).collect()
     val docs = spark.read.parquet(s"$dir/documents.parquet").count()
