@@ -31,12 +31,26 @@ object Bench {
     } catch { case _: Throwable => () }
     spark.catalog.clearCache()
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Two full passes, min per query: single-shot timings inherit ambient
+    // container load (up to 4x, CLAUDE.md; r6's driver bench read 112 s
+    // where a low-load re-run of identical code read 76 s). The two samples
+    // of a query land minutes apart, so one load spike cannot inflate both;
+    // min measures the engine, not the neighbors. Each timed run starts
+    // clean — caches cleared and the q75/q83 shared component memo
+    // invalidated — so every query is measured STANDALONE and per-query
+    // numbers stay comparable across rounds regardless of execution order
+    // (Verify keeps the sharing; only the benchmark isolates it).
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val best = scala.collection.mutable.Map[String, Double]()
+    for (_ <- 1 to 2; (name, fn) <- names) {
+      graft.queries.DedupQueries.invalidateComponentMemo()
+      spark.catalog.clearCache() // queries may cache(); don't leak across timings
       val t0 = System.nanoTime()
       try force(fn(spark, sfDir)) catch { case _: Throwable => -1L }
-      spark.catalog.clearCache() // queries may cache(); don't leak across timings
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      best(name) = math.min(best.getOrElse(name, Double.MaxValue), dt)
     }
+    val results = names.map { case (name, _) => name -> best(name) }
     // keep the line WELL under the driver's ~2,000-char tail capture that
     // truncated rounds 1+2 ("parsed": null): times at 3 decimals and
     // per-query keys shortened to their unique qNN prefix (~1,100 chars
@@ -46,7 +60,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val line =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","passes":2,"queries":$qs,"sf":"$sfDir"}"""
     // stdout for the driver (build.sbt routes `run` output straight to
     // stdout, no [info] prefix) + a file copy in case the log gets framed
     println(line)

@@ -26,10 +26,7 @@ import QueryBase._
   */
 object DedupQueries {
 
-  import TextHash.{HashA, HashB, NumHashes, P}
-
-  private val BandRows = 4
-  private val NumBands = NumHashes / BandRows // 4
+  import TextHash.{BandRows, HashA, HashB, NumBands, NumHashes, P}
 
   /** q52's exact-join threshold. Shared with the oracle via [[dlit]] so
     * both engines run the identical IEEE ceil(t*|x|) prefix bound. */
@@ -128,13 +125,59 @@ object DedupQueries {
 
   /** q75's (doc_id, component) frame, memoized per (session, dir) so q75
     * and q83 share one LSH pipeline + label propagation — the eager edge
-    * materialization below runs once, not once per consuming query. */
+    * materialization below runs once, not once per consuming query.
+    *
+    * Lifecycle: entries keep the cached edge frame alongside the labels so
+    * [[invalidateComponentMemo]] can unpersist it; the memo auto-clears
+    * when the owning SparkContext stops (so a closed session's cached RDDs
+    * and the session itself are never pinned by a long-lived JVM), and a
+    * caller that rewrites the data under `dir` mid-session invalidates
+    * explicitly (Bench does, so each timed run measures the full pipeline
+    * standalone and per-query numbers stay order-independent). */
+  private final case class ComponentEntry(labels: DataFrame, edges: DataFrame)
   private val componentMemo =
-    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), ComponentEntry]()
+  private val memoHookedContexts =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  private def componentLabels(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    componentMemo.computeIfAbsent((spark, dir), { key =>
-      val (s, d) = key
+  /** Drop all memoized component frames, unpersisting their edge caches. */
+  def invalidateComponentMemo(): Unit = {
+    val it = componentMemo.values().iterator()
+    while (it.hasNext) {
+      try it.next().edges.unpersist() catch { case _: Throwable => () }
+    }
+    componentMemo.clear()
+  }
+
+  private def componentLabels(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val key = (s"${System.identityHashCode(spark)}", dir)
+    val hit = componentMemo.get(key)
+    if (hit != null) return hit.labels
+    // Build (and run the eager count) OUTSIDE any map lock — it is a full
+    // Spark job, and holding a ConcurrentHashMap bin lock for its duration
+    // would serialize unrelated insertions behind it.
+    val entry = buildComponentEntry(spark, dir)
+    val raced = componentMemo.putIfAbsent(key, entry)
+    if (raced != null) { // another thread won; drop our duplicate cache
+      try entry.edges.unpersist() catch { case _: Throwable => () }
+      raced.labels
+    } else {
+      if (memoHookedContexts.add(spark.sparkContext.applicationId)) {
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onApplicationEnd(
+                e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+              componentMemo.clear() // RDD caches die with the context
+              memoHookedContexts.clear()
+            }
+          })
+      }
+      entry.labels
+    }
+  }
+
+  private def buildComponentEntry(s: org.apache.spark.sql.SparkSession,
+                                  d: String): ComponentEntry = {
       val pairs = defs("q32_lsh_jaccard_pairs")(s, d)
         .select(col("doc_a"), col("doc_b"))
       val docs = table(s, d, "documents").select(col("doc_id"))
@@ -166,8 +209,8 @@ object DedupQueries {
         labels = e.join(labels, e("dst") === labels("doc_id"))
           .groupBy(e("src").as("doc_id")).agg(min("label").as("label"))
       }
-      labels.select(col("doc_id"), col("label").as("component"))
-    })
+      ComponentEntry(labels.select(col("doc_id"), col("label").as("component")), e)
+  }
 
   // ---- queries -------------------------------------------------------------
 
@@ -473,6 +516,49 @@ object DedupQueries {
             .otherwise(lit(numer) / col("kth_min").cast("double")), 6).as("est_distinct"))
     }),
 
+    // cross-document repeated-span extraction (exact substring dedup): the
+    // span-level operator doc-level dedup can't express — WHICH maximal
+    // token runs of each document are duplicated verbatim in at least one
+    // OTHER document (boilerplate headers, licence blocks, quoted
+    // paragraphs). Positional 3-gram index -> gram doc-frequency (df >= 2
+    // keeps only cross-doc-duplicated grams) -> per-doc sessionization of
+    // adjacent duplicated positions (the q27 gap technique on a +1 lattice)
+    // -> maximal spans. A run of m consecutive duplicated 3-gram positions
+    // covers m+2 tokens; n_other_docs = max gram df in the span - 1 (the
+    // span is at least that replicated). Scale shape: one map-side-
+    // combinable df aggregate + one equi-join on the gram key (same as
+    // q63), then a per-doc window over DUPLICATED positions only — bounded
+    // by doc length, partitioned by doc_id; nothing quadratic anywhere.
+    // Integer arithmetic end to end, so the oracle is bit-exact for free.
+    "q87_repeated_spans" -> ((spark, dir) => {
+      val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+      val docs = spread(table(spark, dir, "documents"))
+        .select(col("doc_id"), toks.as("toks"))
+        .where(size(col("toks")) >= 3) // positional grams need >= 3 tokens
+      val ex = docs
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(toks) - 2), " +
+            "i -> struct(i AS pos, concat_ws(' ', toks[i-1], toks[i], toks[i+1]) AS s))")).as("g"))
+        .select(col("doc_id"), col("g.pos").as("pos"), col("g.s").as("s"))
+      // df = distinct docs per gram; the gram dictionary is vocabulary-sized
+      // — never broadcast-hinted (see q52), AQE decides while small
+      val dfreq = ex.select("s", "doc_id").distinct()
+        .groupBy("s").agg(count(lit(1)).as("df"))
+        .where(col("df") >= 2)
+      val dup = ex.join(dfreq, "s")
+      val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+      val runs = dup
+        .withColumn("is_new",
+          when(col("pos") - lag("pos", 1).over(byDoc) === 1, 0).otherwise(1))
+        .withColumn("span_id", sum("is_new").over(
+          byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      runs.groupBy(col("doc_id"), col("span_id"))
+        .agg(min("pos").cast("long").as("span_start"),
+             (count(lit(1)) + 2).as("span_len"),
+             (max("df") - 1).as("n_other_docs"))
+        .select("doc_id", "span_start", "span_len", "n_other_docs")
+    }),
+
     // near-dup pairs by simhash: 4 x 15-bit band blocking + hamming <= 3.
     // Pigeonhole: <= 3 differing bits over 4 bands leaves one band clean,
     // so recall is exact. 15-bit bands keep buckets small even though
@@ -644,6 +730,27 @@ object DedupQueries {
          |       ${sround(s"CASE WHEN k_actual < 64 THEN exact_distinct::DOUBLE ELSE $numer / kth_min::DOUBLE END", 6)} AS est_distinct
          |FROM sk CROSS JOIN ex""".stripMargin
     },
+
+    "q87_repeated_spans" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |f AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 3),
+         |ex AS (SELECT doc_id, i AS pos, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+         |       FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i FROM f)),
+         |dfreq AS (SELECT s, count(DISTINCT doc_id) AS df FROM ex GROUP BY s
+         |          HAVING count(DISTINCT doc_id) >= 2),
+         |dup AS (SELECT ex.doc_id, ex.pos, d.df FROM ex JOIN dfreq d USING (s)),
+         |runs AS (SELECT doc_id, pos, df,
+         |           CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) = 1
+         |                THEN 0 ELSE 1 END AS is_new
+         |         FROM dup),
+         |spans AS (SELECT doc_id, pos, df,
+         |            sum(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+         |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+         |          FROM runs)
+         |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+         |       CAST(count(*) + 2 AS BIGINT) AS span_len,
+         |       CAST(max(df) - 1 AS BIGINT) AS n_other_docs
+         |FROM spans GROUP BY doc_id, span_id""".stripMargin,
 
     "q33_simhash" -> simhashOracle("SELECT doc_id, simhash FROM s"),
 

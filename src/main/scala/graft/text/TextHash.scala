@@ -99,6 +99,13 @@ object TextHash {
     sig
   }
 
+  /** LSH band geometry: 4 bands of 4 consecutive signature values. The ONE
+    * definition every surface derives from — the Spark band expressions,
+    * the oracle SQL fragments, and the drift-pin specs all read these, so a
+    * geometry change cannot silently diverge between them. */
+  final val BandRows = 4
+  final val NumBands = NumHashes / BandRows // 4
+
   /** LSH band keys: bands of `rows` consecutive signature values, rendered
     * as "band:h1:h2:..." strings (join keys for candidate generation). */
   def bandKeys(sig: Array[Long], rows: Int): Array[String] = {

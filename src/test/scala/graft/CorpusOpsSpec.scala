@@ -233,6 +233,67 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       lens.filter(l => l._2 >= lo && l._2 <= hi).map(_._1).toSet)
   }
 
+  test("q87 extracts exactly the planted shared paragraph as maximal spans") {
+    // a 9-token paragraph planted verbatim in two docs at different offsets;
+    // its 7 interior 3-grams are the only cross-doc-duplicated grams
+    val shared = "the quick brown fox jumps over a lazy dog"
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q87").toString
+    spark.createDataFrame(Seq(
+        (1L, s"alpha beta $shared gamma delta"), // shared tokens at 3..11
+        (2L, s"one two three $shared four"),     // shared tokens at 4..12
+        (3L, "completely different text with no overlap at all"),
+        (4L, "tiny doc")))                       // < 3 tokens: no positions
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = DedupQueries.defs("q87_repeated_spans")(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // 7 consecutive duplicated gram positions -> one maximal 9-token span
+    // per doc, each shared with exactly 1 other doc; nothing from docs 3/4
+    assert(got == Set((1L, 3L, 9L, 1L), (2L, 4L, 9L, 1L)), got)
+    // driver-side recount on the real corpus: every reported span's grams
+    // are genuinely cross-doc duplicated and maximal runs are not split
+    val texts = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> TextHash.tokenize(r.getString(1))).toMap
+    val grams = texts.view.mapValues(t =>
+      if (t.length < 3) Array.empty[String]
+      else t.sliding(3).map(_.mkString(" ")).toArray).toMap
+    val dfm = grams.toSeq.flatMap { case (id, g) => g.distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    val spans = DedupQueries.defs("q87_repeated_spans")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    for ((id, start, len, other) <- spans) {
+      val g = grams(id)
+      val s0 = start.toInt - 1            // 0-based first gram of the run
+      val m = len.toInt - 2               // gram count of the run
+      assert((s0 until s0 + m).forall(i => dfm(g(i)) >= 2), s"doc $id span not duplicated")
+      assert(s0 == 0 || dfm(g(s0 - 1)) < 2, s"doc $id span not left-maximal")
+      assert(s0 + m == g.length || dfm(g(s0 + m)) < 2, s"doc $id span not right-maximal")
+      assert(other == (s0 until s0 + m).map(i => dfm(g(i))).max - 1, s"doc $id n_other_docs")
+    }
+    val expectedDupPositions = texts.keys.iterator.map { id =>
+      grams(id).count(s => dfm(s) >= 2)
+    }.sum
+    assert(spans.map(_._3 - 2).sum == expectedDupPositions,
+      "span gram counts partition the duplicated positions")
+  }
+
+  test("component memo: one shared frame per (session, dir), rebuilt after invalidate") {
+    DedupQueries.invalidateComponentMemo()
+    val a = DedupQueries.defs("q75_neardup_components")(spark, dir)
+    val b = DedupQueries.defs("q83_component_stats")(spark, dir)
+    val a2 = DedupQueries.defs("q75_neardup_components")(spark, dir)
+    assert(a eq a2, "q75 twice must return the ONE memoized frame, not rebuild")
+    assert(b.collect().nonEmpty, "q83 consumes the shared labels")
+    // the explicit invalidate API: entries (and their edge caches) drop, so
+    // a caller that rewrites data under dir — or a long-lived server
+    // evicting a session — gets a fresh build, and nothing stays pinned
+    DedupQueries.invalidateComponentMemo()
+    val c = DedupQueries.defs("q75_neardup_components")(spark, dir)
+    assert(!(c eq a), "post-invalidate calls must rebuild, not serve the stale frame")
+    assert(c.collect().toSet == a.collect().toSet, "rebuild is value-identical")
+  }
+
   test("q83 cluster-size histogram conserves the document count") {
     val rows = DedupQueries.defs("q83_component_stats")(spark, dir).collect()
     val docs = spark.read.parquet(s"$dir/documents.parquet").count()

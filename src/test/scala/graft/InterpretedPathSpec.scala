@@ -79,12 +79,16 @@ class InterpretedPathSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the q81-style reconstruction from MinhashSigExpr (concat_ws over sig
     // slices), and the TextHash.bandKeys kernel — drift in any one fails here
     import org.apache.spark.sql.functions.{array, concat_ws, lit}
+    // geometry derived from the ONE shared definition (TextHash.NumBands /
+    // BandRows) — a constant change there cannot silently diverge from the
+    // shape this spec pins
+    import TextHash.{BandRows, NumBands}
     val sigCol = graft.functions.TextFunctions.minhash_sig(col("sh"))
-    val bandsFromSig = array((0 until 4).map(b =>
-      concat_ws(":", lit(b.toString) +: (b * 4 until (b + 1) * 4)
+    val bandsFromSig = array((0 until NumBands).map(b =>
+      concat_ws(":", lit(b.toString) +: (b * BandRows until (b + 1) * BandRows)
         .map(j => sigCol(j).cast("string")): _*)): _*)
     val withBands = docs.select(col("doc_id"), col("text"), col("sh"), col("sim"), col("ms"),
-      graft.functions.TextFunctions.minhash_bands(col("sh"), 4).as("bands"),
+      graft.functions.TextFunctions.minhash_bands(col("sh"), BandRows).as("bands"),
       sigCol.as("sig"), bandsFromSig.as("bands_from_sig"))
     for (r <- withBands.collect()) {
       val text = r.getString(1)
@@ -92,7 +96,7 @@ class InterpretedPathSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(r.getSeq[String](2) == sh.toSeq, s"shingles of doc ${r.getLong(0)}")
       assert(r.getLong(3) == TextHash.simhash(TextHash.tokenize(text)))
       assert(r.getString(4) == sh.map(TextHash.md5Hex).min)
-      assert(r.getSeq[String](5) == TextHash.bandKeys(TextHash.minhash(sh), 4).toSeq)
+      assert(r.getSeq[String](5) == TextHash.bandKeys(TextHash.minhash(sh), BandRows).toSeq)
       assert(r.getSeq[Long](6) == TextHash.minhash(sh).toSeq, s"sig of doc ${r.getLong(0)}")
       assert(r.getSeq[String](7) == r.getSeq[String](5),
         s"bands-from-sig drift on doc ${r.getLong(0)}")
