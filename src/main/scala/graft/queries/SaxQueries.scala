@@ -227,15 +227,16 @@ object SaxQueries {
           pround(col("md.below"), 6).as("below"))
     }),
 
-    // PAA normalized frame values (pre-symbolization z-scores)
+    // PAA normalized frame values (pre-symbolization z-scores) — native
+    // codegen expression (SaxPaaExpr); was the last boxed Scala UDF in a
+    // query path
     "q11_sax_paa" -> ((spark, dir) => {
-      val paa = udf((vs: Seq[Double]) => graft.sax.Sax.paaNormalized(vs.toArray, W))
       val ev = table(spark, dir, "events")
       ev.select(col("user_id"),
           row_number().over(byUser).as("rn"),
           collect_list(col("value")).over(trail).as("vals"))
         .where(col("rn") === N)
-        .select(col("user_id"), paa(col("vals")).as("p"))
+        .select(col("user_id"), sax_paa(col("vals"), W).as("p"))
         .select(col("user_id"),
           pround(col("p")(0), 6).as("paa0"), pround(col("p")(1), 6).as("paa1"),
           pround(col("p")(2), 6).as("paa2"), pround(col("p")(3), 6).as("paa3"))

@@ -35,6 +35,13 @@ object SaxCodegenOps {
     if (s == null) null else UTF8String.fromString(s)
   }
 
+  def paa(arr: ArrayData, w: Int): ArrayData = {
+    if (arr == null) return null
+    val p = Sax.paaNormalized(toDoubles(arr), w)
+    if (p == null) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(p)
+  }
+
   def mindist(a: UTF8String, aN: Long, b: UTF8String, bN: Long, c: Int): InternalRow = {
     if (a == null || b == null) return null
     val md = Sax.mindist(a.toString, aN, b.toString, bN, c)
@@ -98,6 +105,36 @@ case class SaxEncodeWindowExpr(first: Expression, second: Expression,
   override protected def withNewChildrenInternal(f: Expression, s: Expression,
                                                  t: Expression, q: Expression): Expression =
     copy(first = f, second = s, third = t, fourth = q)
+}
+
+/** Native `sax_paa(values, w)`: the normalized PAA frame z-scores that
+  * symbolization would bucket — [[Sax.paaNormalized]], the same arithmetic
+  * as saxTransform minus the symbol lookup. Null on invalid (empty or
+  * n % w != 0); elements are never null (NaN marks degenerate frames).
+  * Ported from the last boxed Scala UDF in a query path (q11): identical
+  * kernel, no per-row Seq boxing, stays inside WholeStageCodegen. */
+case class SaxPaaExpr(left: Expression, right: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "sax_paa"
+
+  override protected def nullSafeEval(v: Any, w: Any): Any =
+    SaxCodegenOps.paa(v.asInstanceOf[ArrayData], w.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, w) => {
+      s"""
+         |ArrayData ${ev.value}Tmp = graft.sax.SaxCodegenOps.paa($v, $w);
+         |if (${ev.value}Tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ${ev.value}Tmp; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Native `sax_mindist(a, nA, b, nB, c)` returning

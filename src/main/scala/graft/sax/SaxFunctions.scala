@@ -84,6 +84,12 @@ object SaxFunctions {
         org.apache.spark.sql.types.DoubleType)),
       litE(n), litE(w), litE(c)))
 
+  def sax_paa(values: Column, w: Int): Column =
+    colOf(SaxPaaExpr(
+      castE(exprOf(values), org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType)),
+      litE(w)))
+
   def sax_mindist(a: Column, aN: Column, b: Column, bN: Column, c: Int): Column =
     colOf(SaxMindistExpr(Seq(
       castE(exprOf(a), org.apache.spark.sql.types.StringType),

@@ -100,6 +100,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => { arity("lsh_buckets", 4, args); graft.functions.LshBucketsExpr(
         Cast(args(0), ArrayType(FloatType)), intArg(args(1)), intArg(args(2)), intArg(args(3))) }))
 
+    ext.injectFunction((FunctionIdentifier("sax_paa"),
+      info("sax_paa", "sax_paa(values, w) - normalized PAA frame z-scores (pre-symbolization)"),
+      (args: Seq[Expression]) => { arity("sax_paa", 2, args); graft.sax.SaxPaaExpr(
+        Cast(args(0), ArrayType(DoubleType)), Cast(args(1), IntegerType)) }))
+
     ext.injectFunction((FunctionIdentifier("sax_mindist"),
       info("sax_mindist", "sax_mindist(a, nA, b, nB, c) - lower-bounding distance as struct(dist, above, below)"),
       (args: Seq[Expression]) => { arity("sax_mindist", 5, args); SaxMindistExpr(Seq(

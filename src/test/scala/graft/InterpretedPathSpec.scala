@@ -35,11 +35,23 @@ class InterpretedPathSpec extends AnyFunSuite with BeforeAndAfterAll {
     // mindist via the struct expression (int literals coerced, not CCE)
     val md = SparkEntry.queries("q04_sax_mindist")(spark, dir)
     assert(md.count() == 1000)
+    // q11 through the native SaxPaaExpr: interpreted results match the
+    // pure-Scala kernel, and no boxed ScalaUDF remains in its plan
+    val q11 = SparkEntry.queries("q11_sax_paa")(spark, dir)
+    assert(!q11.queryExecution.executedPlan.toString.contains("ScalaUDF"),
+      "q11 must run on the native expression, not a boxed UDF")
+    val p = q11.where(org.apache.spark.sql.functions.col("user_id") === 1L).head()
+    assert((1 to 4).forall(i => !p.isNullAt(i)), p)
     // SQL registration path
     graft.sax.SaxFunctions.register(spark)
     val r = spark.sql(
       "SELECT sax_encode(array(1.0D, 2.0D, 3.0D, 10.1D), 2, 4) AS w").head()
     assert(r.getString(0) == "AD")
+    // sax_paa via the GraftExtensions SQL registration — interpreted path
+    val pr = spark.sql(
+      "SELECT sax_paa(array(10.3D, 7.0D, 1.0D, -5.0D, -5.0D, 7.2D), 2) AS p").head()
+    assert(pr.getSeq[Double](0) ==
+      graft.sax.Sax.paaNormalized(Array(10.3, 7.0, 1.0, -5.0, -5.0, 7.2), 2).toSeq)
   }
 
   test("vector expressions agree with a driver-side loop under NO_CODEGEN") {

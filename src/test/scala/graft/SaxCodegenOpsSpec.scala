@@ -31,6 +31,19 @@ class SaxCodegenOpsSpec extends AnyFunSuite {
       .toString == "AD")
   }
 
+  test("paa matches Sax.paaNormalized; null elements become NaN; invalid -> null") {
+    val vs = Array(10.3, 7.0, 1.0, -5.0, -5.0, 7.2)
+    val got = SaxCodegenOps.paa(arr(vs.map(v => v: Any): _*), 2)
+    assert(got.toDoubleArray().toSeq == Sax.paaNormalized(vs, 2).toSeq)
+    val withNull = SaxCodegenOps.paa(arr(null, null, 1.0, 2.0), 2)
+    val expect = Sax.paaNormalized(Array(Double.NaN, Double.NaN, 1.0, 2.0), 2)
+    assert(withNull.numElements() == 2)
+    assert(withNull.getDouble(0).isNaN == expect(0).isNaN)
+    assert(withNull.getDouble(1) == expect(1))
+    assert(SaxCodegenOps.paa(arr(1.0, 2.0, 3.0), 2) == null) // n % w != 0
+    assert(SaxCodegenOps.paa(null, 2) == null)
+  }
+
   test("mindist returns struct rows / null like the core") {
     import org.apache.spark.unsafe.types.UTF8String
     val r = SaxCodegenOps.mindist(
