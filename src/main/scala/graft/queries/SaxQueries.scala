@@ -156,14 +156,41 @@ object SaxQueries {
         .select(col("event_id"), col("word"), pround(col("md.dist"), 6).as("dist"))
     }),
 
-    // top-k nearest windows to the pattern (k-NN pattern search)
+    // top-k nearest windows to the pattern (k-NN pattern search), run as
+    // the iSAX two-phase search (reference README.md:32, "HUGE pattern
+    // collections"): a static rule cannot prune a top-k (the cutoff is
+    // data-dependent), so phase 1 derives it at runtime and phase 2 makes
+    // it a LITERAL threshold the MindistPruneRule CAN prune.
+    //   phase 1 — k-th smallest dist over the word DICTIONARY: dist is a
+    //     function of the word alone, so the cutoff comes from a
+    //     numerosity-reduced aggregate of <= c^w rows (176 here; the
+    //     single-partition cumsum window runs over that bounded dictionary,
+    //     never over rows). One double reaches the driver — the same
+    //     runtime-adaptive re-planning discipline as AQE.
+    //   phase 2 — dist <= τ as a literal filter: the optimizer rule injects
+    //     per-position substring IN prunes (pruned scan; partition pruning
+    //     on a word-bucketed layout), the kernel runs only on candidates,
+    //     and TakeOrdered re-ranks them exactly. Ties at τ are kept by <=
+    //     and resolved by the same (dist, event_id) order, so the result is
+    //     bit-identical to the direct global sort the oracle runs.
+    // Contract note: building the frame runs the (tiny) phase-1 job
+    // eagerly, like q75's edge materialization.
     "q05_sax_topk" -> ((spark, dir) => {
+      val k = 20
       val md = sax_mindist(col("word"), lit(N.toLong), lit("BDBB"), lit(0L), C)
-      windowWords(spark, dir)
-        .select(col("event_id"), col("word"), md.as("md"))
-        .select(col("event_id"), col("word"), pround(col("md.dist"), 6).as("dist"))
+      val words = windowWords(spark, dir).cache()
+      val dict = words.groupBy("word").agg(count(lit(1)).as("cnt"))
+        .select(col("word"), col("cnt"), pround(md.getField("dist"), 6).as("dist"))
+      val cum = dict.withColumn("cum", sum("cnt").over(
+        Window.orderBy("dist", "word")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      val tauRow = cum.where(col("cum") >= k).agg(min("dist")).head()
+      val tau = if (tauRow.isNullAt(0)) Double.MaxValue else tauRow.getDouble(0)
+      words
+        .select(col("event_id"), col("word"), pround(md.getField("dist"), 6).as("dist"))
+        .where(col("dist") <= tau)
         .orderBy(col("dist"), col("event_id"))
-        .limit(20)
+        .limit(k)
     }),
 
     // threshold similarity search against a small pattern collection: ONE

@@ -83,6 +83,34 @@ class MindistPruneRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(native == viaUdf, s"${native.size} vs ${viaUdf.size}")
   }
 
+  test("q05 two-phase top-k: phase 2 plans a pruned scan and equals the direct sort") {
+    val dir = "/root/testdata/sf0.001"
+    val q = SparkEntry.queries("q05_sax_topk")(spark, dir) // builds phase 1 eagerly
+    // the runtime-derived τ became a literal threshold, so MindistPruneRule
+    // injected per-position substring IN prunes into phase 2...
+    val plan = q.queryExecution.optimizedPlan.toString
+    assert(plan.contains("substring"), s"no injected prune in phase 2:\n$plan")
+    // ...and the re-rank is a TakeOrdered top-k, never a global sort
+    assert(q.queryExecution.executedPlan.toString.contains("TakeOrdered"),
+      q.queryExecution.executedPlan.toString)
+    // bit-identical to the direct orderBy+limit on the unprunable UDF path
+    // (q05's own window formulation: µs-truncated ts + event_id order)
+    val got = q.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    import org.apache.spark.sql.expressions.Window
+    val trail = Window.partitionBy("user_id")
+      .orderBy(expr("ts div 1000"), col("event_id")).rowsBetween(-7, 0)
+    val q05Words = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"),
+        sax_encode_window(collect_list(col("value")).over(trail), 8, 4, 4).as("word"))
+    val mdU = saxMindist(col("word"), lit(8L), lit("BDBB"), lit(0L), lit(4))
+    val direct = q05Words
+      .select(col("event_id"), col("word"),
+        graft.queries.QueryBase.pround(mdU.getField("dist"), 6).as("dist"))
+      .orderBy(col("dist"), col("event_id")).limit(20)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(got == direct, s"${got.size} vs ${direct.size}")
+  }
+
   test("rule leaves unrelated filters and wildcard-n patterns intact") {
     // unrelated filter: no mindist involved
     val q1 = words.where(col("word") =!= "AAAA")
