@@ -364,6 +364,54 @@ object TextQueries {
         .select(col("doc_id"), col("n_chars"), col("lo"), col("hi"))
     }),
 
+    // bigram back-off LM scoring: train bigram/unigram counts on the q47
+    // train split, score each HELD-OUT doc by its mean bigram
+    // log-probability with stupid back-off (Brants et al.: seen bigram ->
+    // ln(bc/uc_v); unseen -> ln(0.4 * (uc_w + 1) / (T + V)), add-one on
+    // the unigram fallback so unseen words stay finite) — the perplexity
+    // quality filter q76's unigram model can't express (it has no notion
+    // of word ORDER). Same log-parity discipline: every ln is quantized
+    // per DISTINCT count combination immediately, everything downstream
+    // is exact integer-scaled arithmetic. Scale shape: two combinable
+    // count aggregates over the train split, then the test bigrams join
+    // the VOCABULARY-sized dictionaries unhinted (AQE broadcasts while
+    // small); the 1-row (T, V) frame is the broadcast side. Docs with
+    // < 2 tokens have no bigram slots and emit no row (documented).
+    "q88_bigram_logprob" -> ((spark, dir) => {
+      val alpha = 0.4
+      val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+      val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 100).cast("int")
+      val d = spread(table(spark, dir, "documents"))
+        .select(col("doc_id"), bucket.as("b"), toks.as("toks"))
+      val bigrams = d.where(size(col("toks")) >= 2)
+        .select(col("doc_id"), col("b"), explode(expr(
+          "transform(sequence(1, size(toks) - 1), i -> struct(toks[i-1] AS v, toks[i] AS w))")).as("g"))
+        .select(col("doc_id"), col("b"), col("g.v").as("v"), col("g.w").as("w"))
+      val unis = d.select(col("b"), explode(col("toks")).as("t"))
+      val trainU = unis.where(col("b") < 80)
+      val bc = bigrams.where(col("b") < 80)
+        .groupBy("v", "w").agg(count(lit(1)).as("bc"))
+      val uc = trainU.groupBy("t").agg(count(lit(1)).as("uc"))
+      val tv = trainU.agg(count(lit(1)).as("t_total"),
+                          countDistinct(col("t")).as("vocab"))
+      val test = bigrams.where(col("b") >= 90).select("doc_id", "v", "w")
+      val seenLp = pround(log(col("bc").cast("double") / col("ucv")), 6)
+      val backoffLp = pround(log(
+        lit(alpha) * (coalesce(col("ucw"), lit(0L)).cast("double") + lit(1.0)) /
+          (col("t_total") + col("vocab")).cast("double")), 6)
+      test
+        .join(bc, Seq("v", "w"), "left")
+        .join(uc.select(col("t").as("v"), col("uc").as("ucv")), Seq("v"), "left")
+        .join(uc.select(col("t").as("w"), col("uc").as("ucw")), Seq("w"), "left")
+        .crossJoin(broadcast(tv))
+        .select(col("doc_id"),
+          when(col("bc").isNotNull, seenLp).otherwise(backoffLp).as("lp"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+             pround(xsum(col("lp"), 6) / count(lit(1)), 6).as("avg_logprob"))
+    }),
+
     // fingerprints: exact md5 + min-shingle-hash (1-permutation minhash,
     // native codegen expression graft.functions.MinShingleExpr)
     "q38_fingerprint" -> ((spark, dir) => {
@@ -523,6 +571,35 @@ object TextQueries {
          |        FROM c CROSS JOIN t)
          |SELECT doc_id, n_chars, lo, hi FROM documents CROSS JOIN thr
          |WHERE n_chars BETWEEN lo AND hi""".stripMargin,
+
+    "q88_bigram_logprob" -> {
+      val seen = sround("ln((bc::DOUBLE) / ucv)", 6)
+      val frac = s"(${dlit(0.4)} * (coalesce(ucw, 0)::DOUBLE + ${dlit(1.0)})) / ((t_total + vocab)::DOUBLE)"
+      val backoff = sround(s"ln($frac)", 6)
+      s"""WITH t AS (SELECT doc_id,
+         |             CAST(CAST(concat('0x', substr(md5(doc_id::VARCHAR), 1, 15)) AS BIGINT) % 100 AS INT) AS b,
+         |             $toksSqlD AS toks FROM documents),
+         |bg AS (SELECT doc_id, b, unnest(list_transform(range(1, len(toks)),
+         |                i -> {'v': toks[i], 'w': toks[i+1]})) AS g
+         |       FROM t WHERE len(toks) >= 2),
+         |bg2 AS (SELECT doc_id, b, g.v AS v, g.w AS w FROM bg),
+         |tr AS (SELECT unnest(toks) AS tok FROM t WHERE b < 80),
+         |bc AS (SELECT v, w, CAST(count(*) AS BIGINT) AS bc FROM bg2 WHERE b < 80 GROUP BY v, w),
+         |uc AS (SELECT tok, CAST(count(*) AS BIGINT) AS uc FROM tr GROUP BY tok),
+         |tv AS (SELECT CAST(count(*) AS BIGINT) AS t_total,
+         |              CAST(count(DISTINCT tok) AS BIGINT) AS vocab FROM tr),
+         |test AS (SELECT doc_id, v, w FROM bg2 WHERE b >= 90),
+         |s AS (SELECT test.doc_id,
+         |        CASE WHEN bc.bc IS NOT NULL THEN $seen ELSE $backoff END AS lp
+         |      FROM test
+         |      LEFT JOIN bc USING (v, w)
+         |      LEFT JOIN (SELECT tok AS v, uc AS ucv FROM uc) uv USING (v)
+         |      LEFT JOIN (SELECT tok AS w, uc AS ucw FROM uc) uw USING (w)
+         |      CROSS JOIN tv)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |       ${sround(xsumSql("lp", 6) + " / count(*)", 6)} AS avg_logprob
+         |FROM s GROUP BY doc_id""".stripMargin
+    },
 
     "q38_fingerprint" -> {
       val norm = graft.sql.TextSql.norm

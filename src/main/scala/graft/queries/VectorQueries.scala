@@ -138,7 +138,72 @@ object VectorQueries {
     * design flaw this replaces. */
   private val CentroidBudget = 32L
 
+  /** Product-quantization geometry (q89): Dim split into [[PqM]] subspaces
+    * of [[PqSubDim]] dims; per-subspace codebook = the subvectors of the
+    * first [[PqK]] corpus vectors (deterministic "training" like q65's
+    * seed init, so the oracle reproduces it). */
+  private val PqM = 4
+  private val PqSubDim = Dim / PqM // 16
+  private val PqK = 8
+
+  /** Rounded squared-L2 between two float slices — double accumulation in
+    * ascending index order (the same sequential fold DuckDB's list_sum
+    * runs, see cosSql). */
+  private def pqDist(a: org.apache.spark.sql.Column,
+                     b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pround(aggregate(
+      zip_with(a, b, (x, y) =>
+        (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v), 6)
+
   val defs: Map[String, QFn] = Map(
+    // product-quantization ANN (codebook train -> encode -> asymmetric
+    // distance scan): the billion-vector serving layout where the corpus
+    // is stored as PqM small codes (4 bytes/vector here vs 256 for the
+    // raw floats) and queries scan codes with a precomputed lookup table
+    // instead of touching any embedding. Codebook: subvectors of the
+    // first PqK vectors (deterministic). Encode: per (vector, subspace)
+    // argmin over the BROADCAST codebook — map-side, lexicographic
+    // struct-min tie-break toward the lowest centroid id (the
+    // assignNearest discipline). ADC: each query's 32-entry (subspace,
+    // centroid) distance table is computed once and broadcast; the scan
+    // is a codes⋈LUT equi-join + an exact integer-scaled sum — the
+    // corpus-side rows carry (vec_id, s, code), never floats. Top-5 per
+    // query by approximate distance, ties to the lowest vec_id.
+    "q89_pq_adc" -> ((spark, dir) => {
+      val emb = spread(table(spark, dir, "embeddings"))
+      val subs = (0 until PqM)
+      def slices(e: org.apache.spark.sql.Column, name: String) =
+        explode(array(subs.map(s => struct(lit(s).as("s"),
+          slice(e, s * PqSubDim + 1, PqSubDim).as(name))): _*))
+      val cb = emb.where(col("vec_id") < PqK)
+        .select(col("vec_id").as("cent_id"), slices(col("embedding"), "ce").as("c"))
+        .select(col("c.s").as("s"), col("cent_id"), col("c.ce").as("ce"))
+      val packed = cb.agg(collect_list(struct(col("s"), col("cent_id"), col("ce"))).as("cb"))
+      val sub = emb
+        .select(col("vec_id"), slices(col("embedding"), "sv").as("p"))
+        .select(col("vec_id"), col("p.s").as("s"), col("p.sv").as("sv"))
+      val codes = sub.join(broadcast(packed))
+        .select(col("vec_id"), col("s"),
+          array_min(transform(filter(col("cb"), c => c.getField("s") === col("s")),
+            c => struct(pqDist(col("sv"), c.getField("ce")).as("d"),
+              c.getField("cent_id").as("cid")))).getField("cid").as("code"))
+      val lut = sub.where(col("vec_id") < QueryCount)
+        .select(col("vec_id").as("query_id"), col("s").as("ls"), col("sv"))
+        .join(broadcast(cb), col("ls") === cb("s"))
+        .select(col("query_id"), col("s"), col("cent_id"),
+          pqDist(col("sv"), col("ce")).as("d"))
+      codes.join(broadcast(lut),
+          codes("s") === lut("s") && codes("code") === lut("cent_id") &&
+            codes("vec_id") =!= lut("query_id"))
+        .groupBy(col("query_id"), codes("vec_id").as("vec_id"))
+        .agg(xsum(col("d"), 6).as("adc"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("adc"), col("vec_id"))))
+        .where(col("rn") <= 5)
+        .select("query_id", "vec_id", "adc")
+    }),
+
     // exact ANN baseline: brute-force cosine top-5 per query vector.
     // Plans as BroadcastNestedLoopJoin with the 10-row query side broadcast
     // — the correct physical shape for deliberate all-pairs scoring (the
@@ -393,7 +458,37 @@ object VectorQueries {
        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn
        |  FROM scored) WHERE rn = 1)""".stripMargin
 
+  /** q89's rounded squared-L2 between two 1-based list slices. */
+  private def pqDistSql(a: String, b: String): String =
+    sround(s"list_sum(list_transform(range(1, $PqSubDim + 1), " +
+      s"i -> (($a[i]::DOUBLE) - ($b[i]::DOUBLE)) * (($a[i]::DOUBLE) - ($b[i]::DOUBLE))))", 6)
+
   val oracles: Map[String, String] = Map(
+    "q89_pq_adc" ->
+      s"""WITH ss AS (SELECT unnest(range(0, $PqM)) AS s),
+         |cb AS (SELECT vec_id AS cent_id, s,
+         |              list_slice(embedding, s * $PqSubDim + 1, s * $PqSubDim + $PqSubDim) AS ce
+         |       FROM embeddings, ss WHERE vec_id < $PqK),
+         |sub AS (SELECT vec_id, s,
+         |               list_slice(embedding, s * $PqSubDim + 1, s * $PqSubDim + $PqSubDim) AS sv
+         |        FROM embeddings, ss),
+         |codes AS (SELECT vec_id, s, cent_id AS code FROM (
+         |  SELECT sub.vec_id, sub.s, cb.cent_id,
+         |         row_number() OVER (PARTITION BY sub.vec_id, sub.s
+         |                            ORDER BY ${pqDistSql("sub.sv", "cb.ce")}, cb.cent_id) AS rn
+         |  FROM sub JOIN cb ON sub.s = cb.s) WHERE rn = 1),
+         |lut AS (SELECT q.vec_id AS query_id, cb.s, cb.cent_id,
+         |               ${pqDistSql("q.sv", "cb.ce")} AS d
+         |        FROM sub q JOIN cb ON q.s = cb.s WHERE q.vec_id < $QueryCount),
+         |adc AS (SELECT l.query_id, c.vec_id, ${xsumSql("d", 6)} AS adc
+         |        FROM codes c JOIN lut l ON c.s = l.s AND c.code = l.cent_id
+         |        WHERE c.vec_id <> l.query_id
+         |        GROUP BY l.query_id, c.vec_id)
+         |SELECT query_id, vec_id, adc FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rn
+         |  FROM adc)
+         |WHERE rn <= 5""".stripMargin,
+
     "q65_kmeans_step" ->
       s"""WITH $kmeansCte,
          |p AS (SELECT cell, embedding, unnest(range(1, len(embedding) + 1)) AS i FROM assigned)
