@@ -42,12 +42,14 @@ object Bench {
     // (Verify keeps the sharing; only the benchmark isolates it).
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     val best = scala.collection.mutable.Map[String, Double]()
-    for (_ <- 1 to 2; (name, fn) <- names) {
+    var pass1Total = 0.0 // single-pass total, comparable to pre-r7 rounds
+    for (pass <- 1 to 2; (name, fn) <- names) {
       graft.queries.DedupQueries.invalidateComponentMemo()
       spark.catalog.clearCache() // queries may cache(); don't leak across timings
       val t0 = System.nanoTime()
       try force(fn(spark, sfDir)) catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
+      if (pass == 1) pass1Total += dt
       best(name) = math.min(best.getOrElse(name, Double.MaxValue), dt)
     }
     val results = names.map { case (name, _) => name -> best(name) }
@@ -59,8 +61,12 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k.split("_").head + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // "value" is the sum of per-query MINIMA over the 2 passes (since r7);
+    // "pass1_total" is the old single-pass semantics so cross-round total
+    // comparisons spanning the change have an apples-to-apples number
     val line =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","passes":2,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","passes":2,""" +
+        s""""pass1_total":${f3(pass1Total)},"queries":$qs,"sf":"$sfDir"}"""
     // stdout for the driver (build.sbt routes `run` output straight to
     // stdout, no [info] prefix) + a file copy in case the log gets framed
     println(line)

@@ -128,15 +128,21 @@ object DedupQueries {
     * materialization below runs once, not once per consuming query.
     *
     * Lifecycle: entries keep the cached edge frame alongside the labels so
-    * [[invalidateComponentMemo]] can unpersist it; the memo auto-clears
-    * when the owning SparkContext stops (so a closed session's cached RDDs
-    * and the session itself are never pinned by a long-lived JVM), and a
-    * caller that rewrites the data under `dir` mid-session invalidates
-    * explicitly (Bench does, so each timed run measures the full pipeline
-    * standalone and per-query numbers stay order-independent). */
+    * [[invalidateComponentMemo]] can unpersist it. The key holds the
+    * SparkSession OBJECT (identity equality — SparkSession doesn't override
+    * equals), never a derived hash: identity hash codes aren't unique, so a
+    * hash-string key could serve one session a DataFrame bound to another
+    * (or to a GC'd session that happened to share the hash). The strong
+    * session reference is bounded: the memo auto-clears when the owning
+    * SparkContext stops (so a closed session's cached RDDs and the session
+    * itself are never pinned by a long-lived JVM), and a caller that
+    * rewrites the data under `dir` mid-session invalidates explicitly
+    * (Bench does, so each timed run measures the full pipeline standalone
+    * and per-query numbers stay order-independent). */
   private final case class ComponentEntry(labels: DataFrame, edges: DataFrame)
   private val componentMemo =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), ComponentEntry]()
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String), ComponentEntry]()
   private val memoHookedContexts =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
@@ -150,7 +156,7 @@ object DedupQueries {
   }
 
   private def componentLabels(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    val key = (s"${System.identityHashCode(spark)}", dir)
+    val key = (spark, dir)
     val hit = componentMemo.get(key)
     if (hit != null) return hit.labels
     // Build (and run the eager count) OUTSIDE any map lock — it is a full

@@ -138,15 +138,16 @@ object VectorQueries {
     * design flaw this replaces. */
   private val CentroidBudget = 32L
 
-  /** Product-quantization geometry (q89): Dim split into [[PqM]] subspaces
-    * of [[PqSubDim]] dims; per-subspace codebook = the subvectors of the
-    * first [[PqK]] corpus vectors (deterministic "training" like q65's
-    * seed init, so the oracle reproduces it). */
+  /** Product-quantization geometry (q89/q90): Dim split into [[PqM]]
+    * subspaces of [[PqSubDim]] dims; per-subspace codebook TRAINED by one
+    * deterministic Lloyd iteration from seed centroids (the subvectors of
+    * the first [[PqK]] corpus vectors — q65's seed-init discipline), so
+    * the oracle can replay the identical iteration. */
   private val PqM = 4
   private val PqSubDim = Dim / PqM // 16
   private val PqK = 8
 
-  /** Rounded squared-L2 between two float slices — double accumulation in
+  /** Rounded squared-L2 between two vector slices — double accumulation in
     * ascending index order (the same sequential fold DuckDB's list_sum
     * runs, see cosSql). */
   private def pqDist(a: org.apache.spark.sql.Column,
@@ -156,38 +157,73 @@ object VectorQueries {
         (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
       lit(0.0), (acc, v) => acc + v), 6)
 
+  /** Every (vector, subspace) slice: (vec_id, s, sv). */
+  private def pqSub(emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    emb.select(col("vec_id"), explode(array((0 until PqM).map(s =>
+        struct(lit(s).as("s"), slice(col("embedding"), s * PqSubDim + 1, PqSubDim).as("sv"))): _*)).as("p"))
+      .select(col("vec_id"), col("p.s").as("s"), col("p.sv").as("sv"))
+
+  /** Per-subspace argmin code against a packed 1-row codebook broadcast:
+    * lexicographic struct-min over (rounded distance, centroid id) — the
+    * assignNearest discipline, ties toward the lowest centroid id, and the
+    * exact ordering of the oracle's `ORDER BY dist, cent_id` rank. */
+  private def pqAssign(sub: org.apache.spark.sql.DataFrame,
+                       cb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val packed = cb.agg(collect_list(struct(col("s"), col("cent_id"), col("ce"))).as("cb"))
+    sub.join(broadcast(packed))
+      .select(col("vec_id"), col("s"), col("sv"),
+        array_min(transform(filter(col("cb"), c => c.getField("s") === col("s")),
+          c => struct(pqDist(col("sv"), c.getField("ce")).as("d"),
+            c.getField("cent_id").as("cid")))).getField("cid").as("code"))
+  }
+
+  /** Trained PQ codebook (s, cent_id, ce: array<double>): ONE deterministic
+    * Lloyd iteration per subspace. Seeds = the subvectors of the first
+    * [[PqK]] corpus vectors; assignment = [[pqAssign]] against the
+    * broadcast seeds; update = the per-(subspace, cell, dim) combinable
+    * mean of the q65 k-means step — partial sums combine map-side, so the
+    * update shuffle carries at most PqM·PqK·PqSubDim rows at any corpus
+    * size. A cell left empty by the assignment keeps its seed (LEFT-join
+    * coalesce), so the codebook always has PqM·PqK entries. All arithmetic
+    * is pround/xsum-quantized so the oracle replays the iteration
+    * bit-for-bit (PqTrainingSpec cross-checks the means brute-force). */
+  private[queries] def pqCodebook(spark: org.apache.spark.sql.SparkSession,
+                                  dir: String): org.apache.spark.sql.DataFrame = {
+    val sub = pqSub(spread(table(spark, dir, "embeddings")))
+    val cb0 = sub.where(col("vec_id") < PqK)
+      .select(col("s"), col("vec_id").as("cent_id"), col("sv").as("ce"))
+    val means = pqAssign(sub, cb0)
+      .select(col("s"), col("code").as("cent_id"), posexplode(col("sv")).as(Seq("pos", "v")))
+      .groupBy("s", "cent_id", "pos")
+      .agg(pround(xsum(col("v").cast("double"), 6) / count(lit(1)), 6).as("m"))
+      .groupBy("s", "cent_id")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        x => x.getField("m")).as("tce"))
+    cb0.join(means, Seq("s", "cent_id"), "left")
+      .select(col("s"), col("cent_id"),
+        coalesce(col("tce"), transform(col("ce"), x => x.cast("double"))).as("ce"))
+  }
+
   val defs: Map[String, QFn] = Map(
     // product-quantization ANN (codebook train -> encode -> asymmetric
     // distance scan): the billion-vector serving layout where the corpus
     // is stored as PqM small codes (4 bytes/vector here vs 256 for the
     // raw floats) and queries scan codes with a precomputed lookup table
-    // instead of touching any embedding. Codebook: subvectors of the
-    // first PqK vectors (deterministic). Encode: per (vector, subspace)
-    // argmin over the BROADCAST codebook — map-side, lexicographic
-    // struct-min tie-break toward the lowest centroid id (the
-    // assignNearest discipline). ADC: each query's 32-entry (subspace,
-    // centroid) distance table is computed once and broadcast; the scan
-    // is a codes⋈LUT equi-join + an exact integer-scaled sum — the
-    // corpus-side rows carry (vec_id, s, code), never floats. Top-5 per
-    // query by approximate distance, ties to the lowest vec_id.
+    // instead of touching any embedding. Codebook: per-subspace k-means
+    // centroids from one deterministic Lloyd iteration (pqCodebook).
+    // Encode: per (vector, subspace) argmin over the BROADCAST codebook —
+    // map-side, lexicographic struct-min tie-break toward the lowest
+    // centroid id (the assignNearest discipline). ADC: each query's
+    // 32-entry (subspace, centroid) distance table is computed once and
+    // broadcast; the scan is a codes⋈LUT equi-join + an exact
+    // integer-scaled sum — the corpus-side rows carry (vec_id, s, code),
+    // never floats. Top-5 per query by approximate distance, ties to the
+    // lowest vec_id. q90 below measures this layout's recall against the
+    // exact scan.
     "q89_pq_adc" -> ((spark, dir) => {
-      val emb = spread(table(spark, dir, "embeddings"))
-      val subs = (0 until PqM)
-      def slices(e: org.apache.spark.sql.Column, name: String) =
-        explode(array(subs.map(s => struct(lit(s).as("s"),
-          slice(e, s * PqSubDim + 1, PqSubDim).as(name))): _*))
-      val cb = emb.where(col("vec_id") < PqK)
-        .select(col("vec_id").as("cent_id"), slices(col("embedding"), "ce").as("c"))
-        .select(col("c.s").as("s"), col("cent_id"), col("c.ce").as("ce"))
-      val packed = cb.agg(collect_list(struct(col("s"), col("cent_id"), col("ce"))).as("cb"))
-      val sub = emb
-        .select(col("vec_id"), slices(col("embedding"), "sv").as("p"))
-        .select(col("vec_id"), col("p.s").as("s"), col("p.sv").as("sv"))
-      val codes = sub.join(broadcast(packed))
-        .select(col("vec_id"), col("s"),
-          array_min(transform(filter(col("cb"), c => c.getField("s") === col("s")),
-            c => struct(pqDist(col("sv"), c.getField("ce")).as("d"),
-              c.getField("cent_id").as("cid")))).getField("cid").as("code"))
+      val sub = pqSub(spread(table(spark, dir, "embeddings")))
+      val cb = pqCodebook(spark, dir)
+      val codes = pqAssign(sub, cb).select("vec_id", "s", "code")
       val lut = sub.where(col("vec_id") < QueryCount)
         .select(col("vec_id").as("query_id"), col("s").as("ls"), col("sv"))
         .join(broadcast(cb), col("ls") === cb("s"))
@@ -202,6 +238,28 @@ object VectorQueries {
           Window.partitionBy("query_id").orderBy(col("adc"), col("vec_id"))))
         .where(col("rn") <= 5)
         .select("query_id", "vec_id", "adc")
+    }),
+
+    // ADC recall harness: recall@5 of the PQ approximate top-5 against the
+    // exact brute-force baseline — the q49 evaluation discipline applied
+    // to q89, closing the quality loop on the trained codebook (a serving
+    // layout is only as good as the recall a pipeline measures for it).
+    // The embeddings are unit-norm, so q40's cosine ranking IS the L2
+    // ranking ADC approximates (squared-L2 = 2 - 2·cos on unit vectors).
+    "q90_pq_recall" -> ((spark, dir) => {
+      // truth feeds BOTH the hit join and the query-id universe — cache it
+      // so the brute-force scoring pass runs once per execution (q49)
+      val truth = defs("q40_ann_brute")(spark, dir)
+        .select(col("query_id"), col("vec_id")).cache()
+      val approx = defs("q89_pq_adc")(spark, dir)
+        .select(col("query_id"), col("vec_id"))
+      val hits = truth.join(approx, Seq("query_id", "vec_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+      truth.select("query_id").distinct()
+        .join(hits, Seq("query_id"), "left")
+        .select(coalesce(col("hits"), lit(0L)).as("hits"))
+        .agg(count(lit(1)).as("n_queries"),
+             pround(sum(col("hits")).cast("double") / (count(lit(1)) * 5), 6).as("recall_at_5"))
     }),
 
     // exact ANN baseline: brute-force cosine top-5 per query vector.
@@ -463,31 +521,71 @@ object VectorQueries {
     sround(s"list_sum(list_transform(range(1, $PqSubDim + 1), " +
       s"i -> (($a[i]::DOUBLE) - ($b[i]::DOUBLE)) * (($a[i]::DOUBLE) - ($b[i]::DOUBLE))))", 6)
 
+  /** Shared q89/q90 CTE chain (mirrors [[pqCodebook]] + the q89 encode/ADC
+    * pipeline): seed codebook cb0 -> assignment a0 -> per-(s, cell, dim)
+    * quantized means -> trained cb (seed kept for empty cells) -> codes,
+    * per-query LUT, and the summed approximate distances `adc`. */
+  private def pqCtes: String =
+    s"""ss AS (SELECT unnest(range(0, $PqM)) AS s),
+       |cb0 AS (SELECT s, vec_id AS cent_id,
+       |               list_slice(embedding, s * $PqSubDim + 1, s * $PqSubDim + $PqSubDim) AS ce
+       |        FROM embeddings, ss WHERE vec_id < $PqK),
+       |sub AS (SELECT vec_id, s,
+       |               list_slice(embedding, s * $PqSubDim + 1, s * $PqSubDim + $PqSubDim) AS sv
+       |        FROM embeddings, ss),
+       |a0 AS (SELECT vec_id, s, sv, cent_id AS code FROM (
+       |  SELECT sub.vec_id, sub.s, sub.sv, cb0.cent_id,
+       |         row_number() OVER (PARTITION BY sub.vec_id, sub.s
+       |                            ORDER BY ${pqDistSql("sub.sv", "cb0.ce")}, cb0.cent_id) AS rn
+       |  FROM sub JOIN cb0 ON sub.s = cb0.s) WHERE rn = 1),
+       |cbm AS (SELECT s, code AS cent_id, i,
+       |               ${sround(xsumSql("sv[i]::DOUBLE", 6) + " / count(*)", 6)} AS m
+       |        FROM (SELECT s, code, sv, unnest(range(1, $PqSubDim + 1)) AS i FROM a0)
+       |        GROUP BY s, code, i),
+       |cbt AS (SELECT s, cent_id, list(m ORDER BY i) AS ce FROM cbm GROUP BY s, cent_id),
+       |cb AS (SELECT cb0.s, cb0.cent_id,
+       |              coalesce(cbt.ce, list_transform(cb0.ce, x -> x::DOUBLE)) AS ce
+       |       FROM cb0 LEFT JOIN cbt ON cb0.s = cbt.s AND cb0.cent_id = cbt.cent_id),
+       |codes AS (SELECT vec_id, s, cent_id AS code FROM (
+       |  SELECT sub.vec_id, sub.s, cb.cent_id,
+       |         row_number() OVER (PARTITION BY sub.vec_id, sub.s
+       |                            ORDER BY ${pqDistSql("sub.sv", "cb.ce")}, cb.cent_id) AS rn
+       |  FROM sub JOIN cb ON sub.s = cb.s) WHERE rn = 1),
+       |lut AS (SELECT q.vec_id AS query_id, cb.s, cb.cent_id,
+       |               ${pqDistSql("q.sv", "cb.ce")} AS d
+       |        FROM sub q JOIN cb ON q.s = cb.s WHERE q.vec_id < $QueryCount),
+       |adc AS (SELECT l.query_id, c.vec_id, ${xsumSql("d", 6)} AS adc
+       |        FROM codes c JOIN lut l ON c.s = l.s AND c.code = l.cent_id
+       |        WHERE c.vec_id <> l.query_id
+       |        GROUP BY l.query_id, c.vec_id)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q89_pq_adc" ->
-      s"""WITH ss AS (SELECT unnest(range(0, $PqM)) AS s),
-         |cb AS (SELECT vec_id AS cent_id, s,
-         |              list_slice(embedding, s * $PqSubDim + 1, s * $PqSubDim + $PqSubDim) AS ce
-         |       FROM embeddings, ss WHERE vec_id < $PqK),
-         |sub AS (SELECT vec_id, s,
-         |               list_slice(embedding, s * $PqSubDim + 1, s * $PqSubDim + $PqSubDim) AS sv
-         |        FROM embeddings, ss),
-         |codes AS (SELECT vec_id, s, cent_id AS code FROM (
-         |  SELECT sub.vec_id, sub.s, cb.cent_id,
-         |         row_number() OVER (PARTITION BY sub.vec_id, sub.s
-         |                            ORDER BY ${pqDistSql("sub.sv", "cb.ce")}, cb.cent_id) AS rn
-         |  FROM sub JOIN cb ON sub.s = cb.s) WHERE rn = 1),
-         |lut AS (SELECT q.vec_id AS query_id, cb.s, cb.cent_id,
-         |               ${pqDistSql("q.sv", "cb.ce")} AS d
-         |        FROM sub q JOIN cb ON q.s = cb.s WHERE q.vec_id < $QueryCount),
-         |adc AS (SELECT l.query_id, c.vec_id, ${xsumSql("d", 6)} AS adc
-         |        FROM codes c JOIN lut l ON c.s = l.s AND c.code = l.cent_id
-         |        WHERE c.vec_id <> l.query_id
-         |        GROUP BY l.query_id, c.vec_id)
+      s"""WITH $pqCtes
          |SELECT query_id, vec_id, adc FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rn
          |  FROM adc)
          |WHERE rn <= 5""".stripMargin,
+
+    "q90_pq_recall" ->
+      s"""WITH $pqCtes,
+         |approx AS (SELECT query_id, vec_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rn
+         |  FROM adc) WHERE rn <= 5),
+         |truth AS (SELECT query_id, vec_id FROM (
+         |  SELECT query_id, vec_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY ${sround(cosSql("qe", "embedding"), 6)} DESC, vec_id) AS rn
+         |  FROM embeddings, (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < $QueryCount) q
+         |  WHERE vec_id <> query_id) WHERE rn <= 5),
+         |hits AS (SELECT t.query_id, count(*) AS hits
+         |         FROM truth t JOIN approx a ON t.query_id = a.query_id AND t.vec_id = a.vec_id
+         |         GROUP BY t.query_id),
+         |perq AS (SELECT q.query_id, coalesce(h.hits, 0) AS hits
+         |         FROM (SELECT DISTINCT query_id FROM truth) q LEFT JOIN hits h USING (query_id))
+         |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         |       ${sround("CAST(sum(hits) AS DOUBLE) / (count(*) * 5)", 6)} AS recall_at_5
+         |FROM perq""".stripMargin,
 
     "q65_kmeans_step" ->
       s"""WITH $kmeansCte,

@@ -10,11 +10,13 @@ import org.apache.spark.sql.functions.udf
   * `sts_words_equal` ignores n_values — string equality at fixed c matches
   * that exactly, SURVEY.md §2 op 14).
   *
-  * These are Scala UDFs (not codegen Expressions) — each is a tight loop
-  * over a small array/string, so the UDF-call overhead, not the arithmetic,
-  * is the cost; they stay inside whole-stage-codegen pipelines as leaf
-  * calls. A native `Expression` port is a planned perf upgrade if BENCH
-  * demands (SURVEY.md §7.2 step 6).
+  * Role since round 2: the UDFs below are the `spark.sql` NAME surface
+  * (registered per session via [[register]]) and a reference
+  * implementation for differential tests. The DataFrame helpers further
+  * down ([[sax_encode]], [[sax_mindist]], …) build the native codegen
+  * Catalyst expressions in [[SaxExpressions]], and every query in the
+  * inventory uses only those — the hot path never pays UDF invocation or
+  * boxing.
   */
 object SaxFunctions {
 
