@@ -123,6 +123,45 @@ object DedupQueries {
       .select(col("doc_id"), shinglesUdf(col("text")).as("sh"))
       .withColumn("bands", bandsUdf(col("sh")))
 
+  /** q87/q91 token frame: (doc_id, toks) for docs with >= 3 tokens
+    * (positional grams need that many). The filter-nonempty tokenization
+    * shared with TextHash.tokenize / TextSql.toks. */
+  private def spanDocs(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+    spread(table(spark, dir, "documents"))
+      .select(col("doc_id"), toks.as("toks"))
+      .where(size(col("toks")) >= 3)
+  }
+
+  /** Maximal cross-doc duplicated spans over a token frame — the shared
+    * q87/q91 pipeline (scale shape documented at the q87 entry). Emits
+    * (doc_id, span_start, span_len, n_other_docs); span_start is the
+    * 1-based token position of the span's first token. */
+  private def repeatedSpans(docs: DataFrame): DataFrame = {
+    val ex = docs
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 2), " +
+          "i -> struct(i AS pos, concat_ws(' ', toks[i-1], toks[i], toks[i+1]) AS s))")).as("g"))
+      .select(col("doc_id"), col("g.pos").as("pos"), col("g.s").as("s"))
+    // df = distinct docs per gram; the gram dictionary is vocabulary-sized
+    // — never broadcast-hinted (see q52), AQE decides while small
+    val dfreq = ex.select("s", "doc_id").distinct()
+      .groupBy("s").agg(count(lit(1)).as("df"))
+      .where(col("df") >= 2)
+    val dup = ex.join(dfreq, "s")
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val runs = dup
+      .withColumn("is_new",
+        when(col("pos") - lag("pos", 1).over(byDoc) === 1, 0).otherwise(1))
+      .withColumn("span_id", sum("is_new").over(
+        byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+    runs.groupBy(col("doc_id"), col("span_id"))
+      .agg(min("pos").cast("long").as("span_start"),
+           (count(lit(1)) + 2).as("span_len"),
+           (max("df") - 1).as("n_other_docs"))
+      .select("doc_id", "span_start", "span_len", "n_other_docs")
+  }
+
   /** q75's (doc_id, component) frame, memoized per (session, dir) so q75
     * and q83 share one LSH pipeline + label propagation — the eager edge
     * materialization below runs once, not once per consuming query.
@@ -536,33 +575,30 @@ object DedupQueries {
     // q63), then a per-doc window over DUPLICATED positions only — bounded
     // by doc length, partitioned by doc_id; nothing quadratic anywhere.
     // Integer arithmetic end to end, so the oracle is bit-exact for free.
-    "q87_repeated_spans" -> ((spark, dir) => {
-      val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
-      val docs = spread(table(spark, dir, "documents"))
-        .select(col("doc_id"), toks.as("toks"))
-        .where(size(col("toks")) >= 3) // positional grams need >= 3 tokens
-      val ex = docs
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(toks) - 2), " +
-            "i -> struct(i AS pos, concat_ws(' ', toks[i-1], toks[i], toks[i+1]) AS s))")).as("g"))
-        .select(col("doc_id"), col("g.pos").as("pos"), col("g.s").as("s"))
-      // df = distinct docs per gram; the gram dictionary is vocabulary-sized
-      // — never broadcast-hinted (see q52), AQE decides while small
-      val dfreq = ex.select("s", "doc_id").distinct()
-        .groupBy("s").agg(count(lit(1)).as("df"))
-        .where(col("df") >= 2)
-      val dup = ex.join(dfreq, "s")
-      val byDoc = Window.partitionBy("doc_id").orderBy("pos")
-      val runs = dup
-        .withColumn("is_new",
-          when(col("pos") - lag("pos", 1).over(byDoc) === 1, 0).otherwise(1))
-        .withColumn("span_id", sum("is_new").over(
-          byDoc.rowsBetween(Window.unboundedPreceding, 0)))
-      runs.groupBy(col("doc_id"), col("span_id"))
-        .agg(min("pos").cast("long").as("span_start"),
-             (count(lit(1)) + 2).as("span_len"),
-             (max("df") - 1).as("n_other_docs"))
-        .select("doc_id", "span_start", "span_len", "n_other_docs")
+    "q87_repeated_spans" -> ((spark, dir) =>
+      repeatedSpans(spanDocs(spark, dir))),
+
+    // q87's spans materialized for the operator a pipeline actually
+    // redacts/dedups with: the span's token TEXT (sliced back out of the
+    // token array — a span covering grams p..p+m-1 covers tokens
+    // p..p+m+1, so slice(toks, span_start, span_len)) and a canonical
+    // span-group id (min doc_id over identical span text — q56's survivor
+    // discipline at span granularity, grouped on md5 of the text exactly
+    // like q56 groups on the content hash). Scale shape: q87's pipeline +
+    // one equi-join back to the token arrays on doc_id (spans only — the
+    // non-duplicated corpus majority never re-joins) + one window over the
+    // span-hash partitioning. n_spans per group is bounded by corpus
+    // duplication, not corpus size.
+    "q91_span_text" -> ((spark, dir) => {
+      val docs = spanDocs(spark, dir)
+      repeatedSpans(docs).join(docs, "doc_id")
+        .select(col("doc_id"), col("span_start"), col("span_len"), col("n_other_docs"),
+          concat_ws(" ", slice(col("toks"),
+            col("span_start").cast("int"), col("span_len").cast("int"))).as("span_text"))
+        .withColumn("span_group",
+          min("doc_id").over(Window.partitionBy(md5(col("span_text")))))
+        .select("doc_id", "span_start", "span_len", "n_other_docs",
+          "span_text", "span_group")
     }),
 
     // near-dup pairs by simhash: 4 x 15-bit band blocking + hamming <= 3.
@@ -592,6 +628,30 @@ object DedupQueries {
         .distinct()
     })
   )
+
+  /** Shared q87/q91 CTE chain (mirrors [[spanDocs]] + [[repeatedSpans]]):
+    * tokens -> positional 3-grams -> cross-doc df -> duplicated-position
+    * runs -> aggregated maximal spans `spans2`. */
+  private def spanCtes: String =
+    s"""t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |f AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 3),
+       |ex AS (SELECT doc_id, i AS pos, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+       |       FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i FROM f)),
+       |dfreq AS (SELECT s, count(DISTINCT doc_id) AS df FROM ex GROUP BY s
+       |          HAVING count(DISTINCT doc_id) >= 2),
+       |dup AS (SELECT ex.doc_id, ex.pos, d.df FROM ex JOIN dfreq d USING (s)),
+       |runs AS (SELECT doc_id, pos, df,
+       |           CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) = 1
+       |                THEN 0 ELSE 1 END AS is_new
+       |         FROM dup),
+       |spans AS (SELECT doc_id, pos, df,
+       |            sum(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+       |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+       |          FROM runs),
+       |spans2 AS (SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       |                  CAST(count(*) + 2 AS BIGINT) AS span_len,
+       |                  CAST(max(df) - 1 AS BIGINT) AS n_other_docs
+       |           FROM spans GROUP BY doc_id, span_id)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" ->
@@ -738,25 +798,18 @@ object DedupQueries {
     },
 
     "q87_repeated_spans" ->
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |f AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 3),
-         |ex AS (SELECT doc_id, i AS pos, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
-         |       FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i FROM f)),
-         |dfreq AS (SELECT s, count(DISTINCT doc_id) AS df FROM ex GROUP BY s
-         |          HAVING count(DISTINCT doc_id) >= 2),
-         |dup AS (SELECT ex.doc_id, ex.pos, d.df FROM ex JOIN dfreq d USING (s)),
-         |runs AS (SELECT doc_id, pos, df,
-         |           CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) = 1
-         |                THEN 0 ELSE 1 END AS is_new
-         |         FROM dup),
-         |spans AS (SELECT doc_id, pos, df,
-         |            sum(is_new) OVER (PARTITION BY doc_id ORDER BY pos
-         |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
-         |          FROM runs)
-         |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
-         |       CAST(count(*) + 2 AS BIGINT) AS span_len,
-         |       CAST(max(df) - 1 AS BIGINT) AS n_other_docs
-         |FROM spans GROUP BY doc_id, span_id""".stripMargin,
+      s"""WITH $spanCtes
+         |SELECT doc_id, span_start, span_len, n_other_docs FROM spans2""".stripMargin,
+
+    "q91_span_text" ->
+      s"""WITH $spanCtes,
+         |st AS (SELECT s.doc_id, s.span_start, s.span_len, s.n_other_docs,
+         |              array_to_string(list_slice(f.toks, s.span_start,
+         |                                         s.span_start + s.span_len - 1), ' ') AS span_text
+         |       FROM spans2 s JOIN f USING (doc_id))
+         |SELECT doc_id, span_start, span_len, n_other_docs, span_text,
+         |       min(doc_id) OVER (PARTITION BY md5(span_text)) AS span_group
+         |FROM st""".stripMargin,
 
     "q33_simhash" -> simhashOracle("SELECT doc_id, simhash FROM s"),
 

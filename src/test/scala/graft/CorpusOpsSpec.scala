@@ -250,6 +250,12 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // 7 consecutive duplicated gram positions -> one maximal 9-token span
     // per doc, each shared with exactly 1 other doc; nothing from docs 3/4
     assert(got == Set((1L, 3L, 9L, 1L), (2L, 4L, 9L, 1L)), got)
+    // q91 materializes exactly the planted paragraph's text from BOTH docs
+    // (different offsets, same tokens) and groups them under the lowest
+    // carrying doc id — the survivor pointer a redaction pass follows
+    val txt = DedupQueries.defs("q91_span_text")(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getString(4), r.getLong(5))).toSet
+    assert(txt == Set((1L, shared, 1L), (2L, shared, 1L)), txt)
     // driver-side recount on the real corpus: every reported span's grams
     // are genuinely cross-doc duplicated and maximal runs are not split
     val texts = spark.read.parquet(s"$dir/documents.parquet")
