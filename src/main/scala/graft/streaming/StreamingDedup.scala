@@ -10,9 +10,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * Two operators, matching the two state-budget regimes at 100 TB:
   *
-  *  1. [[exactDedupStream]]: watermarked `dropDuplicates` on the
-  *     normalized-content hash — Spark's built-in dedup state store keeps
-  *     one entry per hash inside the watermark horizon, so state is
+  *  1. [[exactDedupStream]]: watermarked `dropDuplicatesWithinWatermark`
+  *     on the normalized-content hash — Spark's built-in dedup state store
+  *     keeps one entry per hash inside the watermark horizon, so state is
   *     bounded by the ingest window, not corpus history.
   *  2. [[firstSeenStream]]: explicit `flatMapGroupsWithState` keyed by the
   *     content hash that emits each document annotated with its canonical
@@ -34,12 +34,23 @@ object StreamingDedup {
     md5(trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " ")))
 
   /** Watermarked exact dedup: keeps the first arrival of each normalized
-    * content hash, dropping re-arrivals within the lateness horizon. */
+    * content hash, dropping re-arrivals within the lateness horizon.
+    *
+    * `dropDuplicatesWithinWatermark`, NOT `dropDuplicates("h")`: the plain
+    * variant only evicts state when the event-time column is part of the
+    * dedup key, so keying on the hash alone would keep one state row per
+    * distinct content FOREVER (state ∝ corpus history — the exact thing a
+    * streaming dedup at 100 TB cannot afford). The within-watermark variant
+    * expires each hash's state once the watermark passes its horizon
+    * (`StreamingDedupSpec` pins the eviction), at the documented price that
+    * a re-arrival AFTER the horizon re-emits — the batch q56 survivor pass
+    * downstream consolidates those, which is the standard lambda split of
+    * responsibilities. */
   def exactDedupStream(docs: DataFrame, lateness: String): DataFrame =
     docs
       .withColumn("h", contentHash(col("text")))
       .withWatermark("ts", lateness)
-      .dropDuplicates("h")
+      .dropDuplicatesWithinWatermark("h")
 
   /** Stateful first-seen annotation: every document flows through, tagged
     * with the doc id that first carried its content (itself if novel).

@@ -113,6 +113,50 @@ class SaxStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.contains((7L, "AD")), rows.mkString(","))
   }
 
+  test("watermarked encode with late data: output = batch over on-time events, state bounded") {
+    val ss = spark
+    import ss.implicits._
+    val base = 1_800_000_000_000_000_000L // ns epoch
+    val min = 60L * 1_000_000_000L
+    def ev(id: Long, tsNs: Long, v: Double) = SeriesEvent(7, id, tsNs, v)
+    val onTime = Seq(
+      ev(1, base + 1, 1.0), ev(2, base + 2, 2.0),
+      ev(3, base + 3, 3.0), ev(4, base + 4, 10.1), // window [base, base+1min)
+      ev(5, base + 3 * min, 0.0),                  // advances the watermark
+      ev(7, base + 6 * min, 5.0))                  // closes the 3-min window
+    // two late events in the first window, behind the watermark — enough
+    // values that a failed drop would re-emit a visible (non-null) word
+    val late = Seq(ev(6, base + 5, 99.0), ev(8, base + 6, 98.0))
+
+    val stream = MemoryStream[SeriesEvent](spark)
+    val q = SaxStreaming.eventTimeWords(stream.toDS(), "1 minute", "30 seconds", 2, 4)
+      .writeStream.format("memory").queryName("late_words").outputMode("append").start()
+    stream.addData(onTime.take(4)); q.processAllAvailable()
+    stream.addData(onTime(4)); q.processAllAvailable()    // watermark -> 2.5 min
+    stream.addData(late); q.processAllAvailable()         // must be DROPPED
+    stream.addData(onTime(5)); q.processAllAvailable()    // watermark -> 5.5 min
+    val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    q.stop()
+    val streamed = spark.table("late_words")
+      .select(col("window.start").cast("long"), col("word"))
+      .as[(Long, String)].collect().toSet
+
+    // batch reference over ONLY the on-time events (withWatermark is a
+    // no-op in batch): the late 99.0 must not appear in any emitted word
+    val batch = SaxStreaming.eventTimeWords(
+        spark.createDataset(onTime), "1 minute", "30 seconds", 2, 4)
+      .select(col("window.start").cast("long"), col("word"))
+      .as[(Long, String)].collect().toSet
+    val closed = streamed // append mode emits only closed windows
+    assert(closed.subsetOf(batch),
+      s"late data leaked into an emitted word: ${closed.diff(batch)}")
+    // the first window DID close with exactly the on-time encode ("AD")
+    assert(closed.contains((base / 1_000_000_000L, "AD")), closed)
+    // state is bounded by the lateness horizon: only windows at/after the
+    // watermark hold rows — never one per ingested window, let alone per row
+    assert(stateRows <= 2, s"state not evicted by watermark: $stateRows rows")
+  }
+
   test("streaming numerosity (Update-mode word counts) matches batch groupBy") {
     val ss = spark
     import ss.implicits._

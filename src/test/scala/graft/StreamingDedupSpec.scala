@@ -60,6 +60,43 @@ class StreamingDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(diffs.isEmpty, s"first diffs: ${diffs.take(5)}")
   }
 
+  test("late arrivals beyond the horizon are dropped and state is evicted") {
+    val ss = spark
+    import ss.implicits._
+    val t0 = 1800000000000L // ms epoch
+    val min = 60000L
+    def doc(id: Long, tsMs: Long, text: String) =
+      DocEvent(id, new java.sql.Timestamp(tsMs), text)
+    val stream = MemoryStream[DocEvent](spark)
+    val src = stream.toDS().select(col("docId").as("doc_id"), col("ts"), col("text"))
+    val q = StreamingDedup.exactDedupStream(src.toDF(), "10 minutes")
+      .select("doc_id", "h")
+      .writeStream.format("memory").queryName("late_dedup")
+      .outputMode("append").start()
+
+    // on-time wave: two distinct contents
+    stream.addData(doc(1, t0, "alpha alpha"), doc(2, t0 + 1, "beta beta"))
+    q.processAllAvailable()
+    // advance event time 30 min -> watermark t0+20min; the t0 state rows
+    // are now beyond the 10-minute horizon and must be evicted
+    stream.addData(doc(3, t0 + 30 * min, "gamma gamma"))
+    q.processAllAvailable()
+    // late wave, behind the watermark: a re-arrival of known content AND a
+    // novel late doc — both must be dropped entirely (neither re-emits nor
+    // sneaks in as a "new" row after its group's state was evicted)
+    stream.addData(doc(4, t0 + 2, "alpha alpha"), doc(5, t0 + 3, "delta delta"))
+    q.processAllAvailable()
+    val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    q.stop()
+
+    val out = spark.table("late_dedup").collect().map(_.getLong(0)).sorted
+    // output == batch dedup restricted to the on-time data: docs 1, 2, 3
+    assert(out.sameElements(Array(1L, 2L, 3L)), out.mkString(","))
+    // state is bounded by the lateness horizon, not by distinct-content
+    // history: the two t0 hashes were evicted, only doc 3's hash remains
+    assert(stateRows == 1, s"state not evicted by watermark: $stateRows rows")
+  }
+
   test("watermarked dropDuplicates passes one row per content hash") {
     val ss = spark
     import ss.implicits._
