@@ -174,7 +174,16 @@ object SaxQueries {
     //     and resolved by the same (dist, event_id) order, so the result is
     //     bit-identical to the direct global sort the oracle runs.
     // Contract note: building the frame runs the (tiny) phase-1 job
-    // eagerly, like q75's edge materialization.
+    // eagerly, like q75's edge materialization. The words cache is a PLAN-
+    // SHAPE choice, not a perf tweak (r8 measured removing it: timings
+    // statistically identical at sf0.1, 0.88-1.11 s vs 0.92-1.28 s
+    // best-of-3): cached, `word` is a scan-level attribute and the
+    // injected substring IN prunes push into the InMemoryTableScan — the
+    // stand-in for probing an at-rest iSAX word index, the shape PLANS.md
+    // documents and a bucketed layout turns into partition pruning.
+    // Uncached, the filter is pushed through the projection and the prunes
+    // evaluate over an inline re-encode, which prunes only the mindist
+    // kernel, not the scan. Bench/Verify clearCache() bounds the pin.
     "q05_sax_topk" -> ((spark, dir) => {
       val k = 20
       val md = sax_mindist(col("word"), lit(N.toLong), lit("BDBB"), lit(0L), C)

@@ -199,9 +199,18 @@ object VectorQueries {
       .groupBy("s", "cent_id")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         x => x.getField("m")).as("tce"))
-    cb0.join(means, Seq("s", "cent_id"), "left")
+    val cb = cb0.join(means, Seq("s", "cent_id"), "left")
       .select(col("s"), col("cent_id"),
         coalesce(col("tce"), transform(col("ce"), x => x.cast("double"))).as("ce"))
+    // Contract note (the q75/q05 eager discipline): train ONCE and cache
+    // the PqM·PqK-row codebook — q89 consumes it from two branches (encode
+    // + query LUT), and lazily each would inline the whole corpus-scale
+    // training assignment into its own subtree, doubling the training
+    // pass. A codebook is a model ARTIFACT: derive it one time, probe it
+    // everywhere. Bench/Verify clearCache() between queries bounds the pin.
+    cb.cache()
+    cb.count()
+    cb
   }
 
   val defs: Map[String, QFn] = Map(
