@@ -59,6 +59,24 @@ object SaxQueries {
 
   private val windowWordsSql: String = windowWordsSqlFor(N, W, C)
 
+  /** CTE chain ending in words(cw, fw): the sliding-window frame
+    * symbolized at BOTH cardinality 2 and 4 from one padded list — the
+    * q92 dual encode. Identical moments feed both symbolizations, so the
+    * iSAX nesting property holds per window by construction. */
+  private def dualWordsSql: String = {
+    val pad = padExpr("raw", N)
+    s"""base AS (
+       |  SELECT event_id, user_id,
+       |         list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                           ROWS BETWEEN ${N - 1} PRECEDING AND CURRENT ROW) AS raw
+       |  FROM events),
+       |padded AS (SELECT event_id, user_id, $pad AS vals FROM base),
+       |ws AS (SELECT event_id, user_id, vals, ${welfordExpr(finExpr("vals"))} AS ws FROM padded),
+       |st AS (SELECT event_id, user_id, vals, ${wsMu("ws")} AS mu, ${wsStd("ws")} AS std FROM ws),
+       |words AS (SELECT ${saxWordExpr("vals", "mu", "std", N, W, 2)} AS cw,
+       |                 ${saxWordExpr("vals", "mu", "std", N, W, 4)} AS fw FROM st)""".stripMargin
+  }
+
   /** CTE producing (user_id, word): batch encode of each user's FIRST n
     * values (users with fewer than n events excluded). */
   private def firstNWordSql(valueExpr: String, w: Int, c: Int): String =
@@ -91,11 +109,13 @@ object SaxQueries {
     * Bucket count is fixed so both sides' at-rest hash partitioning agrees
     * (at 100 TB you'd size it to the dictionary, e.g. 4096). */
   private val WordBuckets = 8
-  private val bucketedOnce =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  // keyed by the session OBJECT (identity), not a derived hash string —
+  // identity hashes can collide across sessions (see componentMemo)
+  private val bucketedOnce = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), (String, String)]()
   private def bucketedWordTables(spark: org.apache.spark.sql.SparkSession,
                                  dir: String): (String, String) =
-    bucketedOnce.computeIfAbsent(s"${System.identityHashCode(spark)}:$dir", _ => {
+    bucketedOnce.computeIfAbsent((spark, dir), _ => {
       val words = windowWords(spark, dir)
       val base = java.nio.file.Files.createTempDirectory("graft-q78-").toString
       val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
@@ -456,6 +476,42 @@ object SaxQueries {
         .select(col("user_id"), col("word"), col("word_cnt"))
     }),
 
+    // iSAX 2.0 variable-cardinality index layout (the adaptive split the
+    // reference's cited paper introduces, include/symtseries.h:5-7): every
+    // window is indexed by its word at BASE cardinality 2; buckets holding
+    // more than 1/16 of the corpus promote the cardinality of position 1
+    // to 4, splitting into the nested finer sectors. Nesting is exact
+    // because every c=2 breakpoint (0.0) is also a c=4 breakpoint, so each
+    // c=4 symbol refines exactly one c=2 symbol ({A,B}->A, {C,D}->B,
+    // '#'->'#' — SaxBucketingSpec proves it per window). Scale shape: both
+    // encodes come from ONE window pass (same collect_list frame, two
+    // symbolizations); the split decision reads a dictionary-bounded
+    // (<= 3^w rows) count aggregate joined back by broadcast — the
+    // explicit hint is within policy because the word dictionary is
+    // constant-bounded, not corpus-growing; the final cell histogram is
+    // one combinable aggregation. At 100 TB the output IS the index
+    // manifest: cell -> member count, with overflowing cells split one
+    // level — promotion recurses per level in production, each level the
+    // same bounded-dictionary pass.
+    "q92_isax_adaptive_index" -> ((spark, dir) => {
+      val words = table(spark, dir, "events")
+        .select(
+          sax_encode_window(collect_list(col("value")).over(trail), N, W, 2).as("cw"),
+          sax_encode_window(collect_list(col("value")).over(trail), N, W, 4).as("fw"))
+      val counts = words.groupBy("cw").agg(count(lit(1)).as("cnt"))
+      val tot = counts.agg(sum("cnt").as("total"))
+      val dict = counts.join(broadcast(tot))
+        .select(col("cw"), (col("cnt") > col("total") / lit(16.0)).as("split"))
+      words.join(broadcast(dict), "cw")
+        .select(col("cw"),
+          when(col("split"), substring(col("fw"), 1, 1)).otherwise(lit("*")).as("promoted_sym"),
+          when(col("split"), lit(1)).otherwise(lit(0)).as("depth"))
+        .groupBy("cw", "promoted_sym", "depth")
+        .agg(count(lit(1)).as("n_windows"))
+        .select(col("cw").as("parent_word"), col("promoted_sym"),
+          col("n_windows"), col("depth"))
+    }),
+
     // numerosity-reduction runs: consecutive identical words collapse
     "q12_sax_runs" -> ((spark, dir) => {
       val w = Window.partitionBy("user_id").orderBy("event_id")
@@ -648,6 +704,20 @@ object SaxQueries {
            |wc AS (SELECT word, count(*)::BIGINT AS word_cnt FROM q GROUP BY word)
            |SELECT uw.user_id, uw.word, wc.word_cnt
            |FROM uw JOIN wc ON uw.word = wc.word""".stripMargin,
+
+      // mirrors q92: one padded frame symbolized at both cardinalities,
+      // dictionary-bounded split decision, cell histogram
+      "q92_isax_adaptive_index" ->
+        s"""WITH $dualWordsSql,
+           |counts AS (SELECT cw, count(*) AS cnt FROM words GROUP BY cw),
+           |tot AS (SELECT sum(cnt) AS total FROM counts),
+           |dict AS (SELECT cw, cnt > total / 16.0 AS split FROM counts CROSS JOIN tot)
+           |SELECT parent_word, promoted_sym, CAST(count(*) AS BIGINT) AS n_windows, depth FROM (
+           |  SELECT w.cw AS parent_word,
+           |         CASE WHEN d.split THEN substr(w.fw, 1, 1) ELSE '*' END AS promoted_sym,
+           |         CAST(CASE WHEN d.split THEN 1 ELSE 0 END AS INT) AS depth
+           |  FROM words w JOIN dict d USING (cw))
+           |GROUP BY parent_word, promoted_sym, depth""".stripMargin,
 
       "q12_sax_runs" ->
         s"""WITH q AS ($windowWordsSql),
