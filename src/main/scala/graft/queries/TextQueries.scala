@@ -412,6 +412,67 @@ object TextQueries {
              pround(xsum(col("lp"), 6) / count(lit(1)), 6).as("avg_logprob"))
     }),
 
+    // q88 one order up: trigram stupid-backoff LM scoring (Brants-style:
+    // trigram MLE if the trigram was seen in train, else alpha * bigram
+    // MLE, else alpha^2 * add-1 unigram floor — the standard web-scale LM
+    // that skips normalization so every level is a pure count ratio).
+    // Same quantize-early discipline as q88: each trigram's log rounds to
+    // 6 decimals BEFORE the per-doc xsum average, so parallel partial
+    // sums and DuckDB's sequential sum agree bit-for-bit. Scale shape:
+    // three map-side-combinable train-split count aggregates (trigram,
+    // bigram, unigram); the test trigrams probe all three dictionaries
+    // with UNHINTED left joins (vocabulary-sized frames — AQE broadcasts
+    // while genuinely small) plus the 1-row (t_total, vocab) broadcast.
+    "q93_trigram_logprob" -> ((spark, dir) => {
+      val alpha = 0.4
+      val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+      val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 100).cast("int")
+      val d = spread(table(spark, dir, "documents"))
+        .select(col("doc_id"), bucket.as("b"), toks.as("toks"))
+      val trigrams = d.where(size(col("toks")) >= 3)
+        .select(col("doc_id"), col("b"), explode(expr(
+          "transform(sequence(1, size(toks) - 2), " +
+            "i -> struct(toks[i-1] AS v, toks[i] AS w, toks[i+1] AS x))")).as("g"))
+        .select(col("doc_id"), col("b"), col("g.v").as("v"), col("g.w").as("w"), col("g.x").as("x"))
+      val bigrams = d.where(size(col("toks")) >= 2)
+        .select(col("b"), explode(expr(
+          "transform(sequence(1, size(toks) - 1), i -> struct(toks[i-1] AS v, toks[i] AS w))")).as("g"))
+        .select(col("b"), col("g.v").as("v"), col("g.w").as("w"))
+      val trainU = d.select(col("b"), explode(col("toks")).as("t")).where(col("b") < 80)
+      val tc = trigrams.where(col("b") < 80)
+        .groupBy("v", "w", "x").agg(count(lit(1)).as("tc"))
+      val bc = bigrams.where(col("b") < 80)
+        .groupBy("v", "w").agg(count(lit(1)).as("bc"))
+      val uc = trainU.groupBy("t").agg(count(lit(1)).as("uc"))
+      val tv = trainU.agg(count(lit(1)).as("t_total"),
+                          countDistinct(col("t")).as("vocab"))
+      val test = trigrams.where(col("b") >= 90).select("doc_id", "v", "w", "x")
+      // a seen trigram implies its (v,w) context bigram is seen, and a
+      // seen (w,x) back-off bigram implies unigram w is seen — the
+      // denominators are never null on the branch that reads them
+      val triLp = pround(log(col("tc").cast("double") / col("bvw")), 6)
+      val biLp = pround(log((lit(alpha) * col("bwx").cast("double")) / col("ucw")), 6)
+      val uniLp = pround(log(
+        (lit(alpha) * lit(alpha) * (coalesce(col("ucx"), lit(0L)).cast("double") + lit(1.0))) /
+          (col("t_total") + col("vocab")).cast("double")), 6)
+      test
+        .join(tc, Seq("v", "w", "x"), "left")
+        .join(bc.select(col("v"), col("w"), col("bc").as("bvw")), Seq("v", "w"), "left")
+        .join(bc.select(col("v").as("w"), col("w").as("x"), col("bc").as("bwx")),
+          Seq("w", "x"), "left")
+        .join(uc.select(col("t").as("w"), col("uc").as("ucw")), Seq("w"), "left")
+        .join(uc.select(col("t").as("x"), col("uc").as("ucx")), Seq("x"), "left")
+        .crossJoin(broadcast(tv))
+        .select(col("doc_id"),
+          when(col("tc").isNotNull, triLp)
+            .when(col("bwx").isNotNull, biLp)
+            .otherwise(uniLp).as("lp"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_trigrams"),
+             pround(xsum(col("lp"), 6) / count(lit(1)), 6).as("avg_logprob"))
+    }),
+
     // fingerprints: exact md5 + min-shingle-hash (1-permutation minhash,
     // native codegen expression graft.functions.MinShingleExpr)
     "q38_fingerprint" -> ((spark, dir) => {
@@ -597,6 +658,44 @@ object TextQueries {
          |      LEFT JOIN (SELECT tok AS w, uc AS ucw FROM uc) uw USING (w)
          |      CROSS JOIN tv)
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |       ${sround(xsumSql("lp", 6) + " / count(*)", 6)} AS avg_logprob
+         |FROM s GROUP BY doc_id""".stripMargin
+    },
+
+    "q93_trigram_logprob" -> {
+      val tri = sround("ln((tc::DOUBLE) / bvw)", 6)
+      val bi = sround(s"ln((${dlit(0.4)} * (bwx::DOUBLE)) / ucw)", 6)
+      val uni = sround(s"ln((${dlit(0.4 * 0.4)} * (coalesce(ucx, 0)::DOUBLE + ${dlit(1.0)})) / ((t_total + vocab)::DOUBLE))", 6)
+      s"""WITH t AS (SELECT doc_id,
+         |             CAST(CAST(concat('0x', substr(md5(doc_id::VARCHAR), 1, 15)) AS BIGINT) % 100 AS INT) AS b,
+         |             $toksSqlD AS toks FROM documents),
+         |tg AS (SELECT doc_id, b, unnest(list_transform(range(1, len(toks) - 1),
+         |                i -> {'v': toks[i], 'w': toks[i+1], 'x': toks[i+2]})) AS g
+         |       FROM t WHERE len(toks) >= 3),
+         |tg2 AS (SELECT doc_id, b, g.v AS v, g.w AS w, g.x AS x FROM tg),
+         |bg AS (SELECT b, unnest(list_transform(range(1, len(toks)),
+         |                i -> {'v': toks[i], 'w': toks[i+1]})) AS g
+         |       FROM t WHERE len(toks) >= 2),
+         |bg2 AS (SELECT b, g.v AS v, g.w AS w FROM bg),
+         |tr AS (SELECT unnest(toks) AS tok FROM t WHERE b < 80),
+         |tc AS (SELECT v, w, x, CAST(count(*) AS BIGINT) AS tc FROM tg2 WHERE b < 80 GROUP BY v, w, x),
+         |bc AS (SELECT v, w, CAST(count(*) AS BIGINT) AS bc FROM bg2 WHERE b < 80 GROUP BY v, w),
+         |uc AS (SELECT tok, CAST(count(*) AS BIGINT) AS uc FROM tr GROUP BY tok),
+         |tv AS (SELECT CAST(count(*) AS BIGINT) AS t_total,
+         |              CAST(count(DISTINCT tok) AS BIGINT) AS vocab FROM tr),
+         |test AS (SELECT doc_id, v, w, x FROM tg2 WHERE b >= 90),
+         |s AS (SELECT test.doc_id,
+         |        CASE WHEN tc.tc IS NOT NULL THEN $tri
+         |             WHEN bwx IS NOT NULL THEN $bi
+         |             ELSE $uni END AS lp
+         |      FROM test
+         |      LEFT JOIN tc USING (v, w, x)
+         |      LEFT JOIN (SELECT v, w, bc AS bvw FROM bc) cvw USING (v, w)
+         |      LEFT JOIN (SELECT v AS w, w AS x, bc AS bwx FROM bc) cwx USING (w, x)
+         |      LEFT JOIN (SELECT tok AS w, uc AS ucw FROM uc) uw USING (w)
+         |      LEFT JOIN (SELECT tok AS x, uc AS ucx FROM uc) ux USING (x)
+         |      CROSS JOIN tv)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
          |       ${sround(xsumSql("lp", 6) + " / count(*)", 6)} AS avg_logprob
          |FROM s GROUP BY doc_id""".stripMargin
     },

@@ -233,6 +233,48 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       lens.filter(l => l._2 >= lo && l._2 <= hi).map(_._1).toSet)
   }
 
+  test("q93 trigram back-off scores match a driver-side recount") {
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def bucket(id: Long): Int =
+      (java.lang.Long.parseLong(TextHash.md5Hex(id.toString).take(15), 16) % 100).toInt
+    val toks = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> TextHash.tokenize(r.getString(1))).toMap
+    val train = toks.collect { case (id, t) if bucket(id) < 80 => t }
+    val tc = train.filter(_.length >= 3).flatMap(_.sliding(3).map(_.toSeq))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bc = train.filter(_.length >= 2).flatMap(_.sliding(2).map(_.toSeq))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val uc = train.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tTotal = train.map(_.length.toLong).sum
+    val vocab = uc.size.toLong
+    val alpha = 0.4
+    def lp(v: String, w: String, x: String): Double =
+      if (tc.contains(Seq(v, w, x)))
+        r6(math.log(tc(Seq(v, w, x)).toDouble / bc(Seq(v, w))))
+      else if (bc.contains(Seq(w, x)))
+        r6(math.log((alpha * bc(Seq(w, x)).toDouble) / uc(w)))
+      else
+        r6(math.log(((alpha * alpha) * (uc.getOrElse(x, 0L).toDouble + 1.0)) /
+          (tTotal + vocab).toDouble))
+    val rows = TextQueries.defs("q93_trigram_logprob")(spark, dir).collect()
+    val testIds = toks.collect { case (id, t) if bucket(id) >= 90 && t.length >= 3 => id }
+    assert(rows.map(_.getLong(0)).toSet == testIds.toSet, "one row per held-out doc")
+    for (r <- rows) {
+      val t = toks(r.getLong(0))
+      val lps = t.sliding(3).map(s => lp(s(0), s(1), s(2))).toSeq
+      assert(r.getLong(1) == lps.size)
+      val avg = r6(lps.map(l => math.floor(l * 1e6 + 0.5)).sum / 1e6 / lps.size)
+      assert(r.getDouble(2) == avg, s"doc ${r.getLong(0)}")
+    }
+    // all three back-off levels actually fire on this corpus (the test
+    // would silently stop covering the lower levels otherwise)
+    val branches = testIds.flatMap(id => toks(id).sliding(3).map { s =>
+      if (tc.contains(s.toSeq)) 0 else if (bc.contains(s.toSeq.tail)) 1 else 2
+    }).toSet
+    assert(branches == Set(0, 1, 2), s"levels exercised: $branches")
+  }
+
   test("q87 extracts exactly the planted shared paragraph as maximal spans") {
     // a 9-token paragraph planted verbatim in two docs at different offsets;
     // its 7 interior 3-grams are the only cross-doc-duplicated grams
