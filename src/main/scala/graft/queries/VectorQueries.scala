@@ -170,11 +170,13 @@ object VectorQueries {
   private def pqAssign(sub: org.apache.spark.sql.DataFrame,
                        cb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val packed = cb.agg(collect_list(struct(col("s"), col("cent_id"), col("ce"))).as("cb"))
+    // preserve the caller's columns (q94 threads the IVF cell through the
+    // same map-side pass) and append the code
     sub.join(broadcast(packed))
-      .select(col("vec_id"), col("s"), col("sv"),
+      .select(sub.columns.map(col) :+
         array_min(transform(filter(col("cb"), c => c.getField("s") === col("s")),
           c => struct(pqDist(col("sv"), c.getField("ce")).as("d"),
-            c.getField("cent_id").as("cid")))).getField("cid").as("code"))
+            c.getField("cent_id").as("cid")))).getField("cid").as("code"): _*)
   }
 
   /** Trained PQ codebook (s, cent_id, ce: array<double>): ONE deterministic
@@ -269,6 +271,50 @@ object VectorQueries {
         .select(coalesce(col("hits"), lit(0L)).as("hits"))
         .agg(count(lit(1)).as("n_queries"),
              pround(sum(col("hits")).cast("double") / (count(lit(1)) * 5), 6).as("recall_at_5"))
+    }),
+
+    // IVF + ADC — the two serving layouts composed (the FAISS-style
+    // IVFADC shape, minus residual encoding): the coarse quantizer (q46's
+    // stride centroids) routes each query to ONE inverted list, and
+    // within that list distances come from the trained PQ codes (q89) via
+    // the broadcast query LUT — so a query scans |cell| code tuples, not
+    // the corpus, and never touches a raw embedding at probe time. The
+    // cell is threaded through the SAME map-side pass that encodes
+    // (assignNearest argmax + pqAssign argmin are both broadcast
+    // lookups), so corpus rows reach the probe join already carrying
+    // (vec_id, cell, s, code) — one scan, zero corpus-side shuffles
+    // before the final per-candidate sum. Top-5 per query, ties to the
+    // lowest vec_id.
+    "q94_ivf_adc" -> ((spark, dir) => {
+      val emb = spread(table(spark, dir, "embeddings"))
+      val stride = math.max(1L, table(spark, dir, "embeddings").count() / CentroidBudget)
+      val cents = emb.where(col("vec_id") % stride === 0)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+      val withCell = assignNearest(emb, cents)
+        .select(col("vec_id"), col("embedding"), col("cell"))
+      val subC = withCell.select(col("vec_id"), col("cell"),
+          explode(array((0 until PqM).map(s => struct(lit(s).as("s"),
+            slice(col("embedding"), s * PqSubDim + 1, PqSubDim).as("sv"))): _*)).as("p"))
+        .select(col("vec_id"), col("cell"), col("p.s").as("s"), col("p.sv").as("sv"))
+      val cb = pqCodebook(spark, dir)
+      val codes = pqAssign(subC, cb).select("vec_id", "cell", "s", "code")
+      val qcell = withCell.where(col("vec_id") < QueryCount)
+        .select(col("vec_id").as("query_id"), col("cell").as("qc"))
+      val lut = subC.where(col("vec_id") < QueryCount)
+        .select(col("vec_id").as("query_id"), col("s").as("ls"), col("sv"))
+        .join(broadcast(cb), col("ls") === cb("s"))
+        .select(col("query_id"), col("s"), col("cent_id"),
+          pqDist(col("sv"), col("ce")).as("d"))
+        .join(broadcast(qcell), "query_id")
+      codes.join(broadcast(lut),
+          codes("s") === lut("s") && codes("code") === lut("cent_id") &&
+            codes("cell") === lut("qc") && codes("vec_id") =!= lut("query_id"))
+        .groupBy(col("query_id"), codes("vec_id").as("vec_id"))
+        .agg(xsum(col("d"), 6).as("adc"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("adc"), col("vec_id"))))
+        .where(col("rn") <= 5)
+        .select("query_id", "vec_id", "adc")
     }),
 
     // exact ANN baseline: brute-force cosine top-5 per query vector.
@@ -530,6 +576,19 @@ object VectorQueries {
     sround(s"list_sum(list_transform(range(1, $PqSubDim + 1), " +
       s"i -> (($a[i]::DOUBLE) - ($b[i]::DOUBLE)) * (($a[i]::DOUBLE) - ($b[i]::DOUBLE))))", 6)
 
+  /** q46/q94 IVF coarse-quantizer CTEs: stride-sampled centroids, cosine
+    * scoring, nearest-cell assignment (ties to the lowest centroid id). */
+  private def ivfCte: String =
+    s"""cents AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
+       |               WHERE vec_id % (SELECT greatest(1, count(*) // $CentroidBudget)
+       |                               FROM embeddings) = 0),
+       |scored AS (SELECT e.vec_id, e.embedding, c.cent_id,
+       |                  ${sround(cosSql("e.embedding", "c.ce"), 6)} AS ccos
+       |           FROM embeddings e CROSS JOIN cents c),
+       |assigned AS (SELECT vec_id, embedding, cent_id AS cell FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn
+       |  FROM scored) WHERE rn = 1)""".stripMargin
+
   /** Shared q89/q90 CTE chain (mirrors [[pqCodebook]] + the q89 encode/ADC
     * pipeline): seed codebook cb0 -> assignment a0 -> per-(s, cell, dim)
     * quantized means -> trained cb (seed kept for empty cells) -> codes,
@@ -574,6 +633,23 @@ object VectorQueries {
          |SELECT query_id, vec_id, adc FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rn
          |  FROM adc)
+         |WHERE rn <= 5""".stripMargin,
+
+    "q94_ivf_adc" ->
+      s"""WITH $ivfCte,
+         |$pqCtes,
+         |codesc AS (SELECT co.vec_id, ac.cell, co.s, co.code
+         |           FROM codes co JOIN assigned ac ON co.vec_id = ac.vec_id),
+         |qcell AS (SELECT vec_id AS query_id, cell AS qc FROM assigned WHERE vec_id < $QueryCount),
+         |adcv AS (SELECT l.query_id, c.vec_id, ${xsumSql("d", 6)} AS adc
+         |         FROM codesc c
+         |         JOIN lut l ON c.s = l.s AND c.code = l.cent_id
+         |         JOIN qcell qc ON qc.query_id = l.query_id AND qc.qc = c.cell
+         |         WHERE c.vec_id <> l.query_id
+         |         GROUP BY l.query_id, c.vec_id)
+         |SELECT query_id, vec_id, adc FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rn
+         |  FROM adcv)
          |WHERE rn <= 5""".stripMargin,
 
     "q90_pq_recall" ->
@@ -654,15 +730,7 @@ object VectorQueries {
          |WHERE ${sround(cosSql("a.embedding", "b.embedding"), 6)} >= 0.3""".stripMargin,
 
     "q46_ann_ivf" ->
-      s"""WITH cents AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
-         |               WHERE vec_id % (SELECT greatest(1, count(*) // $CentroidBudget)
-         |                               FROM embeddings) = 0),
-         |scored AS (SELECT e.vec_id, e.embedding, c.cent_id,
-         |                  ${sround(cosSql("e.embedding", "c.ce"), 6)} AS ccos
-         |           FROM embeddings e CROSS JOIN cents c),
-         |assigned AS (SELECT vec_id, embedding, cent_id AS cell FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn
-         |  FROM scored) WHERE rn = 1),
+      s"""WITH $ivfCte,
          |q AS (SELECT vec_id AS query_id, embedding AS qe, cell FROM assigned WHERE vec_id < $QueryCount)
          |SELECT query_id, vec_id, cos FROM (
          |  SELECT q.query_id, a.vec_id, ${sround(cosSql("q.qe", "a.embedding"), 6)} AS cos,
