@@ -97,6 +97,30 @@ object MultimodalQueries {
           Row(id, f, off, len, math.floor(s / len * 1e6 + 0.5) / 1e6)
         }
       }(enc)
+    }),
+
+    // perceptual-bucket dedup — the pHash shape over the stubbed decode:
+    // the first 4 frame features quantize to integer buckets and
+    // concatenate into a coarse perceptual signature; identical
+    // signatures form a dup group with q56's survivor discipline (min
+    // doc_id canonical). The real pipeline swaps the frame-mean stub for
+    // a perceptual hash of decoded pixels; the plan shape — feature
+    // extraction map-side, ONE combinable group on a short signature
+    // key, survivor pointers by equi-join — is exactly this at any
+    // corpus size (never pairwise comparison of media payloads).
+    "q96_perceptual_dedup" -> ((spark, dir) => {
+      val sig = defs("q57_multimodal_frames")(spark, dir)
+        .where(col("frame") < 4)
+        .select(col("doc_id"), col("frame"), floor(col("f_mean")).cast("int").as("q"))
+        .groupBy("doc_id")
+        .agg(concat_ws("-",
+          transform(array_sort(collect_list(struct(col("frame"), col("q")))),
+            x => x.getField("q").cast("string"))).as("sig"))
+      val groups = sig.groupBy("sig")
+        .agg(count(lit(1)).as("group_size"), min("doc_id").as("canonical_id"))
+      sig.join(groups, "sig")
+        .select(col("doc_id"), col("sig"), col("canonical_id"), col("group_size"),
+          (col("doc_id") =!= col("canonical_id")).as("is_dup"))
     })
   )
 
@@ -124,6 +148,32 @@ object MultimodalQueries {
          |SELECT doc_id, frame, off, f_len,
          |       ${sround(s"$byteSum / f_len", 6)} AS f_mean
          |FROM g""".stripMargin
+    },
+
+    "q96_perceptual_dedup" -> {
+      val fb = FrameBytes; val fs = FrameStride
+      val byteSum =
+        s"list_sum(list_transform(range(off + 1, off + f_len + 1), i -> ascii(substr(text, i, 1))::DOUBLE))"
+      s"""WITH d AS (SELECT doc_id, text, CAST(octet_length(encode(text)) AS INT) AS n_bytes FROM documents),
+         |f AS (SELECT doc_id, text, n_bytes,
+         |             unnest(range(0, (n_bytes - 1) // $fs + 1)) AS frame
+         |      FROM d),
+         |g AS (SELECT doc_id, text, CAST(frame AS INT) AS frame,
+         |             CAST(frame * $fs AS INT) AS off,
+         |             CAST(least($fb, n_bytes - frame * $fs) AS INT) AS f_len
+         |      FROM f),
+         |fm AS (SELECT doc_id, frame, ${sround(s"$byteSum / f_len", 6)} AS f_mean
+         |       FROM g WHERE frame < 4),
+         |sig AS (SELECT doc_id,
+         |               array_to_string(list(CAST(CAST(floor(f_mean) AS INT) AS VARCHAR)
+         |                                    ORDER BY frame), '-') AS sig
+         |        FROM fm GROUP BY doc_id),
+         |grp AS (SELECT sig, CAST(count(*) AS BIGINT) AS group_size,
+         |               min(doc_id) AS canonical_id
+         |        FROM sig GROUP BY sig)
+         |SELECT s.doc_id, s.sig, g2.canonical_id, g2.group_size,
+         |       s.doc_id <> g2.canonical_id AS is_dup
+         |FROM sig s JOIN grp g2 USING (sig)""".stripMargin
     }
   )
 }

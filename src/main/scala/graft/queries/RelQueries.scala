@@ -284,6 +284,22 @@ object RelQueries {
       val building = c.where(col("c_mktsegment") === "BUILDING")
         .select(col("c_custkey").as("custkey"))
       spenders.intersect(building)
+    }),
+
+    // EXCEPT completes the set-op family next to q25's INTERSECT: the
+    // high-spend customers OUTSIDE the BUILDING segment. Spark plans
+    // except() as a left-anti aggregate — same bounded shuffle shape as
+    // the q73 anti join, distinct-by-construction on the grouped side.
+    "q95_segment_except" -> ((spark, dir) => {
+      val c = table(spark, dir, "customer")
+      val o = table(spark, dir, "orders")
+      val spenders = o.groupBy("o_custkey")
+        .agg(xsum(col("o_totalprice"), 4).as("rev"))
+        .where(col("rev") > 100000.0)
+        .select(col("o_custkey").as("custkey"))
+      val building = c.where(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("custkey"))
+      spenders.except(building)
     })
   )
 
@@ -436,6 +452,13 @@ object RelQueries {
          |GROUP BY o_custkey
          |HAVING ${xsumSql("o_totalprice", 4)} > 100000.0
          |INTERSECT
+         |SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'""".stripMargin,
+
+    "q95_segment_except" ->
+      s"""SELECT o_custkey AS custkey FROM orders
+         |GROUP BY o_custkey
+         |HAVING ${xsumSql("o_totalprice", 4)} > 100000.0
+         |EXCEPT
          |SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'""".stripMargin
   )
 }
