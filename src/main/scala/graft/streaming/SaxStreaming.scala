@@ -84,6 +84,33 @@ object SaxStreaming {
       .where(col("word").isNotNull) // windows with fewer than w values don't encode
   }
 
+  /** Event-time SESSION windows (gap-closed) — the streaming analogue of
+    * the batch q27 sessionization: a session collects a key's events until
+    * `gap` of event-time silence, then (once the watermark passes its
+    * close) batch-encodes the session's values into one word. Built on
+    * Spark's `session_window` state merging, so state per key is one open
+    * session row, bounded by the watermark horizon like [[eventTimeWords]].
+    * At 100 TB the only shuffle is the session-window aggregation on the
+    * series key — the same partitioning every other per-key op uses. */
+  def sessionWords(events: Dataset[SeriesEvent], gap: String,
+                   lateness: String, w: Int, c: Int) = {
+    import org.apache.spark.sql.functions._
+    val enc = udf((vs: Seq[Double]) => {
+      // sessions have data-dependent sizes; truncate to the largest
+      // encodable prefix (n % w == 0), like eventTimeWords
+      val n = vs.length - vs.length % w
+      if (n == 0) null else graft.sax.Sax.encode(vs.take(n).toArray, w, c)
+    })
+    events
+      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ets", lateness)
+      .groupBy(session_window(col("ets"), gap), col("userId"))
+      .agg(sort_array(collect_list(struct(col("ts"), col("eventId"), col("value")))).as("rows"))
+      .select(col("session_window"), col("userId"), size(col("rows")).as("n_events"),
+        enc(expr("transform(rows, r -> r.value)")).as("word"))
+      .where(col("word").isNotNull)
+  }
+
   def snapshot(win: SaxWindow): SaxState =
     SaxState(win.values, win.currentMu, win.currentS2, win.currentFiniteCnt)
 

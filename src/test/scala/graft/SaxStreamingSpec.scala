@@ -157,6 +157,35 @@ class SaxStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stateRows <= 2, s"state not evicted by watermark: $stateRows rows")
   }
 
+  test("session windows: gap-closed sessions emit the batch encode of their values") {
+    val ss = spark
+    import ss.implicits._
+    val base = 1_900_000_000_000_000_000L // ns epoch
+    val sec = 1_000_000_000L
+    def ev(id: Long, tsNs: Long, v: Double) = SeriesEvent(9, id, tsNs, v)
+    // session 1: 4 events inside 10s gaps; then > 30s silence; session 2
+    val s1 = Seq(ev(1, base, 1.0), ev(2, base + 10 * sec, 2.0),
+      ev(3, base + 20 * sec, 3.0), ev(4, base + 30 * sec, 10.1))
+    val s2 = Seq(ev(5, base + 120 * sec, 4.0), ev(6, base + 125 * sec, 4.5))
+    val stream = MemoryStream[SeriesEvent](spark)
+    val q = SaxStreaming.sessionWords(stream.toDS(), "30 seconds", "10 seconds", 2, 4)
+      .writeStream.format("memory").queryName("session_words")
+      .outputMode("append").start()
+    stream.addData(s1); q.processAllAvailable()
+    stream.addData(s2); q.processAllAvailable()
+    // push the watermark far enough to close session 2 as well
+    stream.addData(ev(7, base + 600 * sec, 0.0)); q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("session_words")
+      .select("userId", "n_events", "word").as[(Long, Int, String)].collect().toSet
+    // session 1 encodes [1,2,3,10.1] -> "AD" (the golden vector); session 2
+    // encodes [4.0,4.5] -> its own batch encode
+    assert(rows.contains((9L, 4, "AD")), rows)
+    assert(rows.contains((9L, 2, graft.sax.Sax.encode(Array(4.0, 4.5), 2, 4))), rows)
+    // the 30s-spaced events did NOT split (gap counts from the last event)
+    assert(!rows.exists(r => r._1 == 9L && r._2 == 1), rows)
+  }
+
   test("streaming numerosity (Update-mode word counts) matches batch groupBy") {
     val ss = spark
     import ss.implicits._
