@@ -499,8 +499,13 @@ object SaxQueries {
           sax_encode_window(collect_list(col("value")).over(trail), N, W, 2).as("cw"),
           sax_encode_window(collect_list(col("value")).over(trail), N, W, 4).as("fw"))
       val counts = words.groupBy("cw").agg(count(lit(1)).as("cnt"))
-      val tot = counts.agg(sum("cnt").as("total"))
-      val dict = counts.join(broadcast(tot))
+      // total via a window over the DICTIONARY-bounded counts (<= 3^w
+      // rows; the q05/q86 bounded-domain single-partition pattern), not a
+      // separate agg: a second aggregate frame would lazily re-derive the
+      // whole corpus window encode a third time (words + counts + total)
+      val dict = counts
+        .withColumn("total", sum("cnt").over(
+          Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
         .select(col("cw"), (col("cnt") > col("total") / lit(16.0)).as("split"))
       words.join(broadcast(dict), "cw")
         .select(col("cw"),
