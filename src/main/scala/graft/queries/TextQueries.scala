@@ -141,6 +141,29 @@ object TextQueries {
         .select(col("doc_id"), col("lang"))
     }),
 
+    // deterministic weighted sampling WITHOUT replacement (Efraimidis-
+    // Spirakis A-ES): each doc draws u from its md5 (uniform in (0,1],
+    // retry-stable like q47/q58) and ranks by key = ln(u)/w with weight
+    // w = token count + 1 — the top-k under this key IS a weighted sample
+    // without replacement, so a quality-weighted corpus subsample falls
+    // out of ONE map-side key computation + TakeOrdered (per-partition
+    // top-k, merge of k·partitions rows — no global sort, no sequential
+    // reservoir). ln(u)^(1/w) monotone-transforms to ln(u)/w, keeping the
+    // arithmetic in the ln-parity family the oracle already matches;
+    // rounded-key ties break by doc_id on both engines.
+    "q97_weighted_sample" -> ((spark, dir) => {
+      val h = conv(substring(md5(concat(lit("wsamp:"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+        .cast("long")
+      val u = (h + lit(1L)).cast("double") / lit(math.pow(2, 60))
+      val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+      spread(table(spark, dir, "documents"))
+        .select(col("doc_id"), (size(toks) + 1).cast("long").as("w"), u.as("u"))
+        .select(col("doc_id"), col("w"),
+          pround(log(col("u")) / col("w").cast("double"), 6).as("k"))
+        .orderBy(desc("k"), col("doc_id"))
+        .limit(20)
+    }),
+
     // end-to-end training-data prep: quality floor -> stratified language
     // rebalance -> exact-dedup survivor keep -> per-language corpus stats.
     // The operators above composed the way a real prep job chains them; the
@@ -545,6 +568,16 @@ object TextQueries {
         |         CAST(CAST(concat('0x', substr(md5('sample:' || doc_id::VARCHAR), 1, 15)) AS BIGINT) % 100 AS INT) AS b
         |  FROM documents)
         |WHERE lang <> 'en' OR b < 50""".stripMargin,
+
+    "q97_weighted_sample" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len($toksSqlD) + 1 AS BIGINT) AS w,
+         |             (CAST(concat('0x', substr(md5('wsamp:' || doc_id::VARCHAR), 1, 15)) AS BIGINT) + 1)::DOUBLE
+         |               / ${dlit(math.pow(2, 60))} AS u
+         |      FROM documents),
+         |k AS (SELECT doc_id, w, ${sround("ln(u) / (w::DOUBLE)", 6)} AS k FROM t)
+         |SELECT doc_id, w, k FROM (
+         |  SELECT *, row_number() OVER (ORDER BY k DESC, doc_id) AS rn FROM k)
+         |WHERE rn <= 20""".stripMargin,
 
     "q60_pipeline_e2e" ->
       s"""WITH t AS (SELECT doc_id, lang, text, $toksSqlD AS toks FROM documents),

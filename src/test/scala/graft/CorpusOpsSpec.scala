@@ -233,6 +233,33 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       lens.filter(l => l._2 >= lo && l._2 <= hi).map(_._1).toSet)
   }
 
+  test("q97 weighted sample: keys recompute driver-side, plan is TakeOrdered") {
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val q = TextQueries.defs("q97_weighted_sample")(spark, dir)
+    assert(q.queryExecution.executedPlan.toString.contains("TakeOrdered"),
+      "weighted top-k must be per-partition TakeOrdered, not a global sort")
+    val expected = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val id = r.getLong(0)
+        val w = TextHash.tokenize(r.getString(1)).length + 1L
+        val h = java.lang.Long.parseLong(TextHash.md5Hex(s"wsamp:$id").take(15), 16)
+        val u = (h + 1L).toDouble / math.pow(2, 60)
+        (id, w, r6(math.log(u) / w.toDouble))
+      }
+      .sortBy { case (id, _, k) => (-k, id) }.take(20).toSeq
+    val got = q.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == expected, s"first diff: ${got.zip(expected).find(p => p._1 != p._2)}")
+    // the weight really biases the draw: a doc can outrank another with a
+    // smaller u because its weight is larger (A-ES, not plain top-u)
+    val byU = expected.map(_._1).toSet
+    val plainTopU = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+      .sortBy(id => -java.lang.Long.parseLong(TextHash.md5Hex(s"wsamp:$id").take(15), 16))
+      .take(20).toSet
+    assert(byU != plainTopU, "weighted sample must differ from the unweighted top-u draw")
+  }
+
   test("q93 trigram back-off scores match a driver-side recount") {
     def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
     def bucket(id: Long): Int =
