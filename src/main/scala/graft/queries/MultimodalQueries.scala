@@ -133,36 +133,14 @@ object MultimodalQueries {
          |FROM documents""".stripMargin
     },
 
-    "q57_multimodal_frames" -> {
-      val fb = FrameBytes; val fs = FrameStride
-      val byteSum =
-        s"list_sum(list_transform(range(off + 1, off + f_len + 1), i -> ascii(substr(text, i, 1))::DOUBLE))"
-      s"""WITH d AS (SELECT doc_id, text, CAST(octet_length(encode(text)) AS INT) AS n_bytes FROM documents),
-         |f AS (SELECT doc_id, text, n_bytes,
-         |             unnest(range(0, (n_bytes - 1) // $fs + 1)) AS frame
-         |      FROM d),
-         |g AS (SELECT doc_id, text, CAST(frame AS INT) AS frame,
-         |             CAST(frame * $fs AS INT) AS off,
-         |             CAST(least($fb, n_bytes - frame * $fs) AS INT) AS f_len
-         |      FROM f)
-         |SELECT doc_id, frame, off, f_len,
-         |       ${sround(s"$byteSum / f_len", 6)} AS f_mean
-         |FROM g""".stripMargin
-    },
+    "q57_multimodal_frames" ->
+      s"""WITH $frameCtes
+         |SELECT doc_id, frame, off, f_len, ${sround(s"$frameByteSum / f_len", 6)} AS f_mean
+         |FROM g""".stripMargin,
 
-    "q96_perceptual_dedup" -> {
-      val fb = FrameBytes; val fs = FrameStride
-      val byteSum =
-        s"list_sum(list_transform(range(off + 1, off + f_len + 1), i -> ascii(substr(text, i, 1))::DOUBLE))"
-      s"""WITH d AS (SELECT doc_id, text, CAST(octet_length(encode(text)) AS INT) AS n_bytes FROM documents),
-         |f AS (SELECT doc_id, text, n_bytes,
-         |             unnest(range(0, (n_bytes - 1) // $fs + 1)) AS frame
-         |      FROM d),
-         |g AS (SELECT doc_id, text, CAST(frame AS INT) AS frame,
-         |             CAST(frame * $fs AS INT) AS off,
-         |             CAST(least($fb, n_bytes - frame * $fs) AS INT) AS f_len
-         |      FROM f),
-         |fm AS (SELECT doc_id, frame, ${sround(s"$byteSum / f_len", 6)} AS f_mean
+    "q96_perceptual_dedup" ->
+      s"""WITH $frameCtes,
+         |fm AS (SELECT doc_id, frame, ${sround(s"$frameByteSum / f_len", 6)} AS f_mean
          |       FROM g WHERE frame < 4),
          |sig AS (SELECT doc_id,
          |               array_to_string(list(CAST(CAST(floor(f_mean) AS INT) AS VARCHAR)
@@ -174,6 +152,22 @@ object MultimodalQueries {
          |SELECT s.doc_id, s.sig, g2.canonical_id, g2.group_size,
          |       s.doc_id <> g2.canonical_id AS is_dup
          |FROM sig s JOIN grp g2 USING (sig)""".stripMargin
-    }
   )
+
+  /** Shared q57/q96 frame-geometry CTE chain (mirrors the Spark-side
+    * fan-out in q57): frame offsets and true (tail-shortened) lengths. */
+  private def frameCtes: String =
+    s"""d AS (SELECT doc_id, text, CAST(octet_length(encode(text)) AS INT) AS n_bytes FROM documents),
+       |f AS (SELECT doc_id, text, n_bytes,
+       |             unnest(range(0, (n_bytes - 1) // $FrameStride + 1)) AS frame
+       |      FROM d),
+       |g AS (SELECT doc_id, text, CAST(frame AS INT) AS frame,
+       |             CAST(frame * $FrameStride AS INT) AS off,
+       |             CAST(least($FrameBytes, n_bytes - frame * $FrameStride) AS INT) AS f_len
+       |      FROM f)""".stripMargin
+
+  /** The stub "decode": mean of the frame's payload bytes, reproduced from
+    * ascii() because the payload is the UTF-8 encoding of the ASCII text. */
+  private def frameByteSum: String =
+    "list_sum(list_transform(range(off + 1, off + f_len + 1), i -> ascii(substr(text, i, 1))::DOUBLE))"
 }

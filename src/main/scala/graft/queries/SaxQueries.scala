@@ -31,6 +31,11 @@ object SaxQueries {
     * output, so the boundary compare is the identical rounded double. */
   private val AnomalyThreshold = 2.0
 
+  /** q92 split threshold: an index cell holding more than corpus/[[SplitDenom]]
+    * windows promotes its cardinality — ONE constant, embedded into the
+    * oracle SQL via dlit so the two surfaces cannot drift. */
+  private val SplitDenom = 16.0
+
   // Order by MICROSECOND-truncated ts + event_id: the oracle's DuckDB
   // reads the ns parquet column as a us TIMESTAMP, so ordering by raw ns
   // would diverge from the oracle whenever two same-user events share a
@@ -110,11 +115,26 @@ object SaxQueries {
     * (at 100 TB you'd size it to the dictionary, e.g. 4096). */
   private val WordBuckets = 8
   // keyed by the session OBJECT (identity), not a derived hash string —
-  // identity hashes can collide across sessions (see componentMemo)
+  // identity hashes can collide across sessions (see componentMemo). The
+  // strong session reference is bounded the same way componentMemo's is:
+  // a context-end listener clears the map, so stopped sessions are never
+  // pinned by a long-lived JVM.
   private val bucketedOnce = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession, String), (String, String)]()
+  private val bucketedHookedContexts =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private def bucketedWordTables(spark: org.apache.spark.sql.SparkSession,
-                                 dir: String): (String, String) =
+                                 dir: String): (String, String) = {
+    if (bucketedHookedContexts.add(spark.sparkContext.applicationId)) {
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+            bucketedOnce.clear() // table registrations die with the context
+            bucketedHookedContexts.clear()
+          }
+        })
+    }
     bucketedOnce.computeIfAbsent((spark, dir), _ => {
       val words = windowWords(spark, dir)
       val base = java.nio.file.Files.createTempDirectory("graft-q78-").toString
@@ -128,6 +148,7 @@ object SaxQueries {
         .bucketBy(WordBuckets, "word").sortBy("word").saveAsTable(wcT)
       (uwT, wcT)
     })
+  }
 
   private def firstNWords(w: Int, c: Int, masked: Boolean): QFn = (spark, dir) => {
     val ev = table(spark, dir, "events")
@@ -506,7 +527,7 @@ object SaxQueries {
       val dict = counts
         .withColumn("total", sum("cnt").over(
           Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-        .select(col("cw"), (col("cnt") > col("total") / lit(16.0)).as("split"))
+        .select(col("cw"), (col("cnt") > col("total") / lit(SplitDenom)).as("split"))
       words.join(broadcast(dict), "cw")
         .select(col("cw"),
           when(col("split"), substring(col("fw"), 1, 1)).otherwise(lit("*")).as("promoted_sym"),
@@ -716,7 +737,7 @@ object SaxQueries {
         s"""WITH $dualWordsSql,
            |counts AS (SELECT cw, count(*) AS cnt FROM words GROUP BY cw),
            |tot AS (SELECT sum(cnt) AS total FROM counts),
-           |dict AS (SELECT cw, cnt > total / 16.0 AS split FROM counts CROSS JOIN tot)
+           |dict AS (SELECT cw, cnt > total / ${dlit(SplitDenom)} AS split FROM counts CROSS JOIN tot)
            |SELECT parent_word, promoted_sym, CAST(count(*) AS BIGINT) AS n_windows, depth FROM (
            |  SELECT w.cw AS parent_word,
            |         CASE WHEN d.split THEN substr(w.fw, 1, 1) ELSE '*' END AS promoted_sym,

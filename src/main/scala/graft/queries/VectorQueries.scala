@@ -157,11 +157,16 @@ object VectorQueries {
         (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
       lit(0.0), (acc, v) => acc + v), 6)
 
-  /** Every (vector, subspace) slice: (vec_id, s, sv). */
-  private def pqSub(emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    emb.select(col("vec_id"), explode(array((0 until PqM).map(s =>
-        struct(lit(s).as("s"), slice(col("embedding"), s * PqSubDim + 1, PqSubDim).as("sv"))): _*)).as("p"))
-      .select(col("vec_id"), col("p.s").as("s"), col("p.sv").as("sv"))
+  /** Every (vector, subspace) slice: (vec_id, [extra...], s, sv). The
+    * slice geometry lives ONLY here — q94 threads its IVF cell through as
+    * an extra column rather than re-implementing the explode. */
+  private def pqSub(emb: org.apache.spark.sql.DataFrame,
+                    extra: String*): org.apache.spark.sql.DataFrame =
+    emb.select(col("vec_id") +: extra.map(col) :+
+        explode(array((0 until PqM).map(s =>
+          struct(lit(s).as("s"), slice(col("embedding"), s * PqSubDim + 1, PqSubDim).as("sv"))): _*)).as("p"): _*)
+      .select(col("vec_id") +: extra.map(col) :+
+        col("p.s").as("s") :+ col("p.sv").as("sv"): _*)
 
   /** Per-subspace argmin code against a packed 1-row codebook broadcast:
     * lexicographic struct-min over (rounded distance, centroid id) — the
@@ -292,10 +297,7 @@ object VectorQueries {
         .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
       val withCell = assignNearest(emb, cents)
         .select(col("vec_id"), col("embedding"), col("cell"))
-      val subC = withCell.select(col("vec_id"), col("cell"),
-          explode(array((0 until PqM).map(s => struct(lit(s).as("s"),
-            slice(col("embedding"), s * PqSubDim + 1, PqSubDim).as("sv"))): _*)).as("p"))
-        .select(col("vec_id"), col("cell"), col("p.s").as("s"), col("p.sv").as("sv"))
+      val subC = pqSub(withCell, "cell")
       val cb = pqCodebook(spark, dir)
       val codes = pqAssign(subC, cb).select("vec_id", "cell", "s", "code")
       val qcell = withCell.where(col("vec_id") < QueryCount)

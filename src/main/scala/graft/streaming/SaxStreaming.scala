@@ -64,15 +64,21 @@ object SaxStreaming {
     * for that window, tolerating `lateness` of out-of-order data — the
     * idiomatic Structured Streaming treatment when event time, not arrival
     * order, defines the series. */
-  def eventTimeWords(events: Dataset[SeriesEvent], windowLength: String,
-                     lateness: String, w: Int, c: Int) = {
-    import org.apache.spark.sql.functions._
-    val enc = udf((vs: Seq[Double]) => {
-      // event-time windows have data-dependent sizes; truncate to the
-      // largest encodable prefix (n % w == 0)
+  /** Shared by the tumbling and session event-time variants: event-time
+    * groups have data-dependent sizes, so truncate to the largest
+    * encodable prefix (n % w == 0); null (filtered) below w values. ONE
+    * definition so the two variants' truncation/null contracts cannot
+    * drift. */
+  private def truncEncode(w: Int, c: Int) =
+    org.apache.spark.sql.functions.udf((vs: Seq[Double]) => {
       val n = vs.length - vs.length % w
       if (n == 0) null else graft.sax.Sax.encode(vs.take(n).toArray, w, c)
     })
+
+  def eventTimeWords(events: Dataset[SeriesEvent], windowLength: String,
+                     lateness: String, w: Int, c: Int) = {
+    import org.apache.spark.sql.functions._
+    val enc = truncEncode(w, c)
     events
       // integer div: FP division of ns epochs loses precision above 2^53
       .withColumn("ets", timestamp_micros(expr("ts div 1000")))
@@ -95,12 +101,7 @@ object SaxStreaming {
   def sessionWords(events: Dataset[SeriesEvent], gap: String,
                    lateness: String, w: Int, c: Int) = {
     import org.apache.spark.sql.functions._
-    val enc = udf((vs: Seq[Double]) => {
-      // sessions have data-dependent sizes; truncate to the largest
-      // encodable prefix (n % w == 0), like eventTimeWords
-      val n = vs.length - vs.length % w
-      if (n == 0) null else graft.sax.Sax.encode(vs.take(n).toArray, w, c)
-    })
+    val enc = truncEncode(w, c)
     events
       .withColumn("ets", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ets", lateness)
