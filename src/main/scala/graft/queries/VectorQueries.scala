@@ -319,6 +319,27 @@ object VectorQueries {
         .select("query_id", "vec_id", "adc")
     }),
 
+    // the RAG serving join: ANN retrieval (the q46 IVF cell probe)
+    // fetches its top-3 documents per query from the DOCUMENT STORE by id
+    // — the cross-modal index→store join every retrieval pipeline ends
+    // with. The probe result (≤ queries·k rows, constant-bounded) is
+    // broadcast into the documents fetch, so the store side is one scan
+    // with the join key pushed — the store is never shuffled and never
+    // scanned per query. Re-ranking the probe's top-5 prefix by the same
+    // (cos desc, vec_id) key yields ranks identical to ranking the full
+    // cell, so the oracle can rank either side.
+    "q98_rag_retrieve" -> ((spark, dir) => {
+      val hits = defs("q46_ann_ivf")(spark, dir)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("query_id").orderBy(desc("cos"), col("vec_id"))))
+        .where(col("rk") <= 3)
+      val docs = table(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"), substring(col("text"), 1, 40).as("snippet"))
+      docs.join(broadcast(hits), docs("doc_id") === hits("vec_id"))
+        .select(col("query_id"), col("doc_id"), col("cos"), col("rk"),
+          col("lang"), col("snippet"))
+    }),
+
     // exact ANN baseline: brute-force cosine top-5 per query vector.
     // Plans as BroadcastNestedLoopJoin with the 10-row query side broadcast
     // — the correct physical shape for deliberate all-pairs scoring (the
@@ -636,6 +657,18 @@ object VectorQueries {
          |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rn
          |  FROM adc)
          |WHERE rn <= 5""".stripMargin,
+
+    "q98_rag_retrieve" ->
+      s"""WITH $ivfCte,
+         |q AS (SELECT vec_id AS query_id, embedding AS qe, cell FROM assigned WHERE vec_id < $QueryCount),
+         |hits AS (SELECT query_id, vec_id, cos, CAST(rn AS INT) AS rk FROM (
+         |  SELECT q.query_id, a.vec_id, ${sround(cosSql("q.qe", "a.embedding"), 6)} AS cos,
+         |         row_number() OVER (PARTITION BY q.query_id
+         |                            ORDER BY ${sround(cosSql("q.qe", "a.embedding"), 6)} DESC, a.vec_id) AS rn
+         |  FROM assigned a JOIN q USING (cell) WHERE a.vec_id <> q.query_id)
+         |  WHERE rn <= 3)
+         |SELECT h.query_id, d.doc_id, h.cos, h.rk, d.lang, substr(d.text, 1, 40) AS snippet
+         |FROM hits h JOIN documents d ON d.doc_id = h.vec_id""".stripMargin,
 
     "q94_ivf_adc" ->
       s"""WITH $ivfCte,
