@@ -340,6 +340,24 @@ object VectorQueries {
           col("lang"), col("snippet"))
     }),
 
+    // recall@5 of the composed IVF+ADC layout against the exact scan —
+    // completing the evaluation story: q49 measures LSH, q90 measures
+    // pure ADC, this measures the production composition (where recall
+    // additionally pays for single-cell routing). Same harness shape.
+    "q99_ivf_adc_recall" -> ((spark, dir) => {
+      val truth = defs("q40_ann_brute")(spark, dir)
+        .select(col("query_id"), col("vec_id")).cache()
+      val approx = defs("q94_ivf_adc")(spark, dir)
+        .select(col("query_id"), col("vec_id"))
+      val hits = truth.join(approx, Seq("query_id", "vec_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+      truth.select("query_id").distinct()
+        .join(hits, Seq("query_id"), "left")
+        .select(coalesce(col("hits"), lit(0L)).as("hits"))
+        .agg(count(lit(1)).as("n_queries"),
+             pround(sum(col("hits")).cast("double") / (count(lit(1)) * 5), 6).as("recall_at_5"))
+    }),
+
     // exact ANN baseline: brute-force cosine top-5 per query vector.
     // Plans as BroadcastNestedLoopJoin with the 10-row query side broadcast
     // — the correct physical shape for deliberate all-pairs scoring (the
@@ -657,6 +675,36 @@ object VectorQueries {
          |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rn
          |  FROM adc)
          |WHERE rn <= 5""".stripMargin,
+
+    "q99_ivf_adc_recall" ->
+      s"""WITH $ivfCte,
+         |$pqCtes,
+         |codesc AS (SELECT co.vec_id, ac.cell, co.s, co.code
+         |           FROM codes co JOIN assigned ac ON co.vec_id = ac.vec_id),
+         |qcell AS (SELECT vec_id AS query_id, cell AS qc FROM assigned WHERE vec_id < $QueryCount),
+         |adcv AS (SELECT l.query_id, c.vec_id, ${xsumSql("d", 6)} AS adc
+         |         FROM codesc c
+         |         JOIN lut l ON c.s = l.s AND c.code = l.cent_id
+         |         JOIN qcell qc ON qc.query_id = l.query_id AND qc.qc = c.cell
+         |         WHERE c.vec_id <> l.query_id
+         |         GROUP BY l.query_id, c.vec_id),
+         |approx AS (SELECT query_id, vec_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rn
+         |  FROM adcv) WHERE rn <= 5),
+         |truth AS (SELECT query_id, vec_id FROM (
+         |  SELECT query_id, vec_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY ${sround(cosSql("qe", "embedding"), 6)} DESC, vec_id) AS rn
+         |  FROM embeddings, (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < $QueryCount) q2
+         |  WHERE vec_id <> query_id) WHERE rn <= 5),
+         |hits AS (SELECT t.query_id, count(*) AS hits
+         |         FROM truth t JOIN approx a ON t.query_id = a.query_id AND t.vec_id = a.vec_id
+         |         GROUP BY t.query_id),
+         |perq AS (SELECT q3.query_id, coalesce(h.hits, 0) AS hits
+         |         FROM (SELECT DISTINCT query_id FROM truth) q3 LEFT JOIN hits h USING (query_id))
+         |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         |       ${sround("CAST(sum(hits) AS DOUBLE) / (count(*) * 5)", 6)} AS recall_at_5
+         |FROM perq""".stripMargin,
 
     "q98_rag_retrieve" ->
       s"""WITH $ivfCte,
