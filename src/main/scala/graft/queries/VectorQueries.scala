@@ -138,14 +138,23 @@ object VectorQueries {
     * design flaw this replaces. */
   private val CentroidBudget = 32L
 
-  /** Product-quantization geometry (q89/q90): Dim split into [[PqM]]
-    * subspaces of [[PqSubDim]] dims; per-subspace codebook TRAINED by one
-    * deterministic Lloyd iteration from seed centroids (the subvectors of
-    * the first [[PqK]] corpus vectors — q65's seed-init discipline), so
-    * the oracle can replay the identical iteration. */
-  private val PqM = 4
-  private val PqSubDim = Dim / PqM // 16
-  private val PqK = 8
+  /** Product-quantization geometry (q89/q90/q94/q99-q101): Dim split into
+    * [[PqM]] subspaces of [[PqSubDim]] dims; per-subspace codebook TRAINED
+    * by [[PqIters]] deterministic Lloyd iterations from seed centroids
+    * (the subvectors of the first [[PqK]] corpus vectors — q65's
+    * seed-init discipline), so the oracle can replay the identical
+    * iterations. The geometry is sized for the RESIDUAL path (q94): IVF
+    * residuals are far less clustered than raw vectors, so they need a
+    * finer codebook before ADC beats the non-residual layout — measured
+    * at sf0.01, (m=4, k=8, 1 iter) residual recall@5 was 0.04 vs 0.10
+    * non-residual, while this geometry reaches 0.10 at nprobe=1 and 0.20
+    * at nprobe=3 against a 0.16/0.30 routing ceiling. PqK must stay ≤ the
+    * smallest test corpus (50 vectors at sf0.001) so the seed set is
+    * always full. */
+  private val PqM = 8
+  private val PqSubDim = Dim / PqM // 8
+  private val PqK = 32
+  private val PqIters = 2
 
   /** Rounded squared-L2 between two vector slices — double accumulation in
     * ascending index order (the same sequential fold DuckDB's list_sum
@@ -184,31 +193,47 @@ object VectorQueries {
             c.getField("cent_id").as("cid")))).getField("cid").as("code"): _*)
   }
 
-  /** Trained PQ codebook (s, cent_id, ce: array<double>): ONE deterministic
-    * Lloyd iteration per subspace. Seeds = the subvectors of the first
-    * [[PqK]] corpus vectors; assignment = [[pqAssign]] against the
-    * broadcast seeds; update = the per-(subspace, cell, dim) combinable
-    * mean of the q65 k-means step — partial sums combine map-side, so the
-    * update shuffle carries at most PqM·PqK·PqSubDim rows at any corpus
-    * size. A cell left empty by the assignment keeps its seed (LEFT-join
-    * coalesce), so the codebook always has PqM·PqK entries. All arithmetic
-    * is pround/xsum-quantized so the oracle replays the iteration
+  /** Trained PQ codebook (s, cent_id, ce: array<double>): [[PqIters]]
+    * deterministic Lloyd iterations per subspace. Seeds = the subvectors
+    * of the first [[PqK]] corpus vectors; each iteration's assignment =
+    * [[pqAssign]] against the broadcast previous codebook; update = the
+    * per-(subspace, cell, dim) combinable mean of the q65 k-means step —
+    * partial sums combine map-side, so each update shuffle carries at
+    * most PqM·PqK·PqSubDim rows at any corpus size. A cell left empty by
+    * an assignment keeps its PREVIOUS centroid (LEFT-join coalesce), so
+    * the codebook always has PqM·PqK entries. All arithmetic is
+    * pround/xsum-quantized so the oracle replays the iterations
     * bit-for-bit (PqTrainingSpec cross-checks the means brute-force). */
   private[queries] def pqCodebook(spark: org.apache.spark.sql.SparkSession,
-                                  dir: String): org.apache.spark.sql.DataFrame = {
-    val sub = pqSub(spread(table(spark, dir, "embeddings")))
-    val cb0 = sub.where(col("vec_id") < PqK)
-      .select(col("s"), col("vec_id").as("cent_id"), col("sv").as("ce"))
-    val means = pqAssign(sub, cb0)
-      .select(col("s"), col("code").as("cent_id"), posexplode(col("sv")).as(Seq("pos", "v")))
-      .groupBy("s", "cent_id", "pos")
-      .agg(pround(xsum(col("v").cast("double"), 6) / count(lit(1)), 6).as("m"))
-      .groupBy("s", "cent_id")
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-        x => x.getField("m")).as("tce"))
-    val cb = cb0.join(means, Seq("s", "cent_id"), "left")
-      .select(col("s"), col("cent_id"),
-        coalesce(col("tce"), transform(col("ce"), x => x.cast("double"))).as("ce"))
+                                  dir: String): org.apache.spark.sql.DataFrame =
+    pqCodebookFrom(spread(table(spark, dir, "embeddings")))
+
+  /** [[pqCodebook]] generalized over its training input: any frame with
+    * (vec_id, embedding) — q94/q100 train a codebook on IVF RESIDUALS
+    * (embedding: array<double>) through the identical Lloyd iterations.
+    * Extra caller columns (the IVF cell) are dropped by [[pqSub]]'s
+    * projection, so the training pass never shuffles them. */
+  private def pqCodebookFrom(src: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val sub = pqSub(src)
+    var cb = sub.where(col("vec_id") < PqK)
+      .select(col("s"), col("vec_id").as("cent_id"),
+        transform(col("sv"), x => x.cast("double")).as("ce"))
+    for (_ <- 1 to PqIters) {
+      val means = pqAssign(sub, cb)
+        .select(col("s"), col("code").as("cent_id"), posexplode(col("sv")).as(Seq("pos", "v")))
+        .groupBy("s", "cent_id", "pos")
+        .agg(pround(xsum(col("v").cast("double"), 6) / count(lit(1)), 6).as("m"))
+        .groupBy("s", "cent_id")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m")).as("tce"))
+      // means is ≤ PqM·PqK rows but sits on a deep aggregate plan whose
+      // size estimate defeats auto-broadcast — hint it so the update join
+      // never plans as a sort-merge (the plan pin in KmeansAssignPlanSpec)
+      cb = cb.join(broadcast(means), Seq("s", "cent_id"), "left")
+        .select(col("s"), col("cent_id"),
+          coalesce(col("tce"), col("ce")).as("ce"))
+    }
     // Contract note (the q75/q05 eager discipline): train ONCE and cache
     // the PqM·PqK-row codebook — q89 consumes it from two branches (encode
     // + query LUT), and lazily each would inline the whole corpus-scale
@@ -218,6 +243,110 @@ object VectorQueries {
     cb.cache()
     cb.count()
     cb
+  }
+
+  /** Production IVF probe width (q100/q101): each query probes its
+    * [[NProbe]] nearest coarse cells instead of 1 — the latency/recall
+    * knob FAISS exposes as nprobe. ONE constant shared with the oracle
+    * (`rn <= NProbe` in the ranked-cells CTE). */
+  private val NProbe = 3
+
+  /** IVF residual per corpus vector: `x − centroid(cell)`, computed
+    * map-side against the broadcast ≤[[CentroidBudget]]-row centroid
+    * table. float→double widening is exact and double subtraction is
+    * IEEE-deterministic, so the oracle's `list_transform` replays it
+    * bit-for-bit with NO rounding step. Output (vec_id, cell,
+    * embedding: array<double>) feeds [[pqCodebookFrom]] / [[pqSub]]
+    * unchanged. */
+  private def residuals(withCell: org.apache.spark.sql.DataFrame,
+                        cents: org.apache.spark.sql.DataFrame,
+                        cellCol: String = "cell"): org.apache.spark.sql.DataFrame =
+    withCell.join(broadcast(cents), col(cellCol) === cents("cent_id"))
+      .select(col("vec_id"), col(cellCol),
+        zip_with(col("embedding"), col("ce"),
+          (x, y) => x.cast("double") - y.cast("double")).as("embedding"))
+
+  /** Top-[[NProbe]]-cells routing for the query side: rank the broadcast
+    * centroid array by (rounded cosine DESC, cent_id) INSIDE one
+    * projection (array_sort over (-ccos, cent_id) structs — ascending
+    * lexicographic struct order IS that ranking) and explode the first
+    * `nprobe`. The fan-out lives entirely on the broadcast/query side,
+    * the q53 multi-probe discipline: the corpus is untouched, and
+    * nprobe=1 reproduces [[assignNearest]]'s argmax winner exactly (same
+    * key, same tie-break). */
+  private def probeCells(emb: org.apache.spark.sql.DataFrame,
+                         cents: org.apache.spark.sql.DataFrame,
+                         nprobe: Int): org.apache.spark.sql.DataFrame = {
+    val packed = cents
+      .agg(collect_list(struct(col("cent_id"), col("ce"))).as("cents"))
+    emb.join(broadcast(packed))
+      .select(col("vec_id"), col("embedding"),
+        explode(slice(array_sort(transform(col("cents"), c =>
+          struct((-pround(cosUdf(col("embedding"), c.getField("ce")), 6)).as("nc"),
+            c.getField("cent_id").as("cent_id")))), 1, nprobe)).as("pr"))
+      .select(col("vec_id"), col("embedding"), col("pr.cent_id").as("cell"))
+  }
+
+  /** True IVFADC (Jégou et al.'s IVF + PQ serving layout, both realism
+    * knobs in): coarse-quantize, PQ-encode the RESIDUAL `x −
+    * centroid(cell)` with a codebook TRAINED on residuals, and probe the
+    * `nprobe` nearest cells per query with a per-(query, probed-cell)
+    * residual LUT — within a cell, `(q−c) − code(x−c)` approximates
+    * `q−x`, which is what makes coarse+fine quantization compose at high
+    * recall. Scale shape unchanged from the non-residual version: the
+    * residual subtraction and both encodes are map-side against broadcast
+    * tables, corpus rows reach the probe join as (vec_id, cell, s, code)
+    * — one scan, zero corpus-side shuffles before the final per-candidate
+    * sum; the LUT is ≤ queries·nprobe·PqM·PqK rows, broadcast. A corpus
+    * vector lives in exactly ONE inverted list and the probed cells are
+    * distinct, so no candidate dedup is needed. */
+  private def ivfAdcResidual(spark: org.apache.spark.sql.SparkSession,
+                             dir: String, nprobe: Int): org.apache.spark.sql.DataFrame = {
+    val emb = spread(table(spark, dir, "embeddings"))
+    val stride = math.max(1L, table(spark, dir, "embeddings").count() / CentroidBudget)
+    val cents = emb.where(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+    val withCell = assignNearest(emb, cents)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    val resid = residuals(withCell, cents)
+    val cb = pqCodebookFrom(resid)
+    val codes = pqAssign(pqSub(resid, "cell"), cb).select("vec_id", "cell", "s", "code")
+    val qres = residuals(
+      probeCells(emb.where(col("vec_id") < QueryCount), cents, nprobe), cents)
+      .withColumnRenamed("cell", "qc")
+    val lut = pqSub(qres, "qc")
+      .select(col("vec_id").as("query_id"), col("qc"), col("s").as("ls"), col("sv"))
+      .join(broadcast(cb), col("ls") === cb("s"))
+      .select(col("query_id"), col("qc"), col("s"), col("cent_id"),
+        pqDist(col("sv"), col("ce")).as("d"))
+    codes.join(broadcast(lut),
+        codes("s") === lut("s") && codes("code") === lut("cent_id") &&
+          codes("cell") === lut("qc") && codes("vec_id") =!= lut("query_id"))
+      .groupBy(col("query_id"), codes("vec_id").as("vec_id"))
+      .agg(xsum(col("d"), 6).as("adc"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("adc"), col("vec_id"))))
+      .where(col("rn") <= 5)
+      .select("query_id", "vec_id", "adc")
+  }
+
+  /** recall@5 of an approximate top-5 against the exact q40 scan — the
+    * shared q90/q99/q101 harness (q49's evaluation discipline). The truth
+    * frame feeds BOTH the hit join and the query-id universe, so it is
+    * cached for the execution; direct callers outside Bench/Verify own
+    * the eviction (`spark.catalog.clearCache()` — the q75 contract note;
+    * Bench/Verify already clear between queries). */
+  private def recallHarness(truthRaw: org.apache.spark.sql.DataFrame,
+                            approx: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val truth = truthRaw.select(col("query_id"), col("vec_id")).cache()
+    val hits = truth.join(approx.select(col("query_id"), col("vec_id")),
+        Seq("query_id", "vec_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    truth.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(coalesce(col("hits"), lit(0L)).as("hits"))
+      .agg(count(lit(1)).as("n_queries"),
+           pround(sum(col("hits")).cast("double") / (count(lit(1)) * 5), 6).as("recall_at_5"))
   }
 
   val defs: Map[String, QFn] = Map(
@@ -262,62 +391,28 @@ object VectorQueries {
     // layout is only as good as the recall a pipeline measures for it).
     // The embeddings are unit-norm, so q40's cosine ranking IS the L2
     // ranking ADC approximates (squared-L2 = 2 - 2·cos on unit vectors).
-    "q90_pq_recall" -> ((spark, dir) => {
-      // truth feeds BOTH the hit join and the query-id universe — cache it
-      // so the brute-force scoring pass runs once per execution (q49)
-      val truth = defs("q40_ann_brute")(spark, dir)
-        .select(col("query_id"), col("vec_id")).cache()
-      val approx = defs("q89_pq_adc")(spark, dir)
-        .select(col("query_id"), col("vec_id"))
-      val hits = truth.join(approx, Seq("query_id", "vec_id"))
-        .groupBy("query_id").agg(count(lit(1)).as("hits"))
-      truth.select("query_id").distinct()
-        .join(hits, Seq("query_id"), "left")
-        .select(coalesce(col("hits"), lit(0L)).as("hits"))
-        .agg(count(lit(1)).as("n_queries"),
-             pround(sum(col("hits")).cast("double") / (count(lit(1)) * 5), 6).as("recall_at_5"))
-    }),
+    "q90_pq_recall" -> ((spark, dir) =>
+      recallHarness(defs("q40_ann_brute")(spark, dir),
+        defs("q89_pq_adc")(spark, dir))),
 
-    // IVF + ADC — the two serving layouts composed (the FAISS-style
-    // IVFADC shape, minus residual encoding): the coarse quantizer (q46's
-    // stride centroids) routes each query to ONE inverted list, and
-    // within that list distances come from the trained PQ codes (q89) via
-    // the broadcast query LUT — so a query scans |cell| code tuples, not
-    // the corpus, and never touches a raw embedding at probe time. The
-    // cell is threaded through the SAME map-side pass that encodes
-    // (assignNearest argmax + pqAssign argmin are both broadcast
-    // lookups), so corpus rows reach the probe join already carrying
-    // (vec_id, cell, s, code) — one scan, zero corpus-side shuffles
-    // before the final per-candidate sum. Top-5 per query, ties to the
-    // lowest vec_id.
-    "q94_ivf_adc" -> ((spark, dir) => {
-      val emb = spread(table(spark, dir, "embeddings"))
-      val stride = math.max(1L, table(spark, dir, "embeddings").count() / CentroidBudget)
-      val cents = emb.where(col("vec_id") % stride === 0)
-        .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
-      val withCell = assignNearest(emb, cents)
-        .select(col("vec_id"), col("embedding"), col("cell"))
-      val subC = pqSub(withCell, "cell")
-      val cb = pqCodebook(spark, dir)
-      val codes = pqAssign(subC, cb).select("vec_id", "cell", "s", "code")
-      val qcell = withCell.where(col("vec_id") < QueryCount)
-        .select(col("vec_id").as("query_id"), col("cell").as("qc"))
-      val lut = subC.where(col("vec_id") < QueryCount)
-        .select(col("vec_id").as("query_id"), col("s").as("ls"), col("sv"))
-        .join(broadcast(cb), col("ls") === cb("s"))
-        .select(col("query_id"), col("s"), col("cent_id"),
-          pqDist(col("sv"), col("ce")).as("d"))
-        .join(broadcast(qcell), "query_id")
-      codes.join(broadcast(lut),
-          codes("s") === lut("s") && codes("code") === lut("cent_id") &&
-            codes("cell") === lut("qc") && codes("vec_id") =!= lut("query_id"))
-        .groupBy(col("query_id"), codes("vec_id").as("vec_id"))
-        .agg(xsum(col("d"), 6).as("adc"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("query_id").orderBy(col("adc"), col("vec_id"))))
-        .where(col("rn") <= 5)
-        .select("query_id", "vec_id", "adc")
-    }),
+    // IVF + ADC — the two serving layouts composed, now the TRUE IVFADC
+    // shape (residual encoding in): the coarse quantizer (q46's stride
+    // centroids) routes each query to ONE inverted list, and within that
+    // list distances come from PQ codes of the RESIDUAL x − centroid(cell)
+    // (codebook trained on residuals) via the broadcast per-(query, cell)
+    // residual LUT — so a query scans |cell| code tuples, not the corpus,
+    // and never touches a raw embedding at probe time. See
+    // [[ivfAdcResidual]] for the plan shape (one corpus scan, zero
+    // corpus-side shuffles before the final sum). q100 is this layout
+    // with the production nprobe=3 probe width; q99/q101 measure both.
+    "q94_ivf_adc" -> ((spark, dir) => ivfAdcResidual(spark, dir, 1)),
+
+    // IVFADC with multi-cell probing (nprobe=3): the production IVF knob —
+    // each query probes its NProbe nearest cells and unions the inverted
+    // lists, trading a bounded constant factor of probe work (broadcast-
+    // side fan-out only, q53's discipline) for the recall q101 measures
+    // against q99's single-cell number.
+    "q100_ivfadc_nprobe" -> ((spark, dir) => ivfAdcResidual(spark, dir, NProbe)),
 
     // the RAG serving join: ANN retrieval (the q46 IVF cell probe)
     // fetches its top-3 documents per query from the DOCUMENT STORE by id
@@ -340,23 +435,21 @@ object VectorQueries {
           col("lang"), col("snippet"))
     }),
 
-    // recall@5 of the composed IVF+ADC layout against the exact scan —
-    // completing the evaluation story: q49 measures LSH, q90 measures
-    // pure ADC, this measures the production composition (where recall
-    // additionally pays for single-cell routing). Same harness shape.
-    "q99_ivf_adc_recall" -> ((spark, dir) => {
-      val truth = defs("q40_ann_brute")(spark, dir)
-        .select(col("query_id"), col("vec_id")).cache()
-      val approx = defs("q94_ivf_adc")(spark, dir)
-        .select(col("query_id"), col("vec_id"))
-      val hits = truth.join(approx, Seq("query_id", "vec_id"))
-        .groupBy("query_id").agg(count(lit(1)).as("hits"))
-      truth.select("query_id").distinct()
-        .join(hits, Seq("query_id"), "left")
-        .select(coalesce(col("hits"), lit(0L)).as("hits"))
-        .agg(count(lit(1)).as("n_queries"),
-             pround(sum(col("hits")).cast("double") / (count(lit(1)) * 5), 6).as("recall_at_5"))
-    }),
+    // recall@5 of the composed IVFADC layout against the exact scan —
+    // the evaluation story: q49 measures LSH, q90 measures pure ADC, this
+    // measures the residual composition at nprobe=1 (where recall still
+    // pays for single-cell routing), and q101 measures what nprobe=3 buys
+    // back. Same harness shape.
+    "q99_ivf_adc_recall" -> ((spark, dir) =>
+      recallHarness(defs("q40_ann_brute")(spark, dir),
+        defs("q94_ivf_adc")(spark, dir))),
+
+    // recall@5 of the nprobe=3 IVFADC — the number the nprobe knob is
+    // tuned against: q99 (nprobe=1) vs this quantifies exactly the
+    // routing recall the extra probes recover.
+    "q101_ivfadc_nprobe_recall" -> ((spark, dir) =>
+      recallHarness(defs("q40_ann_brute")(spark, dir),
+        defs("q100_ivfadc_nprobe")(spark, dir))),
 
     // exact ANN baseline: brute-force cosine top-5 per query vector.
     // Plans as BroadcastNestedLoopJoin with the 10-row query side broadcast
@@ -630,36 +723,54 @@ object VectorQueries {
        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn
        |  FROM scored) WHERE rn = 1)""".stripMargin
 
-  /** Shared q89/q90 CTE chain (mirrors [[pqCodebook]] + the q89 encode/ADC
-    * pipeline): seed codebook cb0 -> assignment a0 -> per-(s, cell, dim)
-    * quantized means -> trained cb (seed kept for empty cells) -> codes,
-    * per-query LUT, and the summed approximate distances `adc`. */
-  private def pqCtes: String =
+  /** PQ training + encode CTE chain over `src` (vec_id, embedding[,
+    * cell]) — mirrors [[pqCodebookFrom]] + [[pqAssign]]: seed codebook
+    * cb0 -> assignment a0 -> per-(s, cell, dim) quantized means ->
+    * trained cb (seed kept for empty cells) -> codes. With `withCell`,
+    * the source's IVF cell is threaded through sub/codes (the q94/q100
+    * residual shape); the training window never reads it. */
+  private def pqTrainCtes(src: String, withCell: Boolean): String = {
+    val cellSel = if (withCell) "cell, " else ""
+    val cellSub = if (withCell) "sub.cell, " else ""
+    // one (assignment -> quantized means -> coalesce-update) round per
+    // Lloyd iteration, numbered CTEs chained off the previous codebook —
+    // empty cells keep the PREVIOUS centroid, mirroring pqCodebookFrom
+    val rounds = (1 to PqIters).map { i =>
+      val prev = s"cb${i - 1}"
+      s"""a$i AS (SELECT vec_id, s, sv, cent_id AS code FROM (
+         |  SELECT sub.vec_id, sub.s, sub.sv, $prev.cent_id,
+         |         row_number() OVER (PARTITION BY sub.vec_id, sub.s
+         |                            ORDER BY ${pqDistSql("sub.sv", s"$prev.ce")}, $prev.cent_id) AS rn
+         |  FROM sub JOIN $prev ON sub.s = $prev.s) WHERE rn = 1),
+         |cbm$i AS (SELECT s, code AS cent_id, i,
+         |               ${sround(xsumSql("sv[i]::DOUBLE", 6) + " / count(*)", 6)} AS m
+         |        FROM (SELECT s, code, sv, unnest(range(1, $PqSubDim + 1)) AS i FROM a$i)
+         |        GROUP BY s, code, i),
+         |cbt$i AS (SELECT s, cent_id, list(m ORDER BY i) AS ce FROM cbm$i GROUP BY s, cent_id),
+         |cb$i AS (SELECT p.s, p.cent_id, coalesce(t.ce, p.ce) AS ce
+         |       FROM $prev p LEFT JOIN cbt$i t ON p.s = t.s AND p.cent_id = t.cent_id)""".stripMargin
+    }.mkString(",\n")
     s"""ss AS (SELECT unnest(range(0, $PqM)) AS s),
        |cb0 AS (SELECT s, vec_id AS cent_id,
-       |               list_slice(embedding, s * $PqSubDim + 1, s * $PqSubDim + $PqSubDim) AS ce
-       |        FROM embeddings, ss WHERE vec_id < $PqK),
-       |sub AS (SELECT vec_id, s,
+       |               list_transform(list_slice(embedding, s * $PqSubDim + 1, s * $PqSubDim + $PqSubDim),
+       |                              x -> x::DOUBLE) AS ce
+       |        FROM $src, ss WHERE vec_id < $PqK),
+       |sub AS (SELECT vec_id, ${cellSel}s,
        |               list_slice(embedding, s * $PqSubDim + 1, s * $PqSubDim + $PqSubDim) AS sv
-       |        FROM embeddings, ss),
-       |a0 AS (SELECT vec_id, s, sv, cent_id AS code FROM (
-       |  SELECT sub.vec_id, sub.s, sub.sv, cb0.cent_id,
-       |         row_number() OVER (PARTITION BY sub.vec_id, sub.s
-       |                            ORDER BY ${pqDistSql("sub.sv", "cb0.ce")}, cb0.cent_id) AS rn
-       |  FROM sub JOIN cb0 ON sub.s = cb0.s) WHERE rn = 1),
-       |cbm AS (SELECT s, code AS cent_id, i,
-       |               ${sround(xsumSql("sv[i]::DOUBLE", 6) + " / count(*)", 6)} AS m
-       |        FROM (SELECT s, code, sv, unnest(range(1, $PqSubDim + 1)) AS i FROM a0)
-       |        GROUP BY s, code, i),
-       |cbt AS (SELECT s, cent_id, list(m ORDER BY i) AS ce FROM cbm GROUP BY s, cent_id),
-       |cb AS (SELECT cb0.s, cb0.cent_id,
-       |              coalesce(cbt.ce, list_transform(cb0.ce, x -> x::DOUBLE)) AS ce
-       |       FROM cb0 LEFT JOIN cbt ON cb0.s = cbt.s AND cb0.cent_id = cbt.cent_id),
-       |codes AS (SELECT vec_id, s, cent_id AS code FROM (
-       |  SELECT sub.vec_id, sub.s, cb.cent_id,
+       |        FROM $src, ss),
+       |$rounds,
+       |cb AS (SELECT s, cent_id, ce FROM cb$PqIters),
+       |codes AS (SELECT vec_id, ${cellSel}s, cent_id AS code FROM (
+       |  SELECT sub.vec_id, ${cellSub}sub.s, cb.cent_id,
        |         row_number() OVER (PARTITION BY sub.vec_id, sub.s
        |                            ORDER BY ${pqDistSql("sub.sv", "cb.ce")}, cb.cent_id) AS rn
-       |  FROM sub JOIN cb ON sub.s = cb.s) WHERE rn = 1),
+       |  FROM sub JOIN cb ON sub.s = cb.s) WHERE rn = 1)""".stripMargin
+  }
+
+  /** Shared q89/q90 CTE chain: [[pqTrainCtes]] over the raw embeddings,
+    * plus the per-query LUT and the summed approximate distances `adc`. */
+  private def pqCtes: String =
+    s"""${pqTrainCtes("embeddings", withCell = false)},
        |lut AS (SELECT q.vec_id AS query_id, cb.s, cb.cent_id,
        |               ${pqDistSql("q.sv", "cb.ce")} AS d
        |        FROM sub q JOIN cb ON q.s = cb.s WHERE q.vec_id < $QueryCount),
@@ -667,6 +778,58 @@ object VectorQueries {
        |        FROM codes c JOIN lut l ON c.s = l.s AND c.code = l.cent_id
        |        WHERE c.vec_id <> l.query_id
        |        GROUP BY l.query_id, c.vec_id)""".stripMargin
+
+  /** The q94/q100 residual-IVFADC CTE chain (appended after [[ivfCte]]):
+    * residuals vs the assigned coarse centroid, [[pqTrainCtes]] over
+    * them, the nprobe-ranked query cells, the per-(query, probed-cell)
+    * residual LUT, and the summed approximate distances `adc` — mirrors
+    * [[ivfAdcResidual]] clause for clause (float→double subtraction is
+    * exact on both engines, so residuals carry no rounding step). */
+  private def ivfAdcResidualCtes(nprobe: Int): String =
+    s"""resid AS (SELECT a.vec_id, a.cell,
+       |                 list_transform(range(1, len(a.embedding) + 1),
+       |                                i -> (a.embedding[i]::DOUBLE) - (c.ce[i]::DOUBLE)) AS embedding
+       |          FROM assigned a JOIN cents c ON a.cell = c.cent_id),
+       |${pqTrainCtes("resid", withCell = true)},
+       |qprobe AS (SELECT vec_id AS query_id, embedding AS qe, cent_id AS qc FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn
+       |  FROM scored WHERE vec_id < $QueryCount) WHERE rn <= $nprobe),
+       |qres AS (SELECT p.query_id, p.qc,
+       |                list_transform(range(1, len(p.qe) + 1),
+       |                               i -> (p.qe[i]::DOUBLE) - (c.ce[i]::DOUBLE)) AS qe
+       |         FROM qprobe p JOIN cents c ON p.qc = c.cent_id),
+       |qsub AS (SELECT query_id, qc, s,
+       |                list_slice(qe, s * $PqSubDim + 1, s * $PqSubDim + $PqSubDim) AS sv
+       |         FROM qres, ss),
+       |lut AS (SELECT q.query_id, q.qc, cb.s, cb.cent_id,
+       |               ${pqDistSql("q.sv", "cb.ce")} AS d
+       |        FROM qsub q JOIN cb ON q.s = cb.s),
+       |adc AS (SELECT l.query_id, c.vec_id, ${xsumSql("d", 6)} AS adc
+       |        FROM codes c JOIN lut l ON c.s = l.s AND c.code = l.cent_id AND c.cell = l.qc
+       |        WHERE c.vec_id <> l.query_id
+       |        GROUP BY l.query_id, c.vec_id)""".stripMargin
+
+  /** The q90/q99/q101 recall tail: given an `adc` CTE, take the
+    * approximate top-5, compare against the exact brute-force truth, and
+    * emit (n_queries, recall_at_5). */
+  private def recallTailSql: String =
+    s"""approx AS (SELECT query_id, vec_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rn
+       |  FROM adc) WHERE rn <= 5),
+       |truth AS (SELECT query_id, vec_id FROM (
+       |  SELECT query_id, vec_id,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY ${sround(cosSql("qe", "embedding"), 6)} DESC, vec_id) AS rn
+       |  FROM embeddings, (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < $QueryCount) tq
+       |  WHERE vec_id <> query_id) WHERE rn <= 5),
+       |hits AS (SELECT t.query_id, count(*) AS hits
+       |         FROM truth t JOIN approx a ON t.query_id = a.query_id AND t.vec_id = a.vec_id
+       |         GROUP BY t.query_id),
+       |perq AS (SELECT u.query_id, coalesce(h.hits, 0) AS hits
+       |         FROM (SELECT DISTINCT query_id FROM truth) u LEFT JOIN hits h USING (query_id))
+       |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       |       ${sround("CAST(sum(hits) AS DOUBLE) / (count(*) * 5)", 6)} AS recall_at_5
+       |FROM perq""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q89_pq_adc" ->
@@ -678,33 +841,13 @@ object VectorQueries {
 
     "q99_ivf_adc_recall" ->
       s"""WITH $ivfCte,
-         |$pqCtes,
-         |codesc AS (SELECT co.vec_id, ac.cell, co.s, co.code
-         |           FROM codes co JOIN assigned ac ON co.vec_id = ac.vec_id),
-         |qcell AS (SELECT vec_id AS query_id, cell AS qc FROM assigned WHERE vec_id < $QueryCount),
-         |adcv AS (SELECT l.query_id, c.vec_id, ${xsumSql("d", 6)} AS adc
-         |         FROM codesc c
-         |         JOIN lut l ON c.s = l.s AND c.code = l.cent_id
-         |         JOIN qcell qc ON qc.query_id = l.query_id AND qc.qc = c.cell
-         |         WHERE c.vec_id <> l.query_id
-         |         GROUP BY l.query_id, c.vec_id),
-         |approx AS (SELECT query_id, vec_id FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rn
-         |  FROM adcv) WHERE rn <= 5),
-         |truth AS (SELECT query_id, vec_id FROM (
-         |  SELECT query_id, vec_id,
-         |         row_number() OVER (PARTITION BY query_id
-         |                            ORDER BY ${sround(cosSql("qe", "embedding"), 6)} DESC, vec_id) AS rn
-         |  FROM embeddings, (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < $QueryCount) q2
-         |  WHERE vec_id <> query_id) WHERE rn <= 5),
-         |hits AS (SELECT t.query_id, count(*) AS hits
-         |         FROM truth t JOIN approx a ON t.query_id = a.query_id AND t.vec_id = a.vec_id
-         |         GROUP BY t.query_id),
-         |perq AS (SELECT q3.query_id, coalesce(h.hits, 0) AS hits
-         |         FROM (SELECT DISTINCT query_id FROM truth) q3 LEFT JOIN hits h USING (query_id))
-         |SELECT CAST(count(*) AS BIGINT) AS n_queries,
-         |       ${sround("CAST(sum(hits) AS DOUBLE) / (count(*) * 5)", 6)} AS recall_at_5
-         |FROM perq""".stripMargin,
+         |${ivfAdcResidualCtes(1)},
+         |$recallTailSql""".stripMargin,
+
+    "q101_ivfadc_nprobe_recall" ->
+      s"""WITH $ivfCte,
+         |${ivfAdcResidualCtes(NProbe)},
+         |$recallTailSql""".stripMargin,
 
     "q98_rag_retrieve" ->
       s"""WITH $ivfCte,
@@ -720,40 +863,23 @@ object VectorQueries {
 
     "q94_ivf_adc" ->
       s"""WITH $ivfCte,
-         |$pqCtes,
-         |codesc AS (SELECT co.vec_id, ac.cell, co.s, co.code
-         |           FROM codes co JOIN assigned ac ON co.vec_id = ac.vec_id),
-         |qcell AS (SELECT vec_id AS query_id, cell AS qc FROM assigned WHERE vec_id < $QueryCount),
-         |adcv AS (SELECT l.query_id, c.vec_id, ${xsumSql("d", 6)} AS adc
-         |         FROM codesc c
-         |         JOIN lut l ON c.s = l.s AND c.code = l.cent_id
-         |         JOIN qcell qc ON qc.query_id = l.query_id AND qc.qc = c.cell
-         |         WHERE c.vec_id <> l.query_id
-         |         GROUP BY l.query_id, c.vec_id)
+         |${ivfAdcResidualCtes(1)}
          |SELECT query_id, vec_id, adc FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rn
-         |  FROM adcv)
+         |  FROM adc)
+         |WHERE rn <= 5""".stripMargin,
+
+    "q100_ivfadc_nprobe" ->
+      s"""WITH $ivfCte,
+         |${ivfAdcResidualCtes(NProbe)}
+         |SELECT query_id, vec_id, adc FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rn
+         |  FROM adc)
          |WHERE rn <= 5""".stripMargin,
 
     "q90_pq_recall" ->
       s"""WITH $pqCtes,
-         |approx AS (SELECT query_id, vec_id FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rn
-         |  FROM adc) WHERE rn <= 5),
-         |truth AS (SELECT query_id, vec_id FROM (
-         |  SELECT query_id, vec_id,
-         |         row_number() OVER (PARTITION BY query_id
-         |                            ORDER BY ${sround(cosSql("qe", "embedding"), 6)} DESC, vec_id) AS rn
-         |  FROM embeddings, (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < $QueryCount) q
-         |  WHERE vec_id <> query_id) WHERE rn <= 5),
-         |hits AS (SELECT t.query_id, count(*) AS hits
-         |         FROM truth t JOIN approx a ON t.query_id = a.query_id AND t.vec_id = a.vec_id
-         |         GROUP BY t.query_id),
-         |perq AS (SELECT q.query_id, coalesce(h.hits, 0) AS hits
-         |         FROM (SELECT DISTINCT query_id FROM truth) q LEFT JOIN hits h USING (query_id))
-         |SELECT CAST(count(*) AS BIGINT) AS n_queries,
-         |       ${sround("CAST(sum(hits) AS DOUBLE) / (count(*) * 5)", 6)} AS recall_at_5
-         |FROM perq""".stripMargin,
+         |$recallTailSql""".stripMargin,
 
     "q65_kmeans_step" ->
       s"""WITH $kmeansCte,

@@ -5,7 +5,7 @@ import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The q89/q90 product-quantization training step beyond the DuckDB
-  * oracle: (1) the distributed one-iteration Lloyd update must equal a
+  * oracle: (1) the distributed multi-iteration Lloyd update must equal a
   * driver-side recompute with the identical quantized arithmetic, and
   * (2) on a corpus with planted cluster structure the trained codebook
   * must separate the clusters — ADC recall@5 of exactly 1.0 — proving the
@@ -14,9 +14,10 @@ class PqTrainingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private var spark: SparkSession = _
   private val dir = "/root/testdata/sf0.001"
-  private val M = 4
-  private val SubDim = 16
-  private val K = 8
+  private val M = 8
+  private val SubDim = 8
+  private val K = 32
+  private val Iters = 2
 
   override def beforeAll(): Unit = {
     spark = graft.SparkUtil.configure(
@@ -43,26 +44,32 @@ class PqTrainingSpec extends AnyFunSuite with BeforeAndAfterAll {
     def sl(v: Array[Float], s: Int): Array[Double] =
       v.slice(s * SubDim, (s + 1) * SubDim).map(_.toDouble)
     val seeds = (0 until M).map(s => (0 until K).map(k => sl(emb(k.toLong), s)))
-    // assignment under the seed codebook: argmin (rounded d2, cent_id)
-    val assigned = for (s <- 0 until M) yield
-      emb.toSeq.map { case (id, v) =>
-        val sv = sl(v, s)
-        id -> (0 until K).minBy(k => (d2(sv, seeds(s)(k)), k))
-      }.groupMap(_._2)(x => sl(emb(x._1), s))
-    // update: per-(cell, dim) xsum-quantized mean, seed kept if cell empty
-    val expected = for (s <- 0 until M; k <- 0 until K) yield (s, k) -> {
-      assigned(s).get(k) match {
-        case Some(vs) => (0 until SubDim).map(i =>
-          r6(vs.map(v => math.floor(v(i) * 1e6 + 0.5)).sum / 1e6 / vs.size)).toArray
-        case None => seeds(s)(k)
+    // Iters rounds of (argmin (rounded d2, cent_id) assignment ->
+    // xsum-quantized mean update); an empty cell keeps its PREVIOUS
+    // centroid, matching pqCodebookFrom's coalesce
+    var cb: IndexedSeq[IndexedSeq[Array[Double]]] = seeds
+    for (_ <- 1 to Iters) {
+      val prev = cb
+      val assigned = for (s <- 0 until M) yield
+        emb.toSeq.map { case (id, v) =>
+          val sv = sl(v, s)
+          id -> (0 until K).minBy(k => (d2(sv, prev(s)(k)), k))
+        }.groupMap(_._2)(x => sl(emb(x._1), s))
+      cb = for (s <- 0 until M) yield (0 until K).map { k =>
+        assigned(s).get(k) match {
+          case Some(vs) => (0 until SubDim).map(i =>
+            r6(vs.map(v => math.floor(v(i) * 1e6 + 0.5)).sum / 1e6 / vs.size)).toArray
+          case None => prev(s)(k)
+        }
       }
     }
+    val expected = (for (s <- 0 until M; k <- 0 until K) yield (s, k) -> cb(s)(k)).toMap
     val got = VectorQueries.pqCodebook(spark, dir).collect()
       .map(r => (r.getInt(0), r.getLong(1).toInt) -> r.getSeq[Double](2).toArray).toMap
-    assert(got.keySet == expected.map(_._1).toSet, "M x K codebook entries")
-    for (((key, exp)) <- expected)
+    assert(got.keySet == expected.keySet, "M x K codebook entries")
+    for ((key, exp) <- expected)
       assert(java.util.Arrays.equals(got(key), exp), s"centroid $key")
-    // the iteration MOVED the codebook (it is trained, not the raw seeds)
+    // the iterations MOVED the codebook (it is trained, not the raw seeds)
     assert(expected.exists { case ((s, k), ce) => !java.util.Arrays.equals(ce, seeds(s)(k)) })
   }
 
