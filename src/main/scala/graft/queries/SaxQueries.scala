@@ -64,11 +64,13 @@ object SaxQueries {
 
   private val windowWordsSql: String = windowWordsSqlFor(N, W, C)
 
-  /** CTE chain ending in words(cw, fw): the sliding-window frame
-    * symbolized at BOTH cardinality 2 and 4 from one padded list — the
-    * q92 dual encode. Identical moments feed both symbolizations, so the
-    * iSAX nesting property holds per window by construction. */
-  private def dualWordsSql: String = {
+  /** CTE chain ending in words(cw, f1, e1): the sliding-window frame
+    * symbolized at cardinalities 2, 4 AND 8 from one padded list — the
+    * q92 triple encode (the finer words reduced to their position-1
+    * symbol, all the split decisions read). Identical moments feed every
+    * symbolization, so the iSAX nesting property holds per window by
+    * construction at both promotion levels. */
+  private def triWordsSql: String = {
     val pad = padExpr("raw", N)
     s"""base AS (
        |  SELECT event_id, user_id,
@@ -79,7 +81,8 @@ object SaxQueries {
        |ws AS (SELECT event_id, user_id, vals, ${welfordExpr(finExpr("vals"))} AS ws FROM padded),
        |st AS (SELECT event_id, user_id, vals, ${wsMu("ws")} AS mu, ${wsStd("ws")} AS std FROM ws),
        |words AS (SELECT ${saxWordExpr("vals", "mu", "std", N, W, 2)} AS cw,
-       |                 ${saxWordExpr("vals", "mu", "std", N, W, 4)} AS fw FROM st)""".stripMargin
+       |                 substr(${saxWordExpr("vals", "mu", "std", N, W, 4)}, 1, 1) AS f1,
+       |                 substr(${saxWordExpr("vals", "mu", "std", N, W, 8)}, 1, 1) AS e1 FROM st)""".stripMargin
   }
 
   /** CTE producing (user_id, word): batch encode of each user's FIRST n
@@ -498,44 +501,52 @@ object SaxQueries {
     }),
 
     // iSAX 2.0 variable-cardinality index layout (the adaptive split the
-    // reference's cited paper introduces, include/symtseries.h:5-7): every
-    // window is indexed by its word at BASE cardinality 2; buckets holding
-    // more than 1/16 of the corpus promote the cardinality of position 1
-    // to 4, splitting into the nested finer sectors. Nesting is exact
-    // because every c=2 breakpoint (0.0) is also a c=4 breakpoint, so each
-    // c=4 symbol refines exactly one c=2 symbol ({A,B}->A, {C,D}->B,
-    // '#'->'#' — SaxBucketingSpec proves it per window). Scale shape: both
-    // encodes come from ONE window pass (same collect_list frame, two
-    // symbolizations); the split decision reads a dictionary-bounded
-    // (<= 3^w rows) count aggregate joined back by broadcast — the
-    // explicit hint is within policy because the word dictionary is
-    // constant-bounded, not corpus-growing; the final cell histogram is
-    // one combinable aggregation. At 100 TB the output IS the index
-    // manifest: cell -> member count, with overflowing cells split one
-    // level — promotion recurses per level in production, each level the
-    // same bounded-dictionary pass.
+    // reference's cited paper introduces, include/symtseries.h:5-7),
+    // promoted RECURSIVELY: every window is indexed by its word at BASE
+    // cardinality 2; cells holding more than 1/16 of the corpus promote
+    // position 1 to cardinality 4, and promoted cells STILL over the
+    // threshold promote position 1 again to cardinality 8 — depth ∈
+    // {0,1,2}. Nesting is exact at both levels because the c=2k
+    // breakpoints are a subset of the c=4k breakpoints (0.0, then the
+    // quartile points are octile points), so each finer symbol refines
+    // exactly one coarser symbol ({A,B}->A, {C,D}->B at level 1;
+    // {A,B}->A .. {G,H}->D at level 2; '#'->'#' — SaxBucketingSpec proves
+    // it per window). Scale shape: all three encodes come from ONE window
+    // pass (same collect_list frame, three symbolizations), and the whole
+    // split decision reads ONE corpus aggregation at the FINEST level-1
+    // key (cw, f1) — the per-parent counts and the corpus total roll up
+    // from it DICTIONARY-side (<= 5·3^w rows, the q05/q86 bounded-domain
+    // window pattern), so recursion adds no extra corpus pass. The
+    // bounded dictionary joins back by broadcast (within policy: its size
+    // is alphabet-bounded, not corpus-growing); the final cell histogram
+    // is one combinable aggregation. At 100 TB the output IS the index
+    // manifest: cell -> member count, each overflowing cell split to the
+    // depth its population demands — deeper levels repeat the same
+    // bounded-dictionary pass.
     "q92_isax_adaptive_index" -> ((spark, dir) => {
       val words = table(spark, dir, "events")
         .select(
           sax_encode_window(collect_list(col("value")).over(trail), N, W, 2).as("cw"),
-          sax_encode_window(collect_list(col("value")).over(trail), N, W, 4).as("fw"))
-      val counts = words.groupBy("cw").agg(count(lit(1)).as("cnt"))
-      // total via a window over the DICTIONARY-bounded counts (<= 3^w
-      // rows; the q05/q86 bounded-domain single-partition pattern), not a
-      // separate agg: a second aggregate frame would lazily re-derive the
-      // whole corpus window encode a third time (words + counts + total)
-      val dict = counts
-        .withColumn("total", sum("cnt").over(
+          substring(sax_encode_window(collect_list(col("value")).over(trail), N, W, 4), 1, 1).as("f1"),
+          substring(sax_encode_window(collect_list(col("value")).over(trail), N, W, 8), 1, 1).as("e1"))
+      val counts2 = words.groupBy("cw", "f1").agg(count(lit(1)).as("cnt2"))
+      val dict = counts2
+        .withColumn("cnt", sum("cnt2").over(Window.partitionBy("cw")))
+        .withColumn("total", sum("cnt2").over(
           Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-        .select(col("cw"), (col("cnt") > col("total") / lit(SplitDenom)).as("split"))
-      words.join(broadcast(dict), "cw")
+        .select(col("cw"), col("f1"),
+          (col("cnt") > col("total") / lit(SplitDenom)).as("split"),
+          (col("cnt2") > col("total") / lit(SplitDenom)).as("split2"))
+      words.join(broadcast(dict), Seq("cw", "f1"))
         .select(col("cw"),
-          when(col("split"), substring(col("fw"), 1, 1)).otherwise(lit("*")).as("promoted_sym"),
-          when(col("split"), lit(1)).otherwise(lit(0)).as("depth"))
-        .groupBy("cw", "promoted_sym", "depth")
+          when(col("split"), col("f1")).otherwise(lit("*")).as("promoted_sym"),
+          when(col("split") && col("split2"), col("e1")).otherwise(lit("*")).as("promoted_sym2"),
+          when(col("split") && col("split2"), lit(2))
+            .when(col("split"), lit(1)).otherwise(lit(0)).as("depth"))
+        .groupBy("cw", "promoted_sym", "promoted_sym2", "depth")
         .agg(count(lit(1)).as("n_windows"))
         .select(col("cw").as("parent_word"), col("promoted_sym"),
-          col("n_windows"), col("depth"))
+          col("promoted_sym2"), col("n_windows"), col("depth"))
     }),
 
     // numerosity-reduction runs: consecutive identical words collapse
@@ -731,19 +742,24 @@ object SaxQueries {
            |SELECT uw.user_id, uw.word, wc.word_cnt
            |FROM uw JOIN wc ON uw.word = wc.word""".stripMargin,
 
-      // mirrors q92: one padded frame symbolized at both cardinalities,
-      // dictionary-bounded split decision, cell histogram
+      // mirrors q92: one padded frame symbolized at three cardinalities,
+      // ONE (cw, f1) count aggregate rolled up dictionary-side into the
+      // per-parent counts and corpus total, recursive split decision,
+      // cell histogram
       "q92_isax_adaptive_index" ->
-        s"""WITH $dualWordsSql,
-           |counts AS (SELECT cw, count(*) AS cnt FROM words GROUP BY cw),
-           |tot AS (SELECT sum(cnt) AS total FROM counts),
-           |dict AS (SELECT cw, cnt > total / ${dlit(SplitDenom)} AS split FROM counts CROSS JOIN tot)
-           |SELECT parent_word, promoted_sym, CAST(count(*) AS BIGINT) AS n_windows, depth FROM (
+        s"""WITH $triWordsSql,
+           |counts2 AS (SELECT cw, f1, count(*) AS cnt2 FROM words GROUP BY cw, f1),
+           |dict AS (SELECT cw, f1,
+           |                sum(cnt2) OVER (PARTITION BY cw) > (sum(cnt2) OVER ()) / ${dlit(SplitDenom)} AS split,
+           |                cnt2 > (sum(cnt2) OVER ()) / ${dlit(SplitDenom)} AS split2
+           |         FROM counts2)
+           |SELECT parent_word, promoted_sym, promoted_sym2, CAST(count(*) AS BIGINT) AS n_windows, depth FROM (
            |  SELECT w.cw AS parent_word,
-           |         CASE WHEN d.split THEN substr(w.fw, 1, 1) ELSE '*' END AS promoted_sym,
-           |         CAST(CASE WHEN d.split THEN 1 ELSE 0 END AS INT) AS depth
-           |  FROM words w JOIN dict d USING (cw))
-           |GROUP BY parent_word, promoted_sym, depth""".stripMargin,
+           |         CASE WHEN d.split THEN w.f1 ELSE '*' END AS promoted_sym,
+           |         CASE WHEN d.split AND d.split2 THEN w.e1 ELSE '*' END AS promoted_sym2,
+           |         CAST(CASE WHEN d.split AND d.split2 THEN 2 WHEN d.split THEN 1 ELSE 0 END AS INT) AS depth
+           |  FROM words w JOIN dict d ON w.cw = d.cw AND w.f1 = d.f1)
+           |GROUP BY parent_word, promoted_sym, promoted_sym2, depth""".stripMargin,
 
       "q12_sax_runs" ->
         s"""WITH q AS ($windowWordsSql),

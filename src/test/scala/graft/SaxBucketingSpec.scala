@@ -68,17 +68,25 @@ class SaxBucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val dir = "/root/testdata/sf0.001"
     val trail = Window.partitionBy("user_id")
       .orderBy(expr("ts div 1000"), col("event_id")).rowsBetween(-7, 0)
-    // the nesting property the split RELIES on: every c=4 first symbol
-    // refines its window's c=2 first symbol (0.0 is a breakpoint of both)
-    val dual = spark.read.parquet(s"$dir/events.parquet")
+    // the nesting property the split RELIES on, at BOTH promotion levels:
+    // every c=4 first symbol refines its window's c=2 first symbol (0.0
+    // is a breakpoint of both), and every c=8 first symbol refines its
+    // c=4 symbol (the quartile breakpoints are octile breakpoints)
+    val tri = spark.read.parquet(s"$dir/events.parquet")
       .select(sax_encode_window(collect_list(col("value")).over(trail), 8, 4, 2).as("cw"),
-              sax_encode_window(collect_list(col("value")).over(trail), 8, 4, 4).as("fw"))
-      .select(substring(col("cw"), 1, 1).as("c2"), substring(col("fw"), 1, 1).as("c4"))
+              sax_encode_window(collect_list(col("value")).over(trail), 8, 4, 4).as("fw"),
+              sax_encode_window(collect_list(col("value")).over(trail), 8, 4, 8).as("ew"))
+      .select(substring(col("cw"), 1, 1).as("c2"), substring(col("fw"), 1, 1).as("c4"),
+              substring(col("ew"), 1, 1).as("c8"))
       .collect()
     val refines = Map('A' -> Set('A', 'B'), 'B' -> Set('C', 'D'), '#' -> Set('#'))
-    for (r <- dual)
-      assert(refines(r.getString(0).head)(r.getString(1).head), s"$r breaks nesting")
-    val nWindows = dual.length.toLong
+    val refines8 = Map('A' -> Set('A', 'B'), 'B' -> Set('C', 'D'),
+      'C' -> Set('E', 'F'), 'D' -> Set('G', 'H'), '#' -> Set('#'))
+    for (r <- tri) {
+      assert(refines(r.getString(0).head)(r.getString(1).head), s"$r breaks c2->c4 nesting")
+      assert(refines8(r.getString(1).head)(r.getString(2).head), s"$r breaks c4->c8 nesting")
+    }
+    val nWindows = tri.length.toLong
 
     val cells = graft.queries.SaxQueries
       .defs("q92_isax_adaptive_index")(spark, dir).collect()
@@ -91,15 +99,37 @@ class SaxBucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
       val depths = rows.map(_.getAs[Int]("depth")).toSet
       if (syms.contains("*")) assert(syms == Set("*") && depths == Set(0), rows.toSeq)
       else {
-        assert(depths == Set(1), rows.toSeq)
+        assert(depths.subsetOf(Set(1, 2)), rows.toSeq)
         // promoted children carry >1 distinct refined symbol or the parent
         // had a single dominant fine symbol — either way all are c=4 chars
         assert(syms.forall(s => s.length == 1 && "ABCD#".contains(s)), syms)
+        // recursion is per level-1 CELL: depth-2 rows carry a c=8 symbol,
+        // depth-1 rows carry '*', and the two never mix within one cell
+        for (r <- rows) {
+          val s2 = r.getAs[String]("promoted_sym2")
+          if (r.getAs[Int]("depth") == 2)
+            assert(s2.length == 1 && "ABCDEFGH#".contains(s2), r.toSeq)
+          else assert(s2 == "*", r.toSeq)
+        }
       }
     }
     // the threshold really split something at this scale and left the
     // long tail unsplit (both regimes exercised)
     assert(cells.exists(_.getAs[Int]("depth") == 1), "no bucket split")
     assert(cells.exists(_.getAs[Int]("depth") == 0), "everything split")
+  }
+
+  test("q92 recursion fires at sf0.01: depth-2 cells exist and refine their parents") {
+    val cells = graft.queries.SaxQueries
+      .defs("q92_isax_adaptive_index")(spark, "/root/testdata/sf0.01").collect()
+    val d2 = cells.filter(_.getAs[Int]("depth") == 2)
+    assert(d2.nonEmpty, "the level-2 promotion never fired at sf0.01")
+    val refines8 = Map("A" -> Set("A", "B"), "B" -> Set("C", "D"),
+      "C" -> Set("E", "F"), "D" -> Set("G", "H"), "#" -> Set("#"))
+    for (r <- d2)
+      assert(refines8(r.getAs[String]("promoted_sym"))(r.getAs[String]("promoted_sym2")),
+        s"depth-2 cell does not refine its level-1 symbol: ${r.toSeq}")
+    // every depth coexists in the manifest at this scale
+    assert(Set(0, 1, 2).subsetOf(cells.map(_.getAs[Int]("depth")).toSet))
   }
 }
