@@ -23,7 +23,9 @@ object RelQueries {
     * on both sides because the oracle's DuckDB reads the ns parquet column
     * as a us TIMESTAMP. One constant feeds the Spark def and the oracle
     * SQL so they cannot drift. */
-  private val SessionGapUs = 2L * 24 * 3600 * 1000000L
+  // shared with SaxQueries' q102 session ENCODE (one constant, both
+  // surfaces, per the oracle-parity discipline)
+  private[graft] val SessionGapUs = 2L * 24 * 3600 * 1000000L
 
   /** q79 rank depth + salt fan-out; the oracle ranks the same top-k with
     * one direct window, so k feeds both surfaces from here. */

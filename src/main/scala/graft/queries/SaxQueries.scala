@@ -549,6 +549,40 @@ object SaxQueries {
           col("promoted_sym2"), col("n_windows"), col("depth"))
     }),
 
+    // session-window SAX encode — the BATCH analogue of the streaming
+    // sessionWords operator (SaxStreaming.scala): split each user's
+    // stream on SessionGapUs of event-time silence (q27's gap
+    // sessionization, the shared constant), order each session by
+    // (ts_us, event_id), truncate to the largest w-divisible prefix, and
+    // batch-encode it into ONE word (sts_from_double_array semantics,
+    // Sax.encode over the prefix — the truncEncode contract). Sessions
+    // shorter than w values don't encode and are dropped, exactly like
+    // the streaming variant's null filter. This puts the session
+    // semantics on the hash-checked oracle surface; the streaming replay
+    // spec asserts sessionWords emits these same rows (the q19
+    // discipline applied to sessions). Scale shape: the per-key window
+    // sort and ONE combinable per-session aggregation — the same
+    // partitioning every per-key op uses; no new shuffle.
+    "q102_session_encode" -> ((spark, dir) => {
+      val byU = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val sess = table(spark, dir, "events")
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+          col("event_id"), col("value"))
+        .withColumn("prev_us", lag("ts_us", 1).over(byU))
+        .withColumn("is_new",
+          when(col("prev_us").isNull ||
+            col("ts_us") - col("prev_us") > RelQueries.SessionGapUs, 1).otherwise(0))
+        .withColumn("session_id",
+          sum("is_new").over(byU.rowsBetween(Window.unboundedPreceding, 0)))
+      sess.groupBy("user_id", "session_id")
+        .agg(min("ts_us").as("start_us"), count(lit(1)).as("n_events"),
+          sort_array(collect_list(struct(col("ts_us"), col("event_id"), col("value")))).as("rows"))
+        .where(size(col("rows")) >= W)
+        .select(col("user_id"), col("session_id"), col("start_us"), col("n_events"),
+          sax_encode(expr(s"slice(transform(rows, r -> r.value), 1, (size(rows) div $W) * $W)"),
+            W, C).as("word"))
+    }),
+
     // numerosity-reduction runs: consecutive identical words collapse
     "q12_sax_runs" -> ((spark, dir) => {
       val w = Window.partitionBy("user_id").orderBy("event_id")
@@ -760,6 +794,29 @@ object SaxQueries {
            |         CAST(CASE WHEN d.split AND d.split2 THEN 2 WHEN d.split THEN 1 ELSE 0 END AS INT) AS depth
            |  FROM words w JOIN dict d ON w.cw = d.cw AND w.f1 = d.f1)
            |GROUP BY parent_word, promoted_sym, promoted_sym2, depth""".stripMargin,
+
+      // mirrors q102: q27's gap sessionization, per-session ordered value
+      // list, w-divisible prefix, dynamic-frame SAX word (saxWordExprDyn)
+      "q102_session_encode" ->
+        s"""WITH l AS (
+           |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, value,
+           |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+           |  FROM events),
+           |m AS (SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > ${RelQueries.SessionGapUs} THEN 1 ELSE 0 END AS is_new FROM l),
+           |s AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+           |                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM m),
+           |g AS (SELECT user_id, session_id, min(ts_us) AS start_us, count(*) AS n_events,
+           |             list(value ORDER BY ts_us, event_id) AS vals
+           |      FROM s GROUP BY user_id, session_id),
+           |t AS (SELECT user_id, session_id, start_us, n_events,
+           |             vals[1:((len(vals) // $W) * $W)] AS pv
+           |      FROM g WHERE len(vals) >= $W),
+           |ws AS (SELECT *, ${welfordExpr(finExpr("pv"))} AS ws FROM t),
+           |st AS (SELECT *, ${wsMu("ws")} AS mu, ${wsStd("ws")} AS std FROM ws)
+           |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, start_us,
+           |       CAST(n_events AS BIGINT) AS n_events,
+           |       ${OracleGen.saxWordExprDyn("pv", "mu", "std", W, C)} AS word
+           |FROM st""".stripMargin,
 
       "q12_sax_runs" ->
         s"""WITH q AS ($windowWordsSql),

@@ -57,8 +57,15 @@ object OracleGen {
     * empty/NaN sum -> NaN; non-finite sum bypasses normalization; std below
     * STS_STAT_EPS -> 0 (src/symtseries.c:358-396). */
   private def frameNorm(vals: String, lo: Int, hi: Int,
-                        mu: String, std: String): String = {
-    val fin = s"list_filter(($vals)[$lo:$hi], x -> NOT isnan(x))"
+                        mu: String, std: String): String =
+    frameNormExpr(vals, lo.toString, hi.toString, mu, std)
+
+  /** [[frameNorm]] with the slice bounds as SQL expressions — the q102
+    * variable-length-session case, where the frame size is a per-row
+    * value (len // w), not a generation-time constant. */
+  private def frameNormExpr(vals: String, lo: String, hi: String,
+                            mu: String, std: String): String = {
+    val fin = s"list_filter(($vals)[($lo):($hi)], x -> NOT isnan(x))"
     val sum = s"list_sum($fin)"
     val cnt = s"len($fin)"
     s"""(CASE WHEN $sum IS NULL OR isnan($sum) THEN 'NaN'::DOUBLE
@@ -76,6 +83,21 @@ object OracleGen {
     val fs = n / w
     val chars = (0 until w).map { i =>
       symbolCase(frameNorm(vals, i * fs + 1, (i + 1) * fs, mu, std), c)
+    }
+    chars.mkString("(", " || ", ")")
+  }
+
+  /** [[saxWordExpr]] for a list whose length is only known per row (the
+    * q102 session encode): the frame size is the per-row `len // w`, so
+    * `vals` may carry a non-multiple length — frames read exactly the
+    * truncated prefix (`w * (len // w)` elements), matching
+    * `Sax.encode(vs.take(n))` with n = len - len % w. `mu`/`std` MUST be
+    * computed over that same prefix by the caller. */
+  def saxWordExprDyn(vals: String, mu: String, std: String,
+                     w: Int, c: Int): String = {
+    val fs = s"(len($vals) // $w)"
+    val chars = (0 until w).map { i =>
+      symbolCase(frameNormExpr(vals, s"$i * $fs + 1", s"${i + 1} * $fs", mu, std), c)
     }
     chars.mkString("(", " || ", ")")
   }

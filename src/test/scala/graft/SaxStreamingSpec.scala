@@ -157,6 +157,45 @@ class SaxStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stateRows <= 2, s"state not evicted by watermark: $stateRows rows")
   }
 
+  test("session replay: streaming sessionWords equals the batch q102 oracle rows") {
+    // the q19 discipline applied to sessions: replay the REAL sf0.001
+    // events through the streaming session operator with q102's gap and
+    // compare against the hash-checked batch query, row for row on
+    // (user, session start, n_events, word)
+    val ss = spark
+    import ss.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val events = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("user_id").as("userId"), col("event_id").as("eventId"),
+        col("ts"), col("value"))
+      .as[SeriesEvent].collect().sortBy(e => (e.ts, e.eventId))
+    val gapSeconds = graft.queries.RelQueries.SessionGapUs / 1000000L
+
+    val stream = MemoryStream[SeriesEvent](spark)
+    val q = SaxStreaming.sessionWords(stream.toDS(), s"$gapSeconds seconds", "1 second", 4, 4)
+      .writeStream.format("memory").queryName("session_replay")
+      .outputMode("append").start()
+    events.grouped(400).foreach { chunk =>
+      stream.addData(chunk.toIndexedSeq); q.processAllAvailable()
+    }
+    // a far-future sentinel closes every open session; its own 1-event
+    // session is below w values and never encodes
+    stream.addData(SeriesEvent(999999L, 999999L, events.map(_.ts).max + (400L * 86400 * 1000000000L), 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("session_replay")
+      .select(col("userId"), expr("unix_micros(session_window.start)"),
+        col("n_events").cast("long"), col("word"))
+      .as[(Long, Long, Long, String)].collect().toSet
+    val batch = graft.queries.SaxQueries.defs("q102_session_encode")(spark, dir)
+      .select(col("user_id"), col("start_us"), col("n_events"), col("word"))
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(batch.nonEmpty, "batch produced no sessions")
+    assert(streamed == batch,
+      s"stream-only: ${streamed.diff(batch).take(3)}; batch-only: ${batch.diff(streamed).take(3)}")
+  }
+
   test("session windows: gap-closed sessions emit the batch encode of their values") {
     val ss = spark
     import ss.implicits._
