@@ -32,6 +32,17 @@ object DedupQueries {
     * both engines run the identical IEEE ceil(t*|x|) prefix bound. */
   private val JaccardThreshold = 0.6
 
+  /** q103 Bloom geometry: BloomM bit positions, BloomK probes per shingle
+    * via double hashing off two md5 slices — ONE place, embedded into the
+    * oracle SQL from here. m is the structure's total size bound: the
+    * position set is ≤ BloomM rows at ANY corpus size, which is what
+    * makes the filter broadcastable at 100 TB. (Production sizes m to the
+    * test-set cardinality — m/n ≈ 14 bits/key for ~0.1% fp at k=3; the
+    * constant here is sized to the test corpora so false positives
+    * actually occur and the fp accounting stays exercised.) */
+  private val BloomM = 4096L
+  private val BloomK = 3
+
   // ---- SQL fragments -------------------------------------------------------
 
   import graft.sql.TextSql.{toks => toksSql, shingles => shinglesSql, hexcast}
@@ -172,9 +183,11 @@ object DedupQueries {
     * equals), never a derived hash: identity hash codes aren't unique, so a
     * hash-string key could serve one session a DataFrame bound to another
     * (or to a GC'd session that happened to share the hash). The strong
-    * session reference is bounded: the memo auto-clears when the owning
-    * SparkContext stops (so a closed session's cached RDDs and the session
-    * itself are never pinned by a long-lived JVM), and a caller that
+    * session reference is bounded THREE ways: the owning context's end
+    * listener drops its entries (so a stopped context's cached RDDs and
+    * sessions are never pinned by a long-lived JVM), a FIFO size bound of
+    * [[MemoMax]] unpersists the oldest entry when sessions are minted via
+    * newSession() and discarded mid-application, and a caller that
     * rewrites the data under `dir` mid-session invalidates explicitly
     * (Bench does, so each timed run measures the full pipeline standalone
     * and per-query numbers stay order-independent). */
@@ -184,6 +197,9 @@ object DedupQueries {
       (org.apache.spark.sql.SparkSession, String), ComponentEntry]()
   private val memoHookedContexts =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val MemoMax = 8
+  private val memoOrder = new java.util.concurrent.ConcurrentLinkedQueue[
+    (org.apache.spark.sql.SparkSession, String)]()
 
   /** Drop all memoized component frames, unpersisting their edge caches. */
   def invalidateComponentMemo(): Unit = {
@@ -192,6 +208,7 @@ object DedupQueries {
       try it.next().edges.unpersist() catch { case _: Throwable => () }
     }
     componentMemo.clear()
+    memoOrder.clear()
   }
 
   private def componentLabels(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
@@ -207,13 +224,31 @@ object DedupQueries {
       try entry.edges.unpersist() catch { case _: Throwable => () }
       raced.labels
     } else {
+      memoOrder.add(key)
+      // FIFO bound: discarded-session churn must not accumulate cached
+      // edge frames until context stop — unpersist the oldest past MemoMax
+      while (componentMemo.size > MemoMax) {
+        val old = memoOrder.poll()
+        if (old != null) {
+          val dropped = componentMemo.remove(old)
+          if (dropped != null)
+            try dropped.edges.unpersist() catch { case _: Throwable => () }
+        }
+      }
       if (memoHookedContexts.add(spark.sparkContext.applicationId)) {
-        spark.sparkContext.addSparkListener(
+        // the listener is registered on THIS context, so when it fires it
+        // is this context ending: drop only the entries whose session it
+        // owns (their RDD caches die with it) — another live context's
+        // memoized frames stay valid (multi-context JVMs are exotic, but
+        // a global clear would serve them dangling registrations)
+        val ctx = spark.sparkContext
+        ctx.addSparkListener(
           new org.apache.spark.scheduler.SparkListener {
             override def onApplicationEnd(
                 e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
-              componentMemo.clear() // RDD caches die with the context
-              memoHookedContexts.clear()
+              componentMemo.keySet().removeIf(k => k._1.sparkContext eq ctx)
+              memoOrder.removeIf(k => k._1.sparkContext eq ctx)
+              memoHookedContexts.remove(ctx.applicationId)
             }
           })
       }
@@ -513,6 +548,49 @@ object DedupQueries {
             .as("contam_frac"))
     }),
 
+    // Bloom-filter decontamination probe — q64's semi-join made the
+    // explicit 100 TB bloom-pushdown shape. Build: the TEST (held-out)
+    // split's shingles set BloomK bit positions each (double hashing off
+    // two md5 slices); the distinct-position set is the filter — at most
+    // [[BloomM]] rows NO MATTER the corpus size, collapsed into one
+    // sorted-array row and broadcast. Probe: every TRAIN shingle tests
+    // its BloomK positions MAP-SIDE against the broadcast array
+    // (array_contains forall — no join, no shuffle touches the train
+    // side), and only bloom-POSITIVE grams reach the exact semi-join
+    // verify — the filter prunes the join input, which is the entire
+    // point of the structure. Output keeps both counts per flagged train
+    // doc, so the false-positive rate (n_bloom_pos − n_exact) is itself
+    // oracle-checked. The train/test split and shingle derivation are
+    // q64's, so the two formulations answer the same question from the
+    // two ends of the pipeline.
+    "q103_bloom_contamination" -> ((spark, dir) => {
+      val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 100).cast("int")
+      val ex = spread(table(spark, dir, "documents"))
+        .select(col("doc_id"), bucket.as("b"), explode(shinglesUdf(col("text"))).as("s"))
+      val h1 = conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long")
+      val h2 = conv(substring(md5(col("s")), 16, 15), 16, 10).cast("long")
+      def pos(i: Int) = ((h1 + lit(i.toLong) * h2) % BloomM).cast("int")
+      val bloom = ex.where(col("b") >= 90)
+        .select(explode(array((0 until BloomK).map(pos): _*)).as("p"))
+        .distinct()
+        .agg(sort_array(collect_list(col("p"))).as("bits"))
+      val probed = ex.where(col("b") < 80).join(broadcast(bloom))
+        .withColumn("bloom_pos",
+          (0 until BloomK).map(i => array_contains(col("bits"), pos(i))).reduce(_ && _))
+      val testGrams = ex.where(col("b") >= 90).select("s").distinct()
+      val exact = probed.where(col("bloom_pos")).select("doc_id", "s")
+        .join(testGrams, Seq("s"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_exact"))
+      probed.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+             sum(when(col("bloom_pos"), 1L).otherwise(0L)).as("n_bloom_pos"))
+        .where(col("n_bloom_pos") > 0)
+        .join(exact, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_grams"), col("n_bloom_pos"),
+          coalesce(col("n_exact"), lit(0L)).as("n_exact"))
+    }),
+
     // near-dup connected components: fold the q32 LSH-verified pair graph
     // into clusters by BOUNDED min-label propagation (3 rounds) — the
     // grouping step that turns pairwise near-dup hits into dedup groups.
@@ -774,6 +852,36 @@ object DedupQueries {
          |       CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_contaminated,
          |       ${sround("CAST(coalesce(h.n_hit, 0) AS DOUBLE) / t.n_ngrams", 6)} AS contam_frac
          |FROM tot t LEFT JOIN hits h USING (doc_id)""".stripMargin,
+
+    // mirrors q103: test-split position set (≤ BloomM rows) as the bloom,
+    // map-side K-position membership on the train side, exact verify on
+    // the bloom-positive subset only
+    "q103_bloom_contamination" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sh AS (SELECT doc_id, $shinglesSql AS sh FROM toks),
+         |bux AS (SELECT doc_id, sh,
+         |               CAST(CAST(concat('0x', substr(md5(doc_id::VARCHAR), 1, 15)) AS BIGINT) % 100 AS INT) AS b
+         |        FROM sh),
+         |hs AS (SELECT doc_id, b, s,
+         |              CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) AS h1,
+         |              CAST(concat('0x', substr(md5(s), 16, 15)) AS BIGINT) AS h2
+         |       FROM (SELECT doc_id, b, unnest(sh) AS s FROM bux)),
+         |tpos AS (SELECT DISTINCT CAST((h1 + i * h2) % $BloomM AS INT) AS p
+         |         FROM hs, (SELECT unnest(range(0, $BloomK)) AS i) ii WHERE b >= 90),
+         |bloom AS (SELECT list(p ORDER BY p) AS bits FROM tpos),
+         |probed AS (SELECT doc_id, s,
+         |                  (${(0 until BloomK).map(i => s"list_contains(bits, CAST((h1 + $i * h2) % $BloomM AS INT))").mkString(" AND ")}) AS bloom_pos
+         |           FROM hs CROSS JOIN bloom WHERE b < 80),
+         |testg AS (SELECT DISTINCT s FROM hs WHERE b >= 90),
+         |exact AS (SELECT doc_id, count(*) AS n_exact FROM probed
+         |          WHERE bloom_pos AND s IN (SELECT s FROM testg) GROUP BY doc_id),
+         |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |               CAST(sum(CASE WHEN bloom_pos THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_pos
+         |        FROM probed GROUP BY doc_id)
+         |SELECT t.doc_id, t.n_grams, t.n_bloom_pos,
+         |       CAST(coalesce(e.n_exact, 0) AS BIGINT) AS n_exact
+         |FROM tot t LEFT JOIN exact e USING (doc_id)
+         |WHERE t.n_bloom_pos > 0""".stripMargin,
 
     "q75_neardup_components" -> s"$componentCtes\nSELECT doc_id, label AS component FROM l3",
 

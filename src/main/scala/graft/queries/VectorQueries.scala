@@ -239,7 +239,9 @@ object VectorQueries {
     // + query LUT), and lazily each would inline the whole corpus-scale
     // training assignment into its own subtree, doubling the training
     // pass. A codebook is a model ARTIFACT: derive it one time, probe it
-    // everywhere. Bench/Verify clearCache() between queries bounds the pin.
+    // everywhere. Bench/Verify clearCache() between queries bounds the
+    // pin; a direct caller invoking PQ queries repeatedly owns the same
+    // eviction (spark.catalog.clearCache() — the q75 contract note).
     cb.cache()
     cb.count()
     cb

@@ -43,6 +43,35 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q103 bloom probe matches a driver-side filter recount; fp accounting holds") {
+    val sh = docShingles()
+    def bucket(id: Long): Int =
+      (java.lang.Long.parseLong(TextHash.md5Hex(id.toString).take(15), 16) % 100).toInt
+    val m = 4096L
+    def positions(s: String): Seq[Long] = {
+      val hex = TextHash.md5Hex(s)
+      val h1 = java.lang.Long.parseLong(hex.take(15), 16)
+      val h2 = java.lang.Long.parseLong(hex.slice(15, 30), 16)
+      (0 until 3).map(i => (h1 + i * h2) % m)
+    }
+    val testDocs = sh.filter { case (id, _) => bucket(id) >= 90 }
+    val testGrams = testDocs.values.flatten.toSet
+    val bloom = testGrams.flatMap(positions)
+    val expected = sh.collect { case (id, grams) if bucket(id) < 80 =>
+      val pos = grams.count(g => positions(g).forall(bloom.contains))
+      val exact = grams.count(g => positions(g).forall(bloom.contains) && testGrams.contains(g))
+      id -> ((grams.length.toLong, pos.toLong, exact.toLong))
+    }.filter(_._2._2 > 0)
+    val rows = DedupQueries.defs("q103_bloom_contamination")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows == expected, "bloom probe differs from the driver recount")
+    // the filter has no false NEGATIVES (every exact hit is bloom-positive
+    // by construction) and, at this load factor, real false positives
+    assert(rows.values.forall { case (_, pos, exact) => exact <= pos })
+    assert(rows.values.exists { case (_, pos, exact) => pos > exact },
+      "no false positive at sf0.001 — the fp accounting is unexercised")
+  }
+
   test("q64 contaminated shingles really occur in the train split") {
     val sh = docShingles()
     def bucket(id: Long): Int =
