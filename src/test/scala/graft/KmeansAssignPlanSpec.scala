@@ -63,18 +63,23 @@ class KmeansAssignPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bad.isEmpty, s"mismatches: ${bad.take(5)}")
   }
 
-  test("q94 IVF+ADC: every join is broadcast — the corpus never shuffles for a join") {
-    val q = VectorQueries.defs("q94_ivf_adc")(spark, dir)
-    val plan = q.queryExecution.executedPlan.toString
-    // cell (IVF argmax) and code (PQ argmin) both attach in the map-side
-    // scan pass; the LUT and cell routing broadcast. The only hash
-    // exchanges left are the bounded codebook-training aggregates and the
-    // final per-(query, candidate) sum + top-k window.
-    assert(!plan.contains("SortMergeJoin"), s"corpus-side shuffle join:\n$plan")
-    assert(!plan.contains("ShuffledHashJoin"), s"corpus-side shuffle join:\n$plan")
-    val rows = q.collect().map(r => (r.getLong(0), r.getLong(1)))
-    assert(rows.nonEmpty && rows.forall { case (q_, v) => q_ != v })
-    // at most 5 per query, unique candidates
-    assert(rows.groupBy(_._1).values.forall(g => g.length <= 5 && g.distinct.length == g.length))
+  test("q94/q100 IVFADC: every join is broadcast — the corpus never shuffles for a join") {
+    // cell (IVF argmax), residual (broadcast centroid subtract) and code
+    // (PQ argmin) all attach in the map-side scan pass; the LUT and cell
+    // routing broadcast. The only hash exchanges left are the bounded
+    // codebook-training aggregates and the final per-(query, candidate)
+    // sum + top-k window. nprobe=3 (q100) only widens the BROADCAST
+    // side, so the same pin must hold.
+    for (name <- Seq("q94_ivf_adc", "q100_ivfadc_nprobe")) {
+      val q = VectorQueries.defs(name)(spark, dir)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("SortMergeJoin"), s"$name corpus-side shuffle join:\n$plan")
+      assert(!plan.contains("ShuffledHashJoin"), s"$name corpus-side shuffle join:\n$plan")
+      val rows = q.collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.nonEmpty && rows.forall { case (q_, v) => q_ != v })
+      // at most 5 per query, unique candidates
+      assert(rows.groupBy(_._1).values.forall(g => g.length <= 5 && g.distinct.length == g.length))
+      spark.catalog.clearCache()
+    }
   }
 }
