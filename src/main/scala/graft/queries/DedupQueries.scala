@@ -36,11 +36,14 @@ object DedupQueries {
     * via double hashing off two md5 slices — ONE place, embedded into the
     * oracle SQL from here. m is the structure's total size bound: the
     * position set is ≤ BloomM rows at ANY corpus size, which is what
-    * makes the filter broadcastable at 100 TB. (Production sizes m to the
-    * test-set cardinality — m/n ≈ 14 bits/key for ~0.1% fp at k=3; the
-    * constant here is sized to the test corpora so false positives
-    * actually occur and the fp accounting stays exercised.) */
-  private val BloomM = 4096L
+    * makes the filter broadcastable at 100 TB. Sized ~25 bits per
+    * test-split shingle at the test corpora (~2.6k keys): fill ≈ 11%,
+    * fp ≈ 0.11³ ≈ 0.14% — a realistic working filter that still
+    * produces tens of false positives over the ~21k train-side probes,
+    * so the fp accounting stays exercised (the spec asserts both). At
+    * 100 TB you re-size m to the actual test-set cardinality the same
+    * way; the plan shape is independent of m. */
+  private val BloomM = 65536L
   private val BloomK = 3
 
   // ---- SQL fragments -------------------------------------------------------

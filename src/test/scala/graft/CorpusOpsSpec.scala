@@ -47,7 +47,7 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val sh = docShingles()
     def bucket(id: Long): Int =
       (java.lang.Long.parseLong(TextHash.md5Hex(id.toString).take(15), 16) % 100).toInt
-    val m = 4096L
+    val m = 65536L
     def positions(s: String): Seq[Long] = {
       val hex = TextHash.md5Hex(s)
       val h1 = java.lang.Long.parseLong(hex.take(15), 16)
