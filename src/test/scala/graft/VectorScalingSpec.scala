@@ -9,6 +9,31 @@ import org.scalatest.funsuite.AnyFunSuite
   * at 100 TB). */
 class VectorScalingSpec extends AnyFunSuite {
 
+  test("recall ladder: the nprobe and OPQ knobs never lower recall") {
+    // the r9 measured ordering, pinned at the fixture scale: multi-cell
+    // probing can only ADD candidates (q101 vs q99), and the OPQ
+    // permutation preserves L2 while lowering quantization error on
+    // these correlated dims (q105 vs q90). Equality is legitimate
+    // (sf0.001's few cells bound what nprobe can recover); a DROP means
+    // someone broke the knob.
+    val spark = graft.SparkUtil.configure(
+      org.apache.spark.sql.SparkSession.builder().master("local[4]"), "4").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val dir = "/root/testdata/sf0.001"
+      def recall(name: String): Double = {
+        val v = VectorQueries.defs(name)(spark, dir).collect().head.getDouble(1)
+        spark.catalog.clearCache()
+        v
+      }
+      val (r99, r101) = (recall("q99_ivf_adc_recall"), recall("q101_ivfadc_nprobe_recall"))
+      val (r90, r105) = (recall("q90_pq_recall"), recall("q105_opq_recall"))
+      assert(r101 >= r99, s"nprobe=3 recall $r101 below single-cell $r99")
+      assert(r105 >= r90, s"OPQ recall $r105 below contiguous $r90")
+      assert(r99 > 0.0 && r90 > 0.0, "degenerate zero recall")
+    } finally spark.stop()
+  }
+
   test("near-dup plane ladder: base below the cap, +1 per doubling, capped") {
     assert(VectorQueries.planesFor(0) == 8)
     assert(VectorQueries.planesFor(500) == 8)
