@@ -605,6 +605,35 @@ object DedupQueries {
     // on wider components).
     "q75_neardup_components" -> ((spark, dir) => componentLabels(spark, dir)),
 
+    // source-priority survivor selection over the near-dup components —
+    // the POLICY layer of a dedup pipeline: within each near-dup group
+    // keep the document from the highest-priority SOURCE (curated beats
+    // scraped; q56's min-doc_id rule is the policy-free default this
+    // generalizes), ties to the lowest doc_id. Priority derives from the
+    // source id's numeric suffix here (src0 highest) — one deterministic
+    // rule on both surfaces; in production it is a curated broadcast
+    // map, same plan shape. Reuses the memoized q75 component labels
+    // (no LSH/propagation re-run when q75/q83 already executed); the
+    // only new work is one doc_id equi-join against the documents
+    // projection and a per-component window — both partition on keys
+    // every other dedup op already uses. Output: one row per multi-doc
+    // component (the actual dedup decisions), with the source spread
+    // that shows the policy firing across sources.
+    "q107_priority_dedup" -> ((spark, dir) => {
+      val src = spread(table(spark, dir, "documents")).select(col("doc_id"), col("source"))
+      val docs = componentLabels(spark, dir).join(src, "doc_id")
+        .withColumn("prio", regexp_extract(col("source"), "([0-9]+)", 1).cast("int"))
+      val agg = docs.groupBy("component")
+        .agg(count(lit(1)).as("n_docs"), countDistinct("source").as("n_sources"))
+      val surv = docs.withColumn("rn", row_number().over(
+          Window.partitionBy("component").orderBy(col("prio"), col("doc_id"))))
+        .where(col("rn") === 1)
+        .select(col("component"), col("doc_id").as("survivor_id"),
+          col("source").as("survivor_source"))
+      agg.where(col("n_docs") > 1).join(surv, "component")
+        .select("component", "n_docs", "n_sources", "survivor_id", "survivor_source")
+    }),
+
     // dedup-cluster size histogram: how many near-dup clusters of each
     // size the corpus holds — the summary a dedup run reports (and the
     // input to "how much would we delete" capacity planning). Two
@@ -887,6 +916,24 @@ object DedupQueries {
          |WHERE t.n_bloom_pos > 0""".stripMargin,
 
     "q75_neardup_components" -> s"$componentCtes\nSELECT doc_id, label AS component FROM l3",
+
+    // mirrors q107: component labels joined to sources, suffix-derived
+    // priority, per-component (prio, doc_id) rank-1 survivor
+    "q107_priority_dedup" ->
+      s"""$componentCtes,
+         |lab AS (SELECT doc_id, label AS component FROM l3),
+         |dd AS (SELECT lab.component, lab.doc_id, doc.source,
+         |              CAST(regexp_extract(doc.source, '([0-9]+)', 1) AS INT) AS prio
+         |       FROM lab JOIN documents doc USING (doc_id)),
+         |agg AS (SELECT component, CAST(count(*) AS BIGINT) AS n_docs,
+         |               CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+         |        FROM dd GROUP BY component),
+         |surv AS (SELECT component, doc_id AS survivor_id, source AS survivor_source FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY component ORDER BY prio, doc_id) AS rn FROM dd)
+         |  WHERE rn = 1)
+         |SELECT a.component, a.n_docs, a.n_sources, s.survivor_id, s.survivor_source
+         |FROM agg a JOIN surv s USING (component)
+         |WHERE a.n_docs > 1""".stripMargin,
 
     "q83_component_stats" ->
       s"""$componentCtes,

@@ -151,6 +151,36 @@ object TextQueries {
     // reservoir). ln(u)^(1/w) monotone-transforms to ln(u)/w, keeping the
     // arithmetic in the ln-parity family the oracle already matches;
     // rounded-key ties break by doc_id on both engines.
+    // α-temperature language rebalancing — the multilingual data-mixing
+    // operator (the XLM-R/mBERT exponentiated-smoothing family): per
+    // language, the corpus token share p_l, the resampled mixture weight
+    // q_l ∝ p_l^α renormalized, and the implied upsampling factor
+    // q_l / p_l that a sampler would apply. α is FIXED at 0.5 so the
+    // power is computed via sqrt — IEEE-correctly-rounded on both
+    // engines, where a libm pow could diverge in the last ulp and break
+    // the bit-exact oracle contract (the same reasoning that bans engine
+    // round()). Scale shape: one combinable (lang) count/sum aggregation
+    // over the corpus; everything after operates on the ≤|languages|-row
+    // dictionary (bounded-domain windows, the q05/q86/q92 pattern). The
+    // renormalization sum uses the xsum discipline so it is
+    // order-independent under the single-partition window.
+    "q106_lang_mixture" -> ((spark, dir) => {
+      val toksN = size(filter(split(col("text"), "\\s+"), t => t =!= ""))
+      val tot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      spread(table(spark, dir, "documents"))
+        .select(col("lang"), toksN.cast("long").as("nt"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"))
+        .withColumn("total", sum("n_tokens").over(tot))
+        .withColumn("p", pround(col("n_tokens").cast("double") / col("total"), 6))
+        .withColumn("qr", pround(sqrt(col("p")), 6))
+        .withColumn("qsum",
+          sum(floor(col("qr") * lit(1000000.0) + lit(0.5))).over(tot) / lit(1000000.0))
+        .withColumn("q", pround(col("qr") / col("qsum"), 6))
+        .select(col("lang"), col("n_docs"), col("n_tokens"), col("p"), col("q"),
+          pround(col("q") / col("p"), 6).as("upsample"))
+    }),
+
     "q97_weighted_sample" -> ((spark, dir) => {
       val h = conv(substring(md5(concat(lit("wsamp:"), col("doc_id").cast("string"))), 1, 15), 16, 10)
         .cast("long")
@@ -568,6 +598,23 @@ object TextQueries {
         |         CAST(CAST(concat('0x', substr(md5('sample:' || doc_id::VARCHAR), 1, 15)) AS BIGINT) % 100 AS INT) AS b
         |  FROM documents)
         |WHERE lang <> 'en' OR b < 50""".stripMargin,
+
+    // mirrors q106: one (lang) aggregation, dictionary-side windows,
+    // sqrt for the α=0.5 power (IEEE-exact on both engines), xsum'd
+    // renormalization
+    "q106_lang_mixture" ->
+      s"""WITH t AS (SELECT lang,
+         |                  CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS nt
+         |           FROM documents),
+         |g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(nt) AS BIGINT) AS n_tokens
+         |      FROM t GROUP BY lang),
+         |w AS (SELECT *, sum(n_tokens) OVER () AS total FROM g),
+         |x AS (SELECT *, ${sround("CAST(n_tokens AS DOUBLE) / total", 6)} AS p FROM w),
+         |y AS (SELECT *, ${sround("sqrt(p)", 6)} AS qr FROM x),
+         |z AS (SELECT *, sum(floor(qr * 1000000.0 + 0.5)) OVER () / 1000000.0 AS qsum FROM y),
+         |f AS (SELECT *, ${sround("qr / qsum", 6)} AS q FROM z)
+         |SELECT lang, n_docs, n_tokens, p, q, ${sround("q / p", 6)} AS upsample
+         |FROM f""".stripMargin,
 
     "q97_weighted_sample" ->
       s"""WITH t AS (SELECT doc_id, CAST(len($toksSqlD) + 1 AS BIGINT) AS w,
