@@ -391,15 +391,15 @@ object VectorQueries {
   val defs: Map[String, QFn] = Map(
     // product-quantization ANN (codebook train -> encode -> asymmetric
     // distance scan): the billion-vector serving layout where the corpus
-    // is stored as PqM small codes (4 bytes/vector here vs 256 for the
+    // is stored as PqM small codes (8 bytes/vector here vs 256 for the
     // raw floats) and queries scan codes with a precomputed lookup table
     // instead of touching any embedding. Codebook: per-subspace k-means
-    // centroids from one deterministic Lloyd iteration (pqCodebook).
+    // centroids from PqIters deterministic Lloyd iterations (pqCodebook).
     // Encode: per (vector, subspace) argmin over the BROADCAST codebook —
     // map-side, lexicographic struct-min tie-break toward the lowest
     // centroid id (the assignNearest discipline). ADC: each query's
-    // 32-entry (subspace, centroid) distance table is computed once and
-    // broadcast; the scan is a codes⋈LUT equi-join + an exact
+    // PqM·PqK-entry (subspace, centroid) distance table is computed once
+    // and broadcast; the scan is a codes⋈LUT equi-join + an exact
     // integer-scaled sum — the corpus-side rows carry (vec_id, s, code),
     // never floats. Top-5 per query by approximate distance, ties to the
     // lowest vec_id. q90 below measures this layout's recall against the
