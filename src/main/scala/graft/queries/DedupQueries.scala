@@ -46,6 +46,20 @@ object DedupQueries {
   private val BloomM = 65536L
   private val BloomK = 3
 
+  /** q108 HyperLogLog geometry: 2^[[HllP]] registers over the 60-bit md5
+    * hash — bucket = top 8 bits, rank = leading-zero position in the
+    * remaining 52. The whole estimator stays on an INTEGER path so the
+    * oracle replays it exactly: rank via a generated comparison ladder
+    * (never floor(log2) — 2^k boundaries round wrong), the harmonic sum
+    * as Σ 2^(53−r) in BIGINT (≤ 2^61, exact), and the one long→double
+    * cast at the end is IEEE round-to-nearest on both engines.
+    * [[HllAlphaC]] = α_m·m²·2^53 is folded in Scala and embedded via
+    * dlit. */
+  private val HllP = 8
+  private val HllM = 1 << HllP
+  private val HllAlphaC: Double =
+    0.7213 / (1 + 1.079 / HllM) * HllM * HllM * math.pow(2, 53)
+
   // ---- SQL fragments -------------------------------------------------------
 
   import graft.sql.TextSql.{toks => toksSql, shingles => shinglesSql, hexcast}
@@ -594,6 +608,47 @@ object DedupQueries {
           coalesce(col("n_exact"), lit(0L)).as("n_exact"))
     }),
 
+    // HyperLogLog distinct-cardinality sketch over the corpus 3-gram
+    // shingles — the OTHER canonical streaming/distributed distinct
+    // estimator next to q70's KMV, and the one every 100 TB pipeline
+    // actually ships: the whole sketch is 2^p = 256 integer registers,
+    // built by ONE map-side-combinable max aggregation on a bounded key
+    // (registers from different partitions/sources merge by the same
+    // max, which is what makes it distributable — spec-proved). Output
+    // keeps the raw harmonic estimate, the small-range linear-counting
+    // branch (guarded; at these cardinalities every register is hit),
+    // the exact distinct, and the relative error — HLL's theoretical
+    // stderr at p=8 is 1.04/√256 ≈ 6.5%, and the spec bounds the
+    // measured error against it.
+    "q108_hll_distinct" -> ((spark, dir) => {
+      val sh = spread(table(spark, dir, "documents"))
+        .select(explode(shinglesUdf(col("text"))).as("s"))
+      val hashed = sh
+        .select(conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("h"))
+        .selectExpr(s"h div ${1L << 52} AS bucket", s"h % ${1L << 52} AS rest")
+      val rank = (50 to 0 by -1).foldLeft(
+          when(col("rest") >= lit(1L << 51), lit(1))) {
+        case (acc, b) => acc.when(col("rest") >= lit(1L << b), lit(52 - b))
+      }.otherwise(lit(53))
+      val stats = hashed.select(col("bucket"), rank.as("rk"))
+        .groupBy("bucket").agg(max("rk").as("r"))
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - r AS INT))")).as("s_present"))
+      val exact = sh.agg(countDistinct(col("s")).as("exact_distinct"))
+      stats.join(broadcast(exact))
+        .withColumn("v_zero", lit(HllM.toLong) - col("n_buckets"))
+        .withColumn("s_total", col("s_present") + col("v_zero") * lit(1L << 53))
+        .withColumn("raw_est", pround(lit(HllAlphaC) / col("s_total").cast("double"), 6))
+        .withColumn("est",
+          when(col("raw_est") <= lit(2.5 * HllM) && col("v_zero") > 0,
+            pround(lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("v_zero")), 6))
+            .otherwise(col("raw_est")))
+        .select(lit(HllM).as("m"), col("v_zero"), col("raw_est"), col("est"),
+          col("exact_distinct"),
+          pround(abs(col("est") - col("exact_distinct")) / col("exact_distinct"), 6)
+            .as("rel_err"))
+    }),
+
     // near-dup connected components: fold the q32 LSH-verified pair graph
     // into clusters by BOUNDED min-label propagation (3 rounds) — the
     // grouping step that turns pairwise near-dup hits into dedup groups.
@@ -953,6 +1008,34 @@ object DedupQueries {
          |SELECT k_actual, kth_min, exact_distinct,
          |       ${sround(s"CASE WHEN k_actual < 64 THEN exact_distinct::DOUBLE ELSE $numer / kth_min::DOUBLE END", 6)} AS est_distinct
          |FROM sk CROSS JOIN ex""".stripMargin
+    },
+
+    // mirrors q108: integer bucket/rank split of the 60-bit hash, the
+    // generated leading-zero comparison ladder, BIGINT harmonic sum
+    "q108_hll_distinct" -> {
+      val ladder = (51 to 0 by -1)
+        .map(b => s"WHEN rest >= ${1L << b} THEN ${52 - b}").mkString(" ")
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sh0 AS (SELECT doc_id, $shinglesSql AS sh FROM toks),
+         |s AS (SELECT unnest(sh) AS s FROM sh0),
+         |hh AS (SELECT s, ${hexcast("s")} AS h FROM s),
+         |b AS (SELECT h // ${1L << 52} AS bucket, h % ${1L << 52} AS rest FROM hh),
+         |rk AS (SELECT bucket, CASE $ladder ELSE 53 END AS rk FROM b),
+         |regs AS (SELECT bucket, max(rk) AS r FROM rk GROUP BY bucket),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+         |              CAST(sum(CAST(1 AS BIGINT) << CAST(53 - r AS INT)) AS BIGINT) AS s_present
+         |       FROM regs),
+         |ex AS (SELECT CAST(count(DISTINCT s) AS BIGINT) AS exact_distinct FROM hh),
+         |c AS (SELECT *, ($HllM - n_buckets) AS v_zero,
+         |             s_present + ($HllM - n_buckets) * (CAST(1 AS BIGINT) << 53) AS s_total
+         |      FROM st CROSS JOIN ex),
+         |r1 AS (SELECT *, ${sround(s"${dlit(HllAlphaC)} / CAST(s_total AS DOUBLE)", 6)} AS raw_est FROM c),
+         |r2 AS (SELECT *, CASE WHEN raw_est <= ${dlit(2.5 * HllM)} AND v_zero > 0
+         |                      THEN ${sround(s"${dlit(HllM.toDouble)} * ln(${dlit(HllM.toDouble)} / v_zero)", 6)}
+         |                      ELSE raw_est END AS est FROM r1)
+         |SELECT CAST($HllM AS INT) AS m, CAST(v_zero AS BIGINT) AS v_zero, raw_est, est, exact_distinct,
+         |       ${sround("abs(est - exact_distinct) / exact_distinct", 6)} AS rel_err
+         |FROM r2""".stripMargin
     },
 
     "q87_repeated_spans" ->

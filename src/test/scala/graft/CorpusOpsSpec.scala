@@ -72,6 +72,36 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "no false positive at sf0.001 — the fp accounting is unexercised")
   }
 
+  test("q108 HLL: error within 3 sigma; per-source registers merge to the direct sketch") {
+    val row = DedupQueries.defs("q108_hll_distinct")(spark, dir).collect().head
+    assert(row.getInt(0) == 256)
+    assert(row.getDouble(5) < 3 * 1.04 / math.sqrt(256),
+      s"rel_err ${row.getDouble(5)} above 3x the p=8 stderr")
+    // mergeability — the property that makes HLL distributable: registers
+    // built per SOURCE sub-corpus then merged by max must equal the
+    // registers of one pass over the whole corpus (max is associative and
+    // commutative over any partitioning)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), TextHash.shingles(TextHash.tokenize(r.getString(1)), 3)))
+    def registers(shingles: Iterable[String]): Map[Long, Int] =
+      shingles.foldLeft(Map.empty[Long, Int]) { (m, s) =>
+        val h = java.lang.Long.parseLong(TextHash.md5Hex(s).take(15), 16)
+        val bucket = h >>> 52
+        val rest = h & ((1L << 52) - 1)
+        val rank = if (rest == 0) 53 else java.lang.Long.numberOfLeadingZeros(rest) - 11
+        m.updated(bucket, math.max(m.getOrElse(bucket, 0), rank))
+      }
+    val direct = registers(docs.iterator.flatMap(_._2).toSeq)
+    val merged = docs.groupBy(_._1).values.map(g => registers(g.iterator.flatMap(_._2).toSeq))
+      .foldLeft(Map.empty[Long, Int]) { (a, b) =>
+        (a.keySet ++ b.keySet).iterator.map(k =>
+          k -> math.max(a.getOrElse(k, 0), b.getOrElse(k, 0))).toMap
+      }
+    assert(merged == direct, "per-source merge diverges from the direct registers")
+    assert(row.getLong(1) == 256L - direct.size, "v_zero vs driver registers")
+  }
+
   test("q64 contaminated shingles really occur in the train split") {
     val sh = docShingles()
     def bucket(id: Long): Int =
