@@ -60,6 +60,13 @@ object DedupQueries {
   private val HllAlphaC: Double =
     0.7213 / (1 + 1.079 / HllM) * HllM * HllM * math.pow(2, 53)
 
+  /** q109 count-min geometry: d rows × w counters, row hashes via the
+    * bloom-style double hashing off two md5 slices. Pure integer
+    * arithmetic end to end. */
+  private val CmsW = 1024L
+  private val CmsD = 3
+  private val CmsTopK = 10
+
   // ---- SQL fragments -------------------------------------------------------
 
   import graft.sql.TextSql.{toks => toksSql, shingles => shinglesSql, hexcast}
@@ -649,6 +656,39 @@ object DedupQueries {
             .as("rel_err"))
     }),
 
+    // count-min sketch heavy hitters — the FREQUENCY estimator completing
+    // the sketch trio (q70 KMV cardinality, q108 HLL cardinality, this
+    // for counts): the whole sketch is d×w = 3×1024 integer counters,
+    // built by ONE map-side-combinable count aggregation on a bounded
+    // (row, position) key — counters from any partitioning merge by +,
+    // which is what makes it distributable. The probe estimates each of
+    // the top-[[CmsTopK]] shingles' doc-frequency as min over its d
+    // counters and emits the exact df next to it: CMS can only
+    // OVER-count (every collision adds), so `overcount = est − exact ≥ 0`
+    // is part of the oracle-checked output and spec-proved for every
+    // shingle. Pure integer arithmetic end to end — no rounding
+    // discipline needed anywhere.
+    "q109_cms_heavyhitters" -> ((spark, dir) => {
+      val ex = spread(table(spark, dir, "documents"))
+        .select(col("doc_id"), explode(shinglesUdf(col("text"))).as("s"))
+      val h1 = conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long")
+      val h2 = conv(substring(md5(col("s")), 16, 15), 16, 10).cast("long")
+      def pos(i: Int) = ((h1 + lit(i.toLong) * h2) % CmsW).cast("int")
+      def ipCols = array((0 until CmsD).map(i =>
+        struct(lit(i).as("i"), pos(i).as("p"))): _*)
+      val counters = ex.select(explode(ipCols).as("ip"))
+        .groupBy(col("ip.i").as("i"), col("ip.p").as("p"))
+        .agg(count(lit(1)).as("cnt"))
+      val top = ex.groupBy("s").agg(count(lit(1)).as("exact_df"))
+        .orderBy(desc("exact_df"), col("s")).limit(CmsTopK)
+      top.select(col("s"), col("exact_df"), explode(ipCols).as("ip"))
+        .select(col("s"), col("exact_df"), col("ip.i").as("i"), col("ip.p").as("p"))
+        .join(broadcast(counters), Seq("i", "p"))
+        .groupBy("s", "exact_df").agg(min("cnt").as("est_df"))
+        .select(col("s"), col("exact_df"), col("est_df"),
+          (col("est_df") - col("exact_df")).as("overcount"))
+    }),
+
     // near-dup connected components: fold the q32 LSH-verified pair graph
     // into clusters by BOUNDED min-label propagation (3 rounds) — the
     // grouping step that turns pairwise near-dup hits into dedup groups.
@@ -1009,6 +1049,28 @@ object DedupQueries {
          |       ${sround(s"CASE WHEN k_actual < 64 THEN exact_distinct::DOUBLE ELSE $numer / kth_min::DOUBLE END", 6)} AS est_distinct
          |FROM sk CROSS JOIN ex""".stripMargin
     },
+
+    // mirrors q109: (row, position) counter aggregation, top-k by exact
+    // df, min-over-rows probe — all integer
+    "q109_cms_heavyhitters" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sh0 AS (SELECT doc_id, $shinglesSql AS sh FROM toks),
+         |exx AS (SELECT doc_id, unnest(sh) AS s FROM sh0),
+         |hs AS (SELECT s, ${hexcast("s")} AS h1,
+         |              CAST(concat('0x', substr(md5(s), 16, 15)) AS BIGINT) AS h2
+         |       FROM exx),
+         |ii AS (SELECT unnest(range(0, $CmsD)) AS i),
+         |ctr AS (SELECT i, (h1 + i * h2) % $CmsW AS p, CAST(count(*) AS BIGINT) AS cnt
+         |        FROM hs, ii GROUP BY i, p),
+         |top AS (SELECT s, CAST(count(*) AS BIGINT) AS exact_df FROM exx
+         |        GROUP BY s ORDER BY count(*) DESC, s LIMIT $CmsTopK),
+         |pr AS (SELECT t.s, t.exact_df, ii.i,
+         |              (${hexcast("t.s")} + ii.i * CAST(concat('0x', substr(md5(t.s), 16, 15)) AS BIGINT)) % $CmsW AS p
+         |       FROM top t, ii),
+         |est AS (SELECT pr.s, pr.exact_df, min(ctr.cnt) AS est_df
+         |        FROM pr JOIN ctr ON pr.i = ctr.i AND pr.p = ctr.p
+         |        GROUP BY pr.s, pr.exact_df)
+         |SELECT s, exact_df, est_df, est_df - exact_df AS overcount FROM est""".stripMargin,
 
     // mirrors q108: integer bucket/rank split of the 60-bit hash, the
     // generated leading-zero comparison ladder, BIGINT harmonic sum

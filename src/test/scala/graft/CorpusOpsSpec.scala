@@ -102,6 +102,39 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getLong(1) == 256L - direct.size, "v_zero vs driver registers")
   }
 
+  test("q109 CMS matches a driver recount and never undercounts") {
+    val sh = docShingles()
+    val w = 1024L
+    def hashes(s: String): (Long, Long) = {
+      val hex = TextHash.md5Hex(s)
+      (java.lang.Long.parseLong(hex.take(15), 16),
+       java.lang.Long.parseLong(hex.slice(15, 30), 16))
+    }
+    // driver-built counters over the (doc, shingle) stream
+    val counters = scala.collection.mutable.Map.empty[(Int, Long), Long]
+    for (grams <- sh.values; g <- grams; i <- 0 until 3) {
+      val (h1, h2) = hashes(g)
+      val k = (i, (h1 + i * h2) % w)
+      counters(k) = counters.getOrElse(k, 0L) + 1
+    }
+    val df = sh.values.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def est(s: String): Long = {
+      val (h1, h2) = hashes(s)
+      (0 until 3).map(i => counters((i, (h1 + i * h2) % w))).min
+    }
+    val rows = DedupQueries.defs("q109_cms_heavyhitters")(spark, dir).collect()
+    assert(rows.length == 10)
+    for (r <- rows) {
+      val s = r.getString(0)
+      assert(r.getLong(1) == df(s), s"exact df of '$s'")
+      assert(r.getLong(2) == est(s), s"CMS estimate of '$s'")
+      assert(r.getLong(3) >= 0, s"CMS undercounted '$s'")
+    }
+    // the never-undercount invariant holds for EVERY shingle, not just
+    // the emitted top-k (the sketch's defining one-sided guarantee)
+    assert(df.forall { case (s, exact) => est(s) >= exact })
+  }
+
   test("q64 contaminated shingles really occur in the train split") {
     val sh = docShingles()
     def bucket(id: Long): Int =
