@@ -60,6 +60,26 @@ object DedupQueries {
   private val HllAlphaC: Double =
     0.7213 / (1 + 1.079 / HllM) * HllM * HllM * math.pow(2, 53)
 
+  /** q108's register build over any frame's string item column: bucket =
+    * top 8 of the 60-bit hash (shiftrightunsigned ≡ `div 2^52` for
+    * non-negative h), rank = the generated leading-zero ladder, ONE
+    * combinable max aggregation. Shared with the STREAMING register
+    * maintenance ([[graft.streaming.SketchStreaming]]) so the two
+    * surfaces cannot drift — HLL registers only ever grow under max,
+    * which is also why the streaming aggregation state is the bounded
+    * 256-row table itself. */
+  private[graft] def hllRegisters(items: org.apache.spark.sql.DataFrame,
+                                  itemCol: String): org.apache.spark.sql.DataFrame = {
+    val h = conv(substring(md5(col(itemCol)), 1, 15), 16, 10).cast("long")
+    val rest = h.bitwiseAND(lit((1L << 52) - 1))
+    val rank = (50 to 0 by -1).foldLeft(
+        when(rest >= lit(1L << 51), lit(1))) {
+      case (acc, b) => acc.when(rest >= lit(1L << b), lit(52 - b))
+    }.otherwise(lit(53))
+    items.select(shiftrightunsigned(h, 52).as("bucket"), rank.as("rk"))
+      .groupBy("bucket").agg(max("rk").as("r"))
+  }
+
   /** q109 count-min geometry: d rows × w counters, row hashes via the
     * bloom-style double hashing off two md5 slices. Pure integer
     * arithmetic end to end. */
@@ -630,15 +650,7 @@ object DedupQueries {
     "q108_hll_distinct" -> ((spark, dir) => {
       val sh = spread(table(spark, dir, "documents"))
         .select(explode(shinglesUdf(col("text"))).as("s"))
-      val hashed = sh
-        .select(conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("h"))
-        .selectExpr(s"h div ${1L << 52} AS bucket", s"h % ${1L << 52} AS rest")
-      val rank = (50 to 0 by -1).foldLeft(
-          when(col("rest") >= lit(1L << 51), lit(1))) {
-        case (acc, b) => acc.when(col("rest") >= lit(1L << b), lit(52 - b))
-      }.otherwise(lit(53))
-      val stats = hashed.select(col("bucket"), rank.as("rk"))
-        .groupBy("bucket").agg(max("rk").as("r"))
+      val stats = hllRegisters(sh, "s")
         .agg(count(lit(1)).as("n_buckets"),
           sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - r AS INT))")).as("s_present"))
       val exact = sh.agg(countDistinct(col("s")).as("exact_distinct"))

@@ -1,0 +1,29 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+
+/** Streaming sketch maintenance: the q108 HyperLogLog registers kept LIVE
+  * over an unbounded item stream.
+  *
+  * Registers only ever grow under max, so a Complete/Update-mode
+  * aggregation's state IS the register table — at most 2^8 = 256 rows
+  * forever, regardless of how many items stream through. That makes this
+  * the constant-memory "distinct count so far" monitor a 100 TB ingest
+  * pipeline runs next to its batch jobs (the KMV/CMS sketches stream the
+  * same way: their merge operators — min-set union and + — are likewise
+  * aggregation-friendly).
+  *
+  * The bucket/rank derivation is [[graft.queries.DedupQueries.hllRegisters]]
+  * itself — ONE definition feeds the batch query, its DuckDB oracle and
+  * this stream, so the surfaces cannot drift; the replay spec asserts the
+  * streamed registers equal the batch ones over the real fixture corpus,
+  * and the batch estimator formula applies to any snapshot of the sink.
+  */
+object SketchStreaming {
+
+  /** Live HLL register table (bucket, r) for a (possibly streaming) frame's
+    * string item column. Use `outputMode("complete")` — the result is the
+    * bounded register table, re-emitted per trigger. */
+  def hllRegisters(items: DataFrame, itemCol: String): DataFrame =
+    graft.queries.DedupQueries.hllRegisters(items, itemCol)
+}

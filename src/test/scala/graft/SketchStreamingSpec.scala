@@ -1,0 +1,54 @@
+package graft
+
+import graft.streaming.SketchStreaming
+import graft.text.TextHash
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The q108 HLL registers maintained over a STREAM must converge to the
+  * batch registers after replaying the same corpus — sketch mergeability
+  * in motion — with state bounded by the register count at every point. */
+class SketchStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = graft.SparkUtil.configure(
+      SparkSession.builder().master("local[4]"), "4").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("streaming HLL registers equal the batch registers after replay") {
+    val ss = spark
+    import ss.implicits._
+    val shingles = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("text").collect()
+      .flatMap(r => TextHash.shingles(TextHash.tokenize(r.getString(0)), 3))
+    assert(shingles.length > 1000, "fixture should stream a real corpus")
+
+    val stream = MemoryStream[String](spark)
+    val q = SketchStreaming.hllRegisters(stream.toDF(), "value")
+      .writeStream.format("memory").queryName("hll_regs")
+      .outputMode("complete").start()
+    shingles.grouped(2000).foreach { chunk =>
+      stream.addData(chunk.toIndexedSeq); q.processAllAvailable()
+      // the state bound that makes this runnable forever: never more
+      // rows than registers, no matter how much has streamed
+      assert(spark.table("hll_regs").count() <= 256)
+    }
+    q.stop()
+
+    val streamed = spark.table("hll_regs")
+      .as[(Long, Int)].collect().toMap
+    val batch = graft.queries.DedupQueries
+      .hllRegisters(shingles.toSeq.toDF("s"), "s")
+      .as[(Long, Int)].collect().toMap
+    assert(streamed == batch,
+      s"stream-only: ${(streamed.toSet -- batch.toSet).take(3)}; " +
+        s"batch-only: ${(batch.toSet -- streamed.toSet).take(3)}")
+  }
+}
