@@ -600,6 +600,41 @@ object VectorQueries {
         .select("query_id", "vec_id", "cos")
     }),
 
+    // exact-scoring IVF with nprobe=3 — q46's probe widened to the
+    // NProbe nearest cells (same broadcast-side-only fan-out as
+    // q100's ADC variant; the corpus still shuffles zero times for the
+    // probe). Scoring candidates with EXACT cosine makes q111's recall
+    // the measured ROUTING CEILING at this probe width: the number every
+    // in-cell approximation (q101's ADC 0.20) is judged against, now
+    // produced by the engine instead of an offline probe.
+    "q110_ivf_nprobe" -> ((spark, dir) => {
+      val emb = spread(table(spark, dir, "embeddings"))
+      val stride = math.max(1L, table(spark, dir, "embeddings").count() / CentroidBudget)
+      val cents = emb.where(col("vec_id") % stride === 0)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
+      val assigned = assignNearest(emb, cents)
+        .select(col("vec_id"), col("embedding"), col("cell"))
+      val q = probeCells(emb.where(col("vec_id") < QueryCount), cents, NProbe)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("cell"))
+      assigned.join(broadcast(q), Seq("cell"))
+        .where(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          pround(cosUdf(col("qe"), col("embedding")), 6).as("cos"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("query_id").orderBy(desc("cos"), col("vec_id"))))
+        .where(col("rn") <= 5)
+        .select("query_id", "vec_id", "cos")
+    }),
+
+    // recall@5 of the exact nprobe=3 probe — BY CONSTRUCTION the routing
+    // ceiling at this probe width (exact scoring inside the probed cells
+    // can only miss what routing missed), closing the evaluation chain:
+    // q111 is the ceiling, q101 what ADC achieves under it, q99 the
+    // single-cell floor.
+    "q111_ivf_nprobe_recall" -> ((spark, dir) =>
+      recallHarness(defs("q40_ann_brute")(spark, dir),
+        defs("q110_ivf_nprobe")(spark, dir))),
+
     // k-means update step (one Lloyd iteration over fixed seed centroids):
     // assign via the broadcast K-row centroid table, then recompute every
     // centroid component as the per-(cell, dimension) mean. The update is
@@ -1002,6 +1037,30 @@ object VectorQueries {
          |       ${sround(cosSql("a.embedding", "b.embedding"), 6)} AS cos
          |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE ${sround(cosSql("a.embedding", "b.embedding"), 6)} >= 0.3""".stripMargin,
+
+    "q110_ivf_nprobe" ->
+      s"""WITH $ivfCte,
+         |qp AS (SELECT vec_id AS query_id, embedding AS qe, cent_id AS cell FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn
+         |  FROM scored WHERE vec_id < $QueryCount) WHERE rn <= $NProbe)
+         |SELECT query_id, vec_id, cos FROM (
+         |  SELECT qp.query_id, a.vec_id, ${sround(cosSql("qp.qe", "a.embedding"), 6)} AS cos,
+         |         row_number() OVER (PARTITION BY qp.query_id
+         |                            ORDER BY ${sround(cosSql("qp.qe", "a.embedding"), 6)} DESC, a.vec_id) AS rn
+         |  FROM assigned a JOIN qp USING (cell) WHERE a.vec_id <> qp.query_id)
+         |WHERE rn <= 5""".stripMargin,
+
+    // the recall tail ranks `adc` ascending, so the exact probe feeds it
+    // -cos: (-cos ASC, vec_id) is exactly q110's (cos DESC, vec_id)
+    "q111_ivf_nprobe_recall" ->
+      s"""WITH $ivfCte,
+         |qp AS (SELECT vec_id AS query_id, embedding AS qe, cent_id AS cell FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn
+         |  FROM scored WHERE vec_id < $QueryCount) WHERE rn <= $NProbe),
+         |adc AS (SELECT qp.query_id, a.vec_id,
+         |               -(${sround(cosSql("qp.qe", "a.embedding"), 6)}) AS adc
+         |        FROM assigned a JOIN qp USING (cell) WHERE a.vec_id <> qp.query_id),
+         |$recallTailSql""".stripMargin,
 
     "q46_ann_ivf" ->
       s"""WITH $ivfCte,

@@ -28,8 +28,13 @@ class VectorScalingSpec extends AnyFunSuite {
       }
       val (r99, r101) = (recall("q99_ivf_adc_recall"), recall("q101_ivfadc_nprobe_recall"))
       val (r90, r105) = (recall("q90_pq_recall"), recall("q105_opq_recall"))
+      val r111 = recall("q111_ivf_nprobe_recall")
       assert(r101 >= r99, s"nprobe=3 recall $r101 below single-cell $r99")
       assert(r105 >= r90, s"OPQ recall $r105 below contiguous $r90")
+      // the exact probe IS the routing ceiling: over the same probed
+      // cells, exact scoring keeps every truth candidate routing kept,
+      // so ADC under it can never exceed it (a theorem, not a fixture)
+      assert(r111 >= r101, s"ADC recall $r101 above its routing ceiling $r111")
       assert(r99 > 0.0 && r90 > 0.0, "degenerate zero recall")
     } finally spark.stop()
   }
