@@ -369,6 +369,27 @@ object VectorQueries {
     emb.select(col("vec_id"),
       array(OpqPerm.map(i => col("embedding").getItem(i)): _*).as("embedding"))
 
+  /** SQ8 symmetric int8 quantization of every vector — q59's arithmetic
+    * (scale = 127/max|x| with the 1e-12 floor, half-up integer codes)
+    * kept as a LONG code array plus the per-vector scale. One map-side
+    * projection, no shuffle; the SAME formulation is embedded into the
+    * q112/q113 oracle SQL via [[sq8Ctes]], so the codes are
+    * bit-identical on both engines (floor(x·scale + 0.5) is exact IEEE
+    * on both; the products and sums downstream are pure BIGINT). */
+  private def sq8Codes(emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    emb.select(col("vec_id"),
+        greatest(array_max(transform(col("embedding"), x => abs(x.cast("double")))), lit(1e-12)).as("mx"),
+        col("embedding"))
+      .select(col("vec_id"), (lit(127.0) / col("mx")).as("scale"),
+        transform(col("embedding"), x =>
+          floor(x.cast("double") * (lit(127.0) / col("mx")) + lit(0.5))).as("qs"))
+
+  /** Exact BIGINT inner product of two SQ8 code arrays — deterministic on
+    * any engine (no floating accumulation anywhere). */
+  private def sq8Dot(qq: org.apache.spark.sql.Column,
+                     cs: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    aggregate(zip_with(qq, cs, (a, b) => a * b), lit(0L), (acc, x) => acc + x)
+
   /** recall@5 of an approximate top-5 against the exact q40 scan — the
     * shared q90/q99/q101 harness (q49's evaluation discipline). The truth
     * frame feeds BOTH the hit join and the query-id universe, so it is
@@ -635,6 +656,35 @@ object VectorQueries {
       recallHarness(defs("q40_ann_brute")(spark, dir),
         defs("q110_ivf_nprobe")(spark, dir))),
 
+    // SQ8 scalar-quantization ANN: corpus AND queries stored as int8
+    // codes (q59's symmetric per-vector scale), scored by the EXACT
+    // BIGINT dot product Σ qq·cs rescaled once by 1/(qscale·cscale) —
+    // the int8-GEMM serving shape. 64 bytes/vector vs q89's 8 PQ codes:
+    // the other end of the compression/recall trade, and q113 measures
+    // it. The inner product never touches a float (deterministic on any
+    // engine); quantization is map-side, the query side broadcasts — the
+    // corpus never shuffles.
+    "q112_sq8_ann" -> ((spark, dir) => {
+      val q8 = sq8Codes(spread(table(spark, dir, "embeddings")))
+      val qry = q8.where(col("vec_id") < QueryCount)
+        .select(col("vec_id").as("query_id"), col("scale").as("qscale"), col("qs").as("qq"))
+      q8.join(broadcast(qry), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          pround(sq8Dot(col("qq"), col("qs")).cast("double") / (col("qscale") * col("scale")), 6).as("cos8"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("query_id").orderBy(desc("cos8"), col("vec_id"))))
+        .where(col("rn") <= 5)
+        .select("query_id", "vec_id", "cos8")
+    }),
+
+    // recall@5 of the SQ8 scan — slots into the measured compression
+    // ladder next to q90 (PQ 0.24) and q105 (OPQ 0.30): 8× the bytes
+    // buys near-exact ranking, which is precisely the number a storage
+    // planner needs beside the PQ family's.
+    "q113_sq8_recall" -> ((spark, dir) =>
+      recallHarness(defs("q40_ann_brute")(spark, dir),
+        defs("q112_sq8_ann")(spark, dir))),
+
     // k-means update step (one Lloyd iteration over fixed seed centroids):
     // assign via the broadcast K-row centroid table, then recompute every
     // centroid component as the per-(cell, dimension) mean. The update is
@@ -896,6 +946,24 @@ object VectorQueries {
        |        WHERE c.vec_id <> l.query_id
        |        GROUP BY l.query_id, c.vec_id)""".stripMargin
 
+  /** q112/q113 shared SQ8 CTEs — q59's quantization arithmetic verbatim
+    * (scale = 127/max|x| with the 1e-12 floor, half-up BIGINT codes) plus
+    * the query-side projection, mirroring [[sq8Codes]] exactly. */
+  private def sq8Ctes: String =
+    s"""m AS (SELECT vec_id, embedding,
+       |            greatest(list_max(list_transform(embedding, x -> abs(x::DOUBLE))), 1e-12) AS mx
+       |     FROM embeddings),
+       |q8 AS (SELECT vec_id, 127.0 / mx AS scale,
+       |              list_transform(range(1, len(embedding) + 1),
+       |                             i -> CAST(floor((embedding[i]::DOUBLE) * (127.0 / mx) + 0.5) AS BIGINT)) AS qs
+       |       FROM m),
+       |qry AS (SELECT vec_id AS query_id, scale AS qscale, qs AS qq FROM q8 WHERE vec_id < $QueryCount)""".stripMargin
+
+  /** The [[sq8Dot]] rescaled score as DuckDB SQL over aliases `qry`/`c` —
+    * BIGINT products and sum, ONE double division at the end. */
+  private def sq8DotSql: String =
+    "(CAST(list_sum(list_transform(range(1, len(c.qs) + 1), i -> qry.qq[i] * c.qs[i])) AS BIGINT)::DOUBLE / (qry.qscale * c.scale))"
+
   /** The q90/q99/q101 recall tail: given an `adc` CTE, take the
     * approximate top-5, compare against the exact brute-force truth, and
     * emit (n_queries, recall_at_5). */
@@ -1049,6 +1117,22 @@ object VectorQueries {
          |                            ORDER BY ${sround(cosSql("qp.qe", "a.embedding"), 6)} DESC, a.vec_id) AS rn
          |  FROM assigned a JOIN qp USING (cell) WHERE a.vec_id <> qp.query_id)
          |WHERE rn <= 5""".stripMargin,
+
+    "q112_sq8_ann" ->
+      s"""WITH $sq8Ctes
+         |SELECT query_id, vec_id, cos8 FROM (
+         |  SELECT qry.query_id, c.vec_id, ${sround(sq8DotSql, 6)} AS cos8,
+         |         row_number() OVER (PARTITION BY qry.query_id
+         |                            ORDER BY ${sround(sq8DotSql, 6)} DESC, c.vec_id) AS rn
+         |  FROM q8 c, qry WHERE c.vec_id <> qry.query_id)
+         |WHERE rn <= 5""".stripMargin,
+
+    // -cos8 ASC, vec_id == q112's cos8 DESC, vec_id (the q111 trick)
+    "q113_sq8_recall" ->
+      s"""WITH $sq8Ctes,
+         |adc AS (SELECT qry.query_id, c.vec_id, -(${sround(sq8DotSql, 6)}) AS adc
+         |        FROM q8 c, qry WHERE c.vec_id <> qry.query_id),
+         |$recallTailSql""".stripMargin,
 
     // the recall tail ranks `adc` ascending, so the exact probe feeds it
     // -cos: (-cos ASC, vec_id) is exactly q110's (cos DESC, vec_id)

@@ -29,8 +29,14 @@ class VectorScalingSpec extends AnyFunSuite {
       val (r99, r101) = (recall("q99_ivf_adc_recall"), recall("q101_ivfadc_nprobe_recall"))
       val (r90, r105) = (recall("q90_pq_recall"), recall("q105_opq_recall"))
       val r111 = recall("q111_ivf_nprobe_recall")
+      val r113 = recall("q113_sq8_recall")
       assert(r101 >= r99, s"nprobe=3 recall $r101 below single-cell $r99")
       assert(r105 >= r90, s"OPQ recall $r105 below contiguous $r90")
+      // SQ8 keeps 64 int8 components where PQ keeps 8 codes: 8x the
+      // bytes must buy at least the OPQ-ADC recall (0.98 vs 0.30
+      // measured at sf0.01 — near-exact ranking, the fidelity end of
+      // the compression ladder)
+      assert(r113 >= r105, s"SQ8 recall $r113 below OPQ-ADC $r105")
       // the exact probe IS the routing ceiling: over the same probed
       // cells, exact scoring keeps every truth candidate routing kept,
       // so ADC under it can never exceed it (a theorem, not a fixture)
