@@ -41,6 +41,13 @@ object TextQueries {
     * engines compare the identical rounded double at the boundary. */
   private val QualityCut = 0.7
 
+  /** q115 scrub rules — ONE definition, embedded into the oracle SQL.
+    * The regex stays in the Java∩RE2 common subset (anchors + literal
+    * classes only: no backrefs, no lookaround) so both engines match
+    * identically. */
+  private val ScrubTerms = Seq("customer", "supplier")
+  private val ScrubRegex = "ow$"
+
   /** Cross-engine log parity: `ln` differs between the JVM intrinsic and
     * DuckDB's libm by 1 ulp on ~2% of inputs (measured on this image), so
     * raw log output can flip a 6-digit rounding. The IDF — the only log in
@@ -526,6 +533,62 @@ object TextQueries {
              pround(xsum(col("lp"), 6) / count(lit(1)), 6).as("avg_logprob"))
     }),
 
+    // BPE pair-merge training step (one iteration of byte-pair-encoding
+    // vocabulary learning): count adjacent character pairs across the
+    // corpus weighted by word frequency, emit the top-20 merge
+    // candidates. The scale discipline is the two-level shape: the
+    // corpus collapses to the VOCABULARY first (one combinable
+    // word-count agg), then pair expansion runs over distinct words
+    // only — at 100 TB the corpus pass is a shuffle on vocab-bounded
+    // keys and the pair agg is over a ≤(36²+ε) bounded domain. Words
+    // come from the alnum-normalized text (TextSql.norm's Spark twin),
+    // so substr is ASCII-safe on both engines.
+    "q114_bpe_merge" -> ((spark, dir) => {
+      val norm = trim(regexp_replace(regexp_replace(
+        lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+      val words = spread(table(spark, dir, "documents"))
+        .select(explode(filter(split(norm, " "), t => t =!= "")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("wf"))
+        .where(length(col("word")) >= 2)
+      words
+        .select(col("wf"), explode(transform(
+          sequence(lit(1), length(col("word")) - 1),
+          i => col("word").substr(i, lit(2)))).as("pair"))
+        .groupBy("pair").agg(sum(col("wf")).as("cnt"))
+        .withColumn("rk", row_number().over(Window.orderBy(desc("cnt"), col("pair"))))
+        .where(col("rk") <= 20)
+        .select(col("rk").cast("int").as("rk"), col("pair"), col("cnt"))
+    }),
+
+    // blocklist scrub — the PII/badwords redaction shape (C4's badwords
+    // filter, a PII scrubber's replace pass): every token is checked
+    // against an exact-term dictionary AND a regex rule, matches are
+    // replaced by the <redacted> sentinel, and the doc keeps a
+    // fingerprint of the REDACTED text so the oracle verifies the
+    // actual replacement, not just the counts. (The synthetic corpus
+    // contains no emails/digits, so the dictionary stands in for the
+    // PII pattern list; the machinery — per-token rule cascade, replace,
+    // re-join — is the real operator.) Pure map-side codegen string
+    // ops: no shuffle, no UDF; at 100 TB this is a free rider on the
+    // first corpus scan. Term rule wins over the regex rule; both
+    // constants are embedded into the oracle SQL from [[ScrubTerms]] /
+    // [[ScrubRegex]].
+    "q115_blocklist_scrub" -> ((spark, dir) => {
+      val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+      val red = transform(col("toks"), t =>
+        when(t.isInCollection(ScrubTerms), lit("<redacted>"))
+          .when(t.rlike(ScrubRegex), lit("<redacted>"))
+          .otherwise(t))
+      spread(table(spark, dir, "documents"))
+        .select(col("doc_id"), toks.as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          size(filter(col("toks"), t => t.isInCollection(ScrubTerms))).cast("long").as("n_term_hits"),
+          size(filter(col("toks"), t => !t.isInCollection(ScrubTerms) && t.rlike(ScrubRegex)))
+            .cast("long").as("n_regex_hits"),
+          md5(array_join(red, " ")).as("red_fp"))
+    }),
+
     // fingerprints: exact md5 + min-shingle-hash (1-permutation minhash,
     // native codegen expression graft.functions.MinShingleExpr)
     "q38_fingerprint" -> ((spark, dir) => {
@@ -538,6 +601,31 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q115_blocklist_scrub" -> {
+      val in = ScrubTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, $toksSqlD AS toks FROM documents)
+         |SELECT doc_id,
+         |       CAST(len(toks) AS BIGINT) AS n_tokens,
+         |       CAST(len(list_filter(toks, t -> t IN ($in))) AS BIGINT) AS n_term_hits,
+         |       CAST(len(list_filter(toks, t -> NOT (t IN ($in)) AND regexp_matches(t, '$ScrubRegex'))) AS BIGINT) AS n_regex_hits,
+         |       md5(array_to_string(list_transform(toks, t ->
+         |         CASE WHEN t IN ($in) THEN '<redacted>'
+         |              WHEN regexp_matches(t, '$ScrubRegex') THEN '<redacted>'
+         |              ELSE t END), ' ')) AS red_fp
+         |FROM t""".stripMargin
+    },
+
+    // range(1, len) is end-exclusive = Spark's sequence(1, len-1)
+    "q114_bpe_merge" ->
+      s"""WITH w0 AS (SELECT unnest(list_filter(string_split(${graft.sql.TextSql.norm}, ' '), t -> t <> '')) AS word
+         |            FROM documents),
+         |w AS (SELECT word, count(*) AS wf FROM w0 GROUP BY word HAVING len(word) >= 2),
+         |p0 AS (SELECT wf, unnest(list_transform(range(1, len(word)), i -> substr(word, i, 2))) AS pair FROM w),
+         |p AS (SELECT pair, CAST(sum(wf) AS BIGINT) AS cnt FROM p0 GROUP BY pair)
+         |SELECT CAST(rk AS INT) AS rk, pair, cnt FROM (
+         |  SELECT pair, cnt, row_number() OVER (ORDER BY cnt DESC, pair) AS rk FROM p)
+         |WHERE rk <= 20""".stripMargin,
+
     "q35_lang_id" -> {
       val scores = Profiles.map { case (lang, words) =>
         val in = words.map(w => s"'$w'").mkString(", ")
