@@ -87,6 +87,13 @@ object VectorQueries {
 
   private val QueryCount = 10 // vec_id < 10 are the query vectors
 
+  /** q116/q117 cascade geometry: stage 1 scores the first [[TruncDim]]
+    * dims (the Matryoshka prefix), stage 2 exactly reranks the top
+    * [[RerankC]] stage-1 candidates. ONE definition, embedded into the
+    * oracle SQL. */
+  private val TruncDim = 16
+  private val RerankC = 50
+
   /** k-means / semantic-dedup clustering constants (q65/q66): K fixed seed
     * centroids (the first K vectors — deterministic "init"), a bounded
     * SemDeDup comparison window, and the near-dup cosine floor (shared
@@ -685,6 +692,48 @@ object VectorQueries {
       recallHarness(defs("q40_ann_brute")(spark, dir),
         defs("q112_sq8_ann")(spark, dir))),
 
+    // truncated-dim retrieve → exact rerank (the Matryoshka / two-stage
+    // cascade every production retrieval stack runs): stage 1 scores the
+    // FIRST TruncDim dims only (at rest that prefix is its own column —
+    // a quarter of the scan bytes and dot-product work) and keeps top
+    // RerankC candidates; stage 2 rescores ONLY those with the exact
+    // full-dim cosine. The rerank join broadcasts the ≤ queries·RerankC
+    // candidate list into the corpus fetch (the q98 discipline) — the
+    // corpus never shuffles; stage 1's window moves slim (query_id,
+    // vec_id, pcos) rows only. q117 measures what the cascade keeps.
+    "q116_trunc_rerank" -> ((spark, dir) => {
+      val emb = spread(table(spark, dir, "embeddings"))
+      val pre = emb.select(col("vec_id"), slice(col("embedding"), 1, TruncDim).as("pe"))
+      val q = emb.where(col("vec_id") < QueryCount)
+        .select(col("vec_id").as("query_id"),
+          slice(col("embedding"), 1, TruncDim).as("qp"), col("embedding").as("qe"))
+      val cand = pre.join(broadcast(q.select("query_id", "qp")),
+          col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          pround(cosUdf(col("qp"), col("pe")), 6).as("pcos"))
+        .withColumn("prn", row_number().over(
+          Window.partitionBy("query_id").orderBy(desc("pcos"), col("vec_id"))))
+        .where(col("prn") <= RerankC)
+        .select("query_id", "vec_id")
+      emb.join(broadcast(cand), "vec_id")
+        .join(broadcast(q.select("query_id", "qe")), "query_id")
+        .select(col("query_id"), col("vec_id"),
+          pround(cosUdf(col("qe"), col("embedding")), 6).as("cos"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("query_id").orderBy(desc("cos"), col("vec_id"))))
+        .where(col("rn") <= 5)
+        .select("query_id", "vec_id", "cos")
+    }),
+
+    // recall@5 of the cascade — how much of the exact top-5 a 4×-cheaper
+    // first stage keeps when the rerank budget is RerankC. Unlike the
+    // code ladders (PQ/SQ8 approximate the SCORE), the cascade's only
+    // loss is routing: stage 2 scoring is exact, so every miss is a
+    // stage-1 candidate-set miss — the number that sizes RerankC.
+    "q117_trunc_rerank_recall" -> ((spark, dir) =>
+      recallHarness(defs("q40_ann_brute")(spark, dir),
+        defs("q116_trunc_rerank")(spark, dir))),
+
     // k-means update step (one Lloyd iteration over fixed seed centroids):
     // assign via the broadcast K-row centroid table, then recompute every
     // centroid component as the per-(cell, dimension) mean. The update is
@@ -946,6 +995,20 @@ object VectorQueries {
        |        WHERE c.vec_id <> l.query_id
        |        GROUP BY l.query_id, c.vec_id)""".stripMargin
 
+  /** q116/q117 shared cascade CTEs — stage-1 prefix scoring over the
+    * first [[TruncDim]] dims and the top-[[RerankC]] candidate set,
+    * mirroring the Spark stage-1 exactly (cosSql iterates len(qp) = the
+    * sliced prefix, so the coarse score is the same 16-dim loop). */
+  private def truncCandCtes: String =
+    s"""pre AS (SELECT vec_id, list_slice(embedding, 1, $TruncDim) AS pe FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, list_slice(embedding, 1, $TruncDim) AS qp, embedding AS qe
+       |      FROM embeddings WHERE vec_id < $QueryCount),
+       |c0 AS (SELECT q.query_id, p.vec_id, ${sround(cosSql("q.qp", "p.pe"), 6)} AS pcos,
+       |              row_number() OVER (PARTITION BY q.query_id
+       |                                 ORDER BY ${sround(cosSql("q.qp", "p.pe"), 6)} DESC, p.vec_id) AS prn
+       |       FROM pre p, q WHERE p.vec_id <> q.query_id),
+       |cand AS (SELECT query_id, vec_id FROM c0 WHERE prn <= $RerankC)""".stripMargin
+
   /** q112/q113 shared SQ8 CTEs — q59's quantization arithmetic verbatim
     * (scale = 127/max|x| with the 1e-12 floor, half-up BIGINT codes) plus
     * the query-side projection, mirroring [[sq8Codes]] exactly. */
@@ -1117,6 +1180,22 @@ object VectorQueries {
          |                            ORDER BY ${sround(cosSql("qp.qe", "a.embedding"), 6)} DESC, a.vec_id) AS rn
          |  FROM assigned a JOIN qp USING (cell) WHERE a.vec_id <> qp.query_id)
          |WHERE rn <= 5""".stripMargin,
+
+    "q116_trunc_rerank" ->
+      s"""WITH $truncCandCtes
+         |SELECT query_id, vec_id, cos FROM (
+         |  SELECT c.query_id, c.vec_id, ${sround(cosSql("q.qe", "e.embedding"), 6)} AS cos,
+         |         row_number() OVER (PARTITION BY c.query_id
+         |                            ORDER BY ${sround(cosSql("q.qe", "e.embedding"), 6)} DESC, c.vec_id) AS rn
+         |  FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id JOIN q ON q.query_id = c.query_id)
+         |WHERE rn <= 5""".stripMargin,
+
+    // exact rerank expressed as the recall tail's ascending `adc` key
+    "q117_trunc_rerank_recall" ->
+      s"""WITH $truncCandCtes,
+         |adc AS (SELECT c.query_id, c.vec_id, -(${sround(cosSql("q.qe", "e.embedding"), 6)}) AS adc
+         |        FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id JOIN q ON q.query_id = c.query_id),
+         |$recallTailSql""".stripMargin,
 
     "q112_sq8_ann" ->
       s"""WITH $sq8Ctes
