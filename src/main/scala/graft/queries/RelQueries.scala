@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.SparkUtil.table
-import graft.sql.OracleGen.xsumSql
+import graft.sql.OracleGen.{dlit, sround, xsumSql}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import QueryBase._
@@ -32,7 +32,62 @@ object RelQueries {
   private val SkewTopK = 3
   private val SkewSaltFan = 16
 
+  /** q118 sketch geometry — [[QSketchBins]] equal-width bins over the
+    * events.value range; [[QSketchQs]] the probed quantiles. ONE
+    * definition, embedded into the oracle SQL (via dlit for the
+    * non-representable 0.9/0.99). */
+  private val QSketchBins = 64
+  private val QSketchQs = Seq(0.5, 0.9, 0.99)
+
   val defs: Map[String, QFn] = Map(
+    // mergeable quantile sketch + measured error — the family member the
+    // KMV/HLL/CMS trio was missing (distinct, distinct, frequency —
+    // now quantiles). The sketch is a QSketchBins equal-width histogram:
+    // ONE combinable groupBy over bin ids (map-side partial counts, a
+    // 64-row result mergeable across any partitioning — the 100 TB
+    // path), then linear interpolation inside the bin holding each
+    // target rank. The EXACT rank quantile (q72's floor(q·(n−1))+1
+    // definition, one global sort — the thing you run a sketch to
+    // avoid; here it is the harness, like q40 under the recall queries)
+    // sits beside it, and bound_ok oracle-checks the sketch theorem:
+    // the rank-t value lives in the same bin the estimate interpolates,
+    // so |est − exact| ≤ bin width. All arithmetic is exact IEEE on
+    // both engines (min/max/counts, one division chain, quantized at
+    // the end).
+    "q118_quantile_sketch" -> ((spark, dir) => {
+      val nb = QSketchBins
+      val ev = table(spark, dir, "events").select(col("value"), col("event_id"))
+      val stats = ev.agg(min("value").as("lo"), max("value").as("hi"), count(lit(1)).as("n"))
+      val width = (col("hi") - col("lo")) / nb
+      val binned = ev.crossJoin(broadcast(stats))
+        .select(least(floor((col("value") - col("lo")) / width), lit(nb - 1).cast("long")).as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("cnt"))
+      val cum = binned
+        .withColumn("cum", sum("cnt").over(
+          Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("cum_prev", col("cum") - col("cnt"))
+      val tq = stats.select(explode(array(QSketchQs.map(lit): _*)).as("q"),
+          col("lo"), col("hi"), col("n"))
+        .withColumn("t", floor(col("q") * (col("n") - 1)) + 1)
+      val est = cum.join(broadcast(tq),
+          col("cum_prev") < col("t") && col("t") <= col("cum"))
+        .select(col("q"),
+          (col("lo") + width * (col("bin").cast("double") +
+            (col("t") - col("cum_prev")).cast("double") / col("cnt").cast("double"))).as("est_raw"),
+          width.as("w"))
+      val exact = ev
+        .withColumn("rn", row_number().over(Window.orderBy(col("value"), col("event_id"))))
+        .join(broadcast(tq.select(col("q").as("q2"), col("t"))), col("rn") === col("t"))
+        .select(col("q2").as("q"), col("value").as("exact_raw"))
+      est.join(exact, "q")
+        .select(pround(col("q"), 6).as("q"),
+          pround(col("est_raw"), 6).as("est_v"),
+          pround(col("exact_raw"), 6).as("exact_v"),
+          pround(abs(col("est_raw") - col("exact_raw")), 6).as("abs_err"),
+          pround(col("w"), 6).as("bin_width"),
+          (pround(abs(col("est_raw") - col("exact_raw")), 6) <= pround(col("w"), 6))
+            .cast("int").as("bound_ok"))
+    }),
     // sessionization: split each user's event stream on inactivity gaps
     // via lag + running sum of session starts, then per-session stats —
     // the classic stream-analytics composition of window functions
@@ -306,6 +361,33 @@ object RelQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q118_quantile_sketch" -> {
+      val qList = QSketchQs.map(dlit).mkString(", ")
+      val nb = QSketchBins
+      s"""WITH s AS (SELECT min(value) AS lo, max(value) AS hi, count(*) AS n FROM events),
+         |b AS (SELECT least(CAST(floor((value - lo) / ((hi - lo) / $nb)) AS BIGINT), ${nb - 1}) AS bin,
+         |             count(*) AS cnt
+         |      FROM events, s GROUP BY 1),
+         |c AS (SELECT bin, cnt, CAST(sum(cnt) OVER (ORDER BY bin) AS BIGINT) AS cum FROM b),
+         |c2 AS (SELECT bin, cnt, cum, cum - cnt AS cum_prev FROM c),
+         |tq AS (SELECT q, CAST(floor(q * (n - 1)) AS BIGINT) + 1 AS t, lo, hi, n
+         |       FROM s, (SELECT unnest([$qList]) AS q)),
+         |est AS (SELECT tq.q,
+         |               tq.lo + ((tq.hi - tq.lo) / $nb) * (CAST(c2.bin AS DOUBLE)
+         |                 + CAST(tq.t - c2.cum_prev AS DOUBLE) / CAST(c2.cnt AS DOUBLE)) AS est_raw,
+         |               (tq.hi - tq.lo) / $nb AS w
+         |        FROM c2 JOIN tq ON c2.cum_prev < tq.t AND tq.t <= c2.cum),
+         |ex AS (SELECT tq.q, e.value AS exact_raw
+         |       FROM (SELECT value, row_number() OVER (ORDER BY value, event_id) AS rn FROM events) e
+         |       JOIN tq ON e.rn = tq.t)
+         |SELECT ${sround("est.q", 6)} AS q,
+         |       ${sround("est_raw", 6)} AS est_v,
+         |       ${sround("exact_raw", 6)} AS exact_v,
+         |       ${sround("abs(est_raw - exact_raw)", 6)} AS abs_err,
+         |       ${sround("w", 6)} AS bin_width,
+         |       CAST(${sround("abs(est_raw - exact_raw)", 6)} <= ${sround("w", 6)} AS INT) AS bound_ok
+         |FROM est JOIN ex ON est.q = ex.q""".stripMargin
+    },
     "q27_sessionize" ->
       s"""WITH l AS (
          |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, value,
