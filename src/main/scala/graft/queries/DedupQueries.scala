@@ -83,9 +83,31 @@ object DedupQueries {
   /** q109 count-min geometry: d rows × w counters, row hashes via the
     * bloom-style double hashing off two md5 slices. Pure integer
     * arithmetic end to end. */
-  private val CmsW = 1024L
-  private val CmsD = 3
+  private[graft] val CmsW = 1024L
+  private[graft] val CmsD = 3
   private val CmsTopK = 10
+
+  /** The d (row, position) pairs of one item — ONE definition shared by
+    * the counter build and q109's probe side (drift here would break the
+    * never-undercount guarantee silently). */
+  private def cmsIpCols(item: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val h1 = conv(substring(md5(item), 1, 15), 16, 10).cast("long")
+    val h2 = conv(substring(md5(item), 16, 15), 16, 10).cast("long")
+    array((0 until CmsD).map(i =>
+      struct(lit(i).as("i"), ((h1 + lit(i.toLong) * h2) % CmsW).cast("int").as("p"))): _*)
+  }
+
+  /** q109's counter build over any frame's string item column: the d×w
+    * bounded counter table from ONE combinable count aggregation. Shared
+    * with the STREAMING counter maintenance
+    * ([[graft.streaming.SketchStreaming]]) so the surfaces cannot drift —
+    * counts merge under plain +, which is also why a Complete-mode
+    * streaming aggregation's state IS the bounded d·w counter table. */
+  private[graft] def cmsCounters(items: org.apache.spark.sql.DataFrame,
+                                 itemCol: String): org.apache.spark.sql.DataFrame =
+    items.select(explode(cmsIpCols(col(itemCol))).as("ip"))
+      .groupBy(col("ip.i").as("i"), col("ip.p").as("p"))
+      .agg(count(lit(1)).as("cnt"))
 
   // ---- SQL fragments -------------------------------------------------------
 
@@ -683,17 +705,10 @@ object DedupQueries {
     "q109_cms_heavyhitters" -> ((spark, dir) => {
       val ex = spread(table(spark, dir, "documents"))
         .select(col("doc_id"), explode(shinglesUdf(col("text"))).as("s"))
-      val h1 = conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long")
-      val h2 = conv(substring(md5(col("s")), 16, 15), 16, 10).cast("long")
-      def pos(i: Int) = ((h1 + lit(i.toLong) * h2) % CmsW).cast("int")
-      def ipCols = array((0 until CmsD).map(i =>
-        struct(lit(i).as("i"), pos(i).as("p"))): _*)
-      val counters = ex.select(explode(ipCols).as("ip"))
-        .groupBy(col("ip.i").as("i"), col("ip.p").as("p"))
-        .agg(count(lit(1)).as("cnt"))
+      val counters = cmsCounters(ex.select(col("s")), "s")
       val top = ex.groupBy("s").agg(count(lit(1)).as("exact_df"))
         .orderBy(desc("exact_df"), col("s")).limit(CmsTopK)
-      top.select(col("s"), col("exact_df"), explode(ipCols).as("ip"))
+      top.select(col("s"), col("exact_df"), explode(cmsIpCols(col("s"))).as("ip"))
         .select(col("s"), col("exact_df"), col("ip.i").as("i"), col("ip.p").as("p"))
         .join(broadcast(counters), Seq("i", "p"))
         .groupBy("s", "exact_df").agg(min("cnt").as("est_df"))

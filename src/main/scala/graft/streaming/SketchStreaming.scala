@@ -26,4 +26,13 @@ object SketchStreaming {
     * bounded register table, re-emitted per trigger. */
   def hllRegisters(items: DataFrame, itemCol: String): DataFrame =
     graft.queries.DedupQueries.hllRegisters(items, itemCol)
+
+  /** Live count-min counter table (i, p, cnt) — the q109 CMS maintained
+    * over a stream. Counts merge under plain +, so Complete-mode state is
+    * the bounded d·w counter table (≤ 3·1024 rows forever) and ANY
+    * snapshot is exactly the batch CMS of everything streamed so far:
+    * probe it with q109's min-over-rows and the never-undercount
+    * guarantee holds mid-stream. */
+  def cmsCounters(items: DataFrame, itemCol: String): DataFrame =
+    graft.queries.DedupQueries.cmsCounters(items, itemCol)
 }

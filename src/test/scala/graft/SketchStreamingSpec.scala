@@ -51,4 +51,34 @@ class SketchStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"stream-only: ${(streamed.toSet -- batch.toSet).take(3)}; " +
         s"batch-only: ${(batch.toSet -- streamed.toSet).take(3)}")
   }
+
+  test("streaming CMS counters equal the batch counters after replay") {
+    val ss = spark
+    import ss.implicits._
+    val shingles = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("text").collect()
+      .flatMap(r => TextHash.shingles(TextHash.tokenize(r.getString(0)), 3))
+
+    val bound = graft.queries.DedupQueries.CmsD * graft.queries.DedupQueries.CmsW
+    val stream = MemoryStream[String](spark)
+    val q = SketchStreaming.cmsCounters(stream.toDF(), "value")
+      .writeStream.format("memory").queryName("cms_ctrs")
+      .outputMode("complete").start()
+    shingles.grouped(2000).foreach { chunk =>
+      stream.addData(chunk.toIndexedSeq); q.processAllAvailable()
+      // counts merge under +, so state is never more than d·w counter
+      // rows no matter how much has streamed
+      assert(spark.table("cms_ctrs").count() <= bound)
+    }
+    q.stop()
+
+    val streamed = spark.table("cms_ctrs")
+      .as[(Int, Int, Long)].collect().map { case (i, p, c) => ((i, p), c) }.toMap
+    val batch = graft.queries.DedupQueries
+      .cmsCounters(shingles.toSeq.toDF("s"), "s")
+      .as[(Int, Int, Long)].collect().map { case (i, p, c) => ((i, p), c) }.toMap
+    assert(streamed == batch,
+      s"stream-only: ${(streamed.toSet -- batch.toSet).take(3)}; " +
+        s"batch-only: ${(batch.toSet -- streamed.toSet).take(3)}")
+  }
 }
