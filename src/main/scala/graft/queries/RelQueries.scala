@@ -39,7 +39,41 @@ object RelQueries {
   private val QSketchBins = 64
   private val QSketchQs = Seq(0.5, 0.9, 0.99)
 
+  /** q119 range-join radius, MICROSECONDS (the µs oracle discipline).
+    * The bucket width below IS this τ — that equality is what makes the
+    * ±1-bucket probe complete. */
+  private val RangeTauUs = 3600000000L // 1 hour
+
   val defs: Map[String, QFn] = Map(
+    // RANGE JOIN, the scale-correct way: |Δts| ≤ τ pairs found by an
+    // EQUI-join on (user_id, time-bucket) with bucket width exactly τ —
+    // the probe side fans each event to its own and both adjacent
+    // buckets (3 rows, broadcast-free map-side fan-out), so every
+    // qualifying pair lands in exactly one (probe-bucket = neighbor-
+    // bucket) match and the exact |Δ| ≤ τ predicate then filters
+    // in-place. A naive theta join is O(n²) per user and unplannable as
+    // anything but BroadcastNestedLoop at scale; this is one uniform
+    // shuffle per side on (user_id, bucket) and work linear in true
+    // temporal density — the interval-join plan every event-correlation
+    // pipeline needs (the oracle IS the naive theta join, proving the
+    // rewrite exact). Emits per-event neighbor counts (events with ≥ 1
+    // neighbor; zero-neighbor events have no pair row by construction).
+    "q119_range_join" -> ((spark, dir) => {
+      val ev = table(spark, dir, "events")
+        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"))
+        .withColumn("b", expr(s"(ts_us div ${RangeTauUs}L)"))
+      val probe = ev.select(col("event_id").as("p_eid"), col("user_id"), col("ts_us").as("p_us"),
+        explode(array(col("b") - 1, col("b"), col("b") + 1)).as("b"))
+      probe.join(ev.select(col("user_id"), col("b"),
+          col("event_id").as("n_eid"), col("ts_us").as("n_us")),
+          Seq("user_id", "b"))
+        .where(col("n_eid") =!= col("p_eid") &&
+          abs(col("n_us") - col("p_us")) <= RangeTauUs)
+        .groupBy(col("p_eid"))
+        .agg(count(lit(1)).as("n_neighbors"))
+        .select(col("p_eid").as("event_id"), col("n_neighbors"))
+    }),
+
     // mergeable quantile sketch + measured error — the family member the
     // KMV/HLL/CMS trio was missing (distinct, distinct, frequency —
     // now quantiles). The sketch is a QSketchBins equal-width histogram:
@@ -361,6 +395,15 @@ object RelQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the NAIVE theta join — existence proof that the bucketed equi-join
+    // rewrite loses and invents nothing
+    "q119_range_join" ->
+      s"""SELECT a.event_id, count(*) AS n_neighbors
+         |FROM events a JOIN events b
+         |  ON a.user_id = b.user_id AND b.event_id <> a.event_id
+         | AND abs(epoch_us(b.ts) - epoch_us(a.ts)) <= $RangeTauUs
+         |GROUP BY a.event_id""".stripMargin,
+
     "q118_quantile_sketch" -> {
       val qList = QSketchQs.map(dlit).mkString(", ")
       val nb = QSketchBins
