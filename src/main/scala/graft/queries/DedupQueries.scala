@@ -69,16 +69,30 @@ object DedupQueries {
     * which is also why the streaming aggregation state is the bounded
     * 256-row table itself. */
   private[graft] def hllRegisters(items: org.apache.spark.sql.DataFrame,
-                                  itemCol: String): org.apache.spark.sql.DataFrame = {
+                                  itemCol: String,
+                                  groupCols: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
     val h = conv(substring(md5(col(itemCol)), 1, 15), 16, 10).cast("long")
     val rest = h.bitwiseAND(lit((1L << 52) - 1))
     val rank = (50 to 0 by -1).foldLeft(
         when(rest >= lit(1L << 51), lit(1))) {
       case (acc, b) => acc.when(rest >= lit(1L << b), lit(52 - b))
     }.otherwise(lit(53))
-    items.select(shiftrightunsigned(h, 52).as("bucket"), rank.as("rk"))
-      .groupBy("bucket").agg(max("rk").as("r"))
+    items.select(groupCols.map(col) ++
+        Seq(shiftrightunsigned(h, 52).as("bucket"), rank.as("rk")): _*)
+      .groupBy((groupCols :+ "bucket").map(col): _*).agg(max("rk").as("r"))
   }
+
+  /** The q108 estimator chain over a frame with (n_buckets, s_present) —
+    * v_zero / linear-counting switch / rounded raw estimate. Shared by
+    * q108 and the q120 merge proof so the formula exists once. */
+  private def hllEstCols(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.withColumn("v_zero", lit(HllM.toLong) - col("n_buckets"))
+      .withColumn("s_total", col("s_present") + col("v_zero") * lit(1L << 53))
+      .withColumn("raw_est", pround(lit(HllAlphaC) / col("s_total").cast("double"), 6))
+      .withColumn("est",
+        when(col("raw_est") <= lit(2.5 * HllM) && col("v_zero") > 0,
+          pround(lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("v_zero")), 6))
+          .otherwise(col("raw_est")))
 
   /** q109 count-min geometry: d rows × w counters, row hashes via the
     * bloom-style double hashing off two md5 slices. Pure integer
@@ -676,14 +690,7 @@ object DedupQueries {
         .agg(count(lit(1)).as("n_buckets"),
           sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - r AS INT))")).as("s_present"))
       val exact = sh.agg(countDistinct(col("s")).as("exact_distinct"))
-      stats.join(broadcast(exact))
-        .withColumn("v_zero", lit(HllM.toLong) - col("n_buckets"))
-        .withColumn("s_total", col("s_present") + col("v_zero") * lit(1L << 53))
-        .withColumn("raw_est", pround(lit(HllAlphaC) / col("s_total").cast("double"), 6))
-        .withColumn("est",
-          when(col("raw_est") <= lit(2.5 * HllM) && col("v_zero") > 0,
-            pround(lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("v_zero")), 6))
-            .otherwise(col("raw_est")))
+      hllEstCols(stats.join(broadcast(exact)))
         .select(lit(HllM).as("m"), col("v_zero"), col("raw_est"), col("est"),
           col("exact_distinct"),
           pround(abs(col("est") - col("exact_distinct")) / col("exact_distinct"), 6)
@@ -714,6 +721,42 @@ object DedupQueries {
         .groupBy("s", "exact_df").agg(min("cnt").as("est_df"))
         .select(col("s"), col("exact_df"), col("est_df"),
           (col("est_df") - col("exact_df")).as("overcount"))
+    }),
+
+    // HLL MERGE on the oracle surface — the property that makes sketches
+    // work at 100 TB, hash-checked: per-source register tables (the
+    // shape 1000 executors each hold), their bucket-wise max-merge, and
+    // the direct global registers, all estimated with the shared q108
+    // chain. The merged and global rows MUST be identical (max is
+    // associative/commutative — the mergeability theorem, here as data
+    // the oracle verifies), and per-source exact distincts beside the
+    // estimates show cross-source overlap the way a real per-shard
+    // cardinality report would. One pass derives every (part, bucket)
+    // register via combinable max aggs; nothing rescans per source.
+    "q120_hll_merge" -> ((spark, dir) => {
+      val d = spread(table(spark, dir, "documents"))
+        .select(col("source"), explode(shinglesUdf(col("text"))).as("s"))
+      val perSrc = hllRegisters(d, "s", Seq("source"))
+      val srcParts = perSrc
+        .select(concat(lit("src:"), col("source")).as("part"), col("bucket"), col("r"))
+      val merged = perSrc.groupBy("bucket").agg(max("r").as("r"))
+        .select(lit("merged").as("part"), col("bucket"), col("r"))
+      val global = hllRegisters(d.select("s"), "s")
+        .select(lit("global").as("part"), col("bucket"), col("r"))
+      val stats = srcParts.unionByName(merged).unionByName(global)
+        .groupBy("part")
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - r AS INT))")).as("s_present"))
+      val exSrc = d.groupBy(concat(lit("src:"), col("source")).as("part"))
+        .agg(countDistinct(col("s")).as("exact_distinct"))
+      val exAll = d.agg(countDistinct(col("s")).as("exact_distinct"))
+      val exact = exSrc
+        .unionByName(exAll.select(lit("merged").as("part"), col("exact_distinct")))
+        .unionByName(exAll.select(lit("global").as("part"), col("exact_distinct")))
+      hllEstCols(stats.join(exact, "part"))
+        .select(col("part"), col("v_zero"), col("est"), col("exact_distinct"),
+          pround(abs(col("est") - col("exact_distinct")) / col("exact_distinct"), 6)
+            .as("rel_err"))
     }),
 
     // near-dup connected components: fold the q32 LSH-verified pair graph
@@ -1123,6 +1166,40 @@ object DedupQueries {
          |                      THEN ${sround(s"${dlit(HllM.toDouble)} * ln(${dlit(HllM.toDouble)} / v_zero)", 6)}
          |                      ELSE raw_est END AS est FROM r1)
          |SELECT CAST($HllM AS INT) AS m, CAST(v_zero AS BIGINT) AS v_zero, raw_est, est, exact_distinct,
+         |       ${sround("abs(est - exact_distinct) / exact_distinct", 6)} AS rel_err
+         |FROM r2""".stripMargin
+    },
+
+    "q120_hll_merge" -> {
+      val ladder = (51 to 0 by -1)
+        .map(b => s"WHEN rest >= ${1L << b} THEN ${52 - b}").mkString(" ")
+      s"""WITH toks AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
+         |sh0 AS (SELECT doc_id, source, $shinglesSql AS sh FROM toks),
+         |s AS (SELECT source, unnest(sh) AS s FROM sh0),
+         |hh AS (SELECT 'src:' || source AS part, s, ${hexcast("s")} AS h FROM s),
+         |b AS (SELECT part, h // ${1L << 52} AS bucket, h % ${1L << 52} AS rest FROM hh),
+         |rk AS (SELECT part, bucket, CASE $ladder ELSE 53 END AS rk FROM b),
+         |srcregs AS (SELECT part, bucket, max(rk) AS r FROM rk GROUP BY part, bucket),
+         |allregs AS (SELECT * FROM srcregs
+         |            UNION ALL SELECT 'merged', bucket, max(r) FROM srcregs GROUP BY bucket
+         |            UNION ALL SELECT 'global', bucket, max(rk) FROM rk GROUP BY bucket),
+         |st AS (SELECT part, CAST(count(*) AS BIGINT) AS n_buckets,
+         |              CAST(sum(CAST(1 AS BIGINT) << CAST(53 - r AS INT)) AS BIGINT) AS s_present
+         |       FROM allregs GROUP BY part),
+         |exsrc AS (SELECT part, CAST(count(DISTINCT s) AS BIGINT) AS exact_distinct FROM hh GROUP BY part),
+         |exall AS (SELECT CAST(count(DISTINCT s) AS BIGINT) AS exact_distinct FROM hh),
+         |ex AS (SELECT * FROM exsrc
+         |       UNION ALL SELECT 'merged', exact_distinct FROM exall
+         |       UNION ALL SELECT 'global', exact_distinct FROM exall),
+         |c AS (SELECT st.part, st.n_buckets, st.s_present, ex.exact_distinct,
+         |             ($HllM - n_buckets) AS v_zero,
+         |             s_present + ($HllM - n_buckets) * (CAST(1 AS BIGINT) << 53) AS s_total
+         |      FROM st JOIN ex ON st.part = ex.part),
+         |r1 AS (SELECT *, ${sround(s"${dlit(HllAlphaC)} / CAST(s_total AS DOUBLE)", 6)} AS raw_est FROM c),
+         |r2 AS (SELECT *, CASE WHEN raw_est <= ${dlit(2.5 * HllM)} AND v_zero > 0
+         |                      THEN ${sround(s"${dlit(HllM.toDouble)} * ln(${dlit(HllM.toDouble)} / v_zero)", 6)}
+         |                      ELSE raw_est END AS est FROM r1)
+         |SELECT part, CAST(v_zero AS BIGINT) AS v_zero, est, exact_distinct,
          |       ${sround("abs(est - exact_distinct) / exact_distinct", 6)} AS rel_err
          |FROM r2""".stripMargin
     },
