@@ -118,9 +118,10 @@ object DedupQueries {
     * counts merge under plain +, which is also why a Complete-mode
     * streaming aggregation's state IS the bounded d·w counter table. */
   private[graft] def cmsCounters(items: org.apache.spark.sql.DataFrame,
-                                 itemCol: String): org.apache.spark.sql.DataFrame =
-    items.select(explode(cmsIpCols(col(itemCol))).as("ip"))
-      .groupBy(col("ip.i").as("i"), col("ip.p").as("p"))
+                                 itemCol: String,
+                                 groupCols: Seq[String] = Nil): org.apache.spark.sql.DataFrame =
+    items.select(groupCols.map(col) :+ explode(cmsIpCols(col(itemCol))).as("ip"): _*)
+      .groupBy(groupCols.map(col) ++ Seq(col("ip.i").as("i"), col("ip.p").as("p")): _*)
       .agg(count(lit(1)).as("cnt"))
 
   // ---- SQL fragments -------------------------------------------------------
@@ -759,6 +760,65 @@ object DedupQueries {
             .as("rel_err"))
     }),
 
+    // CMS MERGE — q120's discipline for the frequency sketch: per-source
+    // counter tables sum-merge cell-wise, and the merged table must be
+    // IDENTICAL to the direct global build (+ is associative). Each
+    // part's row carries a position-weighted checksum (the q59 trick), so
+    // the hash compare verifies every cell of every counter table, not
+    // just totals. The shape is exactly what a 1000-executor ingest does:
+    // shards build counters independently, a 3×1024-row reduce merges
+    // them.
+    "q121_cms_merge" -> ((spark, dir) => {
+      val d = spread(table(spark, dir, "documents"))
+        .select(col("source"), explode(shinglesUdf(col("text"))).as("s"))
+      val perSrc = cmsCounters(d, "s", Seq("source"))
+      val srcParts = perSrc
+        .select(concat(lit("src:"), col("source")).as("part"), col("i"), col("p"), col("cnt"))
+      val merged = perSrc.groupBy("i", "p").agg(sum("cnt").as("cnt"))
+        .select(lit("merged").as("part"), col("i"), col("p"), col("cnt"))
+      val global = cmsCounters(d.select("s"), "s")
+        .select(lit("global").as("part"), col("i"), col("p"), col("cnt"))
+      srcParts.unionByName(merged).unionByName(global)
+        .groupBy("part")
+        .agg(count(lit(1)).as("n_cells"),
+          sum("cnt").as("total"),
+          sum(col("cnt") * (col("i").cast("long") * CmsW + col("p") + 1)).as("checksum"))
+    }),
+
+    // KMV MERGE — the trilogy's third member: per-source bottom-K hash
+    // sets (each shard's sketch), merged by taking the bottom-K of the
+    // DISTINCT union of the shard sketches, next to the direct global
+    // bottom-K. The merged and global rows must agree (any hash in the
+    // global bottom-K is in its source's bottom-K, so the union never
+    // loses it — the KMV merge theorem), and each part carries the q70
+    // estimator so the per-shard → merged cardinality report reads off
+    // the same rows.
+    "q122_kmv_merge" -> ((spark, dir) => {
+      val K = 64
+      val numer = (K - 1).toDouble * math.pow(2.0, 60)
+      val hs = spread(table(spark, dir, "documents"))
+        .select(col("source"), explode(shinglesUdf(col("text"))).as("s"))
+        .distinct()
+        .select(col("source"), conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("h"))
+      val perSrc = hs
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("source").orderBy("h")))
+        .where(col("rn") <= K)
+      val srcSketch = perSrc
+        .groupBy(concat(lit("src:"), col("source")).as("part"))
+        .agg(count(lit(1)).as("k_actual"), max("h").as("kth_min"))
+      def bottomK(df: org.apache.spark.sql.DataFrame, part: String) =
+        df.orderBy("h").limit(K)
+          .agg(count(lit(1)).as("k_actual"), max("h").as("kth_min"))
+          .select(lit(part).as("part"), col("k_actual"), col("kth_min"))
+      val merged = bottomK(perSrc.select("h").distinct(), "merged")
+      val global = bottomK(hs.select("h").distinct(), "global")
+      srcSketch.unionByName(merged).unionByName(global)
+        .select(col("part"), col("k_actual"), col("kth_min"),
+          pround(when(col("k_actual") < K, col("k_actual").cast("double"))
+            .otherwise(lit(numer) / col("kth_min").cast("double")), 6).as("est_distinct"))
+    }),
+
     // near-dup connected components: fold the q32 LSH-verified pair graph
     // into clusters by BOUNDED min-label propagation (3 rounds) — the
     // grouping step that turns pairwise near-dup hits into dedup groups.
@@ -1202,6 +1262,52 @@ object DedupQueries {
          |SELECT part, CAST(v_zero AS BIGINT) AS v_zero, est, exact_distinct,
          |       ${sround("abs(est - exact_distinct) / exact_distinct", 6)} AS rel_err
          |FROM r2""".stripMargin
+    },
+
+    // mirrors q109's counter CTEs with the source dimension carried; the
+    // checksum makes the hash compare verify every counter cell
+    "q121_cms_merge" ->
+      s"""WITH toks AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
+         |sh0 AS (SELECT doc_id, source, $shinglesSql AS sh FROM toks),
+         |exx AS (SELECT source, unnest(sh) AS s FROM sh0),
+         |hs AS (SELECT source, ${hexcast("s")} AS h1,
+         |              CAST(concat('0x', substr(md5(s), 16, 15)) AS BIGINT) AS h2
+         |       FROM exx),
+         |ii AS (SELECT unnest(range(0, $CmsD)) AS i),
+         |srcctr AS (SELECT 'src:' || source AS part, i, (h1 + i * h2) % $CmsW AS p,
+         |                  CAST(count(*) AS BIGINT) AS cnt
+         |           FROM hs, ii GROUP BY 1, 2, 3),
+         |allctr AS (SELECT * FROM srcctr
+         |           UNION ALL SELECT 'merged', i, p, CAST(sum(cnt) AS BIGINT) FROM srcctr GROUP BY i, p
+         |           UNION ALL SELECT 'global', i, (h1 + i * h2) % $CmsW AS p, CAST(count(*) AS BIGINT)
+         |                     FROM hs, ii GROUP BY 2, 3)
+         |SELECT part, CAST(count(*) AS BIGINT) AS n_cells, CAST(sum(cnt) AS BIGINT) AS total,
+         |       CAST(sum(cnt * (i * $CmsW + p + 1)) AS BIGINT) AS checksum
+         |FROM allctr GROUP BY part""".stripMargin,
+
+    // the KMV merge theorem as data: bottom-K of the union of per-source
+    // bottom-Ks == the global bottom-K
+    "q122_kmv_merge" -> {
+      val numer = dlit(63.0 * math.pow(2.0, 60))
+      s"""WITH toks AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
+         |sh0 AS (SELECT doc_id, source, $shinglesSql AS sh FROM toks),
+         |ds AS (SELECT DISTINCT source, s FROM (SELECT source, unnest(sh) AS s FROM sh0)),
+         |hs AS (SELECT source, ${hexcast("s")} AS h FROM ds),
+         |ps AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM hs),
+         |bk AS (SELECT source, h FROM ps WHERE rn <= 64),
+         |srcsk AS (SELECT 'src:' || source AS part, CAST(count(*) AS BIGINT) AS k_actual,
+         |                 max(h) AS kth_min
+         |          FROM bk GROUP BY 1),
+         |mg AS (SELECT CAST(count(*) AS BIGINT) AS k_actual, max(h) AS kth_min
+         |       FROM (SELECT DISTINCT h FROM bk ORDER BY h LIMIT 64)),
+         |gl AS (SELECT CAST(count(*) AS BIGINT) AS k_actual, max(h) AS kth_min
+         |       FROM (SELECT DISTINCT h FROM hs ORDER BY h LIMIT 64)),
+         |un AS (SELECT part, k_actual, kth_min FROM srcsk
+         |       UNION ALL SELECT 'merged', k_actual, kth_min FROM mg
+         |       UNION ALL SELECT 'global', k_actual, kth_min FROM gl)
+         |SELECT part, k_actual, kth_min,
+         |       ${sround(s"CASE WHEN k_actual < 64 THEN k_actual::DOUBLE ELSE $numer / kth_min::DOUBLE END", 6)} AS est_distinct
+         |FROM un""".stripMargin
     },
 
     "q87_repeated_spans" ->
