@@ -74,6 +74,36 @@ object RelQueries {
         .select(col("p_eid").as("event_id"), col("n_neighbors"))
     }),
 
+    // HISTOGRAM MERGE — the q120/q121/q122 discipline applied to q118's
+    // quantile sketch: shards (event_type partitions here) build bin
+    // counts against the SHARED global [lo, hi] frame (min/max are
+    // themselves mergeable — the cheap first pass a distributed build
+    // runs), and the per-shard histograms sum-merge bin-identically to
+    // the direct global build. Position-weighted checksums verify every
+    // bin. With this row the engine's four sketch types (HLL, CMS, KMV,
+    // histogram) all carry oracle-proven merge operators.
+    "q123_hist_merge" -> ((spark, dir) => {
+      val nb = QSketchBins
+      val ev = table(spark, dir, "events").select(col("event_type"), col("value"))
+      val stats = ev.agg(min("value").as("lo"), max("value").as("hi"))
+      val width = (col("hi") - col("lo")) / nb
+      val binned = ev.crossJoin(broadcast(stats))
+        .select(col("event_type"),
+          least(floor((col("value") - col("lo")) / width), lit(nb - 1).cast("long")).as("bin"))
+      val perType = binned.groupBy("event_type", "bin").agg(count(lit(1)).as("cnt"))
+      val typeParts = perType
+        .select(concat(lit("type:"), col("event_type")).as("part"), col("bin"), col("cnt"))
+      val merged = perType.groupBy("bin").agg(sum("cnt").as("cnt"))
+        .select(lit("merged").as("part"), col("bin"), col("cnt"))
+      val global = binned.groupBy("bin").agg(count(lit(1)).as("cnt"))
+        .select(lit("global").as("part"), col("bin"), col("cnt"))
+      typeParts.unionByName(merged).unionByName(global)
+        .groupBy("part")
+        .agg(count(lit(1)).as("n_bins"),
+          sum("cnt").as("total"),
+          sum(col("cnt") * (col("bin") + 1)).as("checksum"))
+    }),
+
     // mergeable quantile sketch + measured error — the family member the
     // KMV/HLL/CMS trio was missing (distinct, distinct, frequency —
     // now quantiles). The sketch is a QSketchBins equal-width histogram:
@@ -403,6 +433,20 @@ object RelQueries {
          |  ON a.user_id = b.user_id AND b.event_id <> a.event_id
          | AND abs(epoch_us(b.ts) - epoch_us(a.ts)) <= $RangeTauUs
          |GROUP BY a.event_id""".stripMargin,
+
+    "q123_hist_merge" ->
+      s"""WITH s AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+         |bn AS (SELECT event_type,
+         |              least(CAST(floor((value - lo) / ((hi - lo) / $QSketchBins)) AS BIGINT), ${QSketchBins - 1}) AS bin
+         |       FROM events, s),
+         |pt AS (SELECT 'type:' || event_type AS part, bin, CAST(count(*) AS BIGINT) AS cnt
+         |       FROM bn GROUP BY 1, 2),
+         |allb AS (SELECT * FROM pt
+         |         UNION ALL SELECT 'merged', bin, CAST(sum(cnt) AS BIGINT) FROM pt GROUP BY bin
+         |         UNION ALL SELECT 'global', bin, CAST(count(*) AS BIGINT) FROM bn GROUP BY bin)
+         |SELECT part, CAST(count(*) AS BIGINT) AS n_bins, CAST(sum(cnt) AS BIGINT) AS total,
+         |       CAST(sum(cnt * (bin + 1)) AS BIGINT) AS checksum
+         |FROM allb GROUP BY part""".stripMargin,
 
     "q118_quantile_sketch" -> {
       val qList = QSketchQs.map(dlit).mkString(", ")
