@@ -63,6 +63,26 @@ class KmeansAssignPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bad.isEmpty, s"mismatches: ${bad.take(5)}")
   }
 
+  test("q112/q116: the SQ8 scan and the rerank cascade never shuffle-join the corpus") {
+    // q112: quantization lives inside the scan projection, the query
+    // side broadcasts (BroadcastNestedLoopJoin) — the only hash exchange
+    // is the slim-row top-5 window. q116: stage 1 is the same shape over
+    // the prefix slice; stage 2's candidate list and query vectors both
+    // broadcast into the corpus fetch (two BroadcastHashJoins). A
+    // SortMergeJoin/ShuffledHashJoin anywhere means the corpus started
+    // shuffling for a join — the exact regression this pin exists for.
+    for (name <- Seq("q112_sq8_ann", "q116_trunc_rerank")) {
+      val q = VectorQueries.defs(name)(spark, dir)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("SortMergeJoin"), s"$name corpus-side shuffle join:\n$plan")
+      assert(!plan.contains("ShuffledHashJoin"), s"$name corpus-side shuffle join:\n$plan")
+      val rows = q.collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.nonEmpty && rows.forall { case (q_, v) => q_ != v })
+      assert(rows.groupBy(_._1).values.forall(g => g.length <= 5 && g.distinct.length == g.length))
+      spark.catalog.clearCache()
+    }
+  }
+
   test("q94/q100 IVFADC: every join is broadcast — the corpus never shuffles for a join") {
     // cell (IVF argmax), residual (broadcast centroid subtract) and code
     // (PQ argmin) all attach in the map-side scan pass; the LUT and cell
