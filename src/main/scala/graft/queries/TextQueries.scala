@@ -589,6 +589,30 @@ object TextQueries {
           md5(array_join(red, " ")).as("red_fp"))
     }),
 
+    // per-document token entropy — the lexical-diversity quality signal
+    // (gibberish and keyword-stuffed docs sit at the entropy extremes;
+    // this is the third leg next to q67's repetition share and q85's
+    // burstiness). H = −Σ (tf/n)·ln(tf/n), computed under the engine's
+    // log-parity discipline: ln is quantized IMMEDIATELY per distinct
+    // (doc, token) — everything downstream is exact IEEE products and an
+    // xsum (order-independent scaled-integer sum), so the 1-ulp libm/JVM
+    // ln divergence can only matter within 1e-10 of a rounding boundary
+    // per distinct term. Two combinable aggs on (doc, token) and (doc) —
+    // scan-shaped at any corpus size.
+    "q124_token_entropy" -> ((spark, dir) => {
+      val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+      val tf = spread(table(spark, dir, "documents"))
+        .select(col("doc_id"), explode(toks).as("t"))
+        .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+      val n = tf.groupBy("doc_id").agg(sum("tf").as("n"), count(lit(1)).as("n_types"))
+      tf.join(n, "doc_id")
+        .withColumn("c", col("tf").cast("double") *
+          pround(log(col("tf").cast("double") / col("n")), 6))
+        .groupBy("doc_id", "n", "n_types")
+        .agg(pround(-xsum(col("c"), 6) / col("n"), 6).as("entropy_nats"))
+        .select(col("doc_id"), col("n").as("n_tokens"), col("n_types"), col("entropy_nats"))
+    }),
+
     // fingerprints: exact md5 + min-shingle-hash (1-permutation minhash,
     // native codegen expression graft.functions.MinShingleExpr)
     "q38_fingerprint" -> ((spark, dir) => {
@@ -601,6 +625,19 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the q50/q88 log discipline: ln quantized per distinct (doc, token)
+    "q124_token_entropy" ->
+      s"""WITH t AS (SELECT doc_id, unnest($toksSqlD) AS t FROM documents),
+         |tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf FROM t GROUP BY doc_id, t),
+         |n AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS n_types
+         |      FROM tf GROUP BY doc_id),
+         |c AS (SELECT tf.doc_id, n.n, n.n_types,
+         |             tf.tf::DOUBLE * ${sround("ln(tf.tf::DOUBLE / n.n)", 6)} AS c
+         |      FROM tf JOIN n USING (doc_id))
+         |SELECT doc_id, n AS n_tokens, n_types,
+         |       ${sround(s"-(${xsumSql("c", 6)}) / n", 6)} AS entropy_nats
+         |FROM c GROUP BY doc_id, n, n_types""".stripMargin,
+
     "q115_blocklist_scrub" -> {
       val in = ScrubTerms.map(t => s"'$t'").mkString(", ")
       s"""WITH t AS (SELECT doc_id, $toksSqlD AS toks FROM documents)
