@@ -41,6 +41,11 @@ object TextQueries {
     * engines compare the identical rounded double at the boundary. */
   private val QualityCut = 0.7
 
+  /** q125's entropy admission floor, shared with the oracle via dlit
+    * (uniform use of this corpus's ~31-word vocabulary sits near
+    * ln(31) ≈ 3.43 nats; 3.2 splits real low-diversity docs out). */
+  private val EntropyFloor = 3.2
+
   /** q115 scrub rules — ONE definition, embedded into the oracle SQL.
     * The regex stays in the Java∩RE2 common subset (anchors + literal
     * classes only: no backrefs, no lookaround) so both engines match
@@ -613,6 +618,47 @@ object TextQueries {
         .select(col("doc_id"), col("n").as("n_tokens"), col("n_types"), col("entropy_nats"))
     }),
 
+    // prep pipeline v2 — this round's operators composed in the order a
+    // production pass runs them: SCRUB first (q115's rule cascade, so
+    // dedup can't be defeated by redactable tokens), entropy GATE
+    // (q124's signal as an admission filter), exact DEDUP keyed on the
+    // md5 of the REDACTED token stream (survivor = min doc_id), then the
+    // per-lang corpus report (docs, post-scrub clean tokens, avg
+    // entropy). Everything reuses the proven single-operator
+    // formulations; the value of the row is proving they COMPOSE
+    // bit-exactly across both engines. Plan shape: two combinable aggs
+    // for entropy, map-side scrub, one hash-dedup shuffle, one bounded
+    // lang agg — q60's scale discipline with the new signals in line.
+    "q125_prep_pipeline_v2" -> ((spark, dir) => {
+      val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+      val d0 = spread(table(spark, dir, "documents"))
+        .select(col("doc_id"), col("lang"), toks.as("toks"))
+      val tf = d0.select(col("doc_id"), explode(col("toks")).as("t"))
+        .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+      val n = tf.groupBy("doc_id").agg(sum("tf").as("n"))
+      val ent = tf.join(n, "doc_id")
+        .withColumn("c", col("tf").cast("double") *
+          pround(log(col("tf").cast("double") / col("n")), 6))
+        .groupBy("doc_id", "n")
+        .agg(pround(-xsum(col("c"), 6) / col("n"), 6).as("ent"))
+        .select("doc_id", "ent")
+      val red = transform(col("toks"), t =>
+        when(t.isInCollection(ScrubTerms), lit("<redacted>"))
+          .when(t.rlike(ScrubRegex), lit("<redacted>"))
+          .otherwise(t))
+      val scrubbed = d0.withColumn("red", red)
+        .withColumn("clean_tokens",
+          size(filter(col("red"), t => t =!= "<redacted>")).cast("long"))
+        .withColumn("h", md5(array_join(col("red"), " ")))
+      val gated = scrubbed.join(ent, "doc_id").where(col("ent") >= EntropyFloor)
+      val canon = gated.groupBy("h").agg(min("doc_id").as("canonical_id"))
+      gated.join(canon, "h").where(col("doc_id") === col("canonical_id"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("clean_tokens").as("sum_clean_tokens"),
+          pround(xsum(col("ent"), 6) / count(lit(1)), 6).as("avg_entropy"))
+    }),
+
     // fingerprints: exact md5 + min-shingle-hash (1-permutation minhash,
     // native codegen expression graft.functions.MinShingleExpr)
     "q38_fingerprint" -> ((spark, dir) => {
@@ -625,6 +671,37 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q125_prep_pipeline_v2" -> {
+      val in = ScrubTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH t0 AS (SELECT doc_id, lang, $toksSqlD AS toks FROM documents),
+         |tx AS (SELECT doc_id, unnest(toks) AS t FROM t0),
+         |tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf FROM tx GROUP BY doc_id, t),
+         |n AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n FROM tf GROUP BY doc_id),
+         |cc AS (SELECT tf.doc_id, n.n,
+         |              tf.tf::DOUBLE * ${sround("ln(tf.tf::DOUBLE / n.n)", 6)} AS c
+         |       FROM tf JOIN n USING (doc_id)),
+         |ent AS (SELECT doc_id, ${sround(s"-(${xsumSql("c", 6)}) / n", 6)} AS ent
+         |        FROM cc GROUP BY doc_id, n),
+         |sc0 AS (SELECT doc_id, lang,
+         |               list_transform(toks, t ->
+         |                 CASE WHEN t IN ($in) THEN '<redacted>'
+         |                      WHEN regexp_matches(t, '$ScrubRegex') THEN '<redacted>'
+         |                      ELSE t END) AS red
+         |        FROM t0),
+         |sc AS (SELECT doc_id, lang,
+         |              CAST(len(list_filter(red, t -> t <> '<redacted>')) AS BIGINT) AS clean_tokens,
+         |              md5(array_to_string(red, ' ')) AS h
+         |       FROM sc0),
+         |gated AS (SELECT sc.*, ent.ent FROM sc JOIN ent USING (doc_id)
+         |          WHERE ent.ent >= ${dlit(EntropyFloor)}),
+         |canon AS (SELECT h, min(doc_id) AS canonical_id FROM gated GROUP BY h)
+         |SELECT g.lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(g.clean_tokens) AS BIGINT) AS sum_clean_tokens,
+         |       ${sround(xsumSql("g.ent", 6) + " / count(*)", 6)} AS avg_entropy
+         |FROM gated g JOIN canon c ON g.h = c.h AND g.doc_id = c.canonical_id
+         |GROUP BY g.lang""".stripMargin
+    },
+
     // the q50/q88 log discipline: ln quantized per distinct (doc, token)
     "q124_token_entropy" ->
       s"""WITH t AS (SELECT doc_id, unnest($toksSqlD) AS t FROM documents),
