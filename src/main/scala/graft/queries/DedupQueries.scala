@@ -819,6 +819,45 @@ object DedupQueries {
             .otherwise(lit(numer) / col("kth_min").cast("double")), 6).as("est_distinct"))
     }),
 
+    // LEAKAGE-FREE train/test split — the subtle eval-prep operator a
+    // doc-level hash split (q47) gets WRONG: near-duplicates of a test
+    // document must not land in train, so the split unit is the q75
+    // near-dup COMPONENT, assigned by a salted hash of the component's
+    // canonical label. The row shows the problem and the fix side by
+    // side: under the component split, zero verified near-dup pairs
+    // cross the boundary (every edge's endpoints share a converged
+    // label at this corpus — q75's diameter ≤ 3 contract), while the
+    // naive doc-level split on the SAME corpus leaks doc_split_leaks
+    // pairs. Reuses the memoized component labels and the q32 verified
+    // pair set; the only new work is two broadcast-size joins and two
+    // 1-row aggregates.
+    "q126_leakage_free_split" -> ((spark, dir) => {
+      def bucket(prefix: String, id: org.apache.spark.sql.Column) =
+        (conv(substring(md5(concat(lit(prefix), id.cast("string"))), 1, 15), 16, 10)
+          .cast("long") % 10).cast("int")
+      val assigned = componentLabels(spark, dir)
+        .withColumn("csplit",
+          when(bucket("csplit:", col("component")) < 2, "test").otherwise("train"))
+        .withColumn("dsplit",
+          when(bucket("dsplit:", col("doc_id")) < 2, "test").otherwise("train"))
+      val pairs = defs("q32_lsh_jaccard_pairs")(spark, dir).select("doc_a", "doc_b")
+      val pj = pairs
+        .join(assigned.select(col("doc_id").as("doc_a"),
+          col("csplit").as("ca"), col("dsplit").as("da")), "doc_a")
+        .join(assigned.select(col("doc_id").as("doc_b"),
+          col("csplit").as("cb"), col("dsplit").as("db")), "doc_b")
+      val cross = pj.agg(
+        count(lit(1)).as("n_neardup_pairs"),
+        sum(when(col("da") =!= col("db"), 1L).otherwise(0L)).as("doc_split_leaks"),
+        sum(when(col("ca") =!= col("cb"), 1L).otherwise(0L)).as("component_split_leaks"))
+      val sizes = assigned.agg(
+        sum(when(col("csplit") === "train", 1L).otherwise(0L)).as("train_docs"),
+        sum(when(col("csplit") === "test", 1L).otherwise(0L)).as("test_docs"))
+      cross.crossJoin(broadcast(sizes))
+        .select("train_docs", "test_docs", "n_neardup_pairs",
+          "doc_split_leaks", "component_split_leaks")
+    }),
+
     // near-dup connected components: fold the q32 LSH-verified pair graph
     // into clusters by BOUNDED min-label propagation (3 rounds) — the
     // grouping step that turns pairwise near-dup hits into dedup groups.
@@ -1159,6 +1198,28 @@ object DedupQueries {
          |SELECT a.component, a.n_docs, a.n_sources, s.survivor_id, s.survivor_source
          |FROM agg a JOIN surv s USING (component)
          |WHERE a.n_docs > 1""".stripMargin,
+
+    // component-hash split vs doc-hash split, leakage counted over the
+    // same verified pair set
+    "q126_leakage_free_split" ->
+      s"""$componentCtes,
+         |asn AS (SELECT doc_id,
+         |               CASE WHEN ${hexcast("'csplit:' || CAST(label AS VARCHAR)")} % 10 < 2
+         |                    THEN 'test' ELSE 'train' END AS csplit,
+         |               CASE WHEN ${hexcast("'dsplit:' || CAST(doc_id AS VARCHAR)")} % 10 < 2
+         |                    THEN 'test' ELSE 'train' END AS dsplit
+         |        FROM l3),
+         |pj AS (SELECT a.csplit AS ca, a.dsplit AS da, b.csplit AS cb, b.dsplit AS db
+         |       FROM pairs p JOIN asn a ON p.doc_a = a.doc_id JOIN asn b ON p.doc_b = b.doc_id),
+         |x AS (SELECT CAST(count(*) AS BIGINT) AS n_neardup_pairs,
+         |             CAST(sum(CASE WHEN da <> db THEN 1 ELSE 0 END) AS BIGINT) AS doc_split_leaks,
+         |             CAST(sum(CASE WHEN ca <> cb THEN 1 ELSE 0 END) AS BIGINT) AS component_split_leaks
+         |      FROM pj),
+         |sz AS (SELECT CAST(sum(CASE WHEN csplit = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS train_docs,
+         |              CAST(sum(CASE WHEN csplit = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS test_docs
+         |       FROM asn)
+         |SELECT train_docs, test_docs, n_neardup_pairs, doc_split_leaks, component_split_leaks
+         |FROM x CROSS JOIN sz""".stripMargin,
 
     "q83_component_stats" ->
       s"""$componentCtes,
