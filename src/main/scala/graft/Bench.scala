@@ -78,13 +78,15 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // "value" is the sum of per-query MINIMA over the 3 timed passes
-    // (warm-pass + min-of-3 since r9; min-of-2 in r7/r8); "pass1_total"
-    // is the old single-pass semantics so cross-round total comparisons
-    // spanning the change have an apples-to-apples number
+    // (warm-pass + min-of-3 since r9; min-of-2 in r7/r8).
+    // "warm_pass1_total" is the first TIMED pass, measured AFTER the
+    // untimed warm pass — NOT comparable to pre-r9 "pass1_total", which
+    // included the 3-5 s first-execution codegen/JIT cost (the key is
+    // renamed so adjudication can't conflate the two semantics).
     val line =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","passes":3,"warm_pass":true,""" +
         s""""load_start":"$loadStart","load_end":"$loadEnd",""" +
-        s""""pass1_total":${f3(pass1Total)},"queries":$qs,"sf":"$sfDir"}"""
+        s""""warm_pass1_total":${f3(pass1Total)},"queries":$qs,"sf":"$sfDir"}"""
     // stdout for the driver (build.sbt routes `run` output straight to
     // stdout, no [info] prefix) + a file copy in case the log gets framed
     println(line)

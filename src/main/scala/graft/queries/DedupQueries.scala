@@ -91,7 +91,7 @@ object DedupQueries {
       .withColumn("raw_est", pround(lit(HllAlphaC) / col("s_total").cast("double"), 6))
       .withColumn("est",
         when(col("raw_est") <= lit(2.5 * HllM) && col("v_zero") > 0,
-          pround(lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("v_zero")), 6))
+          pround(lit(HllM.toDouble) * pround(log(lit(HllM.toDouble) / col("v_zero")), 6), 6))
           .otherwise(col("raw_est")))
 
   /** q109 count-min geometry: d rows × w counters, row hashes via the
@@ -1284,7 +1284,7 @@ object DedupQueries {
          |      FROM st CROSS JOIN ex),
          |r1 AS (SELECT *, ${sround(s"${dlit(HllAlphaC)} / CAST(s_total AS DOUBLE)", 6)} AS raw_est FROM c),
          |r2 AS (SELECT *, CASE WHEN raw_est <= ${dlit(2.5 * HllM)} AND v_zero > 0
-         |                      THEN ${sround(s"${dlit(HllM.toDouble)} * ln(${dlit(HllM.toDouble)} / v_zero)", 6)}
+         |                      THEN ${sround(s"${dlit(HllM.toDouble)} * ${sround(s"ln(${dlit(HllM.toDouble)} / v_zero)", 6)}", 6)}
          |                      ELSE raw_est END AS est FROM r1)
          |SELECT CAST($HllM AS INT) AS m, CAST(v_zero AS BIGINT) AS v_zero, raw_est, est, exact_distinct,
          |       ${sround("abs(est - exact_distinct) / exact_distinct", 6)} AS rel_err
@@ -1318,7 +1318,7 @@ object DedupQueries {
          |      FROM st JOIN ex ON st.part = ex.part),
          |r1 AS (SELECT *, ${sround(s"${dlit(HllAlphaC)} / CAST(s_total AS DOUBLE)", 6)} AS raw_est FROM c),
          |r2 AS (SELECT *, CASE WHEN raw_est <= ${dlit(2.5 * HllM)} AND v_zero > 0
-         |                      THEN ${sround(s"${dlit(HllM.toDouble)} * ln(${dlit(HllM.toDouble)} / v_zero)", 6)}
+         |                      THEN ${sround(s"${dlit(HllM.toDouble)} * ${sround(s"ln(${dlit(HllM.toDouble)} / v_zero)", 6)}", 6)}
          |                      ELSE raw_est END AS est FROM r1)
          |SELECT part, CAST(v_zero AS BIGINT) AS v_zero, est, exact_distinct,
          |       ${sround("abs(est - exact_distinct) / exact_distinct", 6)} AS rel_err

@@ -42,7 +42,7 @@ object RelQueries {
   /** q119 range-join radius, MICROSECONDS (the µs oracle discipline).
     * The bucket width below IS this τ — that equality is what makes the
     * ±1-bucket probe complete. */
-  private val RangeTauUs = 3600000000L // 1 hour
+  private[graft] val RangeTauUs = 3600000000L // 1 hour (µs) — ALSO the streaming range-join default
 
   val defs: Map[String, QFn] = Map(
     // RANGE JOIN, the scale-correct way: |Δts| ≤ τ pairs found by an
@@ -118,13 +118,22 @@ object RelQueries {
     // so |est − exact| ≤ bin width. All arithmetic is exact IEEE on
     // both engines (min/max/counts, one division chain, quantized at
     // the end).
+    //
+    // The exact arm does NOT globally sort: bin id is monotone in value,
+    // so the row with global rank t (by value, event_id) is provably the
+    // row with LOCAL rank t − cum_prev inside the bin the cumulative
+    // histogram locates. Rows are filtered to target bins first (≤ bin
+    // population per target, ~n/64) and ranked per-target — the
+    // single-partition WindowExec over all of events this replaces was
+    // the inventory's one rows-scale unpartitioned sort.
     "q118_quantile_sketch" -> ((spark, dir) => {
       val nb = QSketchBins
       val ev = table(spark, dir, "events").select(col("value"), col("event_id"))
       val stats = ev.agg(min("value").as("lo"), max("value").as("hi"), count(lit(1)).as("n"))
       val width = (col("hi") - col("lo")) / nb
+      val binOf = least(floor((col("value") - col("lo")) / width), lit(nb - 1).cast("long"))
       val binned = ev.crossJoin(broadcast(stats))
-        .select(least(floor((col("value") - col("lo")) / width), lit(nb - 1).cast("long")).as("bin"))
+        .select(binOf.as("bin"))
         .groupBy("bin").agg(count(lit(1)).as("cnt"))
       val cum = binned
         .withColumn("cum", sum("cnt").over(
@@ -133,15 +142,22 @@ object RelQueries {
       val tq = stats.select(explode(array(QSketchQs.map(lit): _*)).as("q"),
           col("lo"), col("hi"), col("n"))
         .withColumn("t", floor(col("q") * (col("n") - 1)) + 1)
-      val est = cum.join(broadcast(tq),
-          col("cum_prev") < col("t") && col("t") <= col("cum"))
+      // per target: its rank t, the bin holding it, and that bin's stats
+      val targets = cum.join(broadcast(tq),
+        col("cum_prev") < col("t") && col("t") <= col("cum"))
+      val est = targets
         .select(col("q"),
           (col("lo") + width * (col("bin").cast("double") +
             (col("t") - col("cum_prev")).cast("double") / col("cnt").cast("double"))).as("est_raw"),
           width.as("w"))
-      val exact = ev
-        .withColumn("rn", row_number().over(Window.orderBy(col("value"), col("event_id"))))
-        .join(broadcast(tq.select(col("q").as("q2"), col("t"))), col("rn") === col("t"))
+      val exact = ev.crossJoin(broadcast(stats))
+        .select(col("value"), col("event_id"), binOf.as("bin"))
+        .join(broadcast(targets.select(col("q").as("q2"), col("t"),
+            col("bin").as("tbin"), col("cum_prev").as("cp"))),
+          col("bin") === col("tbin"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("q2").orderBy(col("value"), col("event_id"))))
+        .where(col("rn") === col("t") - col("cp"))
         .select(col("q2").as("q"), col("value").as("exact_raw"))
       est.join(exact, "q")
         .select(pround(col("q"), 6).as("q"),

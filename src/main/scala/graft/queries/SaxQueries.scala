@@ -137,6 +137,13 @@ object SaxQueries {
   private val BucketedMax = 8
   private val bucketedOrder = new java.util.concurrent.ConcurrentLinkedQueue[
     (org.apache.spark.sql.SparkSession, String)]()
+  /** Temp dirs of FIFO-evicted entries, deferred per owning context: a
+    * concurrently-running query of the same JVM may still be executing a
+    * plan that reads the evicted entry's files, so eviction only
+    * unregisters — the physical delete happens in the owning context's
+    * end listener, when no query of that context can be live. */
+  private val bucketedPendingDelete = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.ConcurrentLinkedQueue[String]]()
 
   private def deleteRecursively(path: String): Unit =
     try {
@@ -167,6 +174,11 @@ object SaxQueries {
                 bucketedOrder.remove(e2.getKey)
                 it.remove()
               }
+            }
+            val pend = bucketedPendingDelete.remove(ctx.applicationId)
+            if (pend != null) {
+              var d = pend.poll()
+              while (d != null) { deleteRecursively(d); d = pend.poll() }
             }
             bucketedHookedContexts.remove(ctx.applicationId)
           }
@@ -205,7 +217,13 @@ object SaxQueries {
             try spark.sql(s"DROP TABLE IF EXISTS ${dropped._1}") catch { case _: Throwable => () }
             try spark.sql(s"DROP TABLE IF EXISTS ${dropped._2}") catch { case _: Throwable => () }
           }
-          deleteRecursively(dropped._3)
+          // deferred: another thread of the owning context may still be
+          // mid-query against these files — the context-end listener does
+          // the physical delete (unregistering above is catalog-only)
+          bucketedPendingDelete
+            .computeIfAbsent(old._1.sparkContext.applicationId,
+              _ => new java.util.concurrent.ConcurrentLinkedQueue[String]())
+            .add(dropped._3)
         }
       }
     }

@@ -22,8 +22,16 @@ import org.apache.spark.sql.functions._
   */
 object StreamingRangeJoin {
 
+  /** The batch q119 radius ([[graft.queries.RelQueries.RangeTauUs]], µs)
+    * in this operator's seconds unit — ONE shared constant, so the
+    * streaming monitor cannot drift from the batch backfill. */
+  val DefaultTauSec: Long = graft.queries.RelQueries.RangeTauUs / 1000000L
+
   /** (p_eid, n_eid) pairs with |Δet| ≤ tauSec and equal user_id, from a
     * frame with (event_id, user_id, ts[ns long]) — streaming or batch. */
+  def pairs(events: DataFrame, lateness: String): DataFrame =
+    pairs(events, DefaultTauSec, lateness)
+
   def pairs(events: DataFrame, tauSec: Long, lateness: String): DataFrame = {
     val base = events.select(col("event_id"), col("user_id"),
       timestamp_micros(expr("ts div 1000")).as("et"))

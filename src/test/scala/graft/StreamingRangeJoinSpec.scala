@@ -25,7 +25,7 @@ class StreamingRangeJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("streaming range-join pairs equal the batch pairs after in-order replay") {
     val ss = spark
     import ss.implicits._
-    val tauSec = 3600L // q119's RangeTauUs, in seconds
+    val tauSec = StreamingRangeJoin.DefaultTauSec // q119's RangeTauUs, via the shared constant
     val rows = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
       .select("event_id", "user_id", "ts").orderBy("ts", "event_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
