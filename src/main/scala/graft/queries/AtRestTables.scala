@@ -1,0 +1,123 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+
+/** Build-once registry for AT-REST bucketed table sets — the "index on
+  * disk" half of the serving story (reference README.md:32, search over
+  * HUGE pattern collections). A caller names a (session, key)-scoped
+  * table set and supplies the build closure; the first call pays the
+  * layout shuffle and every later call probes the persisted tables.
+  * q78's word-bucketed dictionary and the q127/q128 IVF-PQ index both
+  * live here — at 100 TB this is the boundary between the build pipeline
+  * (one bucketed write) and the serving path (co-located / bucket-pruned
+  * reads, zero Exchange).
+  *
+  * Lifecycle, inherited from the q78 machinery it generalizes:
+  *   - keyed by the session OBJECT (identity), not a derived hash string
+  *     — identity hashes can collide across sessions;
+  *   - a context-end listener drops the ending context's entries and
+  *     their temp dirs, so a stopped context pins nothing;
+  *   - a FIFO size bound reclaims entries of sessions minted and
+  *     discarded mid-application (newSession() churn). Eviction only
+  *     UNREGISTERS — a concurrently-running query of the same JVM may
+  *     still be executing a plan that reads the evicted files, so the
+  *     physical delete is deferred to the owning context's end listener,
+  *     when no query of that context can be live.
+  */
+private[queries] object AtRestTables {
+
+  /** Bound on memoized (session, key) entries: sessions minted via
+    * newSession() and discarded mid-application would otherwise pin
+    * their temp tables (and the session objects) until context stop. */
+  private val MaxEntries = 8
+
+  // (session, key) -> (registered table names, temp base dir)
+  private val once = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (Seq[String], String)]()
+  private val order = new java.util.concurrent.ConcurrentLinkedQueue[
+    (SparkSession, String)]()
+  private val hookedContexts =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val pendingDelete = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.ConcurrentLinkedQueue[String]]()
+
+  private[queries] def deleteRecursively(path: String): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(path)
+      if (java.nio.file.Files.exists(root))
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverseIterator
+          .foreach(p => try java.nio.file.Files.deleteIfExists(p) catch { case _: Throwable => () })
+    } catch { case _: Throwable => () }
+
+  /** The table names registered for (spark, key), building them first if
+    * absent. `build` receives a fresh temp base dir and must
+    * `saveAsTable` each table it returns (option("path", s"$base/...")
+    * so the files land under the reclaimable dir). */
+  def get(spark: SparkSession, key: String)(build: String => Seq[String]): Seq[String] = {
+    if (hookedContexts.add(spark.sparkContext.applicationId)) {
+      // the listener is registered on THIS context, so when it fires it
+      // is this context ending: drop only the entries whose session it
+      // owns (their table registrations die with it) and reclaim their
+      // temp dirs — entries of any other live context stay untouched
+      val ctx = spark.sparkContext
+      ctx.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+            val it = once.entrySet().iterator()
+            while (it.hasNext) {
+              val e2 = it.next()
+              if (e2.getKey._1.sparkContext eq ctx) {
+                deleteRecursively(e2.getValue._2)
+                order.remove(e2.getKey)
+                it.remove()
+              }
+            }
+            val pend = pendingDelete.remove(ctx.applicationId)
+            if (pend != null) {
+              var d = pend.poll()
+              while (d != null) { deleteRecursively(d); d = pend.poll() }
+            }
+            hookedContexts.remove(ctx.applicationId)
+          }
+        })
+    }
+    val (names, _) = once.computeIfAbsent((spark, key), _ => {
+      val base = java.nio.file.Files.createTempDirectory("graft-atrest-").toString
+      val built = build(base)
+      order.add((spark, key))
+      (built, base)
+    })
+    while (once.size > MaxEntries) {
+      val old = order.poll()
+      if (old == null) return names
+      val dropped = once.remove(old)
+      if (dropped != null) {
+        // table names are per-key-content (dataset-suffixed), so another
+        // live (session, key) entry can reference the same registrations
+        // — reclaim only when this was the last referent (otherwise leak
+        // conservatively; the survivor's own eviction/listener reclaims)
+        import scala.jdk.CollectionConverters._
+        val shared = once.values().asScala.exists(_._1 == dropped._1)
+        if (!shared) {
+          // unregister via the evicting caller's session when the entry
+          // shares its context (the catalog is context-scoped); otherwise
+          // the foreign context's own end listener reclaims it
+          if (old._1.sparkContext eq spark.sparkContext)
+            dropped._1.foreach { t =>
+              try spark.sql(s"DROP TABLE IF EXISTS $t") catch { case _: Throwable => () }
+            }
+          // deferred: another thread of the owning context may still be
+          // mid-query against these files — the context-end listener does
+          // the physical delete (unregistering above is catalog-only)
+          pendingDelete
+            .computeIfAbsent(old._1.sparkContext.applicationId,
+              _ => new java.util.concurrent.ConcurrentLinkedQueue[String]())
+            .add(dropped._2)
+        }
+      }
+    }
+    names
+  }
+}

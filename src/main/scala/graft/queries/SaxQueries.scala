@@ -112,81 +112,18 @@ object SaxQueries {
 
   /** Write the word dictionary + per-word counts as word-bucketed tables —
     * the iSAX "index at rest" layout (reference README.md:32, HUGE pattern
-    * collections). Written ONCE per (session, dataset); every q78 call
-    * afterwards joins the two bucketed tables co-located, zero Exchange.
-    * Bucket count is fixed so both sides' at-rest hash partitioning agrees
-    * (at 100 TB you'd size it to the dictionary, e.g. 4096). */
+    * collections). Written ONCE per (session, dataset) via [[AtRestTables]]
+    * (the generalized q78 machinery, shared with the q127/q128 vector
+    * index); every q78 call afterwards joins the two bucketed tables
+    * co-located, zero Exchange. Bucket count is fixed so both sides'
+    * at-rest hash partitioning agrees (at 100 TB you'd size it to the
+    * dictionary, e.g. 4096). */
   private val WordBuckets = 8
-  // keyed by the session OBJECT (identity), not a derived hash string —
-  // identity hashes can collide across sessions (see componentMemo). The
-  // strong session reference is bounded two ways, like componentMemo's:
-  // a context-end listener drops the ending context's entries (and their
-  // temp dirs), and a FIFO size bound reclaims entries of sessions minted
-  // and discarded mid-application — so neither a stopped context nor a
-  // churned newSession() pins tables in a long-lived JVM.
-  private val bucketedOnce = new java.util.concurrent.ConcurrentHashMap[
-    (org.apache.spark.sql.SparkSession, String), (String, String, String)]()
-  private val bucketedHookedContexts =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-  /** Bound on memoized (session, dataset) entries: sessions minted via
-    * newSession() and discarded mid-application would otherwise pin their
-    * temp bucketed tables (and the session objects) until context stop.
-    * Past the bound the oldest entry is dropped — its metastore tables
-    * unregistered via the EVICTING session (the external catalog is
-    * shared across sessions of one context) and its temp dir deleted. */
-  private val BucketedMax = 8
-  private val bucketedOrder = new java.util.concurrent.ConcurrentLinkedQueue[
-    (org.apache.spark.sql.SparkSession, String)]()
-  /** Temp dirs of FIFO-evicted entries, deferred per owning context: a
-    * concurrently-running query of the same JVM may still be executing a
-    * plan that reads the evicted entry's files, so eviction only
-    * unregisters — the physical delete happens in the owning context's
-    * end listener, when no query of that context can be live. */
-  private val bucketedPendingDelete = new java.util.concurrent.ConcurrentHashMap[
-    String, java.util.concurrent.ConcurrentLinkedQueue[String]]()
-
-  private def deleteRecursively(path: String): Unit =
-    try {
-      import scala.jdk.CollectionConverters._
-      val root = java.nio.file.Paths.get(path)
-      if (java.nio.file.Files.exists(root))
-        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverseIterator
-          .foreach(p => try java.nio.file.Files.deleteIfExists(p) catch { case _: Throwable => () })
-    } catch { case _: Throwable => () }
 
   private def bucketedWordTables(spark: org.apache.spark.sql.SparkSession,
                                  dir: String): (String, String) = {
-    if (bucketedHookedContexts.add(spark.sparkContext.applicationId)) {
-      // the listener is registered on THIS context, so when it fires it is
-      // this context ending: drop only the entries whose session it owns
-      // (their table registrations die with it) and reclaim their temp
-      // dirs — entries of any other live context stay untouched
-      val ctx = spark.sparkContext
-      ctx.addSparkListener(
-        new org.apache.spark.scheduler.SparkListener {
-          override def onApplicationEnd(
-              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
-            val it = bucketedOnce.entrySet().iterator()
-            while (it.hasNext) {
-              val e2 = it.next()
-              if (e2.getKey._1.sparkContext eq ctx) {
-                deleteRecursively(e2.getValue._3)
-                bucketedOrder.remove(e2.getKey)
-                it.remove()
-              }
-            }
-            val pend = bucketedPendingDelete.remove(ctx.applicationId)
-            if (pend != null) {
-              var d = pend.poll()
-              while (d != null) { deleteRecursively(d); d = pend.poll() }
-            }
-            bucketedHookedContexts.remove(ctx.applicationId)
-          }
-        })
-    }
-    val (uwT, wcT, _) = bucketedOnce.computeIfAbsent((spark, dir), _ => {
+    val names = AtRestTables.get(spark, s"q78|$dir") { base =>
       val words = windowWords(spark, dir)
-      val base = java.nio.file.Files.createTempDirectory("graft-q78-").toString
       val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
       val uwT = s"graft_q78_uw_$sfx"; val wcT = s"graft_q78_wc_$sfx"
       words.select("user_id", "word").distinct()
@@ -195,39 +132,9 @@ object SaxQueries {
       words.groupBy("word").agg(count(lit(1)).as("word_cnt"))
         .write.mode("overwrite").option("path", s"$base/wc")
         .bucketBy(WordBuckets, "word").sortBy("word").saveAsTable(wcT)
-      bucketedOrder.add((spark, dir))
-      (uwT, wcT, base)
-    })
-    while (bucketedOnce.size > BucketedMax) {
-      val old = bucketedOrder.poll()
-      if (old == null) return (uwT, wcT)
-      val dropped = bucketedOnce.remove(old)
-      if (dropped != null) {
-        // table names are per-DATASET, so another live (session, dataset)
-        // entry can reference the same registrations — reclaim only when
-        // this was the last referent (otherwise leak conservatively; the
-        // surviving entry's own eviction/listener reclaims later)
-        import scala.jdk.CollectionConverters._
-        val shared = bucketedOnce.values().asScala.exists(_._1 == dropped._1)
-        if (!shared) {
-          // unregister via the evicting caller's session when the entry
-          // shares its context (the catalog is context-scoped); otherwise
-          // the foreign context's own end listener reclaims it
-          if (old._1.sparkContext eq spark.sparkContext) {
-            try spark.sql(s"DROP TABLE IF EXISTS ${dropped._1}") catch { case _: Throwable => () }
-            try spark.sql(s"DROP TABLE IF EXISTS ${dropped._2}") catch { case _: Throwable => () }
-          }
-          // deferred: another thread of the owning context may still be
-          // mid-query against these files — the context-end listener does
-          // the physical delete (unregistering above is catalog-only)
-          bucketedPendingDelete
-            .computeIfAbsent(old._1.sparkContext.applicationId,
-              _ => new java.util.concurrent.ConcurrentLinkedQueue[String]())
-            .add(dropped._3)
-        }
-      }
+      Seq(uwT, wcT)
     }
-    (uwT, wcT)
+    (names(0), names(1))
   }
 
   private def firstNWords(w: Int, c: Int, masked: Boolean): QFn = (spark, dir) => {
