@@ -145,23 +145,37 @@ object VectorQueries {
     * design flaw this replaces. */
   private val CentroidBudget = 32L
 
-  /** Product-quantization geometry (q89/q90/q94/q99-q101): Dim split into
-    * [[PqM]] subspaces of [[PqSubDim]] dims; per-subspace codebook TRAINED
-    * by [[PqIters]] deterministic Lloyd iterations from seed centroids
-    * (the subvectors of the first [[PqK]] corpus vectors — q65's
-    * seed-init discipline), so the oracle can replay the identical
-    * iterations. The geometry is sized for the RESIDUAL path (q94): IVF
-    * residuals are far less clustered than raw vectors, so they need a
-    * finer codebook before ADC beats the non-residual layout — measured
-    * at sf0.01, (m=4, k=8, 1 iter) residual recall@5 was 0.04 vs 0.10
-    * non-residual, while this geometry reaches 0.10 at nprobe=1 and 0.20
-    * at nprobe=3 against a 0.16/0.30 routing ceiling. PqK must stay ≤ the
-    * smallest test corpus (50 vectors at sf0.001) so the seed set is
-    * always full. */
+  /** Product-quantization geometry for the NON-residual family (q89/q90/
+    * q104/q105): Dim split into [[PqM]] subspaces of [[PqSubDim]] dims;
+    * per-subspace codebook TRAINED by [[PqIters]] deterministic Lloyd
+    * iterations from seed centroids (the subvectors of the first [[PqK]]
+    * corpus vectors — q65's seed-init discipline), so the oracle can
+    * replay the identical iterations. Raw embeddings have per-8-dim-block
+    * structure the OPQ permutation exploits, so this family keeps the
+    * coarse m=8 grid its measured OPQ gains were established on. The
+    * residual path uses its own finer [[ResidPqM]] geometry below. PqK
+    * must stay ≤ the smallest test corpus (50 vectors at sf0.001) so the
+    * seed set is always full. */
   private val PqM = 8
   private val PqSubDim = Dim / PqM // 8
   private val PqK = 32
   private val PqIters = 2
+
+  /** Residual-path PQ geometry (q94/q99-q101, q127-q129) — per-INDEX
+    * geometry, the FAISS discipline: the residual cloud after coarse
+    * quantization is near-isotropic with little per-subspace structure,
+    * so finer subspaces (m=32, 2 dims each) cut quantization error where
+    * a longer codebook or more Lloyd iterations cannot. Measured at
+    * sf0.01 by the driver-side replicate-then-scan probe (r10): at
+    * nprobe=3, m=8 reads 0.20 while (k=48, iters=3, k=64-equivalent)
+    * all read 0.16-0.20; m=32 reads 0.24 (np1 0.10, np5 0.32) against
+    * the 0.16/0.30/0.44 routing ceilings — quantization now costs 0.06
+    * of the 0.30 np3 ceiling instead of 0.10. m=64 reads 0.26 but
+    * SubDim=1 degenerates PQ into scalar quantization (q112's SQ8
+    * already covers that point). The non-residual family (q89/q90/
+    * q104/q105) keeps [[PqM]]=8 — its measured OPQ facts depend on it. */
+  private val ResidPqM = 32
+  private val ResidSubDim = Dim / ResidPqM // 2
 
   /** Rounded squared-L2 between two vector slices — double accumulation in
     * ascending index order (the same sequential fold DuckDB's list_sum
@@ -176,13 +190,15 @@ object VectorQueries {
   /** Every (vector, subspace) slice: (vec_id, [extra...], s, sv). The
     * slice geometry lives ONLY here — q94 threads its IVF cell through as
     * an extra column rather than re-implementing the explode. */
-  private def pqSub(emb: org.apache.spark.sql.DataFrame,
-                    extra: String*): org.apache.spark.sql.DataFrame =
+  private def pqSub(m: Int)(emb: org.apache.spark.sql.DataFrame,
+                    extra: String*): org.apache.spark.sql.DataFrame = {
+    val sd = Dim / m
     emb.select(col("vec_id") +: extra.map(col) :+
-        explode(array((0 until PqM).map(s =>
-          struct(lit(s).as("s"), slice(col("embedding"), s * PqSubDim + 1, PqSubDim).as("sv"))): _*)).as("p"): _*)
+        explode(array((0 until m).map(s =>
+          struct(lit(s).as("s"), slice(col("embedding"), s * sd + 1, sd).as("sv"))): _*)).as("p"): _*)
       .select(col("vec_id") +: extra.map(col) :+
         col("p.s").as("s") :+ col("p.sv").as("sv"): _*)
+  }
 
   /** Per-subspace argmin code against a packed 1-row codebook broadcast:
     * lexicographic struct-min over (rounded distance, centroid id) — the
@@ -190,12 +206,18 @@ object VectorQueries {
     * exact ordering of the oracle's `ORDER BY dist, cent_id` rank. */
   private def pqAssign(sub: org.apache.spark.sql.DataFrame,
                        cb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val packed = cb.agg(collect_list(struct(col("s"), col("cent_id"), col("ce"))).as("cb"))
+    // pack the codebook PER SUBSPACE and broadcast-join on s, so each
+    // (vector, subspace) row scans only its own k centroids — the former
+    // one-row pack re-filtered all m·k entries per row, which at the
+    // residual geometry (m=32 → 1024 entries) multiplied assignment work
+    // 32× for no reason
+    val packed = cb.groupBy("s")
+      .agg(collect_list(struct(col("cent_id"), col("ce"))).as("cbs"))
     // preserve the caller's columns (q94 threads the IVF cell through the
     // same map-side pass) and append the code
-    sub.join(broadcast(packed))
+    sub.join(broadcast(packed), "s")
       .select(sub.columns.map(col) :+
-        array_min(transform(filter(col("cb"), c => c.getField("s") === col("s")),
+        array_min(transform(col("cbs"),
           c => struct(pqDist(col("sv"), c.getField("ce")).as("d"),
             c.getField("cent_id").as("cid")))).getField("cid").as("code"): _*)
   }
@@ -220,9 +242,9 @@ object VectorQueries {
     * (embedding: array<double>) through the identical Lloyd iterations.
     * Extra caller columns (the IVF cell) are dropped by [[pqSub]]'s
     * projection, so the training pass never shuffles them. */
-  private def pqCodebookFrom(src: org.apache.spark.sql.DataFrame)
+  private def pqCodebookFrom(src: org.apache.spark.sql.DataFrame, m: Int = PqM)
       : org.apache.spark.sql.DataFrame = {
-    val sub = pqSub(src)
+    val sub = pqSub(m)(src)
     var cb = sub.where(col("vec_id") < PqK)
       .select(col("s"), col("vec_id").as("cent_id"),
         transform(col("sv"), x => x.cast("double")).as("ce"))
@@ -328,9 +350,15 @@ object VectorQueries {
       .select(col("vec_id").as("cent_id"), col("embedding").as("ce"))
     val withCell = assignNearest(emb, cents)
       .select(col("vec_id"), col("embedding"), col("cell"))
+    // deliberately NOT cached: the residual frame is recomputed by each
+    // Lloyd assignment, but measured at sf0.1 a .cache() here is a net
+    // LOSS (~+0.4 s on q94) — the recompute is one scan + broadcast
+    // argmax, cheaper than materializing n×64 doubles and breaking the
+    // codegen pipeline around them. At cluster scale the BUILD job
+    // persists residuals once to disk instead (the q127 table write).
     val resid = residuals(withCell, cents)
-    val cb = pqCodebookFrom(resid)
-    val codes = pqAssign(pqSub(resid, "cell"), cb).select("vec_id", "cell", "s", "code")
+    val cb = pqCodebookFrom(resid, ResidPqM)
+    val codes = pqAssign(pqSub(ResidPqM)(resid, "cell"), cb).select("vec_id", "cell", "s", "code")
     (cents, cb, codes)
   }
 
@@ -347,7 +375,7 @@ object VectorQueries {
                        nprobe: Int): org.apache.spark.sql.DataFrame = {
     val qres = residuals(probeCells(queries, cents, nprobe), cents)
       .withColumnRenamed("cell", "qc")
-    val lut = pqSub(qres, "qc")
+    val lut = pqSub(ResidPqM)(qres, "qc")
       .select(col("vec_id").as("query_id"), col("qc"), col("s").as("ls"), col("sv"))
       .join(broadcast(cb), col("ls") === cb("s"))
       .select(col("query_id"), col("qc"), col("s"), col("cent_id"),
@@ -427,7 +455,7 @@ object VectorQueries {
     * each query's PqM·PqK-entry LUT, scan codes via the broadcast LUT
     * equi-join, top-5 per query by summed approximate distance. */
   private def pqAdcPipeline(src: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val sub = pqSub(src)
+    val sub = pqSub(PqM)(src)
     val cb = pqCodebookFrom(src)
     val codes = pqAssign(sub, cb).select("vec_id", "s", "code")
     val lut = sub.where(col("vec_id") < QueryCount)
@@ -616,7 +644,7 @@ object VectorQueries {
         .where(col("vec_id") % IncrMod === IncrMod - 1)
       val withCell = assignNearest(batch, cents)
         .select(col("vec_id"), col("embedding"), col("cell"))
-      pqAssign(pqSub(residuals(withCell, cents), "cell"), cb)
+      pqAssign(pqSub(ResidPqM)(residuals(withCell, cents), "cell"), cb)
         .select(col("vec_id"), col("cell"), col("s"), col("code"))
     }),
 
@@ -1018,8 +1046,8 @@ object VectorQueries {
        |  FROM scored) WHERE rn = 1)""".stripMargin
 
   /** q89's rounded squared-L2 between two 1-based list slices. */
-  private def pqDistSql(a: String, b: String): String =
-    sround(s"list_sum(list_transform(range(1, $PqSubDim + 1), " +
+  private def pqDistSql(a: String, b: String, subDim: Int = PqSubDim): String =
+    sround(s"list_sum(list_transform(range(1, $subDim + 1), " +
       s"i -> (($a[i]::DOUBLE) - ($b[i]::DOUBLE)) * (($a[i]::DOUBLE) - ($b[i]::DOUBLE))))", 6)
 
   /** q46/q94 IVF coarse-quantizer CTEs: stride-sampled centroids, cosine
@@ -1043,7 +1071,8 @@ object VectorQueries {
     * trained cb (seed kept for empty cells) -> codes. With `withCell`,
     * the source's IVF cell is threaded through sub/codes (the q94/q100
     * residual shape); the training window never reads it. */
-  private def pqTrainCtes(src: String, withCell: Boolean): String = {
+  private def pqTrainCtes(src: String, withCell: Boolean, m: Int = PqM): String = {
+    val sd = Dim / m
     val cellSel = if (withCell) "cell, " else ""
     val cellSub = if (withCell) "sub.cell, " else ""
     // one (assignment -> quantized means -> coalesce-update) round per
@@ -1054,30 +1083,30 @@ object VectorQueries {
       s"""a$i AS (SELECT vec_id, s, sv, cent_id AS code FROM (
          |  SELECT sub.vec_id, sub.s, sub.sv, $prev.cent_id,
          |         row_number() OVER (PARTITION BY sub.vec_id, sub.s
-         |                            ORDER BY ${pqDistSql("sub.sv", s"$prev.ce")}, $prev.cent_id) AS rn
+         |                            ORDER BY ${pqDistSql("sub.sv", s"$prev.ce", sd)}, $prev.cent_id) AS rn
          |  FROM sub JOIN $prev ON sub.s = $prev.s) WHERE rn = 1),
          |cbm$i AS (SELECT s, code AS cent_id, i,
          |               ${sround(xsumSql("sv[i]::DOUBLE", 6) + " / count(*)", 6)} AS m
-         |        FROM (SELECT s, code, sv, unnest(range(1, $PqSubDim + 1)) AS i FROM a$i)
+         |        FROM (SELECT s, code, sv, unnest(range(1, $sd + 1)) AS i FROM a$i)
          |        GROUP BY s, code, i),
          |cbt$i AS (SELECT s, cent_id, list(m ORDER BY i) AS ce FROM cbm$i GROUP BY s, cent_id),
          |cb$i AS (SELECT p.s, p.cent_id, coalesce(t.ce, p.ce) AS ce
          |       FROM $prev p LEFT JOIN cbt$i t ON p.s = t.s AND p.cent_id = t.cent_id)""".stripMargin
     }.mkString(",\n")
-    s"""ss AS (SELECT unnest(range(0, $PqM)) AS s),
+    s"""ss AS (SELECT unnest(range(0, $m)) AS s),
        |cb0 AS (SELECT s, vec_id AS cent_id,
-       |               list_transform(list_slice(embedding, s * $PqSubDim + 1, s * $PqSubDim + $PqSubDim),
+       |               list_transform(list_slice(embedding, s * $sd + 1, s * $sd + $sd),
        |                              x -> x::DOUBLE) AS ce
        |        FROM $src, ss WHERE vec_id < $PqK),
        |sub AS (SELECT vec_id, ${cellSel}s,
-       |               list_slice(embedding, s * $PqSubDim + 1, s * $PqSubDim + $PqSubDim) AS sv
+       |               list_slice(embedding, s * $sd + 1, s * $sd + $sd) AS sv
        |        FROM $src, ss),
        |$rounds,
        |cb AS (SELECT s, cent_id, ce FROM cb$PqIters),
        |codes AS (SELECT vec_id, ${cellSel}s, cent_id AS code FROM (
        |  SELECT sub.vec_id, ${cellSub}sub.s, cb.cent_id,
        |         row_number() OVER (PARTITION BY sub.vec_id, sub.s
-       |                            ORDER BY ${pqDistSql("sub.sv", "cb.ce")}, cb.cent_id) AS rn
+       |                            ORDER BY ${pqDistSql("sub.sv", "cb.ce", sd)}, cb.cent_id) AS rn
        |  FROM sub JOIN cb ON sub.s = cb.s) WHERE rn = 1)""".stripMargin
   }
 
@@ -1114,7 +1143,7 @@ object VectorQueries {
        |                 list_transform(range(1, len(a.embedding) + 1),
        |                                i -> (a.embedding[i]::DOUBLE) - (c.ce[i]::DOUBLE)) AS embedding
        |          FROM assigned a JOIN cents c ON a.cell = c.cent_id),
-       |${pqTrainCtes("resid", withCell = true)}""".stripMargin
+       |${pqTrainCtes("resid", withCell = true, ResidPqM)}""".stripMargin
 
   /** The q94/q100 residual-IVFADC CTE chain (appended after [[ivfCte]]):
     * [[ivfResidualBuildCtes]], the nprobe-ranked query cells, the
@@ -1132,10 +1161,10 @@ object VectorQueries {
        |                               i -> (p.qe[i]::DOUBLE) - (c.ce[i]::DOUBLE)) AS qe
        |         FROM qprobe p JOIN cents c ON p.qc = c.cent_id),
        |qsub AS (SELECT query_id, qc, s,
-       |                list_slice(qe, s * $PqSubDim + 1, s * $PqSubDim + $PqSubDim) AS sv
+       |                list_slice(qe, s * $ResidSubDim + 1, s * $ResidSubDim + $ResidSubDim) AS sv
        |         FROM qres, ss),
        |lut AS (SELECT q.query_id, q.qc, cb.s, cb.cent_id,
-       |               ${pqDistSql("q.sv", "cb.ce")} AS d
+       |               ${pqDistSql("q.sv", "cb.ce", ResidSubDim)} AS d
        |        FROM qsub q JOIN cb ON q.s = cb.s),
        |adc AS (SELECT l.query_id, c.vec_id, ${xsumSql("d", 6)} AS adc
        |        FROM codes c JOIN lut l ON c.s = l.s AND c.code = l.cent_id AND c.cell = l.qc
@@ -1281,12 +1310,12 @@ object VectorQueries {
          |                                 i -> (a.embedding[i]::DOUBLE) - (c.ce[i]::DOUBLE)) AS embedding
          |           FROM bassigned a JOIN cents c ON a.cell = c.cent_id),
          |bsub AS (SELECT vec_id, cell, s,
-         |                list_slice(embedding, s * $PqSubDim + 1, s * $PqSubDim + $PqSubDim) AS sv
+         |                list_slice(embedding, s * $ResidSubDim + 1, s * $ResidSubDim + $ResidSubDim) AS sv
          |         FROM bresid, ss),
          |bcodes AS (SELECT vec_id, cell, s, cent_id AS code FROM (
          |  SELECT bsub.vec_id, bsub.cell, bsub.s, cb.cent_id,
          |         row_number() OVER (PARTITION BY bsub.vec_id, bsub.s
-         |                            ORDER BY ${pqDistSql("bsub.sv", "cb.ce")}, cb.cent_id) AS rn
+         |                            ORDER BY ${pqDistSql("bsub.sv", "cb.ce", ResidSubDim)}, cb.cent_id) AS rn
          |  FROM bsub JOIN cb ON bsub.s = cb.s) WHERE rn = 1)
          |SELECT vec_id, cell, CAST(s AS INT) AS s, code FROM bcodes""".stripMargin,
 
