@@ -39,10 +39,37 @@ object RelQueries {
   private val QSketchBins = 64
   private val QSketchQs = Seq(0.5, 0.9, 0.99)
 
+  /** q130/q131 one-pass sketch geometry: log-domain bin width (natural-log
+    * units). Bin of a positive value is floor(quantized-ln(v) / width) — a
+    * FIXED grid needing no data-dependent [lo, hi], the DDSketch insight
+    * (Masson et al., VLDB 2019): geometric bins give a bounded RELATIVE
+    * error, here (e^w − 1)/2 ≈ 1%. The ln is quantized to 6 decimals
+    * BEFORE the divide (the q124/q50 quantize-early-ln parity discipline —
+    * JVM and libm ln differ by 1 ulp on ~2% of inputs). Values ≤ 0 (the
+    * sf0.1 events table has exact zeros) go to the dedicated [[QLowBin]]
+    * store, which orders before every log bin. */
+  private val QLogBinW = 0.02
+  private val QLowBin = -1000000L
+
   /** q119 range-join radius, MICROSECONDS (the µs oracle discipline).
     * The bucket width below IS this τ — that equality is what makes the
     * ±1-bucket probe complete. */
   private[graft] val RangeTauUs = 3600000000L // 1 hour (µs) — ALSO the streaming range-join default
+
+  /** The q130/q131 sketch row set: ONE combinable groupBy over the fixed
+    * log-domain grid — (bin, cnt, vmin, vmax). One scan, map-side partial
+    * aggregation, a bounded-dictionary result (≈ ln(dynamic range)/w
+    * rows), mergeable by (+, min, max) across ANY sharding — the one-pass
+    * 100 TB build q118's equal-width sketch (which needs a min/max
+    * pre-pass to frame its bins) cannot do. */
+  private def ddSketch(src: org.apache.spark.sql.DataFrame,
+                       groupCols: org.apache.spark.sql.Column*): org.apache.spark.sql.DataFrame = {
+    val binOf = when(col("value") <= 0, lit(QLowBin))
+      .otherwise(floor(pround(log(col("value")), 6) / lit(QLogBinW)).cast("long"))
+    src.withColumn("bin", binOf)
+      .groupBy(groupCols :+ col("bin"): _*)
+      .agg(count(lit(1)).as("cnt"), min("value").as("vmin"), max("value").as("vmax"))
+  }
 
   val defs: Map[String, QFn] = Map(
     // RANGE JOIN, the scale-correct way: |Δts| ≤ τ pairs found by an
@@ -168,6 +195,87 @@ object RelQueries {
           (pround(abs(col("est_raw") - col("exact_raw")), 6) <= pround(col("w"), 6))
             .cast("int").as("bound_ok"))
     }),
+
+    // ONE-PASS mergeable quantile sketch — the family member q118 leaves
+    // open: q118's equal-width bins need a min/max PRE-pass to frame the
+    // domain (two scans; impossible over an unbounded stream), while this
+    // sketch bins on a FIXED log-domain grid ([[QLogBinW]]) so the build
+    // is ONE combinable groupBy — no prior pass, no data-dependent frame,
+    // shard-mergeable by (+, min, max) (q131 proves it). Each bin keeps
+    // (cnt, vmin, vmax); the rank-t estimate is the midpoint of ITS bin's
+    // observed extremes — exp-free (no γ^bin reconstruction, whose pow/exp
+    // is not cross-engine exact), and carrying the unconditional theorem
+    // the oracle checks per row: the exact rank-t value lies in the target
+    // bin (bin id is monotone in value), est is the midpoint of that bin's
+    // [vmin, vmax], so |est − exact| ≤ (vmax − vmin)/2 — with vmax/vmin <
+    // e^w on log bins, a ≈1% relative-error guarantee. The exact arm
+    // reuses q118's bin-filtered rank (rows filtered to target bins before
+    // any window — no rows-scale unpartitioned sort).
+    "q130_ddsketch_quantile" -> ((spark, dir) => {
+      val ev = table(spark, dir, "events").select(col("value"), col("event_id"))
+      val sk = ddSketch(ev)
+      // everything below reads the BOUNDED sketch (≲ 600 rows at any
+      // corpus size), not the data: n from the sketch itself (one-pass —
+      // no count pre-scan), cumulative ranks over the tiny dictionary
+      val n = sk.agg(sum("cnt").as("n"))
+      val cum = sk
+        .withColumn("cum", sum("cnt").over(
+          Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("cum_prev", col("cum") - col("cnt"))
+      val tq = n.select(explode(array(QSketchQs.map(lit): _*)).as("q"), col("n"))
+        .withColumn("t", floor(col("q") * (col("n") - 1)) + 1)
+      val targets = cum.join(broadcast(tq),
+        col("cum_prev") < col("t") && col("t") <= col("cum"))
+      val est = targets.select(col("q"), col("t"), col("bin"), col("cum_prev"),
+        ((col("vmin") + col("vmax")) / 2).as("est_raw"),
+        col("vmin"), col("vmax"))
+      val binOf = when(col("value") <= 0, lit(QLowBin))
+        .otherwise(floor(pround(log(col("value")), 6) / lit(QLogBinW)).cast("long"))
+      val exact = ev.select(col("value"), col("event_id"), binOf.as("bin"))
+        .join(broadcast(est.select(col("q").as("q2"), col("t"),
+            col("bin").as("tbin"), col("cum_prev").as("cp"))),
+          col("bin") === col("tbin"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("q2").orderBy(col("value"), col("event_id"))))
+        .where(col("rn") === col("t") - col("cp"))
+        .select(col("q2").as("q"), col("value").as("exact_raw"))
+      est.join(exact, "q")
+        .select(pround(col("q"), 6).as("q"),
+          pround(col("est_raw"), 6).as("est_v"),
+          pround(col("exact_raw"), 6).as("exact_v"),
+          pround(abs(col("est_raw") - col("exact_raw")), 6).as("abs_err"),
+          pround((col("vmax") - col("vmin")) / 2, 6).as("half_spread"),
+          (pround(abs(col("est_raw") - col("exact_raw")), 6) <=
+            pround((col("vmax") - col("vmin")) / 2, 6)).cast("int").as("bound_ok"))
+    }),
+
+    // merge proof for q130's sketch — the q120/q121/q122/q123 discipline:
+    // per-shard (event_type) sketches merged by (sum cnt, min vmin,
+    // max vmax) must equal the direct global build BIT-IDENTICALLY.
+    // Position-weighted count checksums plus an order-independent xsum
+    // over the bin extremes verify every cell of every bin; with this row
+    // all five sketch types (HLL, CMS, KMV, histogram, log-quantile)
+    // carry oracle-proven merge operators.
+    "q131_ddsketch_merge" -> ((spark, dir) => {
+      val ev = table(spark, dir, "events")
+        .select(col("event_type"), col("value"))
+      val perType = ddSketch(ev, col("event_type"))
+      val typeParts = perType
+        .select(concat(lit("type:"), col("event_type")).as("part"),
+          col("bin"), col("cnt"), col("vmin"), col("vmax"))
+      val merged = perType.groupBy("bin")
+        .agg(sum("cnt").as("cnt"), min("vmin").as("vmin"), max("vmax").as("vmax"))
+        .select(lit("merged").as("part"), col("bin"), col("cnt"), col("vmin"), col("vmax"))
+      val global = ddSketch(ev.select(col("value")))
+        .select(lit("global").as("part"), col("bin"), col("cnt"), col("vmin"), col("vmax"))
+      typeParts.unionByName(merged).unionByName(global)
+        .groupBy("part")
+        .agg(count(lit(1)).as("n_bins"),
+          sum("cnt").as("total"),
+          sum(col("cnt") * (col("bin") - QLowBin + 1)).as("checksum"),
+          xsum(col("vmin") + col("vmax"), 6).as("vchk"))
+    }),
+
     // sessionization: split each user's event stream on inactivity gaps
     // via lag + running sum of session starts, then per-session stats —
     // the classic stream-analytics composition of window functions
@@ -462,6 +570,56 @@ object RelQueries {
          |         UNION ALL SELECT 'global', bin, CAST(count(*) AS BIGINT) FROM bn GROUP BY bin)
          |SELECT part, CAST(count(*) AS BIGINT) AS n_bins, CAST(sum(cnt) AS BIGINT) AS total,
          |       CAST(sum(cnt * (bin + 1)) AS BIGINT) AS checksum
+         |FROM allb GROUP BY part""".stripMargin,
+
+    "q130_ddsketch_quantile" -> {
+      val qList = QSketchQs.map(dlit).mkString(", ")
+      // bin: the identical quantized-ln grid (sround BEFORE the divide —
+      // the quantize-early-ln parity rule), identical CASE guard for the
+      // ≤ 0 low store. The exact arm may use DuckDB's single-node global
+      // rank: bin id is monotone in value, so the global rank-t row IS
+      // the bin-local rank (t − cum_prev) row the Spark side selects —
+      // the same theorem q118's bin-filtered exact arm rests on.
+      s"""WITH b AS (SELECT CASE WHEN value <= 0 THEN $QLowBin
+         |                 ELSE CAST(floor((${sround("ln(value)", 6)}) / ${dlit(QLogBinW)}) AS BIGINT) END AS bin,
+         |                 value, event_id FROM events),
+         |sk AS (SELECT bin, CAST(count(*) AS BIGINT) AS cnt,
+         |              min(value) AS vmin, max(value) AS vmax FROM b GROUP BY bin),
+         |s AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM sk),
+         |c2 AS (SELECT bin, cnt, vmin, vmax, cum, cum - cnt AS cum_prev FROM
+         |         (SELECT *, CAST(sum(cnt) OVER (ORDER BY bin) AS BIGINT) AS cum FROM sk)),
+         |tq AS (SELECT q, CAST(floor(q * (n - 1)) AS BIGINT) + 1 AS t
+         |       FROM s, (SELECT unnest([$qList]) AS q)),
+         |est AS (SELECT tq.q, (c2.vmin + c2.vmax) / 2 AS est_raw, c2.vmin, c2.vmax
+         |        FROM c2 JOIN tq ON c2.cum_prev < tq.t AND tq.t <= c2.cum),
+         |ex AS (SELECT tq.q, e.value AS exact_raw
+         |       FROM (SELECT value, row_number() OVER (ORDER BY value, event_id) AS rn FROM events) e
+         |       JOIN tq ON e.rn = tq.t)
+         |SELECT ${sround("est.q", 6)} AS q,
+         |       ${sround("est_raw", 6)} AS est_v,
+         |       ${sround("exact_raw", 6)} AS exact_v,
+         |       ${sround("abs(est_raw - exact_raw)", 6)} AS abs_err,
+         |       ${sround("(vmax - vmin) / 2", 6)} AS half_spread,
+         |       CAST(${sround("abs(est_raw - exact_raw)", 6)} <= ${sround("(vmax - vmin) / 2", 6)} AS INT) AS bound_ok
+         |FROM est JOIN ex ON est.q = ex.q""".stripMargin
+    },
+
+    "q131_ddsketch_merge" ->
+      s"""WITH b AS (SELECT event_type,
+         |                  CASE WHEN value <= 0 THEN $QLowBin
+         |                  ELSE CAST(floor((${sround("ln(value)", 6)}) / ${dlit(QLogBinW)}) AS BIGINT) END AS bin,
+         |                  value FROM events),
+         |pt AS (SELECT 'type:' || event_type AS part, bin, CAST(count(*) AS BIGINT) AS cnt,
+         |              min(value) AS vmin, max(value) AS vmax
+         |       FROM b GROUP BY 1, 2),
+         |allb AS (SELECT * FROM pt
+         |         UNION ALL SELECT 'merged', bin, CAST(sum(cnt) AS BIGINT), min(vmin), max(vmax)
+         |                   FROM pt GROUP BY bin
+         |         UNION ALL SELECT 'global', bin, CAST(count(*) AS BIGINT), min(value), max(value)
+         |                   FROM b GROUP BY bin)
+         |SELECT part, CAST(count(*) AS BIGINT) AS n_bins, CAST(sum(cnt) AS BIGINT) AS total,
+         |       CAST(sum(cnt * (bin + ${1 - QLowBin})) AS BIGINT) AS checksum,
+         |       ${xsumSql("vmin + vmax", 6)} AS vchk
          |FROM allb GROUP BY part""".stripMargin,
 
     "q118_quantile_sketch" -> {
