@@ -71,7 +71,52 @@ object RelQueries {
       .agg(count(lit(1)).as("cnt"), min("value").as("vmin"), max("value").as("vmax"))
   }
 
+  /** q132's at-rest JSONL + CSV copies of `documents` — the §2.3 source
+    * surface beyond parquet. Built once per (session, sf dir) through the
+    * [[AtRestTables]] lifecycle (same registry as the q78 word buckets
+    * and the q127 IVF index): the build writes the files and registers
+    * metastore tables over them, probes read through Spark's real
+    * JSON/CSV scan paths. Full text rides in JSONL (JSON escaping makes
+    * embedded newlines/quotes round-trip-safe); the CSV side carries the
+    * typed projection a warehouse export would. */
+  private def fileSourceTables(spark: org.apache.spark.sql.SparkSession,
+                               dir: String): (String, String) = {
+    val names = AtRestTables.get(spark, s"srcfmt|$dir") { base =>
+      val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val docs = table(spark, dir, "documents")
+      val jT = s"graft_docs_jsonl_$sfx"
+      val cT = s"graft_docs_csv_$sfx"
+      docs.select("doc_id", "text", "lang").write.mode("overwrite")
+        .format("json").option("path", s"$base/jsonl").saveAsTable(jT)
+      docs.select("doc_id", "source", "n_chars").write.mode("overwrite")
+        .format("csv").option("header", "true")
+        .option("path", s"$base/csv").saveAsTable(cT)
+      Seq(jT, cT)
+    }
+    (names(0), names(1))
+  }
+
   val defs: Map[String, QFn] = Map(
+    // FILE-FORMAT SOURCES (§2.3 scans beyond parquet): documents written
+    // to JSONL + CSV at rest, read back through Spark's JSON/CSV readers,
+    // and PROVEN byte-identical to the parquet origin — the md5-derived
+    // 60-bit fingerprint of every text survives the JSONL round trip (any
+    // single corrupted char flips the per-lang sum), and the CSV side's
+    // types/values survive via the join + numeric aggregates. The oracle
+    // reads the parquet origin directly: equal results = lossless source.
+    "q132_file_source_roundtrip" -> ((spark, dir) => {
+      val (jT, cT) = fileSourceTables(spark, dir)
+      val j = spark.table(jT)
+        .withColumn("h",
+          conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long") % 1000003L)
+      j.join(spark.table(cT), "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"),
+          sum("h").as("text_fp"),
+          countDistinct("source").as("n_sources"))
+    }),
+
     // RANGE JOIN, the scale-correct way: |Δts| ≤ τ pairs found by an
     // EQUI-join on (user_id, time-bucket) with bucket width exactly τ —
     // the probe side fans each event to its own and both adjacent
@@ -549,6 +594,15 @@ object RelQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the parquet origin directly — equality with the Spark side's
+    // JSONL/CSV round trip is the losslessness proof
+    "q132_file_source_roundtrip" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       CAST(sum(CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) % 1000003) AS BIGINT) AS text_fp,
+        |       CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+        |FROM documents GROUP BY lang""".stripMargin,
+
     // the NAIVE theta join — existence proof that the bucketed equi-join
     // rewrite loses and invents nothing
     "q119_range_join" ->
