@@ -414,7 +414,7 @@ object DedupQueries {
 
     // LSH candidate pairs verified by exact shingle-Jaccard
     "q32_lsh_jaccard_pairs" -> ((spark, dir) => {
-      val db = docBands(spark, dir).cache()
+      val db = tcache(docBands(spark, dir), "q32:bands")
       val exploded = db.select(col("doc_id"), explode(col("bands")).as("bk"))
       val cand = exploded.as("a")
         .join(exploded.as("b"),
@@ -443,7 +443,7 @@ object DedupQueries {
         .select(col("doc_id"), shinglesUdf(col("text")).as("sh"))
         .withColumn("sig", graft.functions.TextFunctions.minhash_sig(col("sh")))
         .withColumn("bands", bandsFromSig(col("sig")))
-        .cache()
+      tcache(d, "q81:sigs")
       val exploded = d.select(col("doc_id"), explode(col("bands")).as("bk"))
       val cand = exploded.as("a")
         .join(exploded.as("b"),
@@ -479,7 +479,7 @@ object DedupQueries {
         .select(col("doc_id"),
           graft.functions.TextFunctions.minhash_sig(shinglesUdf(col("text"))).as("sig"))
         .withColumn("bands", bandsFromSig(col("sig")))
-        .cache()
+      tcache(d, "q84:sigs")
       val exploded = d.select(col("doc_id"), explode(col("bands")).as("bk"))
       val cand = exploded.as("a")
         .join(exploded.as("b"),
@@ -519,8 +519,8 @@ object DedupQueries {
     // collide arbitrarily; df table is a broadcastable aggregate.
     "q52_jaccard_prefix_join" -> ((spark, dir) => {
       val t = JaccardThreshold
-      val docs = spread(table(spark, dir, "documents"))
-        .select(col("doc_id"), shinglesUdf(col("text")).as("sh")).cache()
+      val docs = tcache(spread(table(spark, dir, "documents"))
+        .select(col("doc_id"), shinglesUdf(col("text")).as("sh")), "q52:shingles")
       val ex = docs.select(col("doc_id"), size(col("sh")).as("sz"), explode(col("sh")).as("s"))
       val dfreq = ex.groupBy("s").agg(count(lit(1)).as("df"))
       // dfreq is a VOCABULARY-sized dictionary — it grows with the corpus,
@@ -540,10 +540,9 @@ object DedupQueries {
       // Jaccard below — and since prefix filtering already guarantees all
       // true pairs are candidates, the verified result set is provably
       // identical to the string-keyed join.
-      val pref = ord
+      val pref = tcache(ord
         .where(col("rn") <= col("sz") - ceil(col("sz") * lit(t)) + 1)
-        .select(col("doc_id"), xxhash64(col("s")).as("k"))
-        .cache()
+        .select(col("doc_id"), xxhash64(col("s")).as("k")), "q52:prefix")
       val cand = pref.as("a")
         .join(pref.as("b"),
           col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id"))
@@ -567,7 +566,7 @@ object DedupQueries {
     "q62_incremental_dedup" -> ((spark, dir) => {
       val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
         .cast("long") % 100).cast("int")
-      val db = docBands(spark, dir).withColumn("b", bucket).cache()
+      val db = tcache(docBands(spark, dir).withColumn("b", bucket), "q62:bands")
       val ce = db.where(col("b") < 80)
         .select(col("doc_id").as("corpus_id"), explode(col("bands")).as("bk"))
       val be = db.where(col("b") >= 80)

@@ -34,6 +34,61 @@ object QueryBase {
     sum(floor(c * lit(p) + lit(0.5))) / lit(p)
   }
 
+  /** Cache a TRANSIENT per-run frame (a training artifact, a candidate
+    * set, a truth scan) with a bounded lifecycle — the hardening of the
+    * old "direct callers own clearCache()" contract. Each (session, site)
+    * keeps ONE cached frame: re-running the same site unpersists the
+    * previous run's frame first, so a caller looping queries outside
+    * Bench/Verify holds at most one storage entry per site instead of
+    * accumulating one per run. Unpersisting a superseded frame is always
+    * correctness-safe (Spark recomputes from lineage — unlike at-rest
+    * FILES, nothing can dangle), a context-end listener drops the ending
+    * context's entries, and a FIFO bound reclaims entries of sessions
+    * minted via newSession() and discarded mid-application. */
+  private val tcacheMap = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+  private val tcacheOrder = new java.util.concurrent.ConcurrentLinkedQueue[
+    (SparkSession, String)]()
+  private val tcacheHooked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val TcacheMax = 64
+
+  def tcache(df: DataFrame, site: String): DataFrame = {
+    val spark = df.sparkSession
+    val key = (spark, site)
+    val cached = df.cache()
+    val prev = tcacheMap.put(key, cached)
+    if (prev != null && (prev ne cached))
+      try prev.unpersist() catch { case _: Throwable => () }
+    if (prev == null) {
+      tcacheOrder.add(key)
+      while (tcacheMap.size > TcacheMax) {
+        val old = tcacheOrder.poll()
+        if (old != null) {
+          val dropped = tcacheMap.remove(old)
+          if (dropped != null)
+            try dropped.unpersist() catch { case _: Throwable => () }
+        }
+      }
+    }
+    if (tcacheHooked.add(spark.sparkContext.applicationId)) {
+      // registered on THIS context — when it fires, this context is
+      // ending and its cached RDDs die with it; other live contexts'
+      // entries stay (the componentMemo/AtRestTables discipline)
+      val ctx = spark.sparkContext
+      ctx.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+            tcacheMap.keySet().removeIf(k => k._1.sparkContext eq ctx)
+            tcacheOrder.removeIf(k => k._1.sparkContext eq ctx)
+            tcacheHooked.remove(ctx.applicationId)
+          }
+        })
+    }
+    cached
+  }
+
   /** Repartition a small single-file table before UDF-heavy work: the
     * testdata tables are one parquet file each, so Spark plans ONE input
     * split and the whole pipeline above the first shuffle runs on a single

@@ -211,11 +211,12 @@ object SaxQueries {
     // documents and a bucketed layout turns into partition pruning.
     // Uncached, the filter is pushed through the projection and the prunes
     // evaluate over an inline re-encode, which prunes only the mindist
-    // kernel, not the scan. Bench/Verify clearCache() bounds the pin.
+    // kernel, not the scan. The tcache registry bounds the pin for every
+    // caller (a re-run unpersists the previous frame).
     "q05_sax_topk" -> ((spark, dir) => {
       val k = 20
       val md = sax_mindist(col("word"), lit(N.toLong), lit("BDBB"), lit(0L), C)
-      val words = windowWords(spark, dir).cache()
+      val words = tcache(windowWords(spark, dir), "q05:words")
       val dict = words.groupBy("word").agg(count(lit(1)).as("cnt"))
         .select(col("word"), col("cnt"), pround(md.getField("dist"), 6).as("dist"))
       val cum = dict.withColumn("cum", sum("cnt").over(

@@ -268,10 +268,10 @@ object VectorQueries {
     // + query LUT), and lazily each would inline the whole corpus-scale
     // training assignment into its own subtree, doubling the training
     // pass. A codebook is a model ARTIFACT: derive it one time, probe it
-    // everywhere. Bench/Verify clearCache() between queries bounds the
-    // pin; a direct caller invoking PQ queries repeatedly owns the same
-    // eviction (spark.catalog.clearCache() — the q75 contract note).
-    cb.cache()
+    // everywhere. tcache bounds the pin for ALL callers: a re-derivation
+    // (next run, next query) unpersists the previous codebook, so looping
+    // callers hold one codebook, not one per run.
+    tcache(cb, "vq:codebook")
     cb.count()
     cb
   }
@@ -511,12 +511,11 @@ object VectorQueries {
   /** recall@5 of an approximate top-5 against the exact q40 scan — the
     * shared q90/q99/q101 harness (q49's evaluation discipline). The truth
     * frame feeds BOTH the hit join and the query-id universe, so it is
-    * cached for the execution; direct callers outside Bench/Verify own
-    * the eviction (`spark.catalog.clearCache()` — the q75 contract note;
-    * Bench/Verify already clear between queries). */
+    * cached for the execution; the tcache registry bounds the pin for
+    * every caller (a re-run unpersists the previous truth frame). */
   private def recallHarness(truthRaw: org.apache.spark.sql.DataFrame,
                             approx: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val truth = truthRaw.select(col("query_id"), col("vec_id")).cache()
+    val truth = tcache(truthRaw.select(col("query_id"), col("vec_id")), "vq:recall-truth")
     val hits = truth.join(approx.select(col("query_id"), col("vec_id")),
         Seq("query_id", "vec_id"))
       .groupBy("query_id").agg(count(lit(1)).as("hits"))
@@ -952,8 +951,8 @@ object VectorQueries {
     "q49_ann_recall" -> ((spark, dir) => {
       // truth feeds BOTH the hit join and the query-id universe below —
       // cache it so the brute-force scoring pass runs once per execution
-      val truth = defs("q40_ann_brute")(spark, dir)
-        .select(col("query_id"), col("vec_id")).cache()
+      val truth = tcache(defs("q40_ann_brute")(spark, dir)
+        .select(col("query_id"), col("vec_id")), "q49:truth")
       val cand = defs("q42_ann_lsh_probe")(spark, dir)
         .select(col("query_id"), col("vec_id"))
       val hits = truth.join(cand, Seq("query_id", "vec_id"))

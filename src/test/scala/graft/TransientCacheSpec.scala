@@ -1,0 +1,42 @@
+package graft
+
+import graft.queries.{DedupQueries, VectorQueries}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The tcache contract (the r9 hygiene-debt close-out): a direct caller
+  * looping cache-bearing queries WITHOUT Bench/Verify's clearCache()
+  * holds a BOUNDED number of storage entries — each (session, site)
+  * keeps one frame, and a re-run unpersists the previous run's. */
+class TransientCacheSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val dir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = graft.SparkUtil.configure(
+      SparkSession.builder().master("local[4]"), "4").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("looping a caching query does not accumulate storage entries") {
+    spark.catalog.clearCache()
+    def persisted = spark.sparkContext.getPersistentRDDs.size
+    // q32 (one tcache site) + q49 (truth site + the codebook site via its
+    // LSH arm) — three runs each, no clearCache between
+    DedupQueries.defs("q32_lsh_jaccard_pairs")(spark, dir).count()
+    VectorQueries.defs("q49_ann_recall")(spark, dir).count()
+    val afterFirst = persisted
+    for (_ <- 1 to 2) {
+      DedupQueries.defs("q32_lsh_jaccard_pairs")(spark, dir).count()
+      VectorQueries.defs("q49_ann_recall")(spark, dir).count()
+    }
+    val afterThird = persisted
+    assert(afterThird <= afterFirst,
+      s"storage grew across reruns: $afterFirst -> $afterThird")
+    spark.catalog.clearCache()
+  }
+}
