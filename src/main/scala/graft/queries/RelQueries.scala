@@ -62,8 +62,11 @@ object RelQueries {
     * rows), mergeable by (+, min, max) across ANY sharding — the one-pass
     * 100 TB build q118's equal-width sketch (which needs a min/max
     * pre-pass to frame its bins) cannot do. */
-  private def ddSketch(src: org.apache.spark.sql.DataFrame,
-                       groupCols: org.apache.spark.sql.Column*): org.apache.spark.sql.DataFrame = {
+  // private[graft]: SketchStreaming re-exports this as the live quantile
+  // sketch — ONE definition feeds q130, q131, the oracle SQL and the
+  // stream, so the surfaces cannot drift
+  private[graft] def ddSketch(src: org.apache.spark.sql.DataFrame,
+                              groupCols: org.apache.spark.sql.Column*): org.apache.spark.sql.DataFrame = {
     val binOf = when(col("value") <= 0, lit(QLowBin))
       .otherwise(floor(pround(log(col("value")), 6) / lit(QLogBinW)).cast("long"))
     src.withColumn("bin", binOf)

@@ -35,4 +35,17 @@ object SketchStreaming {
     * guarantee holds mid-stream. */
   def cmsCounters(items: DataFrame, itemCol: String): DataFrame =
     graft.queries.DedupQueries.cmsCounters(items, itemCol)
+
+  /** Live log-domain quantile sketch (bin, cnt, vmin, vmax) — q130's
+    * DDSketch-style bins maintained over a stream of `value` rows. This
+    * is the sketch the q118 histogram could never stream (its equal-width
+    * bins need the data's [lo, hi] up front); the fixed log grid needs
+    * nothing, and all three bin aggregates merge under aggregation-
+    * friendly operators (+, min, max), so Complete-mode state is the
+    * bounded bin table (≈ ln(dynamic range)/w rows forever) and ANY
+    * snapshot is exactly the batch sketch of everything streamed so far —
+    * probe it with q130's cumulative-rank interpolation and the
+    * |est − exact| ≤ (vmax − vmin)/2 theorem holds mid-stream. */
+  def ddSketchBins(values: DataFrame): DataFrame =
+    graft.queries.RelQueries.ddSketch(values)
 }

@@ -81,4 +81,36 @@ class SketchStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"stream-only: ${(streamed.toSet -- batch.toSet).take(3)}; " +
         s"batch-only: ${(batch.toSet -- streamed.toSet).take(3)}")
   }
+
+  test("streaming ddsketch bins equal the batch sketch after replay") {
+    val ss = spark
+    import ss.implicits._
+    // real fixture values PLUS exact zeros: the low store must stream too
+    val values = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select("value").collect().map(_.getDouble(0)) ++ Array(0.0, 0.0, 0.0)
+
+    val stream = MemoryStream[Double](spark)
+    val q = SketchStreaming.ddSketchBins(stream.toDF())
+      .writeStream.format("memory").queryName("dd_bins")
+      .outputMode("complete").start()
+    values.grouped(2000).foreach { chunk =>
+      stream.addData(chunk.toIndexedSeq); q.processAllAvailable()
+      // the fixed log grid bounds state by DYNAMIC RANGE, not row count —
+      // the property that makes the quantile monitor runnable forever
+      assert(spark.table("dd_bins").count() <= 1000)
+    }
+    q.stop()
+
+    val streamed = spark.table("dd_bins")
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val batch = graft.queries.RelQueries
+      .ddSketch(values.toSeq.toDF("value"))
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(streamed == batch,
+      s"stream-only: ${(streamed.toSet -- batch.toSet).take(3)}; " +
+        s"batch-only: ${(batch.toSet -- streamed.toSet).take(3)}")
+    assert(streamed.contains(-1000000L), "zero low store must be present")
+  }
 }
