@@ -56,10 +56,16 @@ object QueryBase {
   def tcache(df: DataFrame, site: String): DataFrame = {
     val spark = df.sparkSession
     val key = (spark, site)
-    val cached = df.cache()
-    val prev = tcacheMap.put(key, cached)
-    if (prev != null && (prev ne cached))
+    // ORDER MATTERS: unpersist the predecessor BEFORE caching the new
+    // frame. A rerun's frame usually has the SAME canonicalized plan as
+    // its predecessor, and the CacheManager keys entries by that plan —
+    // unpersisting the old object after cache() would remove the entry
+    // the new cache() call just created (or no-opped onto), leaving the
+    // site uncached on every run but the first.
+    val prev = tcacheMap.put(key, df)
+    if (prev != null && (prev ne df))
       try prev.unpersist() catch { case _: Throwable => () }
+    val cached = df.cache()
     if (prev == null) {
       tcacheOrder.add(key)
       while (tcacheMap.size > TcacheMax) {

@@ -39,4 +39,20 @@ class TransientCacheSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"storage grew across reruns: $afterFirst -> $afterThird")
     spark.catalog.clearCache()
   }
+
+  test("rerunning a tcache site still SERVES from the cache") {
+    // the failure mode this pins: a rerun's frame has the SAME
+    // canonicalized plan as its predecessor, so unpersisting the old
+    // object AFTER caching the new one removes the just-created
+    // CacheManager entry — storage stays bounded (the test above passes)
+    // while every run silently recomputes. The executed plan must
+    // substitute InMemoryTableScan for the cached subtree.
+    spark.catalog.clearCache()
+    DedupQueries.defs("q84_estimate_dedup")(spark, dir).count()
+    val plan = DedupQueries.defs("q84_estimate_dedup")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan"),
+      s"rerun does not read the tcached frame:\n$plan")
+    spark.catalog.clearCache()
+  }
 }
