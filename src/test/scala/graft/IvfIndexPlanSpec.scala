@@ -57,4 +57,17 @@ class IvfIndexPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"encode joins must all be broadcast:\n$plan")
     assert(df.count() > 0)
   }
+
+  test("q128 probe-from-index equals live-trained q100 bit-identically") {
+    // the whole point of the at-rest index: serving from persisted
+    // artifacts loses NOTHING vs training inside the query — same
+    // centroids, same codebook, same ADC arithmetic, same top-5
+    val probe = VectorQueries.defs("q128_ivf_index_probe")(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    val live = VectorQueries.defs("q100_ivfadc_nprobe")(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    assert(probe == live,
+      s"probe-only: ${(probe.toSet -- live.toSet).take(3)}; " +
+        s"live-only: ${(live.toSet -- probe.toSet).take(3)}")
+  }
 }
