@@ -282,6 +282,14 @@ object VectorQueries {
     * (`rn <= NProbe` in the ranked-cells CTE). */
   private val NProbe = 3
 
+  /** The wide end of the latency/recall knob (q133): probing 5 of the ~32
+    * coarse cells. Measured ladder at sf0.01: 0.10 (np1) < 0.24 (np3) <
+    * 0.32 (np5) against routing ceilings 0.16/0.30/0.44 — each
+    * increment buys recall linearly in probed-cell count while the
+    * corpus-side work stays proportional to the probed cells' population
+    * (the knob a serving deployment turns per latency budget). */
+  private val NProbeWide = 5
+
   /** IVF residual per corpus vector: `x − centroid(cell)`, computed
     * map-side against the broadcast ≤[[CentroidBudget]]-row centroid
     * table. float→double widening is exact and double subtraction is
@@ -680,6 +688,13 @@ object VectorQueries {
     // recall@5 of the nprobe=3 IVFADC — the number the nprobe knob is
     // tuned against: q99 (nprobe=1) vs this quantifies exactly the
     // routing recall the extra probes recover.
+    // the wide end of the nprobe ladder: same pipeline at nprobe=5 —
+    // with q99 (np1) and q101 (np3) this measures the knob's full curve
+    // in-engine, each point against the same exact-truth harness
+    "q133_ivfadc_np5_recall" -> ((spark, dir) =>
+      recallHarness(defs("q40_ann_brute")(spark, dir),
+        ivfAdcResidual(spark, dir, NProbeWide))),
+
     "q101_ivfadc_nprobe_recall" -> ((spark, dir) =>
       recallHarness(defs("q40_ann_brute")(spark, dir),
         defs("q100_ivfadc_nprobe")(spark, dir))),
@@ -1240,6 +1255,11 @@ object VectorQueries {
     "q101_ivfadc_nprobe_recall" ->
       s"""WITH ${ivfCte()},
          |${ivfAdcResidualCtes(NProbe)},
+         |$recallTailSql""".stripMargin,
+
+    "q133_ivfadc_np5_recall" ->
+      s"""WITH ${ivfCte()},
+         |${ivfAdcResidualCtes(NProbeWide)},
          |$recallTailSql""".stripMargin,
 
     "q98_rag_retrieve" ->

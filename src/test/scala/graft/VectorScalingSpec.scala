@@ -27,6 +27,8 @@ class VectorScalingSpec extends AnyFunSuite {
         v
       }
       val (r99, r101) = (recall("q99_ivf_adc_recall"), recall("q101_ivfadc_nprobe_recall"))
+      val r133 = recall("q133_ivfadc_np5_recall")
+      assert(r133 >= r101, s"nprobe=5 recall $r133 below nprobe=3 $r101")
       val (r90, r105) = (recall("q90_pq_recall"), recall("q105_opq_recall"))
       val r111 = recall("q111_ivf_nprobe_recall")
       val r113 = recall("q113_sq8_recall")
