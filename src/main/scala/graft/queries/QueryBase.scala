@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, TimestampNTZType, TimestampType}
 
 /** Shared helpers for query definitions + their DuckDB oracles. */
 object QueryBase {
@@ -15,6 +16,33 @@ object QueryBase {
     val p = math.pow(10, digits)
     floor(c * lit(p) + lit(0.5)) / lit(p)
   }
+
+  /** Epoch-MICROSECOND integer column for a time column, whatever type the
+    * data carries it as — the ONE place every oracle-facing time
+    * ordering/bucketing threshold derives from (the DuckDB oracle side is
+    * `epoch_us(ts)`, so both engines see the same µs integers):
+    *
+    *  - parquet TIMESTAMP / TIMESTAMP_NTZ (what the testdata's
+    *    `timestamp[us]` events.ts reads as): `unix_micros`. The session
+    *    timezone is pinned UTC ([[graft.SparkUtil.configure]]), so the
+    *    NTZ→instant cast is the identity wall-clock mapping DuckDB's
+    *    naive `epoch_us` uses.
+    *  - integer NANOSECONDS (the legacy `nanosAsLong` layout, still what
+    *    synthetic spec frames feed): `div 1000` — INTEGER division; FP
+    *    division of ns epochs loses precision above 2^53.
+    *
+    * Dispatch happens ONCE per query on the frame's schema, never per row,
+    * and the returned Column resolves against whatever frame the caller
+    * applies it to (window specs included) — the input frame only supplies
+    * the schema. */
+  def tsUs(df: DataFrame, name: String = "ts"): Column =
+    df.schema(name).dataType match {
+      case TimestampType | TimestampNTZType => unix_micros(col(name).cast(TimestampType))
+      case LongType | IntegerType           => expr(s"$name div 1000")
+      case dt => throw new IllegalArgumentException(
+        s"graft: time column '$name' has unsupported type $dt " +
+          "(expected TIMESTAMP/TIMESTAMP_NTZ or integer nanoseconds)")
+    }
 
   /** isfinite(value) mirroring the reference's moment filter
     * (src/symtseries.c:267): not NaN and not ±Inf. */

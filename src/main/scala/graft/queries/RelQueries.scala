@@ -134,8 +134,9 @@ object RelQueries {
     // rewrite exact). Emits per-event neighbor counts (events with ≥ 1
     // neighbor; zero-neighbor events have no pair row by construction).
     "q119_range_join" -> ((spark, dir) => {
-      val ev = table(spark, dir, "events")
-        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"))
+      val raw = table(spark, dir, "events")
+      val ev = raw
+        .select(col("event_id"), col("user_id"), QueryBase.tsUs(raw).as("ts_us"))
         .withColumn("b", expr(s"(ts_us div ${RangeTauUs}L)"))
       val probe = ev.select(col("event_id").as("p_eid"), col("user_id"), col("ts_us").as("p_us"),
         explode(array(col("b") - 1, col("b"), col("b") + 1)).as("b"))
@@ -329,8 +330,9 @@ object RelQueries {
     // the classic stream-analytics composition of window functions
     "q27_sessionize" -> ((spark, dir) => {
       val byU = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-      table(spark, dir, "events")
-        .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+      val raw = table(spark, dir, "events")
+      raw
+        .select(col("user_id"), QueryBase.tsUs(raw).as("ts_us"),
           col("event_id"), col("value"))
         .withColumn("prev_us", lag("ts_us", 1).over(byU))
         .withColumn("is_new",
@@ -413,16 +415,15 @@ object RelQueries {
     // match keep a NULL row (left as-of semantics). The standard
     // formulation at scale: join on the entity key, filter the time
     // range, keep rank-1 per left row (AQE handles key skew). Timestamps
-    // compare at MICROSECOND precision on both sides — the oracle's DuckDB
-    // reads the ns parquet column as a us TIMESTAMP, so ns-precision
-    // comparisons would diverge structurally.
+    // compare at MICROSECOND precision on both sides (QueryBase.tsUs vs
+    // the oracle's epoch_us) whatever carrier type the table arrives with.
     "q26_asof_join" -> ((spark, dir) => {
       val ev = table(spark, dir, "events")
       val purchases = ev.where(col("event_type") === "purchase" && col("event_id") % 50 === 0)
         .select(col("event_id").as("purchase_id"), col("user_id"),
-          expr("ts div 1000").as("p_us"))
+          QueryBase.tsUs(ev).as("p_us"))
       val views = ev.where(col("event_type").isin("view", "click"))
-        .select(col("user_id"), expr("ts div 1000").as("v_us"), col("event_id"), col("value"))
+        .select(col("user_id"), QueryBase.tsUs(ev).as("v_us"), col("event_id"), col("value"))
       // explicit aliases: both frames share lineage from the same events
       // read, and `purchases("user_id") === views("user_id")` resolves to
       // the SAME attribute id — a trivially-true predicate Spark 4 only
@@ -495,16 +496,19 @@ object RelQueries {
 
     // time-series resample: downsample the event stream to fixed 1-hour
     // buckets per type — the resample/rollup every monitoring pipeline
-    // runs. Bucket ids are INTEGER microsecond division (ts div 1000 is
-    // the shared microsecond rule; FP division of ns epochs would lose
-    // precision above 2^53). One map-side-combinable aggregation.
-    "q71_time_resample" -> ((spark, dir) =>
-      table(spark, dir, "events")
-        .select(col("event_type"),
-          expr("(ts div 1000) div 3600000000").as("hour_bucket"), col("value"))
+    // runs. Bucket ids are INTEGER microsecond division off QueryBase.tsUs
+    // (FP division of epoch integers would round near bucket edges). One
+    // map-side-combinable aggregation.
+    "q71_time_resample" -> ((spark, dir) => {
+      val raw = table(spark, dir, "events")
+      raw
+        .select(col("event_type"), QueryBase.tsUs(raw).as("ts_us"), col("value"))
+        .withColumn("hour_bucket", expr("ts_us div 3600000000"))
+        .drop("ts_us")
         .groupBy("event_type", "hour_bucket")
         .agg(count(lit(1)).as("n_events"), xsum(col("value"), 6).as("sum_value"))
-        .withColumn("avg_value", pround(col("sum_value") / col("n_events"), 6))),
+        .withColumn("avg_value", pround(col("sum_value") / col("n_events"), 6))
+    }),
 
     // exact multi-quantile by rank arithmetic (generalizes q55): the
     // lower (type-1) quantile at rank floor(q*(n-1)) + 1 per group.

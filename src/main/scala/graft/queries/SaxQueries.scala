@@ -4,6 +4,7 @@ import graft.SparkUtil.table
 import graft.sax.SaxFunctions._
 import graft.sql.OracleGen
 import graft.sql.OracleGen._
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import QueryBase._
@@ -36,13 +37,13 @@ object SaxQueries {
     * oracle SQL via dlit so the two surfaces cannot drift. */
   private val SplitDenom = 16.0
 
-  // Order by MICROSECOND-truncated ts + event_id: the oracle's DuckDB
-  // reads the ns parquet column as a us TIMESTAMP, so ordering by raw ns
-  // would diverge from the oracle whenever two same-user events share a
-  // microsecond (latent in the fixtures, structural in general).
-  private def byUser = Window.partitionBy("user_id")
-    .orderBy(expr("ts div 1000"), col("event_id"))
-  private def trail = byUser.rowsBetween(-(N - 1), 0)
+  // Order by MICROSECOND epoch + event_id: QueryBase.tsUs dispatches on the
+  // carrier type (TIMESTAMP/TIMESTAMP_NTZ vs legacy integer ns) so the
+  // ordering matches the oracle's ORDER BY ts / epoch_us(ts), which sees µs
+  // precision, whatever schema the events table arrives with.
+  private def byUser(ev: DataFrame) = Window.partitionBy("user_id")
+    .orderBy(tsUs(ev), col("event_id"))
+  private def trail(ev: DataFrame) = byUser(ev).rowsBetween(-(N - 1), 0)
 
   // ---- shared oracle fragments --------------------------------------------
 
@@ -102,8 +103,8 @@ object SaxQueries {
   // ---- Spark-side shared frames -------------------------------------------
 
   private def windowWordsFor(n: Int, w: Int, c: Int): QFn = (spark, dir) => {
-    val spec = byUser.rowsBetween(-(n - 1), 0)
     val ev = table(spark, dir, "events")
+    val spec = byUser(ev).rowsBetween(-(n - 1), 0)
     ev.select(col("event_id"), col("user_id"),
         sax_encode_window(collect_list(col("value")).over(spec), n, w, c).as("word"))
   }
@@ -143,8 +144,8 @@ object SaxQueries {
       if (masked) when(col("event_type") === "click", lit(Double.NaN)).otherwise(col("value"))
       else col("value")
     ev.select(col("user_id"),
-        row_number().over(byUser).as("rn"),
-        collect_list(v).over(trail).as("vals"))
+        row_number().over(byUser(ev)).as("rn"),
+        collect_list(v).over(trail(ev)).as("vals"))
       .where(col("rn") === N)
       .select(col("user_id"), sax_encode(col("vals"), w, c).as("word"))
   }
@@ -298,8 +299,8 @@ object SaxQueries {
     "q11_sax_paa" -> ((spark, dir) => {
       val ev = table(spark, dir, "events")
       ev.select(col("user_id"),
-          row_number().over(byUser).as("rn"),
-          collect_list(col("value")).over(trail).as("vals"))
+          row_number().over(byUser(ev)).as("rn"),
+          collect_list(col("value")).over(trail(ev)).as("vals"))
         .where(col("rn") === N)
         .select(col("user_id"), sax_paa(col("vals"), W).as("p"))
         .select(col("user_id"),
@@ -327,9 +328,11 @@ object SaxQueries {
     // group-parallel shape: buckets encode independently, no window spec
     "q28_sax_weekly" -> ((spark, dir) => {
       val weekUs = 7L * 24 * 3600 * 1000000L
-      val ev = table(spark, dir, "events")
-        .select(col("user_id"), expr(s"(ts div 1000) div $weekUs").as("week"),
-          expr("ts div 1000").as("ts_us"), col("event_id"), col("value"))
+      val raw = table(spark, dir, "events")
+      val ev = raw
+        .select(col("user_id"), tsUs(raw).as("ts_us"), col("event_id"), col("value"))
+        // week ids stay INTEGER µs division (FP would round near bucket edges)
+        .withColumn("week", expr(s"ts_us div $weekUs"))
       val byBucket = Window.partitionBy("user_id", "week").orderBy("ts_us", "event_id")
       ev.withColumn("rn", row_number().over(byBucket))
         .where(col("rn") <= N)
@@ -350,9 +353,9 @@ object SaxQueries {
       val k = coalesce(
         regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("double"),
         lit(Double.NaN))
-      val spec = byUser.rowsBetween(-(N - 1), 0)
-      table(spark, dir, "events")
-        .select(col("user_id"),
+      val ev = table(spark, dir, "events")
+      val spec = byUser(ev).rowsBetween(-(N - 1), 0)
+      ev.select(col("user_id"),
           sax_encode_window(collect_list(k).over(spec), N, W, C).as("word"))
         .groupBy("word").agg(count(lit(1)).as("cnt"))
     }),
@@ -405,10 +408,10 @@ object SaxQueries {
     // scales (the single-column variant has only as many partitions as
     // users). Words group per composite series.
     "q15_sax_multikey" -> ((spark, dir) => {
+      val ev = table(spark, dir, "events")
       val w = Window.partitionBy("user_id", "event_type")
-        .orderBy(expr("ts div 1000"), col("event_id")).rowsBetween(-(N - 1), 0)
-      table(spark, dir, "events")
-        .select(col("user_id"), col("event_type"),
+        .orderBy(tsUs(ev), col("event_id")).rowsBetween(-(N - 1), 0)
+      ev.select(col("user_id"), col("event_type"),
           sax_encode_window(collect_list(col("value")).over(w), N, W, C).as("word"))
         .groupBy("user_id", "event_type", "word")
         .agg(count(lit(1)).as("cnt"))
@@ -422,7 +425,7 @@ object SaxQueries {
       import SaxWindowAggregator.{In, Keyed}
       import org.apache.spark.sql.Encoders
       val ev = table(spark, dir, "events")
-      ev.select(col("user_id").as("userId"), expr("ts div 1000").as("ts"),
+      ev.select(col("user_id").as("userId"), tsUs(ev).as("ts"),
           col("event_id").as("eventId"), col("value"))
         .as[Keyed](Encoders.product[Keyed])
         .groupByKey(_.userId)(Encoders.scalaLong)
@@ -451,8 +454,9 @@ object SaxQueries {
     "q19_sax_stream_replay" -> ((spark, dir) => {
       import org.apache.spark.sql.Encoders
       val (n, w, c) = (N, W, C)
-      val in = table(spark, dir, "events")
-        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"),
+      val ev = table(spark, dir, "events")
+      val in = ev
+        .select(col("event_id"), col("user_id"), tsUs(ev).as("ts_us"),
           col("value"))
         .repartition(col("user_id"))
         .sortWithinPartitions("user_id", "ts_us", "event_id")
@@ -509,11 +513,13 @@ object SaxQueries {
     // depth its population demands — deeper levels repeat the same
     // bounded-dictionary pass.
     "q92_isax_adaptive_index" -> ((spark, dir) => {
-      val words = table(spark, dir, "events")
+      val ev = table(spark, dir, "events")
+      val tr = trail(ev)
+      val words = ev
         .select(
-          sax_encode_window(collect_list(col("value")).over(trail), N, W, 2).as("cw"),
-          substring(sax_encode_window(collect_list(col("value")).over(trail), N, W, 4), 1, 1).as("f1"),
-          substring(sax_encode_window(collect_list(col("value")).over(trail), N, W, 8), 1, 1).as("e1"))
+          sax_encode_window(collect_list(col("value")).over(tr), N, W, 2).as("cw"),
+          substring(sax_encode_window(collect_list(col("value")).over(tr), N, W, 4), 1, 1).as("f1"),
+          substring(sax_encode_window(collect_list(col("value")).over(tr), N, W, 8), 1, 1).as("e1"))
       val counts2 = words.groupBy("cw", "f1").agg(count(lit(1)).as("cnt2"))
       val dict = counts2
         .withColumn("cnt", sum("cnt2").over(Window.partitionBy("cw")))
@@ -550,8 +556,9 @@ object SaxQueries {
     // partitioning every per-key op uses; no new shuffle.
     "q102_session_encode" -> ((spark, dir) => {
       val byU = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-      val sess = table(spark, dir, "events")
-        .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+      val ev = table(spark, dir, "events")
+      val sess = ev
+        .select(col("user_id"), tsUs(ev).as("ts_us"),
           col("event_id"), col("value"))
         .withColumn("prev_us", lag("ts_us", 1).over(byU))
         .withColumn("is_new",

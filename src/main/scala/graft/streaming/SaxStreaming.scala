@@ -26,6 +26,20 @@ object SaxStreaming {
   final case class SeriesEvent(userId: Long, eventId: Long, ts: Long, value: Double)
   final case class WordOut(userId: Long, eventId: Long, word: String)
 
+  /** Normalize an events frame (user_id, event_id, ts, value) into the typed
+    * [[SeriesEvent]] surface. `ts` becomes epoch NANOSECONDS whatever the
+    * carrier type — TIMESTAMP/TIMESTAMP_NTZ (µs·1000, lossless for µs
+    * parquet) or legacy integer ns (µs-truncated, the same precision every
+    * batch ordering uses). One conversion point so a schema change in the
+    * source can never split the typed streaming surface from the batch one. */
+  def seriesEvents(events: org.apache.spark.sql.DataFrame): Dataset[SeriesEvent] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.functions._
+    events.select(col("user_id").as("userId"), col("event_id").as("eventId"),
+        (graft.queries.QueryBase.tsUs(events) * lit(1000L)).as("ts"), col("value"))
+      .as[SeriesEvent]
+  }
+
   /** Serializable window state (ring contents in insertion order + moments). */
   final case class SaxState(values: Array[Double], mu: Double, s2: Double,
                             finiteCnt: Long)
@@ -80,8 +94,9 @@ object SaxStreaming {
     import org.apache.spark.sql.functions._
     val enc = truncEncode(w, c)
     events
-      // integer div: FP division of ns epochs loses precision above 2^53
-      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+      // tsUs dispatches on the carrier type; for SeriesEvent's ns Long it is
+      // integer division (FP division of ns epochs loses precision above 2^53)
+      .withColumn("ets", timestamp_micros(graft.queries.QueryBase.tsUs(events.toDF())))
       .withWatermark("ets", lateness)
       .groupBy(window(col("ets"), windowLength), col("userId"))
       .agg(sort_array(collect_list(struct(col("ts"), col("eventId"), col("value")))).as("rows"))
@@ -103,7 +118,7 @@ object SaxStreaming {
     import org.apache.spark.sql.functions._
     val enc = truncEncode(w, c)
     events
-      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ets", timestamp_micros(graft.queries.QueryBase.tsUs(events.toDF())))
       .withWatermark("ets", lateness)
       .groupBy(session_window(col("ets"), gap), col("userId"))
       .agg(sort_array(collect_list(struct(col("ts"), col("eventId"), col("value")))).as("rows"))

@@ -28,13 +28,15 @@ object StreamingRangeJoin {
   val DefaultTauSec: Long = graft.queries.RelQueries.RangeTauUs / 1000000L
 
   /** (p_eid, n_eid) pairs with |Δet| ≤ tauSec and equal user_id, from a
-    * frame with (event_id, user_id, ts[ns long]) — streaming or batch. */
+    * frame with (event_id, user_id, ts) — streaming or batch. `ts` may be
+    * TIMESTAMP/TIMESTAMP_NTZ or legacy integer ns
+    * ([[graft.queries.QueryBase.tsUs]] dispatches on the schema). */
   def pairs(events: DataFrame, lateness: String): DataFrame =
     pairs(events, DefaultTauSec, lateness)
 
   def pairs(events: DataFrame, tauSec: Long, lateness: String): DataFrame = {
     val base = events.select(col("event_id"), col("user_id"),
-      timestamp_micros(expr("ts div 1000")).as("et"))
+      timestamp_micros(graft.queries.QueryBase.tsUs(events)).as("et"))
     val a = base.withWatermark("et", lateness).alias("a")
     val b = base.withWatermark("et", lateness).alias("b")
     a.join(b, expr(

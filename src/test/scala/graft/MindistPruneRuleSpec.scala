@@ -97,9 +97,10 @@ class MindistPruneRuleSpec extends AnyFunSuite with BeforeAndAfterAll {
     // (q05's own window formulation: µs-truncated ts + event_id order)
     val got = q.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
     import org.apache.spark.sql.expressions.Window
+    val evDf = spark.read.parquet(s"$dir/events.parquet")
     val trail = Window.partitionBy("user_id")
-      .orderBy(expr("ts div 1000"), col("event_id")).rowsBetween(-7, 0)
-    val q05Words = spark.read.parquet(s"$dir/events.parquet")
+      .orderBy(graft.queries.QueryBase.tsUs(evDf), col("event_id")).rowsBetween(-7, 0)
+    val q05Words = evDf
       .select(col("event_id"),
         sax_encode_window(collect_list(col("value")).over(trail), 8, 4, 4).as("word"))
     val mdU = saxMindist(col("word"), lit(8L), lit("BDBB"), lit(0L), lit(4))

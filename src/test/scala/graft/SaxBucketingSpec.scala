@@ -29,10 +29,10 @@ class SaxBucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("word-bucketed tables join co-located: no Exchange in the plan") {
     import org.apache.spark.sql.expressions.Window
+    val evDf = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val trail = Window.partitionBy("user_id")
-      .orderBy(expr("ts div 1000"), col("event_id")).rowsBetween(-7, 0)
-    val words = spark.read
-      .parquet("/root/testdata/sf0.001/events.parquet")
+      .orderBy(graft.queries.QueryBase.tsUs(evDf), col("event_id")).rowsBetween(-7, 0)
+    val words = evDf
       .select(col("event_id"), col("user_id"),
         sax_encode_window(collect_list(col("value")).over(trail), 8, 4, 4).as("word"))
 
@@ -66,8 +66,9 @@ class SaxBucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("q92 adaptive index: iSAX nesting holds per window, cells partition the corpus") {
     import org.apache.spark.sql.expressions.Window
     val dir = "/root/testdata/sf0.001"
+    val evDf = spark.read.parquet(s"$dir/events.parquet")
     val trail = Window.partitionBy("user_id")
-      .orderBy(expr("ts div 1000"), col("event_id")).rowsBetween(-7, 0)
+      .orderBy(graft.queries.QueryBase.tsUs(evDf), col("event_id")).rowsBetween(-7, 0)
     // the nesting property the split RELIES on, at BOTH promotion levels:
     // every c=4 first symbol refines its window's c=2 first symbol (0.0
     // is a breakpoint of both), and every c=8 first symbol refines its

@@ -47,11 +47,8 @@ class SaxStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     import ss.implicits._
     val n = 8; val w = 4; val c = 4
 
-    val events = spark.read
-      .parquet("/root/testdata/sf0.001/events.parquet")
-      .select(col("user_id").as("userId"), col("event_id").as("eventId"),
-        col("ts"), col("value"))
-      .as[SeriesEvent]
+    val events = SaxStreaming.seriesEvents(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
       .collect()
       .sortBy(e => (e.ts, e.eventId))
 
@@ -165,10 +162,8 @@ class SaxStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ss = spark
     import ss.implicits._
     val dir = "/root/testdata/sf0.001"
-    val events = spark.read.parquet(s"$dir/events.parquet")
-      .select(col("user_id").as("userId"), col("event_id").as("eventId"),
-        col("ts"), col("value"))
-      .as[SeriesEvent].collect().sortBy(e => (e.ts, e.eventId))
+    val events = SaxStreaming.seriesEvents(spark.read.parquet(s"$dir/events.parquet"))
+      .collect().sortBy(e => (e.ts, e.eventId))
     val gapSeconds = graft.queries.RelQueries.SessionGapUs / 1000000L
 
     val stream = MemoryStream[SeriesEvent](spark)
@@ -228,11 +223,9 @@ class SaxStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("streaming numerosity (Update-mode word counts) matches batch groupBy") {
     val ss = spark
     import ss.implicits._
-    val events = spark.read
-      .parquet("/root/testdata/sf0.001/events.parquet")
-      .select(col("user_id").as("userId"), col("event_id").as("eventId"),
-        col("ts"), col("value"))
-      .as[SeriesEvent].collect().sortBy(e => (e.ts, e.eventId))
+    val events = SaxStreaming.seriesEvents(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+      .collect().sortBy(e => (e.ts, e.eventId))
 
     val stream = MemoryStream[SeriesEvent](spark)
     val query = SaxStreaming.wordCounts(stream.toDS(), 8, 4, 4)

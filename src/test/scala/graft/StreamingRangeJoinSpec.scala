@@ -26,8 +26,16 @@ class StreamingRangeJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ss = spark
     import ss.implicits._
     val tauSec = StreamingRangeJoin.DefaultTauSec // q119's RangeTauUs, via the shared constant
+    // replay in ns-long form (the MemoryStream tuple type); tsUs handles
+    // either carrier, so the ns longs exercise the legacy branch while the
+    // batch side below could equally feed the raw timestamp frame
     val rows = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .select("event_id", "user_id", "ts").orderBy("ts", "event_id").collect()
+      .select(org.apache.spark.sql.functions.col("event_id"),
+        org.apache.spark.sql.functions.col("user_id"),
+        (org.apache.spark.sql.functions.unix_micros(
+          org.apache.spark.sql.functions.col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType)) * 1000L).as("ts"))
+      .orderBy("ts", "event_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(rows.length == 1000)
 
