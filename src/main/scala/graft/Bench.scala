@@ -60,15 +60,24 @@ object Bench {
       graft.queries.DedupQueries.invalidateComponentMemo()
       spark.catalog.clearCache() // queries may cache(); don't leak across timings
       val t0 = System.nanoTime()
-      try force(fn(spark, sfDir)) catch { case _: Throwable => -1L }
+      // a THROWING query must never record its ~0.05s analysis-failure time
+      // as a benchmark number (r10's broken queries made the total look
+      // BETTER): only successful passes feed best/pass1Total; a query with
+      // no successful timed pass reports -1.0 and counts into "errors".
+      val ok = try { force(fn(spark, sfDir)); true }
+      catch { case e: Throwable =>
+        if (pass == 0) System.err.println(s"[bench] $name threw: ${e.getMessage}")
+        false
+      }
       val dt = (System.nanoTime() - t0) / 1e9
-      if (pass >= 1) { // pass 0 is the warm pass: never recorded
+      if (pass >= 1 && ok) { // pass 0 is the warm pass: never recorded
         if (pass == 1) pass1Total += dt
         best(name) = math.min(best.getOrElse(name, Double.MaxValue), dt)
       }
     }
     val loadEnd = loadAvg()
-    val results = names.map { case (name, _) => name -> best(name) }
+    val results = names.map { case (name, _) => name -> best.getOrElse(name, -1.0) }
+    val errors = results.count(_._2 < 0)
     // keep the line WELL under the driver's ~2,000-char tail capture that
     // truncated rounds 1+2 ("parsed": null): times at 3 decimals and
     // per-query keys shortened to their unique qNN prefix (~1,100 chars
@@ -76,7 +85,9 @@ object Bench {
     def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k.split("_").head + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // total spans only queries that RAN; "errors" reddens the artifact when
+    // any didn't, so a broken round can't undercut prior rounds' totals
+    val total = results.map(_._2).filter(_ >= 0).sum
     // "value" is the sum of per-query MINIMA over the 3 timed passes
     // (warm-pass + min-of-3 since r9; min-of-2 in r7/r8).
     // "warm_pass1_total" is the first TIMED pass, measured AFTER the
@@ -84,7 +95,7 @@ object Bench {
     // included the 3-5 s first-execution codegen/JIT cost (the key is
     // renamed so adjudication can't conflate the two semantics).
     val line =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","passes":3,"warm_pass":true,""" +
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","passes":3,"warm_pass":true,"errors":$errors,""" +
         s""""load_start":"$loadStart","load_end":"$loadEnd",""" +
         s""""warm_pass1_total":${f3(pass1Total)},"queries":$qs,"sf":"$sfDir"}"""
     // stdout for the driver (build.sbt routes `run` output straight to

@@ -11,11 +11,21 @@ object Verify {
       SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // every thrown query is RECORDED, not just logged: r10's ts-type break
+    // produced a 102-row correctness artifact with zero err entries because
+    // a missing parquet dir read as "absent", not "red". _failures.json is
+    // written unconditionally (empty {} on a clean run) so a consumer can
+    // distinguish "nothing failed" from "the loud path never ran".
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failures(name) = (Option(e.getMessage).getOrElse("") match {
+          case "" => e.getClass.getName
+          case m  => s"${e.getClass.getSimpleName}: $m"
+        }).take(800)
       }
       // Queries may cache intermediates (q75's edge relation, q52's prefix
       // index); evict between queries so one query's pins don't squeeze the
@@ -41,6 +51,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val fjson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_failures.json"), fjson)
+    if (failures.nonEmpty)
+      System.err.println(s"[verify] ${failures.size} queries FAILED: " +
+        failures.keys.mkString(", "))
     spark.stop()
   }
 }

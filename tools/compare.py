@@ -45,11 +45,16 @@ def fresh_con(sf_dir):
 def main(sf_dir, out_dir):
     con = fresh_con(sf_dir)
     oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
+    # Verify records every thrown query here (absent != red was how r10's
+    # 28-query break produced an all-green 102-row artifact)
+    fail_path = Path(out_dir) / "_failures.json"
+    failures = json.loads(fail_path.read_text()) if fail_path.exists() else {}
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         res_dir = Path(out_dir) / name
         if not res_dir.exists():
-            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+            why = failures.get(name, "no spark output")
+            print(f"FAIL {name}: {why}"); n_fail += 1; continue
         try:
             spark_df = pq.read_table(res_dir).to_pandas()
         except Exception as e:
