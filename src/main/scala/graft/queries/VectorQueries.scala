@@ -406,6 +406,28 @@ object VectorQueries {
     ivfProbe(emb.where(col("vec_id") < QueryCount), cents, cb, codes, nprobe)
   }
 
+  /** [[ivfAdcResidual]]'s workload served from the PERSISTED q127 index at
+    * any probe width — zero training stages in the plan. The probed cells
+    * are collected driver-side first (≤ QueryCount·nprobe ids, the bounded
+    * q05 AQE-style discipline) so the `cell IN (...)` filter is LITERAL and
+    * the bucketed code scan prunes to the probed cells' buckets.
+    * Bit-identical to the live-trained pipeline (IvfIndexPlanSpec pins it),
+    * so q128 and the recall ladder q99/q101/q133 all serve from here — at
+    * 100 TB the recall monitor probes the nightly index like any other
+    * query batch; only q94/q100 keep the one-shot train+serve shape (they
+    * ARE the live-pipeline measurement). */
+  private def ivfAdcFromIndex(spark: org.apache.spark.sql.SparkSession,
+                              dir: String, nprobe: Int): org.apache.spark.sql.DataFrame = {
+    val (centT, cbT, codesT) = ivfIndexTables(spark, dir)
+    val cents = spark.table(centT)
+    val cb = spark.table(cbT)
+    val q = spread(table(spark, dir, "embeddings")).where(col("vec_id") < QueryCount)
+    val cells = probeCells(q, cents, nprobe)
+      .select("cell").distinct().collect().map(_.getLong(0)).sorted
+    val codes = spark.table(codesT).where(col("cell").isin(cells: _*))
+    ivfProbe(q, cents, cb, codes, nprobe)
+  }
+
   /** Bucket count for the at-rest code table — fixed so the layout's
     * hash partitioning is stable across writers (at 100 TB you'd size it
     * to the cell count, e.g. one bucket per few cells). */
@@ -625,16 +647,7 @@ object VectorQueries {
     // the plan a 100 TB deployment wants: the index is files, a query
     // batch reads only the buckets it routes to. IvfIndexPlanSpec pins
     // the shape (one embeddings scan, SelectedBucketsCount, no SMJ/SHJ).
-    "q128_ivf_index_probe" -> ((spark, dir) => {
-      val (centT, cbT, codesT) = ivfIndexTables(spark, dir)
-      val cents = spark.table(centT)
-      val cb = spark.table(cbT)
-      val q = spread(table(spark, dir, "embeddings")).where(col("vec_id") < QueryCount)
-      val cells = probeCells(q, cents, NProbe)
-        .select("cell").distinct().collect().map(_.getLong(0)).sorted
-      val codes = spark.table(codesT).where(col("cell").isin(cells: _*))
-      ivfProbe(q, cents, cb, codes, NProbe)
-    }),
+    "q128_ivf_index_probe" -> ((spark, dir) => ivfAdcFromIndex(spark, dir, NProbe)),
 
     // incremental index maintenance (the q62 batch-vs-corpus shape for
     // vectors): encode the NEW batch (vec_id % IncrMod == IncrMod-1)
@@ -680,10 +693,14 @@ object VectorQueries {
     // the evaluation story: q49 measures LSH, q90 measures pure ADC, this
     // measures the residual composition at nprobe=1 (where recall still
     // pays for single-cell routing), and q101 measures what nprobe=3 buys
-    // back. Same harness shape.
+    // back. Same harness shape. The ladder SERVES FROM THE q127 AT-REST
+    // INDEX (ivfAdcFromIndex — bit-identical to the live-trained pipeline,
+    // IvfIndexPlanSpec pins it): a recall monitor probes the nightly index;
+    // re-running Lloyd per evaluation point would triple-pay a training
+    // stage the engine has already persisted.
     "q99_ivf_adc_recall" -> ((spark, dir) =>
       recallHarness(defs("q40_ann_brute")(spark, dir),
-        defs("q94_ivf_adc")(spark, dir))),
+        ivfAdcFromIndex(spark, dir, 1))),
 
     // recall@5 of the nprobe=3 IVFADC — the number the nprobe knob is
     // tuned against: q99 (nprobe=1) vs this quantifies exactly the
@@ -693,11 +710,11 @@ object VectorQueries {
     // in-engine, each point against the same exact-truth harness
     "q133_ivfadc_np5_recall" -> ((spark, dir) =>
       recallHarness(defs("q40_ann_brute")(spark, dir),
-        ivfAdcResidual(spark, dir, NProbeWide))),
+        ivfAdcFromIndex(spark, dir, NProbeWide))),
 
     "q101_ivfadc_nprobe_recall" -> ((spark, dir) =>
       recallHarness(defs("q40_ann_brute")(spark, dir),
-        defs("q100_ivfadc_nprobe")(spark, dir))),
+        ivfAdcFromIndex(spark, dir, NProbe))),
 
     // exact ANN baseline: brute-force cosine top-5 per query vector.
     // Plans as BroadcastNestedLoopJoin with the 10-row query side broadcast
