@@ -99,7 +99,63 @@ object RelQueries {
     (names(0), names(1))
   }
 
+  /** q134 partition grain: one directory per epoch-DAY of event time —
+    * ONE constant, embedded into the oracle SQL so the two surfaces
+    * cannot drift. */
+  private[graft] val DayUs = 86400000000L
+
+  /** q134's at-rest DATE-PARTITIONED copy of `events` — the layout every
+    * 100 TB event store uses (one directory per day; a time-range query
+    * reads only the days it touches, the scan never opens the rest).
+    * Built once per (session, sf dir) through [[AtRestTables]], same
+    * registry as the q132 file sources / q78 word buckets / q127 IVF
+    * index. The partition column is the integer epoch-day of
+    * [[QueryBase.tsUs]], so the layout derives from the same µs rule as
+    * every other time surface. */
+  private def partitionedEventsTable(spark: org.apache.spark.sql.SparkSession,
+                                     dir: String): String = {
+    val names = AtRestTables.get(spark, s"evpart|$dir") { base =>
+      val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val raw = table(spark, dir, "events")
+      val pT = s"graft_events_byday_$sfx"
+      raw.select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), QueryBase.tsUs(raw).as("ts_us"))
+        .withColumn("day", expr(s"ts_us div $DayUs"))
+        .write.mode("overwrite").partitionBy("day")
+        .option("path", s"$base/evday").saveAsTable(pT)
+      Seq(pT)
+    }
+    names(0)
+  }
+
   val defs: Map[String, QFn] = Map(
+    // PARTITION-PRUNED time-range scan over the date-partitioned at-rest
+    // events copy — the core 100 TB scan pattern (beside q78/q128's
+    // BUCKET pruning this completes the source-pruning story: partition
+    // pruning by time, bucket pruning by key). The 7-day window is
+    // derived from the catalog's partition LISTING (SHOW PARTITIONS reads
+    // metastore metadata, no data scan) and applied as a LITERAL range,
+    // so Catalyst prunes at planning time: the FileScan's
+    // PartitionFilters carry the bounds and only the touched day
+    // directories are opened (PartitionPruneSpec pins it). The oracle
+    // replays the same window over the raw parquet — equal results prove
+    // the partitioned layout lossless AND the pruning semantics exact.
+    "q134_partition_pruned_scan" -> ((spark, dir) => {
+      val pT = partitionedEventsTable(spark, dir)
+      val days = spark.sql(s"SHOW PARTITIONS $pT").collect()
+        .map(_.getString(0).split("=")(1).toLong)
+      // empty source -> degenerate range -> empty result, matching the
+      // oracle's NULL min(day) bounds (EmptyInputSpec runs this path)
+      val (lo, hi) =
+        if (days.isEmpty) (0L, -1L) else (days.min + 7L, days.min + 13L)
+      spark.table(pT)
+        .where(col("day") >= lo && col("day") <= hi)
+        .groupBy("day", "event_type")
+        .agg(count(lit(1)).as("n_events"), xsum(col("value"), 6).as("sum_value"))
+        .select(col("day").cast("long").as("day"), col("event_type"),
+          col("n_events"), col("sum_value"))
+    }),
+
     // FILE-FORMAT SOURCES (§2.3 scans beyond parquet): documents written
     // to JSONL + CSV at rest, read back through Spark's JSON/CSV readers,
     // and PROVEN byte-identical to the parquet origin — the md5-derived
@@ -601,6 +657,21 @@ object RelQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the same 7-day window over the RAW parquet — equality with the
+    // Spark side's partitioned-table scan proves the date-partitioned
+    // layout lossless and the literal partition-range semantics exact
+    // (the window start replays Spark's SHOW PARTITIONS min as min(day))
+    "q134_partition_pruned_scan" ->
+      s"""WITH base AS (
+         |  SELECT epoch_us(ts) // $DayUs AS day, event_type, value FROM events),
+         |b AS (SELECT min(day) AS m FROM base)
+         |SELECT CAST(day AS BIGINT) AS day, event_type,
+         |       CAST(count(*) AS BIGINT) AS n_events,
+         |       ${xsumSql("value", 6)} AS sum_value
+         |FROM base, b
+         |WHERE day BETWEEN b.m + 7 AND b.m + 13
+         |GROUP BY day, event_type""".stripMargin,
+
     // the parquet origin directly — equality with the Spark side's
     // JSONL/CSV round trip is the losslessness proof
     "q132_file_source_roundtrip" ->
