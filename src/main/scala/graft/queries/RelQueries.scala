@@ -113,19 +113,31 @@ object RelQueries {
     * [[QueryBase.tsUs]], so the layout derives from the same µs rule as
     * every other time surface. */
   private def partitionedEventsTable(spark: org.apache.spark.sql.SparkSession,
-                                     dir: String): String = {
+                                     dir: String): (String, String) = {
     val names = AtRestTables.get(spark, s"evpart|$dir") { base =>
       val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
       val raw = table(spark, dir, "events")
       val pT = s"graft_events_byday_$sfx"
+      val dT = s"graft_day_dim_$sfx"
       raw.select(col("event_id"), col("user_id"), col("event_type"),
           col("value"), QueryBase.tsUs(raw).as("ts_us"))
         .withColumn("day", expr(s"ts_us div $DayUs"))
         .write.mode("overwrite").partitionBy("day")
         .option("path", s"$base/evday").saveAsTable(pT)
-      Seq(pT)
+      // the calendar dimension a warehouse keeps beside a partitioned
+      // fact: one row per observed day, dow = day % 7 (epoch day 0 was a
+      // Thursday; the label is a deterministic tag, not a locale claim).
+      // Written as its own table so q135's join filter is genuinely a
+      // RELATION-side predicate — the shape dynamic partition pruning
+      // exists for.
+      val rawDim = table(spark, dir, "events")
+      rawDim.select(QueryBase.tsUs(rawDim).as("ts_us"))
+        .select(expr(s"ts_us div $DayUs").as("day")).distinct()
+        .withColumn("dow", expr("day % 7").cast("int"))
+        .write.mode("overwrite").option("path", s"$base/daydim").saveAsTable(dT)
+      Seq(pT, dT)
     }
-    names(0)
+    (names(0), names(1))
   }
 
   val defs: Map[String, QFn] = Map(
@@ -141,7 +153,7 @@ object RelQueries {
     // replays the same window over the raw parquet — equal results prove
     // the partitioned layout lossless AND the pruning semantics exact.
     "q134_partition_pruned_scan" -> ((spark, dir) => {
-      val pT = partitionedEventsTable(spark, dir)
+      val (pT, _) = partitionedEventsTable(spark, dir)
       val days = spark.sql(s"SHOW PARTITIONS $pT").collect()
         .map(_.getString(0).split("=")(1).toLong)
       // empty source -> degenerate range -> empty result, matching the
@@ -150,6 +162,27 @@ object RelQueries {
         if (days.isEmpty) (0L, -1L) else (days.min + 7L, days.min + 13L)
       spark.table(pT)
         .where(col("day") >= lo && col("day") <= hi)
+        .groupBy("day", "event_type")
+        .agg(count(lit(1)).as("n_events"), xsum(col("value"), 6).as("sum_value"))
+        .select(col("day").cast("long").as("day"), col("event_type"),
+          col("n_events"), col("sum_value"))
+    }),
+
+    // DYNAMIC partition pruning — the RUNTIME half of the partition story
+    // (q134 pins the static-literal half): the fact side is the
+    // day-partitioned events table, the filter lives on the day-DIMENSION
+    // relation (dow = 0, a predicate Catalyst cannot fold into a literal
+    // day list at plan time), and Spark's DPP turns the dim's broadcast
+    // build into a runtime partition filter on the fact scan — only the
+    // qualifying day directories are opened, without the query author
+    // ever enumerating them. THE mechanism a 100 TB star-schema scan
+    // lives on (fact pruned through the dim filter, never fully read).
+    // PartitionPruneSpec pins dynamicpruning in the fact scan's
+    // PartitionFilters; the oracle replays the join over raw parquet.
+    "q135_dynamic_partition_prune" -> ((spark, dir) => {
+      val (pT, dT) = partitionedEventsTable(spark, dir)
+      val dim = spark.table(dT).where(col("dow") === 0).select("day")
+      spark.table(pT).join(dim, "day")
         .groupBy("day", "event_type")
         .agg(count(lit(1)).as("n_events"), xsum(col("value"), 6).as("sum_value"))
         .select(col("day").cast("long").as("day"), col("event_type"),
@@ -670,6 +703,18 @@ object RelQueries {
          |       ${xsumSql("value", 6)} AS sum_value
          |FROM base, b
          |WHERE day BETWEEN b.m + 7 AND b.m + 13
+         |GROUP BY day, event_type""".stripMargin,
+
+    // the dim-filtered join over RAW parquet — the dim is the distinct
+    // day dictionary, so the join ≡ keeping dow-0 days; equality proves
+    // the DPP-pruned fact scan loses and invents nothing
+    "q135_dynamic_partition_prune" ->
+      s"""WITH base AS (
+         |  SELECT epoch_us(ts) // $DayUs AS day, event_type, value FROM events)
+         |SELECT CAST(day AS BIGINT) AS day, event_type,
+         |       CAST(count(*) AS BIGINT) AS n_events,
+         |       ${xsumSql("value", 6)} AS sum_value
+         |FROM base WHERE day % 7 = 0
          |GROUP BY day, event_type""".stripMargin,
 
     // the parquet origin directly — equality with the Spark side's

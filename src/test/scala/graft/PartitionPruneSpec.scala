@@ -54,4 +54,19 @@ class PartitionPruneSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(resultDays <= 7, s"window returned $resultDays days")
     assert(resultDays > 0, "window returned no days")
   }
+
+  test("q135 fact scan is pruned DYNAMICALLY through the dim filter") {
+    val df = SparkEntry.queries("q135_dynamic_partition_prune")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator
+      .find(l => l.contains("FileScan") && l.contains("graft_events_byday"))
+      .getOrElse(fail(s"no FileScan of the partitioned fact in:\n$plan"))
+    // the day filter cannot be a literal at plan time (it lives on the
+    // dim relation) — DPP must inject a runtime partition filter
+    assert(scanLine.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic pruning on the fact scan: $scanLine")
+    // and the pruning is real: only dow-0 days survive (~1/7 of ~30)
+    val kept = df.select("day").distinct().count()
+    assert(kept > 0 && kept <= 6, s"dow-0 window kept $kept days")
+  }
 }
