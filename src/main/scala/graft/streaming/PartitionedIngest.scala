@@ -1,0 +1,41 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Continuous ingestion into the date-partitioned events layout that the
+  * q134/q135 serving queries probe: an append-mode parquet sink writing
+  * one directory per epoch-day of EVENT time — the write half of the
+  * 100 TB event-store lifecycle (stream in by day, serve by
+  * partition-pruned scans; [[graft.queries.RelQueries]] q134 static /
+  * q135 dynamic). Day derives from the same
+  * [[graft.queries.QueryBase.tsUs]] µs rule as every batch surface
+  * (integer division by the shared q134 [[graft.queries.RelQueries.DayUs]]
+  * grain), so a row ingested here lands in exactly the directory the
+  * batch layout would put it in — StreamingPartitionedSinkSpec proves the
+  * streamed layout row-identical to the batch write.
+  *
+  * Scale shape: the sink writes each micro-batch's files under its days
+  * with NO shuffle (partitionBy on a file sink is a per-task dynamic
+  * write, not an Exchange); exactly-once lands on the checkpoint +
+  * file-manifest pair Spark's file sink keeps. Late data (within the
+  * upstream watermark policy) simply appends more files to an old day —
+  * the pruned readers never care how many files a day holds. */
+object PartitionedIngest {
+
+  /** Start the daily-partitioned append sink. `events` must carry a `ts`
+    * column (TIMESTAMP/TIMESTAMP_NTZ or legacy integer-ns — tsUs
+    * dispatches) plus any payload columns; all of them land in the files,
+    * `day` becomes the directory key. */
+  def daily(events: DataFrame, path: String, checkpoint: String): StreamingQuery =
+    events
+      .withColumn("ts_us", graft.queries.QueryBase.tsUs(events))
+      .withColumn("day", expr(s"ts_us div ${graft.queries.RelQueries.DayUs}"))
+      .drop("ts_us")
+      .writeStream.format("parquet").partitionBy("day")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .start()
+}
