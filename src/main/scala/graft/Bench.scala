@@ -79,11 +79,14 @@ object Bench {
     val results = names.map { case (name, _) => name -> best.getOrElse(name, -1.0) }
     val errors = results.count(_._2 < 0)
     // keep the line WELL under the driver's ~2,000-char tail capture that
-    // truncated rounds 1+2 ("parsed": null): times at 3 decimals and
-    // per-query keys shortened to their unique qNN prefix (~1,100 chars
-    // for 78 queries vs ~2,450 full-precision/full-name)
+    // truncated rounds 1+2 ("parsed": null): per-query times at 2 decimals
+    // (10 ms — the ambient-load noise floor is far coarser), keys
+    // shortened to their unique qNN prefix, totals at 3 decimals. At 132
+    // queries the 3-decimal line had crept to 1,831 chars; this buys ~13
+    // chars/query of headroom for future growth.
     def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + k.split("_").head + "\":" + f3(v) }
+    def f2(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val qs = results.map { case (k, v) => "\"" + k.split("_").head + "\":" + f2(v) }
       .mkString("{", ",", "}")
     // total spans only queries that RAN; "errors" reddens the artifact when
     // any didn't, so a broken round can't undercut prior rounds' totals
