@@ -38,4 +38,20 @@ object PartitionedIngest {
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .start()
+
+  /** Small-files compaction of a daily layout — the OPTIMIZE/maintenance
+    * job every streaming-ingested store needs: each micro-batch leaves
+    * one file per (batch, day), so a day ingested across k batches holds
+    * k small files and scan cost grows with file COUNT, not data size.
+    * Rewrites the layout to `outPath` with exactly one file per day:
+    * `repartition(col("day"))` puts a day's rows in one task, so the
+    * dynamic partitioned write emits one file per day directory. Writes
+    * to a NEW path (never in place — readers may be mid-scan on the old
+    * files at 100 TB; the swap is the caller's atomic pointer flip).
+    * Content identity and the one-file-per-day invariant are spec-pinned. */
+  def compactDaily(spark: org.apache.spark.sql.SparkSession,
+                   inPath: String, outPath: String): Unit =
+    spark.read.parquet(inPath)
+      .repartition(col("day"))
+      .write.mode("overwrite").partitionBy("day").parquet(outPath)
 }

@@ -71,5 +71,24 @@ class StreamingPartitionedSinkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("PartitionFilters: [") && plan.contains("day"),
       s"no partition filters on the stream-written layout:\n$plan")
     assert(pruned.count() > 0)
+
+    // COMPACTION: the multi-batch ingest left >1 file in at least one day
+    // (3 micro-batches over ~30 days); compactDaily must rewrite to
+    // exactly one file per day with identical content
+    def parquetFiles(d: java.io.File) =
+      d.listFiles().count(f => f.getName.endsWith(".parquet"))
+    assert(dayDirs.exists(parquetFiles(_) > 1),
+      "fixture never produced a multi-file day — compaction untested")
+    val compacted = java.nio.file.Files.createTempDirectory("graft-compact-").toString
+    PartitionedIngest.compactDaily(spark, out, compacted)
+    val cDirs = new java.io.File(compacted).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("day="))
+    assert(cDirs.length == dayDirs.length, "compaction changed the day set")
+    assert(cDirs.forall(parquetFiles(_) == 1),
+      s"days with != 1 file after compaction: ${cDirs.filter(parquetFiles(_) != 1).map(_.getName).toSeq}")
+    val compactedRows = spark.read.parquet(compacted)
+      .select(col("eventId"), col("day").cast("long"), col("value"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(compactedRows == streamed, "compaction changed the content")
   }
 }
