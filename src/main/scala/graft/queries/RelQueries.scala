@@ -104,6 +104,43 @@ object RelQueries {
     * cannot drift. */
   private[graft] val DayUs = 86400000000L
 
+  /** q136 resample grain: one hour in µs (embedded into the oracle SQL —
+    * the ONE-place constant discipline). Same value as [[RangeTauUs]] but
+    * a distinct semantic: τ is a join radius, this is a grid step. */
+  private[graft] val HourUs = 3600000000L
+
+  /** q137 bucket fan-out for the at-rest fact tables. Both sides MUST
+    * share it — equal bucket counts on the join key are what let the
+    * sort-merge join consume the on-disk layout with zero Exchange. */
+  private[graft] val FactBuckets = 8
+
+  /** Exact scaled-integer partial sum — the storable half of
+    * [[QueryBase.xsum]]: floor(v*10^6+0.5) summed as a LONG, so at-rest
+    * partial aggregates merge by plain integer addition (order- and
+    * sharding-independent) and scale back to xsum's exact result. */
+  private def sint6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(floor(c * lit(1000000.0) + lit(0.5))).cast("long")
+
+  /** Integer aggregate partials per (day, event_type) — the storable,
+    * addition-mergeable unit of the q138 materialized aggregate. ONE
+    * definition feeds the at-rest base build, the q138 delta, and the
+    * streaming [[graft.streaming.MvMaintenance]] merge, so the three
+    * surfaces cannot drift. */
+  private[graft] def dayTypePartials(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.select(col("event_type"), col("value"), QueryBase.tsUs(df).as("ts_us"))
+      .withColumn("day", expr(s"ts_us div $DayUs"))
+      .groupBy("day", "event_type")
+      .agg(count(lit(1)).as("n"), sint6(col("value")).as("s"))
+
+  /** Merge partial tables by plain addition and scale back — the read
+    * side of [[dayTypePartials]] (exactly q138's probe arithmetic). */
+  private[graft] def mergePartials(parts: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    parts.groupBy("day", "event_type")
+      .agg(sum("n").as("n_events"), sum("s").as("s_merged"))
+      .select(col("day").cast("long").as("day"), col("event_type"),
+        col("n_events"),
+        (col("s_merged").cast("double") / lit(1000000.0)).as("sum_value"))
+
   /** q134's at-rest DATE-PARTITIONED copy of `events` — the layout every
     * 100 TB event store uses (one directory per day; a time-range query
     * reads only the days it touches, the scan never opens the rest).
@@ -139,6 +176,48 @@ object RelQueries {
     }
     (names(0), names(1))
   }
+
+  /** q137's at-rest BUCKETED fact tables: orders and lineitem each
+    * hash-bucketed on the ORDER KEY into [[FactBuckets]] buckets (and
+    * sorted within buckets). The fact-fact join every warehouse runs —
+    * at 100 TB neither side broadcasts and an unbucketed join shuffles
+    * BOTH full tables every query; bucketing pays that shuffle once at
+    * write time, and every subsequent join on the key reads co-located
+    * buckets with zero Exchange (AtRestMaintenanceSpec pins the plan).
+    * Same [[AtRestTables]] lifecycle as the q78 word buckets / q127 IVF
+    * index / q134 day partitions. */
+  private def bucketedFactTables(spark: org.apache.spark.sql.SparkSession,
+                                 dir: String): (String, String) = {
+    val names = AtRestTables.get(spark, s"factbkt|$dir") { base =>
+      val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val oT = s"graft_orders_bkt_$sfx"
+      val lT = s"graft_lineitem_bkt_$sfx"
+      table(spark, dir, "orders").write.mode("overwrite")
+        .bucketBy(FactBuckets, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$base/obkt").saveAsTable(oT)
+      table(spark, dir, "lineitem").write.mode("overwrite")
+        .bucketBy(FactBuckets, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$base/lbkt").saveAsTable(lT)
+      Seq(oT, lT)
+    }
+    (names(0), names(1))
+  }
+
+  /** q138's at-rest MATERIALIZED AGGREGATE over the "already ingested"
+    * 90% of events (event_id % 10 != 0): per (day, event_type) row count
+    * + exact scaled-integer value sum ([[sint6]]). The stored partials
+    * are integers, so the incremental-maintenance merge is plain
+    * addition — no recompute of history when a delta batch lands. */
+  private def aggBaseTable(spark: org.apache.spark.sql.SparkSession,
+                           dir: String): String =
+    AtRestTables.get(spark, s"aggmv|$dir") { base =>
+      val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val t = s"graft_events_aggmv_$sfx"
+      dayTypePartials(table(spark, dir, "events")
+          .where(col("event_id") % 10 =!= 0))
+        .write.mode("overwrite").option("path", s"$base/aggmv").saveAsTable(t)
+      Seq(t)
+    }.head
 
   val defs: Map[String, QFn] = Map(
     // PARTITION-PRUNED time-range scan over the date-partitioned at-rest
@@ -187,6 +266,89 @@ object RelQueries {
         .agg(count(lit(1)).as("n_events"), xsum(col("value"), 6).as("sum_value"))
         .select(col("day").cast("long").as("day"), col("event_type"),
           col("n_events"), col("sum_value"))
+    }),
+
+    // GAP-FILL + LINEAR INTERPOLATION — the time-series regularization
+    // operator (resample to an hourly grid, fill missing buckets by
+    // interpolating between the nearest observed neighbors). q71 resamples
+    // what EXISTS; this materializes what doesn't: per user, the grid
+    // spans [first, last] observed hour (sequence + explode — grid size
+    // is bounded by the resample window, which a 100 TB deployment bounds
+    // explicitly), missing hours take
+    //   prev + (next − prev) · (h − h_prev)/(h_next − h_prev)
+    // from two IGNORE-NULLS window passes over the per-user partition —
+    // the natural parallelism unit, no global sort, no self-join. Output
+    // is the per-user series summary (count / filled count / xsum of the
+    // full and interpolated-only series), so the oracle proves every
+    // interpolated value bit-exactly through the scaled-integer sums.
+    "q136_gapfill_interpolate" -> ((spark, dir) => {
+      val raw = table(spark, dir, "events")
+      val obs = raw
+        .select(col("user_id"), QueryBase.tsUs(raw).as("ts_us"), col("value"))
+        .withColumn("h", expr(s"ts_us div ${HourUs}L"))
+        .groupBy("user_id", "h")
+        .agg(pround(xsum(col("value"), 6) / count(lit(1)), 6).as("v"))
+      val grid = obs.groupBy("user_id")
+        .agg(min("h").as("mn"), max("h").as("mx"))
+        .select(col("user_id"), explode(sequence(col("mn"), col("mx"))).as("h"))
+      val w = Window.partitionBy("user_id").orderBy("h")
+      val wp = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wn = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val filled = grid.join(obs, Seq("user_id", "h"), "left")
+        .withColumn("pv", last(col("v"), ignoreNulls = true).over(wp))
+        .withColumn("ph", last(when(col("v").isNotNull, col("h")), ignoreNulls = true).over(wp))
+        .withColumn("nv", first(col("v"), ignoreNulls = true).over(wn))
+        .withColumn("nh", first(when(col("v").isNotNull, col("h")), ignoreNulls = true).over(wn))
+        .withColumn("fv", when(col("v").isNotNull, col("v")).otherwise(
+          pround(col("pv") + (col("nv") - col("pv")) *
+            ((col("h") - col("ph")).cast("double") /
+              (col("nh") - col("ph")).cast("double")), 6)))
+      filled.groupBy("user_id")
+        .agg(count(lit(1)).as("n_hours"),
+          sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_filled"),
+          xsum(col("fv"), 6).as("sum_series"),
+          coalesce(xsum(when(col("v").isNull, col("fv")), 6), lit(0.0)).as("sum_interp"))
+    }),
+
+    // CO-LOCATED FACT-FACT JOIN over the at-rest bucketed layout — the
+    // join shape a 100 TB warehouse lives on: orders ⋈ lineitem on the
+    // order key where NEITHER side is broadcast-size. Unbucketed, every
+    // run of this join shuffles both full tables; with both sides
+    // bucketed on the key (q137's at-rest tables) the scans themselves
+    // satisfy the join's distribution and the SortMergeJoin runs with
+    // ZERO Exchange below it (AtRestMaintenanceSpec pins the plan — the
+    // only shuffle left is the small post-join reaggregation). The merge
+    // hint forces the SMJ so the co-location is actually exercised (the
+    // sf-scale orders side would otherwise broadcast — at real scale it
+    // cannot). The oracle replays the join over raw parquet: equality
+    // proves the bucketed layout lossless.
+    "q137_bucketed_colocated_join" -> ((spark, dir) => {
+      val (oT, lT) = bucketedFactTables(spark, dir)
+      spark.table(oT).hint("merge")
+        .join(spark.table(lT), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority", "l_returnflag")
+        .agg(count(lit(1)).as("n_items"),
+          xsum(col("l_quantity"), 6).as("sum_qty"),
+          xsum(col("l_extendedprice"), 6).as("sum_price"))
+    }),
+
+    // INCREMENTAL MATERIALIZED-AGGREGATE MAINTENANCE — the upsert/ETL
+    // merge shape: an at-rest aggregate table holds integer PARTIALS
+    // (count + scaled-integer sum) over the already-ingested 90% of
+    // events; a new delta batch (event_id % 10 == 0 — keys OVERLAP the
+    // base's, this is a real merge, not a disjoint union) aggregates
+    // alone and merges by plain addition. History is never recomputed:
+    // the probe reads the small base table + only the delta rows. At
+    // 100 TB this is the difference between an O(delta) nightly load and
+    // an O(corpus) one. The oracle recomputes the aggregate from ALL raw
+    // events — equality proves merged-partials == full recompute exactly
+    // (integer partials make the merge associative and bit-stable; the
+    // scale-back division happens once, after the merge).
+    "q138_incremental_mv_merge" -> ((spark, dir) => {
+      val bT = aggBaseTable(spark, dir)
+      val delta = dayTypePartials(table(spark, dir, "events")
+        .where(col("event_id") % 10 === 0))
+      mergePartials(spark.table(bT).unionByName(delta))
     }),
 
     // FILE-FORMAT SOURCES (§2.3 scans beyond parquet): documents written
@@ -716,6 +878,63 @@ object RelQueries {
          |       ${xsumSql("value", 6)} AS sum_value
          |FROM base WHERE day % 7 = 0
          |GROUP BY day, event_type""".stripMargin,
+
+    // the same grid + interpolation arithmetic in DuckDB (generate_series
+    // for the per-user hour grid, IGNORE-NULLS windows for the neighbor
+    // carry) — the scaled-integer sums make every interpolated value
+    // hash-visible, so equality proves the fill bit-exact
+    "q136_gapfill_interpolate" ->
+      s"""WITH base AS (
+         |  SELECT user_id, epoch_us(ts) // $HourUs AS h, value FROM events),
+         |obs AS (
+         |  SELECT user_id, h,
+         |         ${graft.sql.OracleGen.sround(xsumSql("value", 6) + " / count(*)", 6)} AS v
+         |  FROM base GROUP BY user_id, h),
+         |bounds AS (SELECT user_id, min(h) AS mn, max(h) AS mx FROM obs GROUP BY user_id),
+         |grid AS (SELECT user_id, unnest(generate_series(mn, mx)) AS h FROM bounds),
+         |j AS (SELECT g.user_id, g.h, o.v
+         |      FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.h = o.h),
+         |f AS (SELECT user_id, h, v,
+         |  last_value(v IGNORE NULLS) OVER wp AS pv,
+         |  last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER wp AS ph,
+         |  first_value(v IGNORE NULLS) OVER wn AS nv,
+         |  first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER wn AS nh
+         |  FROM j
+         |  WINDOW wp AS (PARTITION BY user_id ORDER BY h
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |         wn AS (PARTITION BY user_id ORDER BY h
+         |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+         |fl AS (SELECT user_id, v,
+         |  CASE WHEN v IS NOT NULL THEN v
+         |       ELSE ${graft.sql.OracleGen.sround(
+                  "pv + (nv - pv) * ((h - ph)::DOUBLE / (nh - ph)::DOUBLE)", 6)} END AS fv
+         |  FROM f)
+         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_hours,
+         |       CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+         |       ${xsumSql("fv", 6)} AS sum_series,
+         |       coalesce(${xsumSql("CASE WHEN v IS NULL THEN fv END", 6)}, ${dlit(0.0)}) AS sum_interp
+         |FROM fl GROUP BY user_id""".stripMargin,
+
+    // the same join over RAW parquet — equality proves the bucketed
+    // layout lossless (the co-location itself is plan-pinned in
+    // AtRestMaintenanceSpec; value equality is what the gate checks)
+    "q137_bucketed_colocated_join" ->
+      s"""SELECT o_orderpriority, l_returnflag,
+         |       CAST(count(*) AS BIGINT) AS n_items,
+         |       ${xsumSql("l_quantity", 6)} AS sum_qty,
+         |       ${xsumSql("l_extendedprice", 6)} AS sum_price
+         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |GROUP BY o_orderpriority, l_returnflag""".stripMargin,
+
+    // the FULL recompute over raw events — equality proves the
+    // base-partials + delta merge reconstructs the aggregate exactly
+    "q138_incremental_mv_merge" ->
+      s"""WITH base AS (
+         |  SELECT epoch_us(ts) // $DayUs AS day, event_type, value FROM events)
+         |SELECT CAST(day AS BIGINT) AS day, event_type,
+         |       CAST(count(*) AS BIGINT) AS n_events,
+         |       ${xsumSql("value", 6)} AS sum_value
+         |FROM base GROUP BY day, event_type""".stripMargin,
 
     // the parquet origin directly — equality with the Spark side's
     // JSONL/CSV round trip is the losslessness proof
