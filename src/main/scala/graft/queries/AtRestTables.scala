@@ -24,7 +24,7 @@ import org.apache.spark.sql.SparkSession
   *     physical delete is deferred to the owning context's end listener,
   *     when no query of that context can be live.
   */
-private[queries] object AtRestTables {
+private[graft] object AtRestTables {
 
   /** Bound on memoized (session, key) entries: sessions minted via
     * newSession() and discarded mid-application would otherwise pin
@@ -41,7 +41,7 @@ private[queries] object AtRestTables {
   private val pendingDelete = new java.util.concurrent.ConcurrentHashMap[
     String, java.util.concurrent.ConcurrentLinkedQueue[String]]()
 
-  private[queries] def deleteRecursively(path: String): Unit =
+  private[graft] def deleteRecursively(path: String): Unit =
     try {
       import scala.jdk.CollectionConverters._
       val root = java.nio.file.Paths.get(path)
