@@ -351,6 +351,38 @@ object RelQueries {
       mergePartials(spark.table(bT).unionByName(delta))
     }),
 
+    // RUNTIME BLOOM-FILTER JOIN (semi-join reduction) — the OTHER way a
+    // selective dim filter reaches a fact scan (q135's DPP prunes whole
+    // partitions; this prunes ROWS of partitions that survive): Spark
+    // builds a bloom filter over the filtered orders side's join keys at
+    // runtime and pushes might_contain(xxhash64(l_orderkey)) into the
+    // lineitem side BEFORE its shuffle — at 100 TB the probe-side shuffle
+    // is the dominant cost, and the bloom cuts it to roughly the join's
+    // true selectivity. Conf isolation via a child session: the
+    // application-side threshold defaults to 10 GB (below that a bloom
+    // isn't worth its overhead — at real scale the defaults fire on
+    // their own; zeroing it exercises the mechanism at test scale), and
+    // broadcast is disabled because sf-scale orders would broadcast where
+    // the 100 TB table cannot (the q137 merge-hint reasoning). The bloom
+    // is conservative (false positives only, the exact join predicate
+    // still applies), so results are IDENTICAL to the plain join — which
+    // is exactly what the oracle replays. RuntimeFilterSpec pins the
+    // bloom_filter_agg + might_contain plan shape.
+    "q139_runtime_bloom_join" -> ((spark0, dir) => {
+      val spark = spark0.newSession()
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val o = table(spark, dir, "orders")
+        .where(col("o_orderpriority") === "1-URGENT")
+      table(spark, dir, "lineitem")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n_items"),
+          xsum(col("l_extendedprice"), 6).as("sum_price"))
+    }),
+
     // FILE-FORMAT SOURCES (§2.3 scans beyond parquet): documents written
     // to JSONL + CSV at rest, read back through Spark's JSON/CSV readers,
     // and PROVEN byte-identical to the parquet origin — the md5-derived
@@ -935,6 +967,17 @@ object RelQueries {
          |       CAST(count(*) AS BIGINT) AS n_events,
          |       ${xsumSql("value", 6)} AS sum_value
          |FROM base GROUP BY day, event_type""".stripMargin,
+
+    // the plain filtered join — the bloom filter is row-invisible
+    // (conservative superset + exact predicate), so equality proves the
+    // semi-join reduction loses and invents nothing
+    "q139_runtime_bloom_join" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |       CAST(count(*) AS BIGINT) AS n_items,
+         |       ${xsumSql("l_extendedprice", 6)} AS sum_price
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE o_orderpriority = '1-URGENT'
+         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
 
     // the parquet origin directly — equality with the Spark side's
     // JSONL/CSV round trip is the losslessness proof
