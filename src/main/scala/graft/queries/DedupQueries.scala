@@ -999,6 +999,49 @@ object DedupQueries {
           bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("ham"))
         .where(col("ham") <= 3)
         .distinct()
+    }),
+
+    // Dedup-method RECALL harness — the near-dup counterpart of the ANN
+    // recall ladder (q49/q90/q101/...): ground truth is the EXACT
+    // prefix-filtered Jaccard join at τ=0.6 (q52's algorithm — provably
+    // complete, every true pair is a candidate), and each approximate
+    // candidate generator is measured against it: MinHash-LSH band
+    // collisions (q31/q32's generator) and SimHash banded Hamming ≤ 3
+    // (q34's generator). Emits (n_truth, n_cand, n_hit, recall,
+    // precision) per method — the numbers that decide, IN-ENGINE, whether
+    // a 100 TB pipeline can skip the exact verify for a given threshold
+    // (same "measure, don't guess" discipline as the nprobe curve
+    // q110/q111/q133). All three pair sets are equi-join products — the
+    // measurement adds two semi-joins and three count aggregates on top,
+    // nothing quadratic.
+    "q140_dedup_recall" -> ((spark, dir) => {
+      val truth = tcache(defs("q52_jaccard_prefix_join")(spark, dir)
+        .select(col("doc_a"), col("doc_b")), "q140:truth")
+      val db = tcache(docBands(spark, dir), "q140:bands")
+      val exploded = db.select(col("doc_id"), explode(col("bands")).as("bk"))
+      val lshCand = exploded.as("a")
+        .join(exploded.as("b"),
+          col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val simCand = defs("q34_simhash_pairs")(spark, dir).select("doc_a", "doc_b")
+      def measure(method: String, cand: DataFrame): DataFrame = {
+        val c = tcache(cand, s"q140:cand:$method")
+        val nt = truth.agg(count(lit(1)).as("n_truth"))
+        val nc = c.agg(count(lit(1)).as("n_cand"))
+        val nh = truth.join(c, Seq("doc_a", "doc_b"), "left_semi")
+          .agg(count(lit(1)).as("n_hit"))
+        nt.crossJoin(broadcast(nc)).crossJoin(broadcast(nh))
+          .select(lit(method).as("method"),
+            col("n_truth"), col("n_cand"), col("n_hit"),
+            when(col("n_truth") === 0, lit(0.0))
+              .otherwise(pround(col("n_hit").cast("double") / col("n_truth"), 6))
+              .as("recall"),
+            when(col("n_cand") === 0, lit(0.0))
+              .otherwise(pround(col("n_hit").cast("double") / col("n_cand"), 6))
+              .as("precision"))
+      }
+      measure("lsh", lshCand).unionByName(measure("simhash", simCand))
     })
   )
 
@@ -1397,6 +1440,58 @@ object DedupQueries {
            |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS ham
            |FROM banded a JOIN banded b ON a.j = b.j AND a.bv = b.bv AND a.doc_id < b.doc_id
            |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin, withCte = true)
+    },
+
+    "q140_dedup_recall" -> {
+      val t = dlit(JaccardThreshold)
+      val jac = "len(list_intersect(sa.sh, sb.sh))::DOUBLE / len(list_distinct(list_concat(sa.sh, sb.sh)))"
+      // q34's simhash chain with CTE names disjoint from sigCte's
+      // shingle-based hs (these hashes are over TOKENS)
+      val simBits = (0 until TextHash.SimBits).map { j =>
+        s"(CASE WHEN list_sum(list_transform(th, h -> CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+      val mask = (1L << TextHash.SimBandBits) - 1
+      val bandSel = (0 until TextHash.SimBands).map(j =>
+        s"SELECT doc_id, simhash, $j AS j, (simhash >> ${TextHash.SimBandBits * j}) & $mask AS bv FROM shash")
+        .mkString("\nUNION ALL\n")
+      s"""$sigCte,
+         |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+         |dfreq AS (SELECT s, count(*) AS df FROM ex GROUP BY s),
+         |ord AS (SELECT ex.doc_id, ex.s,
+         |        row_number() OVER (PARTITION BY ex.doc_id ORDER BY d.df, ex.s) AS rn,
+         |        count(*) OVER (PARTITION BY ex.doc_id) AS sz
+         |        FROM ex JOIN dfreq d ON ex.s = d.s),
+         |pref AS (SELECT doc_id, s FROM ord WHERE rn <= sz - ceil($t * sz) + 1),
+         |tcand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM pref a JOIN pref b ON a.s = b.s AND a.doc_id < b.doc_id),
+         |truth AS (SELECT doc_a, doc_b
+         |          FROM tcand JOIN sh sa ON doc_a = sa.doc_id JOIN sh sb ON doc_b = sb.doc_id
+         |          WHERE ${sround(jac, 6)} >= $t),
+         |exploded AS (SELECT doc_id, unnest([b0, b1, b2, b3]) AS bk FROM bands),
+         |lshc AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM exploded a JOIN exploded b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+         |simhs AS (SELECT doc_id, list_transform(toks, t -> ${hexcast("t")}) AS th FROM toks),
+         |shash AS (SELECT doc_id, CAST($simBits AS BIGINT) AS simhash FROM simhs),
+         |banded AS ($bandSel),
+         |simc AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM banded a JOIN banded b ON a.j = b.j AND a.bv = b.bv AND a.doc_id < b.doc_id
+         |         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         |m AS (SELECT 'lsh' AS method,
+         |             (SELECT count(*) FROM truth) AS n_truth,
+         |             (SELECT count(*) FROM lshc) AS n_cand,
+         |             (SELECT count(*) FROM truth JOIN lshc USING (doc_a, doc_b)) AS n_hit
+         |      UNION ALL
+         |      SELECT 'simhash' AS method,
+         |             (SELECT count(*) FROM truth) AS n_truth,
+         |             (SELECT count(*) FROM simc) AS n_cand,
+         |             (SELECT count(*) FROM truth JOIN simc USING (doc_a, doc_b)) AS n_hit)
+         |SELECT method, CAST(n_truth AS BIGINT) AS n_truth,
+         |       CAST(n_cand AS BIGINT) AS n_cand, CAST(n_hit AS BIGINT) AS n_hit,
+         |       CASE WHEN n_truth = 0 THEN ${dlit(0.0)}
+         |            ELSE ${sround("CAST(n_hit AS DOUBLE) / n_truth", 6)} END AS recall,
+         |       CASE WHEN n_cand = 0 THEN ${dlit(0.0)}
+         |            ELSE ${sround("CAST(n_hit AS DOUBLE) / n_cand", 6)} END AS precision
+         |FROM m""".stripMargin
     }
   )
 }
