@@ -219,6 +219,44 @@ object RelQueries {
       Seq(t)
     }.head
 
+  /** q141 layout fan-out: the range-clustered events copy is written as
+    * [[SkipFiles]] disjoint user_id ranges (one file each). At 100 TB the
+    * analogue is thousands of files; the manifest stays proportional to
+    * the FILE count, never the row count. */
+  private[graft] val SkipFiles = 16
+
+  /** q141's at-rest RANGE-CLUSTERED events copy + its min/max MANIFEST —
+    * zone-map / data-skipping the way Iceberg & Delta do it, built from
+    * public Spark only: the data table is `repartitionByRange` on
+    * user_id (each output file covers a disjoint key range), and the
+    * manifest is derived by reading the WRITTEN FILES back
+    * (input_file_name + min/max/count per file — stats from the bytes at
+    * rest, never trusted from the writer's memory). Probes consult the
+    * manifest first and open only the files whose [min,max] intersects
+    * the predicate. Same [[AtRestTables]] lifecycle as the q134 day
+    * partitions / q137 buckets. */
+  private def rangedEventsTables(spark: org.apache.spark.sql.SparkSession,
+                                 dir: String): (String, String) = {
+    val names = AtRestTables.get(spark, s"evrange|$dir") { base =>
+      val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val rT = s"graft_events_ranged_$sfx"
+      val mT = s"graft_events_skipman_$sfx"
+      table(spark, dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+        .repartitionByRange(SkipFiles, col("user_id"))
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite").option("path", s"$base/ranged").saveAsTable(rT)
+      spark.read.parquet(s"$base/ranged")
+        .select(input_file_name().as("file"), col("user_id"))
+        .groupBy("file")
+        .agg(min("user_id").as("min_uid"), max("user_id").as("max_uid"),
+          count(lit(1)).as("n_rows"))
+        .write.mode("overwrite").option("path", s"$base/skipman").saveAsTable(mT)
+      Seq(rT, mT)
+    }
+    (names(0), names(1))
+  }
+
   val defs: Map[String, QFn] = Map(
     // PARTITION-PRUNED time-range scan over the date-partitioned at-rest
     // events copy — the core 100 TB scan pattern (beside q78/q128's
@@ -880,6 +918,47 @@ object RelQueries {
       val building = c.where(col("c_mktsegment") === "BUILDING")
         .select(col("c_custkey").as("custkey"))
       spenders.except(building)
+    }),
+
+    // MIN/MAX FILE SKIPPING (zone maps) — the STATS half of the
+    // source-pruning story: q134 prunes by partition VALUE, q137/q78/q128
+    // by bucket, this by per-file min/max statistics over a
+    // range-clustered layout, the Iceberg/Delta manifest mechanism
+    // rebuilt from public Spark. The probe window is the middle third of
+    // the observed user_id domain (derived by integer arithmetic both
+    // engines replay); the manifest — FILE-count rows, 16 here, a few
+    // thousand at 100 TB — is the only thing read before the data scan,
+    // and only files whose [min_uid, max_uid] intersects the window are
+    // opened (bounded driver-side collect of ≤ SkipFiles paths, the
+    // deliberate q128-style literal plan). The residual BETWEEN still
+    // reaches the parquet scan as PushedFilters, so row-group stats prune
+    // WITHIN the opened files too (FileSkipSpec pins both). The oracle
+    // replays the window over raw parquet: equal results prove the
+    // clustered layout lossless and the manifest pruning exact.
+    "q141_minmax_file_skip" -> ((spark, dir) => {
+      val (rT, mT) = rangedEventsTables(spark, dir)
+      val man = spark.table(mT)
+      val b = man.agg(min("min_uid").as("umin"), max("max_uid").as("umax"))
+        .collect()(0)
+      val empty = b.isNullAt(0)
+      val (lo, hi) =
+        if (empty) (0L, -1L)
+        else {
+          val (umin, umax) = (b.getLong(0), b.getLong(1))
+          (umin + (umax - umin) / 3, umin + (2 * (umax - umin)) / 3)
+        }
+      val files = man
+        .where(col("max_uid") >= lo && col("min_uid") <= hi)
+        .select("file").collect().map(_.getString(0))
+      val pruned =
+        if (files.isEmpty) spark.table(rT).limit(0)
+        else spark.read.parquet(files.toIndexedSeq: _*)
+      pruned
+        .where(col("user_id") >= lo && col("user_id") <= hi)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          xsum(col("value"), 6).as("sum_value"))
     })
   )
 
@@ -1243,6 +1322,21 @@ object RelQueries {
          |GROUP BY o_custkey
          |HAVING ${xsumSql("o_totalprice", 4)} > 100000.0
          |EXCEPT
-         |SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'""".stripMargin
+         |SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'""".stripMargin,
+
+    // the same middle-third window over RAW parquet (DuckDB's // is floor
+    // division — equal to Scala's truncating Long / here because the
+    // operands are non-negative) — equality proves the range-clustered
+    // layout lossless and the manifest's file pruning exact
+    "q141_minmax_file_skip" ->
+      s"""WITH b AS (SELECT min(user_id) AS umin, max(user_id) AS umax FROM events),
+         |r AS (SELECT umin + (umax - umin) // 3 AS lo,
+         |             umin + (2 * (umax - umin)) // 3 AS hi FROM b)
+         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+         |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+         |       ${xsumSql("value", 6)} AS sum_value
+         |FROM events, r
+         |WHERE user_id BETWEEN r.lo AND r.hi
+         |GROUP BY event_type""".stripMargin
   )
 }
