@@ -219,6 +219,11 @@ object RelQueries {
       Seq(t)
     }.head
 
+  /** q142 dim attribute modulus — ONE place, embedded into the oracle SQL
+    * (both engines' % truncates toward zero, so k = -1 maps to -1 in
+    * both). */
+  private[graft] val SkewW = 97
+
   /** q141 layout fan-out: the range-clustered events copy is written as
     * [[SkipFiles]] disjoint user_id ranges (one file each). At 100 TB the
     * analogue is thousands of files; the manifest stays proportional to
@@ -959,6 +964,47 @@ object RelQueries {
         .agg(count(lit(1)).as("n_events"),
           countDistinct(col("user_id")).as("n_users"),
           xsum(col("value"), 6).as("sum_value"))
+    }),
+
+    // AQE SKEW-JOIN — the RUNTIME half of the skew story (q79 pins the
+    // authored half, two-phase salting): half the fact rows share ONE
+    // join key (every even event_id lands on k = -1 — the "null-like
+    // mega-key" every real fact table has), the dim is the customer key
+    // dictionary plus that mega-key row, and with broadcast disabled the
+    // sort-merge join's skewed shuffle partition is detected and SPLIT
+    // by AQE at runtime (OptimizeSkewedJoin replicates the matching dim
+    // partition per split — semantics preserved, stragglers gone; the
+    // rule pattern-matches Sort-over-shuffle on both sides, which is why
+    // the dim is a stored relation, not a derived distinct). Conf-
+    // isolated in a child session like q139: the production defaults
+    // (256 MB threshold, factor 5) fire on their own at real scale; the
+    // lowered thresholds here only make the mechanism observable at test
+    // SF. AqeSkewSpec pins skew=true in the executed plan; the oracle
+    // replays the join naively — equal results prove the split exact.
+    "q142_aqe_skew_join" -> ((spark0, dir) => {
+      val spark = spark0.newSession()
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "128b")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64b")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1b")
+      // AQE splits a skewed reduce partition at MAP-output granularity; a
+      // test-SF parquet file scans as one map task, whose single chunk is
+      // unsplittable — fan the fact over 16 mappers first (at 100 TB the
+      // scan has thousands of map tasks and this round-robin never exists)
+      val ev = table(spark, dir, "events").repartition(16)
+      val fact = ev.select(col("event_type"), col("value"),
+        when(col("event_id") % 2 === 0, lit(-1L))
+          .otherwise(col("user_id")).as("k"))
+      val dim = table(spark, dir, "customer").select(col("c_custkey").as("k"))
+        .unionByName(spark.range(1).select(lit(-1L).as("k")))
+        .withColumn("w", (col("k") % lit(SkewW)).cast("long"))
+      fact.join(dim, "k")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"), sum("w").as("sum_w"),
+          xsum(col("value"), 6).as("sum_value"))
     })
   )
 
@@ -1337,6 +1383,20 @@ object RelQueries {
          |       ${xsumSql("value", 6)} AS sum_value
          |FROM events, r
          |WHERE user_id BETWEEN r.lo AND r.hi
+         |GROUP BY event_type""".stripMargin,
+
+    // the naive replay of the skewed join — equality proves AQE's
+    // runtime partition splitting loses and invents nothing
+    "q142_aqe_skew_join" ->
+      s"""WITH fact AS (SELECT event_type, value,
+         |         CASE WHEN event_id % 2 = 0 THEN -1 ELSE user_id END AS k
+         |       FROM events),
+         |dim AS (SELECT k, CAST(k % $SkewW AS BIGINT) AS w FROM
+         |         (SELECT c_custkey AS k FROM customer UNION ALL SELECT -1))
+         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+         |       CAST(sum(w) AS BIGINT) AS sum_w,
+         |       ${xsumSql("value", 6)} AS sum_value
+         |FROM fact JOIN dim USING (k)
          |GROUP BY event_type""".stripMargin
   )
 }
