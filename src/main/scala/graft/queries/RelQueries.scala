@@ -99,6 +99,24 @@ object RelQueries {
     (names(0), names(1))
   }
 
+  /** q143's at-rest ORC copy of `documents` — the columnar source surface
+    * beyond parquet (ORC ships in Spark's default distribution; it is the
+    * other at-rest format a 100 TB lake commonly holds). Full text + the
+    * typed columns ride in one table; probes read through Spark's native
+    * vectorized ORC scan. Same [[AtRestTables]] lifecycle as the q132
+    * JSONL/CSV sources. */
+  private def orcSourceTable(spark: org.apache.spark.sql.SparkSession,
+                             dir: String): String =
+    AtRestTables.get(spark, s"orcfmt|$dir") { base =>
+      val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val t = s"graft_docs_orc_$sfx"
+      table(spark, dir, "documents")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").format("orc")
+        .option("path", s"$base/orc").saveAsTable(t)
+      Seq(t)
+    }.head
+
   /** q134 partition grain: one directory per epoch-DAY of event time —
     * ONE constant, embedded into the oracle SQL so the two surfaces
     * cannot drift. */
@@ -1005,6 +1023,29 @@ object RelQueries {
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_rows"), sum("w").as("sum_w"),
           xsum(col("value"), 6).as("sum_value"))
+    }),
+
+    // ORC SOURCE round trip — q132's columnar sibling (JSONL/CSV cover
+    // the text formats; ORC is the other columnar at-rest format Spark
+    // ships natively). Same proof shape: the md5-derived per-text
+    // fingerprint makes any single corrupted byte flip a per-lang sum,
+    // the typed columns ride through min/sum aggregates, and the oracle
+    // reads the PARQUET origin — equal results prove the ORC copy
+    // lossless through Spark's vectorized ORC scan (FileSourceSpec pins
+    // that the plan reads orc, not parquet). The lang predicate is
+    // pushed into the ORC reader the same way parquet scans get
+    // PushedFilters.
+    "q143_orc_source_roundtrip" -> ((spark, dir) => {
+      val o = spark.table(orcSourceTable(spark, dir))
+        .where(col("lang") =!= "und")
+        .withColumn("h",
+          conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long") % 1000003L)
+      o.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"),
+          sum("h").as("text_fp"),
+          min("doc_id").as("min_doc"),
+          countDistinct("source").as("n_sources"))
     })
   )
 
@@ -1397,6 +1438,16 @@ object RelQueries {
          |       CAST(sum(w) AS BIGINT) AS sum_w,
          |       ${xsumSql("value", 6)} AS sum_value
          |FROM fact JOIN dim USING (k)
-         |GROUP BY event_type""".stripMargin
+         |GROUP BY event_type""".stripMargin,
+
+    // the parquet origin replay (q132's proof shape) — equality proves
+    // the ORC at-rest copy byte-lossless
+    "q143_orc_source_roundtrip" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |       CAST(sum(CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) % 1000003) AS BIGINT) AS text_fp,
+        |       CAST(min(doc_id) AS BIGINT) AS min_doc,
+        |       CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+        |FROM documents WHERE lang <> 'und' GROUP BY lang""".stripMargin
   )
 }

@@ -44,4 +44,32 @@ class FileSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.toString).sorted.toSeq
     assert(viaFiles == viaParquet)
   }
+
+  test("q143 probe scans the ORC source with the lang predicate pushed") {
+    val q = RelQueries.defs("q143_orc_source_roundtrip")(spark, dir)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("FileScan orc"), s"no ORC scan in:\n$plan")
+    assert(!plan.contains("FileScan parquet"),
+      s"probe must serve from the at-rest ORC copy, not parquet:\n$plan")
+    val scanLine = plan.linesIterator.find(_.contains("FileScan orc"))
+      .getOrElse(fail("no orc scan line"))
+    assert(scanLine.contains("PushedFilters") && scanLine.contains("lang"),
+      s"lang predicate not pushed into the ORC reader: $scanLine")
+  }
+
+  test("q143 results agree across orc and parquet surfaces") {
+    val viaOrc = RelQueries.defs("q143_orc_source_roundtrip")(spark, dir)
+      .collect().map(_.toString).sorted.toSeq
+    import org.apache.spark.sql.functions._
+    val viaParquet = spark.read.parquet(s"$dir/documents.parquet")
+      .where(col("lang") =!= "und")
+      .withColumn("h",
+        conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long") % 1000003L)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+        sum("h").as("text_fp"), min("doc_id").as("min_doc"),
+        countDistinct("source").as("n_sources"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaOrc == viaParquet)
+  }
 }
