@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.SparkUtil.table
 import graft.text.TextHash
-import graft.sql.OracleGen.{dlit, sround}
+import graft.sql.OracleGen.{dlit, sround, xsumSql}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -45,6 +45,11 @@ object DedupQueries {
     * way; the plan shape is independent of m. */
   private val BloomM = 65536L
   private val BloomK = 3
+
+  /** q144 PageRank constants — ONE place, embedded into the oracle SQL
+    * (damping via [[dlit]], iteration count unrolls both CTE chains). */
+  private val PrDamp = 0.85
+  private val PrIters = 3
 
   /** q108 HyperLogLog geometry: 2^[[HllP]] registers over the 60-bit md5
     * hash — bucket = top 8 bits, rank = leading-zero position in the
@@ -1042,6 +1047,47 @@ object DedupQueries {
               .as("precision"))
       }
       measure("lsh", lshCand).unionByName(measure("simhash", simCand))
+    }),
+
+    // PAGERANK over the near-dup graph — graph CENTRALITY as the
+    // canonical-document signal (q56 keeps min-doc_id per exact-dup
+    // group; near-dup clusters want the most-connected representative,
+    // which is what rank gives). [[PrIters]] synchronous iterations of
+    //   pr' = (1−d)/N + d · Σ_{u→v} pr(u)/outdeg(u)
+    // over the symmetric q32 edge set (every node has outdeg ≥ 1 by
+    // construction, so no dangling-mass term). Each iteration is one
+    // equi-join + one combinable aggregation on the edge relation —
+    // exactly the bounded-round shape of the q75 label propagation, work
+    // linear in |E| per round at any scale. Quantize-early discipline:
+    // per-edge contributions pround-9, inflow summed with xsum-9, the
+    // update pround-9 — the oracle replays the identical IEEE sequence,
+    // so three chained double iterations still hash-match bit-exactly.
+    "q144_dedup_pagerank" -> ((spark, dir) => {
+      val pairs = tcache(defs("q32_lsh_jaccard_pairs")(spark, dir)
+        .select("doc_a", "doc_b"), "q144:pairs")
+      val e = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      val nodes = e.select(col("src").as("doc_id")).distinct()
+      val nn = nodes.agg(count(lit(1)).as("n"))
+      val deg = tcache(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "q144:deg")
+      var pr = nodes.crossJoin(broadcast(nn))
+        .select(col("doc_id"), pround(lit(1.0) / col("n"), 9).as("pr"))
+      for (_ <- 1 to PrIters) {
+        val contrib = e
+          .join(pr.withColumnRenamed("doc_id", "src"), "src")
+          .join(deg, "src")
+          .select(col("dst").as("doc_id"),
+            pround(col("pr") / col("outdeg"), 9).as("c"))
+        val inflow = contrib.groupBy("doc_id").agg(xsum(col("c"), 9).as("s"))
+        pr = nodes.join(inflow, Seq("doc_id"), "left")
+          .crossJoin(broadcast(nn))
+          .select(col("doc_id"),
+            pround(
+              pround(lit(1.0) - lit(PrDamp), 9) / col("n") +
+                lit(PrDamp) * coalesce(col("s"), lit(0.0)), 9).as("pr"))
+      }
+      pr.join(deg.withColumnRenamed("src", "doc_id"), "doc_id")
+        .select(col("doc_id"), col("outdeg"), col("pr"))
     })
   )
 
@@ -1492,6 +1538,30 @@ object DedupQueries {
          |       CASE WHEN n_cand = 0 THEN ${dlit(0.0)}
          |            ELSE ${sround("CAST(n_hit AS DOUBLE) / n_cand", 6)} END AS precision
          |FROM m""".stripMargin
+    },
+
+    "q144_dedup_pagerank" -> {
+      // the identical IEEE sequence per iteration: contribution sround-9,
+      // inflow xsum-9, update sround-9 (componentCtes supplies the edge
+      // relation `e`; its unreferenced label rounds are never evaluated)
+      val iters = (1 to PrIters).map { i =>
+        val upd = sround(
+          s"${sround(s"(${dlit(1.0)} - ${dlit(PrDamp)})", 9)} / n + " +
+            s"${dlit(PrDamp)} * COALESCE(s, ${dlit(0.0)})", 9)
+        s"""c$i AS (SELECT e.dst AS doc_id, ${sround("p.pr / d.outdeg", 9)} AS c
+           |        FROM e JOIN p${i - 1} p ON e.src = p.doc_id JOIN dg d ON e.src = d.src),
+           |s$i AS (SELECT doc_id, ${xsumSql("c", 9)} AS s FROM c$i GROUP BY doc_id),
+           |p$i AS (SELECT nd.doc_id, $upd AS pr
+           |        FROM nd LEFT JOIN s$i USING (doc_id) CROSS JOIN nn)""".stripMargin
+      }.mkString(",\n")
+      s"""$componentCtes,
+         |nd AS (SELECT DISTINCT src AS doc_id FROM e),
+         |nn AS (SELECT count(*) AS n FROM nd),
+         |dg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+         |p0 AS (SELECT doc_id, ${sround(s"${dlit(1.0)} / n", 9)} AS pr FROM nd CROSS JOIN nn),
+         |$iters
+         |SELECT p.doc_id, CAST(d.outdeg AS BIGINT) AS outdeg, p.pr AS pr
+         |FROM p$PrIters p JOIN dg d ON p.doc_id = d.src""".stripMargin
     }
   )
 }
