@@ -28,8 +28,14 @@ private[graft] object AtRestTables {
 
   /** Bound on memoized (session, key) entries: sessions minted via
     * newSession() and discarded mid-application would otherwise pin
-    * their temp tables (and the session objects) until context stop. */
-  private val MaxEntries = 8
+    * their temp tables (and the session objects) until context stop.
+    * Must comfortably exceed the number of DISTINCT at-rest keys one
+    * (session, sf dir) uses — 9 as of q143 (q78 / ivfidx / ivfincr /
+    * srcfmt / orcfmt / evpart / factbkt / aggmv / evrange) — or a single
+    * Verify/Bench run FIFO-churns: the 10th insert evicts the 1st key's
+    * tables and the next query that needs them pays a full rebuild,
+    * every pass. */
+  private val MaxEntries = 24
 
   // (session, key) -> (registered table names, temp base dir)
   private val once = new java.util.concurrent.ConcurrentHashMap[

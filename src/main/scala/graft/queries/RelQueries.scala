@@ -1046,7 +1046,35 @@ object RelQueries {
           sum("h").as("text_fp"),
           min("doc_id").as("min_doc"),
           countDistinct("source").as("n_sources"))
-    })
+    }),
+
+    // CUBE grouping sets — completes the grouping-set surface beside
+    // q54's ROLLUP (rollup emits the prefix lattice, cube the full
+    // power set; the 100 TB shape is identical: Spark expands the sets
+    // and keeps every aggregate map-side combinable, one exchange on the
+    // expanded key). gid disambiguates the (NULL, NULL) total row from
+    // genuine NULL keys, same as q54.
+    "q145_cube_pricing" -> ((spark, dir) =>
+      table(spark, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(grouping_id().cast("long").as("gid"),
+          xsum(col("l_extendedprice"), 4).as("sum_price"),
+          count(lit(1)).as("n"))
+        .select("l_returnflag", "l_linestatus", "gid", "sum_price", "n")),
+
+    // UNPIVOT (wide → long) — the inverse of q74's pivot: the three
+    // lineitem measures unpivoted to (metric, v) rows via stack(), then
+    // one combinable per-metric aggregation. stack is a projection-time
+    // row generator — no shuffle beyond the final group-by, and the scan
+    // still prunes to exactly the three measure columns.
+    "q146_unpivot_metrics" -> ((spark, dir) =>
+      table(spark, dir, "lineitem")
+        .select(expr("stack(3, 'quantity', l_quantity, " +
+          "'extendedprice', l_extendedprice, " +
+          "'discount', l_discount) AS (metric, v)"))
+        .groupBy("metric")
+        .agg(count(lit(1)).as("n"), xsum(col("v"), 6).as("sum_v"),
+          min("v").as("min_v"), max("v").as("max_v")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -1448,6 +1476,28 @@ object RelQueries {
         |       CAST(sum(CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) % 1000003) AS BIGINT) AS text_fp,
         |       CAST(min(doc_id) AS BIGINT) AS min_doc,
         |       CAST(count(DISTINCT source) AS BIGINT) AS n_sources
-        |FROM documents WHERE lang <> 'und' GROUP BY lang""".stripMargin
+        |FROM documents WHERE lang <> 'und' GROUP BY lang""".stripMargin,
+
+    "q145_cube_pricing" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+         |       ${xsumSql("l_extendedprice", 4)} AS sum_price,
+         |       CAST(count(*) AS BIGINT) AS n
+         |FROM lineitem
+         |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    // min/max are comparisons, not arithmetic — the raw parquet doubles
+    // ride through bit-identically on both engines
+    "q146_unpivot_metrics" ->
+      s"""WITH u AS (
+         |  SELECT 'quantity' AS metric, l_quantity AS v FROM lineitem
+         |  UNION ALL
+         |  SELECT 'extendedprice' AS metric, l_extendedprice AS v FROM lineitem
+         |  UNION ALL
+         |  SELECT 'discount' AS metric, l_discount AS v FROM lineitem)
+         |SELECT metric, CAST(count(*) AS BIGINT) AS n,
+         |       ${xsumSql("v", 6)} AS sum_v,
+         |       min(v) AS min_v, max(v) AS max_v
+         |FROM u GROUP BY metric""".stripMargin
   )
 }
