@@ -667,6 +667,34 @@ object TextQueries {
       spread(table(spark, dir, "documents")).select(col("doc_id"),
         md5(norm).as("fp"),
         graft.functions.TextFunctions.min_shingle(col("text"), 3).as("min_shingle"))
+    }),
+
+    // SOURCE MIXING WEIGHTS — the data-mixture allocation every training
+    // pipeline runs before sampling: given per-source token masses and a
+    // total token budget (half the corpus here), split the budget evenly
+    // across sources and emit each source's mix factor
+    // (alloc / source_tokens: > 1 means upsample/epoch that source,
+    // < 1 means downsample). Two combinable aggregations (per-source,
+    // then the 1-row total broadcast back) — the whole computation is
+    // source-count-sized after the first map-side combine, so the plan
+    // is identical at 100 TB. Integer budget arithmetic (div), pround-6
+    // shares/factors; the oracle replays both exactly.
+    "q147_source_mixing" -> ((spark, dir) => {
+      val d = spread(table(spark, dir, "documents"))
+        .select(col("source"),
+          size(filter(split(col("text"), "\\s+"), t => t =!= ""))
+            .cast("long").as("ntok"))
+      val per = d.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("ntok").as("n_tokens"))
+      val tot = per.agg(sum("n_tokens").as("total_tokens"),
+        count(lit(1)).as("n_sources"))
+      per.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          pround(col("n_tokens").cast("double") / col("total_tokens"), 6)
+            .as("share"),
+          expr("(total_tokens div 2) div n_sources").as("alloc_tokens"),
+          pround(expr("CAST((total_tokens div 2) div n_sources AS DOUBLE)")
+            / col("n_tokens"), 6).as("mix_factor"))
     })
   )
 
@@ -1024,6 +1052,23 @@ object TextQueries {
          |      JOIN d ON tf.doc_id = d.doc_id CROSS JOIN st)
          |SELECT doc_id, ${xsumSql("s", 6)} AS bm25 FROM s GROUP BY doc_id
          |ORDER BY bm25 DESC, doc_id LIMIT $TopDocs""".stripMargin
-    }
+    },
+
+    // the same budget split over raw parquet (DuckDB // floors, Spark div
+    // truncates — equal on these non-negative token masses)
+    "q147_source_mixing" ->
+      s"""WITH d AS (SELECT source,
+         |             CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS BIGINT) AS ntok
+         |           FROM documents),
+         |per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |               CAST(sum(ntok) AS BIGINT) AS n_tokens
+         |        FROM d GROUP BY source),
+         |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |               CAST(count(*) AS BIGINT) AS n_sources FROM per)
+         |SELECT source, n_docs, n_tokens,
+         |       ${sround("CAST(n_tokens AS DOUBLE) / total_tokens", 6)} AS share,
+         |       CAST((total_tokens // 2) // n_sources AS BIGINT) AS alloc_tokens,
+         |       ${sround("CAST((total_tokens // 2) // n_sources AS DOUBLE) / n_tokens", 6)} AS mix_factor
+         |FROM per, tot""".stripMargin
   )
 }
