@@ -237,6 +237,101 @@ object RelQueries {
       Seq(t)
     }.head
 
+  /** Latest row per (user_id, event_type) by (ts_us, event_id) — the
+    * UPSERT unit of the q149 CDC state table. ONE definition feeds the
+    * base state build, the delta batch, and the merge, so the three
+    * surfaces cannot drift (the dayTypePartials discipline for
+    * latest-value semantics instead of additive semantics). */
+  private[graft] def latestPerKey(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val p = df.select(col("user_id"), col("event_type"), col("event_id"),
+      col("value"), QueryBase.tsUs(df).as("ts_us"))
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(desc("ts_us"), desc("event_id"))
+    p.withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
+  }
+
+  /** q149's at-rest UPSERT STATE table: the latest (value, ts) per
+    * (user_id, event_type) over the "already ingested" 90% (the q138
+    * split rule). Where q138's MV stores ADDITIVE partials, this stores
+    * LATEST-VALUE state — the other CDC semantic (MERGE INTO ... WHEN
+    * MATCHED THEN UPDATE), the shape every mutable-dimension table at
+    * rest has. */
+  private def upsertStateTable(spark: org.apache.spark.sql.SparkSession,
+                               dir: String): String =
+    AtRestTables.get(spark, s"upsert|$dir") { base =>
+      val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val t = s"graft_events_state_$sfx"
+      latestPerKey(table(spark, dir, "events")
+          .where(col("event_id") % 10 =!= 0))
+        .write.mode("overwrite").option("path", s"$base/state").saveAsTable(t)
+      Seq(t)
+    }.head
+
+  /** q150 layout fan-out: the Z-ORDERED events copy is written as
+    * [[ZFiles]] z-range files. Each dimension is rank-normalized to
+    * [[ZNormBits]] bits before interleaving — unequal bit widths would
+    * let the wider dimension dominate the curve's high bits and collapse
+    * the layout back to 1-D clustering (user_id spans 11 bits at sf0.1,
+    * the day span 5). */
+  private[graft] val ZFiles = 16
+  private[graft] val ZNormBits = 8
+
+  /** q150's at-rest Z-ORDER-CLUSTERED copy of `events` + its 2-D min/max
+    * manifest — the multi-column generalization of q141's 1-D range
+    * clustering (the Delta OPTIMIZE ZORDER mechanism rebuilt from public
+    * Spark): rows sort by the Morton interleave of (user_id, day) ranks,
+    * so every file covers a RECTANGLE of the (user, time) plane and a
+    * 2-D box predicate skips files on EITHER dimension — a 1-D layout
+    * can only skip on its clustering key. The manifest keeps per-file
+    * min/max of BOTH columns, derived from the written bytes (the q141
+    * discipline). The z value exists only at write time (pure integer
+    * bit-shifts, codegen'd); probes never compute it — they consult the
+    * manifest boxes. */
+  private def zorderedEventsTables(spark: org.apache.spark.sql.SparkSession,
+                                   dir: String): (String, String) = {
+    val names = AtRestTables.get(spark, s"zorder|$dir") { base =>
+      val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val zT = s"graft_events_zorder_$sfx"
+      val mT = s"graft_events_zman_$sfx"
+      val raw = table(spark, dir, "events")
+      val ev = raw.select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), QueryBase.tsUs(raw).as("ts_us"))
+        .withColumn("day", expr(s"ts_us div $DayUs"))
+      // domain bounds for rank normalization: one bounded driver-side
+      // aggregate (the q141/q128 literal idiom — 4 longs, never data)
+      val b = ev.agg(min("user_id"), max("user_id"), min("day"), max("day"))
+        .collect()(0)
+      val zdata =
+        if (b.isNullAt(0)) ev.select("event_id", "user_id", "event_type", "value", "day")
+        else {
+          val (u0, u1, d0, d1) =
+            (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+          val scale = 1L << ZNormBits
+          val zbits = (0 until ZNormBits).map(i =>
+            s"(((zu >> $i) & 1) << ${2 * i}) | (((zd >> $i) & 1) << ${2 * i + 1})")
+            .mkString(" | ")
+          ev.withColumn("zu",
+              expr(s"((user_id - ${u0}L) * ${scale}L) div ${u1 - u0 + 1}L"))
+            .withColumn("zd",
+              expr(s"((day - ${d0}L) * ${scale}L) div ${d1 - d0 + 1}L"))
+            .withColumn("z", expr(zbits))
+            .repartitionByRange(ZFiles, col("z"))
+            .sortWithinPartitions("z")
+            .select("event_id", "user_id", "event_type", "value", "day")
+        }
+      zdata.write.mode("overwrite").option("path", s"$base/zdata").saveAsTable(zT)
+      spark.read.parquet(s"$base/zdata")
+        .select(input_file_name().as("file"), col("user_id"), col("day"))
+        .groupBy("file")
+        .agg(min("user_id").as("min_uid"), max("user_id").as("max_uid"),
+          min("day").as("min_day"), max("day").as("max_day"),
+          count(lit(1)).as("n_rows"))
+        .write.mode("overwrite").option("path", s"$base/zman").saveAsTable(mT)
+      Seq(zT, mT)
+    }
+    (names(0), names(1))
+  }
+
   /** q142 dim attribute modulus — ONE place, embedded into the oracle SQL
     * (both engines' % truncates toward zero, so k = -1 maps to -1 in
     * both). */
@@ -1025,6 +1120,77 @@ object RelQueries {
           xsum(col("value"), 6).as("sum_value"))
     }),
 
+    // MERGE / CDC UPSERT — the latest-value sibling of q138's additive
+    // MV: the at-rest state table holds one row per (user_id, event_type)
+    // key (latest by event time over the ingested 90%), the delta batch
+    // collapses to ITS latest per key, and the merge is an argmax over
+    // state ∪ delta-state — at most two rows per key, O(|state| +
+    // |delta|), history never re-read. This is MERGE INTO ... WHEN
+    // MATCHED THEN UPDATE / WHEN NOT MATCHED THEN INSERT expressed as a
+    // window over the keyed union: matched keys take whichever side is
+    // newer (the split is by event_id, so delta rows are NOT uniformly
+    // newer — the tie rule genuinely decides), unmatched keys pass
+    // through. At 100 TB this is the nightly dimension-table upsert.
+    // AtRestMaintenanceSpec pins the O(delta) plan (state table + only
+    // delta raw rows); the oracle recomputes latest-per-key from ALL raw
+    // events — equality proves merged state == full recompute.
+    "q149_merge_upsert" -> ((spark, dir) => {
+      val sT = upsertStateTable(spark, dir)
+      val delta = latestPerKey(table(spark, dir, "events")
+        .where(col("event_id") % 10 === 0))
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy(desc("ts_us"), desc("event_id"))
+      spark.table(sT).unionByName(delta)
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("user_id"), col("event_type"),
+          col("event_id").as("last_event_id"),
+          col("value").as("last_value"), col("ts_us").as("last_ts_us"))
+    }),
+
+    // Z-ORDER 2-D FILE SKIPPING — the multi-column completion of the
+    // source-pruning story: q141 skips on ONE range-clustered key; here
+    // the (user window × day window) box probe consults the 2-D manifest
+    // and opens only files whose rectangle intersects BOTH ranges.
+    // Middle-third windows on each dimension (derived from the manifest
+    // by the q141 integer arithmetic, replayed by the oracle); the
+    // residual predicates still reach the opened files' scans as
+    // PushedFilters. ZorderSkipSpec pins that files are skipped on the
+    // DAY dimension specifically — files a 1-D user_id clustering could
+    // never skip — and that skipped boxes are genuinely disjoint from
+    // the probe box. The oracle replays the box over raw parquet:
+    // equality proves the z-clustered layout lossless and the 2-D
+    // pruning exact.
+    "q150_zorder_file_skip" -> ((spark, dir) => {
+      val (zT, mT) = zorderedEventsTables(spark, dir)
+      val man = spark.table(mT)
+      val b = man.agg(min("min_uid").as("u0"), max("max_uid").as("u1"),
+        min("min_day").as("d0"), max("max_day").as("d1")).collect()(0)
+      val empty = b.isNullAt(0)
+      val (ulo, uhi, dlo, dhi) =
+        if (empty) (0L, -1L, 0L, -1L)
+        else {
+          val (u0, u1, d0, d1) =
+            (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+          (u0 + (u1 - u0) / 3, u0 + (2 * (u1 - u0)) / 3,
+            d0 + (d1 - d0) / 3, d0 + (2 * (d1 - d0)) / 3)
+        }
+      val files = man
+        .where(col("max_uid") >= ulo && col("min_uid") <= uhi &&
+          col("max_day") >= dlo && col("min_day") <= dhi)
+        .select("file").collect().map(_.getString(0))
+      val pruned =
+        if (files.isEmpty) spark.table(zT).limit(0)
+        else spark.read.parquet(files.toIndexedSeq: _*)
+      pruned
+        .where(col("user_id") >= ulo && col("user_id") <= uhi &&
+          col("day") >= dlo && col("day") <= dhi)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          countDistinct(col("day")).as("n_days"),
+          xsum(col("value"), 6).as("sum_value"))
+    }),
+
     // ORC SOURCE round trip — q132's columnar sibling (JSONL/CSV cover
     // the text formats; ORC is the other columnar at-rest format Spark
     // ships natively). Same proof shape: the md5-derived per-text
@@ -1466,6 +1632,39 @@ object RelQueries {
          |       CAST(sum(w) AS BIGINT) AS sum_w,
          |       ${xsumSql("value", 6)} AS sum_value
          |FROM fact JOIN dim USING (k)
+         |GROUP BY event_type""".stripMargin,
+
+    // latest-per-key over ALL raw events — equality proves the
+    // state-table merge == full recompute (the value/ts ride through
+    // as comparisons, no arithmetic to drift)
+    "q149_merge_upsert" ->
+      """SELECT user_id, event_type,
+        |       CAST(event_id AS BIGINT) AS last_event_id,
+        |       value AS last_value,
+        |       CAST(epoch_us(ts) AS BIGINT) AS last_ts_us
+        |FROM (SELECT user_id, event_type, event_id, value, ts,
+        |             row_number() OVER (PARTITION BY user_id, event_type
+        |                                ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1""".stripMargin,
+
+    // the same 2-D box over RAW parquet (DuckDB // floors — equal to
+    // Scala's truncating division on these non-negative spans) —
+    // equality proves the z-clustered layout lossless and the manifest's
+    // 2-D file pruning exact
+    "q150_zorder_file_skip" ->
+      s"""WITH e AS (SELECT user_id, event_type, value,
+         |                  epoch_us(ts) // $DayUs AS day FROM events),
+         |b AS (SELECT min(user_id) AS u0, max(user_id) AS u1,
+         |             min(day) AS d0, max(day) AS d1 FROM e),
+         |r AS (SELECT u0 + (u1 - u0) // 3 AS ulo, u0 + (2 * (u1 - u0)) // 3 AS uhi,
+         |             d0 + (d1 - d0) // 3 AS dlo, d0 + (2 * (d1 - d0)) // 3 AS dhi FROM b)
+         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+         |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+         |       CAST(count(DISTINCT day) AS BIGINT) AS n_days,
+         |       ${xsumSql("value", 6)} AS sum_value
+         |FROM e, r
+         |WHERE user_id BETWEEN r.ulo AND r.uhi AND day BETWEEN r.dlo AND r.dhi
          |GROUP BY event_type""".stripMargin,
 
     // the parquet origin replay (q132's proof shape) — equality proves

@@ -53,6 +53,43 @@ object TextQueries {
   private val ScrubTerms = Seq("customer", "supplier")
   private val ScrubRegex = "ow$"
 
+  /** q148's at-rest INVERTED INDEX over `documents` — the search-engine
+    * layout: a postings table (term, doc_id, tf) hash-bucketed BY TERM
+    * (a term-lookup touches only its bucket's files, the q78/q128
+    * bucket-pruning mechanism applied to text), plus the lexicon
+    * (term, df) that drives query planning (rarest-first term ordering,
+    * the classic conjunctive-query optimization). Built once per
+    * (session, sf dir) through [[AtRestTables]]; the build pays the
+    * tokenize + explode + bucket shuffle once, and every query after is
+    * a bucket-pruned posting-list read. At 100 TB: postings shard by
+    * term hash exactly like this, the lexicon is vocabulary-sized
+    * (~100k rows — metadata, not data), and this split — index build
+    * offline, term-pruned serve online — is the only way text search
+    * over a corpus that size works at all. */
+  private val PostingBuckets = 8
+  private val SearchTerms = 3
+
+  private def invertedIndexTables(spark: org.apache.spark.sql.SparkSession,
+                                  dir: String): (String, String) = {
+    val names = AtRestTables.get(spark, s"invidx|$dir") { base =>
+      val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val pT = s"graft_inv_post_$sfx"; val tT = s"graft_inv_lex_$sfx"
+      val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+      spread(table(spark, dir, "documents"))
+        .select(col("doc_id"), explode(toks).as("term"))
+        .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+        .write.mode("overwrite").option("path", s"$base/post")
+        .bucketBy(PostingBuckets, "term").sortBy("term", "doc_id")
+        .saveAsTable(pT)
+      // lexicon derived from the postings AT REST (stats from the bytes
+      // that will serve, the q141 manifest discipline)
+      spark.table(pT).groupBy("term").agg(count(lit(1)).as("df"))
+        .write.mode("overwrite").option("path", s"$base/lex").saveAsTable(tT)
+      Seq(pT, tT)
+    }
+    (names(0), names(1))
+  }
+
   /** Cross-engine log parity: `ln` differs between the JVM intrinsic and
     * DuckDB's libm by 1 ulp on ~2% of inputs (measured on this image), so
     * raw log output can flip a 6-digit rounding. The IDF — the only log in
@@ -669,6 +706,51 @@ object TextQueries {
         graft.functions.TextFunctions.min_shingle(col("text"), 3).as("min_shingle"))
     }),
 
+    // INVERTED-INDEX SEARCH — the text-retrieval serving shape beside the
+    // vector index (q127/q128): postings live AT REST term-bucketed, the
+    // lexicon supplies the query plan, and a conjunctive multi-term query
+    // touches only the buckets its terms hash to. The query here is the
+    // 3 RAREST corpus terms (ORDER BY df, term — deterministic, replayed
+    // by the oracle), the selective query a search engine is optimized
+    // for: AND-semantics via per-doc matched-term counting over ≤
+    // Σ df(query terms) posting rows — work proportional to the RESULT
+    // candidates, never the corpus. The bounded driver-side collect is
+    // the deliberate q128/q141 literal-plan idiom (≤ SearchTerms
+    // strings); the hit set broadcasts into the document-store fetch
+    // (the q98 RAG shape). InvertedIndexSpec pins bucket pruning
+    // (SelectedBucketsCount < PostingBuckets) and probe == direct-scan
+    // equality; the oracle replays tokenize → postings → rarest-3 →
+    // conjunction from raw parquet, proving the at-rest index lossless
+    // and the conjunction exact.
+    "q148_inverted_search" -> ((spark0, dir) => {
+      // build through the PARENT session (the at-rest registry is keyed
+      // by session object; the tables live in the shared catalog), probe
+      // through a conf-isolated child: Spark's autoBucketedScan
+      // heuristic only values shuffle avoidance — it disables the
+      // bucketed read for a scan whose benefit is bucket PRUNING, which
+      // is the entire point of a term-bucketed postings layout (q139/
+      // q142's child-session idiom for confs that default wrong at test
+      // shape).
+      val (pT, tT) = invertedIndexTables(spark0, dir)
+      val spark = spark0.newSession()
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      val qterms = spark.table(tT)
+        .orderBy(col("df").asc, col("term").asc).limit(SearchTerms)
+        .select("term").collect().map(_.getString(0))
+      val post = spark.table(pT)
+      val matched =
+        if (qterms.isEmpty) post.limit(0)
+        else post.where(col("term").isin(qterms.toIndexedSeq: _*))
+      val hits = matched
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_terms"), sum("tf").as("sum_tf"))
+        .where(col("n_terms") === qterms.length)
+        .select(col("doc_id"), col("sum_tf"))
+      table(spark, dir, "documents")
+        .join(broadcast(hits), "doc_id")
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("sum_tf"))
+    }),
+
     // SOURCE MIXING WEIGHTS — the data-mixture allocation every training
     // pipeline runs before sampling: given per-source token masses and a
     // total token budget (half the corpus here), split the budget evenly
@@ -1053,6 +1135,24 @@ object TextQueries {
          |SELECT doc_id, ${xsumSql("s", 6)} AS bm25 FROM s GROUP BY doc_id
          |ORDER BY bm25 DESC, doc_id LIMIT $TopDocs""".stripMargin
     },
+
+    // tokenize → postings → rarest-3 → conjunction replayed from raw
+    // parquet — equality proves the at-rest index lossless and the
+    // bucket-pruned conjunction exact. HAVING count(*) = |q| is the same
+    // all-terms-matched test as the Spark side's n_terms === |q| (both
+    // sides' postings are distinct per (term, doc)).
+    "q148_inverted_search" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($toksSqlD) AS term FROM documents),
+         |tf AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+         |       FROM tk GROUP BY term, doc_id),
+         |lex AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+         |q AS (SELECT term FROM lex ORDER BY df ASC, term ASC LIMIT $SearchTerms),
+         |hits AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS sum_tf
+         |         FROM tf WHERE term IN (SELECT term FROM q)
+         |         GROUP BY doc_id
+         |         HAVING count(*) = (SELECT count(*) FROM q))
+         |SELECT d.doc_id, d.lang, d.n_chars, h.sum_tf
+         |FROM documents d JOIN hits h USING (doc_id)""".stripMargin,
 
     // the same budget split over raw parquet (DuckDB // floors, Spark div
     // truncates — equal on these non-negative token masses)

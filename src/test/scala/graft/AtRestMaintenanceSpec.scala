@@ -77,6 +77,35 @@ class AtRestMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mergedTotal > baseTotal, "delta contributed no rows to the merge")
   }
 
+  test("q149 upsert reads the persisted state + only the delta rows") {
+    val df = SparkEntry.queries("q149_merge_upsert")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // history arrives as the at-rest keyed state table...
+    assert(plan.linesIterator.exists(l =>
+      l.contains("FileScan") && l.contains("graft_events_state")),
+      s"no scan of the persisted state in:\n$plan")
+    // ...and the only raw-events scan is delta-filtered
+    val rawScan = plan.linesIterator
+      .find(l => l.contains("FileScan") && l.contains("events.parquet"))
+      .getOrElse(fail(s"no raw events scan in:\n$plan"))
+    assert(rawScan.contains("% 10") || plan.contains("(event_id#"),
+      s"delta filter missing from the raw scan: $rawScan")
+    // the merge is a genuine upsert: some matched key took the DELTA
+    // side's row (its event_id is delta-shaped), and unmatched state
+    // keys passed through (merged key count == state key count here,
+    // since the delta's keys are a subset at this sf)
+    val state = spark.table(
+      plan.linesIterator.find(_.contains("graft_events_state"))
+        .flatMap("graft_events_state[a-z0-9_]*".r.findFirstIn(_)).get)
+    val merged = df.collect()
+    assert(merged.exists(_.getLong(2) % 10 == 0),
+      "no key was updated from the delta batch")
+    assert(merged.exists(_.getLong(2) % 10 != 0),
+      "every key was overwritten — state contributed nothing")
+    assert(merged.length.toLong >= state.count(),
+      "merge lost state keys")
+  }
+
   test("q136 gap-fill windows are user-partitioned (no global sort)") {
     val df = SparkEntry.queries("q136_gapfill_interpolate")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
