@@ -480,6 +480,23 @@ object VectorQueries {
     (names(0), names(1))
   }
 
+  /** Encode one batch of (vec_id, embedding) rows against a persisted
+    * index's centroids + residual codebook — cell assignment, residual,
+    * PQ codes, all map-side against the broadcast index tables, no
+    * training stage anywhere in the plan. ONE definition shared by
+    * q129's batch delta and [[graft.streaming.StreamingIvfEncode]]'s
+    * micro-batches (the dayTypePartials one-definition discipline
+    * applied to the vector index), so the two maintenance surfaces
+    * cannot drift. */
+  private[graft] def encodeAgainstIndex(batch: org.apache.spark.sql.DataFrame,
+                                        cents: org.apache.spark.sql.DataFrame,
+                                        cb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val withCell = assignNearest(batch, cents)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    pqAssign(pqSub(ResidPqM)(residuals(withCell, cents), "cell"), cb)
+      .select(col("vec_id"), col("cell"), col("s"), col("code"))
+  }
+
   /** The q89/q104 pure-ADC serving pipeline over any (vec_id, embedding)
     * source: train the codebook, encode the corpus to PqM codes, compute
     * each query's PqM·PqK-entry LUT, scan codes via the broadcast LUT
@@ -658,14 +675,9 @@ object VectorQueries {
     // green row proves batch-encode == rebuild-encode for the batch.
     "q129_ivf_incremental_encode" -> ((spark, dir) => {
       val (centT, cbT) = ivfIncrTables(spark, dir)
-      val cents = spark.table(centT)
-      val cb = spark.table(cbT)
       val batch = spread(table(spark, dir, "embeddings"))
         .where(col("vec_id") % IncrMod === IncrMod - 1)
-      val withCell = assignNearest(batch, cents)
-        .select(col("vec_id"), col("embedding"), col("cell"))
-      pqAssign(pqSub(ResidPqM)(residuals(withCell, cents), "cell"), cb)
-        .select(col("vec_id"), col("cell"), col("s"), col("code"))
+      encodeAgainstIndex(batch, spark.table(centT), spark.table(cbT))
     }),
 
     // the RAG serving join: ANN retrieval (the q46 IVF cell probe)
