@@ -99,6 +99,30 @@ object DedupQueries {
           pround(lit(HllM.toDouble) * pround(log(lit(HllM.toDouble) / col("v_zero")), 6), 6))
           .otherwise(col("raw_est")))
 
+  /** q151's item stream: (day, user-id-as-string) — ONE definition feeds
+    * the at-rest base build, the delta batch, and the exact side, so the
+    * three surfaces cannot drift. Integers render identically as strings
+    * in Spark and DuckDB, so md5(uid) agrees across engines. */
+  private def dayUsers(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.select(QueryBase.tsUs(df).as("ts_us"), col("user_id"))
+      .select(expr(s"ts_us div ${RelQueries.DayUs}").as("day"),
+        col("user_id").cast("string").as("uid"))
+
+  /** q151's at-rest HLL REGISTER MV: per-(day, bucket) registers of the
+    * distinct-users sketch over the "already ingested" 90% (the q138
+    * split rule). Bounded at days × [[HllM]] rows no matter the event
+    * volume — the pre-aggregated approximate rollup a dashboard reads. */
+  private def hllMvBaseTable(spark: org.apache.spark.sql.SparkSession,
+                             dir: String): String =
+    AtRestTables.get(spark, s"hllmv|$dir") { base =>
+      val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val t = s"graft_events_hllmv_$sfx"
+      hllRegisters(dayUsers(table(spark, dir, "events")
+          .where(col("event_id") % 10 =!= 0)), "uid", Seq("day"))
+        .write.mode("overwrite").option("path", s"$base/hllmv").saveAsTable(t)
+      Seq(t)
+    }.head
+
   /** q109 count-min geometry: d rows × w counters, row hashes via the
     * bloom-style double hashing off two md5 slices. Pure integer
     * arithmetic end to end. */
@@ -726,6 +750,39 @@ object DedupQueries {
         .groupBy("s", "exact_df").agg(min("cnt").as("est_df"))
         .select(col("s"), col("exact_df"), col("est_df"),
           (col("est_df") - col("exact_df")).as("overcount"))
+    }),
+
+    // HLL SKETCH AS AN INCREMENTALLY-MAINTAINED MV — the composition of
+    // q108's registers with q138's at-rest maintenance discipline: the
+    // distinct-users-per-day dashboard a 100 TB warehouse cannot serve
+    // from raw data. The at-rest table stores per-(day, bucket) registers
+    // over the ingested 90%; the delta batch builds ITS registers alone
+    // and the merge is bucket-wise max — O(delta + days·256), history
+    // never re-read, because registers only grow under max (the q120
+    // mergeability theorem, here doing nightly work instead of proving
+    // itself). Output: per-day estimate beside the exact distinct. The
+    // oracle rebuilds registers from ALL raw events — equality proves
+    // merged-MV == full rebuild bit-exactly. AtRestMaintenanceSpec pins
+    // the O(delta) plan. (The registers use the shared hllRegisters /
+    // hllEstCols definitions, so MV, q108, q120 and the streaming
+    // surface cannot drift.)
+    "q151_hll_mv_merge" -> ((spark, dir) => {
+      val bT = hllMvBaseTable(spark, dir)
+      val delta = hllRegisters(dayUsers(table(spark, dir, "events")
+        .where(col("event_id") % 10 === 0)), "uid", Seq("day"))
+      val merged = spark.table(bT).unionByName(delta)
+        .groupBy("day", "bucket").agg(max("r").as("r"))
+      val stats = merged.groupBy("day")
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - r AS INT))")).as("s_present"))
+      val exact = dayUsers(table(spark, dir, "events"))
+        .groupBy("day").agg(countDistinct(col("uid")).as("exact_distinct"))
+      hllEstCols(stats.join(exact, "day"))
+        .select(col("day").cast("long").as("day"),
+          col("v_zero").cast("long").as("v_zero"), col("est"),
+          col("exact_distinct"),
+          pround(abs(col("est") - col("exact_distinct")) / col("exact_distinct"), 6)
+            .as("rel_err"))
     }),
 
     // HLL MERGE on the oracle surface — the property that makes sketches
@@ -1375,6 +1432,36 @@ object DedupQueries {
          |                      THEN ${sround(s"${dlit(HllM.toDouble)} * ${sround(s"ln(${dlit(HllM.toDouble)} / v_zero)", 6)}", 6)}
          |                      ELSE raw_est END AS est FROM r1)
          |SELECT CAST($HllM AS INT) AS m, CAST(v_zero AS BIGINT) AS v_zero, raw_est, est, exact_distinct,
+         |       ${sround("abs(est - exact_distinct) / exact_distinct", 6)} AS rel_err
+         |FROM r2""".stripMargin
+    },
+
+    // registers rebuilt from ALL raw events, per day — equality proves
+    // the incrementally-merged MV == full rebuild (max-merge loses and
+    // invents nothing; the q108 estimator chain carried per day)
+    "q151_hll_mv_merge" -> {
+      val ladder = (51 to 0 by -1)
+        .map(b => s"WHEN rest >= ${1L << b} THEN ${52 - b}").mkString(" ")
+      s"""WITH u AS (SELECT epoch_us(ts) // ${graft.queries.RelQueries.DayUs} AS day,
+         |                  CAST(user_id AS VARCHAR) AS uid FROM events),
+         |hh AS (SELECT day, uid, ${hexcast("uid")} AS h FROM u),
+         |b AS (SELECT day, h // ${1L << 52} AS bucket, h % ${1L << 52} AS rest FROM hh),
+         |rk AS (SELECT day, bucket, CASE $ladder ELSE 53 END AS rk FROM b),
+         |regs AS (SELECT day, bucket, max(rk) AS r FROM rk GROUP BY day, bucket),
+         |st AS (SELECT day, CAST(count(*) AS BIGINT) AS n_buckets,
+         |              CAST(sum(CAST(1 AS BIGINT) << CAST(53 - r AS INT)) AS BIGINT) AS s_present
+         |       FROM regs GROUP BY day),
+         |ex AS (SELECT day, CAST(count(DISTINCT uid) AS BIGINT) AS exact_distinct
+         |       FROM u GROUP BY day),
+         |c AS (SELECT st.day, n_buckets, s_present, exact_distinct,
+         |             ($HllM - n_buckets) AS v_zero,
+         |             s_present + ($HllM - n_buckets) * (CAST(1 AS BIGINT) << 53) AS s_total
+         |      FROM st JOIN ex ON st.day = ex.day),
+         |r1 AS (SELECT *, ${sround(s"${dlit(HllAlphaC)} / CAST(s_total AS DOUBLE)", 6)} AS raw_est FROM c),
+         |r2 AS (SELECT *, CASE WHEN raw_est <= ${dlit(2.5 * HllM)} AND v_zero > 0
+         |                      THEN ${sround(s"${dlit(HllM.toDouble)} * ${sround(s"ln(${dlit(HllM.toDouble)} / v_zero)", 6)}", 6)}
+         |                      ELSE raw_est END AS est FROM r1)
+         |SELECT CAST(day AS BIGINT) AS day, CAST(v_zero AS BIGINT) AS v_zero, est, exact_distinct,
          |       ${sround("abs(est - exact_distinct) / exact_distinct", 6)} AS rel_err
          |FROM r2""".stripMargin
     },

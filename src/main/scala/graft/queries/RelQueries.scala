@@ -1191,6 +1191,30 @@ object RelQueries {
           xsum(col("value"), 6).as("sum_value"))
     }),
 
+    // RANKING-FAMILY WINDOW SUITE — completes the window-function
+    // surface beside row_number (q23/q79), lead/lag ignore-nulls (q136)
+    // and rolling collect (q02): NTILE decile assignment, PERCENT_RANK
+    // and CUME_DIST in one per-type pass, aggregated per (type, decile).
+    // The (value, event_id) ordering key is UNIQUE, so rank == row
+    // position and every function is deterministic (percent_rank over a
+    // tied order would not hash-match a serial oracle). One shuffle on
+    // the partition key, same as any window at 100 TB; percent_rank is
+    // exact IEEE integer division on both engines, quantized into the
+    // xsum.
+    "q152_window_suite" -> ((spark, dir) => {
+      val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+      table(spark, dir, "events")
+        .select(col("event_type"), col("event_id"), col("value"))
+        .withColumn("decile", ntile(10).over(w).cast("long"))
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("cd", cume_dist().over(w))
+        .groupBy("event_type", "decile")
+        .agg(count(lit(1)).as("n"),
+          xsum(col("pr"), 6).as("sum_pr"),
+          pround(max(col("cd")), 6).as("max_cd"),
+          min("value").as("min_value"), max("value").as("max_value"))
+    }),
+
     // ORC SOURCE round trip — q132's columnar sibling (JSONL/CSV cover
     // the text formats; ORC is the other columnar at-rest format Spark
     // ships natively). Same proof shape: the md5-derived per-text
@@ -1666,6 +1690,22 @@ object RelQueries {
          |FROM e, r
          |WHERE user_id BETWEEN r.ulo AND r.uhi AND day BETWEEN r.dlo AND r.dhi
          |GROUP BY event_type""".stripMargin,
+
+    // the identical ranking pass serially — the unique ordering key makes
+    // ntile/percent_rank/cume_dist agree across engines
+    "q152_window_suite" ->
+      s"""WITH w AS (SELECT event_type, value,
+         |         ntile(10) OVER win AS decile,
+         |         percent_rank() OVER win AS pr,
+         |         cume_dist() OVER win AS cd
+         |       FROM events
+         |       WINDOW win AS (PARTITION BY event_type ORDER BY value, event_id))
+         |SELECT event_type, CAST(decile AS BIGINT) AS decile,
+         |       CAST(count(*) AS BIGINT) AS n,
+         |       ${xsumSql("pr", 6)} AS sum_pr,
+         |       ${sround("max(cd)", 6)} AS max_cd,
+         |       min(value) AS min_value, max(value) AS max_value
+         |FROM w GROUP BY event_type, decile""".stripMargin,
 
     // the parquet origin replay (q132's proof shape) — equality proves
     // the ORC at-rest copy byte-lossless

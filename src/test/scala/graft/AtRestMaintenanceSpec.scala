@@ -106,6 +106,27 @@ class AtRestMaintenanceSpec extends AnyFunSuite with BeforeAndAfterAll {
       "merge lost state keys")
   }
 
+  test("q151 sketch-MV merge reads the persisted registers + delta (exact side aside)") {
+    val df = SparkEntry.queries("q151_hll_mv_merge")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("FileScan") && l.contains("graft_events_hllmv")),
+      s"no scan of the persisted register MV in:\n$plan")
+    // raw events appear exactly twice: the %10 delta batch and the
+    // deliberately-exact comparison column — never a full register rebuild
+    val rawScans = plan.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("events.parquet")).toSeq
+    assert(rawScans.size == 2, s"expected 2 raw scans, got ${rawScans.size}:\n$plan")
+    assert(rawScans.exists(_.contains("% 10")),
+      s"no delta-filtered raw scan:\n${rawScans.mkString("\n")}")
+    // the MV stays bounded: days × 256 registers at most
+    val mv = spark.table(
+      plan.linesIterator.find(_.contains("graft_events_hllmv"))
+        .flatMap("graft_events_hllmv[a-z0-9_]*".r.findFirstIn(_)).get)
+    val days = mv.select("day").distinct().count()
+    assert(mv.count() <= days * 256, "register MV exceeds its bound")
+  }
+
   test("q136 gap-fill windows are user-partitioned (no global sort)") {
     val df = SparkEntry.queries("q136_gapfill_interpolate")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
