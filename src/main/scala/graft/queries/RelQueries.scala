@@ -332,6 +332,54 @@ object RelQueries {
     (names(0), names(1))
   }
 
+  /** q153's correlated query text — ONE definition parameterized only by
+    * the table name, so the Spark side and the DuckDB oracle run the
+    * IDENTICAL statement (the strongest possible parity: same SQL, two
+    * engines). Stays in the ANSI∩(Spark∩DuckDB) subset: floor/sum/count,
+    * no dialect functions. */
+  private def correlatedAboveAvgSql(tbl: String): String = {
+    // string-cast literals: Spark parses a bare 10000.0 as DECIMAL,
+    // DuckDB as DOUBLE — the CAST form is DOUBLE on both
+    val p = "CAST('10000.0' AS DOUBLE)"
+    val h = "CAST('0.5' AS DOUBLE)"
+    s"""SELECT o_custkey,
+       |       CAST(count(*) AS BIGINT) AS n_above,
+       |       sum(floor(o_totalprice * $p + $h)) / $p AS sum_above
+       |FROM $tbl o
+       |WHERE o_totalprice > (
+       |  SELECT (sum(floor(o2.o_totalprice * $p + $h)) / $p) / count(*)
+       |  FROM $tbl o2 WHERE o2.o_custkey = o.o_custkey)
+       |GROUP BY o_custkey""".stripMargin
+  }
+
+  /** q154's SNAPSHOT VERSIONS of the q138-shaped aggregate: v1 = integer
+    * partials over the ingested 90%; v2 = v1 sum-merged with the delta,
+    * written COPY-ON-WRITE as a separate table (v1's files are never
+    * touched). Two immutable versions of one logical table — the
+    * Iceberg/Delta time-travel mechanism in its minimal at-rest form:
+    * readers pick a version; writers only ever add new ones. The v2
+    * build reads v1's TABLE plus the delta rows, never raw history (the
+    * q138 O(delta) discipline applied at write time). */
+  private def mvSnapshotTables(spark: org.apache.spark.sql.SparkSession,
+                               dir: String): (String, String) = {
+    val names = AtRestTables.get(spark, s"mvsnap|$dir") { base =>
+      val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val v1T = s"graft_aggmv_v1_$sfx"
+      val v2T = s"graft_aggmv_v2_$sfx"
+      dayTypePartials(table(spark, dir, "events")
+          .where(col("event_id") % 10 =!= 0))
+        .write.mode("overwrite").option("path", s"$base/v1").saveAsTable(v1T)
+      val delta = dayTypePartials(table(spark, dir, "events")
+        .where(col("event_id") % 10 === 0))
+      spark.table(v1T).unionByName(delta)
+        .groupBy("day", "event_type")
+        .agg(sum("n").as("n"), sum("s").as("s"))
+        .write.mode("overwrite").option("path", s"$base/v2").saveAsTable(v2T)
+      Seq(v1T, v2T)
+    }
+    (names(0), names(1))
+  }
+
   /** q142 dim attribute modulus — ONE place, embedded into the oracle SQL
     * (both engines' % truncates toward zero, so k = -1 maps to -1 in
     * both). */
@@ -1191,6 +1239,47 @@ object RelQueries {
           xsum(col("value"), 6).as("sum_value"))
     }),
 
+    // SNAPSHOT TIME TRAVEL — reading a table AS OF an earlier version
+    // after a later one exists: v1 (pre-merge) and v2 (post-merge) are
+    // both at rest, immutable, in separate directories; the probe joins
+    // the two snapshots and emits the per-key version diff — the audit
+    // query time travel exists for ("what did last night's load change?")
+    // — reading ONLY the two version tables, never raw history
+    // (SnapshotSpec pins zero raw-event scans in the plan). v2's keys
+    // are a superset of v1's by construction, so a left join from v2
+    // sees every key; absent-in-v1 keys read as 0. The oracle recomputes
+    // both versions from the raw split — equality proves v1 survived the
+    // v2 write byte-intact AND the copy-on-write merge is exact.
+    "q154_snapshot_diff" -> ((spark, dir) => {
+      val (v1T, v2T) = mvSnapshotTables(spark, dir)
+      val v1 = spark.table(v1T).select(col("day"), col("event_type"),
+        col("n").as("n_v1"), col("s").as("s_v1"))
+      val v2 = spark.table(v2T).select(col("day"), col("event_type"),
+        col("n").as("n_v2"), col("s").as("s_v2"))
+      v2.join(v1, Seq("day", "event_type"), "left")
+        .select(col("day").cast("long").as("day"), col("event_type"),
+          coalesce(col("n_v1"), lit(0L)).as("n_v1"), col("n_v2"),
+          (col("n_v2") - coalesce(col("n_v1"), lit(0L))).as("n_added"),
+          ((col("s_v2") - coalesce(col("s_v1"), lit(0L))).cast("double") /
+            lit(1000000.0)).as("sum_added"))
+    }),
+
+    // CORRELATED SCALAR SUBQUERY — the optimizer surface none of the
+    // other queries touch: each order compares against ITS customer's
+    // average price, written as a genuinely correlated subquery (SQL
+    // text, not a pre-joined frame). Catalyst DECORRELATES it into one
+    // aggregate + equi-join — executed naively it would re-run the inner
+    // aggregate per outer row, which at 100 TB is the difference between
+    // one shuffle and a million scans. The average uses the portable
+    // scaled-integer formulation inline (the xsum discipline in SQL
+    // form: per-order quantized integers sum exactly, the two divisions
+    // are identical IEEE ops on both engines), so the > boundary cannot
+    // drift. The oracle runs the SAME correlated text on DuckDB.
+    "q153_correlated_subquery" -> ((spark, dir) => {
+      table(spark, dir, "orders").createOrReplaceTempView("graft_q153_orders")
+      spark.sql(correlatedAboveAvgSql("graft_q153_orders"))
+    }),
+
     // RANKING-FAMILY WINDOW SUITE — completes the window-function
     // surface beside row_number (q23/q79), lead/lag ignore-nulls (q136)
     // and rolling collect (q02): NTILE decile assignment, PERCENT_RANK
@@ -1690,6 +1779,29 @@ object RelQueries {
          |FROM e, r
          |WHERE user_id BETWEEN r.ulo AND r.uhi AND day BETWEEN r.dlo AND r.dhi
          |GROUP BY event_type""".stripMargin,
+
+    // the IDENTICAL correlated statement, executed by DuckDB's own
+    // decorrelation — same SQL, two engines
+    "q153_correlated_subquery" -> correlatedAboveAvgSql("orders"),
+
+    // both versions recomputed from the raw split — equality proves the
+    // copy-on-write v2 merge exact and v1 untouched by it
+    "q154_snapshot_diff" ->
+      s"""WITH e AS (SELECT event_type, event_id,
+         |                  epoch_us(ts) // $DayUs AS day,
+         |                  CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS sv
+         |           FROM events),
+         |v1 AS (SELECT day, event_type, CAST(count(*) AS BIGINT) AS n_v1,
+         |              CAST(sum(sv) AS BIGINT) AS s_v1
+         |       FROM e WHERE event_id % 10 <> 0 GROUP BY day, event_type),
+         |v2 AS (SELECT day, event_type, CAST(count(*) AS BIGINT) AS n_v2,
+         |              CAST(sum(sv) AS BIGINT) AS s_v2
+         |       FROM e GROUP BY day, event_type)
+         |SELECT v2.day, v2.event_type,
+         |       CAST(coalesce(n_v1, 0) AS BIGINT) AS n_v1, n_v2,
+         |       CAST(n_v2 - coalesce(n_v1, 0) AS BIGINT) AS n_added,
+         |       CAST(s_v2 - coalesce(s_v1, 0) AS DOUBLE) / 1000000.0 AS sum_added
+         |FROM v2 LEFT JOIN v1 ON v2.day = v1.day AND v2.event_type = v1.event_type""".stripMargin,
 
     // the identical ranking pass serially — the unique ordering key makes
     // ntile/percent_rank/cume_dist agree across engines

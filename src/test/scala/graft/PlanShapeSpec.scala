@@ -34,6 +34,18 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"the cosine filter must run before (below) the distinct:\n$plan")
   }
 
+  test("q153's correlated subquery decorrelates into one aggregate + join") {
+    val plan = RelQueries.defs("q153_correlated_subquery")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // Catalyst must rewrite the per-row scalar subquery into a grouped
+    // aggregate joined back on the correlation key — a surviving
+    // per-row subquery node means the inner aggregate re-executes per
+    // outer row (a scan per row at scale)
+    assert(!plan.contains("ScalarSubquery"),
+      s"correlated subquery not decorrelated:\n$plan")
+    assert(plan.contains("Join"), s"no decorrelation join in:\n$plan")
+  }
+
   test("q72 ranks the events window in a single sort") {
     val q = RelQueries.defs("q72_quantiles")(spark, dir)
     val plan = q.queryExecution.executedPlan.toString
