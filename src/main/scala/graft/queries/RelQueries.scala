@@ -380,6 +380,29 @@ object RelQueries {
     (names(0), names(1))
   }
 
+  /** q155's two-GENERATION at-rest layout: gen1 files carry the original
+    * 3-column schema, gen2 files the WIDENED schema (+event_type) — the
+    * shape every long-lived dataset reaches (columns get added; history
+    * is never rewritten). The split is event_id parity, replayed by the
+    * oracle. */
+  private def schemaEvoTables(spark: org.apache.spark.sql.SparkSession,
+                              dir: String): (String, String) = {
+    val names = AtRestTables.get(spark, s"schevo|$dir") { base =>
+      val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val g1T = s"graft_evo_g1_$sfx"
+      val g2T = s"graft_evo_g2_$sfx"
+      val ev = table(spark, dir, "events")
+      ev.where(col("event_id") % 2 === 0)
+        .select("event_id", "user_id", "value")
+        .write.mode("overwrite").option("path", s"$base/evo1").saveAsTable(g1T)
+      ev.where(col("event_id") % 2 =!= 0)
+        .select("event_id", "user_id", "value", "event_type")
+        .write.mode("overwrite").option("path", s"$base/evo2").saveAsTable(g2T)
+      Seq(g1T, g2T)
+    }
+    (names(0), names(1))
+  }
+
   /** q142 dim attribute modulus — ONE place, embedded into the oracle SQL
     * (both engines' % truncates toward zero, so k = -1 maps to -1 in
     * both). */
@@ -1239,6 +1262,30 @@ object RelQueries {
           xsum(col("value"), 6).as("sum_value"))
     }),
 
+    // SCHEMA EVOLUTION read — one logical table whose files span two
+    // schema generations (gen2 added event_type; gen1 was never
+    // rewritten), scanned through Spark's native mergeSchema parquet
+    // read: ONE FileScan whose ReadSchema is the union, gen1 rows
+    // surfacing NULL for the added column (coalesced to the 'unknown'
+    // default every evolved pipeline defines). At 100 TB rewriting
+    // history for every added column is impossible — schema-merge reads
+    // are how evolved datasets stay queryable. The oracle replays the
+    // generation rule over raw events (parity split → label), proving
+    // the evolved layout lossless and the null-fill semantics exact.
+    "q155_schema_evolution" -> ((spark, dir) => {
+      val (g1T, g2T) = schemaEvoTables(spark, dir)
+      val paths = (spark.table(g1T).inputFiles ++ spark.table(g2T).inputFiles)
+        .map(f => f.substring(0, f.lastIndexOf('/'))).distinct
+      val merged =
+        if (paths.isEmpty) spark.table(g2T) // zero-row source: full schema, no files
+        else spark.read.option("mergeSchema", "true").parquet(paths.toIndexedSeq: _*)
+      merged
+        .select(coalesce(col("event_type"), lit("unknown")).as("event_type"),
+          col("value"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), xsum(col("value"), 6).as("sum_value"))
+    }),
+
     // SNAPSHOT TIME TRAVEL — reading a table AS OF an earlier version
     // after a later one exists: v1 (pre-merge) and v2 (post-merge) are
     // both at rest, immutable, in separate directories; the probe joins
@@ -1783,6 +1830,15 @@ object RelQueries {
     // the IDENTICAL correlated statement, executed by DuckDB's own
     // decorrelation — same SQL, two engines
     "q153_correlated_subquery" -> correlatedAboveAvgSql("orders"),
+
+    // the generation rule replayed over raw events — equality proves the
+    // two-schema layout lossless and the merged read's null-fill exact
+    "q155_schema_evolution" ->
+      s"""SELECT CASE WHEN event_id % 2 = 0 THEN 'unknown' ELSE event_type END AS event_type,
+         |       CAST(count(*) AS BIGINT) AS n_events,
+         |       ${xsumSql("value", 6)} AS sum_value
+         |FROM events
+         |GROUP BY 1""".stripMargin,
 
     // both versions recomputed from the raw split — equality proves the
     // copy-on-write v2 merge exact and v1 untouched by it

@@ -72,4 +72,24 @@ class FileSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.toString).sorted.toSeq
     assert(viaOrc == viaParquet)
   }
+
+  test("q155 merged read spans both schema generations in one union-schema scan") {
+    val df = SparkEntry.queries("q155_schema_evolution")(spark, dir)
+    // both generation directories feed the read...
+    val files = df.inputFiles
+    assert(files.exists(_.contains("evo1")) && files.exists(_.contains("evo2")),
+      s"merged read missing a generation: ${files.mkString(", ")}")
+    // ...through ONE FileScan whose ReadSchema is the UNION (gen1 files
+    // lack event_type; the scan must still carry it)
+    val plan = df.queryExecution.executedPlan.toString
+    val scan = plan.linesIterator
+      .find(l => l.contains("FileScan") && l.contains("evo"))
+      .getOrElse(fail(s"no evolved-layout scan in:\n$plan"))
+    assert(scan.contains("event_type"), s"union schema not read: $scan")
+    // the added column genuinely back-fills: gen1 rows surface as the
+    // 'unknown' default and carry real measure values
+    val unknown = df.collect().find(_.getString(0) == "unknown")
+      .getOrElse(fail("no gen1 rows surfaced under the default label"))
+    assert(unknown.getLong(1) > 0)
+  }
 }
