@@ -1271,6 +1271,99 @@ object RelQueries {
           xsum(col("value"), 6).as("sum_value"))
     }),
 
+    // FULL OUTER reconciliation — completes the join-type surface
+    // (inner/broadcast q21, semi q64, anti q73, left q154, range q119,
+    // as-of q71): the referential-integrity audit every warehouse runs
+    // after a load — which customer keys have no event
+    // activity, which active user ids have no customer row, and what
+    // the matched population carries.
+    // Both sides pre-aggregate to key-sized frames before the join
+    // (never outer-joining raw fact rows), then one full outer join +
+    // status classification. At 100 TB: two shuffles on the key and a
+    // key-sized join — the audit costs no more than the aggregates.
+    "q158_full_outer_audit" -> ((spark, dir) => {
+      val c = table(spark, dir, "customer")
+        .groupBy(col("c_custkey").as("key")).agg(count(lit(1)).as("n_cust"))
+      // activity rides as SCALED-INTEGER partials through both
+      // aggregation levels (the q138 sint discipline) — re-summing
+      // xsum's double output across keys would be order-dependent at
+      // the ulp
+      val raw = table(spark, dir, "events")
+      val e = raw
+        .groupBy(col("user_id").as("key"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(floor(col("value") * lit(1000000.0) + lit(0.5)))
+            .cast("long").as("sc"))
+      c.join(e, Seq("key"), "full_outer")
+        .select(
+          when(col("n_cust").isNotNull && col("n_events").isNotNull, "matched")
+            .when(col("n_cust").isNotNull, "customer_only")
+            .otherwise("activity_only").as("status"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          coalesce(col("sc"), lit(0L)).as("sc"))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n_keys"),
+          sum(col("n_events")).as("n_events"),
+          (sum(col("sc")).cast("double") / lit(1000000.0)).as("sum_value"))
+    }),
+
+    // EVENT FUNNEL — the product-analytics sequence query: how many
+    // users did view → click → purchase IN THAT ORDER (first-touch
+    // semantics: each stage's timestamp is the user's EARLIEST such
+    // event, and a stage counts only if it strictly follows the
+    // previous stage's first touch). One conditional aggregation per
+    // user then one global roll-up — two combinable aggs, no joins, no
+    // window: the whole funnel is a scan at any scale. Strict <
+    // comparisons on the µs timestamps (ties cannot satisfy the funnel,
+    // same rule both engines); NULL stage times propagate to false in
+    // both engines' < semantics. Conversion ratios are NULL-guarded for
+    // the empty corpus (Spark and DuckDB disagree on 0/0 otherwise).
+    "q156_event_funnel" -> ((spark, dir) => {
+      val raw = table(spark, dir, "events")
+      val stage = raw
+        .select(col("user_id"), col("event_type"), QueryBase.tsUs(raw).as("ts_us"))
+        .groupBy("user_id")
+        .agg(min(when(col("event_type") === "view", col("ts_us"))).as("t1"),
+          min(when(col("event_type") === "click", col("ts_us"))).as("t2"),
+          min(when(col("event_type") === "purchase", col("ts_us"))).as("t3"))
+      stage.agg(
+          count(when(col("t1").isNotNull, lit(1))).as("n_view"),
+          count(when(col("t1") < col("t2"), lit(1))).as("n_view_click"),
+          count(when(col("t1") < col("t2") && col("t2") < col("t3"), lit(1)))
+            .as("n_funnel"))
+        .select(col("n_view"), col("n_view_click"), col("n_funnel"),
+          when(col("n_view") > 0,
+            pround(col("n_view_click").cast("double") / col("n_view"), 6))
+            .as("conv_click"),
+          when(col("n_view_click") > 0,
+            pround(col("n_funnel").cast("double") / col("n_view_click"), 6))
+            .as("conv_purchase"))
+    }),
+
+    // COHORT RETENTION — the other canonical event-analytics query: users
+    // grouped by FIRST-SEEN day (their cohort), retention = how many are
+    // active again k days later, k ≤ 7. Distinct (user, day) activity
+    // first (one combinable distinct), each user's cohort day via a
+    // per-user min, then one equi-join back on user_id and a (cohort, k)
+    // count-distinct — the join's right side is user-count-sized (a
+    // dimension, not the event stream), and nothing is ever quadratic.
+    // Integer day arithmetic end to end; the oracle replays identically.
+    "q157_cohort_retention" -> ((spark, dir) => {
+      val raw = table(spark, dir, "events")
+      val act = raw
+        .select(col("user_id"), QueryBase.tsUs(raw).as("ts_us"))
+        .select(col("user_id"), expr(s"ts_us div $DayUs").as("day"))
+        .distinct()
+      val cohort = act.groupBy("user_id").agg(min("day").as("cohort_day"))
+      act.join(cohort, "user_id")
+        .withColumn("k", col("day") - col("cohort_day"))
+        .where(col("k") <= 7)
+        .groupBy("cohort_day", "k")
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .select(col("cohort_day").cast("long").as("cohort_day"),
+          col("k").cast("long").as("k"), col("n_users"))
+    }),
+
     // SCHEMA EVOLUTION read — one logical table whose files span two
     // schema generations (gen2 added event_type; gen1 was never
     // rewritten), scanned through Spark's native mergeSchema parquet
@@ -1839,6 +1932,56 @@ object RelQueries {
     // the IDENTICAL correlated statement, executed by DuckDB's own
     // decorrelation — same SQL, two engines
     "q153_correlated_subquery" -> correlatedAboveAvgSql("orders"),
+
+    // the identical reconciliation serially — scaled-integer revenue
+    // partials keep the two-level sum exact
+    "q158_full_outer_audit" ->
+      s"""WITH c AS (SELECT c_custkey AS key, CAST(count(*) AS BIGINT) AS n_cust
+         |           FROM customer GROUP BY c_custkey),
+         |e AS (SELECT user_id AS key, CAST(count(*) AS BIGINT) AS n_events,
+         |             CAST(sum(floor(value * CAST('1000000.0' AS DOUBLE)
+         |                            + CAST('0.5' AS DOUBLE))) AS BIGINT) AS sc
+         |      FROM events GROUP BY user_id),
+         |j AS (SELECT CASE WHEN n_cust IS NOT NULL AND n_events IS NOT NULL THEN 'matched'
+         |                  WHEN n_cust IS NOT NULL THEN 'customer_only'
+         |                  ELSE 'activity_only' END AS status,
+         |             coalesce(n_events, 0) AS n_events, coalesce(sc, 0) AS sc
+         |      FROM c FULL OUTER JOIN e USING (key))
+         |SELECT status, CAST(count(*) AS BIGINT) AS n_keys,
+         |       CAST(sum(n_events) AS BIGINT) AS n_events,
+         |       CAST(sum(sc) AS DOUBLE) / CAST('1000000.0' AS DOUBLE) AS sum_value
+         |FROM j GROUP BY status""".stripMargin,
+
+    // the identical first-touch funnel serially — strict < on the µs
+    // integers, NULL-guarded ratios
+    "q156_event_funnel" ->
+      s"""WITH st AS (
+         |  SELECT user_id,
+         |         min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t1,
+         |         min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t2,
+         |         min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t3
+         |  FROM events GROUP BY user_id),
+         |c AS (SELECT CAST(count(CASE WHEN t1 IS NOT NULL THEN 1 END) AS BIGINT) AS n_view,
+         |             CAST(count(CASE WHEN t1 < t2 THEN 1 END) AS BIGINT) AS n_view_click,
+         |             CAST(count(CASE WHEN t1 < t2 AND t2 < t3 THEN 1 END) AS BIGINT) AS n_funnel
+         |      FROM st)
+         |SELECT n_view, n_view_click, n_funnel,
+         |       CASE WHEN n_view > 0
+         |            THEN ${sround("CAST(n_view_click AS DOUBLE) / n_view", 6)} END AS conv_click,
+         |       CASE WHEN n_view_click > 0
+         |            THEN ${sround("CAST(n_funnel AS DOUBLE) / n_view_click", 6)} END AS conv_purchase
+         |FROM c""".stripMargin,
+
+    // the identical cohort arithmetic serially — integer days end to end
+    "q157_cohort_retention" ->
+      s"""WITH act AS (SELECT DISTINCT user_id, epoch_us(ts) // $DayUs AS day FROM events),
+         |coh AS (SELECT user_id, min(day) AS cohort_day FROM act GROUP BY user_id)
+         |SELECT CAST(cohort_day AS BIGINT) AS cohort_day,
+         |       CAST(day - cohort_day AS BIGINT) AS k,
+         |       CAST(count(DISTINCT act.user_id) AS BIGINT) AS n_users
+         |FROM act JOIN coh ON act.user_id = coh.user_id
+         |WHERE day - cohort_day <= 7
+         |GROUP BY cohort_day, day - cohort_day""".stripMargin,
 
     // the generation rule replayed over raw events — equality proves the
     // two-schema layout lossless and the merged read's null-fill exact
