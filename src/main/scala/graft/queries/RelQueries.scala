@@ -1271,6 +1271,35 @@ object RelQueries {
           xsum(col("value"), 6).as("sum_value"))
     }),
 
+    // COMPOSED STAR-SCHEMA PLAN — q135's DPP and q139's runtime bloom
+    // firing together on ONE fact scan, which is what a real 100 TB
+    // star query looks like: the day dimension's filter prunes whole
+    // PARTITIONS via dynamic partition pruning (broadcast-hinted, so
+    // DPP reuses the exchange), and the customer-segment dimension's
+    // filter prunes ROWS of the surviving partitions via a runtime
+    // bloom pushed below the fact side of the sort-merge join
+    // (broadcast disabled globally so the segment join genuinely
+    // shuffles — the 100 TB reality the bloom exists for; the hint
+    // overrides the threshold for the day dim only). Conf-isolated
+    // child session (q139/q142 idiom); StarPlanSpec pins BOTH runtime
+    // filters in the executed plan; the oracle replays the two joins
+    // over raw parquet.
+    "q159_star_runtime_filters" -> ((spark0, dir) => {
+      val (pT, dT) = partitionedEventsTable(spark0, dir)
+      val spark = spark0.newSession()
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val days = broadcast(spark.table(dT).where(col("dow") === 0).select("day"))
+      val seg = table(spark, dir, "customer")
+        .where(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("user_id"))
+      spark.table(pT).join(days, "day").join(seg, "user_id")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), xsum(col("value"), 6).as("sum_value"))
+    }),
+
     // FULL OUTER reconciliation — completes the join-type surface
     // (inner/broadcast q21, semi q64, anti q73, left q154, range q119,
     // as-of q71): the referential-integrity audit every warehouse runs
@@ -1932,6 +1961,20 @@ object RelQueries {
     // the IDENTICAL correlated statement, executed by DuckDB's own
     // decorrelation — same SQL, two engines
     "q153_correlated_subquery" -> correlatedAboveAvgSql("orders"),
+
+    // both dimension filters replayed over raw parquet — equality proves
+    // partition pruning and the bloom's row pruning lose nothing (the
+    // bloom is conservative; the exact join still applies)
+    "q159_star_runtime_filters" ->
+      s"""WITH f AS (SELECT event_type, value, user_id,
+         |                  epoch_us(ts) // $DayUs AS day FROM events),
+         |d AS (SELECT DISTINCT day FROM f WHERE day % 7 = 0),
+         |s AS (SELECT c_custkey AS user_id FROM customer
+         |      WHERE c_mktsegment = 'BUILDING')
+         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+         |       ${xsumSql("value", 6)} AS sum_value
+         |FROM f JOIN d USING (day) JOIN s USING (user_id)
+         |GROUP BY event_type""".stripMargin,
 
     // the identical reconciliation serially — scaled-integer revenue
     // partials keep the two-level sum exact
