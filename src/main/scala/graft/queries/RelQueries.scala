@@ -1271,6 +1271,44 @@ object RelQueries {
           xsum(col("value"), 6).as("sum_value"))
     }),
 
+    // EXACT-PARALLEL CORRELATION / COVARIANCE — the statistical
+    // aggregates engines ship as corr()/covar_pop() are DOUBLE-sum
+    // based, so under parallel partial aggregation their results drift
+    // with partitioning (the same reason QueryBase.xsum exists). Here
+    // the five moments (Σx, Σy, Σxy, Σx², Σy²) accumulate as exact
+    // INTEGERS over the 4-digit-quantized value and the hour-of-day, so
+    // any partitioning merges bit-identically; the closed-form corr /
+    // covar / stddev then evaluate in identical IEEE double ops on both
+    // engines from identical integer moments. (Larger corpora lower the
+    // quantization digits to keep Σy² inside BIGINT — the formulation
+    // stays exact; only the grain moves.) One map-side-combinable
+    // aggregation, scan-shaped at any scale.
+    "q160_exact_corr" -> ((spark, dir) => {
+      val raw = table(spark, dir, "events")
+      val m = raw
+        .select(col("event_type"), QueryBase.tsUs(raw).as("ts_us"), col("value"))
+        .withColumn("x", expr(s"(ts_us div ${HourUs}L) % 24"))
+        .withColumn("y", floor(col("value") * lit(10000.0) + lit(0.5)).cast("long"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+      val (nD, sxD, syD, sxxD, syyD, sxyD) =
+        (col("n").cast("double"), col("sx").cast("double"),
+          col("sy").cast("double"), col("sxx").cast("double"),
+          col("syy").cast("double"), col("sxy").cast("double"))
+      m.select(col("event_type"), col("n"),
+        pround((nD * sxyD - sxD * syD) /
+          sqrt((nD * sxxD - sxD * sxD) * (nD * syyD - syD * syD)), 6)
+          .as("corr_vh"),
+        pround((sxyD / nD - (sxD / nD) * (syD / nD)) / lit(10000.0), 6)
+          .as("covar_vh"),
+        pround(sqrt(syyD / nD - (syD / nD) * (syD / nD)) / lit(10000.0), 6)
+          .as("stddev_v"))
+    }),
+
     // COMPOSED STAR-SCHEMA PLAN — q135's DPP and q139's runtime bloom
     // firing together on ONE fact scan, which is what a real 100 TB
     // star query looks like: the day dimension's filter prunes whole
@@ -1961,6 +1999,33 @@ object RelQueries {
     // the IDENTICAL correlated statement, executed by DuckDB's own
     // decorrelation — same SQL, two engines
     "q153_correlated_subquery" -> correlatedAboveAvgSql("orders"),
+
+    // the same integer moments serially, the same closed forms — the
+    // integer-in / identical-IEEE-out discipline
+    "q160_exact_corr" ->
+      s"""WITH m AS (
+         |  SELECT event_type,
+         |         CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |         CAST(sum(x * x) AS BIGINT) AS sxx,
+         |         CAST(sum(y * y) AS BIGINT) AS syy,
+         |         CAST(sum(x * y) AS BIGINT) AS sxy
+         |  FROM (SELECT event_type,
+         |               (epoch_us(ts) // $HourUs) % 24 AS x,
+         |               CAST(floor(value * CAST('10000.0' AS DOUBLE)
+         |                          + CAST('0.5' AS DOUBLE)) AS BIGINT) AS y
+         |        FROM events)
+         |  GROUP BY event_type),
+         |d AS (SELECT event_type, n,
+         |             CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+         |             CAST(sy AS DOUBLE) AS syd, CAST(sxx AS DOUBLE) AS sxxd,
+         |             CAST(syy AS DOUBLE) AS syyd, CAST(sxy AS DOUBLE) AS sxyd
+         |      FROM m)
+         |SELECT event_type, n,
+         |       ${sround("(nd * sxyd - sxd * syd) / sqrt((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd))", 6)} AS corr_vh,
+         |       ${sround("(sxyd / nd - (sxd / nd) * (syd / nd)) / CAST('10000.0' AS DOUBLE)", 6)} AS covar_vh,
+         |       ${sround("sqrt(syyd / nd - (syd / nd) * (syd / nd)) / CAST('10000.0' AS DOUBLE)", 6)} AS stddev_v
+         |FROM d""".stripMargin,
 
     // both dimension filters replayed over raw parquet — equality proves
     // partition pruning and the bloom's row pruning lose nothing (the
