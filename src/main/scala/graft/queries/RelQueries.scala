@@ -403,6 +403,88 @@ object RelQueries {
     (names(0), names(1))
   }
 
+  /** q161/q162 purge rule — ONE place, embedded into the oracle SQL:
+    * delete the flagged users' (user_id % PurgeUserMod == PurgeUserRes)
+    * events from the first [[PurgeDays]] observed days (the
+    * "right-to-be-forgotten applied to aged data" shape). */
+  private[graft] val PurgeUserMod = 50L
+  private[graft] val PurgeUserRes = 7L
+  private[graft] val PurgeDays = 10L
+
+  /** The flagged-row predicate, shared by the CoW rewrite, the deletion
+    * vector build, and (inverted) the oracle. */
+  private def purgeFlag(cutoff: Long): org.apache.spark.sql.Column =
+    (pmod(col("user_id"), lit(PurgeUserMod)) === PurgeUserRes) &&
+      col("day") < cutoff
+
+  /** q161's PURGED LAYOUT: the copy-on-write delete over the q134
+    * day-partitioned events store. Only the day partitions inside the
+    * purge window are rewritten (minus the flagged rows, into a new
+    * generation directory); every other partition's ORIGINAL FILES are
+    * referenced untouched by the new manifest — at 100 TB a purge
+    * rewrites the few affected partitions, never the table (DeleteSpec
+    * pins exactly that: kept manifest entries ARE the v1 paths).
+    * Alongside it the DELETION-VECTOR table for q162's merge-on-read
+    * variant: the same logical delete stored as keys, applied at read
+    * time by an anti join with zero rewrite — the CoW/MoR pair every
+    * table format offers, proven equal here. */
+  private def purgedLayoutTables(spark: org.apache.spark.sql.SparkSession,
+                                 dir: String): (String, String) = {
+    val names = AtRestTables.get(spark, s"gdpr|$dir") { base =>
+      val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val mT = s"graft_purge_man_$sfx"
+      val dvT = s"graft_purge_dv_$sfx"
+      val (pT, _) = partitionedEventsTable(spark, dir)
+      val dayOf = (f: String) =>
+        "day=(-?\\d+)".r.findFirstMatchIn(f).map(_.group(1).toLong)
+      val files = spark.table(pT).inputFiles.toIndexedSeq
+      val days = files.flatMap(dayOf)
+      val cutoff = if (days.isEmpty) 0L else days.min + PurgeDays
+      val keepRows = files.filter(f => dayOf(f).exists(_ >= cutoff))
+        .map(f => (f, "keep"))
+      val rwRows =
+        if (days.isEmpty) IndexedSeq.empty[(String, String)]
+        else {
+          spark.table(pT).where(col("day") < cutoff)
+            .where(!purgeFlag(cutoff))
+            .write.partitionBy("day").mode("overwrite").parquet(s"$base/rw")
+          spark.read.parquet(s"$base/rw").inputFiles.toIndexedSeq
+            .map(f => (f, "rw"))
+        }
+      import spark.implicits._
+      (keepRows ++ rwRows).toDF("file", "gen")
+        .write.mode("overwrite").option("path", s"$base/man").saveAsTable(mT)
+      val dv = spark.table(pT).where(purgeFlag(cutoff))
+        .select(col("event_id"), col("day").cast("long").as("day"))
+      dv.write.mode("overwrite").option("path", s"$base/dv").saveAsTable(dvT)
+      Seq(mT, dvT)
+    }
+    (names(0), names(1))
+  }
+
+  /** The q161/q162 oracle — the logical delete over raw events, shared
+    * verbatim by both delete styles. */
+  private def purgeOracleSql: String =
+    s"""WITH e AS (SELECT event_type, user_id, value,
+       |                  epoch_us(ts) // $DayUs AS day FROM events),
+       |c AS (SELECT min(day) + $PurgeDays AS cutoff FROM e)
+       |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       |       CAST(count(DISTINCT day) AS BIGINT) AS n_days,
+       |       ${xsumSql("value", 6)} AS sum_value
+       |FROM e, c
+       |WHERE NOT (user_id % $PurgeUserMod = $PurgeUserRes AND day < cutoff)
+       |GROUP BY event_type""".stripMargin
+
+  /** The q161/q162 post-delete report — ONE aggregation both delete
+    * styles (and the oracle) produce, so CoW == MoR is checkable. */
+  private def purgeReport(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("day")).as("n_days"),
+        xsum(col("value"), 6).as("sum_value"))
+
   /** q142 dim attribute modulus — ONE place, embedded into the oracle SQL
     * (both engines' % truncates toward zero, so k = -1 maps to -1 in
     * both). */
@@ -1271,6 +1353,47 @@ object RelQueries {
           xsum(col("value"), 6).as("sum_value"))
     }),
 
+    // COPY-ON-WRITE PURGE — the at-rest DELETE story's write-side half:
+    // flagged users' rows are removed from the aged partitions by
+    // rewriting ONLY those partitions into a new generation; every
+    // partition outside the purge window is referenced by the new
+    // manifest AS ITS ORIGINAL FILES (DeleteSpec pins the byte reuse).
+    // The probe reads the manifest (file-count-sized, the q141 idiom)
+    // and unions the per-generation basePath reads so the day partition
+    // column survives. The oracle replays the logical delete over raw
+    // events — equality proves the selective rewrite removed exactly
+    // the flagged rows and nothing else.
+    "q161_purge_cow" -> ((spark, dir) => {
+      val (mT, _) = purgedLayoutTables(spark, dir)
+      val (pT, _) = partitionedEventsTable(spark, dir)
+      val files = spark.table(mT).select("file").collect().map(_.getString(0))
+      if (files.isEmpty) purgeReport(spark.table(pT).limit(0))
+      else {
+        val byBase = files.groupBy(f => f.substring(0, f.indexOf("/day=")))
+        val parts = byBase.toSeq.sortBy(_._1).map { case (b, fs) =>
+          spark.read.option("basePath", b).parquet(fs.toIndexedSeq: _*)
+            .select("event_id", "user_id", "event_type", "value", "day")
+        }
+        purgeReport(parts.reduce(_ unionByName _))
+      }
+    }),
+
+    // MERGE-ON-READ DELETE — the same logical purge as q161 with ZERO
+    // rewrite: the deletion-vector table stores the deleted keys, and
+    // every read applies them as an ANTI JOIN against the intact v1
+    // layout (the Iceberg/Delta deletion-vector mechanism in its
+    // logical-key form). CoW pays the write once and reads clean; MoR
+    // writes nothing and pays a key-sized anti join per read — the
+    // trade every table format exposes. Same oracle as q161: the two
+    // delete styles MUST agree (DeleteSpec also pins it in-engine).
+    "q162_purge_mor" -> ((spark, dir) => {
+      val (_, dvT) = purgedLayoutTables(spark, dir)
+      val (pT, _) = partitionedEventsTable(spark, dir)
+      purgeReport(
+        spark.table(pT).join(spark.table(dvT).select("event_id"),
+          Seq("event_id"), "left_anti"))
+    }),
+
     // EXACT-PARALLEL CORRELATION / COVARIANCE — the statistical
     // aggregates engines ship as corr()/covar_pop() are DOUBLE-sum
     // based, so under parallel partial aggregation their results drift
@@ -1999,6 +2122,11 @@ object RelQueries {
     // the IDENTICAL correlated statement, executed by DuckDB's own
     // decorrelation — same SQL, two engines
     "q153_correlated_subquery" -> correlatedAboveAvgSql("orders"),
+
+    // the logical delete replayed over raw events — ONE text for both
+    // delete styles: CoW (q161) and MoR (q162) must both equal it
+    "q161_purge_cow" -> purgeOracleSql,
+    "q162_purge_mor" -> purgeOracleSql,
 
     // the same integer moments serially, the same closed forms — the
     // integer-in / identical-IEEE-out discipline
