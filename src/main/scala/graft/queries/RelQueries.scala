@@ -403,6 +403,11 @@ object RelQueries {
     (names(0), names(1))
   }
 
+  /** q164 debounce radius (µs) — ONE place, embedded into the oracle
+    * SQL. 10 minutes: wide enough that real suppressions happen at
+    * every test SF. */
+  private[graft] val DebounceUs = 600000000L
+
   /** q161/q162 purge rule — ONE place, embedded into the oracle SQL:
     * delete the flagged users' (user_id % PurgeUserMod == PurgeUserRes)
     * events from the first [[PurgeDays]] observed days (the
@@ -1353,6 +1358,49 @@ object RelQueries {
           xsum(col("value"), 6).as("sum_value"))
     }),
 
+    // SCD TYPE-2 INTERVALS — the dimension-history sibling of q149's
+    // SCD1 latest-value state: every purchase event becomes a validity
+    // interval [valid_from, valid_to) via ONE lead() pass per user (the
+    // warehouse pattern for "what was the attribute worth AT time t"),
+    // open-ended + flagged current on the newest row. One shuffle on
+    // the user key, linear per partition; the unique (ts, event_id)
+    // ordering makes lead() deterministic. The oracle runs the same
+    // window serially.
+    "q163_scd2_intervals" -> ((spark, dir) => {
+      val raw = table(spark, dir, "events")
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      raw.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("value"),
+          QueryBase.tsUs(raw).as("ts_us"))
+        .withColumn("valid_to_us", lead(col("ts_us"), 1).over(w))
+        .select(col("user_id"), col("event_id"), col("value"),
+          col("ts_us").as("valid_from_us"), col("valid_to_us"),
+          col("valid_to_us").isNull.as("is_current"))
+    }),
+
+    // DEBOUNCE DEDUP — the stream-cleaning operator applied in batch:
+    // drop any event within [[DebounceUs]] of the SAME user's previous
+    // raw event (the lag formulation — one window pass, deterministic;
+    // the chained-suppression variant needs iteration and buys little
+    // on real telemetry). First event per user always survives (NULL
+    // lag). One per-user window, one pass;
+    // the report counts kept/dropped per event_type so every decision
+    // is hash-visible. The oracle replays the same lag rule.
+    "q164_debounce" -> ((spark, dir) => {
+      val raw = table(spark, dir, "events")
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      raw.select(col("user_id"), col("event_type"), col("value"),
+          col("event_id"), QueryBase.tsUs(raw).as("ts_us"))
+        .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+        .withColumn("keep",
+          col("prev_us").isNull || col("ts_us") - col("prev_us") >= DebounceUs)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          coalesce(xsum(when(col("keep"), col("value")), 6), lit(0.0))
+            .as("sum_kept_value"))
+    }),
+
     // COPY-ON-WRITE PURGE — the at-rest DELETE story's write-side half:
     // flagged users' rows are removed from the aged partitions by
     // rewriting ONLY those partitions into a new generation; every
@@ -2127,6 +2175,27 @@ object RelQueries {
     // delete styles: CoW (q161) and MoR (q162) must both equal it
     "q161_purge_cow" -> purgeOracleSql,
     "q162_purge_mor" -> purgeOracleSql,
+
+    // the same lead() pass serially — unique (ts, event_id) ordering
+    "q163_scd2_intervals" ->
+      """SELECT user_id, event_id, value,
+        |       CAST(epoch_us(ts) AS BIGINT) AS valid_from_us,
+        |       CAST(lead(epoch_us(ts), 1) OVER w AS BIGINT) AS valid_to_us,
+        |       (lead(epoch_us(ts), 1) OVER w IS NULL) AS is_current
+        |FROM events WHERE event_type = 'purchase'
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)""".stripMargin,
+
+    // the same lag rule serially
+    "q164_debounce" ->
+      s"""WITH l AS (
+         |  SELECT event_type, value,
+         |         epoch_us(ts) - lag(epoch_us(ts), 1) OVER
+         |           (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap
+         |  FROM events)
+         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_total,
+         |       CAST(sum(CASE WHEN gap IS NULL OR gap >= $DebounceUs THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |       coalesce(${xsumSql(s"CASE WHEN gap IS NULL OR gap >= $DebounceUs THEN value END", 6)}, ${dlit(0.0)}) AS sum_kept_value
+         |FROM l GROUP BY event_type""".stripMargin,
 
     // the same integer moments serially, the same closed forms — the
     // integer-in / identical-IEEE-out discipline
