@@ -1358,6 +1358,52 @@ object RelQueries {
           xsum(col("value"), 6).as("sum_value"))
     }),
 
+    // ORDERED STRING AGGREGATION — the LISTAGG/string_agg surface:
+    // collect_list's order is partition-nondeterministic, so the
+    // portable formulation sorts the collected array before joining —
+    // the ONLY way a string aggregate hash-matches a serial oracle (and
+    // the right habit at 100 TB, where collect order is a race). Small
+    // bounded groups (segments × priorities); the concatenated key list
+    // makes every member hash-visible.
+    "q165_string_agg" -> ((spark, dir) => {
+      val c = table(spark, dir, "customer")
+        .select(col("c_mktsegment").as("segment"), col("c_custkey"))
+        .where(col("c_custkey") % 100 === 0)
+      c.groupBy("segment")
+        .agg(count(lit(1)).as("n"),
+          array_join(array_sort(collect_list(col("c_custkey").cast("string"))), ",")
+            .as("members"))
+    }),
+
+    // RANK / DENSE_RANK over GENUINE TIES — q23/q79 pin row_number, but
+    // rank semantics only differ when the ordering key actually ties:
+    // customers ranked by ORDER COUNT tie in droves, rank() leaves
+    // gaps, dense_rank() doesn't, and both depend only on the tied
+    // VALUE (not arrival order) so they are deterministic without a
+    // tiebreaker — which row_number here would NOT be. The top-5 dense
+    // ranks keep the output bounded while crossing several tie groups.
+    // Scale note: a global rank is a global sort — so the plan first
+    // derives the 5th-highest DISTINCT count (a value-domain-sized
+    // aggregate + bounded driver collect, the q141 idiom) and runs the
+    // window only over the survivors. For every surviving row the
+    // survivor rank EQUALS the global rank (all strictly-greater rows
+    // survive the >= threshold filter), so the shortcut is exact.
+    "q166_rank_ties" -> ((spark, dir) => {
+      val counts = table(spark, dir, "orders")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+      val top = counts.select("n_orders").distinct()
+        .orderBy(desc("n_orders")).limit(5).collect().map(_.getLong(0))
+      val survivors =
+        if (top.isEmpty) counts.limit(0) else counts.where(col("n_orders") >= top.min)
+      val w = Window.orderBy(desc("n_orders"))
+      survivors
+        .withColumn("rnk", rank().over(w))
+        .withColumn("drnk", dense_rank().over(w))
+        .where(col("drnk") <= 5)
+        .groupBy("n_orders", "rnk", "drnk")
+        .agg(count(lit(1)).as("n_customers"), min("o_custkey").as("min_custkey"))
+    }),
+
     // SCD TYPE-2 INTERVALS — the dimension-history sibling of q149's
     // SCD1 latest-value state: every purchase event becomes a validity
     // interval [valid_from, valid_to) via ONE lead() pass per user (the
@@ -2175,6 +2221,28 @@ object RelQueries {
     // delete styles: CoW (q161) and MoR (q162) must both equal it
     "q161_purge_cow" -> purgeOracleSql,
     "q162_purge_mor" -> purgeOracleSql,
+
+    // the same sorted-members concatenation serially (DuckDB string_agg
+    // with an explicit ORDER BY is the sorted-array form)
+    "q165_string_agg" ->
+      """SELECT c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS n,
+        |       string_agg(CAST(c_custkey AS VARCHAR), ','
+        |                  ORDER BY CAST(c_custkey AS VARCHAR)) AS members
+        |FROM customer WHERE c_custkey % 100 = 0
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    // the same tie-dependent ranks serially — rank/dense_rank need no
+    // tiebreaker to be deterministic
+    "q166_rank_ties" ->
+      """WITH c AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+        |           FROM orders GROUP BY o_custkey),
+        |r AS (SELECT o_custkey, n_orders,
+        |             CAST(rank() OVER w AS INT) AS rnk,
+        |             CAST(dense_rank() OVER w AS INT) AS drnk
+        |      FROM c WINDOW w AS (ORDER BY n_orders DESC))
+        |SELECT n_orders, rnk, drnk, CAST(count(*) AS BIGINT) AS n_customers,
+        |       CAST(min(o_custkey) AS BIGINT) AS min_custkey
+        |FROM r WHERE drnk <= 5 GROUP BY n_orders, rnk, drnk""".stripMargin,
 
     // the same lead() pass serially — unique (ts, event_id) ordering
     "q163_scd2_intervals" ->
