@@ -1145,6 +1145,59 @@ object DedupQueries {
       }
       pr.join(deg.withColumnRenamed("src", "doc_id"), "doc_id")
         .select(col("doc_id"), col("outdeg"), col("pr"))
+    }),
+
+    // TRIANGLE COUNT + GLOBAL CLUSTERING COEFFICIENT over the near-dup
+    // graph — the graph-STRUCTURE signal beside q75's reachability and
+    // q144's centrality: a high clustering coefficient says near-dup
+    // clusters are genuine cliques (template families), a low one says
+    // the τ threshold is chaining unrelated docs. The plan is the
+    // degree-ORDERED compact-forward algorithm: every undirected edge is
+    // oriented from its lower-(degree, id) endpoint, wedges form by
+    // self-joining oriented edges on their source, and a wedge closes
+    // iff the oriented (v, w) edge exists — each triangle counted
+    // exactly once at its minimum-order vertex. Orientation bounds the
+    // join fan-out by Σ outdeg² = O(|E|^1.5) instead of Σ deg², which on
+    // a power-law 100 TB graph is the difference between feasible and
+    // not: the heaviest hubs get outdeg ≈ 0 because almost all their
+    // edges point AT them. The oracle replays the naive ordered triple
+    // join — equality proves the oriented rewrite exact.
+    "q169_dedup_triangles" -> ((spark, dir) => {
+      val pairs = tcache(defs("q32_lsh_jaccard_pairs")(spark, dir)
+        .select("doc_a", "doc_b"), "q169:pairs")
+      val sym = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+        .unionByName(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      val deg = tcache(sym.groupBy("u").agg(count(lit(1)).as("d")), "q169:deg")
+      val withDeg = pairs
+        .join(deg.select(col("u").as("doc_a"), col("d").as("da")), "doc_a")
+        .join(deg.select(col("u").as("doc_b"), col("d").as("db")), "doc_b")
+      val oriented = tcache(withDeg.select(
+          when(col("da") < col("db") ||
+            (col("da") === col("db") && col("doc_a") < col("doc_b")),
+            struct(col("doc_a").as("s"), col("doc_b").as("t"), col("db").as("dt")))
+            .otherwise(
+              struct(col("doc_b").as("s"), col("doc_a").as("t"), col("da").as("dt")))
+            .as("e"))
+        .select(col("e.s").as("src"), col("e.t").as("dst"), col("e.dt").as("ddst")),
+        "q169:oriented")
+      val wedges = oriented.select(col("src"), col("dst").as("v"), col("ddst").as("dv"))
+        .join(oriented.select(col("src"), col("dst").as("w"), col("ddst").as("dw")),
+          "src")
+        .where(col("dv") < col("dw") || (col("dv") === col("dw") && col("v") < col("w")))
+        .select(col("src"), col("v"), col("w"))
+      val tri = wedges
+        .join(oriented.select(col("src").as("v"), col("dst").as("w")),
+          Seq("v", "w"), "left_semi")
+        .agg(count(lit(1)).as("n_triangles"))
+      val st = deg.agg(count(lit(1)).as("n_nodes"),
+        sum(col("d") * (col("d") - lit(1L))).as("dd"))
+        .select(col("n_nodes"), expr("dd div 2").as("n_wedges"))
+      val ne = pairs.agg(count(lit(1)).as("n_edges"))
+      st.crossJoin(broadcast(ne)).crossJoin(broadcast(tri))
+        .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+          when(col("n_wedges") === 0, lit(0.0))
+            .otherwise(pround((lit(3L) * col("n_triangles")).cast("double") /
+              col("n_wedges").cast("double"), 6)).as("global_cc"))
     })
   )
 
@@ -1649,6 +1702,27 @@ object DedupQueries {
          |$iters
          |SELECT p.doc_id, CAST(d.outdeg AS BIGINT) AS outdeg, p.pr AS pr
          |FROM p$PrIters p JOIN dg d ON p.doc_id = d.src""".stripMargin
+    },
+
+    "q169_dedup_triangles" -> {
+      // the naive ordered triple join over the same verified edge set
+      // (componentCtes supplies `pairs`/`e`; its label rounds are never
+      // referenced, so DuckDB does not evaluate them) — equality with the
+      // degree-oriented Spark plan proves the compact-forward rewrite exact
+      s"""$componentCtes,
+         |nd AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY src),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+         |              CAST(sum(d * (d - 1)) // 2 AS BIGINT) AS n_wedges FROM nd),
+         |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM pairs),
+         |tr AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+         |       FROM pairs p1
+         |       JOIN pairs p2 ON p2.doc_a = p1.doc_a AND p2.doc_b > p1.doc_b
+         |       JOIN pairs p3 ON p3.doc_a = p1.doc_b AND p3.doc_b = p2.doc_b)
+         |SELECT st.n_nodes, ne.n_edges, st.n_wedges, tr.n_triangles,
+         |       CASE WHEN st.n_wedges = 0 THEN ${dlit(0.0)}
+         |            ELSE ${sround("CAST(3 * tr.n_triangles AS DOUBLE) / CAST(st.n_wedges AS DOUBLE)", 6)}
+         |       END AS global_cc
+         |FROM st, ne, tr""".stripMargin
     }
   )
 }

@@ -408,6 +408,11 @@ object RelQueries {
     * every test SF. */
   private[graft] val DebounceUs = 600000000L
 
+  /** q172 attribution lookback (µs) — ONE place, embedded into the
+    * oracle SQL. 7 days: long enough that most purchases attribute, short
+    * enough that some genuinely do not (both branches exercised). */
+  private[graft] val AttribUs = 604800000000L
+
   /** q161/q162 purge rule — ONE place, embedded into the oracle SQL:
     * delete the flagged users' (user_id % PurgeUserMod == PurgeUserRes)
     * events from the first [[PurgeDays]] observed days (the
@@ -1786,7 +1791,138 @@ object RelQueries {
           "'discount', l_discount) AS (metric, v)"))
         .groupBy("metric")
         .agg(count(lit(1)).as("n"), xsum(col("v"), 6).as("sum_v"),
-          min("v").as("min_v"), max("v").as("max_v")))
+          min("v").as("min_v"), max("v").as("max_v"))),
+
+    // SCALABLE GLOBAL ROW NUMBER — a total-order enumeration without the
+    // single-partition global window (which at 100 TB moves the whole
+    // table through one task): per-day counts roll into cumulative
+    // OFFSETS over the bounded day domain (the q86 bounded-domain cumsum
+    // idiom — day-count-sized, broadcast back), and each day partition
+    // numbers its own rows independently; global_rn = offset + local rn.
+    // The unique (ts_us, event_id) ordering makes every rank
+    // deterministic, and the Σ rn·event_id checksum per type makes every
+    // single assignment hash-visible (any row numbered differently moves
+    // the weighted sum). This is how zipWithIndex/ORDER-BY-rank ships at
+    // scale: one count pass + one partition-local window, no global sort.
+    "q167_global_rownumber" -> ((spark, dir) => {
+      val raw = table(spark, dir, "events")
+      val e = raw.select(col("event_id"), col("event_type"),
+          QueryBase.tsUs(raw).as("ts_us"))
+        .withColumn("day", expr(s"ts_us div $DayUs"))
+      val offsets = e.groupBy("day").agg(count(lit(1)).as("cnt"))
+        .withColumn("offset", coalesce(sum("cnt").over(
+          Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .select("day", "offset")
+      val w = Window.partitionBy("day").orderBy(col("ts_us"), col("event_id"))
+      e.join(broadcast(offsets), "day")
+        .withColumn("rn", col("offset") + row_number().over(w))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          min("rn").as("min_rn"), max("rn").as("max_rn"),
+          sum(col("rn") * col("event_id")).as("rn_checksum"))
+    }),
+
+    // MARKOV TRANSITION MATRIX — per-user event-type bigrams via ONE
+    // lag() pass (the q164 window, reused for sequence mining instead of
+    // cleaning), aggregated to the |types|² transition-count matrix with
+    // row-normalized probabilities. The normalizing window runs over the
+    // bounded type×type domain (≤ 25 rows here, never the event stream),
+    // so the only data-sized work is the per-user shuffle + one
+    // combinable count — the session-behavior model a funnel (q156)
+    // summarizes is measured here edge by edge.
+    "q168_markov_transitions" -> ((spark, dir) => {
+      val raw = table(spark, dir, "events")
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      val counts = raw.select(col("user_id"), col("event_id"),
+          col("event_type").as("next_type"), QueryBase.tsUs(raw).as("ts_us"))
+        .withColumn("prev_type", lag("next_type", 1).over(w))
+        .where(col("prev_type").isNotNull)
+        .groupBy("prev_type", "next_type")
+        .agg(count(lit(1)).as("n"))
+      val byPrev = Window.partitionBy("prev_type")
+      counts.withColumn("p",
+        pround(col("n").cast("double") / sum("n").over(byPrev).cast("double"), 6))
+    }),
+
+    // COLUMN PROFILE — the data-validation operator (the Deequ/profiler
+    // shape): per-column row/non-null/exact-distinct counts + null rate
+    // in ONE scan. Multiple exact count(DISTINCT col)s compile to
+    // Catalyst's Expand (one pass over the input, one row-replica per
+    // profiled column, partial-aggregated map-side) — the profiler never
+    // rescans per column; stack() then unpivots the 1-row aggregate into
+    // the per-column report. At 100 TB this is the standard
+    // quality-gate scan that precedes ingestion.
+    "q170_column_profile" -> ((spark, dir) => {
+      val cols = Seq("l_orderkey", "l_partkey", "l_quantity",
+        "l_returnflag", "l_linestatus")
+      val aggs = count(lit(1)).as("n_rows") +:
+        cols.flatMap(c => Seq(
+          count(col(c)).as(s"nn_$c"),
+          countDistinct(col(c)).as(s"nd_$c")))
+      val one = table(spark, dir, "lineitem").agg(aggs.head, aggs.tail: _*)
+      val stack = cols.map(c => s"'$c', nn_$c, nd_$c").mkString(", ")
+      one.select(col("n_rows"),
+          expr(s"stack(${cols.size}, $stack) AS (col_name, n_notnull, n_distinct)"))
+        .select(col("col_name"), col("n_rows"), col("n_notnull"),
+          col("n_distinct"),
+          pround((col("n_rows") - col("n_notnull")).cast("double") /
+            col("n_rows").cast("double"), 6).as("null_rate"))
+    }),
+
+    // TIME-WEIGHTED AVERAGE (TWAP) — the step-function integral per
+    // user: each value holds until the user's next event (lead), so the
+    // average weighs values by their holding DURATION, not their count —
+    // the finance/telemetry aggregate a plain avg() silently gets wrong
+    // on irregular samples. Values quantize to 2 decimals as integers
+    // (Σ vq·Δt ≤ 5.6e4 · 2.6e12 µs ≈ 1.5e17, safely inside BIGINT), the
+    // µs weights are exact integers, so the weighted sums merge
+    // bit-identically under any partitioning; one window pass + one
+    // combinable aggregation per user.
+    "q171_twap" -> ((spark, dir) => {
+      val raw = table(spark, dir, "events")
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      val e = raw.select(col("user_id"), col("value"), col("event_id"),
+          QueryBase.tsUs(raw).as("ts_us"))
+        .withColumn("next_us", lead("ts_us", 1).over(w))
+        .withColumn("vq", floor(col("value") * lit(100.0) + lit(0.5)).cast("long"))
+      e.groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("next_us").isNotNull,
+            col("vq") * (col("next_us") - col("ts_us")))).as("wsum"),
+          (max("ts_us") - min("ts_us")).as("span_us"))
+        .where(col("span_us") > 0)
+        .select(col("user_id"), col("n_events"),
+          pround((col("wsum").cast("double") / lit(100.0)) /
+            col("span_us").cast("double"), 6).as("twap"))
+    }),
+
+    // LAST-TOUCH ATTRIBUTION — every purchase attributes to the SAME
+    // user's most recent preceding click within [[AttribUs]]: one
+    // IGNORE-NULLS last() over the strictly-preceding frame (the q136
+    // carry-forward idiom) finds the click timestamp in a single
+    // per-user pass — no purchase×click self-join, which at 100 TB is
+    // the difference between a window and a quadratic blowup. The report
+    // buckets purchases by attributed/organic with exact µs delay sums,
+    // so every attribution decision and delay is hash-visible.
+    "q172_last_touch" -> ((spark, dir) => {
+      val raw = table(spark, dir, "events")
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val e = raw.select(col("user_id"), col("event_type"), col("value"),
+          col("event_id"), QueryBase.tsUs(raw).as("ts_us"))
+        .withColumn("last_click_us",
+          last(when(col("event_type") === "click", col("ts_us")), true).over(w))
+        .where(col("event_type") === "purchase")
+        .withColumn("attributed",
+          col("last_click_us").isNotNull &&
+            col("ts_us") - col("last_click_us") <= AttribUs)
+      e.groupBy("attributed")
+        .agg(count(lit(1)).as("n_purchases"),
+          xsum(col("value"), 6).as("revenue"),
+          coalesce(sum(when(col("attributed"),
+            col("ts_us") - col("last_click_us"))), lit(0L)).as("sum_delay_us"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -2430,6 +2566,85 @@ object RelQueries {
          |SELECT metric, CAST(count(*) AS BIGINT) AS n,
          |       ${xsumSql("v", 6)} AS sum_v,
          |       min(v) AS min_v, max(v) AS max_v
-         |FROM u GROUP BY metric""".stripMargin
+         |FROM u GROUP BY metric""".stripMargin,
+
+    // the serial global window the Spark side refuses to run — equality
+    // proves offset + per-day local numbering IS the total order
+    "q167_global_rownumber" ->
+      """WITH r AS (SELECT event_type, event_id,
+        |                  row_number() OVER (ORDER BY epoch_us(ts), event_id) AS rn
+        |           FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(min(rn) AS BIGINT) AS min_rn, CAST(max(rn) AS BIGINT) AS max_rn,
+        |       CAST(sum(rn * event_id) AS BIGINT) AS rn_checksum
+        |FROM r GROUP BY event_type""".stripMargin,
+
+    // the same lag() bigrams serially; the row-normalization divides the
+    // same BIGINTs cast to double
+    "q168_markov_transitions" ->
+      s"""WITH b AS (SELECT event_type AS next_type,
+         |                  lag(event_type, 1) OVER
+         |                    (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_type
+         |           FROM events),
+         |c AS (SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+         |      FROM b WHERE prev_type IS NOT NULL GROUP BY prev_type, next_type)
+         |SELECT prev_type, next_type, n,
+         |       ${sround("CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE)", 6)} AS p
+         |FROM c""".stripMargin,
+
+    // the same one-pass profile: every per-column row reads the single
+    // aggregate row, so both engines divide identical BIGINTs
+    "q170_column_profile" -> {
+      val cols = Seq("l_orderkey", "l_partkey", "l_quantity",
+        "l_returnflag", "l_linestatus")
+      val aggs = cols.map(c =>
+        s"CAST(count($c) AS BIGINT) AS nn_$c, CAST(count(DISTINCT $c) AS BIGINT) AS nd_$c")
+        .mkString(",\n|       ")
+      val rows = cols.map(c =>
+        s"""SELECT '$c' AS col_name, n_rows, nn_$c AS n_notnull, nd_$c AS n_distinct,
+           |       ${sround(s"CAST(n_rows - nn_$c AS DOUBLE) / CAST(n_rows AS DOUBLE)", 6)} AS null_rate
+           |FROM t""".stripMargin)
+        .mkString("\nUNION ALL\n")
+      s"""WITH t AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |       $aggs
+         |FROM lineitem)
+         |$rows""".stripMargin
+    },
+
+    // the same lead() weights serially — identical integer sums in,
+    // identical IEEE divisions out
+    "q171_twap" ->
+      s"""WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS ts_us FROM events),
+         |l AS (SELECT user_id, ts_us,
+         |             lead(ts_us, 1) OVER
+         |               (PARTITION BY user_id ORDER BY ts_us, event_id) AS next_us,
+         |             CAST(floor(value * ${dlit(100.0)} + ${dlit(0.5)}) AS BIGINT) AS vq
+         |      FROM e),
+         |g AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+         |             CAST(sum(CASE WHEN next_us IS NOT NULL
+         |                           THEN vq * (next_us - ts_us) END) AS BIGINT) AS wsum,
+         |             CAST(max(ts_us) - min(ts_us) AS BIGINT) AS span_us
+         |      FROM l GROUP BY user_id)
+         |SELECT user_id, n_events,
+         |       ${sround(s"(CAST(wsum AS DOUBLE) / ${dlit(100.0)}) / CAST(span_us AS DOUBLE)", 6)} AS twap
+         |FROM g WHERE span_us > 0""".stripMargin,
+
+    // the same IGNORE-NULLS carry-forward serially
+    "q172_last_touch" ->
+      s"""WITH e AS (SELECT user_id, event_type, value, event_id,
+         |                  epoch_us(ts) AS ts_us FROM events),
+         |l AS (SELECT user_id, event_type, value, ts_us,
+         |             last_value(CASE WHEN event_type = 'click' THEN ts_us END IGNORE NULLS)
+         |               OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_us
+         |      FROM e),
+         |p AS (SELECT value,
+         |             (last_click_us IS NOT NULL AND ts_us - last_click_us <= $AttribUs) AS attributed,
+         |             ts_us - last_click_us AS delay
+         |      FROM l WHERE event_type = 'purchase')
+         |SELECT attributed, CAST(count(*) AS BIGINT) AS n_purchases,
+         |       ${xsumSql("value", 6)} AS revenue,
+         |       CAST(coalesce(sum(CASE WHEN attributed THEN delay END), 0) AS BIGINT) AS sum_delay_us
+         |FROM p GROUP BY attributed""".stripMargin
   )
 }

@@ -46,6 +46,27 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("Join"), s"no decorrelation join in:\n$plan")
   }
 
+  test("q167 numbers rows per-day with a broadcast offset join, never a global window") {
+    val plan = RelQueries.defs("q167_global_rownumber")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the data-sized row_number window must be PARTITIONED (by day) —
+    // an unpartitioned spec here moves the whole event stream through
+    // one task; the only unpartitioned window allowed is the cumsum
+    // over the bounded day-count frame
+    val rn = "row_number\\(\\) windowspecdefinition\\(day#".r
+    assert(rn.findFirstIn(plan).isDefined,
+      s"row_number window not partitioned by day:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"day offsets must broadcast back, not shuffle the stream:\n$plan")
+  }
+
+  test("q172 attributes purchases in one window pass, no purchase-click self-join") {
+    val plan = RelQueries.defs("q172_last_touch")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"),
+      s"last-touch attribution must be a window, not a self-join:\n$plan")
+  }
+
   test("q72 ranks the events window in a single sort") {
     val q = RelQueries.defs("q72_quantiles")(spark, dir)
     val plan = q.queryExecution.executedPlan.toString
