@@ -1922,6 +1922,89 @@ object RelQueries {
           xsum(col("value"), 6).as("revenue"),
           coalesce(sum(when(col("attributed"),
             col("ts_us") - col("last_click_us"))), lit(0L)).as("sum_delay_us"))
+    }),
+
+    // CO-OCCURRENCE MINING (market-basket) — support + lift for the
+    // top-20 part pairs appearing in the same order: the A-priori first
+    // step. The pair space comes from a per-BASKET self-join on the
+    // order key — fan-out bounded by basket_size² per order (single
+    // digits here, never corpus²) — then one combinable count per pair.
+    // Lift = P(ab)/(P(a)P(b)) from exact integer supports; the top-20
+    // cut orders by (support DESC, pa, pb), a total order, so the limit
+    // is deterministic under any parallelism (TakeOrdered, no global
+    // sort materialized). Item counts join only the 20 survivors.
+    "q173_cooccurrence" -> ((spark, dir) => {
+      val d = tcache(table(spark, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct(), "q173:baskets")
+      val nOrders = d.agg(countDistinct(col("ok")).as("n_orders"))
+      val items = d.groupBy("pk").agg(count(lit(1)).as("cnt"))
+      val top = d.as("a").join(d.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .groupBy(col("a.pk").as("pa"), col("b.pk").as("pb"))
+        .agg(count(lit(1)).as("support"))
+        .orderBy(desc("support"), col("pa"), col("pb"))
+        .limit(20)
+      top
+        .join(items.select(col("pk").as("pa"), col("cnt").as("cnt_a")), "pa")
+        .join(items.select(col("pk").as("pb"), col("cnt").as("cnt_b")), "pb")
+        .crossJoin(broadcast(nOrders))
+        .select(col("pa"), col("pb"), col("support"),
+          pround((col("support") * col("n_orders")).cast("double") /
+            (col("cnt_a") * col("cnt_b")).cast("double"), 6).as("lift"))
+    }),
+
+    // SKYLINE / PARETO FRONTIER — the multi-objective "best tradeoffs"
+    // operator (maximize quantity AND price): a point survives iff no
+    // other point is ≥ in both dimensions and > in one. The naive
+    // formulation is an O(n²) dominance NOT-EXISTS — the oracle runs
+    // exactly that — but over a bounded first dimension the frontier
+    // collapses to per-x maxima + ONE descending running-max pass: a
+    // per-x max survives iff it strictly beats the best price among all
+    // higher quantities. The running max runs over the x-DOMAIN-sized
+    // aggregate (≤ |distinct quantities| rows), so the data-sized work
+    // is one combinable groupBy — the dominance join never happens.
+    // Comparisons only, no double arithmetic: bit-exact for free.
+    "q174_skyline" -> ((spark, dir) => {
+      val m = table(spark, dir, "lineitem")
+        .groupBy(col("l_quantity").as("qty"))
+        .agg(max("l_extendedprice").as("max_price"), count(lit(1)).as("n_items"))
+      val w = Window.orderBy(desc("qty")).rowsBetween(Window.unboundedPreceding, -1)
+      m.withColumn("best_higher", max("max_price").over(w))
+        .where(col("best_higher").isNull || col("max_price") > col("best_higher"))
+        .select(col("qty"), col("max_price"), col("n_items"))
+    }),
+
+    // SESSION PATH MINING — the top-10 3-step event-type paths inside
+    // [[SessionGapUs]] sessions (q27's session rule, ONE constant for
+    // all three surfaces): two lag() passes over the per-user window
+    // derive (prev2 > prev1 > cur) trigrams, kept only when all three
+    // steps share a session; counts are combinable, and the top-10 cut
+    // orders by (n DESC, path) so ties resolve deterministically. The
+    // behavioral-sequence operator q156's fixed funnel generalizes to —
+    // discovered paths instead of an assumed one; work is one per-user
+    // shuffle + one bounded-domain count (paths ≤ |types|³).
+    "q175_session_paths" -> ((spark, dir) => {
+      val raw = table(spark, dir, "events")
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      val sess = raw.select(col("user_id"), col("event_type"), col("event_id"),
+          QueryBase.tsUs(raw).as("ts_us"))
+        .withColumn("prev_us", lag("ts_us", 1).over(w))
+        .withColumn("is_new",
+          when(col("prev_us").isNull ||
+            col("ts_us") - col("prev_us") > SessionGapUs, 1).otherwise(0))
+        .withColumn("session_id",
+          sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      val ws = Window.partitionBy("user_id", "session_id")
+        .orderBy(col("ts_us"), col("event_id"))
+      sess
+        .withColumn("p1", lag("event_type", 1).over(ws))
+        .withColumn("p2", lag("event_type", 2).over(ws))
+        .where(col("p2").isNotNull)
+        .select(concat_ws(">", col("p2"), col("p1"), col("event_type")).as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("path"))
+        .limit(10)
     })
   )
 
@@ -2645,6 +2728,52 @@ object RelQueries {
          |SELECT attributed, CAST(count(*) AS BIGINT) AS n_purchases,
          |       ${xsumSql("value", 6)} AS revenue,
          |       CAST(coalesce(sum(CASE WHEN attributed THEN delay END), 0) AS BIGINT) AS sum_delay_us
-         |FROM p GROUP BY attributed""".stripMargin
+         |FROM p GROUP BY attributed""".stripMargin,
+
+    // the same basket self-join + exact-integer lift serially; the
+    // (support DESC, pa, pb) total order makes the top-20 cut identical
+    "q173_cooccurrence" ->
+      s"""WITH d AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+         |n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM d),
+         |it AS (SELECT pk, CAST(count(*) AS BIGINT) AS cnt FROM d GROUP BY pk),
+         |p AS (SELECT a.pk AS pa, b.pk AS pb, CAST(count(*) AS BIGINT) AS support
+         |      FROM d a JOIN d b ON a.ok = b.ok AND a.pk < b.pk
+         |      GROUP BY a.pk, b.pk),
+         |t AS (SELECT pa, pb, support FROM p ORDER BY support DESC, pa, pb LIMIT 20)
+         |SELECT t.pa, t.pb, t.support,
+         |       ${sround("CAST(t.support * n.n_orders AS DOUBLE) / CAST(ia.cnt * ib.cnt AS DOUBLE)", 6)} AS lift
+         |FROM t CROSS JOIN n
+         |JOIN it ia ON ia.pk = t.pa
+         |JOIN it ib ON ib.pk = t.pb""".stripMargin,
+
+    // the naive O(n²) dominance test over the per-quantity maxima —
+    // equality proves the running-max rewrite IS the skyline
+    "q174_skyline" ->
+      """WITH m AS (SELECT l_quantity AS qty, max(l_extendedprice) AS max_price,
+        |                  CAST(count(*) AS BIGINT) AS n_items
+        |           FROM lineitem GROUP BY l_quantity)
+        |SELECT qty, max_price, n_items FROM m
+        |WHERE NOT EXISTS (SELECT 1 FROM m m2
+        |                  WHERE m2.qty > m.qty AND m2.max_price >= m.max_price)""".stripMargin,
+
+    // the same session rule + trigram extraction serially
+    "q175_session_paths" ->
+      s"""WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us FROM events),
+         |l AS (SELECT user_id, event_type, event_id, ts_us,
+         |             CASE WHEN lag(ts_us, 1) OVER w IS NULL
+         |                       OR ts_us - lag(ts_us, 1) OVER w > $SessionGapUs
+         |                  THEN 1 ELSE 0 END AS is_new
+         |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         |s AS (SELECT user_id, event_type, event_id, ts_us,
+         |             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         |      FROM l),
+         |g AS (SELECT lag(event_type, 2) OVER w2 AS p2,
+         |             lag(event_type, 1) OVER w2 AS p1,
+         |             event_type
+         |      FROM s WINDOW w2 AS (PARTITION BY user_id, session_id ORDER BY ts_us, event_id)),
+         |c AS (SELECT p2 || '>' || p1 || '>' || event_type AS path, CAST(count(*) AS BIGINT) AS n
+         |      FROM g WHERE p2 IS NOT NULL GROUP BY 1)
+         |SELECT path, n FROM c ORDER BY n DESC, path LIMIT 10""".stripMargin
   )
 }
