@@ -30,10 +30,10 @@ object TextQueries {
   /** BM25 constants. Derived values are precomputed ONCE in Scala and
     * embedded into both engines (k1 + 1 and 1 - b as literals), so neither
     * engine re-derives them with its own literal parsing. */
-  private val K1 = 1.2
-  private val B = 0.75
-  private val K1p1 = K1 + 1.0
-  private val OneMinusB = 1.0 - B
+  private[queries] val K1 = 1.2
+  private[queries] val B = 0.75
+  private[queries] val K1p1 = K1 + 1.0
+  private[queries] val OneMinusB = 1.0 - B
   private val QueryTerms = 2 // BM25 query = top-k corpus tokens
   private val TopDocs = 20
 

@@ -1027,8 +1027,78 @@ object VectorQueries {
         .groupBy("label")
         .agg(count(lit(1)).as("n"), xsum(col("nrm"), 6).as("s"))
         .select(col("label"), col("n"), pround(col("s") / col("n"), 6).as("avg_norm"))
+    }),
+
+    // HYBRID RETRIEVAL — Reciprocal Rank Fusion of a lexical and a
+    // vector ranking, the shape modern search serves (BM25 ∪ ANN →
+    // fuse): each query document's top-2 tokens drive a per-query BM25
+    // ranking (q51's exact scoring constants, ONE source), the same
+    // query's embedding drives the exact cosine ranking (q40's shape),
+    // and rrf = Σ 1/([[RrfK]] + rank) over the two top-[[RrfDepth]]
+    // lists merges them — rank-based, so the two incomparable score
+    // scales never meet. Work: both sides are broadcast-query fan-outs
+    // over the corpus (the corpus never self-joins or shuffles per
+    // query); the fusion joins two rank lists of ≤ queries·depth rows.
+    // RRF uses only integer ranks → the doubles are 1/(k+r) for small
+    // ints, identical IEEE on both engines.
+    "q176_hybrid_rrf" -> ((spark, dir) => {
+      val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+      val docs = spread(table(spark, dir, "documents"))
+        .select(col("doc_id"), toks.as("toks"))
+      val dl = docs.select(col("doc_id"), size(col("toks")).as("dl"))
+      val pairs = docs.select(col("doc_id"), explode(col("toks")).as("token"))
+      val tf = pairs.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val dfreq = pairs.distinct().groupBy("token").agg(count(lit(1)).as("df"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+      val wq = Window.partitionBy("doc_id").orderBy(desc("tf"), col("token"))
+      val qterms = tf.where(col("doc_id") < QueryCount)
+        .withColumn("rn", row_number().over(wq)).where(col("rn") <= 2)
+        .select(col("doc_id").as("query_id"), col("token"))
+      // vocabulary-sized dfreq cut to the |q|·2 query-term rows FIRST —
+      // that frame is the broadcast side (the q51 discipline)
+      val qtd = dfreq.join(broadcast(qterms), Seq("token"))
+      val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+      val idfR = pround(log(
+        ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)) + lit(1.0)), 6)
+      val tnorm = (col("tf").cast("double") * lit(TextQueries.K1p1)) /
+        (col("tf").cast("double") + lit(TextQueries.K1) *
+          (lit(TextQueries.OneMinusB) +
+            lit(TextQueries.B) * (col("dl").cast("double") / avgdl)))
+      val tscored = tf.join(broadcast(qtd), Seq("token"))
+        .where(col("doc_id") =!= col("query_id"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .select(col("query_id"), col("doc_id"), pround(idfR * tnorm, 6).as("s"))
+        .groupBy("query_id", "doc_id").agg(xsum(col("s"), 6).as("bm25"))
+      val wt = Window.partitionBy("query_id").orderBy(desc("bm25"), col("doc_id"))
+      val tr = tscored.withColumn("t_rank", row_number().over(wt))
+        .where(col("t_rank") <= RrfDepth).select("query_id", "doc_id", "t_rank")
+      val emb = spread(table(spark, dir, "embeddings"))
+      val q = emb.where(col("vec_id") < QueryCount)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val wv = Window.partitionBy("query_id").orderBy(desc("cos"), col("doc_id"))
+      val vr = emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("doc_id"),
+          pround(cosUdf(col("qe"), col("embedding")), 6).as("cos"))
+        .withColumn("v_rank", row_number().over(wv))
+        .where(col("v_rank") <= RrfDepth).select("query_id", "doc_id", "v_rank")
+      val fused = tr.join(vr, Seq("query_id", "doc_id"), "full_outer")
+        .select(col("query_id"), col("doc_id"), col("t_rank"), col("v_rank"),
+          pround(
+            coalesce(lit(1.0) / (lit(RrfK) + col("t_rank")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(RrfK) + col("v_rank")), lit(0.0)), 6)
+            .as("rrf"))
+      val wf = Window.partitionBy("query_id").orderBy(desc("rrf"), col("doc_id"))
+      fused.withColumn("rk", row_number().over(wf)).where(col("rk") <= 5)
+        .select("query_id", "doc_id", "t_rank", "v_rank", "rrf")
     })
   )
+
+  /** q176 RRF geometry — ONE place, embedded into the oracle SQL: the
+    * standard k=60 dampener and a depth-10 cut per ranking side. */
+  private val RrfK = 60
+  private val RrfDepth = 10
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -1546,6 +1616,55 @@ object VectorQueries {
          |  FROM embeddings)
          |SELECT label, CAST(count(*) AS BIGINT) AS n,
          |       ${sround(graft.sql.OracleGen.xsumSql("nrm", 6) + " / count(*)", 6)} AS avg_norm
-         |FROM n GROUP BY label""".stripMargin
+         |FROM n GROUP BY label""".stripMargin,
+
+    // both rankings replayed serially (the q51 BM25 arithmetic per query
+    // + the exact cosine scan), fused with the same integer-rank RRF
+    "q176_hybrid_rrf" -> {
+      val toksSqlD = graft.sql.TextSql.toks
+      val idf = sround(
+        s"ln((CAST(n_docs - df AS DOUBLE) + ${dlit(0.5)}) / (CAST(df AS DOUBLE) + ${dlit(0.5)}) + ${dlit(1.0)})", 6)
+      val avgdl = "(CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+      val tnorm = s"(tf.tf::DOUBLE * ${dlit(TextQueries.K1p1)}) / (tf.tf::DOUBLE + " +
+        s"${dlit(TextQueries.K1)} * (${dlit(TextQueries.OneMinusB)} + " +
+        s"${dlit(TextQueries.B)} * (d.dl::DOUBLE / $avgdl)))"
+      s"""WITH t AS (SELECT doc_id, $toksSqlD AS toks FROM documents),
+         |d AS (SELECT doc_id, CAST(len(toks) AS INT) AS dl FROM t),
+         |p AS (SELECT doc_id, unnest(toks) AS token FROM t),
+         |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM p GROUP BY doc_id, token),
+         |dfq AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM p GROUP BY token),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM d),
+         |qt AS (SELECT query_id, token FROM (
+         |         SELECT doc_id AS query_id, token,
+         |                row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, token) AS rn
+         |         FROM tf WHERE doc_id < $QueryCount) WHERE rn <= 2),
+         |s AS (SELECT qt.query_id, tf.doc_id, ${sround(s"($idf) * ($tnorm)", 6)} AS s
+         |      FROM tf JOIN qt USING (token) JOIN dfq USING (token)
+         |      JOIN d ON tf.doc_id = d.doc_id CROSS JOIN st
+         |      WHERE tf.doc_id <> qt.query_id),
+         |bm AS (SELECT query_id, doc_id, ${xsumSql("s", 6)} AS bm25
+         |       FROM s GROUP BY query_id, doc_id),
+         |tr AS (SELECT query_id, doc_id, CAST(rn AS INT) AS t_rank FROM (
+         |         SELECT query_id, doc_id,
+         |                row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rn
+         |         FROM bm) WHERE rn <= $RrfDepth),
+         |q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < $QueryCount),
+         |vs AS (SELECT q.query_id, e.vec_id AS doc_id, ${sround(cosSql("q.qe", "e.embedding"), 6)} AS cos
+         |       FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+         |vrk AS (SELECT query_id, doc_id, CAST(rn AS INT) AS v_rank FROM (
+         |         SELECT query_id, doc_id,
+         |                row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id) AS rn
+         |         FROM vs) WHERE rn <= $RrfDepth),
+         |f AS (SELECT coalesce(tr.query_id, vrk.query_id) AS query_id,
+         |             coalesce(tr.doc_id, vrk.doc_id) AS doc_id,
+         |             tr.t_rank, vrk.v_rank,
+         |             ${sround(s"coalesce(${dlit(1.0)} / ($RrfK + tr.t_rank), ${dlit(0.0)}) + coalesce(${dlit(1.0)} / ($RrfK + vrk.v_rank), ${dlit(0.0)})", 6)} AS rrf
+         |      FROM tr FULL OUTER JOIN vrk
+         |        ON tr.query_id = vrk.query_id AND tr.doc_id = vrk.doc_id)
+         |SELECT query_id, doc_id, t_rank, v_rank, rrf FROM (
+         |  SELECT f.*, row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rk
+         |  FROM f) WHERE rk <= 5""".stripMargin
+    }
   )
 }
+
