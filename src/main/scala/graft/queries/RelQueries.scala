@@ -1866,8 +1866,9 @@ object RelQueries {
           expr(s"stack(${cols.size}, $stack) AS (col_name, n_notnull, n_distinct)"))
         .select(col("col_name"), col("n_rows"), col("n_notnull"),
           col("n_distinct"),
-          pround((col("n_rows") - col("n_notnull")).cast("double") /
-            col("n_rows").cast("double"), 6).as("null_rate"))
+          when(col("n_rows") === 0, lit(0.0))
+            .otherwise(pround((col("n_rows") - col("n_notnull")).cast("double") /
+              col("n_rows").cast("double"), 6)).as("null_rate"))
     }),
 
     // TIME-WEIGHTED AVERAGE (TWAP) — the step-function integral per
@@ -2685,7 +2686,8 @@ object RelQueries {
         .mkString(",\n|       ")
       val rows = cols.map(c =>
         s"""SELECT '$c' AS col_name, n_rows, nn_$c AS n_notnull, nd_$c AS n_distinct,
-           |       ${sround(s"CAST(n_rows - nn_$c AS DOUBLE) / CAST(n_rows AS DOUBLE)", 6)} AS null_rate
+           |       CASE WHEN n_rows = 0 THEN ${dlit(0.0)}
+           |            ELSE ${sround(s"CAST(n_rows - nn_$c AS DOUBLE) / CAST(n_rows AS DOUBLE)", 6)} END AS null_rate
            |FROM t""".stripMargin)
         .mkString("\nUNION ALL\n")
       s"""WITH t AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
