@@ -2006,6 +2006,53 @@ object RelQueries {
         .groupBy("path").agg(count(lit(1)).as("n"))
         .orderBy(desc("n"), col("path"))
         .limit(10)
+    }),
+
+    // SLIDING-WINDOW AGGREGATION in batch — the 3-hour window advancing
+    // hourly (q71's tumbling resample generalized to OVERLAP): each
+    // event contributes to the 3 windows that contain its hour via a
+    // bounded explode (window_size rows per event, a constant), then ONE
+    // combinable aggregation on (type, window_end) — never a self-join
+    // of the stream against hour ranges, never a per-window rescan. The
+    // batch analogue of the streaming sliding window, and how overlap
+    // ships at 100 TB: replication factor = window/slide, map-side.
+    "q177_sliding_window" -> ((spark, dir) => {
+      val raw = table(spark, dir, "events")
+      raw.select(col("event_type"), col("value"), QueryBase.tsUs(raw).as("ts_us"))
+        .withColumn("h", expr(s"ts_us div ${HourUs}L"))
+        .select(col("event_type"), col("value"),
+          explode(expr("sequence(h, h + 2)")).as("wend"))
+        .groupBy("event_type", "wend")
+        .agg(count(lit(1)).as("n_events"), xsum(col("value"), 6).as("sum_value"))
+    }),
+
+    // MEDIAN ABSOLUTE DEVIATION — robust location + spread per type by
+    // EXACT rank arithmetic (the q72 idiom, twice): the lower median is
+    // the rank-(n+1)÷2 value under the unique (value, event_id) order,
+    // deviations |x − med| are one exact IEEE subtraction, and MAD is
+    // the same rank selection over them. Robust statistics are the
+    // outlier-immune quality gate (μ/σ move with a single corrupt
+    // value; median/MAD don't). Two per-type window passes + a 5-row
+    // broadcast join; comparisons and one subtraction — no rounding
+    // discipline needed until the output.
+    "q178_mad" -> ((spark, dir) => {
+      val e = table(spark, dir, "events")
+        .select(col("event_type"), col("value"), col("event_id"))
+      val cnt = e.groupBy("event_type").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
+      val med = e.withColumn("rn", row_number().over(w))
+        .join(broadcast(cnt), "event_type")
+        .where(expr("rn = (n + 1) div 2"))
+        .select(col("event_type"), col("value").as("med"))
+      val w2 = Window.partitionBy("event_type").orderBy(col("d"), col("event_id"))
+      e.join(broadcast(med), "event_type")
+        .select(col("event_type"), col("event_id"),
+          abs(col("value") - col("med")).as("d"), col("med"))
+        .withColumn("rn", row_number().over(w2))
+        .join(broadcast(cnt), "event_type")
+        .where(expr("rn = (n + 1) div 2"))
+        .select(col("event_type"), col("n"),
+          pround(col("med"), 6).as("median"), pround(col("d"), 6).as("mad"))
     })
   )
 
@@ -2776,6 +2823,34 @@ object RelQueries {
          |      FROM s WINDOW w2 AS (PARTITION BY user_id, session_id ORDER BY ts_us, event_id)),
          |c AS (SELECT p2 || '>' || p1 || '>' || event_type AS path, CAST(count(*) AS BIGINT) AS n
          |      FROM g WHERE p2 IS NOT NULL GROUP BY 1)
-         |SELECT path, n FROM c ORDER BY n DESC, path LIMIT 10""".stripMargin
+         |SELECT path, n FROM c ORDER BY n DESC, path LIMIT 10""".stripMargin,
+
+    // the same bounded window replication serially
+    "q177_sliding_window" ->
+      s"""WITH e AS (SELECT event_type, value, epoch_us(ts) // $HourUs AS h FROM events),
+         |x AS (SELECT event_type, value, h + i AS wend
+         |      FROM e CROSS JOIN (SELECT unnest(range(0, 3)) AS i) ii)
+         |SELECT event_type, CAST(wend AS BIGINT) AS wend,
+         |       CAST(count(*) AS BIGINT) AS n_events,
+         |       ${xsumSql("value", 6)} AS sum_value
+         |FROM x GROUP BY event_type, wend""".stripMargin,
+
+    // the same two rank selections serially — identical comparisons,
+    // identical single subtraction
+    "q178_mad" ->
+      s"""WITH e AS (SELECT event_type, value, event_id FROM events),
+         |c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY event_type),
+         |r AS (SELECT event_type, value,
+         |             row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn
+         |      FROM e),
+         |m AS (SELECT r.event_type, r.value AS med
+         |      FROM r JOIN c USING (event_type) WHERE rn = (n + 1) // 2),
+         |d AS (SELECT e.event_type, e.event_id, abs(e.value - m.med) AS d, m.med
+         |      FROM e JOIN m USING (event_type)),
+         |r2 AS (SELECT event_type, d, med,
+         |              row_number() OVER (PARTITION BY event_type ORDER BY d, event_id) AS rn
+         |       FROM d)
+         |SELECT r2.event_type, c.n, ${sround("med", 6)} AS median, ${sround("d", 6)} AS mad
+         |FROM r2 JOIN c USING (event_type) WHERE rn = (c.n + 1) // 2""".stripMargin
   )
 }
