@@ -2053,6 +2053,41 @@ object RelQueries {
         .where(expr("rn = (n + 1) div 2"))
         .select(col("event_type"), col("n"),
           pround(col("med"), 6).as("median"), pround(col("d"), 6).as("mad"))
+    }),
+
+    // SCD2 POINT-IN-TIME LOOKUP, JOIN-FREE — every non-purchase event
+    // reads the user's latest purchase value at-or-before its timestamp.
+    // q26 builds as-of from join + rank (work = Σ per-key pair fan-out);
+    // this is the OTHER rewrite, the one that deletes the join entirely:
+    // interleave dimension-version rows and fact rows in ONE per-user
+    // ordered stream (dim sorts before fact at equal ts via the kind
+    // key, so `<=` semantics fall out of the sort) and carry the version
+    // value forward with an IGNORE-NULLS last() over the
+    // strictly-preceding frame. One shuffle on the entity key, linear
+    // per partition, no fan-out — at 100 TB this is the temporal-join
+    // plan that survives users with thousands of versions AND facts.
+    // The oracle runs the naive theta join + per-fact argmax, proving
+    // the interleave exact. PlanShapeSpec pins the join-free plan.
+    "q179_scd2_lookup" -> ((spark, dir) => {
+      val ev = table(spark, dir, "events")
+      val base = ev.select(col("user_id"), col("event_type"), col("event_id"),
+        QueryBase.tsUs(ev).as("ts_us"), col("value"))
+      val dim = base.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          lit(null).cast("string").as("event_type"),
+          col("value").as("dv"), lit(0).as("k"))
+      val fact = base.where(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          col("event_type"), lit(null).cast("double").as("dv"), lit(1).as("k"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_us"), col("k"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      dim.unionByName(fact)
+        .withColumn("asof_value", last(col("dv"), true).over(w))
+        .where(col("k") === 1)
+        .groupBy(col("event_type"), col("asof_value").isNotNull.as("matched"))
+        .agg(count(lit(1)).as("n_events"),
+          coalesce(xsum(col("asof_value"), 6), lit(0.0)).as("sum_asof_value"))
     })
   )
 
@@ -2851,6 +2886,23 @@ object RelQueries {
          |              row_number() OVER (PARTITION BY event_type ORDER BY d, event_id) AS rn
          |       FROM d)
          |SELECT r2.event_type, c.n, ${sround("med", 6)} AS median, ${sround("d", 6)} AS mad
-         |FROM r2 JOIN c USING (event_type) WHERE rn = (c.n + 1) // 2""".stripMargin
+         |FROM r2 JOIN c USING (event_type) WHERE rn = (c.n + 1) // 2""".stripMargin,
+
+    // the naive theta join + per-fact argmax the interleave replaces —
+    // equality proves the carry-forward rewrite exact (including the
+    // at-equal-ts `<=` rule and the (ts, event_id) version order)
+    "q179_scd2_lookup" ->
+      s"""WITH b AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us, value FROM events),
+         |f AS (SELECT user_id, event_type, event_id, ts_us FROM b WHERE event_type <> 'purchase'),
+         |p AS (SELECT user_id, ts_us, event_id, value FROM b WHERE event_type = 'purchase'),
+         |j AS (SELECT f.event_type, f.event_id, p.value AS av,
+         |             row_number() OVER (PARTITION BY f.event_id
+         |                                ORDER BY p.ts_us DESC, p.event_id DESC) AS rn
+         |      FROM f LEFT JOIN p ON p.user_id = f.user_id AND p.ts_us <= f.ts_us),
+         |a AS (SELECT event_type, event_id, av FROM j WHERE rn = 1)
+         |SELECT event_type, (av IS NOT NULL) AS matched,
+         |       CAST(count(*) AS BIGINT) AS n_events,
+         |       coalesce(${xsumSql("av", 6)}, ${dlit(0.0)}) AS sum_asof_value
+         |FROM a GROUP BY event_type, matched""".stripMargin
   )
 }

@@ -67,6 +67,15 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"last-touch attribution must be a window, not a self-join:\n$plan")
   }
 
+  test("q179 resolves the point-in-time lookup without any join") {
+    val plan = RelQueries.defs("q179_scd2_lookup")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the interleaved carry-forward rewrite must not degrade back into
+    // the theta join + argmax the oracle runs (per-key pair fan-out)
+    assert(!plan.contains("Join"),
+      s"SCD2 lookup must be union + window, not a join:\n$plan")
+  }
+
   test("q72 ranks the events window in a single sort") {
     val q = RelQueries.defs("q72_quantiles")(spark, dir)
     val plan = q.queryExecution.executedPlan.toString
