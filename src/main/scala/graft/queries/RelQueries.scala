@@ -127,6 +127,11 @@ object RelQueries {
     * a distinct semantic: τ is a join radius, this is a grid step. */
   private[graft] val HourUs = 3600000000L
 
+  /** q181 resample grain: one 7-day week in µs (embedded into the oracle
+    * SQL). Same value as [[AttribUs]] but a distinct semantic: that is a
+    * lookback radius, this is a grid step. */
+  private[graft] val WeekUs = 7L * 86400000000L
+
   /** q137 bucket fan-out for the at-rest fact tables. Both sides MUST
     * share it — equal bucket counts on the join key are what let the
     * sort-merge join consume the on-disk layout with zero Exchange. */
@@ -2088,6 +2093,80 @@ object RelQueries {
         .groupBy(col("event_type"), col("asof_value").isNotNull.as("matched"))
         .agg(count(lit(1)).as("n_events"),
           coalesce(xsum(col("asof_value"), 6), lit(0.0)).as("sum_asof_value"))
+    }),
+
+    // CONTRIBUTION ANALYSIS (top-N + OTHERS) — the BI rollup every
+    // dashboard ends with: revenue share per nation, top-3 kept by name,
+    // the long tail collapsed into one OTHERS bucket. Revenue stays a
+    // SCALED INTEGER through both aggregation levels (per-nation, then
+    // per-bucket), so the OTHERS sum is order-independent and the two
+    // divisions (de-scale, share-of-total) are identical IEEE from
+    // identical integers; the top-3 cut is a (rq DESC, name) total
+    // order. Work: the q21 broadcast-dim star + two nation-count-sized
+    // aggregates — the fact scan happens once.
+    "q180_contribution" -> ((spark, dir) => {
+      val nrev = table(spark, dir, "orders")
+        .join(broadcast(table(spark, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(table(spark, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(sum(floor(col("o_totalprice") * lit(10000.0) + lit(0.5)).cast("long")).as("rq"))
+      val top = nrev.orderBy(desc("rq"), col("n_name")).limit(3)
+        .select(col("n_name").as("top_name"))
+      val tot = nrev.agg(sum("rq").as("tq"))
+      nrev.join(broadcast(top), col("n_name") === col("top_name"), "left")
+        .select(when(col("top_name").isNotNull, col("n_name"))
+          .otherwise(lit("OTHERS")).as("bucket"), col("rq"))
+        .groupBy("bucket").agg(sum("rq").as("srq"))
+        .crossJoin(broadcast(tot))
+        .select(col("bucket"),
+          pround(col("srq").cast("double") / lit(10000.0), 4).as("revenue"),
+          pround(col("srq").cast("double") / col("tq").cast("double"), 6).as("share"))
+    }),
+
+    // WEEK-OVER-WEEK GROWTH — the trend metric over the resampled
+    // series: one combinable (type, week) aggregation over the stream,
+    // then lag + ratio over the BOUNDED types×weeks domain (the window
+    // never sees the event stream). First weeks and zero-denominator
+    // weeks report NULL growth rather than a fabricated number.
+    "q181_wow_growth" -> ((spark, dir) => {
+      val raw = table(spark, dir, "events")
+      val wk = raw.select(col("event_type"), col("value"),
+          QueryBase.tsUs(raw).as("ts_us"))
+        .withColumn("week", expr(s"ts_us div ${WeekUs}L"))
+        .groupBy("event_type", "week")
+        .agg(count(lit(1)).as("n"), xsum(col("value"), 6).as("sum_value"))
+      val w = Window.partitionBy("event_type").orderBy("week")
+      wk.withColumn("prev_n", lag("n", 1).over(w))
+        .select(col("event_type"), col("week"), col("n"), col("sum_value"),
+          when(col("prev_n").isNull || col("prev_n") === 0,
+            lit(null).cast("double"))
+            .otherwise(pround((col("n") - col("prev_n")).cast("double") /
+              col("prev_n").cast("double"), 6)).as("wow_growth"))
+    }),
+
+    // NULL-SAFE JOIN SEMANTICS — the `<=>` / IS NOT DISTINCT FROM
+    // surface: a key derived with nullif (error events carry NULL)
+    // joined against its own dimension under BOTH equality semantics.
+    // Plain `=` silently drops every NULL-keyed row (the classic silent
+    // data loss in backfills); null-safe equality matches NULL to NULL
+    // and keeps them — the per-key report shows exactly the rows the
+    // naive join loses. Null-safe equi-keys still hash-partition (NULL
+    // is just another key value), so the join shape is unchanged at
+    // scale.
+    "q182_nullsafe_join" -> ((spark, dir) => {
+      val ev = table(spark, dir, "events")
+      val l = ev.where(col("event_id") % 20 === 0)
+        .select(expr("nullif(event_type, 'error')").as("k"))
+      val d = ev.groupBy(expr("nullif(event_type, 'error')").as("dk"))
+        .agg(count(lit(1)).as("kc"))
+      val ns = l.join(broadcast(d), col("k") <=> col("dk"), "left")
+        .groupBy("k").agg(count(lit(1)).as("n_left"), count(col("kc")).as("n_nullsafe"))
+      val eq = l.join(broadcast(d), col("k") === col("dk"), "left")
+        .groupBy("k").agg(count(col("kc")).as("n_eq"))
+      ns.as("a").join(eq.as("b"), col("a.k") <=> col("b.k"))
+        .select(col("a.k").as("k"), col("n_left"), col("n_nullsafe"), col("n_eq"))
     })
   )
 
@@ -2903,6 +2982,54 @@ object RelQueries {
          |SELECT event_type, (av IS NOT NULL) AS matched,
          |       CAST(count(*) AS BIGINT) AS n_events,
          |       coalesce(${xsumSql("av", 6)}, ${dlit(0.0)}) AS sum_asof_value
-         |FROM a GROUP BY event_type, matched""".stripMargin
+         |FROM a GROUP BY event_type, matched""".stripMargin,
+
+    // the same two-level scaled-integer rollup serially; the top-3 cut
+    // rides the identical (rq DESC, name) total order
+    "q180_contribution" ->
+      s"""WITH r AS (SELECT n_name,
+         |                  CAST(sum(CAST(floor(o_totalprice * ${dlit(10000.0)} + ${dlit(0.5)}) AS BIGINT)) AS BIGINT) AS rq
+         |           FROM orders
+         |           JOIN customer ON o_custkey = c_custkey
+         |           JOIN nation ON c_nationkey = n_nationkey
+         |           GROUP BY n_name),
+         |t3 AS (SELECT n_name FROM r ORDER BY rq DESC, n_name LIMIT 3),
+         |tot AS (SELECT CAST(sum(rq) AS BIGINT) AS tq FROM r),
+         |b AS (SELECT CASE WHEN r.n_name IN (SELECT n_name FROM t3)
+         |                  THEN r.n_name ELSE 'OTHERS' END AS bucket, rq
+         |      FROM r),
+         |g AS (SELECT bucket, CAST(sum(rq) AS BIGINT) AS srq FROM b GROUP BY bucket)
+         |SELECT bucket,
+         |       ${sround(s"CAST(srq AS DOUBLE) / ${dlit(10000.0)}", 4)} AS revenue,
+         |       ${sround("CAST(srq AS DOUBLE) / CAST(tq AS DOUBLE)", 6)} AS share
+         |FROM g CROSS JOIN tot""".stripMargin,
+
+    // the same bounded-domain lag ratio serially
+    "q181_wow_growth" ->
+      s"""WITH wk AS (SELECT event_type, epoch_us(ts) // $WeekUs AS week,
+         |                   CAST(count(*) AS BIGINT) AS n,
+         |                   ${xsumSql("value", 6)} AS sum_value
+         |            FROM events GROUP BY event_type, week),
+         |l AS (SELECT event_type, week, n, sum_value,
+         |             lag(n, 1) OVER (PARTITION BY event_type ORDER BY week) AS prev_n
+         |      FROM wk)
+         |SELECT event_type, CAST(week AS BIGINT) AS week, n, sum_value,
+         |       CASE WHEN prev_n IS NULL OR prev_n = 0 THEN NULL
+         |            ELSE ${sround("CAST(n - prev_n AS DOUBLE) / CAST(prev_n AS DOUBLE)", 6)} END AS wow_growth
+         |FROM l""".stripMargin,
+
+    // the same two joins under IS NOT DISTINCT FROM vs plain equality
+    "q182_nullsafe_join" ->
+      """WITH l AS (SELECT nullif(event_type, 'error') AS k FROM events
+        |           WHERE event_id % 20 = 0),
+        |d AS (SELECT nullif(event_type, 'error') AS dk, CAST(count(*) AS BIGINT) AS kc
+        |      FROM events GROUP BY 1),
+        |ns AS (SELECT k, CAST(count(*) AS BIGINT) AS n_left,
+        |              CAST(count(kc) AS BIGINT) AS n_nullsafe
+        |       FROM l LEFT JOIN d ON l.k IS NOT DISTINCT FROM d.dk GROUP BY k),
+        |eq AS (SELECT k, CAST(count(kc) AS BIGINT) AS n_eq
+        |       FROM l LEFT JOIN d ON l.k = d.dk GROUP BY k)
+        |SELECT ns.k, ns.n_left, ns.n_nullsafe, eq.n_eq
+        |FROM ns JOIN eq ON ns.k IS NOT DISTINCT FROM eq.k""".stripMargin
   )
 }
