@@ -2167,6 +2167,77 @@ object RelQueries {
         .groupBy("k").agg(count(col("kc")).as("n_eq"))
       ns.as("a").join(eq.as("b"), col("a.k") <=> col("b.k"))
         .select(col("a.k").as("k"), col("n_left"), col("n_nullsafe"), col("n_eq"))
+    }),
+
+    // ROLLING 7-DAY ACTIVE USERS — distinct-count over OVERLAPPING
+    // windows, which q177's additive replication alone cannot do
+    // (distinct doesn't sum): collapse to distinct (user, day) FIRST —
+    // one combinable pass that shrinks the stream to activity grain —
+    // then replicate each activity day to the 7 windows containing it
+    // and dedup (user, window) before counting. Two bounded shuffles,
+    // replication factor = window/slide, never a per-window rescan: the
+    // WAU/MAU dashboard shape at any scale.
+    "q183_rolling_wau" -> ((spark, dir) => {
+      val raw = table(spark, dir, "events")
+      val ud = raw.select(col("user_id"), QueryBase.tsUs(raw).as("ts_us"))
+        .withColumn("day", expr(s"ts_us div $DayUs"))
+        .select("user_id", "day").distinct()
+      ud.select(col("user_id"), explode(expr("sequence(day, day + 6)")).as("wend"))
+        .distinct()
+        .groupBy("wend").agg(count(lit(1)).as("wau"))
+    }),
+
+    // PSI DRIFT DETECTION — the population-stability monitor every
+    // model/data pipeline runs between a reference window and current
+    // data: per type, the REFERENCE half's exact deciles (rank
+    // arithmetic, value-at-rank is deterministic under ties) become 9
+    // cutpoints, both halves bin by cutpoints-below-value (one
+    // broadcast array + a map-side lambda — no per-bin join), and
+    // PSI = Σ (p_cur − p_ref)·ln(p_cur/p_ref) with ε-clamped
+    // probabilities and the quantize-early log discipline. The per-type
+    // window that totals the terms runs over the bounded bins domain
+    // with scaled-integer sums, so the chained doubles hash-match the
+    // serial oracle. Split = older/newer half by global day midpoint.
+    "q184_psi_drift" -> ((spark, dir) => {
+      val raw = table(spark, dir, "events")
+      val e = raw.select(col("event_type"), col("value"),
+          QueryBase.tsUs(raw).as("ts_us"))
+        .withColumn("day", expr(s"ts_us div $DayUs"))
+      val mm = e.agg(min("day").as("d0"), max("day").as("d1"))
+      val tagged = tcache(e.crossJoin(broadcast(mm))
+        .withColumn("cur", col("day") >= expr("(d0 + d1 + 1) div 2"))
+        .select("event_type", "value", "cur"), "q184:tagged")
+      val ref = tagged.where(!col("cur"))
+      val refN = ref.groupBy("event_type").agg(count(lit(1)).as("n"))
+      val rnW = Window.partitionBy("event_type").orderBy("value")
+      val ranks = (1 to 9).map(k => s"(($k * n) div 10)").mkString(", ")
+      val cutarr = ref.withColumn("rn", row_number().over(rnW))
+        .join(broadcast(refN), "event_type")
+        .where(expr(s"n >= 10 AND rn IN ($ranks)"))
+        .groupBy("event_type")
+        .agg(array_sort(collect_list(col("value"))).as("cs"))
+      val counts = tagged.join(broadcast(cutarr), "event_type")
+        .withColumn("bin", size(filter(col("cs"), x => col("value") > x)))
+        .groupBy("event_type", "bin")
+        .agg(sum(when(!col("cur"), 1L).otherwise(0L)).as("nref"),
+          sum(when(col("cur"), 1L).otherwise(0L)).as("ncur"))
+      val tots = counts.groupBy("event_type")
+        .agg(sum("nref").as("tref"), sum("ncur").as("tcur"))
+      val eps = lit(1e-6)
+      val withP = counts.join(broadcast(tots), "event_type")
+        .withColumn("pr", greatest(col("nref").cast("double") /
+          col("tref").cast("double"), eps))
+        .withColumn("pc", greatest(col("ncur").cast("double") /
+          col("tcur").cast("double"), eps))
+        .withColumn("psi_term",
+          pround((col("pc") - col("pr")) * pround(log(col("pc") / col("pr")), 6), 9))
+      val byType = Window.partitionBy("event_type")
+      withP
+        .withColumn("psi",
+          sum(floor(col("psi_term") * lit(1.0e9) + lit(0.5))).over(byType) / lit(1.0e9))
+        .select(col("event_type"), col("bin"), col("nref"), col("ncur"),
+          pround(col("pr"), 6).as("p_ref"), pround(col("pc"), 6).as("p_cur"),
+          col("psi_term"), col("psi"))
     })
   )
 
@@ -3030,6 +3101,55 @@ object RelQueries {
         |eq AS (SELECT k, CAST(count(kc) AS BIGINT) AS n_eq
         |       FROM l LEFT JOIN d ON l.k = d.dk GROUP BY k)
         |SELECT ns.k, ns.n_left, ns.n_nullsafe, eq.n_eq
-        |FROM ns JOIN eq ON ns.k IS NOT DISTINCT FROM eq.k""".stripMargin
+        |FROM ns JOIN eq ON ns.k IS NOT DISTINCT FROM eq.k""".stripMargin,
+
+    // the same collapse → replicate → dedup → count serially
+    "q183_rolling_wau" ->
+      s"""WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // $DayUs AS day FROM events),
+         |w AS (SELECT DISTINCT user_id, day + i AS wend
+         |      FROM ud CROSS JOIN (SELECT unnest(range(0, 7)) AS i) ii)
+         |SELECT CAST(wend AS BIGINT) AS wend, CAST(count(*) AS BIGINT) AS wau
+         |FROM w GROUP BY wend""".stripMargin,
+
+    // the same deciles, binning lambda, clamps and quantized logs
+    // serially — the scaled-integer window total mirrors the Spark side
+    "q184_psi_drift" -> {
+      val ranks = (1 to 9).map(k => s"($k * n) // 10").mkString(", ")
+      val eps = dlit(1e-6)
+      s"""WITH e AS (SELECT event_type, value, epoch_us(ts) // $DayUs AS day FROM events),
+         |mm AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
+         |t AS (SELECT event_type, value, (day >= (d0 + d1 + 1) // 2) AS cur
+         |      FROM e CROSS JOIN mm),
+         |ref AS (SELECT event_type, value FROM t WHERE NOT cur),
+         |nn AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM ref GROUP BY event_type),
+         |rk AS (SELECT event_type, value,
+         |              row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn
+         |       FROM ref),
+         |cuts AS (SELECT rk.event_type, rk.value FROM rk JOIN nn USING (event_type)
+         |         WHERE n >= 10 AND rn IN ($ranks)),
+         |ca AS (SELECT event_type, list(value ORDER BY value) AS cs FROM cuts GROUP BY event_type),
+         |b AS (SELECT t.event_type, t.cur,
+         |             len(list_filter(ca.cs, x -> t.value > x)) AS bin
+         |      FROM t JOIN ca USING (event_type)),
+         |c AS (SELECT event_type, bin,
+         |             CAST(sum(CASE WHEN NOT cur THEN 1 ELSE 0 END) AS BIGINT) AS nref,
+         |             CAST(sum(CASE WHEN cur THEN 1 ELSE 0 END) AS BIGINT) AS ncur
+         |      FROM b GROUP BY event_type, bin),
+         |tt AS (SELECT event_type, CAST(sum(nref) AS BIGINT) AS tref,
+         |              CAST(sum(ncur) AS BIGINT) AS tcur
+         |       FROM c GROUP BY event_type),
+         |p AS (SELECT c.event_type, bin, nref, ncur,
+         |             greatest(CAST(nref AS DOUBLE) / CAST(tref AS DOUBLE), $eps) AS pr,
+         |             greatest(CAST(ncur AS DOUBLE) / CAST(tcur AS DOUBLE), $eps) AS pc
+         |      FROM c JOIN tt USING (event_type)),
+         |x AS (SELECT event_type, bin, nref, ncur, pr, pc,
+         |             ${sround(s"(pc - pr) * ${sround("ln(pc / pr)", 6)}", 9)} AS psi_term
+         |      FROM p)
+         |SELECT event_type, CAST(bin AS INT) AS bin, nref, ncur,
+         |       ${sround("pr", 6)} AS p_ref, ${sround("pc", 6)} AS p_cur, psi_term,
+         |       sum(floor(psi_term * ${dlit(1.0e9)} + ${dlit(0.5)}))
+         |         OVER (PARTITION BY event_type) / ${dlit(1.0e9)} AS psi
+         |FROM x""".stripMargin
+    }
   )
 }
