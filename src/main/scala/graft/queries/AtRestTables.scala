@@ -46,6 +46,9 @@ private[graft] object AtRestTables {
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private val pendingDelete = new java.util.concurrent.ConcurrentHashMap[
     String, java.util.concurrent.ConcurrentLinkedQueue[String]]()
+  // per-(session, key) build locks — see the re-entrancy note in get()
+  private val buildLocks = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Object]()
 
   private[graft] def deleteRecursively(path: String): Unit =
     try {
@@ -80,6 +83,7 @@ private[graft] object AtRestTables {
                 it.remove()
               }
             }
+            buildLocks.keySet().removeIf(k => k._1.sparkContext eq ctx)
             val pend = pendingDelete.remove(ctx.applicationId)
             if (pend != null) {
               var d = pend.poll()
@@ -89,12 +93,30 @@ private[graft] object AtRestTables {
           }
         })
     }
-    val (names, _) = once.computeIfAbsent((spark, key), _ => {
-      val base = java.nio.file.Files.createTempDirectory("graft-atrest-").toString
-      val built = build(base)
-      order.add((spark, key))
-      (built, base)
-    })
+    // NOT computeIfAbsent: builders legitimately re-enter this registry
+    // for their prerequisite layouts (q161's purge builds ON the q134
+    // partitioned table), and a nested computeIfAbsent on the same
+    // ConcurrentHashMap throws IllegalStateException("Recursive update")
+    // whenever the two keys land in the same bin — a hash-layout
+    // coincidence, so it fires order-dependently. Memoize with a
+    // per-key lock instead; nesting acquires a DIFFERENT key's lock and
+    // the prerequisite graph is acyclic, so no deadlock.
+    val kp = (spark, key)
+    val names = {
+      val hit = once.get(kp)
+      if (hit != null) hit._1
+      else buildLocks.computeIfAbsent(kp, _ => new Object).synchronized {
+        val again = once.get(kp)
+        if (again != null) again._1
+        else {
+          val base = java.nio.file.Files.createTempDirectory("graft-atrest-").toString
+          val built = build(base)
+          once.put(kp, (built, base))
+          order.add(kp)
+          built
+        }
+      }
+    }
     while (once.size > MaxEntries) {
       val old = order.poll()
       if (old == null) return names

@@ -2238,6 +2238,27 @@ object RelQueries {
         .select(col("event_type"), col("bin"), col("nref"), col("ncur"),
           pround(col("pr"), 6).as("p_ref"), pround(col("pc"), 6).as("p_cur"),
           col("psi_term"), col("psi"))
+    }),
+
+    // ARGMAX AS A COMBINABLE AGGREGATE — top-1 per group WITHOUT a
+    // window or sort: max(struct(value, tiebreak, payload)) compares
+    // lexicographically, merges associatively under any partitioning
+    // (partial max per partition, one merge per group), and the
+    // embedded (event_id) tiebreak makes ties deterministic — the
+    // max_by/arg_max surface done the way it scales. A window top-1
+    // sorts every partition; this is one map-side aggregation. Both
+    // extremes reported per type.
+    "q185_argmax_aggregate" -> ((spark, dir) => {
+      val e = table(spark, dir, "events")
+        .select(col("event_type"), col("value"), col("event_id"), col("user_id"))
+      e.groupBy("event_type")
+        .agg(max(struct(col("value"), col("event_id"), col("user_id"))).as("mx"),
+          min(struct(col("value"), col("event_id"), col("user_id"))).as("mn"))
+        .select(col("event_type"),
+          pround(col("mx.value"), 6).as("max_value"),
+          col("mx.event_id").as("max_event"), col("mx.user_id").as("max_user"),
+          pround(col("mn.value"), 6).as("min_value"),
+          col("mn.event_id").as("min_event"), col("mn.user_id").as("min_user"))
     })
   )
 
@@ -3150,6 +3171,20 @@ object RelQueries {
          |       sum(floor(psi_term * ${dlit(1.0e9)} + ${dlit(0.5)}))
          |         OVER (PARTITION BY event_type) / ${dlit(1.0e9)} AS psi
          |FROM x""".stripMargin
-    }
+    },
+
+    // the same lexicographic struct extremes serially — both engines
+    // compare field-by-field in declaration order
+    "q185_argmax_aggregate" ->
+      s"""WITH a AS (SELECT event_type,
+         |                  max({'v': value, 'e': event_id, 'u': user_id}) AS mx,
+         |                  min({'v': value, 'e': event_id, 'u': user_id}) AS mn
+         |           FROM events GROUP BY event_type)
+         |SELECT event_type,
+         |       ${sround("(mx).v", 6)} AS max_value,
+         |       CAST((mx).e AS BIGINT) AS max_event, CAST((mx).u AS BIGINT) AS max_user,
+         |       ${sround("(mn).v", 6)} AS min_value,
+         |       CAST((mn).e AS BIGINT) AS min_event, CAST((mn).u AS BIGINT) AS min_user
+         |FROM a""".stripMargin
   )
 }

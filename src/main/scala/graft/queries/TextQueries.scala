@@ -784,10 +784,48 @@ object TextQueries {
           expr("(total_tokens div 2) div n_sources").as("alloc_tokens"),
           pround(expr("CAST((total_tokens div 2) div n_sources AS DOUBLE)")
             / col("n_tokens"), 6).as("mix_factor"))
+    }),
+
+    // CONTRASTIVE NEGATIVE SAMPLING — the training-pair builder for
+    // embedding/contrastive objectives: each document draws K=4
+    // deterministic pseudo-random negatives via md5(doc_id:i) over the
+    // contiguous id space, self-draws bumped to the next id. Sampling
+    // is pure map-side arithmetic (one 1-row corpus-count broadcast);
+    // the metadata fetch is ONE equi-join on the drawn id — the shape a
+    // billion-pair sampler ships with (ids first, payloads joined once,
+    // never a random-access per sample). Deterministic end to end, so
+    // the oracle reproduces the exact pair set.
+    "q186_negative_sampling" -> ((spark, dir) => {
+      val docs = table(spark, dir, "documents")
+      val nd = docs.agg(count(lit(1)).as("n_docs"))
+      spread(docs).select(col("doc_id"))
+        .crossJoin(broadcast(nd))
+        .select(col("doc_id"), col("n_docs"),
+          explode(expr("sequence(0, 3)")).as("i"))
+        .withColumn("h", conv(substring(
+          md5(concat_ws(":", col("doc_id"), col("i"))), 1, 15), 16, 10).cast("long"))
+        .withColumn("neg_id", expr(
+          "CASE WHEN h % n_docs = doc_id THEN (h % n_docs + 1) % n_docs ELSE h % n_docs END"))
+        .join(docs.select(col("doc_id").as("neg_id"), col("lang").as("neg_lang")),
+          "neg_id")
+        .select(col("doc_id"), col("i"), col("neg_id"), col("neg_lang"))
     })
   )
 
   val oracles: Map[String, String] = Map(
+    // the same md5 draws + self-bump + metadata join serially
+    "q186_negative_sampling" ->
+      """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |x AS (SELECT doc_id, i,
+        |             CAST(concat('0x', substr(md5(doc_id || ':' || i), 1, 15)) AS BIGINT) AS h
+        |      FROM documents CROSS JOIN (SELECT unnest(range(0, 4)) AS i) ii),
+        |g AS (SELECT doc_id, i,
+        |             CASE WHEN h % n_docs = doc_id THEN (h % n_docs + 1) % n_docs
+        |                  ELSE h % n_docs END AS neg_id
+        |      FROM x CROSS JOIN n)
+        |SELECT g.doc_id, CAST(g.i AS INT) AS i, g.neg_id, d.lang AS neg_lang
+        |FROM g JOIN documents d ON d.doc_id = g.neg_id""".stripMargin,
+
     "q125_prep_pipeline_v2" -> {
       val in = ScrubTerms.map(t => s"'$t'").mkString(", ")
       s"""WITH t0 AS (SELECT doc_id, lang, $toksSqlD AS toks FROM documents),
