@@ -2259,8 +2259,77 @@ object RelQueries {
           col("mx.event_id").as("max_event"), col("mx.user_id").as("max_user"),
           pround(col("mn.value"), 6).as("min_value"),
           col("mn.event_id").as("min_event"), col("mn.user_id").as("min_user"))
+    }),
+
+    // BAG-SEMANTICS SET OPS — EXCEPT ALL / INTERSECT ALL beside q25/q95's
+    // distinct variants: multiset difference keeps max(cntA − cntB, 0)
+    // COPIES and intersection min(cntA, cntB) — the semantics that
+    // matter when comparing event VOLUMES between cohorts, where the
+    // distinct forms collapse everything to membership. Spark plans both
+    // as count-aggregated joins (never materializing per-copy rows
+    // unexpanded? it generates rows — the aggregate after bounds the
+    // output); the report collapses to per-type counts either way.
+    "q187_bag_setops" -> ((spark, dir) => {
+      val ev = table(spark, dir, "events")
+      val a = ev.where(col("user_id") % 2 === 0).select("event_type")
+      val b = ev.where(col("user_id") % 2 =!= 0).select("event_type")
+      val ex = a.exceptAll(b).groupBy("event_type")
+        .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+      val in = a.intersectAll(b).groupBy("event_type")
+        .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+      ex.unionByName(in).select("op", "event_type", "n")
+    }),
+
+    // CUSTOM GROUPING SETS — the third lattice beside q54's ROLLUP
+    // prefix chain and q145's CUBE power set: an explicit, non-rollup,
+    // non-cube set list ((flag, status), (status), ()) — exactly the
+    // subtotal combinations a report needs and nothing else, still ONE
+    // shuffle (Spark expands the sets map-side like rollup/cube). The
+    // IDENTICAL statement runs on both engines (the q153 discipline);
+    // grouping() disambiguates subtotal NULLs from data NULLs.
+    "q188_grouping_sets" -> ((spark, dir) => {
+      table(spark, dir, "lineitem")
+        .createOrReplaceTempView("graft_q188_lineitem")
+      spark.sql(groupingSetsSql("graft_q188_lineitem"))
+    }),
+
+    // VALUE-RANGE WINDOW FRAMES — RANGE BETWEEN over the µs event-time
+    // axis: each event's trailing-1-hour burst count/volume per user,
+    // where every ROWS frame in the registry counts rows, this frame
+    // bounds by the ORDER VALUE (ties = peers, included together). The
+    // burst-rate signal rate limiters and anomaly monitors run; one
+    // per-user window pass, combinable per-type report with integer
+    // checksums so every frame result is hash-visible.
+    "q189_range_frame" -> ((spark, dir) => {
+      val raw = table(spark, dir, "events")
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
+        .rangeBetween(-HourUs, 0L)
+      raw.select(col("event_type"), col("event_id"), col("user_id"), col("value"),
+          QueryBase.tsUs(raw).as("ts_us"))
+        .withColumn("vq", floor(col("value") * lit(100.0) + lit(0.5)).cast("long"))
+        .withColumn("n_hour", count(lit(1)).over(w))
+        .withColumn("svq_hour", sum("vq").over(w))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          max("n_hour").as("max_burst"),
+          sum(col("n_hour") * col("event_id")).as("burst_checksum"),
+          sum("svq_hour").as("volume_checksum"))
     })
   )
+
+  /** q188's explicit grouping-set lattice — ONE statement text for both
+    * engines (quantized sums stay integer-valued doubles, so the
+    * aggregation is order-independent on both). */
+  private def groupingSetsSql(tbl: String): String = {
+    val p = "CAST('100.0' AS DOUBLE)"
+    val h = "CAST('0.5' AS DOUBLE)"
+    s"""SELECT l_returnflag, l_linestatus,
+       |       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+       |       CAST(count(*) AS BIGINT) AS n,
+       |       sum(floor(l_quantity * $p + $h)) / $p AS sum_qty
+       |FROM $tbl
+       |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     // the same 7-day window over the RAW parquet — equality with the
@@ -3185,6 +3254,37 @@ object RelQueries {
          |       CAST((mx).e AS BIGINT) AS max_event, CAST((mx).u AS BIGINT) AS max_user,
          |       ${sround("(mn).v", 6)} AS min_value,
          |       CAST((mn).e AS BIGINT) AS min_event, CAST((mn).u AS BIGINT) AS min_user
-         |FROM a""".stripMargin
+         |FROM a""".stripMargin,
+
+    // the same multiset algebra serially
+    "q187_bag_setops" ->
+      """WITH a AS (SELECT event_type FROM events WHERE user_id % 2 = 0),
+        |b AS (SELECT event_type FROM events WHERE user_id % 2 <> 0),
+        |e AS (SELECT 'except_all' AS op, event_type FROM
+        |        (SELECT event_type FROM a EXCEPT ALL SELECT event_type FROM b)),
+        |i AS (SELECT 'intersect_all' AS op, event_type FROM
+        |        (SELECT event_type FROM a INTERSECT ALL SELECT event_type FROM b))
+        |SELECT op, event_type, CAST(count(*) AS BIGINT) AS n
+        |FROM (SELECT * FROM e UNION ALL SELECT * FROM i)
+        |GROUP BY op, event_type""".stripMargin,
+
+    // the IDENTICAL grouping-sets statement, DuckDB's own expansion
+    "q188_grouping_sets" -> groupingSetsSql("lineitem"),
+
+    // the same µs range frame serially — RANGE peers group identically
+    "q189_range_frame" ->
+      s"""WITH e AS (SELECT event_type, event_id, user_id, epoch_us(ts) AS ts_us,
+         |                  CAST(floor(value * ${dlit(100.0)} + ${dlit(0.5)}) AS BIGINT) AS vq
+         |           FROM events),
+         |f AS (SELECT event_type, event_id,
+         |             CAST(count(*) OVER w AS BIGINT) AS n_hour,
+         |             CAST(sum(vq) OVER w AS BIGINT) AS svq_hour
+         |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+         |                          RANGE BETWEEN $HourUs PRECEDING AND CURRENT ROW))
+         |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |       CAST(max(n_hour) AS BIGINT) AS max_burst,
+         |       CAST(sum(n_hour * event_id) AS BIGINT) AS burst_checksum,
+         |       CAST(sum(svq_hour) AS BIGINT) AS volume_checksum
+         |FROM f GROUP BY event_type""".stripMargin
   )
 }
