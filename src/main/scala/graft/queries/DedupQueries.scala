@@ -1221,6 +1221,42 @@ object DedupQueries {
           when(col("n_wedges") === 0, lit(0.0))
             .otherwise(pround((lit(3L) * col("n_triangles")).cast("double") /
               col("n_wedges").cast("double"), 6)).as("global_cc"))
+    }),
+
+    // SORTED-NEIGHBORHOOD DEDUP — the classic record-linkage blocking
+    // (Hernández & Stolfo, SIGMOD 1995) beside the LSH (q32) and prefix
+    // (q52) candidate generators: sort the corpus by a normalized prefix
+    // key and compare only rows within rank distance ≤ 2, turning O(n²)
+    // candidate space into O(n·w). The global rank uses the q167
+    // bounded-offset scheme (per-first-char-bucket counts → cumulative
+    // offsets over a ≤37-key domain, broadcast back; each bucket numbers
+    // its own rows) — NOT a single-partition global window — and the
+    // neighbor step is an equi-join on rn+δ, so every stage shuffles on
+    // keys, never sorts globally through one task. Exact shingle-Jaccard
+    // verifies survivors at the q32 threshold.
+    "q194_sorted_neighborhood" -> ((spark, dir) => {
+      val norm = trim(regexp_replace(regexp_replace(
+        lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+      val keyed = tcache(spread(table(spark, dir, "documents"))
+        .select(col("doc_id"), substring(norm, 1, 24).as("skey"),
+          shinglesUdf(col("text")).as("sh"))
+        .withColumn("bkt", substring(col("skey"), 1, 1)), "q194:keyed")
+      val offsets = keyed.groupBy("bkt").agg(count(lit(1)).as("cnt"))
+        .withColumn("offset", coalesce(sum("cnt").over(
+          Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .select("bkt", "offset")
+      val w = Window.partitionBy("bkt").orderBy(col("skey"), col("doc_id"))
+      val rn = keyed.join(broadcast(offsets), "bkt")
+        .withColumn("rn", col("offset") + row_number().over(w))
+        .select(col("doc_id"), col("rn"), col("sh"))
+      rn.select(col("doc_id").as("doc_a"), col("rn").as("rn_a"), col("sh").as("sh_a"))
+        .withColumn("rank_gap", explode(array(lit(1L), lit(2L))))
+        .join(rn.select(col("doc_id").as("doc_b"), col("rn").as("rn_b"),
+          col("sh").as("sh_b")), col("rn_a") + col("rank_gap") === col("rn_b"))
+        .select(col("doc_a"), col("doc_b"), col("rank_gap"),
+          pround(jaccardUdf(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+        .where(col("jaccard") >= 0.3)
     })
   )
 
@@ -1746,6 +1782,23 @@ object DedupQueries {
          |            ELSE ${sround("CAST(3 * tr.n_triangles AS DOUBLE) / CAST(st.n_wedges AS DOUBLE)", 6)}
          |       END AS global_cc
          |FROM st, ne, tr""".stripMargin
+    },
+
+    // the same prefix-key total order with ONE serial global row_number —
+    // equality proves the bucket-offset numbering IS the global sort order
+    "q194_sorted_neighborhood" -> {
+      val jac = "len(list_intersect(sa.sh, sb.sh))::DOUBLE / len(list_distinct(list_concat(sa.sh, sb.sh)))"
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sh AS (SELECT doc_id, $shinglesSql AS sh FROM toks),
+         |k AS (SELECT doc_id, substr($normSql, 1, 24) AS skey FROM documents),
+         |r AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY skey, doc_id) AS BIGINT) AS rn
+         |      FROM k),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(d.dd AS BIGINT) AS rank_gap
+         |      FROM r a CROSS JOIN (SELECT unnest([1, 2]) AS dd) d
+         |      JOIN r b ON b.rn = a.rn + d.dd)
+         |SELECT doc_a, doc_b, rank_gap, ${sround(jac, 6)} AS jaccard
+         |FROM p JOIN sh sa ON doc_a = sa.doc_id JOIN sh sb ON doc_b = sb.doc_id
+         |WHERE ${sround(jac, 6)} >= 0.3""".stripMargin
     }
   )
 }

@@ -2314,8 +2314,134 @@ object RelQueries {
           max("n_hour").as("max_burst"),
           sum(col("n_hour") * col("event_id")).as("burst_checksum"),
           sum("svq_hour").as("volume_checksum"))
+    }),
+
+    // BENFORD DIGIT PROFILING — the fraud/quality screen auditors run on
+    // monetary columns: leading-digit histogram of l_extendedprice per
+    // returnflag vs Benford's log10(1+1/d) expectation, plus the χ²
+    // deviation. The digit comes from the CENTS INTEGER's decimal string
+    // (integer→string is engine-portable; double formatting is not), the
+    // expected probabilities are quantized ONCE in Scala and embedded as
+    // literals into both engines ([[BenfordP]]), and χ² totals over the
+    // bounded 9-digit domain with the q184 scaled-integer window. One
+    // scan, one shuffle on (flag, digit) — a 45-row result at any scale.
+    "q190_benford_profile" -> ((spark, dir) => {
+      val li = table(spark, dir, "lineitem")
+        .withColumn("vq", floor(col("l_extendedprice") * lit(100.0) + lit(0.5)).cast("long"))
+        .withColumn("d", substring(col("vq").cast("string"), 1, 1).cast("int"))
+      val counts = li.groupBy(col("l_returnflag"), col("d"))
+        .agg(count(lit(1)).as("n"))
+      val tot = Window.partitionBy("l_returnflag")
+      val pExp = element_at(array(BenfordP.map(lit): _*), col("d"))
+      counts
+        .withColumn("nn", sum("n").over(tot))
+        .withColumn("exp_n", col("nn").cast("double") * pExp)
+        .withColumn("chi2_term",
+          pround((col("n").cast("double") - col("exp_n")) *
+            (col("n").cast("double") - col("exp_n")) / col("exp_n"), 6))
+        .withColumn("chi2",
+          sum(floor(col("chi2_term") * lit(1.0e6) + lit(0.5))).over(tot) / lit(1.0e6))
+        .select(col("l_returnflag"), col("d"), col("n"),
+          pround(col("n").cast("double") / col("nn").cast("double"), 6).as("p_obs"),
+          pround(pExp, 9).as("p_benford"), col("chi2_term"), col("chi2"))
+    }),
+
+    // GINI CONCENTRATION — revenue-inequality per market segment, the
+    // concentration metric data governance tracks (is one customer 90% of
+    // the volume?). Exact rank formula G = (2·Σi·xᵢ − (n+1)·Σx)/(n·Σx)
+    // over cents-integer revenues with a (rev, custkey) total order, so
+    // every term is BIGINT-exact until one final double division. One
+    // fact aggregation (orders→customer revenue), a broadcast dim join
+    // for the segment, one per-segment sort — the same shape at 100 TB
+    // because the ranked set is ONE ROW PER CUSTOMER, not per order.
+    "q191_gini_concentration" -> ((spark, dir) => {
+      val rev = table(spark, dir, "orders")
+        .withColumn("cents", floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long"))
+        .groupBy("o_custkey").agg(sum("cents").as("rev"))
+      val cust = table(spark, dir, "customer").select(
+        col("c_custkey"), col("c_mktsegment"))
+      val ranked = rev.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .withColumn("i", row_number().over(
+          Window.partitionBy("c_mktsegment").orderBy(col("rev"), col("o_custkey"))))
+      ranked.groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), sum("rev").as("total_rev"),
+          sum(col("i") * col("rev")).as("iwsum"))
+        .select(col("c_mktsegment"), col("n"), col("total_rev"),
+          pround((lit(2L) * col("iwsum") - (col("n") + lit(1L)) * col("total_rev"))
+            .cast("double") /
+            (col("n") * col("total_rev")).cast("double"), 9).as("gini"))
+    }),
+
+    // TRUNCATED-EWMA SMOOTHING — the per-key exponentially-weighted
+    // moving average monitoring pipelines chart, truncated at lag 7 so it
+    // is ONE window pass of bounded lags instead of an unbounded
+    // recurrence (the tail weight below 0.4% — and a recurrence is not
+    // parallelizable; this is). Weights α(1−α)^k (α=0.5) are quantized to
+    // integer millionths ONCE in Scala ([[EwmaWq]]) and every per-row
+    // term is a BIGINT product, so the weighted mean is exact until one
+    // final division. Per-type combinable report keeps output bounded.
+    "q192_ewma_smoothing" -> ((spark, dir) => {
+      val raw = table(spark, dir, "events")
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      val e = raw.select(col("event_type"), col("event_id"), col("user_id"),
+          QueryBase.tsUs(raw).as("ts_us"),
+          floor(col("value") * lit(10000.0) + lit(0.5)).cast("long").as("vq"))
+      val lagged = EwmaWq.zipWithIndex.foldLeft(e) { case (df, (_, k)) =>
+        df.withColumn(s"v$k", if (k == 0) col("vq") else lag(col("vq"), k).over(w))
+      }
+      val num = EwmaWq.zipWithIndex.map { case (wq, k) =>
+        when(col(s"v$k").isNotNull, lit(wq) * col(s"v$k")).otherwise(lit(0L))
+      }.reduce(_ + _)
+      val den = EwmaWq.zipWithIndex.map { case (wq, k) =>
+        when(col(s"v$k").isNotNull, lit(wq)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      lagged
+        .withColumn("ewma", pround(num.cast("double") /
+          (den.cast("double") * lit(10000.0)), 6))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), xsum(col("ewma"), 6).as("sum_ewma"),
+          max("ewma").as("max_ewma"))
+    }),
+
+    // TWO-PROPORTION A/B Z-TEST — the experiment readout every product
+    // pipeline computes: split users by id parity, conversion = value
+    // above [[AbConvThreshold]], pooled z = (p₁−p₂)/√(p̂(1−p̂)(1/n₁+1/n₂)).
+    // Counts are exact integers from ONE conditional-aggregation scan (no
+    // per-cohort subqueries), √ is IEEE-correctly-rounded (portable,
+    // unlike ln/exp), and every double stage is pround'd in the same
+    // order on both engines. 5 rows out at any scale.
+    "q193_ab_ztest" -> ((spark, dir) => {
+      val conv = (col("value") > lit(AbConvThreshold)).cast("long")
+      val a = (col("user_id") % 2 === 0).cast("long")
+      table(spark, dir, "events")
+        .groupBy("event_type")
+        .agg(sum(a).as("n1"), sum(a * conv).as("c1"),
+          sum(lit(1L) - a).as("n2"), sum((lit(1L) - a) * conv).as("c2"))
+        .withColumn("p1", pround(col("c1").cast("double") / col("n1").cast("double"), 9))
+        .withColumn("p2", pround(col("c2").cast("double") / col("n2").cast("double"), 9))
+        .withColumn("p", pround((col("c1") + col("c2")).cast("double") /
+          (col("n1") + col("n2")).cast("double"), 9))
+        .withColumn("se", sqrt(pround(col("p") * (lit(1.0) - col("p")) *
+          (lit(1.0) / col("n1").cast("double") + lit(1.0) / col("n2").cast("double")), 12)))
+        .select(col("event_type"), col("n1"), col("c1"), col("n2"), col("c2"),
+          col("p1"), col("p2"),
+          pround((col("p1") - col("p2")) / nullif(col("se"), lit(0.0)), 6).as("z"))
     })
   )
+
+  /** q190's expected Benford probabilities log10(1+1/d), d=1..9 — quantized
+    * ONCE here and embedded as literals into BOTH engines. */
+  private val BenfordP: Seq[Double] =
+    (1 to 9).map(d => math.floor(math.log10(1.0 + 1.0 / d) * 1e9 + 0.5) / 1e9)
+
+  /** q192's truncated-EWMA weights α(1−α)^k, α=0.5, k=0..7, as integer
+    * millionths — ONE definition for both engines. */
+  private val EwmaWq: Seq[Long] =
+    (0 to 7).map(k => math.floor(0.5 * math.pow(0.5, k) * 1e6 + 0.5).toLong)
+
+  /** q193's conversion threshold on events.value (median ≈ 34.6, so both
+    * cohorts land mid-distribution — the z-test is numerically honest). */
+  private val AbConvThreshold = 50.0
 
   /** q188's explicit grouping-set lattice — ONE statement text for both
     * engines (quantized sums stay integer-valued doubles, so the
@@ -3285,6 +3411,91 @@ object RelQueries {
          |       CAST(max(n_hour) AS BIGINT) AS max_burst,
          |       CAST(sum(n_hour * event_id) AS BIGINT) AS burst_checksum,
          |       CAST(sum(svq_hour) AS BIGINT) AS volume_checksum
-         |FROM f GROUP BY event_type""".stripMargin
+         |FROM f GROUP BY event_type""".stripMargin,
+
+    // the same cents-integer leading digit, embedded Benford literals and
+    // scaled-integer χ² window serially
+    "q190_benford_profile" -> {
+      val plist = s"[${BenfordP.map(dlit).mkString(", ")}]"
+      s"""WITH li AS (SELECT l_returnflag,
+         |  CAST(floor(l_extendedprice * ${dlit(100.0)} + ${dlit(0.5)}) AS BIGINT) AS vq
+         |  FROM lineitem),
+         |dd AS (SELECT l_returnflag,
+         |              CAST(substr(CAST(vq AS VARCHAR), 1, 1) AS INT) AS d FROM li),
+         |c AS (SELECT l_returnflag, d, CAST(count(*) AS BIGINT) AS n
+         |      FROM dd GROUP BY l_returnflag, d),
+         |t AS (SELECT l_returnflag, d, n,
+         |             CAST(sum(n) OVER (PARTITION BY l_returnflag) AS BIGINT) AS nn
+         |      FROM c),
+         |x AS (SELECT l_returnflag, d, n, nn, $plist[d] AS pexp,
+         |             CAST(nn AS DOUBLE) * $plist[d] AS exp_n FROM t),
+         |y AS (SELECT *, ${sround("(CAST(n AS DOUBLE) - exp_n) * (CAST(n AS DOUBLE) - exp_n) / exp_n", 6)} AS chi2_term
+         |      FROM x)
+         |SELECT l_returnflag, d, n,
+         |       ${sround("CAST(n AS DOUBLE) / CAST(nn AS DOUBLE)", 6)} AS p_obs,
+         |       ${sround("pexp", 9)} AS p_benford, chi2_term,
+         |       sum(floor(chi2_term * ${dlit(1.0e6)} + ${dlit(0.5)}))
+         |         OVER (PARTITION BY l_returnflag) / ${dlit(1.0e6)} AS chi2
+         |FROM y""".stripMargin
+    },
+
+    // the same BIGINT-exact rank formula serially
+    "q191_gini_concentration" ->
+      s"""WITH rev AS (SELECT o_custkey,
+         |  CAST(sum(CAST(floor(o_totalprice * ${dlit(100.0)} + ${dlit(0.5)}) AS BIGINT)) AS BIGINT) AS rev
+         |  FROM orders GROUP BY o_custkey),
+         |r AS (SELECT c_mktsegment, rev, o_custkey,
+         |             CAST(row_number() OVER (PARTITION BY c_mktsegment
+         |               ORDER BY rev, o_custkey) AS BIGINT) AS i
+         |      FROM rev JOIN customer ON o_custkey = c_custkey),
+         |a AS (SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+         |             CAST(sum(rev) AS BIGINT) AS total_rev,
+         |             CAST(sum(i * rev) AS BIGINT) AS iwsum
+         |      FROM r GROUP BY c_mktsegment)
+         |SELECT c_mktsegment, n, total_rev,
+         |       ${sround("CAST(2 * iwsum - (n + 1) * total_rev AS DOUBLE) / CAST(n * total_rev AS DOUBLE)", 9)} AS gini
+         |FROM a""".stripMargin,
+
+    // the same integer-millionth weights and bounded lags serially
+    "q192_ewma_smoothing" -> {
+      val lags = (1 to 7).map(k => s"lag(vq, $k) OVER w AS v$k").mkString(", ")
+      val num = EwmaWq.zipWithIndex.map { case (wq, k) =>
+        s"(CASE WHEN v$k IS NOT NULL THEN $wq * v$k ELSE 0 END)"
+      }.mkString(" + ")
+      val den = EwmaWq.zipWithIndex.map { case (wq, k) =>
+        s"(CASE WHEN v$k IS NOT NULL THEN $wq ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH e AS (SELECT event_type, event_id, user_id, epoch_us(ts) AS ts_us,
+         |  CAST(floor(value * ${dlit(10000.0)} + ${dlit(0.5)}) AS BIGINT) AS vq
+         |  FROM events),
+         |l AS (SELECT event_type, vq AS v0, $lags
+         |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         |x AS (SELECT event_type,
+         |  ${sround(s"CAST($num AS DOUBLE) / (CAST($den AS DOUBLE) * ${dlit(10000.0)})", 6)} AS ewma
+         |      FROM l)
+         |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |       ${xsumSql("ewma", 6)} AS sum_ewma, max(ewma) AS max_ewma
+         |FROM x GROUP BY event_type""".stripMargin
+    },
+
+    // the same one-scan conditional counts and IEEE-√ pipeline serially
+    "q193_ab_ztest" ->
+      s"""WITH c AS (SELECT event_type,
+         |  CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |  CAST(sum(CASE WHEN user_id % 2 = 0 AND value > ${dlit(AbConvThreshold)} THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         |  CAST(sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         |  CAST(sum(CASE WHEN user_id % 2 <> 0 AND value > ${dlit(AbConvThreshold)} THEN 1 ELSE 0 END) AS BIGINT) AS c2
+         |  FROM events GROUP BY event_type),
+         |p AS (SELECT *,
+         |  ${sround("CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE)", 9)} AS p1,
+         |  ${sround("CAST(c2 AS DOUBLE) / CAST(n2 AS DOUBLE)", 9)} AS p2,
+         |  ${sround("CAST(c1 + c2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)", 9)} AS p
+         |  FROM c),
+         |s AS (SELECT *,
+         |  sqrt(${sround(s"p * (${dlit(1.0)} - p) * (${dlit(1.0)} / CAST(n1 AS DOUBLE) + ${dlit(1.0)} / CAST(n2 AS DOUBLE))", 12)}) AS se
+         |  FROM p)
+         |SELECT event_type, n1, c1, n2, c2, p1, p2,
+         |       ${sround("(p1 - p2) / nullif(se, 0.0)", 6)} AS z
+         |FROM s""".stripMargin
   )
 }
