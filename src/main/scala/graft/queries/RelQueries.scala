@@ -2426,6 +2426,113 @@ object RelQueries {
         .select(col("event_type"), col("n1"), col("c1"), col("n2"), col("c2"),
           col("p1"), col("p2"),
           pround((col("p1") - col("p2")) / nullif(col("se"), lit(0.0)), 6).as("z"))
+    }),
+
+    // MUTUAL INFORMATION PROFILE — the feature-relevance screen beside
+    // q170's per-column profile: MI between event_type and a bounded
+    // value bucket, I = Σ p(x,y)·ln(p(x,y)/(p(x)·p(y))). ONE combinable
+    // (type, bucket) count is the only data-sized work; marginals and the
+    // total come from broadcast re-aggregations of that ≤|types|·|bins|
+    // frame, logs are quantize-early (the q50/q184 discipline), and the
+    // MI total is a scaled-integer window over the bounded cell domain.
+    "q195_mutual_information" -> ((spark, dir) => {
+      val c = table(spark, dir, "events")
+        .withColumn("bucket", least(floor(col("value") / lit(50.0)), lit(9.0)).cast("int"))
+        .groupBy("event_type", "bucket").agg(count(lit(1)).as("n_xy"))
+      val nx = c.groupBy("event_type").agg(sum("n_xy").as("n_x"))
+      val ny = c.groupBy("bucket").agg(sum("n_xy").as("n_y"))
+      val tot = c.agg(sum("n_xy").as("nn"))
+      c.join(broadcast(nx), "event_type").join(broadcast(ny), "bucket")
+        .crossJoin(broadcast(tot))
+        .withColumn("p_xy", pround(col("n_xy").cast("double") / col("nn").cast("double"), 9))
+        .withColumn("p_x", pround(col("n_x").cast("double") / col("nn").cast("double"), 9))
+        .withColumn("p_y", pround(col("n_y").cast("double") / col("nn").cast("double"), 9))
+        .withColumn("mi_term",
+          pround(col("p_xy") * pround(log(col("p_xy") / (col("p_x") * col("p_y"))), 6), 9))
+        .withColumn("mi",
+          sum(floor(col("mi_term") * lit(1.0e9) + lit(0.5)))
+            .over(Window.partitionBy(lit(1))) / lit(1.0e9))
+        .select(col("event_type"), col("bucket"), col("n_xy"), col("mi_term"), col("mi"))
+    }),
+
+    // LARGE-VOLUME CUSTOMERS — the TPC-H Q18 shape: orders whose total
+    // quantity clears a threshold, joined back to customer detail. The
+    // HAVING set is tiny (≈1% of orders), so after the one fact
+    // aggregation (map-side combinable, keyed on the order key lineitem
+    // already groups by) everything downstream is selective: the orders
+    // join shuffles only the surviving keys and the customer dim
+    // broadcasts. Quantities aggregate as cents integers (exact under
+    // any partitioning); the date reports as epoch-µs per the µs
+    // discipline.
+    "q196_volume_customers" -> ((spark, dir) => {
+      val big = table(spark, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sum(floor(col("l_quantity") * lit(100.0) + lit(0.5)).cast("long")).as("qsum"))
+        .where(col("qsum") > lit(VolumeQtyHundredths))
+      val o = table(spark, dir, "orders")
+      val od = o.select(col("o_orderkey"), col("o_custkey"),
+        QueryBase.tsUs(o, "o_orderdate").as("orderdate_us"))
+      val cust = table(spark, dir, "customer").select(col("c_custkey"), col("c_name"))
+      big.join(od, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("orderdate_us"),
+          (col("qsum").cast("double") / lit(100.0)).as("sum_qty"))
+    }),
+
+    // DECILE LIFT/GAINS TABLE — the model-evaluation readout for a
+    // targeting score: users ranked by total spend, split into NTILE
+    // deciles, per-decile conversion (any purchase) and CUMULATIVE lift
+    // vs the base rate. The only data-sized work is one per-user
+    // aggregation; the ranked frame is USER-sized (at extreme scale the
+    // ntile can ride the q167 bounded-offset scheme — deciles only need
+    // counts per rank range), and every rate divides exact integers under
+    // the same pround order on both engines.
+    "q197_decile_lift" -> ((spark, dir) => {
+      val u = table(spark, dir, "events")
+        .groupBy("user_id")
+        .agg(sum(floor(col("value") * lit(100.0) + lit(0.5)).cast("long")).as("spend"),
+          max(when(col("event_type") === "purchase", lit(1L)).otherwise(lit(0L))).as("conv"))
+      val d = u.withColumn("decile",
+        ntile(10).over(Window.orderBy(col("spend").desc, col("user_id"))))
+      val g = d.groupBy("decile")
+        .agg(count(lit(1)).as("n_users"), sum("conv").as("n_conv"))
+      val wcum = Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val tot = g.agg(sum("n_users").as("tu"), sum("n_conv").as("tc"))
+      g.withColumn("cum_users", sum("n_users").over(wcum))
+        .withColumn("cum_conv", sum("n_conv").over(wcum))
+        .crossJoin(broadcast(tot))
+        .select(col("decile"), col("n_users"), col("n_conv"),
+          pround(col("n_conv").cast("double") / col("n_users").cast("double"), 9).as("conv_rate"),
+          pround(
+            pround(col("cum_conv").cast("double") / col("cum_users").cast("double"), 9) /
+              pround(col("tc").cast("double") / col("tu").cast("double"), 9), 6).as("cum_lift"))
+    }),
+
+    // TIME-TO-CONVERT QUANTILES — the funnel-latency metric beside q156's
+    // conversion counts: per user, first view → first purchase gap in µs,
+    // then the exact median and p90 by the q72 rank arithmetic (value at
+    // rank floor(q·(n−1))+1 under the unique (gap, user) order). The gap
+    // frame is CONVERTED-USER-sized — the global rank window runs over
+    // that reduced set, never the event stream.
+    "q198_time_to_convert" -> ((spark, dir) => {
+      val raw = table(spark, dir, "events")
+      val u = raw.select(col("user_id"), col("event_type"),
+          QueryBase.tsUs(raw).as("ts_us"))
+        .groupBy("user_id")
+        .agg(min(when(col("event_type") === "view", col("ts_us"))).as("tv"),
+          min(when(col("event_type") === "purchase", col("ts_us"))).as("tp"))
+      val gaps = u.where(col("tv").isNotNull && col("tp").isNotNull &&
+          col("tp") >= col("tv"))
+        .select(col("user_id"), (col("tp") - col("tv")).as("gap_us"))
+      gaps
+        .withColumn("rn", row_number().over(Window.orderBy(col("gap_us"), col("user_id"))))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(lit(1))))
+        .select(
+          explode(filter(array(Seq(0.5, 0.9).map(lit): _*),
+            q => col("rn") === floor(q * (col("n") - 1)) + lit(1))).as("q"),
+          col("gap_us"), col("n").as("n_converted"))
     })
   )
 
@@ -2442,6 +2549,10 @@ object RelQueries {
   /** q193's conversion threshold on events.value (median ≈ 34.6, so both
     * cohorts land mid-distribution — the z-test is numerically honest). */
   private val AbConvThreshold = 50.0
+
+  /** q196's order-volume threshold in quantity HUNDREDTHS (250.00 — ≈ the
+    * p99 of per-order quantity sums, the TPC-H Q18 selectivity). */
+  private val VolumeQtyHundredths = 25000L
 
   /** q188's explicit grouping-set lattice — ONE statement text for both
     * engines (quantized sums stay integer-valued doubles, so the
@@ -3359,7 +3470,7 @@ object RelQueries {
          |             greatest(CAST(ncur AS DOUBLE) / CAST(tcur AS DOUBLE), $eps) AS pc
          |      FROM c JOIN tt USING (event_type)),
          |x AS (SELECT event_type, bin, nref, ncur, pr, pc,
-         |             ${sround(s"(pc - pr) * ${sround("ln(pc / pr)", 6)}", 9)} AS psi_term
+         |             ${sround(s"(pc - pr) * (${sround("ln(pc / pr)", 6)})", 9)} AS psi_term
          |      FROM p)
          |SELECT event_type, CAST(bin AS INT) AS bin, nref, ncur,
          |       ${sround("pr", 6)} AS p_ref, ${sround("pc", 6)} AS p_cur, psi_term,
@@ -3496,6 +3607,76 @@ object RelQueries {
          |  FROM p)
          |SELECT event_type, n1, c1, n2, c2, p1, p2,
          |       ${sround("(p1 - p2) / nullif(se, 0.0)", 6)} AS z
-         |FROM s""".stripMargin
+         |FROM s""".stripMargin,
+
+    // the same bounded cell/marginal algebra and quantized logs serially
+    "q195_mutual_information" ->
+      s"""WITH c AS (SELECT event_type,
+         |             CAST(least(floor(value / ${dlit(50.0)}), ${dlit(9.0)}) AS INT) AS bucket,
+         |             CAST(count(*) AS BIGINT) AS n_xy
+         |           FROM events GROUP BY event_type, bucket),
+         |nx AS (SELECT event_type, CAST(sum(n_xy) AS BIGINT) AS n_x FROM c GROUP BY event_type),
+         |ny AS (SELECT bucket, CAST(sum(n_xy) AS BIGINT) AS n_y FROM c GROUP BY bucket),
+         |tt AS (SELECT CAST(sum(n_xy) AS BIGINT) AS nn FROM c),
+         |p AS (SELECT c.event_type, c.bucket, c.n_xy,
+         |        ${sround("CAST(n_xy AS DOUBLE) / CAST(nn AS DOUBLE)", 9)} AS p_xy,
+         |        ${sround("CAST(n_x AS DOUBLE) / CAST(nn AS DOUBLE)", 9)} AS p_x,
+         |        ${sround("CAST(n_y AS DOUBLE) / CAST(nn AS DOUBLE)", 9)} AS p_y
+         |      FROM c JOIN nx USING (event_type) JOIN ny USING (bucket) CROSS JOIN tt),
+         |x AS (SELECT event_type, bucket, n_xy,
+         |        ${sround(s"p_xy * (${sround("ln(p_xy / (p_x * p_y))", 6)})", 9)} AS mi_term
+         |      FROM p)
+         |SELECT event_type, bucket, n_xy, mi_term,
+         |       sum(floor(mi_term * ${dlit(1.0e9)} + ${dlit(0.5)})) OVER () / ${dlit(1.0e9)} AS mi
+         |FROM x""".stripMargin,
+
+    // the same Q18 shape serially (threshold shared from
+    // VolumeQtyHundredths so the surfaces cannot drift)
+    "q196_volume_customers" ->
+      s"""WITH big AS (SELECT l_orderkey,
+         |    CAST(sum(CAST(floor(l_quantity * ${dlit(100.0)} + ${dlit(0.5)}) AS BIGINT)) AS BIGINT) AS qsum
+         |  FROM lineitem GROUP BY l_orderkey),
+         |b AS (SELECT * FROM big WHERE qsum > $VolumeQtyHundredths)
+         |SELECT c_custkey, c_name, o_orderkey,
+         |       CAST(epoch_us(o_orderdate) AS BIGINT) AS orderdate_us,
+         |       CAST(qsum AS DOUBLE) / ${dlit(100.0)} AS sum_qty
+         |FROM b JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey""".stripMargin,
+
+    // the same user-sized ntile ranking and cumulative rates serially
+    "q197_decile_lift" ->
+      s"""WITH u AS (SELECT user_id,
+         |    CAST(sum(CAST(floor(value * ${dlit(100.0)} + ${dlit(0.5)}) AS BIGINT)) AS BIGINT) AS spend,
+         |    CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS conv
+         |  FROM events GROUP BY user_id),
+         |d AS (SELECT *, CAST(ntile(10) OVER (ORDER BY spend DESC, user_id) AS INT) AS decile FROM u),
+         |g AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
+         |             CAST(sum(conv) AS BIGINT) AS n_conv
+         |      FROM d GROUP BY decile),
+         |w AS (SELECT *,
+         |        CAST(sum(n_users) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users,
+         |        CAST(sum(n_conv) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_conv
+         |      FROM g),
+         |t AS (SELECT CAST(sum(n_users) AS BIGINT) AS tu, CAST(sum(n_conv) AS BIGINT) AS tc FROM g)
+         |SELECT decile, n_users, n_conv,
+         |       ${sround("CAST(n_conv AS DOUBLE) / CAST(n_users AS DOUBLE)", 9)} AS conv_rate,
+         |       ${sround(s"(${sround("CAST(cum_conv AS DOUBLE) / CAST(cum_users AS DOUBLE)", 9)}) / (${sround("CAST(tc AS DOUBLE) / CAST(tu AS DOUBLE)", 9)})", 6)} AS cum_lift
+         |FROM w CROSS JOIN t""".stripMargin,
+
+    // the same first-touch gaps and q72 rank arithmetic serially
+    "q198_time_to_convert" ->
+      s"""WITH u AS (SELECT user_id,
+         |    min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS tv,
+         |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS tp
+         |  FROM events GROUP BY user_id),
+         |gaps AS (SELECT user_id, CAST(tp - tv AS BIGINT) AS gap_us FROM u
+         |         WHERE tv IS NOT NULL AND tp IS NOT NULL AND tp >= tv),
+         |r AS (SELECT gap_us,
+         |             row_number() OVER (ORDER BY gap_us, user_id) AS rn,
+         |             CAST(count(*) OVER () AS BIGINT) AS n
+         |      FROM gaps),
+         |t AS (SELECT unnest([${Seq(0.5, 0.9).map(dlit).mkString(", ")}]) AS q)
+         |SELECT t.q, r.gap_us, r.n AS n_converted
+         |FROM r JOIN t ON r.rn = floor(t.q * (r.n - 1)) + 1""".stripMargin
   )
 }
