@@ -2533,6 +2533,30 @@ object RelQueries {
           explode(filter(array(Seq(0.5, 0.9).map(lit): _*),
             q => col("rn") === floor(q * (col("n") - 1)) + lit(1))).as("q"),
           col("gap_us"), col("n").as("n_converted"))
+    }),
+
+    // INTERVAL MAX-CONCURRENCY — the overlap sweep: each event opens a
+    // 30-minute interval; max concurrent intervals per user = the peak of
+    // a ±1 running sum over the per-user (t, delta, id) order (ends sort
+    // before starts at the same instant — half-open semantics, touching
+    // intervals never overlap). The classic O(n²) interval self-join
+    // becomes ONE per-user window pass over 2n boundary points; the
+    // report histograms per-user peaks, so output is bounded by the max
+    // concurrency, not the stream.
+    "q201_max_concurrency" -> ((spark, dir) => {
+      val raw = table(spark, dir, "events")
+      val e = raw.select(col("user_id"), col("event_id"),
+        QueryBase.tsUs(raw).as("t0"))
+      val pts = e.select(col("user_id"), col("t0").as("t"),
+          lit(1L).as("d"), col("event_id"))
+        .unionByName(e.select(col("user_id"),
+          (col("t0") + lit(ConcDurUs)).as("t"), lit(-1L).as("d"), col("event_id")))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("t"), col("d"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      pts.withColumn("c", sum("d").over(w))
+        .groupBy("user_id").agg(max("c").as("max_conc"))
+        .groupBy("max_conc").agg(count(lit(1)).as("n_users"))
     })
   )
 
@@ -2553,6 +2577,10 @@ object RelQueries {
   /** q196's order-volume threshold in quantity HUNDREDTHS (250.00 — ≈ the
     * p99 of per-order quantity sums, the TPC-H Q18 selectivity). */
   private val VolumeQtyHundredths = 25000L
+
+  /** q201's interval duration, MICROSECONDS (30 min) — ONE place, both
+    * engines. */
+  private val ConcDurUs = 1800000000L
 
   /** q188's explicit grouping-set lattice — ONE statement text for both
     * engines (quantized sums stay integer-valued doubles, so the
@@ -3677,6 +3705,20 @@ object RelQueries {
          |      FROM gaps),
          |t AS (SELECT unnest([${Seq(0.5, 0.9).map(dlit).mkString(", ")}]) AS q)
          |SELECT t.q, r.gap_us, r.n AS n_converted
-         |FROM r JOIN t ON r.rn = floor(t.q * (r.n - 1)) + 1""".stripMargin
+         |FROM r JOIN t ON r.rn = floor(t.q * (r.n - 1)) + 1""".stripMargin,
+
+    // the same boundary sweep serially
+    "q201_max_concurrency" ->
+      s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t0 FROM events),
+         |pts AS (SELECT user_id, t0 AS t, CAST(1 AS BIGINT) AS d, event_id FROM e
+         |        UNION ALL
+         |        SELECT user_id, t0 + $ConcDurUs AS t, CAST(-1 AS BIGINT) AS d, event_id FROM e),
+         |c AS (SELECT user_id,
+         |             CAST(sum(d) OVER (PARTITION BY user_id ORDER BY t, d, event_id
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c
+         |      FROM pts),
+         |m AS (SELECT user_id, CAST(max(c) AS BIGINT) AS max_conc FROM c GROUP BY user_id)
+         |SELECT max_conc, CAST(count(*) AS BIGINT) AS n_users
+         |FROM m GROUP BY max_conc""".stripMargin
   )
 }

@@ -809,8 +809,45 @@ object TextQueries {
         .join(docs.select(col("doc_id").as("neg_id"), col("lang").as("neg_lang")),
           "neg_id")
         .select(col("doc_id"), col("i"), col("neg_id"), col("neg_lang"))
+    }),
+
+    // ZIPF LAW FIT — the corpus-health diagnostic: OLS slope of ln(freq)
+    // vs ln(rank) over the top-100 vocabulary terms (natural text ≈ −1;
+    // template/boilerplate corpora flatten). The data-sized work is the
+    // one combinable vocabulary count; the ranked frame is VOCAB-sized
+    // (the global rank window is the documented bounded-domain idiom) and
+    // the regression moments are BIGINT-exact sums of quantized-log
+    // integer micros, so the closed form divides identical integers —
+    // chained doubles never accumulate across rows.
+    "q200_zipf_fit" -> ((spark, dir) => {
+      val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+      val vocab = spread(table(spark, dir, "documents"))
+        .select(explode(toks).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("freq"))
+      val ranked = vocab
+        .withColumn("rank", row_number().over(
+          Window.orderBy(desc("freq"), col("token"))))
+        .where(col("rank") <= ZipfTop)
+        .withColumn("qx", floor(log(col("rank").cast("double")) * lit(1.0e6) + lit(0.5)).cast("long"))
+        .withColumn("qy", floor(log(col("freq").cast("double")) * lit(1.0e6) + lit(0.5)).cast("long"))
+      ranked.agg(count(lit(1)).as("n_terms"),
+          sum("qx").as("sx"), sum("qy").as("sy"),
+          sum(col("qx") * col("qy")).as("sxy"),
+          sum(col("qx") * col("qx")).as("sxx"))
+        .withColumn("slope",
+          pround((col("n_terms") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("n_terms") * col("sxx") - col("sx") * col("sx")).cast("double"), 6))
+        .withColumn("intercept",
+          pround((col("sy").cast("double") / lit(1.0e6) -
+            col("slope") * (col("sx").cast("double") / lit(1.0e6))) /
+            col("n_terms").cast("double"), 6))
+        .select("n_terms", "slope", "intercept")
     })
   )
+
+  /** q200's vocabulary cut — top terms by (freq DESC, token); ONE place,
+    * embedded into the oracle SQL. */
+  private val ZipfTop = 100
 
   val oracles: Map[String, String] = Map(
     // the same md5 draws + self-bump + metadata join serially
@@ -1214,6 +1251,28 @@ object TextQueries {
          |       ${sround("CAST(n_tokens AS DOUBLE) / total_tokens", 6)} AS share,
          |       CAST((total_tokens // 2) // n_sources AS BIGINT) AS alloc_tokens,
          |       ${sround("CAST((total_tokens // 2) // n_sources AS DOUBLE) / n_tokens", 6)} AS mix_factor
-         |FROM per, tot""".stripMargin
+         |FROM per, tot""".stripMargin,
+
+    // the same quantized-log integer moments and closed form serially
+    "q200_zipf_fit" ->
+      s"""WITH v AS (SELECT t AS token, CAST(count(*) AS BIGINT) AS freq
+         |           FROM (SELECT unnest($toksSqlD) AS t FROM documents)
+         |           GROUP BY t),
+         |r AS (SELECT freq, row_number() OVER (ORDER BY freq DESC, token) AS rank FROM v),
+         |qq AS (SELECT
+         |         CAST(floor(ln(CAST(rank AS DOUBLE)) * ${dlit(1.0e6)} + ${dlit(0.5)}) AS BIGINT) AS qx,
+         |         CAST(floor(ln(CAST(freq AS DOUBLE)) * ${dlit(1.0e6)} + ${dlit(0.5)}) AS BIGINT) AS qy
+         |       FROM r WHERE rank <= $ZipfTop),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS n_terms,
+         |             CAST(sum(qx) AS BIGINT) AS sx, CAST(sum(qy) AS BIGINT) AS sy,
+         |             CAST(sum(qx * qy) AS BIGINT) AS sxy,
+         |             CAST(sum(qx * qx) AS BIGINT) AS sxx
+         |      FROM qq),
+         |sl AS (SELECT *,
+         |         ${sround("CAST(n_terms * sxy - sx * sy AS DOUBLE) / CAST(n_terms * sxx - sx * sx AS DOUBLE)", 6)} AS slope
+         |       FROM m)
+         |SELECT n_terms, slope,
+         |       ${sround(s"(CAST(sy AS DOUBLE) / ${dlit(1.0e6)} - slope * (CAST(sx AS DOUBLE) / ${dlit(1.0e6)})) / CAST(n_terms AS DOUBLE)", 6)} AS intercept
+         |FROM sl""".stripMargin
   )
 }

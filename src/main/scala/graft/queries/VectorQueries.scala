@@ -1092,8 +1092,45 @@ object VectorQueries {
       val wf = Window.partitionBy("query_id").orderBy(desc("rrf"), col("doc_id"))
       fused.withColumn("rk", row_number().over(wf)).where(col("rk") <= 5)
         .select("query_id", "doc_id", "t_rank", "v_rank", "rrf")
+    }),
+
+    // k-NN CLASSIFICATION — the label-propagation eval every embedding
+    // pipeline runs: hold out every 10th vector, predict its label by
+    // majority vote over its 5 nearest training neighbors (exact cosine),
+    // report per-label accuracy. The query set broadcasts (it is the
+    // holdout, corpus/10 — at larger fan-outs it becomes the q46/q128
+    // inverted-list probe instead of brute force); the corpus never
+    // shuffles for the scoring join, the per-query top-5 window runs over
+    // bounded candidates, and the vote tiebreak (count DESC, label) is
+    // deterministic. Integer votes + one pround division per label row.
+    "q199_knn_classify" -> ((spark, dir) => {
+      val emb = spread(table(spark, dir, "embeddings"))
+      val q = emb.where(col("vec_id") % KnnHoldEvery === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("label").as("true_label"))
+      val train = emb.where(col("vec_id") % KnnHoldEvery =!= 0)
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val scored = train.crossJoin(broadcast(q))
+        .select(col("query_id"), col("true_label"), col("vec_id"), col("label"),
+          pround(cosUdf(col("qe"), col("embedding")), 6).as("cos"))
+      val w = Window.partitionBy("query_id").orderBy(desc("cos"), col("vec_id"))
+      val votes = scored.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 5)
+        .groupBy("query_id", "true_label", "label")
+        .agg(count(lit(1)).as("v"))
+      val pick = Window.partitionBy("query_id").orderBy(desc("v"), col("label"))
+      votes.withColumn("pr", row_number().over(pick)).where(col("pr") === 1)
+        .groupBy("true_label")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("label") === col("true_label"), 1L).otherwise(0L)).as("n_correct"))
+        .withColumn("acc",
+          pround(col("n_correct").cast("double") / col("n").cast("double"), 6))
     })
   )
+
+  /** q199's holdout stride — every KnnHoldEvery-th vector is a query; ONE
+    * place, embedded into the oracle SQL. */
+  private val KnnHoldEvery = 10
 
   /** q176 RRF geometry — ONE place, embedded into the oracle SQL: the
     * standard k=60 dampener and a depth-10 cut per ranking side. */
@@ -1664,7 +1701,29 @@ object VectorQueries {
          |SELECT query_id, doc_id, t_rank, v_rank, rrf FROM (
          |  SELECT f.*, row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rk
          |  FROM f) WHERE rk <= 5""".stripMargin
-    }
+    },
+
+    // the same holdout, top-5 vote and tiebreaks serially
+    "q199_knn_classify" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS true_label
+         |           FROM embeddings WHERE vec_id % $KnnHoldEvery = 0),
+         |t AS (SELECT vec_id, embedding, label FROM embeddings
+         |      WHERE vec_id % $KnnHoldEvery <> 0),
+         |s AS (SELECT query_id, true_label, vec_id, label,
+         |             ${sround(cosSql("qe", "embedding"), 6)} AS cos
+         |      FROM t, q),
+         |top AS (SELECT * FROM (
+         |          SELECT *, row_number() OVER (PARTITION BY query_id
+         |            ORDER BY cos DESC, vec_id) AS rn FROM s) WHERE rn <= 5),
+         |v AS (SELECT query_id, true_label, label, CAST(count(*) AS BIGINT) AS v
+         |      FROM top GROUP BY query_id, true_label, label),
+         |p AS (SELECT query_id, true_label, label AS pred_label FROM (
+         |        SELECT *, row_number() OVER (PARTITION BY query_id
+         |          ORDER BY v DESC, label) AS pr FROM v) WHERE pr = 1)
+         |SELECT true_label, CAST(count(*) AS BIGINT) AS n,
+         |       CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+         |       ${sround("CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 6)} AS acc
+         |FROM p GROUP BY true_label""".stripMargin
   )
 }
 
