@@ -2380,28 +2380,11 @@ object RelQueries {
     // integer millionths ONCE in Scala ([[EwmaWq]]) and every per-row
     // term is a BIGINT product, so the weighted mean is exact until one
     // final division. Per-type combinable report keeps output bounded.
-    "q192_ewma_smoothing" -> ((spark, dir) => {
-      val raw = table(spark, dir, "events")
-      val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
-      val e = raw.select(col("event_type"), col("event_id"), col("user_id"),
-          QueryBase.tsUs(raw).as("ts_us"),
-          floor(col("value") * lit(10000.0) + lit(0.5)).cast("long").as("vq"))
-      val lagged = EwmaWq.zipWithIndex.foldLeft(e) { case (df, (_, k)) =>
-        df.withColumn(s"v$k", if (k == 0) col("vq") else lag(col("vq"), k).over(w))
-      }
-      val num = EwmaWq.zipWithIndex.map { case (wq, k) =>
-        when(col(s"v$k").isNotNull, lit(wq) * col(s"v$k")).otherwise(lit(0L))
-      }.reduce(_ + _)
-      val den = EwmaWq.zipWithIndex.map { case (wq, k) =>
-        when(col(s"v$k").isNotNull, lit(wq)).otherwise(lit(0L))
-      }.reduce(_ + _)
-      lagged
-        .withColumn("ewma", pround(num.cast("double") /
-          (den.cast("double") * lit(10000.0)), 6))
+    "q192_ewma_smoothing" -> ((spark, dir) =>
+      ewmaEvents(spark, dir)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), xsum(col("ewma"), 6).as("sum_ewma"),
-          max("ewma").as("max_ewma"))
-    }),
+          max("ewma").as("max_ewma"))),
 
     // TWO-PROPORTION A/B Z-TEST — the experiment readout every product
     // pipeline computes: split users by id parity, conversion = value
@@ -2557,6 +2540,52 @@ object RelQueries {
       pts.withColumn("c", sum("d").over(w))
         .groupBy("user_id").agg(max("c").as("max_conc"))
         .groupBy("max_conc").agg(count(lit(1)).as("n_users"))
+    }),
+
+    // RFM SEGMENTATION — the marketing-analytics classic: per customer,
+    // Recency (latest order, epoch-µs), Frequency (order count), Monetary
+    // (cents-integer total); each dimension quartiled by NTILE under a
+    // deterministic (metric DESC, custkey) order so quartile 1 is always
+    // the best; the report histograms the 4³ segment lattice. One
+    // customer-sized aggregation is the data-sized work — the three
+    // ranking passes run over that reduced frame (at extreme scale each
+    // becomes the q167 offset scheme), and the segment report is ≤64
+    // rows at any scale.
+    "q202_rfm_segments" -> ((spark, dir) => {
+      val o = table(spark, dir, "orders")
+      val cust = o.select(col("o_custkey"),
+          QueryBase.tsUs(o, "o_orderdate").as("od_us"),
+          floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long").as("cents"))
+        .groupBy("o_custkey")
+        .agg(max("od_us").as("recency"), count(lit(1)).as("frequency"),
+          sum("cents").as("monetary"))
+      val scored = cust
+        .withColumn("r_q", ntile(4).over(
+          Window.orderBy(col("recency").desc, col("o_custkey"))))
+        .withColumn("f_q", ntile(4).over(
+          Window.orderBy(col("frequency").desc, col("o_custkey"))))
+        .withColumn("m_q", ntile(4).over(
+          Window.orderBy(col("monetary").desc, col("o_custkey"))))
+      scored.groupBy("r_q", "f_q", "m_q")
+        .agg(count(lit(1)).as("n_customers"), sum("monetary").as("seg_cents"))
+        .withColumn("avg_monetary",
+          pround(col("seg_cents").cast("double") /
+            (col("n_customers").cast("double") * lit(100.0)), 6))
+    }),
+
+    // DAY-OF-WEEK SEASONALITY — the weekly-cycle profile dashboards chart:
+    // dow from pure epoch-day integer arithmetic ((day+3) mod 7, 0=Monday
+    // — no calendar functions, whose week conventions differ between
+    // engines), one combinable (type, dow) aggregation with
+    // scaled-integer value sums. Scan-shaped; 35 rows out at any scale.
+    "q203_dow_profile" -> ((spark, dir) => {
+      val raw = table(spark, dir, "events")
+      raw.select(col("event_type"), col("value"), QueryBase.tsUs(raw).as("ts_us"))
+        .withColumn("dow", expr(s"((ts_us div $DayUs) + 3) % 7"))
+        .groupBy("event_type", "dow")
+        .agg(count(lit(1)).as("n"), xsum(col("value"), 6).as("sum_value"))
+        .withColumn("avg_value",
+          pround(col("sum_value") / col("n").cast("double"), 6))
     })
   )
 
@@ -2566,9 +2595,35 @@ object RelQueries {
     (1 to 9).map(d => math.floor(math.log10(1.0 + 1.0 / d) * 1e9 + 0.5) / 1e9)
 
   /** q192's truncated-EWMA weights α(1−α)^k, α=0.5, k=0..7, as integer
-    * millionths — ONE definition for both engines. */
-  private val EwmaWq: Seq[Long] =
+    * millionths — ONE definition for the batch query, the oracle SQL AND
+    * the [[graft.streaming.StreamingEwma]] live twin. */
+  private[graft] val EwmaWq: Seq[Long] =
     (0 to 7).map(k => math.floor(0.5 * math.pow(0.5, k) * 1e6 + 0.5).toLong)
+
+  /** q192's per-event EWMA frame (event_type, event_id, user_id, ewma) —
+    * factored out so the streaming replay spec can compare
+    * [[graft.streaming.StreamingEwma]]'s per-event output against the
+    * exact batch arithmetic. */
+  private[graft] def ewmaEvents(spark: org.apache.spark.sql.SparkSession,
+                                dir: String): org.apache.spark.sql.DataFrame = {
+    val raw = table(spark, dir, "events")
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    val e = raw.select(col("event_type"), col("event_id"), col("user_id"),
+        QueryBase.tsUs(raw).as("ts_us"),
+        floor(col("value") * lit(10000.0) + lit(0.5)).cast("long").as("vq"))
+    val lagged = EwmaWq.zipWithIndex.foldLeft(e) { case (df, (_, k)) =>
+      df.withColumn(s"v$k", if (k == 0) col("vq") else lag(col("vq"), k).over(w))
+    }
+    val num = EwmaWq.zipWithIndex.map { case (wq, k) =>
+      when(col(s"v$k").isNotNull, lit(wq) * col(s"v$k")).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val den = EwmaWq.zipWithIndex.map { case (wq, k) =>
+      when(col(s"v$k").isNotNull, lit(wq)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    lagged.withColumn("ewma", pround(num.cast("double") /
+      (den.cast("double") * lit(10000.0)), 6))
+      .select(col("event_type"), col("event_id"), col("user_id"), col("ewma"))
+  }
 
   /** q193's conversion threshold on events.value (median ≈ 34.6, so both
     * cohorts land mid-distribution — the z-test is numerically honest). */
@@ -3719,6 +3774,34 @@ object RelQueries {
          |      FROM pts),
          |m AS (SELECT user_id, CAST(max(c) AS BIGINT) AS max_conc FROM c GROUP BY user_id)
          |SELECT max_conc, CAST(count(*) AS BIGINT) AS n_users
-         |FROM m GROUP BY max_conc""".stripMargin
+         |FROM m GROUP BY max_conc""".stripMargin,
+
+    // the same customer-sized quartiling serially
+    "q202_rfm_segments" ->
+      s"""WITH cust AS (SELECT o_custkey,
+         |    CAST(max(epoch_us(o_orderdate)) AS BIGINT) AS recency,
+         |    CAST(count(*) AS BIGINT) AS frequency,
+         |    CAST(sum(CAST(floor(o_totalprice * ${dlit(100.0)} + ${dlit(0.5)}) AS BIGINT)) AS BIGINT) AS monetary
+         |  FROM orders GROUP BY o_custkey),
+         |s AS (SELECT *,
+         |        CAST(ntile(4) OVER (ORDER BY recency DESC, o_custkey) AS INT) AS r_q,
+         |        CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS INT) AS f_q,
+         |        CAST(ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS INT) AS m_q
+         |      FROM cust)
+         |SELECT r_q, f_q, m_q, CAST(count(*) AS BIGINT) AS n_customers,
+         |       CAST(sum(monetary) AS BIGINT) AS seg_cents,
+         |       ${sround(s"CAST(sum(monetary) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * ${dlit(100.0)})", 6)} AS avg_monetary
+         |FROM s GROUP BY r_q, f_q, m_q""".stripMargin,
+
+    // the same epoch-day modular dow serially
+    "q203_dow_profile" ->
+      s"""WITH e AS (SELECT event_type, value,
+         |                  ((epoch_us(ts) // $DayUs) + 3) % 7 AS dow
+         |           FROM events)
+         |SELECT event_type, CAST(dow AS BIGINT) AS dow,
+         |       CAST(count(*) AS BIGINT) AS n,
+         |       ${xsumSql("value", 6)} AS sum_value,
+         |       ${sround(s"(${xsumSql("value", 6)}) / CAST(count(*) AS DOUBLE)", 6)} AS avg_value
+         |FROM e GROUP BY event_type, dow""".stripMargin
   )
 }
