@@ -2573,6 +2573,97 @@ object RelQueries {
             (col("n_customers").cast("double") * lit(100.0)), 6))
     }),
 
+    // CUSUM CHANGEPOINT — the classic level-shift detector over the daily
+    // mean series per type: cusum_t = Σ_{d≤t} (mean_d − grand_mean), the
+    // day of max |cusum| is the changepoint candidate. ONE combinable
+    // (type, day) aggregation is the data-sized work; means divide exact
+    // integers, the running sum is the q184 scaled-integer window over
+    // the bounded type×day domain, and the peak flag rides a second
+    // bounded window — every row of the ≤|types|·|days| report is
+    // hash-visible.
+    "q204_cusum_changepoint" -> ((spark, dir) => {
+      val raw = table(spark, dir, "events")
+      val daily = raw.select(col("event_type"), QueryBase.tsUs(raw).as("ts_us"),
+          floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("vq"))
+        .withColumn("day", expr(s"ts_us div $DayUs"))
+        .groupBy("event_type", "day")
+        .agg(sum("vq").as("sv"), count(lit(1)).as("n"))
+      val tot = daily.groupBy("event_type")
+        .agg(sum("sv").as("tsv"), sum("n").as("tn"))
+      val wrun = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val byType = Window.partitionBy("event_type")
+      daily.join(broadcast(tot), "event_type")
+        .withColumn("mean_d", pround(col("sv").cast("double") /
+          (col("n").cast("double") * lit(100.0)), 6))
+        .withColumn("gmean", pround(col("tsv").cast("double") /
+          (col("tn").cast("double") * lit(100.0)), 6))
+        .withColumn("dev", col("mean_d") - col("gmean"))
+        .withColumn("cusum",
+          sum(floor(col("dev") * lit(1.0e6) + lit(0.5))).over(wrun) / lit(1.0e6))
+        .withColumn("is_peak", abs(col("cusum")) === max(abs(col("cusum"))).over(byType))
+        .select(col("event_type"), col("day"), col("n"), col("mean_d"),
+          col("dev"), col("cusum"), col("is_peak"))
+    }),
+
+    // DAILY AUTOCORRELATION — lag-1 serial correlation of the per-type
+    // daily mean series, the rhythm/trend diagnostic beside q203's weekly
+    // profile: consecutive-day (x, y) pairs from one lag() over the
+    // bounded type×day domain, Pearson r from BIGINT-exact moments of the
+    // quantized means (the q160 exact-parallel-corr discipline — no
+    // engine-native corr(), whose double-sum order is nondeterministic).
+    "q205_daily_autocorr" -> ((spark, dir) => {
+      val raw = table(spark, dir, "events")
+      val daily = raw.select(col("event_type"), QueryBase.tsUs(raw).as("ts_us"),
+          floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("vq"))
+        .withColumn("day", expr(s"ts_us div $DayUs"))
+        .groupBy("event_type", "day")
+        .agg(sum("vq").as("sv"), count(lit(1)).as("n"))
+        .withColumn("qm", floor((col("sv").cast("double") / col("n").cast("double")) *
+          lit(100.0) + lit(0.5)).cast("long"))
+      val wday = Window.partitionBy("event_type").orderBy("day")
+      val pairs = daily.withColumn("qx", lag("qm", 1).over(wday))
+        .where(col("qx").isNotNull)
+        .withColumn("qy", col("qm"))
+      pairs.groupBy("event_type")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum("qx").as("sx"), sum("qy").as("sy"),
+          sum(col("qx") * col("qy")).as("sxy"),
+          sum(col("qx") * col("qx")).as("sxx"),
+          sum(col("qy") * col("qy")).as("syy"))
+        .withColumn("r", pround(
+          (col("n_pairs") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt((col("n_pairs") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+              sqrt((col("n_pairs") * col("syy") - col("sy") * col("sy")).cast("double"))), 6))
+        .select("event_type", "n_pairs", "r")
+    }),
+
+    // BURST-DAY DETECTION — days whose event count clears mean + 2·σ of
+    // the per-type daily series (σ population, from BIGINT-exact count
+    // moments — the monitoring alarm q189's hourly frames feed): one
+    // combinable daily count, moments re-aggregated from the bounded
+    // type×day frame, the threshold comparison between identically
+    // derived doubles on both engines. Every day row reports, flagged.
+    "q207_burst_days" -> ((spark, dir) => {
+      val raw = table(spark, dir, "events")
+      val daily = raw.select(col("event_type"), QueryBase.tsUs(raw).as("ts_us"))
+        .withColumn("day", expr(s"ts_us div $DayUs"))
+        .groupBy("event_type", "day")
+        .agg(count(lit(1)).as("n"))
+      val mom = daily.groupBy("event_type")
+        .agg(count(lit(1)).as("nd"), sum("n").as("sn"),
+          sum(col("n") * col("n")).as("snn"))
+        .withColumn("mu", pround(col("sn").cast("double") / col("nd").cast("double"), 9))
+        .withColumn("sigma", sqrt(pround(
+          col("snn").cast("double") / col("nd").cast("double") -
+            col("mu") * col("mu"), 9)))
+      daily.join(broadcast(mom.select("event_type", "nd", "mu", "sigma")), "event_type")
+        .withColumn("is_burst",
+          col("n").cast("double") > col("mu") + lit(2.0) * col("sigma"))
+        .select(col("event_type"), col("day"), col("n"), col("mu"),
+          pround(col("sigma"), 6).as("sigma"), col("is_burst"))
+    }),
+
     // DAY-OF-WEEK SEASONALITY — the weekly-cycle profile dashboards chart:
     // dow from pure epoch-day integer arithmetic ((day+3) mod 7, 0=Monday
     // — no calendar functions, whose week conventions differ between
@@ -3792,6 +3883,69 @@ object RelQueries {
          |       CAST(sum(monetary) AS BIGINT) AS seg_cents,
          |       ${sround(s"CAST(sum(monetary) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * ${dlit(100.0)})", 6)} AS avg_monetary
          |FROM s GROUP BY r_q, f_q, m_q""".stripMargin,
+
+    // the same bounded daily-mean CUSUM serially
+    "q204_cusum_changepoint" ->
+      s"""WITH daily AS (SELECT event_type, epoch_us(ts) // $DayUs AS day,
+         |    CAST(sum(CAST(floor(value * ${dlit(100.0)} + ${dlit(0.5)}) AS BIGINT)) AS BIGINT) AS sv,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM events GROUP BY event_type, day),
+         |tot AS (SELECT event_type, CAST(sum(sv) AS BIGINT) AS tsv,
+         |               CAST(sum(n) AS BIGINT) AS tn
+         |        FROM daily GROUP BY event_type),
+         |j AS (SELECT daily.*,
+         |        ${sround(s"CAST(sv AS DOUBLE) / (CAST(n AS DOUBLE) * ${dlit(100.0)})", 6)} AS mean_d,
+         |        ${sround(s"CAST(tsv AS DOUBLE) / (CAST(tn AS DOUBLE) * ${dlit(100.0)})", 6)} AS gmean
+         |      FROM daily JOIN tot USING (event_type)),
+         |c AS (SELECT event_type, CAST(day AS BIGINT) AS day, n, mean_d,
+         |             mean_d - gmean AS dev,
+         |             sum(floor((mean_d - gmean) * ${dlit(1.0e6)} + ${dlit(0.5)}))
+         |               OVER (PARTITION BY event_type ORDER BY day
+         |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / ${dlit(1.0e6)} AS cusum
+         |      FROM j)
+         |SELECT event_type, day, n, mean_d, dev, cusum,
+         |       abs(cusum) = max(abs(cusum)) OVER (PARTITION BY event_type) AS is_peak
+         |FROM c""".stripMargin,
+
+    // the same BIGINT-exact lag-1 Pearson serially
+    "q205_daily_autocorr" ->
+      s"""WITH daily AS (SELECT event_type, epoch_us(ts) // $DayUs AS day,
+         |    CAST(sum(CAST(floor(value * ${dlit(100.0)} + ${dlit(0.5)}) AS BIGINT)) AS BIGINT) AS sv,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM events GROUP BY event_type, day),
+         |q AS (SELECT event_type, day,
+         |        CAST(floor((CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)) * ${dlit(100.0)} + ${dlit(0.5)}) AS BIGINT) AS qm
+         |      FROM daily),
+         |p AS (SELECT event_type, qm AS qy,
+         |             lag(qm, 1) OVER (PARTITION BY event_type ORDER BY day) AS qx
+         |      FROM q),
+         |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+         |             CAST(sum(qx) AS BIGINT) AS sx, CAST(sum(qy) AS BIGINT) AS sy,
+         |             CAST(sum(qx * qy) AS BIGINT) AS sxy,
+         |             CAST(sum(qx * qx) AS BIGINT) AS sxx,
+         |             CAST(sum(qy * qy) AS BIGINT) AS syy
+         |      FROM p WHERE qx IS NOT NULL GROUP BY event_type)
+         |SELECT event_type, n_pairs,
+         |       ${sround("CAST(n_pairs * sxy - sx * sy AS DOUBLE) / (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE)))", 6)} AS r
+         |FROM m""".stripMargin,
+
+    // the same daily-count moments and 2σ gate serially
+    "q207_burst_days" ->
+      s"""WITH daily AS (SELECT event_type, epoch_us(ts) // $DayUs AS day,
+         |                      CAST(count(*) AS BIGINT) AS n
+         |               FROM events GROUP BY event_type, day),
+         |mom AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nd,
+         |               CAST(sum(n) AS BIGINT) AS sn,
+         |               CAST(sum(n * n) AS BIGINT) AS snn
+         |        FROM daily GROUP BY event_type),
+         |ms AS (SELECT event_type, nd,
+         |         ${sround("CAST(sn AS DOUBLE) / CAST(nd AS DOUBLE)", 9)} AS mu,
+         |         sqrt(${sround(s"CAST(snn AS DOUBLE) / CAST(nd AS DOUBLE) - (${sround("CAST(sn AS DOUBLE) / CAST(nd AS DOUBLE)", 9)}) * (${sround("CAST(sn AS DOUBLE) / CAST(nd AS DOUBLE)", 9)})", 9)}) AS sigma
+         |       FROM mom)
+         |SELECT daily.event_type, CAST(day AS BIGINT) AS day, n, mu,
+         |       ${sround("sigma", 6)} AS sigma,
+         |       CAST(n AS DOUBLE) > mu + ${dlit(2.0)} * sigma AS is_burst
+         |FROM daily JOIN ms USING (event_type)""".stripMargin,
 
     // the same epoch-day modular dow serially
     "q203_dow_profile" ->

@@ -396,6 +396,29 @@ object SaxQueries {
         .where(col("dist") <= 1.0)
     }),
 
+    // SAX DISCORD DISCOVERY — the HOT SAX use case (Keogh et al., ICDM
+    // 2005): the most ISOLATED patterns, i.e. the words whose
+    // nearest-neighbor mindist to any OTHER observed word is largest —
+    // anomaly candidates where q77 flags deviation from each series' OWN
+    // dominant word, this finds corpus-level outlier shapes. The pairwise
+    // stage runs over the DISTINCT word dictionary (≤ c^w = 256 rows at
+    // the flagship geometry — bounded at any corpus scale, the same
+    // insight as q17's matrix), never the encoded stream; per-word NN via
+    // one bounded window, top-5 discords by (nn_dist DESC, word).
+    "q206_sax_discord" -> ((spark, dir) => {
+      val dict = tcache(windowWords(spark, dir)
+        .groupBy("word").agg(count(lit(1)).as("cnt")), "q206:dict")
+      val md = sax_mindist(col("a.word"), lit(N.toLong), col("b.word"), lit(N.toLong), C)
+      val pairs = dict.as("a").join(dict.as("b"), col("a.word") =!= col("b.word"))
+        .select(col("a.word").as("word"), col("a.cnt").as("cnt"),
+          col("b.word").as("other"), pround(md.getField("dist"), 6).as("dist"))
+      val w = Window.partitionBy("word").orderBy(col("dist"), col("other"))
+      pairs.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("word"), col("cnt"), col("dist").as("nn_dist"),
+          col("other").as("nn_word"))
+        .orderBy(desc("nn_dist"), col("word")).limit(5)
+    }),
+
     // higher-resolution encode: n=16, w=8, c=8 exercises the richer
     // breakpoint/distance tables end-to-end (the flagship params only
     // touch c=4/5)
@@ -717,6 +740,20 @@ object SaxQueries {
            |SELECT a.word AS word_a, b.word AS word_b, ${md.dist} AS dist
            |FROM dict a JOIN dict b ON a.word < b.word
            |WHERE ${md.dist} <= 1.0""".stripMargin
+      },
+
+      // the same bounded-dictionary NN + top-5 discord cut serially
+      "q206_sax_discord" -> {
+        val md = OracleGen.mindistColCol("a.word", "b.word", W, N, C)
+        s"""WITH q AS ($windowWordsSql),
+           |dict AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM q GROUP BY word),
+           |p AS (SELECT a.word AS word, a.cnt, b.word AS other, ${md.dist} AS dist
+           |      FROM dict a JOIN dict b ON a.word <> b.word),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY word ORDER BY dist, other) AS rn
+           |      FROM p)
+           |SELECT word, cnt, dist AS nn_dist, other AS nn_word
+           |FROM r WHERE rn = 1
+           |ORDER BY nn_dist DESC, word LIMIT 5""".stripMargin
       },
 
       "q16_sax_hires" ->
