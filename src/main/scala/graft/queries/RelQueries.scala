@@ -2664,6 +2664,53 @@ object RelQueries {
           pround(col("sigma"), 6).as("sigma"), col("is_burst"))
     }),
 
+    // DAILY MIX ENTROPY — the diversity-drift monitor: Shannon entropy of
+    // each day's event-type distribution, H_d = −Σ p·ln(p) over the
+    // bounded |types| support, beside the day's global-mix KL divergence
+    // D(day‖global) = Σ p·ln(p/q) — the categorical sibling of q184's
+    // decile PSI (a collapsing mix shows as falling H and rising KL). One
+    // combinable (day, type) count is the data-sized work; probabilities
+    // divide exact integers, logs are quantize-early, and both totals are
+    // scaled-integer windows over the bounded day×type domain.
+    "q208_mix_entropy_kl" -> ((spark, dir) => {
+      val raw = table(spark, dir, "events")
+      val c = raw.select(col("event_type"), QueryBase.tsUs(raw).as("ts_us"))
+        .withColumn("day", expr(s"ts_us div $DayUs"))
+        .groupBy("day", "event_type").agg(count(lit(1)).as("n"))
+      val dtot = c.groupBy("day").agg(sum("n").as("dn"))
+      val gtot = c.groupBy("event_type").agg(sum("n").as("gn"))
+      val all = c.agg(sum("n").as("nn"))
+      val byDay = Window.partitionBy("day")
+      c.join(broadcast(dtot), "day")
+        .join(broadcast(gtot), "event_type")
+        .crossJoin(broadcast(all))
+        .withColumn("p", pround(col("n").cast("double") / col("dn").cast("double"), 9))
+        .withColumn("q", pround(col("gn").cast("double") / col("nn").cast("double"), 9))
+        .withColumn("h_term", pround(-col("p") * pround(log(col("p")), 6), 9))
+        .withColumn("kl_term", pround(col("p") * pround(log(col("p") / col("q")), 6), 9))
+        .withColumn("entropy",
+          sum(floor(col("h_term") * lit(1.0e9) + lit(0.5))).over(byDay) / lit(1.0e9))
+        .withColumn("kl",
+          sum(floor(col("kl_term") * lit(1.0e9) + lit(0.5))).over(byDay) / lit(1.0e9))
+        .select(col("day"), col("event_type"), col("n"), col("p"),
+          col("h_term"), col("kl_term"), col("entropy"), col("kl"))
+    }),
+
+    // TPC-H Q6 REVENUE EFFECT — the pure-scan what-if: revenue that would
+    // change if mid-band discounts were dropped (discount ∈ [0.05, 0.07],
+    // quantity < 24). No join, no window — ONE map-side-combinable
+    // aggregation whose filter and 2-column projection reach the parquet
+    // scan (PushedFilters + pruned ReadSchema); per-row revenue terms
+    // quantize the price·discount product to integer 1e-4ths before the
+    // order-independent sum. The simplest query in the inventory and the
+    // purest scan-throughput measurement.
+    "q211_q6_revenue_effect" -> ((spark, dir) =>
+      table(spark, dir, "lineitem")
+        .where(col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .select((floor(col("l_extendedprice") * col("l_discount") * lit(10000.0) +
+          lit(0.5)) / lit(10000.0)).as("term"))
+        .agg(count(lit(1)).as("n"), xsum(col("term"), 4).as("revenue_effect"))),
+
     // DAY-OF-WEEK SEASONALITY — the weekly-cycle profile dashboards chart:
     // dow from pure epoch-day integer arithmetic ((day+3) mod 7, 0=Monday
     // — no calendar functions, whose week conventions differ between
@@ -3946,6 +3993,37 @@ object RelQueries {
          |       ${sround("sigma", 6)} AS sigma,
          |       CAST(n AS DOUBLE) > mu + ${dlit(2.0)} * sigma AS is_burst
          |FROM daily JOIN ms USING (event_type)""".stripMargin,
+
+    // the same bounded-domain entropy/KL algebra serially
+    "q208_mix_entropy_kl" ->
+      s"""WITH c AS (SELECT epoch_us(ts) // $DayUs AS day, event_type,
+         |                  CAST(count(*) AS BIGINT) AS n
+         |           FROM events GROUP BY day, event_type),
+         |dt AS (SELECT day, CAST(sum(n) AS BIGINT) AS dn FROM c GROUP BY day),
+         |gt AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS gn FROM c GROUP BY event_type),
+         |a AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM c),
+         |pp AS (SELECT c.day, c.event_type, c.n,
+         |         ${sround("CAST(n AS DOUBLE) / CAST(dn AS DOUBLE)", 9)} AS p,
+         |         ${sround("CAST(gn AS DOUBLE) / CAST(nn AS DOUBLE)", 9)} AS q
+         |       FROM c JOIN dt USING (day) JOIN gt USING (event_type) CROSS JOIN a),
+         |x AS (SELECT *,
+         |        ${sround(s"-p * (${sround("ln(p)", 6)})", 9)} AS h_term,
+         |        ${sround(s"p * (${sround("ln(p / q)", 6)})", 9)} AS kl_term
+         |      FROM pp)
+         |SELECT CAST(day AS BIGINT) AS day, event_type, n, p, h_term, kl_term,
+         |       sum(floor(h_term * ${dlit(1.0e9)} + ${dlit(0.5)})) OVER (PARTITION BY day) / ${dlit(1.0e9)} AS entropy,
+         |       sum(floor(kl_term * ${dlit(1.0e9)} + ${dlit(0.5)})) OVER (PARTITION BY day) / ${dlit(1.0e9)} AS kl
+         |FROM x""".stripMargin,
+
+    // the same pushed-down scan aggregation serially
+    "q211_q6_revenue_effect" ->
+      s"""WITH t AS (SELECT floor(l_extendedprice * l_discount * ${dlit(10000.0)} + ${dlit(0.5)}) / ${dlit(10000.0)} AS term
+         |           FROM lineitem
+         |           WHERE l_discount BETWEEN ${dlit(0.05)} AND ${dlit(0.07)}
+         |             AND l_quantity < 24)
+         |SELECT CAST(count(*) AS BIGINT) AS n,
+         |       ${xsumSql("term", 4)} AS revenue_effect
+         |FROM t""".stripMargin,
 
     // the same epoch-day modular dow serially
     "q203_dow_profile" ->

@@ -419,6 +419,46 @@ object SaxQueries {
         .orderBy(desc("nn_dist"), col("word")).limit(5)
     }),
 
+    // SAX MOTIF DISCOVERY — the discord's (q206) complement: the most
+    // FREQUENT patterns corpus-wide, each with its span of occurrence and
+    // how many distinct series exhibit it. Everything is one combinable
+    // aggregation over the encoded stream (count, min/max event id,
+    // distinct users via the two-level groupBy) + a deterministic top-5
+    // cut — no window over data-sized partitions.
+    "q210_sax_motif" -> ((spark, dir) => {
+      val wu = windowWords(spark, dir)
+        .groupBy("word", "user_id")
+        .agg(count(lit(1)).as("n"), min("event_id").as("mn"), max("event_id").as("mx"))
+      wu.groupBy("word")
+        .agg(sum("n").as("cnt"), count(lit(1)).as("n_users"),
+          min("mn").as("first_event"), max("mx").as("last_event"))
+        .orderBy(desc("cnt"), col("word")).limit(5)
+    }),
+
+    // SERIES PREDICTABILITY — Shannon entropy of each series' SAX word
+    // histogram: a flat histogram (high H) is an erratic series, a
+    // peaked one (low H) is regular — the per-series regularity score
+    // beside q77's per-event anomaly flag. Two combinable aggregations
+    // ((user, word) counts → per-user moments); probabilities divide
+    // exact integers, logs are quantize-early, the entropy total is a
+    // scaled-integer window over each user's ≤ c^w word support. Output
+    // is USER-sized.
+    "q209_sax_predictability" -> ((spark, dir) => {
+      val wc = windowWords(spark, dir)
+        .groupBy("user_id", "word").agg(count(lit(1)).as("n"))
+      val ut = wc.groupBy("user_id").agg(sum("n").as("tn"),
+        count(lit(1)).as("n_distinct"))
+      val byUserW = Window.partitionBy("user_id")
+      wc.join(ut, "user_id")
+        .withColumn("p", pround(col("n").cast("double") / col("tn").cast("double"), 9))
+        .withColumn("h_term", pround(-col("p") * pround(log(col("p")), 6), 9))
+        .withColumn("entropy",
+          sum(floor(col("h_term") * lit(1.0e9) + lit(0.5))).over(byUserW) / lit(1.0e9))
+        .groupBy("user_id")
+        .agg(max("tn").as("n_words"), max("n_distinct").as("n_distinct"),
+          max("entropy").as("entropy"))
+    }),
+
     // higher-resolution encode: n=16, w=8, c=8 exercises the richer
     // breakpoint/distance tables end-to-end (the flagship params only
     // touch c=4/5)
@@ -755,6 +795,42 @@ object SaxQueries {
            |FROM r WHERE rn = 1
            |ORDER BY nn_dist DESC, word LIMIT 5""".stripMargin
       },
+
+      // the same two-level motif aggregation serially
+      "q210_sax_motif" ->
+        s"""WITH q AS ($windowWordsSql),
+           |wu AS (SELECT word, user_id, CAST(count(*) AS BIGINT) AS n,
+           |              CAST(min(event_id) AS BIGINT) AS mn,
+           |              CAST(max(event_id) AS BIGINT) AS mx
+           |       FROM q GROUP BY word, user_id)
+           |SELECT word, CAST(sum(n) AS BIGINT) AS cnt,
+           |       CAST(count(*) AS BIGINT) AS n_users,
+           |       CAST(min(mn) AS BIGINT) AS first_event,
+           |       CAST(max(mx) AS BIGINT) AS last_event
+           |FROM wu GROUP BY word
+           |ORDER BY cnt DESC, word LIMIT 5""".stripMargin,
+
+      // the same per-user word-histogram entropy serially
+      "q209_sax_predictability" ->
+        s"""WITH q AS ($windowWordsSql),
+           |wc AS (SELECT user_id, word, CAST(count(*) AS BIGINT) AS n
+           |       FROM q GROUP BY user_id, word),
+           |ut AS (SELECT user_id, CAST(sum(n) AS BIGINT) AS tn,
+           |              CAST(count(*) AS BIGINT) AS n_distinct
+           |       FROM wc GROUP BY user_id),
+           |pp AS (SELECT wc.user_id, tn, n_distinct,
+           |         ${OracleGen.sround("CAST(n AS DOUBLE) / CAST(tn AS DOUBLE)", 9)} AS p
+           |       FROM wc JOIN ut USING (user_id)),
+           |x AS (SELECT *,
+           |        ${OracleGen.sround(s"-p * (${OracleGen.sround("ln(p)", 6)})", 9)} AS h_term
+           |      FROM pp),
+           |e AS (SELECT user_id, tn, n_distinct,
+           |             sum(floor(h_term * ${OracleGen.dlit(1.0e9)} + ${OracleGen.dlit(0.5)}))
+           |               OVER (PARTITION BY user_id) / ${OracleGen.dlit(1.0e9)} AS entropy
+           |      FROM x)
+           |SELECT user_id, CAST(max(tn) AS BIGINT) AS n_words,
+           |       CAST(max(n_distinct) AS BIGINT) AS n_distinct, max(entropy) AS entropy
+           |FROM e GROUP BY user_id""".stripMargin,
 
       "q16_sax_hires" ->
         s"WITH q AS (${windowWordsSqlFor(16, 8, 8)})\nSELECT word, count(*)::BIGINT AS cnt FROM q GROUP BY word",
