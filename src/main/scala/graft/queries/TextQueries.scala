@@ -90,6 +90,48 @@ object TextQueries {
     (names(0), names(1))
   }
 
+  /** q212's bloom geometry: per-FILE token blooms of [[BloomBits]] bits,
+    * [[BloomK]] md5-derived positions per token (TextHash.hash60 of
+    * "token:j" — the SAME hash the q103 decontamination bloom family
+    * uses), stored as (file, bit) rows. ONE definition feeds the manifest
+    * build and the probe's driver-side needle bits. */
+  private[graft] val BloomBits = 4096
+  private[graft] val BloomK = 3
+
+  /** q212's at-rest layout: documents range-clustered into [[BloomFiles]]
+    * files + a per-file token-bloom manifest — the CONTENT half of the
+    * file-skipping story (q141 skips by VALUE range, q150 by z-order box,
+    * this by term membership: "which files can contain this token at
+    * all"). The manifest is files × ≤BloomBits rows — KBs per thousands
+    * of files — and blooms have no false negatives, so a probe that reads
+    * only bloom-positive files provably loses nothing (the oracle replays
+    * the needle over raw parquet). */
+  private val BloomFiles = 8
+
+  private def bloomDocsTables(spark: org.apache.spark.sql.SparkSession,
+                              dir: String): (String, String) = {
+    val names = AtRestTables.get(spark, s"docbloom|$dir") { base =>
+      val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val dT = s"graft_docs_bloomed_$sfx"; val mT = s"graft_docs_bloomman_$sfx"
+      table(spark, dir, "documents")
+        .repartitionByRange(BloomFiles, col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite").option("path", s"$base/bloomed").saveAsTable(dT)
+      val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+      // manifest derived from the bytes that will serve (the q141
+      // discipline); hash60 = conv(md5 prefix) matches TextHash.hash60
+      spark.read.parquet(s"$base/bloomed")
+        .select(input_file_name().as("file"), explode(toks).as("tok"))
+        .select(col("file"), explode(array((0 until BloomK).map(j =>
+          pmod(conv(substring(md5(concat_ws(":", col("tok"), lit(j))), 1, 15),
+            16, 10).cast("long"), lit(BloomBits.toLong))): _*)).as("bit"))
+        .distinct()
+        .write.mode("overwrite").option("path", s"$base/bloomman").saveAsTable(mT)
+      Seq(dT, mT)
+    }
+    (names(0), names(1))
+  }
+
   /** Cross-engine log parity: `ln` differs between the JVM intrinsic and
     * DuckDB's libm by 1 ulp on ~2% of inputs (measured on this image), so
     * raw log output can flip a 6-digit rounding. The IDF — the only log in
@@ -842,6 +884,55 @@ object TextQueries {
             col("slope") * (col("sx").cast("double") / lit(1.0e6))) /
             col("n_terms").cast("double"), 6))
         .select("n_terms", "slope", "intercept")
+    }),
+
+    // BLOOM FILE SKIPPING — the CONTENT half of the skipping story (q141
+    // prunes by value range, q150 by z-order box, this by TERM
+    // membership): a needle-term probe opens only files whose at-rest
+    // token bloom has all K needle bits set. Blooms have no false
+    // negatives, so the pruned scan provably equals the full scan (the
+    // oracle replays the needle over raw parquet — equality proves both
+    // the clustered layout lossless and the pruning complete). The needle
+    // is the corpus' rarest token under the (freq, token) total order —
+    // derived by a replayable aggregation, collected as ONE driver-side
+    // row (the bounded q128-style literal plan), its K bit positions
+    // computed with the SAME hash60 the manifest columns use. At 100 TB
+    // the manifest is files × ≤4096 rows — metadata-sized — and the probe
+    // reads Σ bloom-positive files, never the corpus; BloomFileSkipSpec
+    // pins the opened-file subset.
+    "q212_bloom_file_skip" -> ((spark, dir) => {
+      val (dT, mT) = bloomDocsTables(spark, dir)
+      val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+      val rare = table(spark, dir, "documents")
+        .select(explode(toks).as("t"))
+        .groupBy("t").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq"), col("t")).limit(1)
+        .collect()
+      if (rare.isEmpty) {
+        import spark.implicits._
+        Seq.empty[(String, Long, Long, Long)]
+          .toDF("needle", "n_docs", "n_occurrences", "sum_chars")
+      } else {
+        val needle = rare(0).getString(0)
+        val bits = (0 until BloomK)
+          .map(j => math.floorMod(graft.text.TextHash.hash60(s"$needle:$j"),
+            BloomBits.toLong))
+        val files = spark.table(mT)
+          .where(col("bit").isin(bits: _*))
+          .groupBy("file").agg(countDistinct(col("bit")).as("hits"))
+          .where(col("hits") === bits.distinct.length.toLong)
+          .select("file").collect().map(_.getString(0))
+        val pruned =
+          if (files.isEmpty) spark.table(dT).limit(0)
+          else spark.read.parquet(files.toIndexedSeq: _*)
+        pruned
+          .withColumn("occ", size(filter(toks, t => t === lit(needle))).cast("long"))
+          .where(col("occ") > 0)
+          .agg(count(lit(1)).as("n_docs"), sum("occ").as("n_occurrences"),
+            sum("n_chars").as("sum_chars"))
+          .select(lit(needle).as("needle"), col("n_docs"),
+            col("n_occurrences"), col("sum_chars"))
+      }
     })
   )
 
@@ -1273,6 +1364,21 @@ object TextQueries {
          |       FROM m)
          |SELECT n_terms, slope,
          |       ${sround(s"(CAST(sy AS DOUBLE) / ${dlit(1.0e6)} - slope * (CAST(sx AS DOUBLE) / ${dlit(1.0e6)})) / CAST(n_terms AS DOUBLE)", 6)} AS intercept
-         |FROM sl""".stripMargin
+         |FROM sl""".stripMargin,
+
+    // the same rarest-needle occurrence report over RAW parquet — equality
+    // proves the bloom-clustered layout lossless and the pruning complete
+    // (no false negatives)
+    "q212_bloom_file_skip" ->
+      s"""WITH toks AS (SELECT doc_id, n_chars, $toksSqlD AS toks FROM documents),
+         |needle AS (SELECT t AS needle FROM (SELECT unnest(toks) AS t FROM toks) tt
+         |           GROUP BY t ORDER BY count(*), t LIMIT 1),
+         |m AS (SELECT n_chars, len(list_filter(toks, x -> x = needle.needle)) AS occ
+         |      FROM toks CROSS JOIN needle)
+         |SELECT (SELECT needle FROM needle) AS needle,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(occ) AS BIGINT) AS n_occurrences,
+         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM m WHERE occ > 0""".stripMargin
   )
 }
