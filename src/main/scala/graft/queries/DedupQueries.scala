@@ -1223,6 +1223,38 @@ object DedupQueries {
               col("n_wedges").cast("double"), 6)).as("global_cc"))
     }),
 
+    // WEIGHTED JACCARD — the similarity the SET Jaccard (q32) flattens:
+    // J_w = Σ min(tfA, tfB) / Σ max(tfA, tfB) over token FREQUENCIES, so
+    // a doc repeating a rare token 50× no longer looks identical to one
+    // mentioning it once. Candidates come from the same LSH bands (never
+    // all pairs); each pair's token union materializes via one full-outer
+    // (pair, token) join of two tf streams — work ∝ Σ pair token counts,
+    // integer-exact until one final division.
+    "q214_weighted_jaccard" -> ((spark, dir) => {
+      val db = tcache(docBands(spark, dir), "q214:bands")
+      val exploded = db.select(col("doc_id"), explode(col("bands")).as("bk"))
+      val cand = exploded.as("a")
+        .join(exploded.as("b"),
+          col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+      val tf = tcache(spread(table(spark, dir, "documents"))
+        .select(col("doc_id"), explode(toks).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf")), "q214:tf")
+      val ta = cand.join(tf, col("doc_a") === col("doc_id"))
+        .select(col("doc_a"), col("doc_b"), col("tok"), col("tf").as("tfa"))
+      val tb = cand.join(tf, col("doc_b") === col("doc_id"))
+        .select(col("doc_a"), col("doc_b"), col("tok"), col("tf").as("tfb"))
+      ta.join(tb, Seq("doc_a", "doc_b", "tok"), "full_outer")
+        .groupBy("doc_a", "doc_b")
+        .agg(sum(least(coalesce(col("tfa"), lit(0L)), coalesce(col("tfb"), lit(0L)))).as("inter_w"),
+          sum(greatest(coalesce(col("tfa"), lit(0L)), coalesce(col("tfb"), lit(0L)))).as("union_w"))
+        .select(col("doc_a"), col("doc_b"), col("inter_w"), col("union_w"),
+          pround(col("inter_w").cast("double") / col("union_w").cast("double"), 6)
+            .as("weighted_jaccard"))
+    }),
+
     // SORTED-NEIGHBORHOOD DEDUP — the classic record-linkage blocking
     // (Hernández & Stolfo, SIGMOD 1995) beside the LSH (q32) and prefix
     // (q52) candidate generators: sort the corpus by a normalized prefix
@@ -1783,6 +1815,27 @@ object DedupQueries {
          |       END AS global_cc
          |FROM st, ne, tr""".stripMargin
     },
+
+    // the same banded candidates and frequency algebra serially
+    "q214_weighted_jaccard" ->
+      s"""$sigCte,
+         |exploded AS (SELECT doc_id, unnest([b0, b1, b2, b3]) AS bk FROM bands),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM exploded a JOIN exploded b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+         |tf AS (SELECT doc_id, t AS tok, CAST(count(*) AS BIGINT) AS tf
+         |       FROM (SELECT doc_id, unnest(toks) AS t FROM toks) GROUP BY doc_id, t),
+         |ta AS (SELECT doc_a, doc_b, tok, tf AS tfa FROM cand JOIN tf ON doc_a = tf.doc_id),
+         |tb AS (SELECT doc_a, doc_b, tok, tf AS tfb FROM cand JOIN tf ON doc_b = tf.doc_id),
+         |u AS (SELECT coalesce(ta.doc_a, tb.doc_a) AS doc_a,
+         |             coalesce(ta.doc_b, tb.doc_b) AS doc_b,
+         |             coalesce(tfa, 0) AS tfa, coalesce(tfb, 0) AS tfb
+         |      FROM ta FULL OUTER JOIN tb
+         |        ON ta.doc_a = tb.doc_a AND ta.doc_b = tb.doc_b AND ta.tok = tb.tok)
+         |SELECT doc_a, doc_b,
+         |       CAST(sum(least(tfa, tfb)) AS BIGINT) AS inter_w,
+         |       CAST(sum(greatest(tfa, tfb)) AS BIGINT) AS union_w,
+         |       ${sround("CAST(sum(least(tfa, tfb)) AS DOUBLE) / CAST(sum(greatest(tfa, tfb)) AS DOUBLE)", 6)} AS weighted_jaccard
+         |FROM u GROUP BY doc_a, doc_b""".stripMargin,
 
     // the same prefix-key total order with ONE serial global row_number —
     // equality proves the bucket-offset numbering IS the global sort order

@@ -2542,6 +2542,36 @@ object RelQueries {
         .groupBy("max_conc").agg(count(lit(1)).as("n_users"))
     }),
 
+    // SESSION CUMULATIVE VALUE — the running-total-with-reset window
+    // composition: q27's gap sessionization assigns session ids, then a
+    // second per-(user, session) running frame accumulates the quantized
+    // value — the "basket so far" signal, where a plain per-user cumsum
+    // never resets. Both window passes ride ONE (user_id) shuffle (same
+    // partitioning, Spark reuses the exchange); per-session peaks are
+    // BIGINT-exact; output is SESSION-sized.
+    "q213_session_cumsum" -> ((spark, dir) => {
+      val byU = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val raw = table(spark, dir, "events")
+      val sess = raw
+        .select(col("user_id"), QueryBase.tsUs(raw).as("ts_us"),
+          col("event_id"),
+          floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("vq"))
+        .withColumn("prev_us", lag("ts_us", 1).over(byU))
+        .withColumn("is_new",
+          when(col("prev_us").isNull || col("ts_us") - col("prev_us") > SessionGapUs, 1)
+            .otherwise(0))
+        .withColumn("session_id",
+          sum("is_new").over(byU.rowsBetween(Window.unboundedPreceding, 0)))
+      val byS = Window.partitionBy("user_id", "session_id")
+        .orderBy("ts_us", "event_id").rowsBetween(Window.unboundedPreceding, 0)
+      sess.withColumn("cum_vq", sum("vq").over(byS))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          (max("cum_vq").cast("double") / lit(100.0)).as("peak_value"),
+          (sum("vq").cast("double") / lit(100.0)).as("total_value"),
+          sum(col("cum_vq") * col("event_id")).as("cum_checksum"))
+    }),
+
     // RFM SEGMENTATION — the marketing-analytics classic: per customer,
     // Recency (latest order, epoch-µs), Frequency (order count), Monetary
     // (cents-integer total); each dimension quartiled by NTILE under a
@@ -3913,6 +3943,27 @@ object RelQueries {
          |m AS (SELECT user_id, CAST(max(c) AS BIGINT) AS max_conc FROM c GROUP BY user_id)
          |SELECT max_conc, CAST(count(*) AS BIGINT) AS n_users
          |FROM m GROUP BY max_conc""".stripMargin,
+
+    // the same two-level reset windows serially
+    "q213_session_cumsum" ->
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+         |    CAST(floor(value * ${dlit(100.0)} + ${dlit(0.5)}) AS BIGINT) AS vq
+         |  FROM events),
+         |s AS (SELECT *,
+         |        CASE WHEN lag(ts_us, 1) OVER w IS NULL
+         |               OR ts_us - lag(ts_us, 1) OVER w > $SessionGapUs THEN 1 ELSE 0 END AS is_new
+         |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         |sid AS (SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+         |        FROM s),
+         |c AS (SELECT *, CAST(sum(vq) OVER (PARTITION BY user_id, session_id ORDER BY ts_us, event_id
+         |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_vq
+         |      FROM sid)
+         |SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+         |       CAST(max(cum_vq) AS DOUBLE) / ${dlit(100.0)} AS peak_value,
+         |       CAST(sum(vq) AS DOUBLE) / ${dlit(100.0)} AS total_value,
+         |       CAST(sum(cum_vq * event_id) AS BIGINT) AS cum_checksum
+         |FROM c GROUP BY user_id, session_id""".stripMargin,
 
     // the same customer-sized quartiling serially
     "q202_rfm_segments" ->

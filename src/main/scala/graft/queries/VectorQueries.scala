@@ -1094,6 +1094,47 @@ object VectorQueries {
         .select("query_id", "doc_id", "t_rank", "v_rank", "rrf")
     }),
 
+    // RETRIEVAL MRR — Mean Reciprocal Rank of the LSH probe against the
+    // brute-force truth: where the recall harnesses (q49/q99/...) ask
+    // "did the true neighbor appear in top-k", MRR asks "at WHICH RANK"
+    // — the ordering-quality metric retrieval evals report beside recall.
+    // Truth = exact top-1 per query; candidate ranking = the q42 probe
+    // ordered by exact cosine; a miss contributes 0. Same scale shape as
+    // the ladder: queries broadcast, corpus never shuffles, reciprocal
+    // ranks quantized before the order-independent sum.
+    "q215_retrieval_mrr" -> ((spark, dir) => {
+      val emb = spread(table(spark, dir, "embeddings"))
+      val q = emb.where(col("vec_id") < QueryCount)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val wq = Window.partitionBy("query_id").orderBy(desc("cos"), col("vec_id"))
+      val truth = emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          pround(cosUdf(col("qe"), col("embedding")), 6).as("cos"))
+        .withColumn("rn", row_number().over(wq)).where(col("rn") === 1)
+        .select(col("query_id"), col("vec_id").as("true_nn"))
+      val embB = emb.select(col("vec_id"), col("embedding"),
+        explode(bucketsCol(col("embedding"))).as("bucket"))
+      val qb = embB.where(col("vec_id") < QueryCount)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("bucket"))
+      val cands = embB.join(broadcast(qb), Seq("bucket"))
+        .where(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("qe"), col("vec_id"), col("embedding"))
+        .distinct()
+        .select(col("query_id"), col("vec_id"),
+          pround(cosUdf(col("qe"), col("embedding")), 6).as("cos"))
+        .withColumn("rank", row_number().over(wq))
+        .select(col("query_id").as("cq"), col("vec_id").as("cand_id"), col("rank"))
+      truth.join(cands,
+          col("query_id") === col("cq") && col("true_nn") === col("cand_id"), "left")
+        .withColumn("rr", when(col("rank").isNotNull,
+          pround(lit(1.0) / col("rank"), 9)).otherwise(lit(0.0)))
+        .agg(count(lit(1)).as("n_queries"),
+          sum(when(col("rank").isNotNull, 1L).otherwise(0L)).as("n_hits"),
+          xsum(col("rr"), 9).as("rr_sum"))
+        .select(col("n_queries"), col("n_hits"),
+          pround(col("rr_sum") / col("n_queries").cast("double"), 9).as("mrr"))
+    }),
+
     // k-NN CLASSIFICATION — the label-propagation eval every embedding
     // pipeline runs: hold out every 10th vector, predict its label by
     // majority vote over its 5 nearest training neighbors (exact cosine),
@@ -1702,6 +1743,32 @@ object VectorQueries {
          |  SELECT f.*, row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rk
          |  FROM f) WHERE rk <= 5""".stripMargin
     },
+
+    // the same truth/probe rankings and reciprocal-rank algebra serially
+    "q215_retrieval_mrr" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < $QueryCount),
+         |truth AS (SELECT query_id, vec_id AS true_nn FROM (
+         |  SELECT query_id, vec_id,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY ${sround(cosSql("qe", "embedding"), 6)} DESC, vec_id) AS rn
+         |  FROM embeddings, q WHERE vec_id <> query_id) WHERE rn = 1),
+         |e AS (SELECT vec_id, embedding, unnest(${bucketsSql("embedding")}) AS bucket FROM embeddings),
+         |qb AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM e WHERE vec_id < $QueryCount),
+         |cand AS (SELECT DISTINCT qb.query_id, qb.qe, e.vec_id, e.embedding
+         |         FROM e JOIN qb USING (bucket) WHERE e.vec_id <> qb.query_id),
+         |ranked AS (SELECT query_id, vec_id,
+         |             row_number() OVER (PARTITION BY query_id ORDER BY ${sround(cosSql("qe", "embedding"), 6)} DESC, vec_id) AS rank
+         |           FROM cand),
+         |h AS (SELECT truth.query_id, ranked.rank
+         |      FROM truth LEFT JOIN ranked
+         |        ON truth.query_id = ranked.query_id AND truth.true_nn = ranked.vec_id),
+         |r AS (SELECT query_id, rank,
+         |        CASE WHEN rank IS NOT NULL THEN ${sround(s"${dlit(1.0)} / rank", 9)}
+         |             ELSE ${dlit(0.0)} END AS rr
+         |      FROM h)
+         |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         |       CAST(sum(CASE WHEN rank IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         |       ${sround(s"(${xsumSql("rr", 9)}) / CAST(count(*) AS DOUBLE)", 9)} AS mrr
+         |FROM r""".stripMargin,
 
     // the same holdout, top-5 vote and tiebreaks serially
     "q199_knn_classify" ->
