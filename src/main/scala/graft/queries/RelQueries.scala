@@ -2572,6 +2572,54 @@ object RelQueries {
           sum(col("cum_vq") * col("event_id")).as("cum_checksum"))
     }),
 
+    // PERCENTILE-RANK PROBE — the inverse of the quantile queries
+    // (q72 asks "what value sits at p", this asks "what fraction sits
+    // below v" for fixed reference values): exact integer counts from one
+    // conditional-aggregation scan, map-side combinable, |types|×|probes|
+    // rows out. The calibration readout monitoring thresholds are tuned
+    // against.
+    "q218_percentile_probe" -> ((spark, dir) => {
+      val probes = Seq(50.0, 100.0, 250.0)
+      table(spark, dir, "events")
+        .select(col("event_type"), col("value"),
+          explode(array(probes.map(lit): _*)).as("probe"))
+        .groupBy("event_type", "probe")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value") < col("probe"), 1L).otherwise(0L)).as("n_lt"),
+          sum(when(col("value") <= col("probe"), 1L).otherwise(0L)).as("n_le"))
+        .withColumn("pct_lt",
+          pround(col("n_lt").cast("double") / col("n").cast("double"), 9))
+        .withColumn("pct_le",
+          pround(col("n_le").cast("double") / col("n").cast("double"), 9))
+    }),
+
+    // Z-SCORE OUTLIERS — the event-level anomaly gate beside q207's daily
+    // bursts: per-type μ/σ from BIGINT-exact quantized-value moments (one
+    // combinable scan), every event's z-score against them, |z| > 3
+    // flagged. The moments frame is |types|-sized and broadcasts back, so
+    // the whole op is two scans and zero data-sized shuffles; the
+    // per-type report carries exact flag counts and the max |z|.
+    "q219_zscore_outliers" -> ((spark, dir) => {
+      val e = table(spark, dir, "events")
+        .select(col("event_type"),
+          floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("vq"))
+      val mom = e.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("vq").as("sv"),
+          sum(col("vq") * col("vq")).as("svv"))
+        .withColumn("mu", pround(col("sv").cast("double") /
+          (col("n").cast("double") * lit(100.0)), 9))
+        .withColumn("sigma", sqrt(pround(
+          col("svv").cast("double") / (col("n").cast("double") * lit(10000.0)) -
+            col("mu") * col("mu"), 9)))
+      e.join(broadcast(mom.select("event_type", "mu", "sigma")), "event_type")
+        .withColumn("z", pround((col("vq").cast("double") / lit(100.0) - col("mu")) /
+          col("sigma"), 6))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(abs(col("z")) > 3.0, 1L).otherwise(0L)).as("n_outliers"),
+          max(abs(col("z"))).as("max_abs_z"))
+    }),
+
     // RFM SEGMENTATION — the marketing-analytics classic: per customer,
     // Recency (latest order, epoch-µs), Frequency (order count), Monetary
     // (cents-integer total); each dimension quartiled by NTILE under a
@@ -3943,6 +3991,41 @@ object RelQueries {
          |m AS (SELECT user_id, CAST(max(c) AS BIGINT) AS max_conc FROM c GROUP BY user_id)
          |SELECT max_conc, CAST(count(*) AS BIGINT) AS n_users
          |FROM m GROUP BY max_conc""".stripMargin,
+
+    // the same conditional counts serially
+    "q218_percentile_probe" -> {
+      val probes = Seq(50.0, 100.0, 250.0).map(dlit).mkString(", ")
+      s"""WITH e AS (SELECT event_type, value, unnest([$probes]) AS probe FROM events),
+         |c AS (SELECT event_type, probe, CAST(count(*) AS BIGINT) AS n,
+         |        CAST(sum(CASE WHEN value < probe THEN 1 ELSE 0 END) AS BIGINT) AS n_lt,
+         |        CAST(sum(CASE WHEN value <= probe THEN 1 ELSE 0 END) AS BIGINT) AS n_le
+         |      FROM e GROUP BY event_type, probe)
+         |SELECT event_type, probe, n, n_lt, n_le,
+         |       ${sround("CAST(n_lt AS DOUBLE) / CAST(n AS DOUBLE)", 9)} AS pct_lt,
+         |       ${sround("CAST(n_le AS DOUBLE) / CAST(n AS DOUBLE)", 9)} AS pct_le
+         |FROM c""".stripMargin
+    },
+
+    // the same exact-moment z gate serially
+    "q219_zscore_outliers" ->
+      s"""WITH e AS (SELECT event_type,
+         |    CAST(floor(value * ${dlit(100.0)} + ${dlit(0.5)}) AS BIGINT) AS vq
+         |  FROM events),
+         |mom AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |               CAST(sum(vq) AS BIGINT) AS sv,
+         |               CAST(sum(vq * vq) AS BIGINT) AS svv
+         |        FROM e GROUP BY event_type),
+         |ms AS (SELECT event_type,
+         |         ${sround(s"CAST(sv AS DOUBLE) / (CAST(n AS DOUBLE) * ${dlit(100.0)})", 9)} AS mu,
+         |         sqrt(${sround(s"CAST(svv AS DOUBLE) / (CAST(n AS DOUBLE) * ${dlit(10000.0)}) - (${sround(s"CAST(sv AS DOUBLE) / (CAST(n AS DOUBLE) * ${dlit(100.0)})", 9)}) * (${sround(s"CAST(sv AS DOUBLE) / (CAST(n AS DOUBLE) * ${dlit(100.0)})", 9)})", 9)}) AS sigma
+         |       FROM mom),
+         |z AS (SELECT e.event_type,
+         |        ${sround(s"(CAST(vq AS DOUBLE) / ${dlit(100.0)} - mu) / sigma", 6)} AS z
+         |      FROM e JOIN ms USING (event_type))
+         |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |       CAST(sum(CASE WHEN abs(z) > ${dlit(3.0)} THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+         |       max(abs(z)) AS max_abs_z
+         |FROM z GROUP BY event_type""".stripMargin,
 
     // the same two-level reset windows serially
     "q213_session_cumsum" ->

@@ -380,7 +380,7 @@ object VectorQueries {
                        cents: org.apache.spark.sql.DataFrame,
                        cb: org.apache.spark.sql.DataFrame,
                        codes: org.apache.spark.sql.DataFrame,
-                       nprobe: Int): org.apache.spark.sql.DataFrame = {
+                       nprobe: Int, k: Int = 5): org.apache.spark.sql.DataFrame = {
     val qres = residuals(probeCells(queries, cents, nprobe), cents)
       .withColumnRenamed("cell", "qc")
     val lut = pqSub(ResidPqM)(qres, "qc")
@@ -395,7 +395,7 @@ object VectorQueries {
       .agg(xsum(col("d"), 6).as("adc"))
       .withColumn("rn", row_number().over(
         Window.partitionBy("query_id").orderBy(col("adc"), col("vec_id"))))
-      .where(col("rn") <= 5)
+      .where(col("rn") <= k)
       .select("query_id", "vec_id", "adc")
   }
 
@@ -1094,6 +1094,37 @@ object VectorQueries {
         .select("query_id", "doc_id", "t_rank", "v_rank", "rrf")
     }),
 
+    // ADC + EXACT REFINE — the standard two-stage serving cascade the
+    // pure-ADC probes (q94/q128) stop short of: the at-rest index's
+    // compressed-domain scan shortlists [[RefineK]] candidates per query
+    // (cheap, reads 8-byte codes), then ONE bounded gather join fetches
+    // the true vectors for exact cosine re-scoring of just those
+    // queries×RefineK rows — full-precision top-5 at compressed-scan
+    // cost. The refine side is broadcast (constant-bounded), the vector
+    // fetch is one scan with the join key pushed, zero training stages
+    // anywhere (serves from the q127 index).
+    "q217_adc_refine" -> ((spark, dir) => {
+      val (centT, cbT, codesT) = ivfIndexTables(spark, dir)
+      val cents = spark.table(centT)
+      val cb = spark.table(cbT)
+      val q = spread(table(spark, dir, "embeddings")).where(col("vec_id") < QueryCount)
+      val cells = probeCells(q, cents, NProbe)
+        .select("cell").distinct().collect().map(_.getLong(0)).sorted
+      val codes = spark.table(codesT).where(col("cell").isin(cells: _*))
+      val coarse = ivfProbe(q, cents, cb, codes, NProbe, RefineK)
+        .select(col("query_id"), col("vec_id").as("cand_id"), col("adc"))
+      val qv = q.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      table(spark, dir, "embeddings")
+        .join(broadcast(coarse), col("vec_id") === col("cand_id"))
+        .join(broadcast(qv), "query_id")
+        .select(col("query_id"), col("cand_id").as("vec_id"), col("adc"),
+          pround(cosUdf(col("qe"), col("embedding")), 6).as("cos"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("query_id").orderBy(desc("cos"), col("vec_id"))))
+        .where(col("rk") <= 5)
+        .select("query_id", "vec_id", "adc", "cos")
+    }),
+
     // RETRIEVAL MRR — Mean Reciprocal Rank of the LSH probe against the
     // brute-force truth: where the recall harnesses (q49/q99/...) ask
     // "did the true neighbor appear in top-k", MRR asks "at WHICH RANK"
@@ -1172,6 +1203,10 @@ object VectorQueries {
   /** q199's holdout stride — every KnnHoldEvery-th vector is a query; ONE
     * place, embedded into the oracle SQL. */
   private val KnnHoldEvery = 10
+
+  /** q217's coarse shortlist width — ADC keeps this many candidates per
+    * query before the exact re-score; ONE place, both engines. */
+  private val RefineK = 20
 
   /** q176 RRF geometry — ONE place, embedded into the oracle SQL: the
     * standard k=60 dampener and a depth-10 cut per ranking side. */
@@ -1743,6 +1778,21 @@ object VectorQueries {
          |  SELECT f.*, row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rk
          |  FROM f) WHERE rk <= 5""".stripMargin
     },
+
+    // the same compressed-domain shortlist + exact re-score serially
+    "q217_adc_refine" ->
+      s"""WITH ${ivfCte()},
+         |${ivfAdcResidualCtes(NProbe)},
+         |coarse AS (SELECT query_id, vec_id, adc FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rn
+         |  FROM adc) WHERE rn <= $RefineK),
+         |f AS (SELECT c.query_id, c.vec_id, c.adc,
+         |             ${sround(cosSql("qv.embedding", "e.embedding"), 6)} AS cos
+         |      FROM coarse c JOIN embeddings e ON c.vec_id = e.vec_id
+         |      JOIN embeddings qv ON c.query_id = qv.vec_id)
+         |SELECT query_id, vec_id, adc, cos FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+         |  FROM f) WHERE rk <= 5""".stripMargin,
 
     // the same truth/probe rankings and reciprocal-rank algebra serially
     "q215_retrieval_mrr" ->
