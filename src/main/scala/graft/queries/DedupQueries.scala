@@ -1223,6 +1223,31 @@ object DedupQueries {
               col("n_wedges").cast("double"), 6)).as("global_cc"))
     }),
 
+    // DEDUP CASCADE ACCOUNTING — the production pipeline runs dedup as a
+    // funnel (cheap exact pass first, near-dup only on its survivors) and
+    // reports what each stage dropped; this is that report: exact
+    // md5-group collapse → LSH-component collapse of the exact survivors
+    // (reusing the memoized q75 labels — the cascade shares work with the
+    // component queries the way a real pipeline shares its artifacts).
+    // Every count is a combinable aggregate; one row out.
+    "q216_dedup_cascade" -> ((spark, dir) => {
+      val norm = trim(regexp_replace(regexp_replace(
+        lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+      val h = table(spark, dir, "documents").select(col("doc_id"), md5(norm).as("h"))
+      val exact = h.groupBy("h").agg(min("doc_id").as("doc_id"))
+      val sl = exact.select("doc_id").join(componentLabels(spark, dir), "doc_id")
+      val canon2 = sl.groupBy("component").agg(min("doc_id").as("canon2"))
+      val t0 = h.agg(count(lit(1)).as("n_docs"))
+      val t1 = exact.agg(count(lit(1)).as("n_after_exact"))
+      val t2 = canon2.agg(count(lit(1)).as("n_after_neardup"))
+      t0.crossJoin(broadcast(t1)).crossJoin(broadcast(t2))
+        .select(col("n_docs"),
+          (col("n_docs") - col("n_after_exact")).as("exact_dropped"),
+          col("n_after_exact"),
+          (col("n_after_exact") - col("n_after_neardup")).as("neardup_dropped"),
+          col("n_after_neardup"))
+    }),
+
     // WEIGHTED JACCARD — the similarity the SET Jaccard (q32) flattens:
     // J_w = Σ min(tfA, tfB) / Σ max(tfA, tfB) over token FREQUENCIES, so
     // a doc repeating a rare token 50× no longer looks identical to one
@@ -1815,6 +1840,25 @@ object DedupQueries {
          |       END AS global_cc
          |FROM st, ne, tr""".stripMargin
     },
+
+    // the same two-stage funnel serially (componentCtes supplies the l3
+    // labels over all docs; restricting to exact survivors before the
+    // min-per-label collapse mirrors the Spark cascade)
+    "q216_dedup_cascade" ->
+      s"""$componentCtes,
+         |ex AS (SELECT md5($normSql) AS h, CAST(min(doc_id) AS BIGINT) AS doc_id
+         |       FROM documents GROUP BY h),
+         |sl AS (SELECT ex.doc_id, l3.label FROM ex JOIN l3 USING (doc_id)),
+         |c2 AS (SELECT label, min(doc_id) AS canon2 FROM sl GROUP BY label),
+         |t AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+         |             (SELECT count(*) FROM ex) AS n_after_exact,
+         |             (SELECT count(*) FROM c2) AS n_after_neardup)
+         |SELECT CAST(n_docs AS BIGINT) AS n_docs,
+         |       CAST(n_docs - n_after_exact AS BIGINT) AS exact_dropped,
+         |       CAST(n_after_exact AS BIGINT) AS n_after_exact,
+         |       CAST(n_after_exact - n_after_neardup AS BIGINT) AS neardup_dropped,
+         |       CAST(n_after_neardup AS BIGINT) AS n_after_neardup
+         |FROM t""".stripMargin,
 
     // the same banded candidates and frequency algebra serially
     "q214_weighted_jaccard" ->
