@@ -2572,6 +2572,80 @@ object RelQueries {
           sum(col("cum_vq") * col("event_id")).as("cum_checksum"))
     }),
 
+    // ERROR-RATE SLO — the per-day reliability readout: error share of
+    // each day's events with a breach flag against the [[SloThreshold]]
+    // budget, plus the running breach count — one combinable (day)
+    // aggregation, a bounded-domain running window, exact integer ratios.
+    "q220_error_rate_slo" -> ((spark, dir) => {
+      val raw = table(spark, dir, "events")
+      val daily = raw.select(QueryBase.tsUs(raw).as("ts_us"), col("event_type"))
+        .withColumn("day", expr(s"ts_us div $DayUs"))
+        .groupBy("day")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_err"))
+        .withColumn("err_rate",
+          pround(col("n_err").cast("double") / col("n").cast("double"), 9))
+        .withColumn("breach", col("err_rate") > lit(SloThreshold))
+      val wrun = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      daily.withColumn("breaches_so_far",
+        sum(when(col("breach"), 1L).otherwise(0L)).over(wrun))
+    }),
+
+    // SHIPPING-DELAY QUANTILES — the fulfilment-latency readout over a
+    // fact-fact temporal join: per order priority, exact median/p90 of
+    // the lineitem ship − order µs gap (BIGINT-exact — no day floor,
+    // whose negative-value semantics differ between engines) by the q72
+    // rank arithmetic, plus the exact integer mean. One join shuffled on
+    // the order key both sides, one per-priority window.
+    "q221_shipping_delay" -> ((spark, dir) => {
+      val li = table(spark, dir, "lineitem")
+      val o = table(spark, dir, "orders")
+      val j = li.select(col("l_orderkey"), col("l_linenumber"),
+          QueryBase.tsUs(li, "l_shipdate").as("ship_us"))
+        .join(o.select(col("o_orderkey"), col("o_custkey"),
+          QueryBase.tsUs(o, "o_orderdate").as("order_us"), col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority"), col("l_orderkey"), col("l_linenumber"),
+          (col("ship_us") - col("order_us")).as("gap_us"))
+      val byP = Window.partitionBy("o_orderpriority")
+      val rnW = byP.orderBy(col("gap_us"), col("l_orderkey"), col("l_linenumber"))
+      j.withColumn("rn", row_number().over(rnW))
+        .withColumn("n", count(lit(1)).over(byP))
+        .withColumn("mean_gap_us",
+          (sum("gap_us").over(byP).cast("double") / col("n").cast("double")))
+        .select(col("o_orderpriority"),
+          explode(filter(array(Seq(0.5, 0.9).map(lit): _*),
+            q => col("rn") === floor(q * (col("n") - 1)) + lit(1))).as("q"),
+          col("gap_us"), col("n"), pround(col("mean_gap_us"), 6).as("mean_gap_us"))
+    }),
+
+    // REORDER INTERVALS — customer-lifecycle cadence: per market segment,
+    // the exact median gap between a customer's consecutive orders. One
+    // lag() pass over (custkey, date, key) order, a broadcast dim join
+    // for the segment, rank-arithmetic median over the CUSTOMER-sized gap
+    // frame.
+    "q222_reorder_interval" -> ((spark, dir) => {
+      val o = table(spark, dir, "orders")
+      val byC = Window.partitionBy("o_custkey")
+        .orderBy(col("order_us"), col("o_orderkey"))
+      val gaps = o.select(col("o_orderkey"), col("o_custkey"),
+          QueryBase.tsUs(o, "o_orderdate").as("order_us"))
+        .withColumn("prev_us", lag("order_us", 1).over(byC))
+        .where(col("prev_us").isNotNull)
+        .withColumn("gap_us", col("order_us") - col("prev_us"))
+      val cust = table(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val g = gaps.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      val byS = Window.partitionBy("c_mktsegment")
+      val rnW = byS.orderBy(col("gap_us"), col("o_orderkey"))
+      g.withColumn("rn", row_number().over(rnW))
+        .withColumn("n", count(lit(1)).over(byS))
+        .where(col("rn") === floor(lit(0.5) * (col("n") - 1)) + lit(1))
+        .select(col("c_mktsegment"), col("n").as("n_gaps"),
+          col("gap_us").as("median_gap_us"))
+    }),
+
     // PERCENTILE-RANK PROBE — the inverse of the quantile queries
     // (q72 asks "what value sits at p", this asks "what fraction sits
     // below v" for fixed reference values): exact integer counts from one
@@ -2852,6 +2926,10 @@ object RelQueries {
   /** q201's interval duration, MICROSECONDS (30 min) — ONE place, both
     * engines. */
   private val ConcDurUs = 1800000000L
+
+  /** q220's error-budget threshold (events are ~20% errors by
+    * construction, so days oscillate around it — breaches are real). */
+  private val SloThreshold = 0.2
 
   /** q188's explicit grouping-set lattice — ONE statement text for both
     * engines (quantized sums stay integer-valued doubles, so the
@@ -3991,6 +4069,53 @@ object RelQueries {
          |m AS (SELECT user_id, CAST(max(c) AS BIGINT) AS max_conc FROM c GROUP BY user_id)
          |SELECT max_conc, CAST(count(*) AS BIGINT) AS n_users
          |FROM m GROUP BY max_conc""".stripMargin,
+
+    // the same daily error budget serially
+    "q220_error_rate_slo" ->
+      s"""WITH d AS (SELECT epoch_us(ts) // $DayUs AS day,
+         |                  CAST(count(*) AS BIGINT) AS n,
+         |                  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_err
+         |           FROM events GROUP BY day),
+         |r AS (SELECT CAST(day AS BIGINT) AS day, n, n_err,
+         |             ${sround("CAST(n_err AS DOUBLE) / CAST(n AS DOUBLE)", 9)} AS err_rate
+         |      FROM d)
+         |SELECT day, n, n_err, err_rate, err_rate > ${dlit(SloThreshold)} AS breach,
+         |       CAST(sum(CASE WHEN err_rate > ${dlit(SloThreshold)} THEN 1 ELSE 0 END)
+         |         OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS breaches_so_far
+         |FROM r""".stripMargin,
+
+    // the same µs gap ranks serially
+    "q221_shipping_delay" ->
+      s"""WITH j AS (SELECT o_orderpriority, l_orderkey, l_linenumber,
+         |                  epoch_us(l_shipdate) - epoch_us(o_orderdate) AS gap_us
+         |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |r AS (SELECT *,
+         |        row_number() OVER (PARTITION BY o_orderpriority
+         |          ORDER BY gap_us, l_orderkey, l_linenumber) AS rn,
+         |        CAST(count(*) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n,
+         |        CAST(sum(gap_us) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS sg
+         |      FROM j),
+         |t AS (SELECT o_orderpriority AS p, n AS tn,
+         |             unnest([${Seq(0.5, 0.9).map(dlit).mkString(", ")}]) AS q
+         |      FROM (SELECT o_orderpriority, max(n) AS n FROM r GROUP BY o_orderpriority))
+         |SELECT r.o_orderpriority, t.q, CAST(r.gap_us AS BIGINT) AS gap_us, r.n,
+         |       ${sround("CAST(sg AS DOUBLE) / CAST(n AS DOUBLE)", 6)} AS mean_gap_us
+         |FROM r JOIN t ON r.o_orderpriority = t.p AND r.rn = floor(t.q * (t.tn - 1)) + 1""".stripMargin,
+
+    // the same customer-cadence median serially
+    "q222_reorder_interval" ->
+      s"""WITH g AS (SELECT o_orderkey, o_custkey,
+         |                  epoch_us(o_orderdate) - lag(epoch_us(o_orderdate), 1)
+         |                    OVER (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate), o_orderkey) AS gap_us
+         |           FROM orders),
+         |s AS (SELECT c_mktsegment, g.o_orderkey, gap_us
+         |      FROM g JOIN customer ON o_custkey = c_custkey WHERE gap_us IS NOT NULL),
+         |r AS (SELECT *,
+         |        row_number() OVER (PARTITION BY c_mktsegment ORDER BY gap_us, o_orderkey) AS rn,
+         |        CAST(count(*) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS n
+         |      FROM s)
+         |SELECT c_mktsegment, n AS n_gaps, CAST(gap_us AS BIGINT) AS median_gap_us
+         |FROM r WHERE rn = floor(${dlit(0.5)} * (n - 1)) + 1""".stripMargin,
 
     // the same conditional counts serially
     "q218_percentile_probe" -> {

@@ -435,6 +435,26 @@ object SaxQueries {
         .orderBy(desc("cnt"), col("word")).limit(5)
     }),
 
+    // DICTIONARY SATURATION — how much of the encodable word space the
+    // corpus actually uses, per geometry: the signal that decides whether
+    // a (w, c) choice still discriminates (a saturated dictionary means
+    // every series looks like every other; a near-empty one means the
+    // alphabet is wasted). Capacity is (c+1)^w — the '#' NaN sentinel is
+    // a legal frame symbol (ring prefill produces it). Two combinable
+    // aggregations, one per geometry, two rows out at any scale.
+    "q224_sax_saturation" -> ((spark, dir) => {
+      def row(n: Int, w: Int, c: Int, tag: String) =
+        windowWordsFor(n, w, c)(spark, dir)
+          .agg(count(lit(1)).as("n_windows"),
+            countDistinct(col("word")).as("n_distinct"))
+          .select(lit(tag).as("geometry"), col("n_windows"), col("n_distinct"),
+            lit(math.pow(c + 1, w).toLong).as("capacity"),
+            pround(col("n_distinct").cast("double") /
+              lit(math.pow(c + 1, w)), 9).as("saturation"))
+      row(N, W, C, s"n${N}_w${W}_c$C")
+        .unionByName(row(16, 8, 8, "n16_w8_c8"))
+    }),
+
     // SERIES PREDICTABILITY — Shannon entropy of each series' SAX word
     // histogram: a flat histogram (high H) is an erratic series, a
     // peaked one (low H) is regular — the per-series regularity score
@@ -794,6 +814,20 @@ object SaxQueries {
            |SELECT word, cnt, dist AS nn_dist, other AS nn_word
            |FROM r WHERE rn = 1
            |ORDER BY nn_dist DESC, word LIMIT 5""".stripMargin
+      },
+
+      // the same per-geometry distinct counts serially
+      "q224_sax_saturation" -> {
+        def part(sql: String, w: Int, c: Int, tag: String) = {
+          val cap = math.pow(c + 1, w).toLong
+          s"""SELECT '$tag' AS geometry, CAST(count(*) AS BIGINT) AS n_windows,
+             |       CAST(count(DISTINCT word) AS BIGINT) AS n_distinct,
+             |       CAST($cap AS BIGINT) AS capacity,
+             |       ${OracleGen.sround(s"CAST(count(DISTINCT word) AS DOUBLE) / ${OracleGen.dlit(cap.toDouble)}", 9)} AS saturation
+             |FROM ($sql)""".stripMargin
+        }
+        part(windowWordsSql, W, C, s"n${N}_w${W}_c$C") + "\nUNION ALL\n" +
+          part(windowWordsSqlFor(16, 8, 8), 8, 8, "n16_w8_c8")
       },
 
       // the same two-level motif aggregation serially

@@ -1094,6 +1094,39 @@ object VectorQueries {
         .select("query_id", "doc_id", "t_rank", "v_rank", "rrf")
     }),
 
+    // EMBEDDING PEAKINESS OUTLIERS — the vector-health gate every
+    // embedding pipeline runs before indexing: per label, μ/σ of each
+    // vector's max |component| (its "peakiness" — a near-one-hot vector
+    // is a degenerate embedding; the corpus is unit-normalized, so the
+    // L2 norm itself carries no signal) from BIGINT-exact quantized
+    // moments, vectors with |z| > 2 flagged. The moments frame is
+    // |labels|-sized and broadcasts back — two scans, no data-sized
+    // shuffle, the q219 discipline on the vector table.
+    "q223_emb_peakiness" -> ((spark, dir) => {
+      val e = spread(table(spark, dir, "embeddings"))
+        .select(col("label"),
+          floor(array_max(transform(col("embedding"),
+            x => abs(x.cast("double")))) * lit(1.0e6) + lit(0.5))
+            .cast("long").as("qn"))
+      val mom = e.groupBy("label")
+        .agg(count(lit(1)).as("n"), sum("qn").as("sq"),
+          sum(col("qn") * col("qn")).as("sqq"))
+        .withColumn("mu", pround(col("sq").cast("double") /
+          (col("n").cast("double") * lit(1.0e6)), 9))
+        .withColumn("sigma", sqrt(pround(
+          col("sqq").cast("double") / (col("n").cast("double") * lit(1.0e12)) -
+            col("mu") * col("mu"), 9)))
+      e.join(broadcast(mom), "label")
+        .withColumn("z", when(col("sigma") === 0.0, lit(0.0))
+          .otherwise(pround((col("qn").cast("double") / lit(1.0e6) - col("mu")) /
+            col("sigma"), 6)))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"), max("mu").as("mu"),
+          pround(max("sigma"), 6).as("sigma"),
+          sum(when(abs(col("z")) > 2.0, 1L).otherwise(0L)).as("n_outliers"),
+          max(abs(col("z"))).as("max_abs_z"))
+    }),
+
     // ADC + EXACT REFINE — the standard two-stage serving cascade the
     // pure-ADC probes (q94/q128) stop short of: the at-rest index's
     // compressed-domain scan shortlists [[RefineK]] candidates per query
@@ -1778,6 +1811,30 @@ object VectorQueries {
          |  SELECT f.*, row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rk
          |  FROM f) WHERE rk <= 5""".stripMargin
     },
+
+    // the same quantized peakiness moments serially
+    "q223_emb_peakiness" ->
+      s"""WITH e AS (SELECT label,
+         |    CAST(floor(list_max(list_transform(embedding, x -> abs(x::DOUBLE))) * ${dlit(1.0e6)} + ${dlit(0.5)}) AS BIGINT) AS qn
+         |  FROM embeddings),
+         |mom AS (SELECT label, CAST(count(*) AS BIGINT) AS n,
+         |               CAST(sum(qn) AS BIGINT) AS sq,
+         |               CAST(sum(qn * qn) AS BIGINT) AS sqq
+         |        FROM e GROUP BY label),
+         |ms AS (SELECT label, n,
+         |         ${sround(s"CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE) * ${dlit(1.0e6)})", 9)} AS mu,
+         |         sqrt(${sround(s"CAST(sqq AS DOUBLE) / (CAST(n AS DOUBLE) * ${dlit(1.0e12)}) - (${sround(s"CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE) * ${dlit(1.0e6)})", 9)}) * (${sround(s"CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE) * ${dlit(1.0e6)})", 9)})", 9)}) AS sigma
+         |       FROM mom),
+         |z AS (SELECT e.label,
+         |        CASE WHEN sigma = ${dlit(0.0)} THEN ${dlit(0.0)}
+         |             ELSE ${sround(s"(CAST(qn AS DOUBLE) / ${dlit(1.0e6)} - mu) / sigma", 6)} END AS z,
+         |        mu, sigma
+         |      FROM e JOIN ms USING (label))
+         |SELECT label, CAST(count(*) AS BIGINT) AS n, max(mu) AS mu,
+         |       ${sround("max(sigma)", 6)} AS sigma,
+         |       CAST(sum(CASE WHEN abs(z) > ${dlit(2.0)} THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+         |       max(abs(z)) AS max_abs_z
+         |FROM z GROUP BY label""".stripMargin,
 
     // the same compressed-domain shortlist + exact re-score serially
     "q217_adc_refine" ->
