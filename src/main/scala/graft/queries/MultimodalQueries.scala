@@ -66,6 +66,51 @@ object MultimodalQueries {
     // The real pipeline swaps the slice-mean stub for a codec call; the
     // fan-out/partitioning/batch shape is exactly this. Tail frames keep
     // their true (shorter) length — resize semantics stay explicit.
+    // MODALITY FEATURE PROFILE — the extract-then-profile pipeline: a
+    // partition-level batch operator "embeds" each payload into a fixed
+    // 4-dim byte-class histogram (the codec stub; a real pipeline swaps
+    // in an encoder call with the same batch shape), then one combinable
+    // per-source aggregation profiles the corpus — feature drift between
+    // sources is exactly what this readout monitors. Per-doc fractions
+    // quantize before the order-independent mean.
+    "q227_multimodal_profile" -> ((spark, dir) => {
+      val docs = spread(table(spark, dir, "documents"))
+        .select(col("doc_id"), col("source"), encode(col("text"), "UTF-8").as("payload"))
+      val outSchema = StructType(Seq(
+        StructField("source", StringType),
+        StructField("f0", DoubleType), StructField("f1", DoubleType),
+        StructField("f2", DoubleType), StructField("f3", DoubleType)))
+      val enc = org.apache.spark.sql.Encoders.row(outSchema)
+      val per = docs.mapPartitions { rows =>
+        rows.map { r =>
+          val src = r.getString(1)
+          val p = r.getAs[Array[Byte]](2)
+          if (p.length == 0) Row(src, 0.0, 0.0, 0.0, 0.0)
+          else {
+            var c0 = 0; var c1 = 0; var c2 = 0; var c3 = 0
+            var i = 0
+            while (i < p.length) {
+              val c = p(i) & 0xff
+              if (c < 97) c0 += 1
+              else if (c < 110) c1 += 1
+              else if (c < 123) c2 += 1
+              else c3 += 1
+              i += 1
+            }
+            val n = p.length.toDouble
+            def q(x: Int) = math.floor(x / n * 1e6 + 0.5) / 1e6
+            Row(src, q(c0), q(c1), q(c2), q(c3))
+          }
+        }
+      }(enc)
+      per.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          pround(xsum(col("f0"), 6) / count(lit(1)).cast("double"), 6).as("m0"),
+          pround(xsum(col("f1"), 6) / count(lit(1)).cast("double"), 6).as("m1"),
+          pround(xsum(col("f2"), 6) / count(lit(1)).cast("double"), 6).as("m2"),
+          pround(xsum(col("f3"), 6) / count(lit(1)).cast("double"), 6).as("m3"))
+    }),
+
     "q57_multimodal_frames" -> ((spark, dir) => {
       val docs = spread(table(spark, dir, "documents"))
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
@@ -125,6 +170,31 @@ object MultimodalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the same byte-class fractions from ascii codes (the payload is the
+    // UTF-8 encoding of ASCII text, the q45 stub contract)
+    "q227_multimodal_profile" -> {
+      def frac(cond: String) =
+        s"floor(len(list_filter(cs, c -> $cond))::DOUBLE / len(cs) * 1000000.0 + 0.5) / 1000000.0"
+      def guarded(cond: String) =
+        s"CASE WHEN len(cs) = 0 THEN 0.0 ELSE ${frac(cond)} END"
+      val x = graft.sql.OracleGen.xsumSql _
+      s"""WITH codes AS (SELECT source,
+         |  list_transform(range(1, len(text) + 1), i -> ascii(substr(text, i, 1))) AS cs
+         |  FROM documents),
+         |f AS (SELECT source,
+         |        ${guarded("c < 97")} AS f0,
+         |        ${guarded("c >= 97 AND c < 110")} AS f1,
+         |        ${guarded("c >= 110 AND c < 123")} AS f2,
+         |        ${guarded("c >= 123")} AS f3
+         |      FROM codes)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |       ${sround(s"(${x("f0", 6)}) / CAST(count(*) AS DOUBLE)", 6)} AS m0,
+         |       ${sround(s"(${x("f1", 6)}) / CAST(count(*) AS DOUBLE)", 6)} AS m1,
+         |       ${sround(s"(${x("f2", 6)}) / CAST(count(*) AS DOUBLE)", 6)} AS m2,
+         |       ${sround(s"(${x("f3", 6)}) / CAST(count(*) AS DOUBLE)", 6)} AS m3
+         |FROM f GROUP BY source""".stripMargin
+    },
+
     "q45_multimodal_decode" -> {
       val byteSum = s"list_sum(list_transform(range(1, ${DecodeBytes + 1}), i -> ascii(substr(text, i, 1))::DOUBLE))"
       s"""SELECT doc_id,

@@ -2572,6 +2572,56 @@ object RelQueries {
           sum(col("cum_vq") * col("event_id")).as("cum_checksum"))
     }),
 
+    // MIN-COST SUPPLIER — the TPC-H Q2 shape without a partsupp table:
+    // for each size-10 part, the supplier offering the lowest observed
+    // price. The per-(part, supplier) min is a combinable aggregate over
+    // the fact; the per-part argmin is q185's min(struct(cost, suppkey))
+    // — no window, merges under any partitioning; part and supplier are
+    // broadcast dims. Cents-integer prices keep every comparison exact.
+    "q225_min_cost_supplier" -> ((spark, dir) => {
+      val parts = table(spark, dir, "part")
+        .where(col("p_size") === 10).select(col("p_partkey"), col("p_name"))
+      val cost = table(spark, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"),
+          floor(col("l_extendedprice") * lit(100.0) + lit(0.5)).cast("long").as("cents"))
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_partkey", "p_name", "l_suppkey")
+        .agg(min("cents").as("min_cents"))
+      val best = cost.groupBy("p_partkey", "p_name")
+        .agg(min(struct(col("min_cents"), col("l_suppkey"))).as("b"))
+      val supp = table(spark, dir, "supplier").select(col("s_suppkey"), col("s_name"))
+      best.join(broadcast(supp), col("b.l_suppkey") === col("s_suppkey"))
+        .select(col("p_partkey"), col("p_name"), col("s_name"),
+          (col("b.min_cents").cast("double") / lit(100.0)).as("min_price"))
+    }),
+
+    // TRADE MATRIX — the TPC-H Q7 shape: revenue by (customer nation ×
+    // supplier nation). One fact-fact shuffle on the order key joins
+    // lineitem to orders; customer, supplier and both nation legs
+    // broadcast; revenue quantizes extprice·(1−discount) to cents
+    // per row before the order-independent sum. A |nations|² matrix out
+    // at any scale.
+    "q226_trade_matrix" -> ((spark, dir) => {
+      val li = table(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+            lit(100.0) + lit(0.5)).cast("long").as("cents"))
+      val o = table(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val cust = table(spark, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val supp = table(spark, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      val nat = table(spark, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat.select(col("n_nationkey").as("cnk"),
+          col("n_name").as("cust_nation"))), col("c_nationkey") === col("cnk"))
+        .join(broadcast(nat.select(col("n_nationkey").as("snk"),
+          col("n_name").as("supp_nation"))), col("s_nationkey") === col("snk"))
+        .groupBy("cust_nation", "supp_nation")
+        .agg(count(lit(1)).as("n_items"),
+          (sum("cents").cast("double") / lit(100.0)).as("revenue"))
+    }),
+
     // ERROR-RATE SLO — the per-day reliability readout: error share of
     // each day's events with a breach flag against the [[SloThreshold]]
     // budget, plus the running breach count — one combinable (day)
@@ -4069,6 +4119,36 @@ object RelQueries {
          |m AS (SELECT user_id, CAST(max(c) AS BIGINT) AS max_conc FROM c GROUP BY user_id)
          |SELECT max_conc, CAST(count(*) AS BIGINT) AS n_users
          |FROM m GROUP BY max_conc""".stripMargin,
+
+    // the same combinable argmin serially
+    "q225_min_cost_supplier" ->
+      s"""WITH c AS (SELECT p_partkey, p_name, l_suppkey,
+         |    CAST(min(CAST(floor(l_extendedprice * ${dlit(100.0)} + ${dlit(0.5)}) AS BIGINT)) AS BIGINT) AS min_cents
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE p_size = 10
+         |  GROUP BY p_partkey, p_name, l_suppkey),
+         |b AS (SELECT p_partkey, p_name,
+         |             min({'m': min_cents, 'k': l_suppkey}) AS b
+         |      FROM c GROUP BY p_partkey, p_name)
+         |SELECT p_partkey, p_name, s_name,
+         |       CAST((b).m AS DOUBLE) / ${dlit(100.0)} AS min_price
+         |FROM b JOIN supplier ON (b).k = s_suppkey""".stripMargin,
+
+    // the same Q7 matrix serially
+    "q226_trade_matrix" ->
+      s"""WITH li AS (SELECT l_orderkey, l_suppkey,
+         |    CAST(floor(l_extendedprice * (${dlit(1.0)} - l_discount) * ${dlit(100.0)} + ${dlit(0.5)}) AS BIGINT) AS cents
+         |  FROM lineitem)
+         |SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+         |       CAST(count(*) AS BIGINT) AS n_items,
+         |       CAST(sum(cents) AS DOUBLE) / ${dlit(100.0)} AS revenue
+         |FROM li
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation cn ON c_nationkey = cn.n_nationkey
+         |JOIN nation sn ON s_nationkey = sn.n_nationkey
+         |GROUP BY cn.n_name, sn.n_name""".stripMargin,
 
     // the same daily error budget serially
     "q220_error_rate_slo" ->
