@@ -2572,6 +2572,65 @@ object RelQueries {
           sum(col("cum_vq") * col("event_id")).as("cum_checksum"))
     }),
 
+    // VALUE WINDOW SUITE — first_value / last_value / nth_value over the
+    // full per-user partition (frame = whole partition, so every row of a
+    // user agrees), completing the window-function surface beside q152's
+    // rank suite, the lag/lead passes and q189's range frames. One
+    // user-keyed window; per-type integer checksums make every assignment
+    // hash-visible.
+    "q229_window_value_suite" -> ((spark, dir) => {
+      val raw = table(spark, dir, "events")
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      raw.select(col("event_type"), col("event_id"), col("user_id"),
+          QueryBase.tsUs(raw).as("ts_us"))
+        .withColumn("first_ev", first("event_id").over(w))
+        .withColumn("last_ev", last("event_id").over(w))
+        .withColumn("third_ev", nth_value(col("event_id"), 3).over(w))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("first_ev") * col("event_id")).as("first_checksum"),
+          sum(col("last_ev") * col("event_id")).as("last_checksum"),
+          sum(when(col("third_ev").isNotNull, col("third_ev")).otherwise(0L) *
+            col("event_id")).as("third_checksum"))
+    }),
+
+    // DROPOUT DETECTION — events after which the same user goes silent
+    // for over an hour (or forever): ONE lead() pass per user, the
+    // inverse of q189's trailing burst frame — churn/timeout points. The
+    // per-type report counts dropouts and terminal events and checksums
+    // the exact dropout set.
+    "q230_dropout_points" -> ((spark, dir) => {
+      val raw = table(spark, dir, "events")
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      raw.select(col("event_type"), col("event_id"), col("user_id"),
+          QueryBase.tsUs(raw).as("ts_us"))
+        .withColumn("next_us", lead("ts_us", 1).over(w))
+        .withColumn("dropout",
+          col("next_us").isNull || col("next_us") - col("ts_us") > HourUs)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("dropout"), 1L).otherwise(0L)).as("n_dropouts"),
+          sum(when(col("next_us").isNull, 1L).otherwise(0L)).as("n_terminal"),
+          sum(when(col("dropout"), col("event_id")).otherwise(0L)).as("dropout_checksum"))
+    }),
+
+    // EXACT MODE — the most frequent value bucket per type as a
+    // combinable two-level aggregation + q185's argmax struct (count
+    // DESC via negation, bucket tiebreak): no window over data-sized
+    // partitions, the "mode" aggregate engines special-case, built from
+    // primitives that merge under any partitioning.
+    "q231_mode_per_group" -> ((spark, dir) => {
+      val e = table(spark, dir, "events")
+        .withColumn("bucket", floor(col("value") / lit(10.0)).cast("long"))
+      e.groupBy("event_type", "bucket").agg(count(lit(1)).as("n"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_buckets"),
+          max(struct(col("n"), (-col("bucket")).as("nb"))).as("b"))
+        .select(col("event_type"), col("n_buckets"),
+          (-col("b.nb")).as("mode_bucket"), col("b.n").as("mode_n"))
+    }),
+
     // MIN-COST SUPPLIER — the TPC-H Q2 shape without a partsupp table:
     // for each size-10 part, the supplier offering the lowest observed
     // price. The per-(part, supplier) min is a combinable aggregate over
@@ -4119,6 +4178,47 @@ object RelQueries {
          |m AS (SELECT user_id, CAST(max(c) AS BIGINT) AS max_conc FROM c GROUP BY user_id)
          |SELECT max_conc, CAST(count(*) AS BIGINT) AS n_users
          |FROM m GROUP BY max_conc""".stripMargin,
+
+    // the same whole-partition value functions serially
+    "q229_window_value_suite" ->
+      s"""WITH e AS (SELECT event_type, event_id, user_id, epoch_us(ts) AS ts_us FROM events),
+         |v AS (SELECT event_type, event_id,
+         |        first_value(event_id) OVER w AS first_ev,
+         |        last_value(event_id) OVER w AS last_ev,
+         |        nth_value(event_id, 3) OVER w AS third_ev
+         |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+         |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |       CAST(sum(first_ev * event_id) AS BIGINT) AS first_checksum,
+         |       CAST(sum(last_ev * event_id) AS BIGINT) AS last_checksum,
+         |       CAST(sum(coalesce(third_ev, 0) * event_id) AS BIGINT) AS third_checksum
+         |FROM v GROUP BY event_type""".stripMargin,
+
+    // the same lead() silence gate serially
+    "q230_dropout_points" ->
+      s"""WITH e AS (SELECT event_type, event_id, user_id, epoch_us(ts) AS ts_us FROM events),
+         |v AS (SELECT event_type, event_id,
+         |        lead(ts_us, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS next_us,
+         |        ts_us
+         |      FROM e)
+         |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |       CAST(sum(CASE WHEN next_us IS NULL OR next_us - ts_us > $HourUs THEN 1 ELSE 0 END) AS BIGINT) AS n_dropouts,
+         |       CAST(sum(CASE WHEN next_us IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_terminal,
+         |       CAST(sum(CASE WHEN next_us IS NULL OR next_us - ts_us > $HourUs THEN event_id ELSE 0 END) AS BIGINT) AS dropout_checksum
+         |FROM v GROUP BY event_type""".stripMargin,
+
+    // the same combinable mode serially
+    "q231_mode_per_group" ->
+      s"""WITH b AS (SELECT event_type, CAST(floor(value / ${dlit(10.0)}) AS BIGINT) AS bucket
+         |           FROM events),
+         |c AS (SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n
+         |      FROM b GROUP BY event_type, bucket),
+         |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_buckets,
+         |             max({'n': n, 'nb': -bucket}) AS b
+         |      FROM c GROUP BY event_type)
+         |SELECT event_type, n_buckets, CAST(-(b).nb AS BIGINT) AS mode_bucket,
+         |       CAST((b).n AS BIGINT) AS mode_n
+         |FROM m""".stripMargin,
 
     // the same combinable argmin serially
     "q225_min_cost_supplier" ->

@@ -435,6 +435,23 @@ object SaxQueries {
         .orderBy(desc("cnt"), col("word")).limit(5)
     }),
 
+    // SYMBOL DISTRIBUTION — encoding sanity per word position: after
+    // z-normalization the Gaussian breakpoints should make alphabet
+    // sectors near-equiprobable at every position, and '#' should appear
+    // only in ring-prefill rows — exactly what this position×symbol
+    // histogram shows (a skewed column means the stationary guard or a
+    // non-Gaussian series dominates). One explode over the bounded word
+    // length, one combinable count; ≤ w·(c+1) rows out.
+    "q228_sax_symbol_distribution" -> ((spark, dir) => {
+      val words = windowWords(spark, dir)
+      val byPos = Window.partitionBy("pos")
+      words
+        .select(posexplode(split(col("word"), "")).as(Seq("pos", "sym")))
+        .groupBy("pos", "sym").agg(count(lit(1)).as("n"))
+        .withColumn("share", pround(col("n").cast("double") /
+          sum("n").over(byPos).cast("double"), 9))
+    }),
+
     // DICTIONARY SATURATION — how much of the encodable word space the
     // corpus actually uses, per geometry: the signal that decides whether
     // a (w, c) choice still discriminates (a saturated dictionary means
@@ -815,6 +832,16 @@ object SaxQueries {
            |FROM r WHERE rn = 1
            |ORDER BY nn_dist DESC, word LIMIT 5""".stripMargin
       },
+
+      // the same position histogram serially
+      "q228_sax_symbol_distribution" ->
+        s"""WITH q AS ($windowWordsSql),
+           |p AS (SELECT CAST(i - 1 AS INT) AS pos, substr(word, i, 1) AS sym
+           |      FROM q CROSS JOIN (SELECT unnest(range(1, ${W + 1})) AS i) ii),
+           |c AS (SELECT pos, sym, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY pos, sym)
+           |SELECT pos, sym, n,
+           |       ${OracleGen.sround("CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY pos) AS DOUBLE)", 9)} AS share
+           |FROM c""".stripMargin,
 
       // the same per-geometry distinct counts serially
       "q224_sax_saturation" -> {
