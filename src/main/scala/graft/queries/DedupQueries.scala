@@ -99,6 +99,19 @@ object DedupQueries {
           pround(lit(HllM.toDouble) * pround(log(lit(HllM.toDouble) / col("v_zero")), 6), 6))
           .otherwise(col("raw_est")))
 
+  /** q232's sweep geometries and per-p α·m²·2^K (K = 61 − p, the harmonic
+    * scale of the (60−p)-bit rank domain; p=8 reproduces [[HllAlphaC]]).
+    * α uses the canonical small-m constants below 128 registers. ONE
+    * definition feeds the Spark chains and the oracle SQL. */
+  private[graft] val HllSweepPs = Seq(6, 8, 10)
+  private def hllSweepAlphaC(p: Int): Double = {
+    val m = 1 << p
+    val alpha =
+      if (m <= 16) 0.673 else if (m <= 32) 0.697
+      else if (m <= 64) 0.709 else 0.7213 / (1 + 1.079 / m)
+    alpha * m * m * math.pow(2, 61 - p)
+  }
+
   /** q151's item stream: (day, user-id-as-string) — ONE definition feeds
     * the at-rest base build, the delta batch, and the exact side, so the
     * three surfaces cannot drift. Integers render identically as strings
@@ -1223,6 +1236,51 @@ object DedupQueries {
               col("n_wedges").cast("double"), 6)).as("global_cc"))
     }),
 
+    // HLL ACCURACY/SPACE SWEEP — the sketch family's recall ladder: the
+    // SAME shingle stream sketched at p ∈ {6, 8, 10} (64 / 256 / 1024
+    // registers), each estimate beside the exact distinct count — the
+    // measured error-vs-memory curve that decides a production register
+    // budget (stderr 1.04/√m: ~13% / 6.5% / 3.3%). Every chain is the
+    // q108 integer path at its own geometry (per-p ladder, per-p α·m²·2^K
+    // folded in Scala); the corpus is scanned once (tcache) and each
+    // sketch is one combinable max-aggregation over it. 3 rows out.
+    "q232_hll_sweep" -> ((spark, dir) => {
+      val sh = tcache(spread(table(spark, dir, "documents"))
+        .select(explode(shinglesUdf(col("text"))).as("s")), "q232:shingles")
+      val exact = sh.agg(countDistinct(col("s")).as("exact_distinct"))
+      val perP = HllSweepPs.map { p =>
+        val restBits = 60 - p
+        val m = 1L << p
+        val k = restBits + 1
+        val h = conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long")
+        val rest = h.bitwiseAND(lit((1L << restBits) - 1))
+        val rank = ((restBits - 2) to 0 by -1).foldLeft(
+            when(rest >= lit(1L << (restBits - 1)), lit(1))) {
+          case (acc, b) => acc.when(rest >= lit(1L << b), lit(restBits - b))
+        }.otherwise(lit(restBits + 1))
+        val regs = sh.select(shiftrightunsigned(h, restBits).as("bucket"), rank.as("rk"))
+          .groupBy("bucket").agg(max("rk").as("r"))
+        regs.agg(count(lit(1)).as("n_buckets"),
+            sum(expr(s"shiftleft(cast(1 as bigint), $k - r)")).as("s_present"))
+          .withColumn("v_zero", lit(m) - col("n_buckets"))
+          .withColumn("s_total",
+            col("s_present") + col("v_zero") * lit(1L << k))
+          .withColumn("raw_est",
+            pround(lit(hllSweepAlphaC(p)) / col("s_total").cast("double"), 6))
+          .withColumn("est",
+            when(col("raw_est") <= lit(2.5 * m) && col("v_zero") > 0,
+              pround(lit(m.toDouble) *
+                pround(log(lit(m.toDouble) / col("v_zero")), 6), 6))
+              .otherwise(col("raw_est")))
+          .select(lit(p).as("p"), lit(m).as("m"), col("v_zero"), col("est"))
+      }
+      perP.reduce(_ unionByName _)
+        .crossJoin(broadcast(exact))
+        .withColumn("rel_err",
+          pround(abs(col("est") - col("exact_distinct")) /
+            col("exact_distinct").cast("double"), 6))
+    }),
+
     // DEDUP CASCADE ACCOUNTING — the production pipeline runs dedup as a
     // funnel (cheap exact pass first, near-dup only on its survivors) and
     // reports what each stage dropped; this is that report: exact
@@ -1839,6 +1897,38 @@ object DedupQueries {
          |            ELSE ${sround("CAST(3 * tr.n_triangles AS DOUBLE) / CAST(st.n_wedges AS DOUBLE)", 6)}
          |       END AS global_cc
          |FROM st, ne, tr""".stripMargin
+    },
+
+    // the same per-p integer chains serially over ONE shared hash CTE
+    "q232_hll_sweep" -> {
+      def chain(p: Int): String = {
+        val restBits = 60 - p; val m = 1L << p; val k = restBits + 1
+        val ladder = ((restBits - 1) to 0 by -1)
+          .map(b => s"WHEN rest >= ${1L << b} THEN ${restBits - b}").mkString(" ")
+        s"""SELECT CAST($p AS INT) AS p, CAST($m AS BIGINT) AS m, v_zero, est FROM (
+           |  SELECT *, CASE WHEN raw_est <= ${dlit(2.5 * m)} AND v_zero > 0
+           |              THEN ${sround(s"${dlit(m.toDouble)} * (${sround(s"ln(${dlit(m.toDouble)} / v_zero)", 6)})", 6)}
+           |              ELSE raw_est END AS est FROM (
+           |    SELECT *, ($m - n_buckets) AS v_zero,
+           |           ${sround(s"${dlit(hllSweepAlphaC(p))} / CAST(s_present + ($m - n_buckets) * (CAST(1 AS BIGINT) << $k) AS DOUBLE)", 6)} AS raw_est
+           |    FROM (
+           |      SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+           |             CAST(sum(CAST(1 AS BIGINT) << CAST($k - r AS INT)) AS BIGINT) AS s_present
+           |      FROM (SELECT bucket, max(rk) AS r FROM (
+           |              SELECT h // ${1L << restBits} AS bucket,
+           |                     CASE $ladder ELSE ${restBits + 1} END AS rk
+           |              FROM (SELECT h % ${1L << restBits} AS rest, h FROM hh) q$p)
+           |            GROUP BY bucket) rg$p)))""".stripMargin
+      }
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sh0 AS (SELECT doc_id, $shinglesSql AS sh FROM toks),
+         |s AS (SELECT unnest(sh) AS s FROM sh0),
+         |hh AS (SELECT s, ${hexcast("s")} AS h FROM s),
+         |ex AS (SELECT CAST(count(DISTINCT s) AS BIGINT) AS exact_distinct FROM hh),
+         |u AS (${HllSweepPs.map(chain).mkString("\n UNION ALL \n")})
+         |SELECT p, m, CAST(v_zero AS BIGINT) AS v_zero, est, exact_distinct,
+         |       ${sround("abs(est - exact_distinct) / CAST(exact_distinct AS DOUBLE)", 6)} AS rel_err
+         |FROM u CROSS JOIN ex""".stripMargin
     },
 
     // the same two-stage funnel serially (componentCtes supplies the l3
