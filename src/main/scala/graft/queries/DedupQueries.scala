@@ -104,6 +104,8 @@ object DedupQueries {
     * α uses the canonical small-m constants below 128 registers. ONE
     * definition feeds the Spark chains and the oracle SQL. */
   private[graft] val HllSweepPs = Seq(6, 8, 10)
+  private[graft] val CmsSweepWs = Seq(256L, 1024L, 4096L)
+  private[graft] val KmvSweepKs = Seq(16, 64, 256)
   private def hllSweepAlphaC(p: Int): Double = {
     val m = 1 << p
     val alpha =
@@ -1281,6 +1283,64 @@ object DedupQueries {
             col("exact_distinct").cast("double"), 6))
     }),
 
+    // CMS WIDTH SWEEP — q232's discipline for the count-min sketch: the
+    // same shingle stream counted at w ∈ {256, 1024, 4096} (d=3 rows
+    // each), probing the exact top-10 heavy hitters at every width — the
+    // measured overcount-vs-memory curve (E[overcount] ≈ e·N/w) beside
+    // q109's single-width guarantee check. One corpus scan (tcache), one
+    // combinable counter build per width, broadcast probes. 30 rows out.
+    "q233_cms_sweep" -> ((spark, dir) => {
+      val ex = tcache(spread(table(spark, dir, "documents"))
+        .select(explode(shinglesUdf(col("text"))).as("s")), "q233:shingles")
+      val top = tcache(ex.groupBy("s").agg(count(lit(1)).as("exact_df"))
+        .orderBy(desc("exact_df"), col("s")).limit(10), "q233:top")
+      def ipCols(item: org.apache.spark.sql.Column, w: Long) = {
+        val h1 = conv(substring(md5(item), 1, 15), 16, 10).cast("long")
+        val h2 = conv(substring(md5(item), 16, 15), 16, 10).cast("long")
+        array((0 until CmsD).map(i =>
+          struct(lit(i).as("i"), ((h1 + lit(i.toLong) * h2) % w).cast("int").as("p"))): _*)
+      }
+      val perW = CmsSweepWs.map { w =>
+        val counters = ex.select(explode(ipCols(col("s"), w)).as("ip"))
+          .select(col("ip.i").as("i"), col("ip.p").as("p"))
+          .groupBy("i", "p").agg(count(lit(1)).as("cnt"))
+        top.select(col("s"), col("exact_df"), explode(ipCols(col("s"), w)).as("ip"))
+          .select(col("s"), col("exact_df"), col("ip.i").as("i"), col("ip.p").as("p"))
+          .join(broadcast(counters), Seq("i", "p"))
+          .groupBy("s", "exact_df").agg(min("cnt").as("est_df"))
+          .select(lit(w).as("w"), col("s"), col("exact_df"), col("est_df"),
+            (col("est_df") - col("exact_df")).as("overcount"))
+      }
+      perW.reduce(_ unionByName _)
+    }),
+
+    // KMV SIZE SWEEP — the third sketch sized in-engine: bottom-K
+    // distinct-count estimates at K ∈ {16, 64, 256} beside the exact
+    // count (stderr ≈ 1/√(K−2): 27% / 13% / 6%). The distinct hash frame
+    // builds once (tcache); each K is one bounded orderBy-limit + a
+    // 1-row aggregate.
+    "q234_kmv_sweep" -> ((spark, dir) => {
+      val hashes = tcache(spread(table(spark, dir, "documents"))
+        .select(shinglesUdf(col("text")).as("sh"))
+        .select(explode(col("sh")).as("s")).distinct()
+        .select(conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("h")),
+        "q234:hashes")
+      val exact = hashes.agg(countDistinct(col("h")).as("exact_distinct"))
+      val perK = KmvSweepKs.map { k =>
+        val numer = (k - 1).toDouble * math.pow(2.0, 60)
+        hashes.orderBy("h").limit(k)
+          .agg(count(lit(1)).as("k_actual"), max(col("h")).as("kth_min"))
+          .crossJoin(broadcast(exact))
+          .select(lit(k).as("k"), col("k_actual"), col("exact_distinct"),
+            pround(when(col("k_actual") < k, col("exact_distinct").cast("double"))
+              .otherwise(lit(numer) / col("kth_min").cast("double")), 6).as("est_distinct"))
+      }
+      perK.reduce(_ unionByName _)
+        .withColumn("rel_err",
+          pround(abs(col("est_distinct") - col("exact_distinct")) /
+            col("exact_distinct").cast("double"), 6))
+    }),
+
     // DEDUP CASCADE ACCOUNTING — the production pipeline runs dedup as a
     // funnel (cheap exact pass first, near-dup only on its survivors) and
     // reports what each stage dropped; this is that report: exact
@@ -1897,6 +1957,52 @@ object DedupQueries {
          |            ELSE ${sround("CAST(3 * tr.n_triangles AS DOUBLE) / CAST(st.n_wedges AS DOUBLE)", 6)}
          |       END AS global_cc
          |FROM st, ne, tr""".stripMargin
+    },
+
+    // the same per-width counter/probe chains serially
+    "q233_cms_sweep" -> {
+      def chain(w: Long): String =
+        s"""SELECT CAST($w AS BIGINT) AS w, pr.s, pr.exact_df, min(c.cnt) AS est_df
+           |FROM (SELECT t.s, t.exact_df, ii.i,
+           |        (${hexcast("t.s")} + ii.i * CAST(concat('0x', substr(md5(t.s), 16, 15)) AS BIGINT)) % $w AS p
+           |      FROM top t, ii) pr
+           |JOIN (SELECT i, (h1 + i * h2) % $w AS p, CAST(count(*) AS BIGINT) AS cnt
+           |      FROM hs, ii GROUP BY i, p) c
+           |  ON pr.i = c.i AND pr.p = c.p
+           |GROUP BY pr.s, pr.exact_df""".stripMargin
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sh0 AS (SELECT doc_id, $shinglesSql AS sh FROM toks),
+         |exx AS (SELECT doc_id, unnest(sh) AS s FROM sh0),
+         |hs AS (SELECT s, ${hexcast("s")} AS h1,
+         |              CAST(concat('0x', substr(md5(s), 16, 15)) AS BIGINT) AS h2
+         |       FROM exx),
+         |ii AS (SELECT unnest(range(0, $CmsD)) AS i),
+         |top AS (SELECT s, CAST(count(*) AS BIGINT) AS exact_df FROM exx
+         |        GROUP BY s ORDER BY count(*) DESC, s LIMIT 10),
+         |u AS (${CmsSweepWs.map(chain).mkString("\n UNION ALL \n")})
+         |SELECT w, s, exact_df, CAST(est_df AS BIGINT) AS est_df,
+         |       CAST(est_df - exact_df AS BIGINT) AS overcount
+         |FROM u""".stripMargin
+    },
+
+    // the same bottom-K ladder serially
+    "q234_kmv_sweep" -> {
+      def chain(k: Int): String = {
+        val numer = dlit((k - 1).toDouble * math.pow(2.0, 60))
+        s"""SELECT CAST($k AS INT) AS k, k_actual, exact_distinct,
+           |       ${sround(s"CASE WHEN k_actual < $k THEN exact_distinct::DOUBLE ELSE $numer / kth_min::DOUBLE END", 6)} AS est_distinct
+           |FROM (SELECT CAST(count(*) AS BIGINT) AS k_actual, max(h) AS kth_min
+           |      FROM (SELECT h FROM hs ORDER BY h LIMIT $k)) CROSS JOIN ex""".stripMargin
+      }
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |sh AS (SELECT doc_id, $shinglesSql AS sh FROM toks),
+         |hs AS (SELECT ${hexcast("s")} AS h
+         |       FROM (SELECT DISTINCT unnest(sh) AS s FROM sh)),
+         |ex AS (SELECT CAST(count(DISTINCT h) AS BIGINT) AS exact_distinct FROM hs),
+         |u AS (${KmvSweepKs.map(chain).mkString("\n UNION ALL \n")})
+         |SELECT k, k_actual, exact_distinct, est_distinct,
+         |       ${sround("abs(est_distinct - exact_distinct) / CAST(exact_distinct AS DOUBLE)", 6)} AS rel_err
+         |FROM u""".stripMargin
     },
 
     // the same per-p integer chains serially over ONE shared hash CTE
