@@ -1337,8 +1337,11 @@ object DedupQueries {
       }
       perK.reduce(_ unionByName _)
         .withColumn("rel_err",
-          pround(abs(col("est_distinct") - col("exact_distinct")) /
-            col("exact_distinct").cast("double"), 6))
+          // empty-corpus guard: exact_distinct=0 would be an ANSI
+          // DIVIDE_BY_ZERO; the oracle never sees that row (real data).
+          when(col("exact_distinct") === 0, lit(0.0)).otherwise(
+            pround(abs(col("est_distinct") - col("exact_distinct")) /
+              col("exact_distinct").cast("double"), 6)))
     }),
 
     // DEDUP CASCADE ACCOUNTING — the production pipeline runs dedup as a
