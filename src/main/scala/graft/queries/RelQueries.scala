@@ -2985,6 +2985,306 @@ object RelQueries {
         .agg(count(lit(1)).as("n"), xsum(col("value"), 6).as("sum_value"))
         .withColumn("avg_value",
           pround(col("sum_value") / col("n").cast("double"), 6))
+    }),
+
+    // TPC-H Q3 SHAPE — unshipped-revenue shipping priority: BUILDING-
+    // segment orders placed before the pivot whose lineitems ship after
+    // it, top-10 by revenue. One orderkey fact-fact shuffle; the customer
+    // dim broadcasts; the top-10 cut orders by INTEGER cents (then
+    // orderkey) so the limit set is deterministic on both engines.
+    "q235_q3_shipping_priority" -> ((spark, dir) => {
+      val cust = table(spark, dir, "customer")
+        .where(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val o0 = table(spark, dir, "orders")
+      val o = o0.select(col("o_orderkey"), col("o_custkey"),
+          QueryBase.tsUs(o0, "o_orderdate").as("order_date_us"))
+        .where(col("order_date_us") < Cut98Us)
+      val li0 = table(spark, dir, "lineitem")
+      val li = li0.select(col("l_orderkey"),
+          floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+            lit(100.0) + lit(0.5)).cast("long").as("cents"))
+        .where(QueryBase.tsUs(li0, "l_shipdate") > Cut98Us)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy("o_orderkey", "order_date_us")
+        .agg(sum("cents").as("rev_cents"))
+        .orderBy(col("rev_cents").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), col("order_date_us"),
+          (col("rev_cents").cast("double") / lit(100.0)).as("revenue"))
+    }),
+
+    // TPC-H Q4 SHAPE — order-priority checking via EXISTS: orders in a
+    // 6-month window with at least one lineitem shipped > 60 days after
+    // the order date, counted per priority. The EXISTS is a LEFT SEMI
+    // join (equi on the order key + the lateness theta residual) — one
+    // orderkey shuffle, no fan-out, five rows out at any scale.
+    "q236_q4_priority_check" -> ((spark, dir) => {
+      val o0 = table(spark, dir, "orders")
+      val o = o0.select(col("o_orderkey"), col("o_orderpriority"),
+          QueryBase.tsUs(o0, "o_orderdate").as("odate_us"))
+        .where(col("odate_us") >= Jan97Us && col("odate_us") < Jul97Us)
+      val li0 = table(spark, dir, "lineitem")
+      val li = li0.select(col("l_orderkey"),
+        QueryBase.tsUs(li0, "l_shipdate").as("ship_us"))
+      o.join(li, col("o_orderkey") === col("l_orderkey") &&
+          col("ship_us") > col("odate_us") + lit(LateShipUs), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+    }),
+
+    // TPC-H Q5 SHAPE — local-supplier volume: 1997 revenue per ASIA
+    // nation where the customer and the lineitem's supplier share the
+    // nation. lineitem⋈orders is the one data-sized shuffle; customer,
+    // supplier and the nation⋈region leg all broadcast; the locality
+    // predicate is a post-join filter on two broadcast-sourced keys.
+    "q237_q5_local_supplier" -> ((spark, dir) => {
+      val o0 = table(spark, dir, "orders")
+      val o = o0.select(col("o_orderkey"), col("o_custkey"),
+          QueryBase.tsUs(o0, "o_orderdate").as("odate_us"))
+        .where(col("odate_us") >= Jan97Us && col("odate_us") < Cut98Us)
+      val li = table(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+            lit(100.0) + lit(0.5)).cast("long").as("cents"))
+      val cust = table(spark, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val supp = table(spark, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      val nat = table(spark, dir, "nation")
+        .join(broadcast(table(spark, dir, "region")
+          .where(col("r_name") === "ASIA").select(col("r_regionkey"))),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .where(col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_items"),
+          (sum("cents").cast("double") / lit(100.0)).as("revenue"))
+    }),
+
+    // TPC-H Q10 SHAPE — returned-item reporting: per-customer lost
+    // revenue from 'R'-flagged lineitems of Q1-1997 orders, top 20. The
+    // orderkey join is the shuffle; the per-customer aggregate is
+    // customer-sized and joins the broadcast dims AFTER the top-k cut
+    // ordering by integer cents (then custkey) keeps the cut exact.
+    "q238_q10_returned_items" -> ((spark, dir) => {
+      val o0 = table(spark, dir, "orders")
+      val o = o0.select(col("o_orderkey"), col("o_custkey"),
+          QueryBase.tsUs(o0, "o_orderdate").as("odate_us"))
+        .where(col("odate_us") >= Jan97Us && col("odate_us") < Apr97Us)
+      val li = table(spark, dir, "lineitem")
+        .where(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+            lit(100.0) + lit(0.5)).cast("long").as("cents"))
+      val perCust = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_custkey").agg(sum("cents").as("rev_cents"))
+        .orderBy(col("rev_cents").desc, col("o_custkey")).limit(20)
+      val cust = table(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          floor(col("c_acctbal") * lit(100.0) + lit(0.5)).cast("long").as("bal_cents"))
+      val nat = table(spark, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      perCust.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .select(col("o_custkey").as("c_custkey"), col("c_name"), col("n_name"),
+          (col("bal_cents").cast("double") / lit(100.0)).as("c_acctbal"),
+          (col("rev_cents").cast("double") / lit(100.0)).as("lost_revenue"))
+    }),
+
+    // TPC-H Q13 SHAPE — customer order-count distribution: orders per
+    // customer (P-status excluded, the 'special request' analogue)
+    // through a LEFT OUTER join so zero-order customers keep a 0 bucket,
+    // then the count-of-counts histogram. Both aggregates are combinable;
+    // the outer join's right side is pre-aggregated to customer size.
+    "q239_q13_order_distribution" -> ((spark, dir) => {
+      val cnt = table(spark, dir, "orders")
+        .where(col("o_orderstatus") =!= "P")
+        .groupBy("o_custkey").agg(count(lit(1)).as("cnt"))
+      table(spark, dir, "customer").select(col("c_custkey"))
+        .join(cnt, col("c_custkey") === col("o_custkey"), "left")
+        .select(coalesce(col("cnt"), lit(0L)).as("c_count"))
+        .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+    }),
+
+    // TPC-H Q14 SHAPE — promo-revenue share of a ship month: two integer
+    // cents sums in ONE conditional-aggregation pass (no second scan for
+    // the denominator); the part dim broadcasts. A 1-row report whose
+    // only double op is the final pround'd division.
+    "q240_q14_promo_share" -> ((spark, dir) => {
+      val li0 = table(spark, dir, "lineitem")
+      val li = li0.select(col("l_partkey"),
+          floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+            lit(100.0) + lit(0.5)).cast("long").as("cents"))
+        .where(QueryBase.tsUs(li0, "l_shipdate") >= Sep97Us &&
+          QueryBase.tsUs(li0, "l_shipdate") < Oct97Us)
+      val part = table(spark, dir, "part").select(col("p_partkey"), col("p_type"))
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .agg(sum(when(col("p_type") === "PROMO", col("cents")).otherwise(0L)).as("promo_cents"),
+          sum("cents").as("total_cents"))
+        .select(col("promo_cents"), col("total_cents"),
+          pround(lit(100.0) * col("promo_cents").cast("double") /
+            col("total_cents").cast("double"), 6).as("promo_share"))
+    }),
+
+    // TPC-H Q15 SHAPE — top supplier(s) by Q1-1997 revenue: the
+    // supplier-sized revenue frame compares against its own broadcast
+    // 1-row max, keeping EVERY supplier at the max (the tie semantics
+    // argmax flattens); supplier dim broadcasts onto the survivors.
+    "q246_q15_top_supplier" -> ((spark, dir) => {
+      val li0 = table(spark, dir, "lineitem")
+      val rev = li0.select(col("l_suppkey"),
+          floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+            lit(100.0) + lit(0.5)).cast("long").as("cents"))
+        .where(QueryBase.tsUs(li0, "l_shipdate") >= Jan97Us &&
+          QueryBase.tsUs(li0, "l_shipdate") < Apr97Us)
+        .groupBy("l_suppkey").agg(sum("cents").as("rev_cents"))
+      val mx = rev.agg(max("rev_cents").as("max_cents"))
+      val supp = table(spark, dir, "supplier").select(col("s_suppkey"), col("s_name"))
+      rev.crossJoin(broadcast(mx)).where(col("rev_cents") === col("max_cents"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          (col("rev_cents").cast("double") / lit(100.0)).as("total_revenue"))
+    }),
+
+    // TPC-H Q17 SHAPE — small-quantity-order revenue: lineitems of one
+    // brand's parts below 20% of their part's average quantity. The
+    // threshold comparison is INTEGER-EXACT — qh < sum_qh/(5n) rewritten
+    // as 5·n·qh < sum_qh, no division anywhere — and the per-part
+    // threshold frame (≤ parts-of-one-brand rows) broadcasts back onto
+    // the already-filtered lineitems. One brand-pruned scan, zero
+    // data-sized shuffles.
+    "q241_q17_small_quantity" -> ((spark, dir) => {
+      val p = table(spark, dir, "part")
+        .where(col("p_brand") === "Brand#12").select(col("p_partkey"))
+      val li = tcache(table(spark, dir, "lineitem")
+        .select(col("l_partkey"),
+          floor(col("l_quantity") * lit(100.0) + lit(0.5)).cast("long").as("qh"),
+          floor(col("l_extendedprice") * lit(100.0) + lit(0.5)).cast("long").as("cents"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .select("l_partkey", "qh", "cents"), "q241:brandli")
+      val th = li.groupBy("l_partkey")
+        .agg(count(lit(1)).as("n"), sum("qh").as("sum_qh"))
+      li.join(broadcast(th), Seq("l_partkey"))
+        .where(lit(5L) * col("n") * col("qh") < col("sum_qh"))
+        .agg(count(lit(1)).as("n_li"),
+          pround(sum("cents").cast("double") / lit(100.0) / lit(7.0), 6).as("avg_yearly"))
+    }),
+
+    // TPC-H Q19 SHAPE — disjunctive discounted revenue: three (brand ×
+    // size-band × quantity-band) OR-branches evaluated in one pass over
+    // the broadcast part join. The disjunction references both sides, so
+    // it cannot pre-filter either alone — the shape that exercises
+    // post-join predicate evaluation; quantity compares in exact
+    // hundredths.
+    "q242_q19_disjunctive_revenue" -> ((spark, dir) => {
+      val li = table(spark, dir, "lineitem")
+        .select(col("l_partkey"),
+          floor(col("l_quantity") * lit(100.0) + lit(0.5)).cast("long").as("qh"),
+          floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+            lit(100.0) + lit(0.5)).cast("long").as("cents"))
+      val part = table(spark, dir, "part")
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      val cond =
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+          col("qh").between(100L, 1100L)) ||
+        (col("p_brand") === "Brand#15" && col("p_size").between(1, 10) &&
+          col("qh").between(1000L, 2000L)) ||
+        (col("p_brand") === "Brand#20" && col("p_size").between(1, 15) &&
+          col("qh").between(2000L, 3000L))
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .where(cond)
+        .agg(count(lit(1)).as("n_li"),
+          (sum("cents").cast("double") / lit(100.0)).as("revenue"))
+    }),
+
+    // TPC-H Q21 SHAPE — the waiting-kept supplier: for finished orders
+    // with ≥ 2 distinct suppliers, blame the one whose lineitem shipped
+    // LAST (lexicographic (ship_us, suppkey) struct max — deterministic
+    // under ties), top-10 blamed suppliers. One orderkey shuffle; both
+    // per-order aggregates (distinct-supplier count, argmax) ride the
+    // same groupBy; the supplier dim broadcasts onto the ≤10 survivors.
+    "q244_q21_waiting_supplier" -> ((spark, dir) => {
+      val o = table(spark, dir, "orders")
+        .where(col("o_orderstatus") === "F").select(col("o_orderkey"))
+      val li0 = table(spark, dir, "lineitem")
+      val li = li0.select(col("l_orderkey"), col("l_suppkey"),
+        QueryBase.tsUs(li0, "l_shipdate").as("ship_us"))
+      val blamed = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          max(struct(col("ship_us"), col("l_suppkey"))).as("m"))
+        .where(col("n_supp") >= 2)
+        .groupBy(col("m.l_suppkey").as("s_suppkey"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_suppkey")).limit(10)
+      blamed.join(broadcast(table(spark, dir, "supplier")
+          .select(col("s_suppkey").as("sk"), col("s_name"))),
+          col("s_suppkey") === col("sk"))
+        .select(col("s_suppkey"), col("s_name"), col("numwait"))
+    }),
+
+    // TPC-H Q22 SHAPE — dormant high-balance customers: balance above
+    // the positive-balance average (INTEGER-EXACT: cents·n_pos >
+    // sum_pos_cents, no division) with no orders on or after the pivot
+    // (ANTI join against the pre-projected recent-order keys), reported
+    // per nation. The 1-row average frame broadcasts; the anti join's
+    // right side is custkey-sized.
+    "q243_q22_dormant_customers" -> ((spark, dir) => {
+      val cust = table(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"),
+          floor(col("c_acctbal") * lit(100.0) + lit(0.5)).cast("long").as("bal_cents"))
+      val avgF = cust.where(col("bal_cents") > 0L)
+        .agg(count(lit(1)).as("n_pos"), sum("bal_cents").as("sum_pos"))
+      val o0 = table(spark, dir, "orders")
+      val recent = o0.select(col("o_custkey"),
+          QueryBase.tsUs(o0, "o_orderdate").as("odate_us"))
+        .where(col("odate_us") >= Cut98Us).select(col("o_custkey")).distinct()
+      cust.crossJoin(broadcast(avgF))
+        .where(col("bal_cents") * col("n_pos") > col("sum_pos"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("numcust"),
+          (sum("bal_cents").cast("double") / lit(100.0)).as("totacctbal"))
+    }),
+
+    // TPC-H Q8 SHAPE — national market share: of AMERICA customers'
+    // PROMO-part revenue, the fraction supplied by ONE nation, per order
+    // year (calendar year() over the µs timestamp — identical NTZ
+    // semantics on both engines under the UTC session). lineitem⋈orders
+    // shuffles once; part, supplier and the customer⋈nation⋈region leg
+    // broadcast; numerator and denominator are one conditional pass.
+    "q245_q8_market_share" -> ((spark, dir) => {
+      val o = table(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+      val li = table(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+            lit(100.0) + lit(0.5)).cast("long").as("cents"))
+      val part = table(spark, dir, "part")
+        .where(col("p_type") === "PROMO").select(col("p_partkey"))
+      val supp = table(spark, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      val amCust = table(spark, dir, "customer")
+        .join(broadcast(table(spark, dir, "nation")
+          .join(broadcast(table(spark, dir, "region")
+            .where(col("r_name") === "AMERICA").select(col("r_regionkey"))),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"))
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(amCust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("o_year")
+        .agg(sum(when(col("s_nationkey") === ShareNationKey, col("cents"))
+            .otherwise(0L)).as("nation_cents"),
+          sum("cents").as("total_cents"))
+        .select(col("o_year"), col("nation_cents"), col("total_cents"),
+          pround(col("nation_cents").cast("double") /
+            col("total_cents").cast("double"), 6).as("mkt_share"))
     })
   )
 
@@ -3035,6 +3335,25 @@ object RelQueries {
   /** q201's interval duration, MICROSECONDS (30 min) — ONE place, both
     * engines. */
   private val ConcDurUs = 1800000000L
+
+  /** TPC-H-family date pivots as epoch MICROSECONDS (the tsUs/epoch_us
+    * oracle discipline — never engine date literals, whose timezone and
+    * cast semantics differ). Derived from calendar days at compile time;
+    * embedded into the oracle SQL as integer literals from HERE. */
+  private def dateUs(y: Int, m: Int, d: Int): Long =
+    java.time.LocalDate.of(y, m, d).toEpochDay * 86400000000L
+  private val Cut98Us  = dateUs(1998, 1, 1) // q235 Q3 split, q243 dormancy cutoff
+  private val Jan97Us  = dateUs(1997, 1, 1) // q236/q237/q246 window starts
+  private val Apr97Us  = dateUs(1997, 4, 1) // q238/q246 window end
+  private val Jul97Us  = dateUs(1997, 7, 1) // q236 window end
+  private val Sep97Us  = dateUs(1997, 9, 1) // q240 promo month start
+  private val Oct97Us  = dateUs(1997, 10, 1) // q240 promo month end
+  /** q236's lateness threshold: a lineitem shipped > 60 days after its
+    * order date flags the order (the commitdate<receiptdate analogue —
+    * this schema carries no commit/receipt dates). */
+  private val LateShipUs = 60L * 86400000000L
+  /** q245's market-share supplier nation (n_nationkey 8). */
+  private val ShareNationKey = 8
 
   /** q220's error-budget threshold (events are ~20% errors by
     * construction, so days oscillate around it — breaches are real). */
@@ -4473,6 +4792,180 @@ object RelQueries {
          |       CAST(count(*) AS BIGINT) AS n,
          |       ${xsumSql("value", 6)} AS sum_value,
          |       ${sround(s"(${xsumSql("value", 6)}) / CAST(count(*) AS DOUBLE)", 6)} AS avg_value
-         |FROM e GROUP BY event_type, dow""".stripMargin
+         |FROM e GROUP BY event_type, dow""".stripMargin,
+
+    // the same Q3 top-10 serially — integer-cents ordering keeps the cut set exact
+    "q235_q3_shipping_priority" ->
+      s"""WITH li AS (SELECT l_orderkey,
+         |    CAST(floor(l_extendedprice * (${dlit(1.0)} - l_discount) * ${dlit(100.0)} + ${dlit(0.5)}) AS BIGINT) AS cents
+         |  FROM lineitem WHERE epoch_us(l_shipdate) > $Cut98Us),
+         |g AS (SELECT o_orderkey, CAST(epoch_us(o_orderdate) AS BIGINT) AS order_date_us,
+         |             CAST(sum(cents) AS BIGINT) AS rev_cents
+         |      FROM li JOIN orders ON l_orderkey = o_orderkey
+         |      JOIN customer ON o_custkey = c_custkey
+         |      WHERE c_mktsegment = 'BUILDING' AND epoch_us(o_orderdate) < $Cut98Us
+         |      GROUP BY o_orderkey, order_date_us
+         |      ORDER BY rev_cents DESC, o_orderkey LIMIT 10)
+         |SELECT o_orderkey, order_date_us,
+         |       CAST(rev_cents AS DOUBLE) / ${dlit(100.0)} AS revenue
+         |FROM g""".stripMargin,
+
+    // the same EXISTS lateness check serially
+    "q236_q4_priority_check" ->
+      s"""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+         |FROM orders o
+         |WHERE epoch_us(o_orderdate) >= $Jan97Us AND epoch_us(o_orderdate) < $Jul97Us
+         |  AND EXISTS (SELECT 1 FROM lineitem l
+         |              WHERE l.l_orderkey = o.o_orderkey
+         |                AND epoch_us(l.l_shipdate) > epoch_us(o.o_orderdate) + $LateShipUs)
+         |GROUP BY o_orderpriority""".stripMargin,
+
+    // the same local-supplier star serially
+    "q237_q5_local_supplier" ->
+      s"""WITH li AS (SELECT l_orderkey, l_suppkey,
+         |    CAST(floor(l_extendedprice * (${dlit(1.0)} - l_discount) * ${dlit(100.0)} + ${dlit(0.5)}) AS BIGINT) AS cents
+         |  FROM lineitem)
+         |SELECT n_name, CAST(count(*) AS BIGINT) AS n_items,
+         |       CAST(sum(cents) AS DOUBLE) / ${dlit(100.0)} AS revenue
+         |FROM li
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE epoch_us(o_orderdate) >= $Jan97Us AND epoch_us(o_orderdate) < $Cut98Us
+         |  AND c_nationkey = s_nationkey AND r_name = 'ASIA'
+         |GROUP BY n_name""".stripMargin,
+
+    // the same returned-item top-20 serially
+    "q238_q10_returned_items" ->
+      s"""WITH li AS (SELECT l_orderkey,
+         |    CAST(floor(l_extendedprice * (${dlit(1.0)} - l_discount) * ${dlit(100.0)} + ${dlit(0.5)}) AS BIGINT) AS cents
+         |  FROM lineitem WHERE l_returnflag = 'R'),
+         |pc AS (SELECT o_custkey, CAST(sum(cents) AS BIGINT) AS rev_cents
+         |       FROM li JOIN orders ON l_orderkey = o_orderkey
+         |       WHERE epoch_us(o_orderdate) >= $Jan97Us AND epoch_us(o_orderdate) < $Apr97Us
+         |       GROUP BY o_custkey
+         |       ORDER BY rev_cents DESC, o_custkey LIMIT 20)
+         |SELECT o_custkey AS c_custkey, c_name, n_name,
+         |       CAST(CAST(floor(c_acctbal * ${dlit(100.0)} + ${dlit(0.5)}) AS BIGINT) AS DOUBLE) / ${dlit(100.0)} AS c_acctbal,
+         |       CAST(rev_cents AS DOUBLE) / ${dlit(100.0)} AS lost_revenue
+         |FROM pc JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey""".stripMargin,
+
+    // the same zero-preserving count-of-counts serially
+    "q239_q13_order_distribution" ->
+      s"""WITH cnt AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt
+         |             FROM orders WHERE o_orderstatus <> 'P' GROUP BY o_custkey)
+         |SELECT CAST(coalesce(cnt, 0) AS BIGINT) AS c_count,
+         |       CAST(count(*) AS BIGINT) AS custdist
+         |FROM customer LEFT JOIN cnt ON c_custkey = o_custkey
+         |GROUP BY c_count""".stripMargin,
+
+    // the same one-pass promo share serially
+    "q240_q14_promo_share" ->
+      s"""WITH li AS (SELECT l_partkey,
+         |    CAST(floor(l_extendedprice * (${dlit(1.0)} - l_discount) * ${dlit(100.0)} + ${dlit(0.5)}) AS BIGINT) AS cents
+         |  FROM lineitem
+         |  WHERE epoch_us(l_shipdate) >= $Sep97Us AND epoch_us(l_shipdate) < $Oct97Us)
+         |SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END) AS BIGINT) AS promo_cents,
+         |       CAST(sum(cents) AS BIGINT) AS total_cents,
+         |       ${sround(s"${dlit(100.0)} * CAST(sum(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END) AS DOUBLE) / CAST(sum(cents) AS DOUBLE)", 6)} AS promo_share
+         |FROM li JOIN part ON l_partkey = p_partkey""".stripMargin,
+
+    // the same ties-preserved revenue max serially
+    "q246_q15_top_supplier" ->
+      s"""WITH rev AS (SELECT l_suppkey, CAST(sum(
+         |    CAST(floor(l_extendedprice * (${dlit(1.0)} - l_discount) * ${dlit(100.0)} + ${dlit(0.5)}) AS BIGINT)) AS BIGINT) AS rev_cents
+         |  FROM lineitem
+         |  WHERE epoch_us(l_shipdate) >= $Jan97Us AND epoch_us(l_shipdate) < $Apr97Us
+         |  GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, CAST(rev_cents AS DOUBLE) / ${dlit(100.0)} AS total_revenue
+         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE rev_cents = (SELECT max(rev_cents) FROM rev)""".stripMargin,
+
+    // the same integer-exact 20%-of-average threshold serially
+    "q241_q17_small_quantity" ->
+      s"""WITH p AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#12'),
+         |li AS (SELECT l_partkey,
+         |    CAST(floor(l_quantity * ${dlit(100.0)} + ${dlit(0.5)}) AS BIGINT) AS qh,
+         |    CAST(floor(l_extendedprice * ${dlit(100.0)} + ${dlit(0.5)}) AS BIGINT) AS cents
+         |  FROM lineitem JOIN p ON l_partkey = p_partkey),
+         |t AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n,
+         |             CAST(sum(qh) AS BIGINT) AS sum_qh
+         |      FROM li GROUP BY l_partkey)
+         |SELECT CAST(count(*) AS BIGINT) AS n_li,
+         |       ${sround(s"CAST(sum(cents) AS DOUBLE) / ${dlit(100.0)} / ${dlit(7.0)}", 6)} AS avg_yearly
+         |FROM li JOIN t USING (l_partkey)
+         |WHERE 5 * n * qh < sum_qh""".stripMargin,
+
+    // the same three-branch disjunction serially
+    "q242_q19_disjunctive_revenue" ->
+      s"""WITH li AS (SELECT l_partkey,
+         |    CAST(floor(l_quantity * ${dlit(100.0)} + ${dlit(0.5)}) AS BIGINT) AS qh,
+         |    CAST(floor(l_extendedprice * (${dlit(1.0)} - l_discount) * ${dlit(100.0)} + ${dlit(0.5)}) AS BIGINT) AS cents
+         |  FROM lineitem)
+         |SELECT CAST(count(*) AS BIGINT) AS n_li,
+         |       CAST(sum(cents) AS DOUBLE) / ${dlit(100.0)} AS revenue
+         |FROM li JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND qh BETWEEN 100  AND 1100)
+         |   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 10 AND qh BETWEEN 1000 AND 2000)
+         |   OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 15 AND qh BETWEEN 2000 AND 3000)""".stripMargin,
+
+    // the same latest-shipper blame (struct max) serially
+    "q244_q21_waiting_supplier" ->
+      s"""WITH li AS (SELECT l_orderkey, l_suppkey, epoch_us(l_shipdate) AS ship_us
+         |            FROM lineitem),
+         |per_o AS (SELECT l_orderkey,
+         |            CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+         |            max({'ship_us': ship_us, 'l_suppkey': l_suppkey}) AS m
+         |          FROM li JOIN orders ON l_orderkey = o_orderkey
+         |          WHERE o_orderstatus = 'F'
+         |          GROUP BY l_orderkey),
+         |blamed AS (SELECT CAST((m).l_suppkey AS BIGINT) AS s_suppkey,
+         |                  CAST(count(*) AS BIGINT) AS numwait
+         |           FROM per_o WHERE n_supp >= 2
+         |           GROUP BY (m).l_suppkey
+         |           ORDER BY numwait DESC, s_suppkey LIMIT 10)
+         |SELECT b.s_suppkey, s.s_name, b.numwait
+         |FROM blamed b JOIN supplier s ON b.s_suppkey = s.s_suppkey""".stripMargin,
+
+    // the same integer-exact above-average dormancy serially
+    "q243_q22_dormant_customers" ->
+      s"""WITH cust AS (SELECT c_custkey, c_nationkey,
+         |    CAST(floor(c_acctbal * ${dlit(100.0)} + ${dlit(0.5)}) AS BIGINT) AS bal_cents
+         |  FROM customer),
+         |a AS (SELECT CAST(count(*) AS BIGINT) AS n_pos,
+         |             CAST(sum(bal_cents) AS BIGINT) AS sum_pos
+         |      FROM cust WHERE bal_cents > 0)
+         |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+         |       CAST(sum(bal_cents) AS DOUBLE) / ${dlit(100.0)} AS totacctbal
+         |FROM cust CROSS JOIN a
+         |WHERE bal_cents * n_pos > sum_pos
+         |  AND NOT EXISTS (SELECT 1 FROM orders
+         |                  WHERE o_custkey = c_custkey
+         |                    AND epoch_us(o_orderdate) >= $Cut98Us)
+         |GROUP BY c_nationkey""".stripMargin,
+
+    // the same per-year national share serially
+    "q245_q8_market_share" ->
+      s"""WITH li AS (SELECT l_orderkey, l_partkey, l_suppkey,
+         |    CAST(floor(l_extendedprice * (${dlit(1.0)} - l_discount) * ${dlit(100.0)} + ${dlit(0.5)}) AS BIGINT) AS cents
+         |  FROM lineitem),
+         |g AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |             CAST(sum(CASE WHEN s_nationkey = $ShareNationKey THEN cents ELSE 0 END) AS BIGINT) AS nation_cents,
+         |             CAST(sum(cents) AS BIGINT) AS total_cents
+         |      FROM li
+         |      JOIN part ON l_partkey = p_partkey
+         |      JOIN orders ON l_orderkey = o_orderkey
+         |      JOIN customer ON o_custkey = c_custkey
+         |      JOIN nation ON c_nationkey = n_nationkey
+         |      JOIN region ON n_regionkey = r_regionkey
+         |      JOIN supplier ON l_suppkey = s_suppkey
+         |      WHERE p_type = 'PROMO' AND r_name = 'AMERICA'
+         |      GROUP BY o_year)
+         |SELECT o_year, nation_cents, total_cents,
+         |       ${sround("CAST(nation_cents AS DOUBLE) / CAST(total_cents AS DOUBLE)", 6)} AS mkt_share
+         |FROM g""".stripMargin
   )
 }

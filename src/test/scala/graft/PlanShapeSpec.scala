@@ -88,4 +88,25 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val types = rows.map(_.getString(0)).distinct
     assert(rows.length == types.length * 4)
   }
+
+  test("q236's EXISTS executes as one LEFT SEMI join, no fan-out") {
+    val plan = RelQueries.defs("q236_q4_priority_check")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the lateness EXISTS must be a semi join (one probe row out per
+    // order, never the lineitem fan-out a plain join + distinct would pay)
+    assert(plan.contains("LeftSemi"), s"expected a LeftSemi join:\n$plan")
+    assert(!plan.contains("Distinct"),
+      s"semi join must not need a post-join distinct:\n$plan")
+  }
+
+  test("q241 broadcasts the per-part threshold frame back onto the fact") {
+    val plan = RelQueries.defs("q241_q17_small_quantity")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // both joins (brand part dim, per-part threshold frame) must
+    // broadcast — the brand-filtered lineitems never shuffle
+    val bc = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(bc >= 2, s"expected both q241 joins broadcast, got $bc:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"q241 must not shuffle the fact side:\n$plan")
+  }
 }
