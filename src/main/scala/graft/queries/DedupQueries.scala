@@ -217,6 +217,13 @@ object DedupQueries {
 
   private val normSql = graft.sql.TextSql.norm
 
+  /** q247's acceptance: character similarity 1 − dist/max-len ≥ this.
+    * ONE definition, embedded into the oracle SQL via dlit. */
+  private val EditSimThreshold = 0.5
+
+  /** q248's acceptance: either direction's containment ≥ this. */
+  private val ContainThreshold = 0.5
+
   /** Shared 60-bit simhash CTE (doc_id, simhash) + a trailing query. */
   private def simhashOracle(tail: String, withCte: Boolean = false): String = {
     val bits = (0 until TextHash.SimBits).map { j =>
@@ -1344,6 +1351,70 @@ object DedupQueries {
               col("exact_distinct").cast("double"), 6)))
     }),
 
+    // EDIT-DISTANCE-VERIFIED LINKAGE — the record-linkage verifier the
+    // set-based family can't express: two docs can share most 3-shingles
+    // yet differ in critical characters (numbers, names), and vice
+    // versa. Candidates come from the SAME LSH bands as q32 (never
+    // all-pairs); each surviving pair pays one CHARACTER-level
+    // Levenshtein over the normalized text — O(len²) per pair but pairs
+    // ∝ true near-dups, not corpus². Both engines' levenshtein is the
+    // classic unit-cost edit distance over an alnum-normalized (ASCII)
+    // string, so the integer distance is trivially engine-portable;
+    // edit_sim = 1 − dist/max-len with an empty-text guard in BOTH.
+    "q247_edit_distance_linkage" -> ((spark, dir) => {
+      val db = tcache(docBands(spark, dir), "q247:bands")
+      val exploded = db.select(col("doc_id"), explode(col("bands")).as("bk"))
+      val cand = exploded.as("a")
+        .join(exploded.as("b"),
+          col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val norm = table(spark, dir, "documents").select(col("doc_id"),
+        trim(regexp_replace(regexp_replace(
+          lower(col("text")), "[^a-z0-9 ]", " "), " +", " ")).as("nt"))
+      cand.join(norm.as("na"), col("doc_a") === col("na.doc_id"))
+        .join(norm.as("nb"), col("doc_b") === col("nb.doc_id"))
+        .select(col("doc_a"), col("doc_b"),
+          length(col("na.nt")).cast("long").as("len_a"),
+          length(col("nb.nt")).cast("long").as("len_b"),
+          levenshtein(col("na.nt"), col("nb.nt")).cast("long").as("edit_dist"))
+        .withColumn("edit_sim",
+          pround(lit(1.0) - col("edit_dist").cast("double") /
+            greatest(col("len_a"), col("len_b"), lit(1L)).cast("double"), 6))
+        .where(col("edit_sim") >= EditSimThreshold)
+    }),
+
+    // CONTAINMENT NEAR-DUP — the ASYMMETRIC similarity Jaccard flattens:
+    // a snippet fully quoted inside a larger doc has low Jaccard (the
+    // union is big) but containment |A∩B|/|A| ≈ 1 — exactly the
+    // quote/excerpt duplication a training corpus must catch. Same LSH
+    // band candidates as q32; per-pair arithmetic is exact integer set
+    // sizes until the two final divisions; a pair survives when EITHER
+    // direction's containment clears the threshold.
+    "q248_containment_neardup" -> ((spark, dir) => {
+      val db = tcache(docBands(spark, dir), "q248:bands")
+      val exploded = db.select(col("doc_id"), explode(col("bands")).as("bk"))
+      val cand = exploded.as("a")
+        .join(exploded.as("b"),
+          col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val sh = db.select(col("doc_id"), col("sh"))
+      cand.join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .select(col("doc_a"), col("doc_b"),
+          size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("long").as("n_common"),
+          size(col("sa.sh")).cast("long").as("sz_a"),
+          size(col("sb.sh")).cast("long").as("sz_b"))
+        .withColumn("contain_a",
+          pround(col("n_common").cast("double") /
+            greatest(col("sz_a"), lit(1L)).cast("double"), 6))
+        .withColumn("contain_b",
+          pround(col("n_common").cast("double") /
+            greatest(col("sz_b"), lit(1L)).cast("double"), 6))
+        .where(greatest(col("contain_a"), col("contain_b")) >= ContainThreshold)
+    }),
+
     // DEDUP CASCADE ACCOUNTING — the production pipeline runs dedup as a
     // funnel (cheap exact pass first, near-dup only on its survivors) and
     // reports what each stage dropped; this is that report: exact
@@ -2006,6 +2077,49 @@ object DedupQueries {
          |SELECT k, k_actual, exact_distinct, est_distinct,
          |       ${sround("abs(est_distinct - exact_distinct) / CAST(exact_distinct AS DOUBLE)", 6)} AS rel_err
          |FROM u""".stripMargin
+    },
+
+    // the same banded candidates + character-level Levenshtein serially
+    // (both engines: classic unit-cost edit distance over the SAME
+    // alnum-normalized ASCII string)
+    "q247_edit_distance_linkage" -> {
+      val sim = s"${dlit(1.0)} - CAST(levenshtein(na.nt, nb.nt) AS DOUBLE) / " +
+        "CAST(greatest(length(na.nt), length(nb.nt), 1) AS DOUBLE)"
+      s"""$sigCte,
+         |exploded AS (SELECT doc_id, unnest([b0, b1, b2, b3]) AS bk FROM bands),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM exploded a JOIN exploded b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+         |norm AS (SELECT doc_id, $normSql AS nt FROM documents)
+         |SELECT doc_a, doc_b,
+         |       CAST(length(na.nt) AS BIGINT) AS len_a,
+         |       CAST(length(nb.nt) AS BIGINT) AS len_b,
+         |       CAST(levenshtein(na.nt, nb.nt) AS BIGINT) AS edit_dist,
+         |       ${sround(sim, 6)} AS edit_sim
+         |FROM cand JOIN norm na ON doc_a = na.doc_id
+         |          JOIN norm nb ON doc_b = nb.doc_id
+         |WHERE ${sround(sim, 6)} >= ${dlit(EditSimThreshold)}""".stripMargin
+    },
+
+    // the same asymmetric containment serially (exact integer set sizes
+    // until the two final divisions)
+    "q248_containment_neardup" -> {
+      val ca = s"CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / " +
+        "CAST(greatest(len(sa.sh), 1) AS DOUBLE)"
+      val cb = s"CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / " +
+        "CAST(greatest(len(sb.sh), 1) AS DOUBLE)"
+      s"""$sigCte,
+         |exploded AS (SELECT doc_id, unnest([b0, b1, b2, b3]) AS bk FROM bands),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM exploded a JOIN exploded b ON a.bk = b.bk AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b,
+         |       CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS n_common,
+         |       CAST(len(sa.sh) AS BIGINT) AS sz_a,
+         |       CAST(len(sb.sh) AS BIGINT) AS sz_b,
+         |       ${sround(ca, 6)} AS contain_a,
+         |       ${sround(cb, 6)} AS contain_b
+         |FROM cand JOIN sh sa ON doc_a = sa.doc_id
+         |          JOIN sh sb ON doc_b = sb.doc_id
+         |WHERE greatest(${sround(ca, 6)}, ${sround(cb, 6)}) >= ${dlit(ContainThreshold)}""".stripMargin
     },
 
     // the same per-p integer chains serially over ONE shared hash CTE
