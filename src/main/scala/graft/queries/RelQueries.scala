@@ -1613,13 +1613,7 @@ object RelQueries {
     // both engines' < semantics. Conversion ratios are NULL-guarded for
     // the empty corpus (Spark and DuckDB disagree on 0/0 otherwise).
     "q156_event_funnel" -> ((spark, dir) => {
-      val raw = table(spark, dir, "events")
-      val stage = raw
-        .select(col("user_id"), col("event_type"), QueryBase.tsUs(raw).as("ts_us"))
-        .groupBy("user_id")
-        .agg(min(when(col("event_type") === "view", col("ts_us"))).as("t1"),
-          min(when(col("event_type") === "click", col("ts_us"))).as("t2"),
-          min(when(col("event_type") === "purchase", col("ts_us"))).as("t3"))
+      val stage = funnelStages(spark, dir)
       stage.agg(
           count(when(col("t1").isNotNull, lit(1))).as("n_view"),
           count(when(col("t1") < col("t2"), lit(1))).as("n_view_click"),
@@ -3322,6 +3316,20 @@ object RelQueries {
     lagged.withColumn("ewma", pround(num.cast("double") /
       (den.cast("double") * lit(10000.0)), 6))
       .select(col("event_type"), col("event_id"), col("user_id"), col("ewma"))
+  }
+
+  /** q156's per-user funnel stage frame (user_id, t1, t2, t3 — the first
+    * view/click/purchase µs timestamps) — factored out so the streaming
+    * replay spec can compare [[graft.streaming.StreamingFunnel]]'s final
+    * per-user state against the exact batch aggregation. */
+  private[graft] def funnelStages(spark: org.apache.spark.sql.SparkSession,
+                                  dir: String): org.apache.spark.sql.DataFrame = {
+    val raw = table(spark, dir, "events")
+    raw.select(col("user_id"), col("event_type"), QueryBase.tsUs(raw).as("ts_us"))
+      .groupBy("user_id")
+      .agg(min(when(col("event_type") === "view", col("ts_us"))).as("t1"),
+        min(when(col("event_type") === "click", col("ts_us"))).as("t2"),
+        min(when(col("event_type") === "purchase", col("ts_us"))).as("t3"))
   }
 
   /** q193's conversion threshold on events.value (median ≈ 34.6, so both
