@@ -1442,20 +1442,13 @@ object RelQueries {
     // lag). One per-user window, one pass;
     // the report counts kept/dropped per event_type so every decision
     // is hash-visible. The oracle replays the same lag rule.
-    "q164_debounce" -> ((spark, dir) => {
-      val raw = table(spark, dir, "events")
-      val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
-      raw.select(col("user_id"), col("event_type"), col("value"),
-          col("event_id"), QueryBase.tsUs(raw).as("ts_us"))
-        .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
-        .withColumn("keep",
-          col("prev_us").isNull || col("ts_us") - col("prev_us") >= DebounceUs)
+    "q164_debounce" -> ((spark, dir) =>
+      debounceEvents(spark, dir)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_total"),
           sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
           coalesce(xsum(when(col("keep"), col("value")), 6), lit(0.0))
-            .as("sum_kept_value"))
-    }),
+            .as("sum_kept_value"))),
 
     // COPY-ON-WRITE PURGE — the at-rest DELETE story's write-side half:
     // flagged users' rows are removed from the aged partitions by
@@ -3316,6 +3309,23 @@ object RelQueries {
     lagged.withColumn("ewma", pround(num.cast("double") /
       (den.cast("double") * lit(10000.0)), 6))
       .select(col("event_type"), col("event_id"), col("user_id"), col("ewma"))
+  }
+
+  /** q164's per-event debounce frame (user_id, event_type, value,
+    * event_id, ts_us, keep) — factored out so the streaming replay spec
+    * can compare [[graft.streaming.StreamingDebounce]]'s per-event keep
+    * decisions against the exact batch lag() pass. The rule debounces
+    * against the previous RAW event (kept or not) under the
+    * (ts_us, event_id) per-user order. */
+  private[graft] def debounceEvents(spark: org.apache.spark.sql.SparkSession,
+                                    dir: String): org.apache.spark.sql.DataFrame = {
+    val raw = table(spark, dir, "events")
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    raw.select(col("user_id"), col("event_type"), col("value"),
+        col("event_id"), QueryBase.tsUs(raw).as("ts_us"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+      .withColumn("keep",
+        col("prev_us").isNull || col("ts_us") - col("prev_us") >= DebounceUs)
   }
 
   /** q156's per-user funnel stage frame (user_id, t1, t2, t3 — the first
