@@ -1415,6 +1415,85 @@ object DedupQueries {
         .where(greatest(col("contain_a"), col("contain_b")) >= ContainThreshold)
     }),
 
+    // SOURCE-LEVEL MINHASH MATRIX — the sketch-composability property
+    // MinHash shares with HLL (q251): the signature of a UNION is the
+    // elementwise MIN of member signatures, so a GROUP's signature builds
+    // in one combinable min aggregation over its distinct shingles — no
+    // per-doc signatures ever materialize. Each source pair's
+    // signature-agreement Jaccard estimate sits beside the exact
+    // set Jaccard (shingle-join intersection + inclusion–exclusion
+    // union); at 100 TB the matrix serves from 20 stored 16-long
+    // signatures while the exact columns are the audit. Pair space is
+    // |sources|², never corpus².
+    "q252_source_minhash_matrix" -> ((spark, dir) => {
+      val sh = tcache(spread(table(spark, dir, "documents"))
+        .select(col("source"), explode(shinglesUdf(col("text"))).as("s"))
+        .distinct(), "q252:srcsh")
+      val hm = (conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long")
+        % lit(graft.text.TextHash.P)).as("hm")
+      val sigAggs = (0 until NumHashes).map(j =>
+        min((lit(HashA(j)) * col("hm") + lit(HashB(j)))
+          % lit(graft.text.TextHash.P)).as(s"sig$j"))
+      val sigs = sh.select(col("source"), hm)
+        .groupBy("source").agg(sigAggs.head, sigAggs.tail: _*)
+      val sz = sh.groupBy("source").agg(count(lit(1)).as("sz"))
+      val inter = sh.as("x")
+        .join(sh.as("y"), col("x.s") === col("y.s") && col("x.source") < col("y.source"))
+        .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+        .agg(count(lit(1)).as("n_common"))
+      val agree = (0 until NumHashes)
+        .map(j => when(col(s"a.sig$j") === col(s"b.sig$j"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      sigs.as("a").join(sigs.as("b"), col("a.source") < col("b.source"))
+        .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+          agree.as("n_agree"))
+        .join(inter, Seq("src_a", "src_b"), "left")
+        .join(broadcast(sz.select(col("source").as("src_a"), col("sz").as("sz_a"))), Seq("src_a"))
+        .join(broadcast(sz.select(col("source").as("src_b"), col("sz").as("sz_b"))), Seq("src_b"))
+        .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
+        .select(col("src_a"), col("src_b"), col("n_agree"),
+          pround(col("n_agree").cast("double") / lit(NumHashes.toDouble), 6)
+            .as("est_jaccard"),
+          col("n_common"),
+          pround(col("n_common").cast("double") /
+            (col("sz_a") + col("sz_b") - col("n_common")).cast("double"), 6)
+            .as("jaccard"))
+    }),
+
+    // HLL SET ALGEBRA — the sketch-composability payoff: |A∩B| estimated
+    // by inclusion–exclusion over THREE HyperLogLog sketches (est(A) +
+    // est(B) − est(A∪B)) where the union sketch is the max-merge of the
+    // per-set registers — no re-scan, the operation a 100 TB audience-
+    // overlap query runs on stored sketches alone. A = view users, B =
+    // click users; registers build in ONE grouped max aggregation and
+    // every estimate rides the shared q108 estimator chain; the exact
+    // |A∩B| sits beside the estimate so the error is measured, not
+    // assumed.
+    "q251_hll_intersection" -> ((spark, dir) => {
+      val raw = table(spark, dir, "events")
+      val ab = raw.where(col("event_type").isin("view", "click"))
+        .select(col("event_type"), col("user_id").cast("string").as("item"))
+      val regsT = tcache(hllRegisters(ab, "item", Seq("event_type")), "q251:regs")
+      def estOf(regs: org.apache.spark.sql.DataFrame, name: String) =
+        hllEstCols(regs.agg(count(lit(1)).as("n_buckets"),
+          sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - r AS INT))")).as("s_present")))
+          .select(col("est").as(name))
+      val estA = estOf(regsT.where(col("event_type") === "view"), "est_a")
+      val estB = estOf(regsT.where(col("event_type") === "click"), "est_b")
+      val estU = estOf(regsT.groupBy("bucket").agg(max("r").as("r")), "est_union")
+      val exact = raw.where(col("event_type") === "view")
+        .select(col("user_id")).distinct()
+        .join(raw.where(col("event_type") === "click")
+          .select(col("user_id")).distinct(), "user_id")
+        .agg(count(lit(1)).as("exact_intersection"))
+      estA.crossJoin(broadcast(estB)).crossJoin(broadcast(estU))
+        .crossJoin(broadcast(exact))
+        .select(col("est_a"), col("est_b"), col("est_union"),
+          pround(col("est_a") + col("est_b") - col("est_union"), 6)
+            .as("est_intersection"),
+          col("exact_intersection"))
+    }),
+
     // DEDUP CASCADE ACCOUNTING — the production pipeline runs dedup as a
     // funnel (cheap exact pass first, near-dup only on its survivors) and
     // reports what each stage dropped; this is that report: exact
@@ -2120,6 +2199,76 @@ object DedupQueries {
          |FROM cand JOIN sh sa ON doc_a = sa.doc_id
          |          JOIN sh sb ON doc_b = sb.doc_id
          |WHERE greatest(${sround(ca, 6)}, ${sround(cb, 6)}) >= ${dlit(ContainThreshold)}""".stripMargin
+    },
+
+    // the same group-level min-merge signatures serially (source order
+    // is binary-lexicographic in both engines)
+    "q252_source_minhash_matrix" -> {
+      val sigCols = (0 until NumHashes)
+        .map(j => s"CAST(min((${HashA(j)} * hm + ${HashB(j)}) % $P) AS BIGINT) AS sig$j")
+        .mkString(", ")
+      val agree = "CAST(" + (0 until NumHashes)
+        .map(j => s"(CASE WHEN a.sig$j = b.sig$j THEN 1 ELSE 0 END)")
+        .mkString(" + ") + " AS BIGINT)"
+      s"""WITH toks AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
+         |sh0 AS (SELECT doc_id, source, $shinglesSql AS sh FROM toks),
+         |srcsh AS (SELECT DISTINCT source, unnest(sh) AS s FROM sh0),
+         |hm AS (SELECT source, ${hexcast("s")} % $P AS hm FROM srcsh),
+         |sig AS (SELECT source, $sigCols FROM hm GROUP BY source),
+         |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS sz FROM srcsh GROUP BY source),
+         |inter AS (SELECT x.source AS src_a, y.source AS src_b,
+         |                 CAST(count(*) AS BIGINT) AS n_common
+         |          FROM srcsh x JOIN srcsh y ON x.s = y.s AND x.source < y.source
+         |          GROUP BY x.source, y.source),
+         |p AS (SELECT a.source AS src_a, b.source AS src_b, $agree AS n_agree
+         |      FROM sig a JOIN sig b ON a.source < b.source),
+         |m AS (SELECT p.src_a, p.src_b, p.n_agree,
+         |             CAST(coalesce(i.n_common, 0) AS BIGINT) AS n_common,
+         |             za.sz AS sz_a, zb.sz AS sz_b
+         |      FROM p LEFT JOIN inter i ON p.src_a = i.src_a AND p.src_b = i.src_b
+         |      JOIN sz za ON p.src_a = za.source
+         |      JOIN sz zb ON p.src_b = zb.source)
+         |SELECT src_a, src_b, n_agree,
+         |       ${sround(s"CAST(n_agree AS DOUBLE) / ${dlit(NumHashes.toDouble)}", 6)} AS est_jaccard,
+         |       n_common,
+         |       ${sround("CAST(n_common AS DOUBLE) / CAST(sz_a + sz_b - n_common AS DOUBLE)", 6)} AS jaccard
+         |FROM m""".stripMargin
+    },
+
+    // the same three-sketch inclusion–exclusion serially: per-set
+    // registers, a max-merged union, the shared q108 estimator chain
+    "q251_hll_intersection" -> {
+      val ladder = (51 to 0 by -1)
+        .map(b => s"WHEN rest >= ${1L << b} THEN ${52 - b}").mkString(" ")
+      // the q108 v_zero / linear-counting / harmonic chain over a
+      // registers CTE, as a scalar subquery
+      def estChain(regsFrom: String): String =
+        s"""(SELECT CASE WHEN raw_est <= ${dlit(2.5 * HllM)} AND v_zero > 0
+           |       THEN ${sround(s"${dlit(HllM.toDouble)} * ${sround(s"ln(${dlit(HllM.toDouble)} / v_zero)", 6)}", 6)}
+           |       ELSE raw_est END
+           | FROM (SELECT v_zero, ${sround(s"${dlit(HllAlphaC)} / CAST(s_total AS DOUBLE)", 6)} AS raw_est
+           |       FROM (SELECT ($HllM - count(*)) AS v_zero,
+           |                    sum(CAST(1 AS BIGINT) << CAST(53 - r AS INT)) + ($HllM - count(*)) * (CAST(1 AS BIGINT) << 53) AS s_total
+           |             FROM $regsFrom)))""".stripMargin
+      s"""WITH ab AS (SELECT event_type, CAST(user_id AS VARCHAR) AS item
+         |            FROM events WHERE event_type IN ('view', 'click')),
+         |hh AS (SELECT event_type, ${hexcast("item")} AS h FROM ab),
+         |b AS (SELECT event_type, h // ${1L << 52} AS bucket, h % ${1L << 52} AS rest FROM hh),
+         |rk AS (SELECT event_type, bucket, CASE $ladder ELSE 53 END AS rk FROM b),
+         |regs AS (SELECT event_type, bucket, max(rk) AS r FROM rk GROUP BY event_type, bucket),
+         |regsu AS (SELECT bucket, max(r) AS r FROM regs GROUP BY bucket),
+         |ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_intersection FROM
+         |         (SELECT DISTINCT user_id FROM events WHERE event_type = 'view')
+         |         JOIN (SELECT DISTINCT user_id FROM events WHERE event_type = 'click')
+         |         USING (user_id)),
+         |e AS (SELECT
+         |        ${estChain("regs WHERE event_type = 'view'")} AS est_a,
+         |        ${estChain("regs WHERE event_type = 'click'")} AS est_b,
+         |        ${estChain("regsu")} AS est_union)
+         |SELECT est_a, est_b, est_union,
+         |       ${sround("est_a + est_b - est_union", 6)} AS est_intersection,
+         |       exact_intersection
+         |FROM e CROSS JOIN ex""".stripMargin
     },
 
     // the same per-p integer chains serially over ONE shared hash CTE

@@ -2974,6 +2974,67 @@ object RelQueries {
           pround(col("sum_value") / col("n").cast("double"), 6))
     }),
 
+    // EXACT WEIGHTED MEDIAN — the robust-stats aggregate a plain median
+    // ignores weights for: per return flag, the smallest price whose
+    // cumulative QUANTITY weight reaches half the total. Entirely
+    // integer (cents × quantity-hundredths) under a unique
+    // (cents, orderkey, linenumber) total order, so the running-sum
+    // window and the 2·cum ≥ tot threshold are bit-portable; the
+    // qualifying-row pick is a combinable min. One per-flag window pass
+    // over the fact — the same shape as q72's rank quantiles.
+    "q249_weighted_median" -> ((spark, dir) => {
+      val li = table(spark, dir, "lineitem")
+        .select(col("l_returnflag"),
+          floor(col("l_extendedprice") * lit(100.0) + lit(0.5)).cast("long").as("cents"),
+          floor(col("l_quantity") * lit(100.0) + lit(0.5)).cast("long").as("qh"),
+          col("l_orderkey"), col("l_linenumber"))
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(col("cents"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val tw = Window.partitionBy("l_returnflag")
+      li.withColumn("cum", sum("qh").over(w))
+        .withColumn("tot", sum("qh").over(tw))
+        .groupBy("l_returnflag")
+        .agg(min("tot").as("total_qh"),
+          min(when(lit(2L) * col("cum") >= col("tot"), col("cents"))).as("med_cents"))
+        .select(col("l_returnflag"), col("total_qh"),
+          (col("med_cents").cast("double") / lit(100.0)).as("weighted_median_price"))
+    }),
+
+    // WINSORIZED MEAN — the outlier treatment that CLAMPS instead of
+    // dropping: per event type, values clip to the exact [p05, p95]
+    // rank-picked cutpoints (the q72 floor(q·(n−1))+1 convention under
+    // the unique (value, event_id) order), then one combinable
+    // scaled-integer mean over the clamped values beside the raw mean.
+    // The 10-row cutpoint frame broadcasts back onto the scan — the
+    // clamp pass is map-side at any scale.
+    "q250_winsorized_mean" -> ((spark, dir) => {
+      val raw = table(spark, dir, "events")
+      val byType = Window.partitionBy("event_type")
+      val ranked = raw.select(col("event_type"), col("value"), col("event_id"))
+        .withColumn("rn", row_number().over(byType.orderBy(col("value"), col("event_id"))))
+        .withColumn("n", count(lit(1)).over(byType))
+      val cuts = ranked.groupBy("event_type")
+        .agg(min(when(col("rn") === floor(lit(0.05) * (col("n") - 1)) + lit(1),
+            col("value"))).as("lo"),
+          min(when(col("rn") === floor(lit(0.95) * (col("n") - 1)) + lit(1),
+            col("value"))).as("hi"))
+      raw.select(col("event_type"), col("value"))
+        .join(broadcast(cuts), Seq("event_type"))
+        .withColumn("clamped", greatest(col("lo"), least(col("hi"), col("value"))))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          min("lo").as("lo"), min("hi").as("hi"),
+          sum(when(col("value") < col("lo"), 1L).otherwise(0L)).as("n_clip_low"),
+          sum(when(col("value") > col("hi"), 1L).otherwise(0L)).as("n_clip_high"),
+          xsum(col("value"), 6).as("sum_raw"),
+          xsum(col("clamped"), 6).as("sum_winsorized"))
+        .select(col("event_type"), col("n"), col("lo"), col("hi"),
+          col("n_clip_low"), col("n_clip_high"),
+          pround(col("sum_raw") / col("n").cast("double"), 6).as("mean_raw"),
+          pround(col("sum_winsorized") / col("n").cast("double"), 6).as("mean_winsorized"))
+    }),
+
     // TPC-H Q3 SHAPE — unshipped-revenue shipping priority: BUILDING-
     // segment orders placed before the pivot whose lineitems ship after
     // it, top-10 by revenue. One orderkey fact-fact shuffle; the customer
@@ -4811,6 +4872,45 @@ object RelQueries {
          |       ${xsumSql("value", 6)} AS sum_value,
          |       ${sround(s"(${xsumSql("value", 6)}) / CAST(count(*) AS DOUBLE)", 6)} AS avg_value
          |FROM e GROUP BY event_type, dow""".stripMargin,
+
+    // the same integer running-weight threshold serially
+    "q249_weighted_median" ->
+      s"""WITH li AS (SELECT l_returnflag,
+         |    CAST(floor(l_extendedprice * ${dlit(100.0)} + ${dlit(0.5)}) AS BIGINT) AS cents,
+         |    CAST(floor(l_quantity * ${dlit(100.0)} + ${dlit(0.5)}) AS BIGINT) AS qh,
+         |    l_orderkey, l_linenumber
+         |  FROM lineitem),
+         |r AS (SELECT l_returnflag, cents, qh,
+         |        CAST(sum(qh) OVER (PARTITION BY l_returnflag
+         |          ORDER BY cents, l_orderkey, l_linenumber
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         |        CAST(sum(qh) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tot
+         |      FROM li)
+         |SELECT l_returnflag, CAST(min(tot) AS BIGINT) AS total_qh,
+         |       CAST(min(CASE WHEN 2 * cum >= tot THEN cents END) AS DOUBLE) / ${dlit(100.0)} AS weighted_median_price
+         |FROM r GROUP BY l_returnflag""".stripMargin,
+
+    // the same rank cutpoints + clamp serially
+    "q250_winsorized_mean" ->
+      s"""WITH r AS (SELECT event_type, value, event_id,
+         |        row_number() OVER (PARTITION BY event_type
+         |          ORDER BY value, event_id) AS rn,
+         |        CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+         |      FROM events),
+         |c AS (SELECT event_type,
+         |        min(CASE WHEN rn = floor(${dlit(0.05)} * (n - 1)) + 1 THEN value END) AS lo,
+         |        min(CASE WHEN rn = floor(${dlit(0.95)} * (n - 1)) + 1 THEN value END) AS hi
+         |      FROM r GROUP BY event_type),
+         |j AS (SELECT e.event_type, e.value, c.lo, c.hi,
+         |             greatest(c.lo, least(c.hi, e.value)) AS clamped
+         |      FROM events e JOIN c ON e.event_type = c.event_type)
+         |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |       min(lo) AS lo, min(hi) AS hi,
+         |       CAST(sum(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_low,
+         |       CAST(sum(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_high,
+         |       ${sround(s"(${xsumSql("value", 6)}) / CAST(count(*) AS DOUBLE)", 6)} AS mean_raw,
+         |       ${sround(s"(${xsumSql("clamped", 6)}) / CAST(count(*) AS DOUBLE)", 6)} AS mean_winsorized
+         |FROM j GROUP BY event_type""".stripMargin,
 
     // the same Q3 top-10 serially — integer-cents ordering keeps the cut set exact
     "q235_q3_shipping_priority" ->
