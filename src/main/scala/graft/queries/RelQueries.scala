@@ -2974,6 +2974,40 @@ object RelQueries {
           pround(col("sum_value") / col("n").cast("double"), 6))
     }),
 
+    // TPC-H Q9 SHAPE — product-type profit by supplier nation and order
+    // year (this schema has no partsupp, so cost is the part's retail
+    // price × quantity — the same two-term profit arithmetic). Both
+    // terms quantize to integer cents PER ROW before the
+    // order-independent sum, so profit = Σ(rev_cents − cost_cents) is
+    // exact; lineitem⋈orders is the one shuffle, part and
+    // supplier⋈nation broadcast. |nations|×|years| rows out.
+    "q253_q9_product_profit" -> ((spark, dir) => {
+      val o = table(spark, dir, "orders")
+        .select(col("o_orderkey"), year(col("o_orderdate")).cast("long").as("o_year"))
+      val li = table(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+            lit(100.0) + lit(0.5)).cast("long").as("rev_cents"),
+          col("l_quantity"))
+      val part = table(spark, dir, "part")
+        .where(col("p_type") === "ECONOMY")
+        .select(col("p_partkey"), col("p_retailprice"))
+      val supp = table(spark, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      val nat = table(spark, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .withColumn("cost_cents",
+          floor(col("p_retailprice") * col("l_quantity") * lit(100.0) + lit(0.5))
+            .cast("long"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"), col("o_year"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("rev_cents") - col("cost_cents")).as("profit_cents"))
+        .select(col("nation"), col("o_year"), col("n_items"),
+          (col("profit_cents").cast("double") / lit(100.0)).as("profit"))
+    }),
+
     // EXACT WEIGHTED MEDIAN — the robust-stats aggregate a plain median
     // ignores weights for: per return flag, the smallest price whose
     // cumulative QUANTITY weight reaches half the total. Entirely
@@ -4872,6 +4906,22 @@ object RelQueries {
          |       ${xsumSql("value", 6)} AS sum_value,
          |       ${sround(s"(${xsumSql("value", 6)}) / CAST(count(*) AS DOUBLE)", 6)} AS avg_value
          |FROM e GROUP BY event_type, dow""".stripMargin,
+
+    // the same two-term integer profit serially
+    "q253_q9_product_profit" ->
+      s"""WITH li AS (SELECT l_orderkey, l_suppkey,
+         |    CAST(floor(l_extendedprice * (${dlit(1.0)} - l_discount) * ${dlit(100.0)} + ${dlit(0.5)}) AS BIGINT) AS rev_cents,
+         |    CAST(floor(p_retailprice * l_quantity * ${dlit(100.0)} + ${dlit(0.5)}) AS BIGINT) AS cost_cents
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE p_type = 'ECONOMY')
+         |SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         |       CAST(count(*) AS BIGINT) AS n_items,
+         |       CAST(sum(rev_cents - cost_cents) AS DOUBLE) / ${dlit(100.0)} AS profit
+         |FROM li
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |GROUP BY n_name, o_year""".stripMargin,
 
     // the same integer running-weight threshold serially
     "q249_weighted_median" ->
