@@ -99,6 +99,15 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"semi join must not need a post-join distinct:\n$plan")
   }
 
+  test("q235's top-10 executes as TakeOrderedAndProject, never a global sort") {
+    val plan = RelQueries.defs("q235_q3_shipping_priority")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // orderBy+limit must fuse into the per-partition top-k + merge
+    // operator — a 100 TB aggregate never passes through one sorted task
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject:\n$plan")
+  }
+
   test("q241 broadcasts the per-part threshold frame back onto the fact") {
     val plan = RelQueries.defs("q241_q17_small_quantity")(spark, dir)
       .queryExecution.executedPlan.toString
