@@ -574,6 +574,47 @@ object VectorQueries {
   }
 
   val defs: Map[String, QFn] = Map(
+    // EMBEDDING DRIFT MONITOR — the vector-space sibling of q184's PSI:
+    // per label, the cosine between the centroids of two deterministic
+    // corpus halves (vec_id parity — in production, two snapshot dates).
+    // A drop below ~1 flags embedding-space drift between snapshots. The
+    // arithmetic is drift-proof itself: per-(label, half, dim) component
+    // sums are INTEGER (float32 components widen exactly, quantized to
+    // 1e-6ths), the per-dim mean divides integers once, the three dot
+    // products quantize per dim to integer 1e-9ths and sum as longs —
+    // the only non-integer ops are two IEEE-exact sqrts and one final
+    // division, identical on both engines. One combinable aggregation
+    // over the exploded components is the data-sized work; everything
+    // after is |labels|·64 rows.
+    "q254_embedding_drift" -> ((spark, dir) => {
+      val e = spread(table(spark, dir, "embeddings"))
+        .select(col("label"), (col("vec_id") % 2).as("half"),
+          posexplode(col("embedding")))
+        .withColumnRenamed("col", "c")
+      val means = e.groupBy("label", "half", "pos")
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("c").cast("double") * lit(1.0e6) + lit(0.5))
+            .cast("long")).as("s"))
+        .withColumn("m",
+          pround(col("s").cast("double") / (col("n").cast("double") * lit(1.0e6)), 6))
+      val a = means.where(col("half") === 0)
+        .select(col("label"), col("pos"), col("m").as("ma"), col("n").as("n_a"))
+      val b = means.where(col("half") === 1)
+        .select(col("label"), col("pos"), col("m").as("mb"), col("n").as("n_b"))
+      a.join(b, Seq("label", "pos"))
+        .select(col("label"), col("n_a"), col("n_b"),
+          floor(col("ma") * col("mb") * lit(1.0e9) + lit(0.5)).cast("long").as("dq"),
+          floor(col("ma") * col("ma") * lit(1.0e9) + lit(0.5)).cast("long").as("aq"),
+          floor(col("mb") * col("mb") * lit(1.0e9) + lit(0.5)).cast("long").as("bq"))
+        .groupBy("label")
+        .agg(min("n_a").as("n_a"), min("n_b").as("n_b"),
+          sum("dq").as("dot"), sum("aq").as("na"), sum("bq").as("nb"))
+        .select(col("label"), col("n_a"), col("n_b"),
+          pround(col("dot").cast("double") /
+            (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 6)
+            .as("centroid_cos"))
+    }),
+
     // product-quantization ANN (codebook train -> encode -> asymmetric
     // distance scan): the billion-vector serving layout where the corpus
     // is stored as PqM small codes (8 bytes/vector here vs 256 for the
@@ -1485,6 +1526,31 @@ object VectorQueries {
        |FROM perq""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the same integer component sums + quantized per-dim products
+    // serially; sqrt is IEEE-correctly-rounded in both engines
+    "q254_embedding_drift" ->
+      s"""WITH x AS (SELECT label, vec_id % 2 AS half, embedding,
+         |                  unnest(range(1, len(embedding) + 1)) AS i
+         |           FROM embeddings),
+         |c AS (SELECT label, half, (i - 1) AS pos,
+         |        CAST(floor(CAST(embedding[i] AS DOUBLE) * ${dlit(1.0e6)} + ${dlit(0.5)}) AS BIGINT) AS cq
+         |      FROM x),
+         |m0 AS (SELECT label, half, pos, CAST(count(*) AS BIGINT) AS n,
+         |              CAST(sum(cq) AS BIGINT) AS s
+         |       FROM c GROUP BY label, half, pos),
+         |m AS (SELECT *, ${sround(s"CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * ${dlit(1.0e6)})", 6)} AS mm FROM m0),
+         |j AS (SELECT a.label, a.pos, a.n AS n_a, b.n AS n_b, a.mm AS ma, b.mm AS mb
+         |      FROM m a JOIN m b ON a.label = b.label AND a.pos = b.pos
+         |      WHERE a.half = 0 AND b.half = 1),
+         |t AS (SELECT label, n_a, n_b,
+         |        CAST(floor(ma * mb * ${dlit(1.0e9)} + ${dlit(0.5)}) AS BIGINT) AS dq,
+         |        CAST(floor(ma * ma * ${dlit(1.0e9)} + ${dlit(0.5)}) AS BIGINT) AS aq,
+         |        CAST(floor(mb * mb * ${dlit(1.0e9)} + ${dlit(0.5)}) AS BIGINT) AS bq
+         |      FROM j)
+         |SELECT label, CAST(min(n_a) AS BIGINT) AS n_a, CAST(min(n_b) AS BIGINT) AS n_b,
+         |       ${sround("CAST(sum(dq) AS DOUBLE) / (sqrt(CAST(sum(aq) AS DOUBLE)) * sqrt(CAST(sum(bq) AS DOUBLE)))", 6)} AS centroid_cos
+         |FROM t GROUP BY label""".stripMargin,
+
     "q89_pq_adc" ->
       s"""WITH $pqCtes
          |SELECT query_id, vec_id, adc FROM (
