@@ -573,6 +573,21 @@ object VectorQueries {
            pround(sum(col("hits")).cast("double") / (count(lit(1)) * 5), 6).as("recall_at_5"))
   }
 
+  /** q254's per-(label, half, dim) integer component-sum frame — the
+    * drift monitor's only data-sized aggregation, factored out because
+    * its (count, sum) state merges under (+, +): the SAME definition runs
+    * batch, feeds the oracle arithmetic, and is maintained LIVE by
+    * [[graft.streaming.SketchStreaming.centroidSums]] (Complete-mode
+    * state = this bounded |labels|·2·dim table). */
+  private[graft] def centroidSums(vecs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    vecs.select(col("label"), (col("vec_id") % 2).as("half"),
+        posexplode(col("embedding")))
+      .withColumnRenamed("col", "c")
+      .groupBy("label", "half", "pos")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("c").cast("double") * lit(1.0e6) + lit(0.5))
+          .cast("long")).as("s"))
+
   val defs: Map[String, QFn] = Map(
     // EMBEDDING DRIFT MONITOR — the vector-space sibling of q184's PSI:
     // per label, the cosine between the centroids of two deterministic
@@ -587,14 +602,7 @@ object VectorQueries {
     // over the exploded components is the data-sized work; everything
     // after is |labels|·64 rows.
     "q254_embedding_drift" -> ((spark, dir) => {
-      val e = spread(table(spark, dir, "embeddings"))
-        .select(col("label"), (col("vec_id") % 2).as("half"),
-          posexplode(col("embedding")))
-        .withColumnRenamed("col", "c")
-      val means = e.groupBy("label", "half", "pos")
-        .agg(count(lit(1)).as("n"),
-          sum(floor(col("c").cast("double") * lit(1.0e6) + lit(0.5))
-            .cast("long")).as("s"))
+      val means = centroidSums(spread(table(spark, dir, "embeddings")))
         .withColumn("m",
           pround(col("s").cast("double") / (col("n").cast("double") * lit(1.0e6)), 6))
       val a = means.where(col("half") === 0)

@@ -48,4 +48,13 @@ object SketchStreaming {
     * |est − exact| ≤ (vmax − vmin)/2 theorem holds mid-stream. */
   def ddSketchBins(values: DataFrame): DataFrame =
     graft.queries.RelQueries.ddSketch(values)
+
+  /** Live per-(label, half, dim) centroid component sums — q254's drift
+    * monitor maintained over a stream of (vec_id, label, embedding) rows.
+    * Both aggregates merge under +, so Complete-mode state is the bounded
+    * |labels|·2·dim sum table and ANY snapshot run through q254's tail
+    * (mean → quantized per-dim products → cosine) is exactly the batch
+    * drift readout of everything streamed so far. */
+  def centroidSums(vecs: DataFrame): DataFrame =
+    graft.queries.VectorQueries.centroidSums(vecs)
 }

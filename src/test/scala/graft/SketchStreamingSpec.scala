@@ -113,4 +113,37 @@ class SketchStreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"batch-only: ${(batch.toSet -- streamed.toSet).take(3)}")
     assert(streamed.contains(-1000000L), "zero low store must be present")
   }
+
+  test("streaming centroid sums equal the batch q254 frame after replay") {
+    val ss = spark
+    import ss.implicits._
+    val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "label", "embedding")
+      .as[(Long, Int, Array[Float])].collect()
+    assert(vecs.length > 400, "fixture should stream a real embedding table")
+
+    val stream = MemoryStream[(Long, Int, Array[Float])](spark)
+    val q = SketchStreaming.centroidSums(
+        stream.toDF().toDF("vec_id", "label", "embedding"))
+      .writeStream.format("memory").queryName("centroid_sums")
+      .outputMode("complete").start()
+    val dim = vecs.head._3.length
+    vecs.grouped(100).foreach { chunk =>
+      stream.addData(chunk.toIndexedSeq); q.processAllAvailable()
+      // the state bound: labels × 2 halves × dim rows forever
+      assert(spark.table("centroid_sums").count() <= 10L * 2 * dim)
+    }
+    q.stop()
+
+    val streamed = spark.table("centroid_sums")
+      .as[(Int, Long, Int, Long, Long)].collect()
+      .map(r => (r._1, r._2, r._3) -> ((r._4, r._5))).toMap
+    val batch = graft.queries.VectorQueries
+      .centroidSums(vecs.toSeq.toDF("vec_id", "label", "embedding"))
+      .as[(Int, Long, Int, Long, Long)].collect()
+      .map(r => (r._1, r._2, r._3) -> ((r._4, r._5))).toMap
+    assert(streamed == batch,
+      s"stream-only: ${(streamed.toSet -- batch.toSet).take(3)}; " +
+        s"batch-only: ${(batch.toSet -- streamed.toSet).take(3)}")
+  }
 }
