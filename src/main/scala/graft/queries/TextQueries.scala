@@ -141,6 +141,34 @@ object TextQueries {
     * ~1e-10 per DISTINCT TERM rather than per score. */
 
   val defs: Map[String, QFn] = Map(
+    // TRAINING-MIX PLANNER — the data-mixture table a pre-training run
+    // reads: per (declared lang × quality band), document and token
+    // counts plus each cell's share of the total token budget. Bands cut
+    // at FIXED absolute thresholds (0.25/0.5/0.75 on the q36 composite,
+    // exactly-representable doubles) — a map-side CASE, deliberately NOT
+    // rank quartiles: a global corpus ranking would sort the doc frame
+    // through one task at 100 TB, while fixed cuts keep the whole query
+    // one combinable aggregation + a broadcast 1-row total. The quality
+    // arithmetic is q36's, shared via its defs entry.
+    "q255_training_mix" -> ((spark, dir) => {
+      val qf = defs("q36_quality_score")(spark, dir)
+        .select(col("doc_id"), col("n_tokens"), col("quality"))
+      val d = table(spark, dir, "documents").select(col("doc_id"), col("lang"))
+      val band = when(col("quality") < 0.25, "q1")
+        .when(col("quality") < 0.5, "q2")
+        .when(col("quality") < 0.75, "q3")
+        .otherwise("q4")
+      val g = qf.join(d, "doc_id").withColumn("band", band)
+        .groupBy("lang", "band")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens").cast("long")).as("n_tokens"))
+      val tot = g.agg(sum("n_tokens").as("total_tokens"))
+      g.crossJoin(broadcast(tot))
+        .select(col("lang"), col("band"), col("n_docs"), col("n_tokens"),
+          pround(col("n_tokens").cast("double") /
+            col("total_tokens").cast("double"), 6).as("token_share"))
+    }),
+
     // language ID: argmax of marker-token counts (ties by profile order)
     "q35_lang_id" -> ((spark, dir) => {
       val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
@@ -1036,6 +1064,34 @@ object TextQueries {
          |s AS (SELECT doc_id, $scores FROM t)
          |SELECT doc_id, CASE WHEN $g = 0 THEN 'und' $chain ELSE 'und' END AS pred_lang FROM s""".stripMargin
     },
+
+    // the same q36 quality arithmetic + fixed band cuts serially
+    "q255_training_mix" ->
+      s"""WITH t AS (SELECT doc_id, lang, text, $toksSqlD AS toks FROM documents),
+         |d AS (SELECT doc_id, lang,
+         |        CAST(len(toks) AS INT) AS n_tokens,
+         |        CAST(len(list_distinct(toks)) AS INT) AS n_types,
+         |        CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS INT) AS n_punct,
+         |        CAST(length(text) AS INT) AS n_chars,
+         |        CAST(len(list_filter(toks, t -> t IN (${Stopwords.map(w => s"'$w'").mkString(", ")}))) AS INT) AS n_stop
+         |      FROM t),
+         |q AS (SELECT doc_id, lang, n_tokens,
+         |        ${sround("n_types::DOUBLE / n_tokens * 0.5 + (1.0 - n_punct::DOUBLE / n_chars) * 0.3 + (1.0 - n_stop::DOUBLE / n_tokens) * 0.2", 6)} AS quality
+         |      FROM d),
+         |b AS (SELECT lang,
+         |        CASE WHEN quality < 0.25 THEN 'q1'
+         |             WHEN quality < 0.5  THEN 'q2'
+         |             WHEN quality < 0.75 THEN 'q3'
+         |             ELSE 'q4' END AS band,
+         |        n_tokens
+         |      FROM q),
+         |g AS (SELECT lang, band, CAST(count(*) AS BIGINT) AS n_docs,
+         |             CAST(sum(CAST(n_tokens AS BIGINT)) AS BIGINT) AS n_tokens
+         |      FROM b GROUP BY lang, band),
+         |tt AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM g)
+         |SELECT lang, band, n_docs, n_tokens,
+         |       ${sround("CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)", 6)} AS token_share
+         |FROM g CROSS JOIN tt""".stripMargin,
 
     "q36_quality_score" ->
       s"""WITH t AS (SELECT doc_id, text, $toksSqlD AS toks FROM documents),
