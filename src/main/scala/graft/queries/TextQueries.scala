@@ -140,6 +140,31 @@ object TextQueries {
     * value: a flip now needs an idf within 1 ulp of a rounding boundary,
     * ~1e-10 per DISTINCT TERM rather than per score. */
 
+  /** The q36 per-doc quality frame WITH lang — one scan computes every
+    * signal, so q36 (per-doc report) and q255 (mix table) share the
+    * arithmetic without a doc-sized join to recover the language. */
+  private def qualityFrame(spark: org.apache.spark.sql.SparkSession,
+                           dir: String): org.apache.spark.sql.DataFrame = {
+    val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+    val d = spread(table(spark, dir, "documents"))
+      .select(col("doc_id"), col("lang"), col("text"), toks.as("toks"))
+      .select(col("doc_id"), col("lang"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_types"),
+        length(regexp_replace(lower(col("text")), "[a-z0-9\\s]", "")).as("n_punct"),
+        length(col("text")).as("n_chars"),
+        size(filter(col("toks"),
+          t => Stopwords.map(w => t === w).reduce(_ || _))).as("n_stop"))
+    d.select(col("doc_id"), col("lang"), col("n_tokens"),
+      pround(col("n_types").cast("double") / col("n_tokens"), 6).as("ttr"),
+      pround(col("n_punct").cast("double") / col("n_chars"), 6).as("punct_ratio"),
+      pround(col("n_stop").cast("double") / col("n_tokens"), 6).as("stop_ratio"),
+      pround(
+        col("n_types").cast("double") / col("n_tokens") * 0.5 +
+          (lit(1.0) - col("n_punct").cast("double") / col("n_chars")) * 0.3 +
+          (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")) * 0.2, 6).as("quality"))
+  }
+
   val defs: Map[String, QFn] = Map(
     // TRAINING-MIX PLANNER — the data-mixture table a pre-training run
     // reads: per (declared lang × quality band), document and token
@@ -149,16 +174,16 @@ object TextQueries {
     // rank quartiles: a global corpus ranking would sort the doc frame
     // through one task at 100 TB, while fixed cuts keep the whole query
     // one combinable aggregation + a broadcast 1-row total. The quality
-    // arithmetic is q36's, shared via its defs entry.
+    // arithmetic is q36's, shared via [[qualityFrame]] (which carries
+    // lang so no doc-sized join-back is ever needed).
     "q255_training_mix" -> ((spark, dir) => {
-      val qf = defs("q36_quality_score")(spark, dir)
-        .select(col("doc_id"), col("n_tokens"), col("quality"))
-      val d = table(spark, dir, "documents").select(col("doc_id"), col("lang"))
+      val qf = qualityFrame(spark, dir)
+        .select(col("lang"), col("n_tokens"), col("quality"))
       val band = when(col("quality") < 0.25, "q1")
         .when(col("quality") < 0.5, "q2")
         .when(col("quality") < 0.75, "q3")
         .otherwise("q4")
-      val g = qf.join(d, "doc_id").withColumn("band", band)
+      val g = qf.withColumn("band", band)
         .groupBy("lang", "band")
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens").cast("long")).as("n_tokens"))
@@ -188,26 +213,9 @@ object TextQueries {
     }),
 
     // quality score: token stats + punctuation + stopword density
-    "q36_quality_score" -> ((spark, dir) => {
-      val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
-      val d = spread(table(spark, dir, "documents"))
-        .select(col("doc_id"), col("text"), toks.as("toks"))
-        .select(col("doc_id"),
-          size(col("toks")).as("n_tokens"),
-          size(array_distinct(col("toks"))).as("n_types"),
-          length(regexp_replace(lower(col("text")), "[a-z0-9\\s]", "")).as("n_punct"),
-          length(col("text")).as("n_chars"),
-          size(filter(col("toks"),
-            t => Stopwords.map(w => t === w).reduce(_ || _))).as("n_stop"))
-      d.select(col("doc_id"), col("n_tokens"),
-        pround(col("n_types").cast("double") / col("n_tokens"), 6).as("ttr"),
-        pround(col("n_punct").cast("double") / col("n_chars"), 6).as("punct_ratio"),
-        pround(col("n_stop").cast("double") / col("n_tokens"), 6).as("stop_ratio"),
-        pround(
-          col("n_types").cast("double") / col("n_tokens") * 0.5 +
-            (lit(1.0) - col("n_punct").cast("double") / col("n_chars")) * 0.3 +
-            (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")) * 0.2, 6).as("quality"))
-    }),
+    "q36_quality_score" -> ((spark, dir) =>
+      qualityFrame(spark, dir)
+        .select("doc_id", "n_tokens", "ttr", "punct_ratio", "stop_ratio", "quality")),
 
     // token counting: whitespace tokens + BPE-ish regex pieces
     "q37_token_count" -> ((spark, dir) =>
