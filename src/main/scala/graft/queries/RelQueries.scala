@@ -3367,6 +3367,101 @@ object RelQueries {
         .select(col("o_year"), col("nation_cents"), col("total_cents"),
           pround(col("nation_cents").cast("double") /
             col("total_cents").cast("double"), 6).as("mkt_share"))
+    }),
+
+    // TPC-H Q12 SHAPE — shipping-priority audit: for 1997-shipped
+    // lineitems that shipped LATE (> 60 days after the order date — this
+    // schema's commitdate/receiptdate analogue, the q236 constant), count
+    // critical-priority vs other orders per returnflag (the shipmode
+    // stand-in). Both sides are fact-sized, so this is the one deliberate
+    // fact⋈fact orderkey shuffle with a theta residual; three rows out at
+    // any scale.
+    "q256_q12_late_priority" -> ((spark, dir) => {
+      val li0 = table(spark, dir, "lineitem")
+      val li = li0.select(col("l_orderkey"), col("l_returnflag"),
+          QueryBase.tsUs(li0, "l_shipdate").as("ship_us"))
+        .where(col("ship_us") >= Jan97Us && col("ship_us") < Cut98Us)
+      val o0 = table(spark, dir, "orders")
+      val o = o0.select(col("o_orderkey"), col("o_orderpriority"),
+        QueryBase.tsUs(o0, "o_orderdate").as("odate_us"))
+      li.join(o, col("l_orderkey") === col("o_orderkey") &&
+          col("ship_us") > col("odate_us") + lit(LateShipUs))
+        .groupBy("l_returnflag")
+        .agg(
+          sum(when(col("o_orderpriority") === "1-URGENT" ||
+            col("o_orderpriority") === "2-HIGH", 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority") =!= "1-URGENT" &&
+            col("o_orderpriority") =!= "2-HIGH", 1L).otherwise(0L)).as("low_line_count"))
+    }),
+
+    // TPC-H Q11 SHAPE — important-part value concentration: per-part
+    // shipped value through ShareNation's suppliers, keeping parts whose
+    // value exceeds 0.1% of the nation total (INTEGER-EXACT:
+    // value_cents·1000 > total_cents, no division — this schema carries
+    // no partsupp, so lineitem is the supply-fact association). The
+    // grouped frame is computed ONCE (tcache) and feeds both the 1-row
+    // broadcast total and the HAVING probe; one partkey shuffle total.
+    "q257_q11_important_parts" -> ((spark, dir) => {
+      val supp = table(spark, dir, "supplier")
+        .where(col("s_nationkey") === ShareNationKey).select(col("s_suppkey"))
+      val byPart = tcache(table(spark, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"),
+          floor(col("l_extendedprice") * lit(100.0) + lit(0.5)).cast("long").as("cents"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("l_partkey").agg(sum("cents").as("value_cents")), "q257:bypart")
+      val tot = byPart.agg(sum("value_cents").as("total_cents"))
+      byPart.crossJoin(broadcast(tot))
+        .where(col("value_cents") * lit(1000L) > col("total_cents"))
+        .select(col("l_partkey"), col("value_cents"),
+          (col("value_cents").cast("double") / lit(100.0)).as("value"))
+    }),
+
+    // TPC-H Q16 SHAPE — supplier breadth per part attribute: distinct
+    // suppliers that ever shipped each retained (brand, type, size)
+    // combination, excluding negative-balance suppliers (the customer-
+    // complaints analogue). The observed (partkey, suppkey) pairs dedup
+    // in ONE partkey-side shuffle; the exclusion list and the filtered
+    // part dim both broadcast; countDistinct rides the group-by shuffle.
+    "q258_q16_supplier_counts" -> ((spark, dir) => {
+      val excl = table(spark, dir, "supplier")
+        .where(col("s_acctbal") < lit(0.0)).select(col("s_suppkey").as("xk"))
+      val pairs = table(spark, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+        .join(broadcast(excl), col("l_suppkey") === col("xk"), "left_anti")
+      val p = table(spark, dir, "part")
+        .where(col("p_brand") =!= "Brand#12" && col("p_type") =!= "MEDIUM" &&
+          col("p_size").isin(Q16Sizes: _*))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+      pairs.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    }),
+
+    // TPC-H Q20 SHAPE — promotion-ready suppliers: suppliers for whom
+    // some PROMO part shipped MORE than half its lifetime volume during
+    // 1997 (2·qty97 > qtot in quantity hundredths — the availqty>½·year
+    // analogue without partsupp). Both the year slice and the lifetime
+    // total ride ONE (suppkey, partkey) aggregation pass (conditional
+    // sum, no self-join); the supplier dim broadcasts onto the
+    // qualifying-part counts.
+    "q259_q20_part_promotion" -> ((spark, dir) => {
+      val promo = table(spark, dir, "part")
+        .where(col("p_type") === "PROMO").select(col("p_partkey"))
+      val li0 = table(spark, dir, "lineitem")
+      val qual = li0.select(col("l_partkey"), col("l_suppkey"),
+          floor(col("l_quantity") * lit(100.0) + lit(0.5)).cast("long").as("qh"),
+          QueryBase.tsUs(li0, "l_shipdate").as("ship_us"))
+        .join(broadcast(promo), col("l_partkey") === col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(sum(when(col("ship_us") >= Jan97Us && col("ship_us") < Cut98Us,
+            col("qh")).otherwise(0L)).as("qty97"),
+          sum("qh").as("qtot"))
+        .where(col("qty97") * lit(2L) > col("qtot"))
+      qual.groupBy("l_suppkey").agg(count(lit(1)).as("n_parts"))
+        .join(broadcast(table(spark, dir, "supplier")
+            .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_parts"))
     })
   )
 
@@ -3465,8 +3560,13 @@ object RelQueries {
     * order date flags the order (the commitdate<receiptdate analogue —
     * this schema carries no commit/receipt dates). */
   private val LateShipUs = 60L * 86400000000L
-  /** q245's market-share supplier nation (n_nationkey 8). */
+  /** q245's market-share supplier nation (n_nationkey 8); q257 reuses it
+    * as the Q11 value-concentration scope. */
   private val ShareNationKey = 8
+
+  /** q258's retained part sizes (the TPC-H Q16 size IN-list, spaced over
+    * this generator's 1..50 range) — ONE list, both engines. */
+  private val Q16Sizes = Seq(1, 5, 10, 15, 20, 25, 30, 35)
 
   /** q220's error-budget threshold (events are ~20% errors by
     * construction, so days oscillate around it — breaches are real). */
@@ -5134,6 +5234,55 @@ object RelQueries {
          |      GROUP BY o_year)
          |SELECT o_year, nation_cents, total_cents,
          |       ${sround("CAST(nation_cents AS DOUBLE) / CAST(total_cents AS DOUBLE)", 6)} AS mkt_share
-         |FROM g""".stripMargin
+         |FROM g""".stripMargin,
+
+    // the same late-shipment priority split serially
+    "q256_q12_late_priority" ->
+      s"""SELECT l_returnflag,
+         |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+         |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE epoch_us(l_shipdate) >= $Jan97Us AND epoch_us(l_shipdate) < $Cut98Us
+         |  AND epoch_us(l_shipdate) > epoch_us(o_orderdate) + $LateShipUs
+         |GROUP BY l_returnflag""".stripMargin,
+
+    // the same integer-exact 0.1%-of-total concentration serially
+    "q257_q11_important_parts" ->
+      s"""WITH byp AS (SELECT l_partkey,
+         |    CAST(sum(CAST(floor(l_extendedprice * ${dlit(100.0)} + ${dlit(0.5)}) AS BIGINT)) AS BIGINT) AS value_cents
+         |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         |  WHERE s_nationkey = $ShareNationKey
+         |  GROUP BY l_partkey),
+         |t AS (SELECT CAST(sum(value_cents) AS BIGINT) AS total_cents FROM byp)
+         |SELECT l_partkey, value_cents,
+         |       CAST(value_cents AS DOUBLE) / ${dlit(100.0)} AS value
+         |FROM byp CROSS JOIN t
+         |WHERE value_cents * 1000 > total_cents""".stripMargin,
+
+    // the same excluded-supplier breadth count serially
+    "q258_q16_supplier_counts" ->
+      s"""WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+         |  WHERE l_suppkey NOT IN
+         |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < ${dlit(0.0)}))
+         |SELECT p_brand, p_type, p_size,
+         |       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+         |FROM pairs JOIN part ON l_partkey = p_partkey
+         |WHERE p_brand <> 'Brand#12' AND p_type <> 'MEDIUM'
+         |  AND p_size IN (${Q16Sizes.mkString(", ")})
+         |GROUP BY p_brand, p_type, p_size""".stripMargin,
+
+    // the same one-pass half-of-lifetime promotion gate serially
+    "q259_q20_part_promotion" ->
+      s"""WITH q AS (SELECT l_suppkey, l_partkey,
+         |    CAST(sum(CASE WHEN epoch_us(l_shipdate) >= $Jan97Us AND epoch_us(l_shipdate) < $Cut98Us
+         |      THEN CAST(floor(l_quantity * ${dlit(100.0)} + ${dlit(0.5)}) AS BIGINT) ELSE 0 END) AS BIGINT) AS qty97,
+         |    CAST(sum(CAST(floor(l_quantity * ${dlit(100.0)} + ${dlit(0.5)}) AS BIGINT)) AS BIGINT) AS qtot
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE p_type = 'PROMO'
+         |  GROUP BY l_suppkey, l_partkey)
+         |SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS n_parts
+         |FROM (SELECT l_suppkey FROM q WHERE qty97 * 2 > qtot) s
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |GROUP BY s_suppkey, s_name""".stripMargin
   )
 }
