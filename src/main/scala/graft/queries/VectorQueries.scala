@@ -1279,6 +1279,61 @@ object VectorQueries {
           sum(when(col("label") === col("true_label"), 1L).otherwise(0L)).as("n_correct"))
         .withColumn("acc",
           pround(col("n_correct").cast("double") / col("n").cast("double"), 6))
+    }),
+
+    // NDCG@10 — completes the retrieval-metric trio beside q49/q101
+    // recall and q215 MRR: graded list quality of the SAME LSH-bucketed
+    // retrieval q215 measures, with label agreement as binary relevance.
+    // Position discounts 1/log2(rank+1) are quantized ONCE to integer
+    // micros ([[NdcgWMicros]]) and the per-query ideal is the prefix sum
+    // at min(R, 10) — R from the broadcast label-count frame, so a query
+    // whose class has < 10 members (the sf0.001 regime) is normalized
+    // honestly, not against an unreachable ideal. DCG and IDCG are exact
+    // BIGINTs; one division per query, then the q215-shaped mean. The
+    // corpus fans out only through the bounded LSH bucket join — never
+    // all-pairs — and the label-count frame is |labels|-sized.
+    "q260_retrieval_ndcg" -> ((spark, dir) => {
+      val emb = spread(table(spark, dir, "embeddings"))
+      val q = emb.where(col("vec_id") < QueryCount)
+        .select(col("vec_id").as("query_id"), col("label").as("qlabel"))
+      val labelCnt = emb.groupBy(col("label").as("cl"))
+        .agg(count(lit(1)).as("cnt"))
+      val wq = Window.partitionBy("query_id").orderBy(desc("cos"), col("vec_id"))
+      val embB = emb.select(col("vec_id"), col("embedding"), col("label"),
+        explode(bucketsCol(col("embedding"))).as("bucket"))
+      val qb = embB.where(col("vec_id") < QueryCount)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("bucket"))
+      val wArr = array(NdcgWMicros.map(lit): _*)
+      val iArr = array(NdcgIdealMicros.map(lit): _*)
+      val dcg = embB.join(broadcast(qb), Seq("bucket"))
+        .where(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("qe"), col("vec_id"), col("embedding"), col("label"))
+        .distinct()
+        .select(col("query_id"), col("vec_id"), col("label"),
+          pround(cosUdf(col("qe"), col("embedding")), 6).as("cos"))
+        .withColumn("rank", row_number().over(wq)).where(col("rank") <= NdcgK)
+        .join(broadcast(q), Seq("query_id"))
+        .groupBy("query_id")
+        .agg(sum(when(col("label") === col("qlabel"),
+            element_at(wArr, col("rank"))).otherwise(0L)).as("dcg_micros"),
+          sum(when(col("label") === col("qlabel"), 1L).otherwise(0L)).as("n_rel_top"))
+      q.join(broadcast(labelCnt), col("qlabel") === col("cl"))
+        .select(col("query_id"), (col("cnt") - lit(1L)).as("r"))
+        .join(dcg, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("dcg_micros"), lit(0L)).as("dcg_micros"),
+          coalesce(col("n_rel_top"), lit(0L)).as("n_rel_top"),
+          when(col("r") >= 1L,
+            element_at(iArr, least(col("r"), lit(NdcgK.toLong)).cast("int")))
+            .otherwise(lit(0L)).as("ideal_micros"))
+        .withColumn("ndcg", when(col("ideal_micros") > 0L,
+          pround(col("dcg_micros").cast("double") /
+            col("ideal_micros").cast("double"), 9)).otherwise(lit(0.0)))
+        .agg(count(lit(1)).as("n_queries"),
+          sum("n_rel_top").as("n_rel_hits"),
+          xsum(col("ndcg"), 9).as("ndcg_sum"))
+        .select(col("n_queries"), col("n_rel_hits"),
+          pround(col("ndcg_sum") / col("n_queries").cast("double"), 9).as("mean_ndcg"))
     })
   )
 
@@ -1294,6 +1349,15 @@ object VectorQueries {
     * standard k=60 dampener and a depth-10 cut per ranking side. */
   private val RrfK = 60
   private val RrfDepth = 10
+
+  /** q260 NDCG geometry — depth-10 cut; position discounts 1/log2(k+1)
+    * quantized ONCE to integer micros (so DCG/IDCG are exact BIGINTs on
+    * both engines), plus their prefix sums for the min(R, 10) ideal.
+    * ONE place, embedded into the oracle SQL as integer literals. */
+  private val NdcgK = 10
+  private val NdcgWMicros: Seq[Long] =
+    (1 to NdcgK).map(k => math.round(1e6 * math.log(2.0) / math.log(k + 1.0)))
+  private val NdcgIdealMicros: Seq[Long] = NdcgWMicros.scanLeft(0L)(_ + _).tail
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -1971,7 +2035,40 @@ object VectorQueries {
          |SELECT true_label, CAST(count(*) AS BIGINT) AS n,
          |       CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
          |       ${sround("CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)", 6)} AS acc
-         |FROM p GROUP BY true_label""".stripMargin
+         |FROM p GROUP BY true_label""".stripMargin,
+
+    // the same micro-quantized discounts and min(R,10) ideal serially
+    "q260_retrieval_ndcg" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, label AS qlabel FROM embeddings WHERE vec_id < $QueryCount),
+         |lc AS (SELECT label AS cl, CAST(count(*) AS BIGINT) AS cnt FROM embeddings GROUP BY label),
+         |e AS (SELECT vec_id, embedding, label, unnest(${bucketsSql("embedding")}) AS bucket FROM embeddings),
+         |qb AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM e WHERE vec_id < $QueryCount),
+         |cand AS (SELECT DISTINCT qb.query_id, qb.qe, e.vec_id, e.embedding, e.label
+         |         FROM e JOIN qb USING (bucket) WHERE e.vec_id <> qb.query_id),
+         |ranked AS (SELECT query_id, vec_id, label,
+         |             row_number() OVER (PARTITION BY query_id ORDER BY ${sround(cosSql("qe", "embedding"), 6)} DESC, vec_id) AS rank
+         |           FROM cand),
+         |d AS (SELECT r.query_id,
+         |        CAST(sum(CASE WHEN r.label = q.qlabel THEN [${NdcgWMicros.mkString(", ")}][r.rank] ELSE 0 END) AS BIGINT) AS dcg_micros,
+         |        CAST(sum(CASE WHEN r.label = q.qlabel THEN 1 ELSE 0 END) AS BIGINT) AS n_rel_top
+         |      FROM ranked r JOIN q USING (query_id) WHERE r.rank <= $NdcgK
+         |      GROUP BY r.query_id),
+         |p AS (SELECT q.query_id,
+         |        CAST(coalesce(dcg_micros, 0) AS BIGINT) AS dcg_micros,
+         |        CAST(coalesce(n_rel_top, 0) AS BIGINT) AS n_rel_top,
+         |        CASE WHEN cnt - 1 >= 1
+         |             THEN [${NdcgIdealMicros.mkString(", ")}][CAST(least(cnt - 1, $NdcgK) AS INT)]
+         |             ELSE 0 END AS ideal_micros
+         |      FROM q JOIN lc ON qlabel = cl LEFT JOIN d ON q.query_id = d.query_id),
+         |n AS (SELECT query_id, n_rel_top,
+         |        CASE WHEN ideal_micros > 0
+         |             THEN ${sround("CAST(dcg_micros AS DOUBLE) / CAST(ideal_micros AS DOUBLE)", 9)}
+         |             ELSE ${dlit(0.0)} END AS ndcg
+         |      FROM p)
+         |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         |       CAST(sum(n_rel_top) AS BIGINT) AS n_rel_hits,
+         |       ${sround(s"(${xsumSql("ndcg", 9)}) / CAST(count(*) AS DOUBLE)", 9)} AS mean_ndcg
+         |FROM n""".stripMargin
   )
 }
 

@@ -118,4 +118,34 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("SortMergeJoin"),
       s"q241 must not shuffle the fact side:\n$plan")
   }
+
+  test("q257 reuses the cached per-part frame and broadcasts the 1-row total") {
+    val plan = RelQueries.defs("q257_q11_important_parts")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the partkey aggregation is tcached: both the total and the HAVING
+    // probe must read the SAME materialization, never re-aggregate the
+    // supply facts twice
+    val cached = "InMemoryTableScan".r.findAllIn(plan).size
+    assert(cached >= 2, s"expected both q257 consumers on the cache, got $cached:\n$plan")
+    // the concentration threshold joins via the broadcast 1-row total
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"q257's scalar total must broadcast:\n$plan")
+  }
+
+  test("q258's supplier exclusion is a broadcast anti-join, nothing shuffles but the pair dedup") {
+    val plan = RelQueries.defs("q258_q16_supplier_counts")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), s"expected an anti join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"q258's dims must broadcast, not shuffle the pairs:\n$plan")
+  }
+
+  test("q259 keeps part and supplier dims broadcast around the one-pass pair aggregate") {
+    val plan = RelQueries.defs("q259_q20_part_promotion")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val bc = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(bc >= 2, s"expected promo-part + supplier joins broadcast, got $bc:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"q259 must not shuffle-join the fact side:\n$plan")
+  }
 }
