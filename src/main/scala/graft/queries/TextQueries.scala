@@ -69,15 +69,24 @@ object TextQueries {
   private val PostingBuckets = 8
   private val SearchTerms = 3
 
+  /** The postings derivation — (term, doc_id, tf) from a documents frame.
+    * ONE definition: the q148 at-rest build AND the streaming appender
+    * ([[graft.streaming.StreamingPostingsAppend]]) both call this, so the
+    * stream-maintained index is row-identical to a rebuild by
+    * construction (the encodeAgainstIndex discipline applied to text). */
+  private[graft] def postingsOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+    docs.select(col("doc_id"), explode(toks).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+  }
+
   private def invertedIndexTables(spark: org.apache.spark.sql.SparkSession,
                                   dir: String): (String, String) = {
     val names = AtRestTables.get(spark, s"invidx|$dir") { base =>
       val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
       val pT = s"graft_inv_post_$sfx"; val tT = s"graft_inv_lex_$sfx"
-      val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
-      spread(table(spark, dir, "documents"))
-        .select(col("doc_id"), explode(toks).as("term"))
-        .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+      postingsOf(spread(table(spark, dir, "documents")))
         .write.mode("overwrite").option("path", s"$base/post")
         .bucketBy(PostingBuckets, "term").sortBy("term", "doc_id")
         .saveAsTable(pT)
@@ -89,6 +98,26 @@ object TextQueries {
     }
     (names(0), names(1))
   }
+
+  /** q261's POSITIONAL postings — (term, doc_id, pos), 1-based, the
+    * occurrence-level sibling of the q148 (term, doc_id, tf) table. Same
+    * tokenization, same term-bucketed layout; ~n_tokens rows instead of
+    * ~distinct (term, doc) rows — the storage a search engine pays the
+    * moment it promises phrase/proximity semantics. */
+  private def positionalIndexTable(spark: org.apache.spark.sql.SparkSession,
+                                   dir: String): String =
+    AtRestTables.get(spark, s"invpos|$dir") { base =>
+      val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val posT = s"graft_inv_ppos_$sfx"
+      val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+      spread(table(spark, dir, "documents"))
+        .select(col("doc_id"), posexplode(toks).as(Seq("p0", "term")))
+        .select(col("term"), col("doc_id"), (col("p0") + lit(1L)).as("pos"))
+        .write.mode("overwrite").option("path", s"$base/pos")
+        .bucketBy(PostingBuckets, "term").sortBy("term", "doc_id")
+        .saveAsTable(posT)
+      Seq(posT)
+    }.head
 
   /** q212's bloom geometry: per-FILE token blooms of [[BloomBits]] bits,
     * [[BloomK]] md5-derived positions per token (TextHash.hash60 of
@@ -836,6 +865,38 @@ object TextQueries {
         .select(col("doc_id"), col("lang"), col("n_chars"), col("sum_tf"))
     }),
 
+    // PHRASE SEARCH — the positional half of the retrieval story: q148's
+    // conjunction answers "docs containing all terms", this answers
+    // "docs containing them ADJACENT", which term-frequency postings
+    // cannot express. The phrase is the two most COMMON lexicon terms
+    // ((df DESC, term) — deterministic, replayed by the oracle), i.e.
+    // the WORST-case phrase: the adjacency join costs |postings(w1)| +
+    // |postings(w2)| rows — Σ df of the query terms, never the corpus —
+    // shuffled once on doc_id; occurrences count per doc, hit payloads
+    // fetched via the broadcast q98 RAG shape. The bounded driver-side
+    // collect is the q148/q128 literal-plan idiom (2 strings).
+    "q261_phrase_search" -> ((spark0, dir) => {
+      val posT = positionalIndexTable(spark0, dir)
+      val (_, tT) = invertedIndexTables(spark0, dir)
+      val spark = spark0.newSession()
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      val ph = spark.table(tT).orderBy(col("df").desc, col("term").asc)
+        .limit(2).select("term").collect().map(_.getString(0))
+      val p = spark.table(posT)
+      val hits =
+        if (ph.length < 2) p.limit(0).select(col("doc_id"), lit(0L).as("n_occ"))
+        else {
+          val a = p.where(col("term") === ph(0)).select(col("doc_id"), col("pos"))
+          val b = p.where(col("term") === ph(1))
+            .select(col("doc_id").as("db"), (col("pos") - lit(1L)).as("pa"))
+          a.join(b, col("doc_id") === col("db") && col("pos") === col("pa"))
+            .groupBy("doc_id").agg(count(lit(1)).as("n_occ"))
+        }
+      table(spark, dir, "documents")
+        .join(broadcast(hits), "doc_id")
+        .select(col("doc_id"), col("lang"), col("n_occ"))
+    }),
+
     // SOURCE MIXING WEIGHTS — the data-mixture allocation every training
     // pipeline runs before sampling: given per-source token masses and a
     // total token budget (half the corpus here), split the budget evenly
@@ -1390,6 +1451,26 @@ object TextQueries {
          |         HAVING count(*) = (SELECT count(*) FROM q))
          |SELECT d.doc_id, d.lang, d.n_chars, h.sum_tf
          |FROM documents d JOIN hits h USING (doc_id)""".stripMargin,
+
+    // the same commonest-pair adjacency replayed positionally from raw
+    // parquet (1-based positions, the q87 unnest(range(...)) idiom)
+    "q261_phrase_search" ->
+      s"""WITH t AS (SELECT doc_id, $toksSqlD AS toks FROM documents),
+         |tok AS (SELECT doc_id, i AS pos, toks[CAST(i AS INT)] AS term
+         |        FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM t)),
+         |lex AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |        FROM tok GROUP BY term),
+         |ph AS (SELECT max(CASE WHEN rn = 1 THEN term END) AS w1,
+         |              max(CASE WHEN rn = 2 THEN term END) AS w2
+         |       FROM (SELECT term, row_number() OVER (ORDER BY df DESC, term ASC) AS rn
+         |             FROM lex) WHERE rn <= 2),
+         |occ AS (SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_occ
+         |        FROM tok a JOIN ph ON a.term = ph.w1
+         |        JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+         |                  AND b.term = ph.w2
+         |        GROUP BY a.doc_id)
+         |SELECT d.doc_id, d.lang, o.n_occ
+         |FROM documents d JOIN occ o USING (doc_id)""".stripMargin,
 
     // the same budget split over raw parquet (DuckDB // floors, Spark div
     // truncates — equal on these non-negative token masses)

@@ -70,4 +70,45 @@ class InvertedIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"index vs direct diverge: ${viaIndex.size} vs ${direct.size} rows")
     assert(viaIndex.nonEmpty, "degenerate test: conjunction matched nothing")
   }
+
+  test("q261 phrase probe scans a pruned subset of the positional buckets") {
+    val df = SparkEntry.queries("q261_phrase_search")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // both positional scans (w1 side, w2 side) must carry bucket
+    // selection: one term hashes to exactly one of the buckets
+    val scans = plan.linesIterator.filter(_.contains("SelectedBucketsCount")).toSeq
+    assert(scans.nonEmpty, s"no bucket-pruned positional scan in:\n$plan")
+    scans.foreach { line =>
+      val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(line)
+        .getOrElse(fail(s"unparsable bucket count: $line"))
+      assert(sel.group(1).toInt == 1 && sel.group(2).toInt > 1,
+        s"one-term scan must touch exactly one bucket: $line")
+    }
+  }
+
+  test("q261 phrase hits equal a direct positional corpus scan") {
+    val viaIndex = SparkEntry.queries("q261_phrase_search")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+
+    val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val tok = docs.select(col("doc_id"), posexplode(toks).as(Seq("p0", "term")))
+      .select(col("doc_id"), col("term"), (col("p0") + lit(1L)).as("pos"))
+    val ph = tok.groupBy("term").agg(countDistinct("doc_id").as("df"))
+      .orderBy(col("df").desc, col("term").asc).limit(2)
+      .select("term").collect().map(_.getString(0))
+    val a = tok.where(col("term") === ph(0)).select(col("doc_id"), col("pos"))
+    val b = tok.where(col("term") === ph(1))
+      .select(col("doc_id").as("db"), (col("pos") - lit(1L)).as("pa"))
+    val hits = a.join(b, col("doc_id") === col("db") && col("pos") === col("pa"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_occ"))
+    val direct = docs.join(hits, "doc_id")
+      .select(col("doc_id"), col("lang"), col("n_occ"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+
+    assert(viaIndex == direct,
+      s"phrase index vs direct diverge: ${viaIndex.size} vs ${direct.size} rows")
+    assert(viaIndex.nonEmpty, "degenerate test: phrase matched nothing")
+  }
 }
