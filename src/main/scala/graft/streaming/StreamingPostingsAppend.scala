@@ -47,4 +47,22 @@ object StreamingPostingsAppend {
     * column `batch` is the lineage tag, dropped for serving reads). */
   def readPostings(spark: SparkSession, outDir: String): DataFrame =
     spark.read.parquet(outDir).drop("batch")
+
+  /** Compact the per-batch directories into one term-clustered layout —
+    * the [[PartitionedIngest.compactDaily]] discipline for the text leg:
+    * a long-running append stream leaves one small file per micro-batch
+    * (the small-files problem), and the periodic compaction rewrites
+    * them into few term-range-clustered files a serving scan reads
+    * efficiently. The rewrite merges per-(term, doc_id) tf partials by
+    * SUM — the q138 additive-partial discipline (an identity here, since
+    * each document lands whole in one batch and replays overwrite their
+    * own directory, but the correct general semantics if a landing ever
+    * shards one doc's postings). Row-identity with the uncompacted store
+    * is spec-pinned. */
+  def compact(spark: SparkSession, inDir: String, outDir: String): Unit =
+    readPostings(spark, inDir)
+      .groupBy("term", "doc_id")
+      .agg(org.apache.spark.sql.functions.sum("tf").as("tf"))
+      .repartitionByRange(4, org.apache.spark.sql.functions.col("term"))
+      .write.mode("overwrite").parquet(outDir)
 }
