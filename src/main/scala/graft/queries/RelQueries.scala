@@ -3462,6 +3462,38 @@ object RelQueries {
             .select(col("s_suppkey"), col("s_name"))),
           col("l_suppkey") === col("s_suppkey"))
         .select(col("s_suppkey"), col("s_name"), col("n_parts"))
+    }),
+
+    // NEYMAN ALLOCATION — the optimal stratified-sample design beside
+    // q58's proportional strata and q97's weighted draw: a fixed sample
+    // budget splits across strata ∝ N_h·σ_h (high-variance strata earn
+    // more probes — the survey-sampling theorem every data-curation
+    // sampler should apply instead of proportional-by-count). σ_h comes
+    // from the q219 BIGINT-exact moment discipline, then quantizes to
+    // integer MICROS so the weights, shares and floor-allocations are
+    // all integer arithmetic (no floor-on-double boundary risk). One
+    // combinable aggregation is the data-sized work; the stratum frame
+    // (|event types| rows) carries everything else.
+    "q262_neyman_allocation" -> ((spark, dir) => {
+      val e = table(spark, dir, "events")
+        .select(col("event_type"),
+          floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("vq"))
+      val mom = e.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("vq").as("sv"),
+          sum(col("vq") * col("vq")).as("svv"))
+        .withColumn("mu", pround(col("sv").cast("double") /
+          (col("n").cast("double") * lit(100.0)), 9))
+        .withColumn("sigma", sqrt(pround(
+          col("svv").cast("double") / (col("n").cast("double") * lit(10000.0)) -
+            col("mu") * col("mu"), 9)))
+        .withColumn("w", col("n") *
+          floor(col("sigma") * lit(1000000.0) + lit(0.5)).cast("long"))
+      val tot = mom.agg(sum("w").as("wtot"))
+      mom.crossJoin(broadcast(tot))
+        .select(col("event_type"), col("n"),
+          pround(col("sigma"), 6).as("sigma"), col("w"),
+          pround(col("w").cast("double") / col("wtot").cast("double"), 6).as("share"),
+          expr(s"(CAST($NeymanBudget AS BIGINT) * w) div wtot").as("alloc_n"))
     })
   )
 
@@ -3567,6 +3599,10 @@ object RelQueries {
   /** q258's retained part sizes (the TPC-H Q16 size IN-list, spaced over
     * this generator's 1..50 range) — ONE list, both engines. */
   private val Q16Sizes = Seq(1, 5, 10, 15, 20, 25, 30, 35)
+
+  /** q262's total sample budget (rows to draw across strata) — ONE
+    * place, embedded into the oracle SQL. */
+  private val NeymanBudget = 10000L
 
   /** q220's error-budget threshold (events are ~20% errors by
     * construction, so days oscillate around it — breaches are real). */
@@ -5283,6 +5319,30 @@ object RelQueries {
          |SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS n_parts
          |FROM (SELECT l_suppkey FROM q WHERE qty97 * 2 > qtot) s
          |JOIN supplier ON l_suppkey = s_suppkey
-         |GROUP BY s_suppkey, s_name""".stripMargin
+         |GROUP BY s_suppkey, s_name""".stripMargin,
+
+    // the same micro-quantized N·σ allocation serially (q219's moment
+    // forms; DuckDB // floors == Spark div on these non-negative weights)
+    "q262_neyman_allocation" -> {
+      val muSql = sround(s"CAST(sv AS DOUBLE) / (CAST(n AS DOUBLE) * ${dlit(100.0)})", 9)
+      s"""WITH e AS (SELECT event_type,
+         |    CAST(floor(value * ${dlit(100.0)} + ${dlit(0.5)}) AS BIGINT) AS vq
+         |  FROM events),
+         |mom AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |               CAST(sum(vq) AS BIGINT) AS sv,
+         |               CAST(sum(vq * vq) AS BIGINT) AS svv
+         |        FROM e GROUP BY event_type),
+         |ms AS (SELECT event_type, n,
+         |         sqrt(${sround(s"CAST(svv AS DOUBLE) / (CAST(n AS DOUBLE) * ${dlit(10000.0)}) - ($muSql) * ($muSql)", 9)}) AS sigma
+         |       FROM mom),
+         |wf AS (SELECT event_type, n, sigma,
+         |         CAST(n * CAST(floor(sigma * ${dlit(1000000.0)} + ${dlit(0.5)}) AS BIGINT) AS BIGINT) AS w
+         |       FROM ms),
+         |t AS (SELECT CAST(sum(w) AS BIGINT) AS wtot FROM wf)
+         |SELECT event_type, n, ${sround("sigma", 6)} AS sigma, w,
+         |       ${sround("CAST(w AS DOUBLE) / CAST(wtot AS DOUBLE)", 6)} AS share,
+         |       CAST(($NeymanBudget * w) // wtot AS BIGINT) AS alloc_n
+         |FROM wf CROSS JOIN t""".stripMargin
+    }
   )
 }
