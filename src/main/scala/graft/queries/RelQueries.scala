@@ -3489,11 +3489,16 @@ object RelQueries {
         .withColumn("w", col("n") *
           floor(col("sigma") * lit(1000000.0) + lit(0.5)).cast("long"))
       val tot = mom.agg(sum("w").as("wtot"))
+      // wtot = 0 (every stratum constant-valued) must not ANSI-throw on
+      // the integer division — the q234 empty/degenerate-corpus guard
       mom.crossJoin(broadcast(tot))
         .select(col("event_type"), col("n"),
           pround(col("sigma"), 6).as("sigma"), col("w"),
-          pround(col("w").cast("double") / col("wtot").cast("double"), 6).as("share"),
-          expr(s"(CAST($NeymanBudget AS BIGINT) * w) div wtot").as("alloc_n"))
+          when(col("wtot") > 0L, pround(col("w").cast("double") /
+            col("wtot").cast("double"), 6)).otherwise(lit(0.0)).as("share"),
+          when(col("wtot") > 0L,
+            expr(s"(CAST($NeymanBudget AS BIGINT) * w) div wtot"))
+            .otherwise(lit(0L)).as("alloc_n"))
     })
   )
 
@@ -5340,8 +5345,12 @@ object RelQueries {
          |       FROM ms),
          |t AS (SELECT CAST(sum(w) AS BIGINT) AS wtot FROM wf)
          |SELECT event_type, n, ${sround("sigma", 6)} AS sigma, w,
-         |       ${sround("CAST(w AS DOUBLE) / CAST(wtot AS DOUBLE)", 6)} AS share,
-         |       CAST(($NeymanBudget * w) // wtot AS BIGINT) AS alloc_n
+         |       CASE WHEN wtot > 0
+         |            THEN ${sround("CAST(w AS DOUBLE) / CAST(wtot AS DOUBLE)", 6)}
+         |            ELSE ${dlit(0.0)} END AS share,
+         |       CASE WHEN wtot > 0
+         |            THEN CAST(($NeymanBudget * w) // wtot AS BIGINT)
+         |            ELSE 0 END AS alloc_n
          |FROM wf CROSS JOIN t""".stripMargin
     }
   )
