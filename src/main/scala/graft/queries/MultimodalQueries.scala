@@ -166,8 +166,52 @@ object MultimodalQueries {
       sig.join(groups, "sig")
         .select(col("doc_id"), col("sig"), col("canonical_id"), col("group_size"),
           (col("doc_id") =!= col("canonical_id")).as("is_dup"))
+    }),
+
+    // BINARY FILE INGEST — the production multimodal INGEST path the
+    // in-table binary columns (q45/q57) start from: a directory of
+    // at-rest .bin blobs read through Spark's real `binaryFile` data
+    // source (path / length / content columns, the scan an image or
+    // audio corpus lands on before any decode). The report fingerprints
+    // every blob (md5 + byte length + the id recovered from the file
+    // name); the oracle recomputes both from the documents table the
+    // blobs were derived from, proving the file round trip byte-lossless
+    // end to end. At 100 TB the blobs directory is the object store and
+    // this scan is the first stage of every multimodal pipeline.
+    "q263_binaryfile_ingest" -> ((spark, dir) => {
+      val blobs = binaryFilesDir(spark, dir)
+      spark.read.format("binaryFile").load(blobs)
+        .select(
+          regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1)
+            .cast("long").as("doc_id"),
+          col("length"), md5(col("content")).as("content_md5"))
     })
   )
+
+  /** q263's bounded blob count — ONE place, embedded into the oracle
+    * WHERE. */
+  private val BinFileDocs = 32L
+
+  /** q263's at-rest BINARY FILE store: one `.bin` blob per sampled
+    * document, bytes = the UTF-8 text (the q45 payload contract). The
+    * driver-side write loop is bounded to [[BinFileDocs]] files — the
+    * deliberate q128/q141 bounded idiom; a production corpus's blobs are
+    * landed by whatever produced them, and THIS query demonstrates the
+    * ingest scan, not the landing. */
+  private def binaryFilesDir(spark: org.apache.spark.sql.SparkSession,
+                             dir: String): String =
+    AtRestTables.get(spark, s"binfiles|$dir") { base =>
+      val rows = spread(table(spark, dir, "documents"))
+        .where(col("doc_id") < BinFileDocs)
+        .select(col("doc_id"), col("text")).collect()
+      val d = java.nio.file.Paths.get(base, "blobs")
+      java.nio.file.Files.createDirectories(d)
+      rows.foreach { r =>
+        java.nio.file.Files.write(d.resolve(f"doc_${r.getLong(0)}%05d.bin"),
+          r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+      Seq(d.toString)
+    }.head
 
   val oracles: Map[String, String] = Map(
     // the same byte-class fractions from ascii codes (the payload is the
@@ -221,7 +265,14 @@ object MultimodalQueries {
          |        FROM sig GROUP BY sig)
          |SELECT s.doc_id, s.sig, g2.canonical_id, g2.group_size,
          |       s.doc_id <> g2.canonical_id AS is_dup
-         |FROM sig s JOIN grp g2 USING (sig)""".stripMargin
+         |FROM sig s JOIN grp g2 USING (sig)""".stripMargin,
+
+    // the blob bytes are the UTF-8 text, so strlen (bytes) and md5 of
+    // the string recompute the file facts exactly
+    "q263_binaryfile_ingest" ->
+      s"""SELECT doc_id, CAST(strlen(text) AS BIGINT) AS length,
+         |       md5(text) AS content_md5
+         |FROM documents WHERE doc_id < $BinFileDocs""".stripMargin
   )
 
   /** Shared q57/q96 frame-geometry CTE chain (mirrors the Spark-side
