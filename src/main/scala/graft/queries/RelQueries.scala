@@ -3499,8 +3499,165 @@ object RelQueries {
           when(col("wtot") > 0L,
             expr(s"(CAST($NeymanBudget AS BIGINT) * w) div wtot"))
             .otherwise(lit(0L)).as("alloc_n"))
+    }),
+
+    // SWEEP-LINE PEAK CONCURRENCY — the "max concurrent sessions" ops
+    // question (peak viewers, license high-water marks, capacity
+    // planning) answered WITHOUT an interval self-join: sessions become
+    // ±1 boundary rows, and per-day running sums of the net delta give
+    // the concurrency curve. Concurrency at instant t (inclusive ends)
+    // = cum(starts ≤ t) − cum(ends < t) = cum(ns − ne) + ne — computed
+    // on DISTINCT timestamps so no tie ordering inside the window can
+    // change any row's value. Sessions are clipped at UTC-day
+    // boundaries first, so each day's sweep is INDEPENDENT — the
+    // partition axis that keeps the ordered window out of a global
+    // single-partition sort at 100 TB (within a day the boundary count
+    // is bounded by that day's event count; a deployment with hot days
+    // would sub-bucket by hour and carry prefix sums across buckets,
+    // the same two-pass trick q137's bucketing applies to keys).
+    "q264_peak_concurrency" -> ((spark, dir) => {
+      val b = sweepBoundaries(spark, dir)
+      val run = Window.partitionBy("day").orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      b.withColumn("conc", sum(col("ns") - col("ne")).over(run) + col("ne"))
+        .groupBy("day")
+        .agg(max("conc").as("peak_concurrent"),
+          sum("ns").as("n_spans"),
+          count(lit(1)).as("n_boundaries"))
+    }),
+
+    // INTERVAL-UNION COVERAGE — the uptime/utilization twin of q264's
+    // peak: how much of each day is covered by ≥1 active session (the
+    // union length of overlapping intervals, the measure a naive
+    // sum-of-durations double-counts). Same day-clipped boundary frame;
+    // a segment (t_i, t_{i+1}) is covered iff the running net count
+    // AFTER processing t_i's boundaries is positive (ends close at
+    // their timestamp, so single-point sessions contribute zero
+    // measure — identical semantics in both engines).
+    "q265_interval_coverage" -> ((spark, dir) => {
+      val b = sweepBoundaries(spark, dir)
+      val ord = Window.partitionBy("day").orderBy("t")
+      val run = ord.rowsBetween(Window.unboundedPreceding, 0)
+      b.withColumn("active_after", sum(col("ns") - col("ne")).over(run))
+        .withColumn("seg", lead("t", 1).over(ord) - col("t"))
+        .groupBy("day")
+        .agg(coalesce(sum(when(col("active_after") > 0L, col("seg"))),
+          lit(0L)).as("covered_us"))
+        .select(col("day"), col("covered_us"),
+          pround(col("covered_us").cast("double") /
+            lit(DayUs.toDouble), 6).as("utilization"))
+    }),
+
+    // OHLC BARS — the candlestick resample (open/high/low/close per
+    // hour per event type), the finance/telemetry rollup q71's
+    // mean-resample cannot express because open/close are ORDER
+    // statistics, not commutative aggregates. Spark picks open/close
+    // via min/max over (ts_us, event_id, vq) STRUCTS — lexicographic
+    // struct ordering rides the unique (ts, id) key, so the pick is
+    // deterministic and the whole bar is ONE combinable aggregation
+    // (struct min/max merge map-side like any min/max — no window, no
+    // per-bucket sort); the oracle uses DuckDB's ordered-aggregate
+    // first()/last() over the same key. Values stay integer cents end
+    // to end.
+    "q266_ohlc_bars" -> ((spark, dir) => {
+      val raw = table(spark, dir, "events")
+      val e = raw.select(col("event_type"), col("event_id"),
+          QueryBase.tsUs(raw).as("ts_us"),
+          floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("vq"))
+        .withColumn("hour", expr(s"ts_us div $HourUs"))
+      e.groupBy("event_type", "hour")
+        .agg(count(lit(1)).as("n_events"),
+          min(struct(col("ts_us"), col("event_id"), col("vq")))
+            .getField("vq").as("open_c"),
+          max(struct(col("ts_us"), col("event_id"), col("vq")))
+            .getField("vq").as("close_c"),
+          max("vq").as("high_c"),
+          min("vq").as("low_c"))
+    }),
+
+    // PER-GROUP OLS TREND — "is this metric drifting, and how fast":
+    // least-squares slope of each event type's DAILY MEAN value over
+    // epoch-day index (the per-group sibling of the corpus-level Zipf
+    // fit): daily means micro-quantize to exact BIGINTs, then n, Σx,
+    // Σy, Σxy, Σx² are all BIGINT-exact combinable sums (x = epoch day
+    // ≈ 2·10⁴, y ≤ 10⁹ micro-units, 90-day spans keep every product
+    // under 2·10¹⁷ ≪ 2⁶³) and the slope divides two exact integers
+    // once at the end. Two combinable aggregations total; a constant
+    // series (den = 0 on a single day) reports slope 0 instead of an
+    // ANSI divide error.
+    "q267_daily_trend" -> ((spark, dir) => {
+      val raw = table(spark, dir, "events")
+      val e = raw.select(col("event_type"), QueryBase.tsUs(raw).as("ts_us"),
+          floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("vq"))
+        .withColumn("day", expr(s"ts_us div $DayUs"))
+      val d = e.groupBy("event_type", "day")
+        .agg(sum("vq").as("sv"), count(lit(1)).as("cnt"))
+        .withColumn("mq", floor(col("sv").cast("double") /
+          col("cnt").cast("double") * lit(10000.0) + lit(0.5)).cast("long"))
+      d.groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          sum("day").as("sx"), sum("mq").as("sy"),
+          sum(col("day") * col("mq")).as("sxy"),
+          sum(col("day") * col("day")).as("sxx"))
+        .withColumn("den", col("n_days") * col("sxx") - col("sx") * col("sx"))
+        .withColumn("num", col("n_days") * col("sxy") - col("sx") * col("sy"))
+        .select(col("event_type"), col("n_days"),
+          pround(col("sy").cast("double") /
+            (col("n_days").cast("double") * lit(1000000.0)), 6).as("mean_value"),
+          when(col("den") =!= 0L,
+            pround(col("num").cast("double") /
+              (col("den").cast("double") * lit(1000000.0)), 8))
+            .otherwise(lit(0.0)).as("slope_per_day"))
     })
   )
+
+  /** q264/q265 sweep-line session gap — ONE HOUR in µs, deliberately
+    * tighter than [[SessionGapUs]]'s 2 days so the interval family
+    * produces real within-day concurrency structure. ONE definition,
+    * embedded into the oracle SQL. */
+  private[graft] val SweepGapUs = 3600000000L
+
+  /** q264/q265's shared day-clipped boundary frame, from a prepared
+    * (user_id, ts_us, event_id) frame: gap-sessionize per user with
+    * [[SweepGapUs]], explode each session span across the UTC days it
+    * touches (clipped to [day·DayUs, (day+1)·DayUs − 1]), then collapse
+    * to DISTINCT (day, t) rows carrying how many spans start (ns) and
+    * end (ne) at t. Everything downstream of the per-user window is
+    * combinable aggregation; the distinct-timestamp collapse is what
+    * makes the later running sums tie-proof. Factored on a frame so the
+    * spec can drive synthetic timelines through the exact production
+    * arithmetic. */
+  private[graft] def sweepBoundariesOf(
+      ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val byU = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    val spans = ev
+      .withColumn("prev_us", lag("ts_us", 1).over(byU))
+      .withColumn("is_new",
+        when(col("prev_us").isNull ||
+          col("ts_us") - col("prev_us") > SweepGapUs, 1).otherwise(0))
+      .withColumn("sid",
+        sum("is_new").over(byU.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "sid")
+      .agg(min("ts_us").as("s_us"), max("ts_us").as("e_us"))
+    val clipped = spans
+      .withColumn("day",
+        explode(sequence(expr(s"s_us div $DayUs"), expr(s"e_us div $DayUs"))))
+      .select(col("day"),
+        greatest(col("s_us"), col("day") * lit(DayUs)).as("cs"),
+        least(col("e_us"), (col("day") + lit(1L)) * lit(DayUs) - lit(1L)).as("ce"))
+    clipped.select(col("day"), col("cs").as("t"), lit(1L).as("s"), lit(0L).as("e"))
+      .unionAll(clipped.select(col("day"), col("ce").as("t"),
+        lit(0L).as("s"), lit(1L).as("e")))
+      .groupBy("day", "t")
+      .agg(sum("s").as("ns"), sum("e").as("ne"))
+  }
+
+  private def sweepBoundaries(spark: org.apache.spark.sql.SparkSession,
+                              dir: String): org.apache.spark.sql.DataFrame = {
+    val raw = table(spark, dir, "events")
+    sweepBoundariesOf(raw.select(col("user_id"),
+      QueryBase.tsUs(raw).as("ts_us"), col("event_id")))
+  }
 
   /** q190's expected Benford probabilities log10(1+1/d), d=1..9 — quantized
     * ONCE here and embedded as literals into BOTH engines. */
@@ -5352,6 +5509,115 @@ object RelQueries {
          |            THEN CAST(($NeymanBudget * w) // wtot AS BIGINT)
          |            ELSE 0 END AS alloc_n
          |FROM wf CROSS JOIN t""".stripMargin
-    }
+    },
+
+    // the same gap-sessionize → day-clip → distinct-timestamp boundary
+    // collapse → tie-proof running count serially
+    "q264_peak_concurrency" ->
+      s"""$SweepBoundarySql,
+         |r AS (SELECT day, ns, ne,
+         |             sum(ns - ne) OVER (PARTITION BY day ORDER BY t
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + ne AS conc
+         |      FROM b)
+         |SELECT CAST(day AS BIGINT) AS day,
+         |       CAST(max(conc) AS BIGINT) AS peak_concurrent,
+         |       CAST(sum(ns) AS BIGINT) AS n_spans,
+         |       CAST(count(*) AS BIGINT) AS n_boundaries
+         |FROM r GROUP BY day""".stripMargin,
+
+    // the same boundary frame; covered = Σ inter-timestamp segments with
+    // a positive net count after the left endpoint's boundaries
+    "q265_interval_coverage" ->
+      s"""$SweepBoundarySql,
+         |r AS (SELECT day, t, ns, ne,
+         |             sum(ns - ne) OVER (PARTITION BY day ORDER BY t
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS active_after,
+         |             lead(t) OVER (PARTITION BY day ORDER BY t) - t AS seg
+         |      FROM b),
+         |g AS (SELECT day,
+         |             CAST(coalesce(sum(CASE WHEN active_after > 0 THEN seg END), 0)
+         |               AS BIGINT) AS covered_us
+         |      FROM r GROUP BY day)
+         |SELECT CAST(day AS BIGINT) AS day, covered_us,
+         |       ${sround(s"CAST(covered_us AS DOUBLE) / ${dlit(86400000000.0)}", 6)} AS utilization
+         |FROM g""".stripMargin,
+
+    // open/close via DuckDB's ordered aggregates over the same unique
+    // (ts_us, event_id) key Spark's struct min/max rides
+    "q266_ohlc_bars" ->
+      s"""WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+         |    CAST(floor(value * ${dlit(100.0)} + ${dlit(0.5)}) AS BIGINT) AS vq
+         |  FROM events),
+         |h AS (SELECT event_type, ts_us // $HourUs AS hour, ts_us, event_id, vq FROM e)
+         |SELECT event_type, CAST(hour AS BIGINT) AS hour,
+         |       CAST(count(*) AS BIGINT) AS n_events,
+         |       CAST(first(vq ORDER BY ts_us, event_id) AS BIGINT) AS open_c,
+         |       CAST(last(vq ORDER BY ts_us, event_id) AS BIGINT) AS close_c,
+         |       CAST(max(vq) AS BIGINT) AS high_c,
+         |       CAST(min(vq) AS BIGINT) AS low_c
+         |FROM h GROUP BY event_type, hour""".stripMargin,
+
+    // the same micro-quantized daily means and BIGINT-exact OLS moments
+    "q267_daily_trend" ->
+      s"""WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us,
+         |    CAST(floor(value * ${dlit(100.0)} + ${dlit(0.5)}) AS BIGINT) AS vq
+         |  FROM events),
+         |d AS (SELECT event_type, ts_us // $DayUs AS day,
+         |             CAST(sum(vq) AS BIGINT) AS sv,
+         |             CAST(count(*) AS BIGINT) AS cnt
+         |      FROM e GROUP BY event_type, ts_us // $DayUs),
+         |m AS (SELECT event_type, day, sv, cnt,
+         |             CAST(floor(CAST(sv AS DOUBLE) / CAST(cnt AS DOUBLE)
+         |               * ${dlit(10000.0)} + ${dlit(0.5)}) AS BIGINT) AS mq
+         |      FROM d),
+         |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+         |             CAST(sum(day) AS BIGINT) AS sx,
+         |             CAST(sum(mq) AS BIGINT) AS sy,
+         |             CAST(sum(day * mq) AS BIGINT) AS sxy,
+         |             CAST(sum(day * day) AS BIGINT) AS sxx
+         |      FROM m GROUP BY event_type),
+         |f AS (SELECT event_type, n_days, sx, sy, sxy, sxx,
+         |             n_days * sxx - sx * sx AS den,
+         |             n_days * sxy - sx * sy AS num
+         |      FROM g)
+         |SELECT event_type, n_days,
+         |       ${sround(s"CAST(sy AS DOUBLE) / (CAST(n_days AS DOUBLE) * ${dlit(1000000.0)})", 6)} AS mean_value,
+         |       CASE WHEN den <> 0
+         |            THEN ${sround(s"CAST(num AS DOUBLE) / (CAST(den AS DOUBLE) * ${dlit(1000000.0)})", 8)}
+         |            ELSE ${dlit(0.0)} END AS slope_per_day
+         |FROM f""".stripMargin
   )
+
+  /** The q264/q265 shared oracle prefix — the SQL twin of
+    * [[sweepBoundariesOf]]: gap-sessionize with [[SweepGapUs]], explode
+    * session spans across their UTC days via generate_series, clip, and
+    * collapse to distinct (day, t) boundary rows. */
+  // a def, not a val: `oracles` above is a val and initializes first —
+  // a val here would still be null while that map's strings interpolate
+  private def SweepBoundarySql: String =
+    s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+       |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+       |      ORDER BY epoch_us(ts), event_id) AS prev_us
+       |  FROM events),
+       |mk AS (SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > $SweepGapUs
+       |                      THEN 1 ELSE 0 END AS is_new FROM ev),
+       |sess AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id
+       |           ORDER BY ts_us, event_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+       |         FROM mk),
+       |sp AS (SELECT user_id, sid,
+       |              CAST(min(ts_us) AS BIGINT) AS s_us,
+       |              CAST(max(ts_us) AS BIGINT) AS e_us
+       |       FROM sess GROUP BY user_id, sid),
+       |dd AS (SELECT unnest(generate_series(s_us // $DayUs, e_us // $DayUs)) AS day,
+       |              s_us, e_us
+       |       FROM sp),
+       |c AS (SELECT day, greatest(s_us, day * $DayUs) AS cs,
+       |             least(e_us, (day + 1) * $DayUs - 1) AS ce
+       |      FROM dd),
+       |b AS (SELECT day, t, CAST(sum(s) AS BIGINT) AS ns,
+       |             CAST(sum(e) AS BIGINT) AS ne
+       |      FROM (SELECT day, cs AS t, 1 AS s, 0 AS e FROM c
+       |            UNION ALL SELECT day, ce AS t, 0 AS s, 1 AS e FROM c) u
+       |      GROUP BY day, t)""".stripMargin
 }
