@@ -3586,15 +3586,7 @@ object RelQueries {
     // series (den = 0 on a single day) reports slope 0 instead of an
     // ANSI divide error.
     "q267_daily_trend" -> ((spark, dir) => {
-      val raw = table(spark, dir, "events")
-      val e = raw.select(col("event_type"), QueryBase.tsUs(raw).as("ts_us"),
-          floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("vq"))
-        .withColumn("day", expr(s"ts_us div $DayUs"))
-      val d = e.groupBy("event_type", "day")
-        .agg(sum("vq").as("sv"), count(lit(1)).as("cnt"))
-        .withColumn("mq", floor(col("sv").cast("double") /
-          col("cnt").cast("double") * lit(10000.0) + lit(0.5)).cast("long"))
-      d.groupBy("event_type")
+      dailyMeans(spark, dir).groupBy("event_type")
         .agg(count(lit(1)).as("n_days"),
           sum("day").as("sx"), sum("mq").as("sy"),
           sum(col("day") * col("mq")).as("sxy"),
@@ -3608,8 +3600,63 @@ object RelQueries {
             pround(col("num").cast("double") /
               (col("den").cast("double") * lit(1000000.0)), 8))
             .otherwise(lit(0.0)).as("slope_per_day"))
+    }),
+
+    // MANN-KENDALL TREND TEST — the nonparametric twin of q267's OLS
+    // slope (monotonic drift without assuming linearity or caring about
+    // outliers): S = Σ_{i<j} sign(mq_j − mq_i) over each type's daily
+    // means, the tie-corrected variance 18·Var = n(n−1)(2n+5) −
+    // Σ_t t(t−1)(2t+5), and the continuity-corrected z = (S − sgn S)/
+    // √Var. The pair space is per-type days² (≤ a few thousand — the
+    // self-join runs on the |types|·|days| AGGREGATE, never on raw
+    // events), every S/variance term is BIGINT-exact, and z's only
+    // doubles are one division by 18 and one IEEE sqrt.
+    "q270_mann_kendall" -> ((spark, dir) => {
+      val d = tcache(dailyMeans(spark, dir), "q270:means")
+      val a = d.select(col("event_type"), col("day").as("di"), col("mq").as("mi"))
+      val b = d.select(col("event_type").as("et2"), col("day").as("dj"),
+        col("mq").as("mj"))
+      val s = a.join(b, col("event_type") === col("et2") && col("di") < col("dj"))
+        .select(col("event_type"),
+          when(col("mj") > col("mi"), lit(1L))
+            .when(col("mj") < col("mi"), lit(-1L)).otherwise(lit(0L)).as("sgn"))
+        .groupBy("event_type")
+        .agg(sum("sgn").as("s"), count(lit(1)).as("n_pairs"))
+      val ties = d.groupBy(col("event_type"), col("mq"))
+        .agg(count(lit(1)).as("t"))
+        .groupBy("event_type")
+        .agg(sum(col("t") * (col("t") - 1) * (lit(2L) * col("t") + 5))
+            .as("tie_term"),
+          sum("t").as("n_days"))
+      s.join(ties, "event_type")
+        .withColumn("var18",
+          col("n_days") * (col("n_days") - 1) * (lit(2L) * col("n_days") + 5) -
+            col("tie_term"))
+        .select(col("event_type"), col("n_days"), col("n_pairs"), col("s"),
+          when(col("var18") > 0L && col("s") =!= 0L,
+            pround((col("s") - when(col("s") > 0L, lit(1L)).otherwise(lit(-1L)))
+              .cast("double") /
+              sqrt(col("var18").cast("double") / lit(18.0)), 6))
+            .otherwise(lit(0.0)).as("z"))
     })
   )
+
+  /** q267/q270's shared per-(type, day) daily-mean frame: per-day cent
+    * sums and counts (one combinable aggregation over events), means
+    * micro-quantized to exact BIGINTs (floor(sv/cnt·10⁴ + ½) — division
+    * of two exact-integer-valued doubles, identical IEEE ops in both
+    * engines). */
+  private def dailyMeans(spark: org.apache.spark.sql.SparkSession,
+                         dir: String): org.apache.spark.sql.DataFrame = {
+    val raw = table(spark, dir, "events")
+    raw.select(col("event_type"), QueryBase.tsUs(raw).as("ts_us"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("vq"))
+      .withColumn("day", expr(s"ts_us div $DayUs"))
+      .groupBy("event_type", "day")
+      .agg(sum("vq").as("sv"), count(lit(1)).as("cnt"))
+      .withColumn("mq", floor(col("sv").cast("double") /
+        col("cnt").cast("double") * lit(10000.0) + lit(0.5)).cast("long"))
+  }
 
   /** q264/q265 sweep-line session gap — ONE HOUR in µs, deliberately
     * tighter than [[SessionGapUs]]'s 2 days so the interval family

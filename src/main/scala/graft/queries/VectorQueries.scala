@@ -1334,8 +1334,80 @@ object VectorQueries {
           xsum(col("ndcg"), 9).as("ndcg_sum"))
         .select(col("n_queries"), col("n_rel_hits"),
           pround(col("ndcg_sum") / col("n_queries").cast("double"), 9).as("mean_ndcg"))
+    }),
+
+    // NEAREST-CENTROID CONFUSION MATRIX — the labeled-corpus eval every
+    // embedding pipeline runs before trusting its vectors: per-label
+    // centroids (reusing q254's integer component sums, halves merged
+    // under their (+,+) state), every vector scored against every
+    // centroid (dim·|labels| fan-out per vector against a BROADCAST
+    // |labels|·dim table — the bounded-codebook scan shape, never
+    // corpus×corpus), argmax by exact-long-derived score with a label
+    // tie-break, then |labels|² confusion counts. Per-dim products
+    // quantize to integer 1e-9ths (the q254 discipline) so dot and
+    // centroid norm are BIGINT-exact; the only doubles are one IEEE
+    // sqrt + division per (vector, label).
+    "q268_centroid_confusion" -> ((spark, dir) => centroidConfusion(spark, dir)),
+
+    // COHEN'S KAPPA + accuracy off the q268 confusion counts — agreement
+    // corrected for chance: po = Σdiag/N, pe = Σ(row·col)/N², kappa =
+    // (N·Σdiag − Σrc)/(N² − Σrc), every term a BIGINT product of exact
+    // counts with ONE terminal division. The confusion frame is
+    // |labels|² rows, so everything here is constant-sized.
+    "q269_classifier_kappa" -> ((spark, dir) => {
+      val cm = centroidConfusion(spark, dir)
+      val rows = cm.groupBy("label").agg(sum("n").as("rn"))
+      val cols = cm.groupBy("pred").agg(sum("n").as("cn"))
+      val rc = rows.join(cols, col("label") === col("pred"), "full")
+        .select((coalesce(col("rn"), lit(0L)) * coalesce(col("cn"), lit(0L)))
+          .as("p"))
+        .agg(sum("p").as("src"))
+      cm.agg(sum("n").as("nn"),
+          sum(when(col("label") === col("pred"), col("n"))
+            .otherwise(lit(0L))).as("diag"))
+        .crossJoin(broadcast(rc))
+        .select(col("nn").as("n"), col("diag"),
+          pround(col("diag").cast("double") / col("nn").cast("double"), 6)
+            .as("accuracy"),
+          when(col("nn") * col("nn") - col("src") =!= 0L,
+            pround((col("nn") * col("diag") - col("src")).cast("double") /
+              (col("nn") * col("nn") - col("src")).cast("double"), 6))
+            .otherwise(lit(0.0)).as("kappa"))
     })
   )
+
+  /** q268/q269's shared confusion frame (label, pred, n): per-label
+    * centroids from [[centroidSums]] with the two halves merged under
+    * their (+, +) state, then every vector argmax-assigned to its
+    * nearest centroid by dot/|c| (the vectors are unit-norm, so this IS
+    * the cosine argmax) with smallest-label tie-break via a struct max
+    * over (score, −label). */
+  private[graft] def centroidConfusion(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val emb = spread(table(spark, dir, "embeddings"))
+    val cen = centroidSums(emb).groupBy("label", "pos")
+      .agg(sum("n").as("n"), sum("s").as("s"))
+      .select(col("label").as("clabel"), col("pos"),
+        pround(col("s").cast("double") /
+          (col("n").cast("double") * lit(1.0e6)), 6).as("m"))
+    val ex = emb.select(col("vec_id"), col("label"), posexplode(col("embedding")))
+      .withColumnRenamed("col", "c")
+    ex.join(broadcast(cen), Seq("pos"))
+      .groupBy("vec_id", "label", "clabel")
+      .agg(sum(floor(col("m") * col("c").cast("double") * lit(1.0e9) + lit(0.5))
+          .cast("long")).as("dot"),
+        sum(floor(col("m") * col("m") * lit(1.0e9) + lit(0.5))
+          .cast("long")).as("nc"))
+      .select(col("vec_id"), col("label"),
+        struct((col("dot").cast("double") / sqrt(col("nc").cast("double")))
+          .as("score"), (-col("clabel")).as("nl")).as("sc"))
+      .groupBy("vec_id", "label")
+      .agg(max("sc").as("best"))
+      .select(col("label"), (-col("best").getField("nl")).as("pred"))
+      .groupBy("label", "pred")
+      .agg(count(lit(1)).as("n"))
+  }
 
   /** q199's holdout stride — every KnnHoldEvery-th vector is a query; ONE
     * place, embedded into the oracle SQL. */
@@ -2068,7 +2140,61 @@ object VectorQueries {
          |SELECT CAST(count(*) AS BIGINT) AS n_queries,
          |       CAST(sum(n_rel_top) AS BIGINT) AS n_rel_hits,
          |       ${sround(s"(${xsumSql("ndcg", 9)}) / CAST(count(*) AS DOUBLE)", 9)} AS mean_ndcg
-         |FROM n""".stripMargin
+         |FROM n""".stripMargin,
+
+    // the same merged centroid sums, 1e-9 product quantization and
+    // smallest-label argmax tie-break serially
+    "q268_centroid_confusion" ->
+      s"""$CentroidConfusionSql
+         |SELECT label, pred, n FROM cm""".stripMargin,
+
+    // po/pe from the same confusion counts; every term BIGINT-exact
+    "q269_classifier_kappa" ->
+      s"""$CentroidConfusionSql,
+         |rt AS (SELECT label, CAST(sum(n) AS BIGINT) AS rn FROM cm GROUP BY label),
+         |ct AS (SELECT pred, CAST(sum(n) AS BIGINT) AS cn FROM cm GROUP BY pred),
+         |rc AS (SELECT CAST(coalesce(sum(coalesce(rn, 0) * coalesce(cn, 0)), 0)
+         |         AS BIGINT) AS src
+         |       FROM rt FULL JOIN ct ON label = pred),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+         |               CAST(sum(CASE WHEN label = pred THEN n ELSE 0 END)
+         |                 AS BIGINT) AS diag
+         |        FROM cm)
+         |SELECT nn AS n, diag,
+         |       ${sround("CAST(diag AS DOUBLE) / CAST(nn AS DOUBLE)", 6)} AS accuracy,
+         |       CASE WHEN nn * nn - src <> 0
+         |            THEN ${sround("CAST(nn * diag - src AS DOUBLE) / CAST(nn * nn - src AS DOUBLE)", 6)}
+         |            ELSE ${dlit(0.0)} END AS kappa
+         |FROM tot CROSS JOIN rc""".stripMargin
   )
+
+  /** q268/q269's shared oracle prefix — the SQL twin of
+    * [[centroidConfusion]]. A def, not a val: `oracles` is a val and
+    * initializes first. */
+  private def CentroidConfusionSql: String =
+    s"""WITH x AS (SELECT label, vec_id, embedding,
+       |                  unnest(range(1, len(embedding) + 1)) AS i
+       |           FROM embeddings),
+       |cq AS (SELECT label, vec_id, (i - 1) AS pos,
+       |         CAST(floor(CAST(embedding[i] AS DOUBLE) * ${dlit(1.0e6)} + ${dlit(0.5)}) AS BIGINT) AS q6,
+       |         CAST(embedding[i] AS DOUBLE) AS cval
+       |       FROM x),
+       |m0 AS (SELECT label AS clabel, pos, CAST(count(*) AS BIGINT) AS n,
+       |              CAST(sum(q6) AS BIGINT) AS s
+       |       FROM cq GROUP BY label, pos),
+       |cen AS (SELECT clabel, pos,
+       |          ${sround(s"CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * ${dlit(1.0e6)})", 6)} AS m
+       |        FROM m0),
+       |sc AS (SELECT v.vec_id, v.label, cen.clabel,
+       |         CAST(sum(CAST(floor(m * cval * ${dlit(1.0e9)} + ${dlit(0.5)}) AS BIGINT)) AS BIGINT) AS dot,
+       |         CAST(sum(CAST(floor(m * m * ${dlit(1.0e9)} + ${dlit(0.5)}) AS BIGINT)) AS BIGINT) AS nc
+       |       FROM cq v JOIN cen ON v.pos = cen.pos
+       |       GROUP BY v.vec_id, v.label, cen.clabel),
+       |pr AS (SELECT vec_id, label,
+       |         first(clabel ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(nc AS DOUBLE)) DESC,
+       |               clabel ASC) AS pred
+       |       FROM sc GROUP BY vec_id, label),
+       |cm AS (SELECT label, pred, CAST(count(*) AS BIGINT) AS n
+       |       FROM pr GROUP BY label, pred)""".stripMargin
 }
 
