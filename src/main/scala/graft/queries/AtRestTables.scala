@@ -149,4 +149,21 @@ private[graft] object AtRestTables {
     }
     names
   }
+
+  /** Path-only variant of [[get]] for at-rest artifacts that are plain
+    * directories rather than catalog tables (q263's binary-blob store):
+    * registers NO table names — so FIFO eviction never tries to
+    * `DROP TABLE` a filesystem path — and returns the entry's reclaimable
+    * base dir. Same lifecycle as [[get]] (memoized per (session, key),
+    * deferred physical delete at context end). */
+  def getPath(spark: SparkSession, key: String)(build: String => Unit): String = {
+    while (true) {
+      get(spark, key) { base => build(base); Seq.empty }
+      // re-read the entry for its base dir; a FIFO eviction racing in
+      // between (MaxEntries churn) just means one more build pass
+      val hit = once.get((spark, key))
+      if (hit != null) return hit._2
+    }
+    throw new IllegalStateException("unreachable")
+  }
 }

@@ -199,8 +199,11 @@ object MultimodalQueries {
     * landed by whatever produced them, and THIS query demonstrates the
     * ingest scan, not the landing. */
   private def binaryFilesDir(spark: org.apache.spark.sql.SparkSession,
-                             dir: String): String =
-    AtRestTables.get(spark, s"binfiles|$dir") { base =>
+                             dir: String): String = {
+    // path-only entry: the blob store is a plain directory, not a catalog
+    // table — getPath registers no table names, so registry eviction never
+    // attempts a DROP TABLE on a filesystem path
+    val base = AtRestTables.getPath(spark, s"binfiles|$dir") { base =>
       val rows = spread(table(spark, dir, "documents"))
         .where(col("doc_id") < BinFileDocs)
         .select(col("doc_id"), col("text")).collect()
@@ -210,8 +213,9 @@ object MultimodalQueries {
         java.nio.file.Files.write(d.resolve(f"doc_${r.getLong(0)}%05d.bin"),
           r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
       }
-      Seq(d.toString)
-    }.head
+    }
+    java.nio.file.Paths.get(base, "blobs").toString
+  }
 
   val oracles: Map[String, String] = Map(
     // the same byte-class fractions from ascii codes (the payload is the

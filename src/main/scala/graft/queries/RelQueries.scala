@@ -2778,9 +2778,11 @@ object RelQueries {
           sum(col("vq") * col("vq")).as("svv"))
         .withColumn("mu", pround(col("sv").cast("double") /
           (col("n").cast("double") * lit(100.0)), 9))
-        .withColumn("sigma", sqrt(pround(
+        // clamp at zero: a (near-)constant stratum can leave the rounded
+        // variance a hair negative; sqrt(NaN) would poison everything after
+        .withColumn("sigma", sqrt(greatest(pround(
           col("svv").cast("double") / (col("n").cast("double") * lit(10000.0)) -
-            col("mu") * col("mu"), 9)))
+            col("mu") * col("mu"), 9), lit(0.0))))
       e.join(broadcast(mom.select("event_type", "mu", "sigma")), "event_type")
         .withColumn("z", pround((col("vq").cast("double") / lit(100.0) - col("mu")) /
           col("sigma"), 6))
@@ -2902,9 +2904,9 @@ object RelQueries {
         .agg(count(lit(1)).as("nd"), sum("n").as("sn"),
           sum(col("n") * col("n")).as("snn"))
         .withColumn("mu", pround(col("sn").cast("double") / col("nd").cast("double"), 9))
-        .withColumn("sigma", sqrt(pround(
+        .withColumn("sigma", sqrt(greatest(pround(
           col("snn").cast("double") / col("nd").cast("double") -
-            col("mu") * col("mu"), 9)))
+            col("mu") * col("mu"), 9), lit(0.0))))
       daily.join(broadcast(mom.select("event_type", "nd", "mu", "sigma")), "event_type")
         .withColumn("is_burst",
           col("n").cast("double") > col("mu") + lit(2.0) * col("sigma"))
@@ -3483,9 +3485,11 @@ object RelQueries {
           sum(col("vq") * col("vq")).as("svv"))
         .withColumn("mu", pround(col("sv").cast("double") /
           (col("n").cast("double") * lit(100.0)), 9))
-        .withColumn("sigma", sqrt(pround(
+        // clamp at zero: a (near-)constant stratum can leave the rounded
+        // variance a hair negative; sqrt(NaN) would poison everything after
+        .withColumn("sigma", sqrt(greatest(pround(
           col("svv").cast("double") / (col("n").cast("double") * lit(10000.0)) -
-            col("mu") * col("mu"), 9)))
+            col("mu") * col("mu"), 9), lit(0.0))))
         .withColumn("w", col("n") *
           floor(col("sigma") * lit(1000000.0) + lit(0.5)).cast("long"))
       val tot = mom.agg(sum("w").as("wtot"))
@@ -3628,7 +3632,12 @@ object RelQueries {
         .agg(sum(col("t") * (col("t") - 1) * (lit(2L) * col("t") + 5))
             .as("tie_term"),
           sum("t").as("n_days"))
-      s.join(ties, "event_type")
+      // left join FROM the tie frame (which has every type): a single-day
+      // type has zero i<j pairs, so the pair frame lacks its row entirely —
+      // it must still report with s = 0, n_pairs = 0, z = 0
+      ties.join(s, Seq("event_type"), "left")
+        .withColumn("s", coalesce(col("s"), lit(0L)))
+        .withColumn("n_pairs", coalesce(col("n_pairs"), lit(0L)))
         .withColumn("var18",
           col("n_days") * (col("n_days") - 1) * (lit(2L) * col("n_days") + 5) -
             col("tie_term"))
@@ -5099,7 +5108,7 @@ object RelQueries {
          |        FROM e GROUP BY event_type),
          |ms AS (SELECT event_type,
          |         ${sround(s"CAST(sv AS DOUBLE) / (CAST(n AS DOUBLE) * ${dlit(100.0)})", 9)} AS mu,
-         |         sqrt(${sround(s"CAST(svv AS DOUBLE) / (CAST(n AS DOUBLE) * ${dlit(10000.0)}) - (${sround(s"CAST(sv AS DOUBLE) / (CAST(n AS DOUBLE) * ${dlit(100.0)})", 9)}) * (${sround(s"CAST(sv AS DOUBLE) / (CAST(n AS DOUBLE) * ${dlit(100.0)})", 9)})", 9)}) AS sigma
+         |         sqrt(greatest(${sround(s"CAST(svv AS DOUBLE) / (CAST(n AS DOUBLE) * ${dlit(10000.0)}) - (${sround(s"CAST(sv AS DOUBLE) / (CAST(n AS DOUBLE) * ${dlit(100.0)})", 9)}) * (${sround(s"CAST(sv AS DOUBLE) / (CAST(n AS DOUBLE) * ${dlit(100.0)})", 9)})", 9)}, ${dlit(0.0)})) AS sigma
          |       FROM mom),
          |z AS (SELECT e.event_type,
          |        ${sround(s"(CAST(vq AS DOUBLE) / ${dlit(100.0)} - mu) / sigma", 6)} AS z
@@ -5203,7 +5212,7 @@ object RelQueries {
          |        FROM daily GROUP BY event_type),
          |ms AS (SELECT event_type, nd,
          |         ${sround("CAST(sn AS DOUBLE) / CAST(nd AS DOUBLE)", 9)} AS mu,
-         |         sqrt(${sround(s"CAST(snn AS DOUBLE) / CAST(nd AS DOUBLE) - (${sround("CAST(sn AS DOUBLE) / CAST(nd AS DOUBLE)", 9)}) * (${sround("CAST(sn AS DOUBLE) / CAST(nd AS DOUBLE)", 9)})", 9)}) AS sigma
+         |         sqrt(greatest(${sround(s"CAST(snn AS DOUBLE) / CAST(nd AS DOUBLE) - (${sround("CAST(sn AS DOUBLE) / CAST(nd AS DOUBLE)", 9)}) * (${sround("CAST(sn AS DOUBLE) / CAST(nd AS DOUBLE)", 9)})", 9)}, ${dlit(0.0)})) AS sigma
          |       FROM mom)
          |SELECT daily.event_type, CAST(day AS BIGINT) AS day, n, mu,
          |       ${sround("sigma", 6)} AS sigma,
@@ -5542,7 +5551,7 @@ object RelQueries {
          |               CAST(sum(vq * vq) AS BIGINT) AS svv
          |        FROM e GROUP BY event_type),
          |ms AS (SELECT event_type, n,
-         |         sqrt(${sround(s"CAST(svv AS DOUBLE) / (CAST(n AS DOUBLE) * ${dlit(10000.0)}) - ($muSql) * ($muSql)", 9)}) AS sigma
+         |         sqrt(greatest(${sround(s"CAST(svv AS DOUBLE) / (CAST(n AS DOUBLE) * ${dlit(10000.0)}) - ($muSql) * ($muSql)", 9)}, ${dlit(0.0)})) AS sigma
          |       FROM mom),
          |wf AS (SELECT event_type, n, sigma,
          |         CAST(n * CAST(floor(sigma * ${dlit(1000000.0)} + ${dlit(0.5)}) AS BIGINT) AS BIGINT) AS w
@@ -5632,6 +5641,45 @@ object RelQueries {
          |       CASE WHEN den <> 0
          |            THEN ${sround(s"CAST(num AS DOUBLE) / (CAST(den AS DOUBLE) * ${dlit(1000000.0)})", 8)}
          |            ELSE ${dlit(0.0)} END AS slope_per_day
+         |FROM f""".stripMargin,
+
+    // the same daily-means CTE, the BIGINT-exact per-type pair self-join
+    // for S, the tie-corrected 18·Var, and the continuity-corrected z —
+    // single-day types (no i<j pairs) kept via the LEFT JOIN from the
+    // tie frame, exactly as the Spark side does
+    "q270_mann_kendall" ->
+      s"""WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us,
+         |    CAST(floor(value * ${dlit(100.0)} + ${dlit(0.5)}) AS BIGINT) AS vq
+         |  FROM events),
+         |d AS (SELECT event_type, ts_us // $DayUs AS day,
+         |             CAST(sum(vq) AS BIGINT) AS sv,
+         |             CAST(count(*) AS BIGINT) AS cnt
+         |      FROM e GROUP BY event_type, ts_us // $DayUs),
+         |m AS (SELECT event_type, day,
+         |             CAST(floor(CAST(sv AS DOUBLE) / CAST(cnt AS DOUBLE)
+         |               * ${dlit(10000.0)} + ${dlit(0.5)}) AS BIGINT) AS mq
+         |      FROM d),
+         |p AS (SELECT a.event_type,
+         |             CAST(sum(CASE WHEN b.mq > a.mq THEN 1
+         |                           WHEN b.mq < a.mq THEN -1 ELSE 0 END) AS BIGINT) AS s,
+         |             CAST(count(*) AS BIGINT) AS n_pairs
+         |      FROM m a JOIN m b ON a.event_type = b.event_type AND a.day < b.day
+         |      GROUP BY a.event_type),
+         |tt AS (SELECT event_type,
+         |              CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term,
+         |              CAST(sum(t) AS BIGINT) AS n_days
+         |       FROM (SELECT event_type, mq, CAST(count(*) AS BIGINT) AS t
+         |             FROM m GROUP BY event_type, mq) q
+         |       GROUP BY event_type),
+         |f AS (SELECT tt.event_type, tt.n_days,
+         |             CAST(coalesce(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+         |             CAST(coalesce(p.s, 0) AS BIGINT) AS s,
+         |             tt.n_days * (tt.n_days - 1) * (2 * tt.n_days + 5) - tt.tie_term AS var18
+         |      FROM tt LEFT JOIN p USING (event_type))
+         |SELECT event_type, n_days, n_pairs, s,
+         |       CASE WHEN var18 > 0 AND s <> 0
+         |            THEN ${sround(s"CAST(s - CASE WHEN s > 0 THEN 1 ELSE -1 END AS DOUBLE) / sqrt(CAST(var18 AS DOUBLE) / ${dlit(18.0)})", 6)}
+         |            ELSE ${dlit(0.0)} END AS z
          |FROM f""".stripMargin
   )
 

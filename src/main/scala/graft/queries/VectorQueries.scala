@@ -1354,27 +1354,33 @@ object VectorQueries {
     // (N·Σdiag − Σrc)/(N² − Σrc), every term a BIGINT product of exact
     // counts with ONE terminal division. The confusion frame is
     // |labels|² rows, so everything here is constant-sized.
-    "q269_classifier_kappa" -> ((spark, dir) => {
-      val cm = centroidConfusion(spark, dir)
-      val rows = cm.groupBy("label").agg(sum("n").as("rn"))
-      val cols = cm.groupBy("pred").agg(sum("n").as("cn"))
-      val rc = rows.join(cols, col("label") === col("pred"), "full")
-        .select((coalesce(col("rn"), lit(0L)) * coalesce(col("cn"), lit(0L)))
-          .as("p"))
-        .agg(sum("p").as("src"))
-      cm.agg(sum("n").as("nn"),
-          sum(when(col("label") === col("pred"), col("n"))
-            .otherwise(lit(0L))).as("diag"))
-        .crossJoin(broadcast(rc))
-        .select(col("nn").as("n"), col("diag"),
-          pround(col("diag").cast("double") / col("nn").cast("double"), 6)
-            .as("accuracy"),
-          when(col("nn") * col("nn") - col("src") =!= 0L,
-            pround((col("nn") * col("diag") - col("src")).cast("double") /
-              (col("nn") * col("nn") - col("src")).cast("double"), 6))
-            .otherwise(lit(0.0)).as("kappa"))
-    })
+    "q269_classifier_kappa" ->
+      ((spark, dir) => kappaOf(centroidConfusion(spark, dir)))
   )
+
+  /** q269's kappa/accuracy arithmetic on a (label, pred, n) confusion
+    * frame — factored so the spec can drive a planted hand-computable
+    * confusion matrix through the exact production algebra. */
+  private[graft] def kappaOf(
+      cm: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val rows = cm.groupBy("label").agg(sum("n").as("rn"))
+    val cols = cm.groupBy("pred").agg(sum("n").as("cn"))
+    val rc = rows.join(cols, col("label") === col("pred"), "full")
+      .select((coalesce(col("rn"), lit(0L)) * coalesce(col("cn"), lit(0L)))
+        .as("p"))
+      .agg(sum("p").as("src"))
+    cm.agg(sum("n").as("nn"),
+        sum(when(col("label") === col("pred"), col("n"))
+          .otherwise(lit(0L))).as("diag"))
+      .crossJoin(broadcast(rc))
+      .select(col("nn").as("n"), col("diag"),
+        pround(col("diag").cast("double") / col("nn").cast("double"), 6)
+          .as("accuracy"),
+        when(col("nn") * col("nn") - col("src") =!= 0L,
+          pround((col("nn") * col("diag") - col("src")).cast("double") /
+            (col("nn") * col("nn") - col("src")).cast("double"), 6))
+          .otherwise(lit(0.0)).as("kappa"))
+  }
 
   /** q268/q269's shared confusion frame (label, pred, n): per-label
     * centroids from [[centroidSums]] with the two halves merged under
@@ -1384,8 +1390,13 @@ object VectorQueries {
     * over (score, −label). */
   private[graft] def centroidConfusion(
       spark: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
-    val emb = spread(table(spark, dir, "embeddings"))
+      dir: String): org.apache.spark.sql.DataFrame =
+    centroidConfusionOf(spread(table(spark, dir, "embeddings")))
+
+  /** The same confusion derivation on a caller-supplied (vec_id, label,
+    * embedding) frame — the spec drives planted clusters through it. */
+  private[graft] def centroidConfusionOf(
+      emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val cen = centroidSums(emb).groupBy("label", "pos")
       .agg(sum("n").as("n"), sum("s").as("s"))
       .select(col("label").as("clabel"), col("pos"),
