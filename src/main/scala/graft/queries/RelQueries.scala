@@ -3519,16 +3519,8 @@ object RelQueries {
     // is bounded by that day's event count; a deployment with hot days
     // would sub-bucket by hour and carry prefix sums across buckets,
     // the same two-pass trick q137's bucketing applies to keys).
-    "q264_peak_concurrency" -> ((spark, dir) => {
-      val b = sweepBoundaries(spark, dir)
-      val run = Window.partitionBy("day").orderBy("t")
-        .rowsBetween(Window.unboundedPreceding, 0)
-      b.withColumn("conc", sum(col("ns") - col("ne")).over(run) + col("ne"))
-        .groupBy("day")
-        .agg(max("conc").as("peak_concurrent"),
-          sum("ns").as("n_spans"),
-          count(lit(1)).as("n_boundaries"))
-    }),
+    "q264_peak_concurrency" ->
+      ((spark, dir) => peakOfBoundaries(sweepBoundaries(spark, dir))),
 
     // INTERVAL-UNION COVERAGE — the uptime/utilization twin of q264's
     // peak: how much of each day is covered by ≥1 active session (the
@@ -3684,10 +3676,17 @@ object RelQueries {
     * spec can drive synthetic timelines through the exact production
     * arithmetic. */
   private[graft] def sweepBoundariesOf(
+      ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    clipSpansToBoundaries(gapSessionsOf(ev))
+
+  /** The gap-sessionize half of [[sweepBoundariesOf]]: (user_id, ts_us,
+    * event_id) events → (user_id, s_us, e_us) session spans under
+    * [[SweepGapUs]]. Factored so the streaming sessionizer's replay spec
+    * can prove its final state equals this frame exactly. */
+  private[graft] def gapSessionsOf(
       ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val byU = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
-    val spans = ev
-      .withColumn("prev_us", lag("ts_us", 1).over(byU))
+    ev.withColumn("prev_us", lag("ts_us", 1).over(byU))
       .withColumn("is_new",
         when(col("prev_us").isNull ||
           col("ts_us") - col("prev_us") > SweepGapUs, 1).otherwise(0))
@@ -3695,15 +3694,29 @@ object RelQueries {
         sum("is_new").over(byU.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy("user_id", "sid")
       .agg(min("ts_us").as("s_us"), max("ts_us").as("e_us"))
+      .select("user_id", "s_us", "e_us")
+  }
+
+  /** The day-clip + distinct-timestamp-collapse half of
+    * [[sweepBoundariesOf]], on a (…, s_us, e_us) span frame from ANY
+    * producer (the batch window above, or the streaming sessionizer's
+    * emitted state). */
+  private[graft] def clipSpansToBoundaries(
+      spans: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val clipped = spans
       .withColumn("day",
         explode(sequence(expr(s"s_us div $DayUs"), expr(s"e_us div $DayUs"))))
       .select(col("day"),
         greatest(col("s_us"), col("day") * lit(DayUs)).as("cs"),
         least(col("e_us"), (col("day") + lit(1L)) * lit(DayUs) - lit(1L)).as("ce"))
-    clipped.select(col("day"), col("cs").as("t"), lit(1L).as("s"), lit(0L).as("e"))
-      .unionAll(clipped.select(col("day"), col("ce").as("t"),
-        lit(0L).as("s"), lit(1L).as("e")))
+    // one bounded explode, NOT a unionAll of two projections: a union of
+    // two references to the same frame makes Spark execute the whole
+    // sessionize pipeline (scan + user_id shuffle + two windows) twice —
+    // the dominant cost at scale, paid once here
+    clipped.select(col("day"), explode(array(
+        struct(col("cs").as("t"), lit(1L).as("s"), lit(0L).as("e")),
+        struct(col("ce").as("t"), lit(0L).as("s"), lit(1L).as("e")))).as("b"))
+      .select(col("day"), col("b.t"), col("b.s"), col("b.e"))
       .groupBy("day", "t")
       .agg(sum("s").as("ns"), sum("e").as("ne"))
   }
@@ -3713,6 +3726,21 @@ object RelQueries {
     val raw = table(spark, dir, "events")
     sweepBoundariesOf(raw.select(col("user_id"),
       QueryBase.tsUs(raw).as("ts_us"), col("event_id")))
+  }
+
+  /** q264's terminal arithmetic on a (day, t, ns, ne) boundary frame:
+    * tie-proof per-day running concurrency → per-day peak/span/boundary
+    * report. Factored so the streaming sessionizer's replay spec drives
+    * its emitted spans through the identical aggregation. */
+  private[graft] def peakOfBoundaries(
+      b: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val run = Window.partitionBy("day").orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    b.withColumn("conc", sum(col("ns") - col("ne")).over(run) + col("ne"))
+      .groupBy("day")
+      .agg(max("conc").as("peak_concurrent"),
+        sum("ns").as("n_spans"),
+        count(lit(1)).as("n_boundaries"))
   }
 
   /** q190's expected Benford probabilities log10(1+1/d), d=1..9 — quantized
