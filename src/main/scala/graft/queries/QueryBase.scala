@@ -84,12 +84,26 @@ object QueryBase {
   def tcache(df: DataFrame, site: String): DataFrame = {
     val spark = df.sparkSession
     val key = (spark, site)
-    // ORDER MATTERS: unpersist the predecessor BEFORE caching the new
-    // frame. A rerun's frame usually has the SAME canonicalized plan as
-    // its predecessor, and the CacheManager keys entries by that plan —
-    // unpersisting the old object after cache() would remove the entry
-    // the new cache() call just created (or no-opped onto), leaving the
-    // site uncached on every run but the first.
+    // TRUE MEMO HIT: when the site re-derives the SAME logical plan (the
+    // 8-query recall ladder re-building the identical exact-truth frame,
+    // a re-probed band frame, …), return the EXISTING frame instead of
+    // replacing it — the replace path unpersists the predecessor first,
+    // which silently threw away the materialized data and recomputed on
+    // every caller even though the plan never changed. The .cache() on
+    // the hit is a no-op when still cached and a cheap re-registration
+    // when a clearCache() dropped it (Bench's standalone-timing
+    // discipline is unchanged: it clears between queries, so a memo hit
+    // still recomputes inside the timed query exactly as before).
+    val hit = tcacheMap.get(key)
+    if (hit != null && ((hit eq df) ||
+        hit.queryExecution.analyzed.sameResult(df.queryExecution.analyzed)))
+      return hit.cache()
+    // ORDER MATTERS on the replace path: unpersist the predecessor BEFORE
+    // caching the new frame. A replaced frame can still share the
+    // canonicalized plan the CacheManager keys entries by — unpersisting
+    // the old object after cache() would remove the entry the new cache()
+    // call just created (or no-opped onto), leaving the site uncached on
+    // every run but the first.
     val prev = tcacheMap.put(key, df)
     if (prev != null && (prev ne df))
       try prev.unpersist() catch { case _: Throwable => () }

@@ -55,4 +55,25 @@ class TransientCacheSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"rerun does not read the tcached frame:\n$plan")
     spark.catalog.clearCache()
   }
+
+  test("same-plan re-derivation is a MEMO HIT, not an unpersist+recache") {
+    // the r12 ladder fix: before it, a site re-deriving the identical
+    // plan (the 8 recall queries rebuilding the same exact-truth frame)
+    // unpersisted the materialized predecessor and lazily recached —
+    // every caller recomputed. Now the registry returns the EXISTING
+    // frame object, so the materialized bytes survive across callers.
+    val ss = spark; import ss.implicits._
+    spark.catalog.clearCache()
+    def mk = Seq((1L, "a"), (2L, "b")).toDF("k", "v").filter($"k" > 0)
+    val first = graft.queries.QueryBase.tcache(mk, "spec:memo")
+    first.count() // materialize
+    val again = graft.queries.QueryBase.tcache(mk, "spec:memo")
+    assert(again eq first, "identical plan should return the memoized frame")
+    // a DIFFERENT plan at the same site must still replace (the SF-dir
+    // switch path Verify depends on)
+    val other = graft.queries.QueryBase.tcache(
+      Seq((9L, "z")).toDF("k", "v").filter($"k" > 5), "spec:memo")
+    assert(!(other eq first), "changed plan must replace the entry")
+    spark.catalog.clearCache()
+  }
 }
