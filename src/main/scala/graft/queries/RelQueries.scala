@@ -3530,19 +3530,8 @@ object RelQueries {
     // AFTER processing t_i's boundaries is positive (ends close at
     // their timestamp, so single-point sessions contribute zero
     // measure — identical semantics in both engines).
-    "q265_interval_coverage" -> ((spark, dir) => {
-      val b = sweepBoundaries(spark, dir)
-      val ord = Window.partitionBy("day").orderBy("t")
-      val run = ord.rowsBetween(Window.unboundedPreceding, 0)
-      b.withColumn("active_after", sum(col("ns") - col("ne")).over(run))
-        .withColumn("seg", lead("t", 1).over(ord) - col("t"))
-        .groupBy("day")
-        .agg(coalesce(sum(when(col("active_after") > 0L, col("seg"))),
-          lit(0L)).as("covered_us"))
-        .select(col("day"), col("covered_us"),
-          pround(col("covered_us").cast("double") /
-            lit(DayUs.toDouble), 6).as("utilization"))
-    }),
+    "q265_interval_coverage" ->
+      ((spark, dir) => coverageOfBoundaries(sweepBoundaries(spark, dir))),
 
     // OHLC BARS — the candlestick resample (open/high/low/close per
     // hour per event type), the finance/telemetry rollup q71's
@@ -3639,6 +3628,146 @@ object RelQueries {
               .cast("double") /
               sqrt(col("var18").cast("double") / lit(18.0)), 6))
             .otherwise(lit(0.0)).as("z"))
+    }),
+
+    // THEIL–SEN ROBUST SLOPE — the estimator to report WITH q270's test:
+    // the median of all pairwise slopes (mq_j − mq_i)/(d_j − d_i) over
+    // each type's daily means, immune to outlier days the q267 OLS slope
+    // chases. The pair space is the same bounded |types|·days² aggregate
+    // self-join as q270 (never raw events); each slope is ONE division of
+    // exact integers (identical IEEE on both engines), and the median is
+    // rank-selected under the deterministic (slope, di, dj) total order —
+    // the q72 rank-arithmetic discipline, so ties cannot move the pick.
+    "q271_theil_sen" -> ((spark, dir) => {
+      val d = tcache(dailyMeans(spark, dir), "q270:means")
+      val a = d.select(col("event_type"), col("day").as("di"), col("mq").as("mi"))
+      val b = d.select(col("event_type").as("et2"), col("day").as("dj"),
+        col("mq").as("mj"))
+      val slopes = a.join(b, col("event_type") === col("et2") && col("di") < col("dj"))
+        .select(col("event_type"), col("di"), col("dj"),
+          ((col("mj") - col("mi")).cast("double") /
+            ((col("dj") - col("di")).cast("double") * lit(1000000.0)))
+            .as("slope"))
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("slope"), col("di"), col("dj"))
+      slopes.withColumn("rn", row_number().over(w))
+        .withColumn("np", count(lit(1)).over(Window.partitionBy("event_type")))
+        .where(col("rn") === expr("(np + 1) div 2"))
+        .select(col("event_type"), col("np").as("n_pairs"),
+          pround(col("slope"), 8).as("slope_md"))
+    }),
+
+    // WALD–WOLFOWITZ RUNS TEST — is the daily series RANDOM around its
+    // median, or does it clump (regimes, weekly cycles)? Per type: the
+    // rank-selected lower median of the daily means, signs above/below
+    // (median-equal days dropped, the standard treatment), R = number of
+    // sign runs in day order via ONE lag() pass, and the normal
+    // approximation z = (R − E)/√V with E = 1 + 2n₁n₂/n and
+    // V = 2n₁n₂(2n₁n₂ − n)/(n²(n − 1)) — every product BIGINT-exact,
+    // doubles only in the two terminal divisions and the sqrt.
+    "q272_runs_test" -> ((spark, dir) => {
+      val d = tcache(dailyMeans(spark, dir), "q270:means")
+      val wOrd = Window.partitionBy("event_type").orderBy(col("mq"), col("day"))
+      val med = d.withColumn("rn", row_number().over(wOrd))
+        .withColumn("nd", count(lit(1)).over(Window.partitionBy("event_type")))
+        .where(col("rn") === expr("(nd + 1) div 2"))
+        .select(col("event_type").as("et_m"), col("mq").as("med"))
+      val byDay = Window.partitionBy("event_type").orderBy("day")
+      d.join(broadcast(med), col("event_type") === col("et_m"))
+        .where(col("mq") =!= col("med"))
+        .select(col("event_type"), col("day"),
+          when(col("mq") > col("med"), lit(1)).otherwise(lit(-1)).as("sgn"))
+        .withColumn("prev", lag("sgn", 1).over(byDay))
+        .groupBy("event_type")
+        .agg(sum(when(col("sgn") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("sgn") === -1, 1L).otherwise(0L)).as("n2"),
+          sum(when(col("prev").isNull || col("prev") =!= col("sgn"), 1L)
+            .otherwise(0L)).as("r"))
+        .withColumn("n", col("n1") + col("n2"))
+        .withColumn("two_p", lit(2L) * col("n1") * col("n2"))
+        .select(col("event_type"), col("n1"), col("n2"), col("r"),
+          when(col("n1") > 0L && col("n2") > 0L && col("two_p") > col("n"),
+            pround((col("r").cast("double") -
+                (lit(1.0) + col("two_p").cast("double") / col("n").cast("double"))) /
+              sqrt((col("two_p") * (col("two_p") - col("n"))).cast("double") /
+                (col("n") * col("n") * (col("n") - 1)).cast("double")), 6))
+            .otherwise(lit(0.0)).as("z"))
+    }),
+
+    // KRUSKAL–WALLIS RANK TEST — do the event types draw from the same
+    // value distribution? Event-LEVEL ranks computed WITHOUT a global
+    // sort: values are cents-quantized, so global midranks derive from
+    // the bounded distinct-value frame (cumulative counts over the value
+    // DOMAIN, the q231 bounded-domain discipline); doubled midranks
+    // 2c+n+1 keep every per-type rank sum a BIGINT. H's Σ R_t²/n_t folds
+    // over the ≤|types| per-type terms in SORTED order (Spark: aggregate
+    // over sort_array; DuckDB: sum(… ORDER BY …)) so double summation
+    // order is deterministic on both engines; the tie correction
+    // 1 − Σ(t³−t)/(N³−N) divides exact integers.
+    "q273_kruskal_wallis" -> ((spark, dir) => {
+      val e = table(spark, dir, "events")
+        .select(col("event_type"),
+          floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("vq"))
+      val vc = tcache(e.groupBy("vq").agg(count(lit(1)).as("n_v")), "q273:vc")
+      val wv = Window.orderBy("vq").rowsBetween(Window.unboundedPreceding, -1)
+      val ranks = vc.withColumn("c_below", coalesce(sum("n_v").over(wv), lit(0L)))
+        .select(col("vq"),
+          (lit(2L) * col("c_below") + col("n_v") + 1L).as("r2"),
+          col("n_v"))
+      val perType = e.groupBy("event_type", "vq").agg(count(lit(1)).as("n_tv"))
+        .join(broadcast(ranks.select("vq", "r2")), Seq("vq"))
+        .groupBy("event_type")
+        .agg(sum(col("n_tv") * col("r2")).as("r2sum"), sum("n_tv").as("n_t"))
+        .withColumn("term",
+          col("r2sum").cast("double") * col("r2sum").cast("double") /
+            (lit(4.0) * col("n_t").cast("double")))
+      val folded = perType.agg(
+        sum("n_t").as("n"), count(lit(1)).as("k"),
+        expr("aggregate(sort_array(collect_list(struct(event_type, term)))," +
+          " cast(0.0 as double), (acc, x) -> acc + x.term)").as("s"))
+      val ties = ranks.agg(
+        sum(col("n_v") * (col("n_v") - 1) * (col("n_v") + 1)).as("tie_sum"))
+      folded.crossJoin(broadcast(ties))
+        .withColumn("h",
+          lit(12.0) / (col("n") * (col("n") + 1)).cast("double") * col("s") -
+            lit(3.0) * (col("n") + 1).cast("double"))
+        .withColumn("c",
+          lit(1.0) - col("tie_sum").cast("double") /
+            (col("n").cast("double") * col("n").cast("double") *
+              col("n").cast("double") - col("n").cast("double")))
+        .select(col("n"), col("k"), pround(col("h"), 6).as("h"),
+          when(col("c") > 0.0, pround(col("h") / col("c"), 6))
+            .otherwise(lit(0.0)).as("h_tie_corrected"))
+    }),
+
+    // SPEARMAN TREND — the rank-correlation third of the trend triptych
+    // (q267 OLS, q270 Mann–Kendall, this): ρ between day order and the
+    // daily-mean MIDRANKS per type. Day ranks are row_number (days are
+    // unique per type); value midranks double to the integer 2r+t−1 via
+    // rank() + a tie count, so all five correlation moments are
+    // BIGINT-exact and ρ is one integer-argument division + sqrt —
+    // bit-identical on both engines, no quantize-early needed.
+    "q274_spearman_trend" -> ((spark, dir) => {
+      val d = tcache(dailyMeans(spark, dir), "q270:means")
+      val byType = Window.partitionBy("event_type")
+      val ranked = d
+        .withColumn("rx", row_number().over(byType.orderBy("day")))
+        .withColumn("rmin", rank().over(byType.orderBy("mq")))
+        .withColumn("t", count(lit(1)).over(Window.partitionBy("event_type", "mq")))
+        .withColumn("ry2", lit(2L) * col("rmin") + col("t") - 1L)
+      ranked.groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          sum("rx").as("sx"), sum(col("rx") * col("rx")).as("sxx"),
+          sum("ry2").as("sy2"), sum(col("ry2") * col("ry2")).as("syy4"),
+          sum(col("rx") * col("ry2")).as("sxy2"))
+        .withColumn("num", col("n_days") * col("sxy2") - col("sx") * col("sy2"))
+        .withColumn("d1", col("n_days") * col("sxx") - col("sx") * col("sx"))
+        .withColumn("d2", col("n_days") * col("syy4") - col("sy2") * col("sy2"))
+        .select(col("event_type"), col("n_days"),
+          when(col("d1") > 0L && col("d2") > 0L,
+            pround(col("num").cast("double") /
+              sqrt(col("d1").cast("double") * col("d2").cast("double")), 6))
+            .otherwise(lit(0.0)).as("rho"))
     })
   )
 
@@ -3726,6 +3855,24 @@ object RelQueries {
     val raw = table(spark, dir, "events")
     sweepBoundariesOf(raw.select(col("user_id"),
       QueryBase.tsUs(raw).as("ts_us"), col("event_id")))
+  }
+
+  /** q265's terminal arithmetic on a (day, t, ns, ne) boundary frame:
+    * a segment (t_i, t_{i+1}) is covered iff the running net count AFTER
+    * t_i's boundaries is positive; factored like [[peakOfBoundaries]] so
+    * the streaming sessionizer's replay spec shares it. */
+  private[graft] def coverageOfBoundaries(
+      b: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val ord = Window.partitionBy("day").orderBy("t")
+    val run = ord.rowsBetween(Window.unboundedPreceding, 0)
+    b.withColumn("active_after", sum(col("ns") - col("ne")).over(run))
+      .withColumn("seg", lead("t", 1).over(ord) - col("t"))
+      .groupBy("day")
+      .agg(coalesce(sum(when(col("active_after") > 0L, col("seg"))),
+        lit(0L)).as("covered_us"))
+      .select(col("day"), col("covered_us"),
+        pround(col("covered_us").cast("double") /
+          lit(DayUs.toDouble), 6).as("utilization"))
   }
 
   /** q264's terminal arithmetic on a (day, t, ns, ne) boundary frame:
@@ -5708,8 +5855,135 @@ object RelQueries {
          |       CASE WHEN var18 > 0 AND s <> 0
          |            THEN ${sround(s"CAST(s - CASE WHEN s > 0 THEN 1 ELSE -1 END AS DOUBLE) / sqrt(CAST(var18 AS DOUBLE) / ${dlit(18.0)})", 6)}
          |            ELSE ${dlit(0.0)} END AS z
+         |FROM f""".stripMargin,
+
+    // the same pair self-join on the daily-means aggregate; median slope
+    // rank-selected under the identical (slope, di, dj) total order
+    "q271_theil_sen" ->
+      s"""$DailyMeansSql,
+         |p AS (SELECT a.event_type, a.day AS di, b.day AS dj,
+         |             CAST(b.mq - a.mq AS DOUBLE) /
+         |               (CAST(b.day - a.day AS DOUBLE) * ${dlit(1000000.0)}) AS slope
+         |      FROM m a JOIN m b ON a.event_type = b.event_type AND a.day < b.day),
+         |r AS (SELECT event_type, slope,
+         |             row_number() OVER (PARTITION BY event_type
+         |               ORDER BY slope, di, dj) AS rn,
+         |             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS np
+         |      FROM p)
+         |SELECT event_type, np AS n_pairs, ${sround("slope", 8)} AS slope_md
+         |FROM r WHERE rn = (np + 1) // 2""".stripMargin,
+
+    // the same rank-picked median, sign sequence, one lag() run count and
+    // BIGINT-exact E/V algebra serially
+    "q272_runs_test" ->
+      s"""$DailyMeansSql,
+         |md AS (SELECT event_type, mq,
+         |              row_number() OVER (PARTITION BY event_type
+         |                ORDER BY mq, day) AS rn,
+         |              CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS nd
+         |       FROM m),
+         |mv AS (SELECT event_type, mq AS med FROM md WHERE rn = (nd + 1) // 2),
+         |sg AS (SELECT m.event_type, m.day,
+         |              CASE WHEN m.mq > med THEN 1 ELSE -1 END AS sgn,
+         |              lag(CASE WHEN m.mq > med THEN 1 ELSE -1 END)
+         |                OVER (PARTITION BY m.event_type ORDER BY m.day) AS prev
+         |       FROM m JOIN mv ON m.event_type = mv.event_type
+         |       WHERE m.mq <> med),
+         |ag AS (SELECT event_type,
+         |              CAST(sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |              CAST(sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         |              CAST(sum(CASE WHEN prev IS NULL OR prev <> sgn THEN 1 ELSE 0 END) AS BIGINT) AS r
+         |       FROM sg GROUP BY event_type),
+         |f AS (SELECT event_type, n1, n2, r, n1 + n2 AS n, 2 * n1 * n2 AS two_p FROM ag)
+         |SELECT event_type, n1, n2, r,
+         |       CASE WHEN n1 > 0 AND n2 > 0 AND two_p > n
+         |            THEN ${sround(s"(CAST(r AS DOUBLE) - (${dlit(1.0)} + CAST(two_p AS DOUBLE) / CAST(n AS DOUBLE))) / sqrt(CAST(two_p * (two_p - n) AS DOUBLE) / CAST(n * n * (n - 1) AS DOUBLE))", 6)}
+         |            ELSE ${dlit(0.0)} END AS z
+         |FROM f""".stripMargin,
+
+    // the same bounded-domain doubled midranks; Σ R²/n folds in the same
+    // sorted type order (DuckDB ordered aggregate = Spark's sorted fold)
+    "q273_kruskal_wallis" ->
+      s"""WITH e AS (SELECT event_type,
+         |    CAST(floor(value * ${dlit(100.0)} + ${dlit(0.5)}) AS BIGINT) AS vq
+         |  FROM events),
+         |vc AS (SELECT vq, CAST(count(*) AS BIGINT) AS n_v FROM e GROUP BY vq),
+         |rk AS (SELECT vq, n_v,
+         |              2 * COALESCE(CAST(sum(n_v) OVER (ORDER BY vq
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0)
+         |                + n_v + 1 AS r2
+         |       FROM vc),
+         |tv AS (SELECT event_type, vq, CAST(count(*) AS BIGINT) AS n_tv
+         |       FROM e GROUP BY event_type, vq),
+         |pt AS (SELECT event_type,
+         |              CAST(sum(n_tv * r2) AS BIGINT) AS r2sum,
+         |              CAST(sum(n_tv) AS BIGINT) AS n_t
+         |       FROM tv JOIN rk USING (vq) GROUP BY event_type),
+         |ptt AS (SELECT event_type, n_t, r2sum,
+         |               CAST(r2sum AS DOUBLE) * CAST(r2sum AS DOUBLE) /
+         |                 (${dlit(4.0)} * CAST(n_t AS DOUBLE)) AS term
+         |        FROM pt),
+         |fo AS (SELECT CAST(sum(n_t) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
+         |              sum(term ORDER BY event_type) AS s
+         |       FROM ptt),
+         |ti AS (SELECT CAST(sum(n_v * (n_v - 1) * (n_v + 1)) AS BIGINT) AS tie_sum FROM rk),
+         |g AS (SELECT n, k,
+         |             ${dlit(12.0)} / CAST(n * (n + 1) AS DOUBLE) * s
+         |               - ${dlit(3.0)} * CAST(n + 1 AS DOUBLE) AS h,
+         |             ${dlit(1.0)} - CAST(tie_sum AS DOUBLE) /
+         |               (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+         |                 - CAST(n AS DOUBLE)) AS c
+         |      FROM fo CROSS JOIN ti)
+         |SELECT n, k, ${sround("h", 6)} AS h,
+         |       CASE WHEN c > ${dlit(0.0)} THEN ${sround("h / c", 6)}
+         |            ELSE ${dlit(0.0)} END AS h_tie_corrected
+         |FROM g""".stripMargin,
+
+    // the same integer day ranks + doubled value midranks and the
+    // all-BIGINT correlation moments serially
+    "q274_spearman_trend" ->
+      s"""$DailyMeansSql,
+         |rk AS (SELECT event_type, day, mq,
+         |              row_number() OVER (PARTITION BY event_type ORDER BY day) AS rx,
+         |              rank() OVER (PARTITION BY event_type ORDER BY mq) AS rmin,
+         |              CAST(count(*) OVER (PARTITION BY event_type, mq) AS BIGINT) AS t
+         |       FROM m),
+         |r2 AS (SELECT event_type, rx, 2 * rmin + t - 1 AS ry2 FROM rk),
+         |ag AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+         |              CAST(sum(rx) AS BIGINT) AS sx,
+         |              CAST(sum(rx * rx) AS BIGINT) AS sxx,
+         |              CAST(sum(ry2) AS BIGINT) AS sy2,
+         |              CAST(sum(ry2 * ry2) AS BIGINT) AS syy4,
+         |              CAST(sum(rx * ry2) AS BIGINT) AS sxy2
+         |       FROM r2 GROUP BY event_type),
+         |f AS (SELECT event_type, n_days,
+         |             n_days * sxy2 - sx * sy2 AS num,
+         |             n_days * sxx - sx * sx AS d1,
+         |             n_days * syy4 - sy2 * sy2 AS d2
+         |      FROM ag)
+         |SELECT event_type, n_days,
+         |       CASE WHEN d1 > 0 AND d2 > 0
+         |            THEN ${sround("CAST(num AS DOUBLE) / sqrt(CAST(d1 AS DOUBLE) * CAST(d2 AS DOUBLE))", 6)}
+         |            ELSE ${dlit(0.0)} END AS rho
          |FROM f""".stripMargin
   )
+
+  /** The q267/q270-family shared oracle prefix — the SQL twin of
+    * [[dailyMeans]]: cents-quantized per-(type, day) sums/counts and the
+    * micro-quantized BIGINT mean. A def for the same initialization-order
+    * reason as [[SweepBoundarySql]]. */
+  private def DailyMeansSql: String =
+    s"""WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us,
+       |    CAST(floor(value * ${dlit(100.0)} + ${dlit(0.5)}) AS BIGINT) AS vq
+       |  FROM events),
+       |d AS (SELECT event_type, ts_us // $DayUs AS day,
+       |             CAST(sum(vq) AS BIGINT) AS sv,
+       |             CAST(count(*) AS BIGINT) AS cnt
+       |      FROM e GROUP BY event_type, ts_us // $DayUs),
+       |m AS (SELECT event_type, day,
+       |             CAST(floor(CAST(sv AS DOUBLE) / CAST(cnt AS DOUBLE)
+       |               * ${dlit(10000.0)} + ${dlit(0.5)}) AS BIGINT) AS mq
+       |      FROM d)""".stripMargin
 
   /** The q264/q265 shared oracle prefix — the SQL twin of
     * [[sweepBoundariesOf]]: gap-sessionize with [[SweepGapUs]], explode

@@ -73,13 +73,21 @@ class StreamingSessionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // 2. the emitted spans through the SHARED clip/boundary/peak
     //    arithmetic reproduce the oracle-gated q264 report exactly
     val spansDf = streamed.toSeq.toDF("user_id", "s_us", "e_us")
-    val livePeak = RelQueries.peakOfBoundaries(
-        RelQueries.clipSpansToBoundaries(spansDf))
+    val liveBounds = RelQueries.clipSpansToBoundaries(spansDf)
+    val livePeak = RelQueries.peakOfBoundaries(liveBounds)
       .as[(Long, Long, Long, Long)].collect().toSet
     val batchPeak = graft.SparkEntry.queries("q264_peak_concurrency")(spark, dir)
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(livePeak == batchPeak,
       s"peak reports diverged; onlyLive=${(livePeak -- batchPeak).take(3)}")
+
+    // 3. … and the q265 coverage report too, off the same live boundaries
+    val liveCov = RelQueries.coverageOfBoundaries(liveBounds)
+      .as[(Long, Long, Double)].collect().toSet
+    val batchCov = graft.SparkEntry.queries("q265_interval_coverage")(spark, dir)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(liveCov == batchCov,
+      s"coverage reports diverged; onlyLive=${(liveCov -- batchCov).take(3)}")
   }
 
   test("mid-stream emissions are sessions-sized and closed rows are final") {
