@@ -3768,8 +3768,271 @@ object RelQueries {
             pround(col("num").cast("double") /
               sqrt(col("d1").cast("double") * col("d2").cast("double")), 6))
             .otherwise(lit(0.0)).as("rho"))
-    })
+    }),
+
+    // MANN–WHITNEY U / AUC — the two-sample location test (and its
+    // probability-of-superiority reading, the AUC every ranking system
+    // reports) for every ordered PAIR of event types. Ranks come from
+    // the bounded cents-quantized value DOMAIN per pair (the q273
+    // discipline — never a global sort of raw events): doubled combined
+    // midranks keep 2·R_a BIGINT-exact, U derives from R_a by integer
+    // algebra, AUC = U/(n_a·n_b) is one division, and the tie-corrected
+    // normal z uses the same Σ(t³−t) correction as q273 with a ±½
+    // continuity term carried on the doubled scale. At 100 TB the pair
+    // frame is |type-pairs|·|value domain| — aggregation output, not
+    // data.
+    "q275_mann_whitney" -> ((spark, dir) =>
+      mannWhitneyOf(tcache(pairDomain(spark, dir), "q275:dom"))),
+
+    // TWO-SAMPLE KOLMOGOROV–SMIRNOV — the distribution-equality screen
+    // per event-type pair: D = max_v |F_a(v) − F_b(v)| over the shared
+    // bounded value domain. Cross-multiplied cumulative counts make the
+    // ECDF gap an exact INTEGER (|ca·n_b − cb·n_a|), so the max is
+    // tie-proof and engine-exact; the only doubles are the terminal
+    // D = maxdiff/(n_a·n_b) division and the √(n_a·n_b/n) scaling of
+    // the asymptotic statistic. Shares q275's pair-domain frame.
+    "q276_ks_two_sample" -> ((spark, dir) =>
+      ksTwoSampleOf(tcache(pairDomain(spark, dir), "q275:dom"))),
+
+    // ONE-WAY ANOVA F — the parametric companion of q273's
+    // Kruskal–Wallis on the same cents-quantized values: per-type count
+    // / sum / sum-of-squares are all BIGINT-exact combinable
+    // aggregations, the between-group Σ s_t²/n_t folds over the ≤|types|
+    // per-type terms in SORTED order (the q273 sorted-fold discipline,
+    // so double summation order is deterministic on both engines), and
+    // F is two divisions at the end. One aggregation pass over events.
+    "q277_anova_f" -> ((spark, dir) => {
+      val e = table(spark, dir, "events")
+        .select(col("event_type"),
+          floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("vq"))
+      anovaF(e.groupBy("event_type")
+        .agg(count(lit(1)).as("n_t"), sum("vq").as("s_t"),
+          sum(col("vq") * col("vq")).as("ss_t")))
+    }),
+
+    // BROWN–FORSYTHE — variance homogeneity (the check ANOVA's equal-
+    // variance assumption needs, robust via group MEDIANS): per-type
+    // lower/upper median from the bounded domain's cumulative counts
+    // (two combinable min-when picks — no per-group sort of raw data),
+    // absolute deviations carried on the DOUBLED integer scale
+    // |2·vq − (lo+hi)| so even-count medians never produce a .5, and
+    // the same ANOVA tail as q277 on the deviations (F is
+    // scale-invariant, so the doubling cancels). All BIGINT until the
+    // two terminal divisions.
+    "q278_brown_forsythe" -> ((spark, dir) => {
+      val e = table(spark, dir, "events")
+        .select(col("event_type"),
+          floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("vq"))
+      val tv = e.groupBy("event_type", "vq").agg(count(lit(1)).as("n_tv"))
+      val wc = Window.partitionBy("event_type").orderBy("vq")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val cum = tv.withColumn("cum", sum("n_tv").over(wc))
+        .withColumn("n_t", sum("n_tv").over(Window.partitionBy("event_type")))
+      val med = cum.groupBy("event_type").agg(
+        min(when(col("cum") >= expr("(n_t + 1) div 2"), col("vq"))).as("lo"),
+        min(when(col("cum") >= expr("n_t div 2 + 1"), col("vq"))).as("hi"))
+        .select(col("event_type"), (col("lo") + col("hi")).as("med2"))
+      anovaF(tv.join(broadcast(med), Seq("event_type"))
+        .withColumn("z2", abs(lit(2L) * col("vq") - col("med2")))
+        .groupBy("event_type")
+        .agg(sum("n_tv").as("n_t"), sum(col("n_tv") * col("z2")).as("s_t"),
+          sum(col("n_tv") * col("z2") * col("z2")).as("ss_t")))
+    }),
+
+    // HODGES–LEHMANN LOCATION — the robust level estimate to report
+    // with q271's Theil–Sen slope: the median of all pairwise MEANS
+    // (i ≤ j, so single-point types still report) of each type's daily
+    // means. Pairwise means double to the exact BIGINT mq_i + mq_j, and
+    // the median is rank-selected under the deterministic
+    // (w2, di, dj) total order — q271's selection discipline, ties
+    // cannot move the pick. Pair space is per-type days², on the
+    // |types|·|days| aggregate.
+    "q279_hodges_lehmann" -> ((spark, dir) =>
+      hodgesLehmannOf(tcache(dailyMeans(spark, dir), "q270:means"))),
+
+    // PAGE–HINKLEY SEQUENTIAL DRIFT — the online changepoint detector
+    // (the streaming-native sibling of q204's CUSUM): per type in day
+    // order, deviation of each daily mean from the RUNNING mean (minus
+    // the δ allowance) is micro-quantized to a BIGINT the moment it's
+    // born — the running PH sum and its running min are then exact
+    // integer prefix aggregations, immune to windowed-sum tree order on
+    // either engine. Alarm = first day the sum rises more than λ above
+    // its running min. The only double per row is one cs/i division.
+    "q280_page_hinkley" -> ((spark, dir) =>
+      pageHinkleyOf(tcache(dailyMeans(spark, dir), "q270:means")))
   )
+
+  /** q275's Mann–Whitney tail on a [[pairDomain]]-shaped frame — factored
+    * so the spec can drive planted two-sample fixtures through the exact
+    * production algebra. */
+  private[graft] def mannWhitneyOf(
+      pd: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val ag = pd.groupBy("ta", "tb")
+      .agg(sum(col("na_v") * col("r2")).as("ra2"),
+        sum("na_v").as("n_a"), sum("nb_v").as("n_b"),
+        sum(col("n_v") * (col("n_v") - 1) * (col("n_v") + 1)).as("tie_sum"))
+      .withColumn("u2", col("ra2") - col("n_a") * (col("n_a") + 1))
+      .withColumn("n", col("n_a") + col("n_b"))
+    ag.withColumn("sigma2",
+        col("n_a").cast("double") * col("n_b").cast("double") *
+          ((col("n") + 1).cast("double") -
+            col("tie_sum").cast("double") /
+              (col("n").cast("double") * (col("n") - 1).cast("double"))) /
+          lit(12.0))
+      .withColumn("num2", col("u2") - col("n_a") * col("n_b"))
+      .select(col("ta"), col("tb"), col("n_a"), col("n_b"),
+        (col("u2").cast("double") / lit(2.0)).as("u"),
+        pround(col("u2").cast("double") /
+          (lit(2.0) * col("n_a").cast("double") * col("n_b").cast("double")),
+          6).as("auc"),
+        when(col("sigma2") > 0.0 && col("num2") =!= 0L,
+          pround((col("num2") - when(col("num2") > 0L, lit(1L))
+              .otherwise(lit(-1L))).cast("double") /
+            (lit(2.0) * sqrt(col("sigma2"))), 6))
+          .otherwise(lit(0.0)).as("z"))
+  }
+
+  /** q276's KS tail on a [[pairDomain]]-shaped frame (same spec
+    * rationale). */
+  private[graft] def ksTwoSampleOf(
+      pd: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val wc = Window.partitionBy("ta", "tb").orderBy("vq")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wp = Window.partitionBy("ta", "tb")
+    pd.withColumn("ca", sum("na_v").over(wc))
+      .withColumn("cb", sum("nb_v").over(wc))
+      .withColumn("ta_n", sum("na_v").over(wp))
+      .withColumn("tb_n", sum("nb_v").over(wp))
+      .withColumn("diff",
+        abs(col("ca") * col("tb_n") - col("cb") * col("ta_n")))
+      .groupBy("ta", "tb")
+      .agg(max("ta_n").as("n_a"), max("tb_n").as("n_b"),
+        max("diff").as("maxdiff"))
+      .withColumn("d", col("maxdiff").cast("double") /
+        (col("n_a").cast("double") * col("n_b").cast("double")))
+      .select(col("ta"), col("tb"), col("n_a"), col("n_b"),
+        pround(col("d"), 9).as("d"),
+        pround(col("d") * sqrt((col("n_a") * col("n_b")).cast("double") /
+          (col("n_a") + col("n_b")).cast("double")), 6).as("ks_stat"))
+  }
+
+  /** q279's pairwise-mean median on a [[dailyMeans]]-shaped frame (same
+    * spec rationale). */
+  private[graft] def hodgesLehmannOf(
+      d: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val a = d.select(col("event_type"), col("day").as("di"), col("mq").as("mi"))
+    val b = d.select(col("event_type").as("et2"), col("day").as("dj"),
+      col("mq").as("mj"))
+    val pairs = a.join(b, col("event_type") === col("et2") &&
+        col("di") <= col("dj"))
+      .select(col("event_type"), col("di"), col("dj"),
+        (col("mi") + col("mj")).as("w2"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("w2"), col("di"), col("dj"))
+    pairs.withColumn("rn", row_number().over(w))
+      .withColumn("np", count(lit(1)).over(Window.partitionBy("event_type")))
+      .where(col("rn") === expr("(np + 1) div 2"))
+      .select(col("event_type"), col("np").as("n_pairs"),
+        pround(col("w2").cast("double") / lit(20000.0), 6).as("hl"))
+  }
+
+  /** q280's Page–Hinkley pass on a [[dailyMeans]]-shaped frame (same
+    * spec rationale; the streaming twin replays against this). */
+  private[graft] def pageHinkleyOf(
+      d: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val ord = Window.partitionBy("event_type").orderBy("day")
+    val run = ord.rowsBetween(Window.unboundedPreceding, 0)
+    val ph = d
+      .withColumn("i", row_number().over(ord))
+      .withColumn("cs", sum("mq").over(run))
+      .withColumn("qd",
+        floor(col("mq").cast("double") -
+          col("cs").cast("double") / col("i").cast("double") + lit(0.5))
+          .cast("long") - lit(PhDeltaQ))
+      .withColumn("m", sum("qd").over(run))
+      .withColumn("runmin", min("m").over(run))
+      .withColumn("dev", col("m") - col("runmin"))
+    ph.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"), max("dev").as("max_dev_q"),
+        min(when(col("dev") > PhLambdaQ, col("day"))).as("alarm"))
+      .select(col("event_type"), col("n_days"),
+        pround(col("max_dev_q").cast("double") / lit(10000.0), 4).as("max_dev"),
+        coalesce(col("alarm"), lit(-1L)).as("alarm_day"))
+  }
+
+  /** q280's Page–Hinkley knobs, in mq units (mean·10⁴): δ — the drift
+    * allowance subtracted from every deviation — and λ — the alarm
+    * threshold on (PH sum − running min). ONE definition each, embedded
+    * into the oracle SQL and the streaming twin. δ = 0.5 value units,
+    * λ = 20 value units. */
+  private[graft] val PhDeltaQ = 5000L
+  private[graft] val PhLambdaQ = 200000L
+
+  /** q275/q276's shared per-type-pair bounded value-domain frame: for
+    * every ordered pair (ta < tb) of event types, the union of the two
+    * types' cents-quantized values with per-side counts, the combined
+    * count-below (exclusive running sum in vq order) and the DOUBLED
+    * combined midrank r2 = 2·c_below + n_v + 1 (always an odd BIGINT, so
+    * half-ranks never materialize). |pairs| ≤ |types|², domain ≤ 10⁵
+    * after quantization — aggregation-sized regardless of corpus scale. */
+  private def pairDomain(spark: org.apache.spark.sql.SparkSession,
+                         dir: String): org.apache.spark.sql.DataFrame =
+    pairDomainOf(table(spark, dir, "events")
+      .select(col("event_type"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("vq")))
+
+  /** The same derivation on a caller-supplied (event_type, vq) frame —
+    * the spec drives planted samples through it. */
+  private[graft] def pairDomainOf(
+      e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val tv = e.groupBy("event_type", "vq").agg(count(lit(1)).as("n_tv"))
+    val types = e.select("event_type").distinct()
+    val pairs = types.select(col("event_type").as("ta"))
+      .crossJoin(types.select(col("event_type").as("tb")))
+      .where(col("ta") < col("tb"))
+    val ca = tv.withColumnRenamed("event_type", "ta")
+      .join(broadcast(pairs), Seq("ta"))
+      .select(col("ta"), col("tb"), col("vq"),
+        col("n_tv").as("na_v"), lit(0L).as("nb_v"))
+    val cb = tv.withColumnRenamed("event_type", "tb")
+      .join(broadcast(pairs), Seq("tb"))
+      .select(col("ta"), col("tb"), col("vq"),
+        lit(0L).as("na_v"), col("n_tv").as("nb_v"))
+    val wv = Window.partitionBy("ta", "tb").orderBy("vq")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ca.union(cb).groupBy("ta", "tb", "vq")
+      .agg(sum("na_v").as("na_v"), sum("nb_v").as("nb_v"))
+      .withColumn("n_v", col("na_v") + col("nb_v"))
+      .withColumn("c_below",
+        coalesce(sum("n_v").over(wv), lit(0L)))
+      .withColumn("r2", lit(2L) * col("c_below") + col("n_v") + 1L)
+  }
+
+  /** The shared q277/q278 ANOVA tail: from a per-group (n_t, s_t, ss_t)
+    * BIGINT moment frame, the sorted-fold between-group sum, SSB/SSW and
+    * the F ratio — one row out (k, n, ssb, ssw, f). Degenerate shapes
+    * (k ≤ 1, n ≤ k, zero within-variance) report f = 0 instead of a
+    * divide error. */
+  private[graft] def anovaF(
+      pt: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val terms = pt.withColumn("term",
+      col("s_t").cast("double") * col("s_t").cast("double") /
+        col("n_t").cast("double"))
+    terms.agg(sum("n_t").as("n"), count(lit(1)).as("k"),
+        sum("s_t").as("s"), sum("ss_t").as("ss"),
+        expr("aggregate(sort_array(collect_list(struct(event_type, term)))," +
+          " cast(0.0 as double), (acc, x) -> acc + x.term)").as("sb"))
+      .withColumn("ssb", col("sb") -
+        col("s").cast("double") * col("s").cast("double") /
+          col("n").cast("double"))
+      .withColumn("ssw", col("ss").cast("double") - col("sb"))
+      .select(col("k"), col("n"), pround(col("ssb"), 6).as("ssb"),
+        pround(col("ssw"), 6).as("ssw"),
+        when(col("k") > 1L && col("n") > col("k") && col("ssw") > 0.0,
+          pround((col("ssb") / (col("k") - 1).cast("double")) /
+            (col("ssw") / (col("n") - col("k")).cast("double")), 6))
+          .otherwise(lit(0.0)).as("f"))
+  }
 
   /** q267/q270's shared per-(type, day) daily-mean frame: per-day cent
     * sums and counts (one combinable aggregation over events), means
@@ -5965,8 +6228,200 @@ object RelQueries {
          |       CASE WHEN d1 > 0 AND d2 > 0
          |            THEN ${sround("CAST(num AS DOUBLE) / sqrt(CAST(d1 AS DOUBLE) * CAST(d2 AS DOUBLE))", 6)}
          |            ELSE ${dlit(0.0)} END AS rho
-         |FROM f""".stripMargin
+         |FROM f""".stripMargin,
+
+    // the same doubled combined midranks over the pair domain, integer
+    // U algebra and tie-corrected continuity z serially
+    "q275_mann_whitney" ->
+      s"""$PairDomainSql,
+         |ag AS (SELECT ta, tb,
+         |              CAST(sum(na_v * r2) AS BIGINT) AS ra2,
+         |              CAST(sum(na_v) AS BIGINT) AS n_a,
+         |              CAST(sum(nb_v) AS BIGINT) AS n_b,
+         |              CAST(sum(n_v * (n_v - 1) * (n_v + 1)) AS BIGINT) AS tie_sum
+         |       FROM rk GROUP BY ta, tb),
+         |g AS (SELECT ta, tb, n_a, n_b, tie_sum,
+         |             ra2 - n_a * (n_a + 1) AS u2,
+         |             n_a + n_b AS n
+         |      FROM ag),
+         |h AS (SELECT *,
+         |             CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) *
+         |               (CAST(n + 1 AS DOUBLE) - CAST(tie_sum AS DOUBLE) /
+         |                 (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) /
+         |               ${dlit(12.0)} AS sigma2,
+         |             u2 - n_a * n_b AS num2
+         |      FROM g)
+         |SELECT ta, tb, n_a, n_b,
+         |       CAST(u2 AS DOUBLE) / ${dlit(2.0)} AS u,
+         |       ${sround(s"CAST(u2 AS DOUBLE) / (${dlit(2.0)} * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))", 6)} AS auc,
+         |       CASE WHEN sigma2 > ${dlit(0.0)} AND num2 <> 0
+         |            THEN ${sround(s"CAST(num2 - CASE WHEN num2 > 0 THEN 1 ELSE -1 END AS DOUBLE) / (${dlit(2.0)} * sqrt(sigma2))", 6)}
+         |            ELSE ${dlit(0.0)} END AS z
+         |FROM h""".stripMargin,
+
+    // the same cross-multiplied integer ECDF gap and terminal divisions
+    // serially
+    "q276_ks_two_sample" ->
+      s"""$PairDomainSql,
+         |cm AS (SELECT ta, tb, vq, na_v, nb_v,
+         |              CAST(sum(na_v) OVER (PARTITION BY ta, tb ORDER BY vq
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ca,
+         |              CAST(sum(nb_v) OVER (PARTITION BY ta, tb ORDER BY vq
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cb,
+         |              CAST(sum(na_v) OVER (PARTITION BY ta, tb) AS BIGINT) AS ta_n,
+         |              CAST(sum(nb_v) OVER (PARTITION BY ta, tb) AS BIGINT) AS tb_n
+         |       FROM rk),
+         |mx AS (SELECT ta, tb,
+         |              CAST(max(ta_n) AS BIGINT) AS n_a,
+         |              CAST(max(tb_n) AS BIGINT) AS n_b,
+         |              CAST(max(abs(ca * tb_n - cb * ta_n)) AS BIGINT) AS maxdiff
+         |       FROM cm GROUP BY ta, tb),
+         |dd AS (SELECT *, CAST(maxdiff AS DOUBLE) /
+         |              (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS d
+         |       FROM mx)
+         |SELECT ta, tb, n_a, n_b, ${sround("d", 9)} AS d,
+         |       ${sround("d * sqrt(CAST(n_a * n_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))", 6)} AS ks_stat
+         |FROM dd""".stripMargin,
+
+    // the same BIGINT moments and sorted-fold between-group sum serially
+    "q277_anova_f" ->
+      s"""WITH e AS (SELECT event_type,
+         |    CAST(floor(value * ${dlit(100.0)} + ${dlit(0.5)}) AS BIGINT) AS vq
+         |  FROM events),
+         |pt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_t,
+         |              CAST(sum(vq) AS BIGINT) AS s_t,
+         |              CAST(sum(vq * vq) AS BIGINT) AS ss_t
+         |       FROM e GROUP BY event_type),
+         |${AnovaTailSql("pt")}""".stripMargin,
+
+    // the same doubled-scale median deviations through the same ANOVA
+    // tail serially
+    "q278_brown_forsythe" ->
+      s"""WITH e AS (SELECT event_type,
+         |    CAST(floor(value * ${dlit(100.0)} + ${dlit(0.5)}) AS BIGINT) AS vq
+         |  FROM events),
+         |tv AS (SELECT event_type, vq, CAST(count(*) AS BIGINT) AS n_tv
+         |       FROM e GROUP BY event_type, vq),
+         |cu AS (SELECT event_type, vq, n_tv,
+         |              CAST(sum(n_tv) OVER (PARTITION BY event_type ORDER BY vq
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         |              CAST(sum(n_tv) OVER (PARTITION BY event_type) AS BIGINT) AS n_t
+         |       FROM tv),
+         |md AS (SELECT event_type,
+         |              min(CASE WHEN cum >= (n_t + 1) // 2 THEN vq END) +
+         |                min(CASE WHEN cum >= n_t // 2 + 1 THEN vq END) AS med2
+         |       FROM cu GROUP BY event_type),
+         |zz AS (SELECT tv.event_type, tv.n_tv,
+         |              abs(2 * tv.vq - md.med2) AS z2
+         |       FROM tv JOIN md ON tv.event_type = md.event_type),
+         |pt AS (SELECT event_type, CAST(sum(n_tv) AS BIGINT) AS n_t,
+         |              CAST(sum(n_tv * z2) AS BIGINT) AS s_t,
+         |              CAST(sum(n_tv * z2 * z2) AS BIGINT) AS ss_t
+         |       FROM zz GROUP BY event_type),
+         |${AnovaTailSql("pt")}""".stripMargin,
+
+    // the same doubled pairwise means and deterministic rank selection
+    // serially
+    "q279_hodges_lehmann" ->
+      s"""$DailyMeansSql,
+         |pa AS (SELECT a.event_type, a.day AS di, b.day AS dj,
+         |              a.mq + b.mq AS w2
+         |       FROM m a JOIN m b
+         |         ON a.event_type = b.event_type AND a.day <= b.day),
+         |rk AS (SELECT *,
+         |              row_number() OVER (PARTITION BY event_type
+         |                ORDER BY w2, di, dj) AS rn,
+         |              CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS np
+         |       FROM pa)
+         |SELECT event_type, np AS n_pairs,
+         |       ${sround(s"CAST(w2 AS DOUBLE) / ${dlit(20000.0)}", 6)} AS hl
+         |FROM rk WHERE rn = (np + 1) // 2""".stripMargin,
+
+    // the same quantize-at-birth deviations and exact integer prefix
+    // sums/mins serially
+    "q280_page_hinkley" ->
+      s"""$DailyMeansSql,
+         |st AS (SELECT event_type, day, mq,
+         |              row_number() OVER (PARTITION BY event_type ORDER BY day) AS i,
+         |              CAST(sum(mq) OVER (PARTITION BY event_type ORDER BY day
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cs
+         |       FROM m),
+         |qd AS (SELECT *,
+         |              CAST(floor(CAST(mq AS DOUBLE) - CAST(cs AS DOUBLE) /
+         |                CAST(i AS DOUBLE) + ${dlit(0.5)}) AS BIGINT) - $PhDeltaQ AS qd
+         |       FROM st),
+         |ph AS (SELECT *, CAST(sum(qd) OVER (PARTITION BY event_type ORDER BY day
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS phs
+         |       FROM qd),
+         |p2 AS (SELECT *, CAST(min(phs) OVER (PARTITION BY event_type ORDER BY day
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS rmn
+         |       FROM ph),
+         |dv AS (SELECT event_type, day, phs - rmn AS dev FROM p2)
+         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+         |       ${sround(s"CAST(max(dev) AS DOUBLE) / ${dlit(10000.0)}", 4)} AS max_dev,
+         |       COALESCE(CAST(min(CASE WHEN dev > $PhLambdaQ THEN day END) AS BIGINT),
+         |                CAST(-1 AS BIGINT)) AS alarm_day
+         |FROM dv GROUP BY event_type""".stripMargin
   )
+
+  /** q275/q276's shared oracle prefix — the SQL twin of [[pairDomain]]:
+    * per-pair bounded value domain with per-side counts, exclusive
+    * combined count-below and the doubled combined midrank. Final CTE is
+    * `rk`. A def for the same initialization-order reason as
+    * [[DailyMeansSql]]. */
+  private def PairDomainSql: String =
+    s"""WITH e AS (SELECT event_type,
+       |    CAST(floor(value * ${dlit(100.0)} + ${dlit(0.5)}) AS BIGINT) AS vq
+       |  FROM events),
+       |tv AS (SELECT event_type, vq, CAST(count(*) AS BIGINT) AS n_tv
+       |       FROM e GROUP BY event_type, vq),
+       |ty AS (SELECT DISTINCT event_type FROM e),
+       |pr AS (SELECT a.event_type AS ta, b.event_type AS tb
+       |       FROM ty a CROSS JOIN ty b WHERE a.event_type < b.event_type),
+       |un AS (SELECT pr.ta, pr.tb, tv.vq,
+       |              tv.n_tv AS na_v, CAST(0 AS BIGINT) AS nb_v
+       |       FROM pr JOIN tv ON tv.event_type = pr.ta
+       |       UNION ALL
+       |       SELECT pr.ta, pr.tb, tv.vq,
+       |              CAST(0 AS BIGINT) AS na_v, tv.n_tv AS nb_v
+       |       FROM pr JOIN tv ON tv.event_type = pr.tb),
+       |dom AS (SELECT ta, tb, vq,
+       |               CAST(sum(na_v) AS BIGINT) AS na_v,
+       |               CAST(sum(nb_v) AS BIGINT) AS nb_v
+       |        FROM un GROUP BY ta, tb, vq),
+       |pd AS (SELECT *, na_v + nb_v AS n_v,
+       |              COALESCE(CAST(sum(na_v + nb_v) OVER (PARTITION BY ta, tb
+       |                ORDER BY vq
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+       |                0) AS c_below
+       |       FROM dom),
+       |rk AS (SELECT *, 2 * c_below + n_v + 1 AS r2 FROM pd)""".stripMargin
+
+  /** The shared q277/q278 oracle ANOVA tail — the SQL twin of [[anovaF]]
+    * from a `ptCte` CTE holding (event_type, n_t, s_t, ss_t): the sorted
+    * between-group fold (`sum(term ORDER BY event_type)`, matching the
+    * Spark sort_array fold), SSB/SSW and the guarded F. */
+  private def AnovaTailSql(ptCte: String): String =
+    s"""tm AS (SELECT event_type, n_t, s_t, ss_t,
+       |              CAST(s_t AS DOUBLE) * CAST(s_t AS DOUBLE) /
+       |                CAST(n_t AS DOUBLE) AS term
+       |       FROM $ptCte),
+       |fo AS (SELECT CAST(sum(n_t) AS BIGINT) AS n,
+       |              CAST(count(*) AS BIGINT) AS k,
+       |              CAST(sum(s_t) AS BIGINT) AS s,
+       |              CAST(sum(ss_t) AS BIGINT) AS ss,
+       |              sum(term ORDER BY event_type) AS sb
+       |       FROM tm),
+       |g AS (SELECT k, n,
+       |             sb - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) /
+       |               CAST(n AS DOUBLE) AS ssb,
+       |             CAST(ss AS DOUBLE) - sb AS ssw
+       |      FROM fo)
+       |SELECT k, n, ${sround("ssb", 6)} AS ssb, ${sround("ssw", 6)} AS ssw,
+       |       CASE WHEN k > 1 AND n > k AND ssw > ${dlit(0.0)}
+       |            THEN ${sround("(ssb / CAST(k - 1 AS DOUBLE)) / (ssw / CAST(n - k AS DOUBLE))", 6)}
+       |            ELSE ${dlit(0.0)} END AS f
+       |FROM g""".stripMargin
 
   /** The q267/q270-family shared oracle prefix — the SQL twin of
     * [[dailyMeans]]: cents-quantized per-(type, day) sums/counts and the

@@ -1030,8 +1030,48 @@ object TextQueries {
           .select(lit(needle).as("needle"), col("n_docs"),
             col("n_occurrences"), col("sum_chars"))
       }
-    })
+    }),
+
+    // McNEMAR'S TEST — do two quality FILTERS disagree more than chance
+    // on the same paired documents? (The filter-comparison readout a
+    // pipeline runs before swapping gate A for gate B — q268's confusion
+    // matrix compares a classifier to truth; this compares two
+    // classifiers to each other.) Filter A = char-length floor, filter
+    // B = whitespace-token floor ([[McnCharMin]]/[[McnTokMin]], one
+    // definition each, embedded into the oracle). Only the discordant
+    // counts enter: χ² = (|b−c|−1)²/(b+c) with continuity correction,
+    // all-integer until one terminal division. One combinable
+    // aggregation over documents.
+    "q281_mcnemar" -> ((spark, dir) =>
+      mcnemarOf(spread(table(spark, dir, "documents"))
+        .select((length(col("text")) >= McnCharMin).as("pa"),
+          (size(filter(split(lower(col("text")), "\\s+"), t => t =!= ""))
+            >= McnTokMin).as("pb"))))
   )
+
+  /** q281's McNemar arithmetic on a paired (pa, pb) boolean frame —
+    * factored so the spec can drive hand-computable discordant counts
+    * through the exact production algebra. */
+  private[graft] def mcnemarOf(
+      d: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    d.agg(count(lit(1)).as("n"),
+        sum(when(col("pa") && col("pb"), 1L).otherwise(0L)).as("n_both"),
+        sum(when(!col("pa") && !col("pb"), 1L).otherwise(0L)).as("n_neither"),
+        sum(when(col("pa") && !col("pb"), 1L).otherwise(0L)).as("b"),
+        sum(when(!col("pa") && col("pb"), 1L).otherwise(0L)).as("c"))
+      .select(col("n"), col("n_both"), col("n_neither"), col("b"), col("c"),
+        when(col("b") + col("c") > 0L,
+          pround(((abs(col("b") - col("c")) - 1) *
+            (abs(col("b") - col("c")) - 1)).cast("double") /
+            (col("b") + col("c")).cast("double"), 6))
+          .otherwise(lit(0.0)).as("chi2"))
+
+  /** q281's paired-filter thresholds — char-length and whitespace-token
+    * floors chosen to sit on the corpus's length/token correlation edge
+    * (both discordant cells populated at the test SFs). ONE definition
+    * each, embedded into the oracle SQL. */
+  private val McnCharMin = 300
+  private val McnTokMin = 56
 
   /** q200's vocabulary cut — top terms by (freq DESC, token); ONE place,
     * embedded into the oracle SQL. */
@@ -1524,6 +1564,23 @@ object TextQueries {
          |       CAST(count(*) AS BIGINT) AS n_docs,
          |       CAST(sum(occ) AS BIGINT) AS n_occurrences,
          |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
-         |FROM m WHERE occ > 0""".stripMargin
+         |FROM m WHERE occ > 0""".stripMargin,
+
+    // the same discordant counts and continuity-corrected χ² serially
+    "q281_mcnemar" ->
+      s"""WITH t AS (SELECT length(text) >= $McnCharMin AS pa,
+         |    len($toksSqlD) >= $McnTokMin AS pb
+         |  FROM documents),
+         |g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |             CAST(sum(CASE WHEN pa AND pb THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+         |             CAST(sum(CASE WHEN NOT pa AND NOT pb THEN 1 ELSE 0 END) AS BIGINT) AS n_neither,
+         |             CAST(sum(CASE WHEN pa AND NOT pb THEN 1 ELSE 0 END) AS BIGINT) AS b,
+         |             CAST(sum(CASE WHEN NOT pa AND pb THEN 1 ELSE 0 END) AS BIGINT) AS c
+         |      FROM t)
+         |SELECT n, n_both, n_neither, b, c,
+         |       CASE WHEN b + c > 0
+         |            THEN ${sround("CAST((abs(b - c) - 1) * (abs(b - c) - 1) AS DOUBLE) / CAST(b + c AS DOUBLE)", 6)}
+         |            ELSE ${dlit(0.0)} END AS chi2
+         |FROM g""".stripMargin
   )
 }

@@ -1355,8 +1355,173 @@ object VectorQueries {
     // counts with ONE terminal division. The confusion frame is
     // |labels|² rows, so everything here is constant-sized.
     "q269_classifier_kappa" ->
-      ((spark, dir) => kappaOf(centroidConfusion(spark, dir)))
+      ((spark, dir) => kappaOf(centroidConfusion(spark, dir))),
+
+    // MEAN AVERAGE PRECISION @10 — completes the retrieval-metric
+    // quartet (q49 recall, q215 MRR, q260 NDCG, this): order-sensitive
+    // list quality of the SAME LSH-bucketed retrieval, binary label
+    // relevance. Each hit's precision@k term is the exact rational
+    // cumrel/k carried as integer NANOS via one BIGINT `div` — per-query
+    // AP sums whole numbers (no float accumulation at all until the
+    // final mean), normalized by min(R, 10) from the broadcast
+    // label-count frame, q260's honest-ideal discipline. Corpus fan-out
+    // is only the bounded bucket join.
+    "q282_average_precision" -> ((spark, dir) => {
+      val emb = spread(table(spark, dir, "embeddings"))
+      val q = emb.where(col("vec_id") < QueryCount)
+        .select(col("vec_id").as("query_id"), col("label").as("qlabel"))
+      val labelCnt = emb.groupBy(col("label").as("cl"))
+        .agg(count(lit(1)).as("cnt"))
+      val wq = Window.partitionBy("query_id").orderBy(desc("cos"), col("vec_id"))
+      val embB = emb.select(col("vec_id"), col("embedding"), col("label"),
+        explode(bucketsCol(col("embedding"))).as("bucket"))
+      val qb = embB.where(col("vec_id") < QueryCount)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("bucket"))
+      val wr = Window.partitionBy("query_id").orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val terms = embB.join(broadcast(qb), Seq("bucket"))
+        .where(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("qe"), col("vec_id"), col("embedding"),
+          col("label"))
+        .distinct()
+        .select(col("query_id"), col("vec_id"), col("label"),
+          pround(cosUdf(col("qe"), col("embedding")), 6).as("cos"))
+        .withColumn("rank", row_number().over(wq)).where(col("rank") <= NdcgK)
+        .join(broadcast(q), Seq("query_id"))
+        .withColumn("rel", when(col("label") === col("qlabel"), 1L)
+          .otherwise(0L))
+        .withColumn("cumrel", sum("rel").over(wr))
+        .withColumn("t_nanos", when(col("rel") === 1L,
+          expr("(cumrel * 1000000000) div rank")).otherwise(lit(0L)))
+        .groupBy("query_id")
+        .agg(sum("t_nanos").as("ap_nanos"), sum("rel").as("n_rel_top"))
+      q.join(broadcast(labelCnt), col("qlabel") === col("cl"))
+        .select(col("query_id"), (col("cnt") - lit(1L)).as("r"))
+        .join(terms, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("ap_nanos"), lit(0L)).as("ap_nanos"),
+          coalesce(col("n_rel_top"), lit(0L)).as("n_rel_top"),
+          least(col("r"), lit(NdcgK.toLong)).as("denom"))
+        .withColumn("ap", when(col("denom") > 0L,
+          pround(col("ap_nanos").cast("double") /
+            (col("denom").cast("double") * lit(1.0e9)), 9))
+          .otherwise(lit(0.0)))
+        .agg(count(lit(1)).as("n_queries"),
+          sum("n_rel_top").as("n_rel_hits"),
+          xsum(col("ap"), 9).as("ap_sum"))
+        .select(col("n_queries"), col("n_rel_hits"),
+          pround(col("ap_sum") / col("n_queries").cast("double"), 9).as("map"))
+    }),
+
+    // SIMPLIFIED SILHOUETTE — cluster cohesion/separation of the label
+    // clustering, the quality readout to run before trusting q268's
+    // centroid classifier: per vector, a = distance to OWN label
+    // centroid, b = nearest OTHER centroid, s = (b − a)/max(a, b).
+    // Distances derive from the shared [[centroidDistances]] frame —
+    // squared L2 as the exact BIGINT x² − 2·x·c + |c|² in 1e-9ths (the
+    // q268 quantization), so a/b selection is integer-exact and the
+    // scale factor cancels inside s (computed on IEEE sqrts of the raw
+    // quantized integers). True all-pairs silhouette is O(n²); the
+    // simplified (centroid) form is the one that scales — |labels|
+    // distances per vector against a broadcast centroid table.
+    "q283_silhouette" -> ((spark, dir) =>
+      silhouetteOf(tcache(
+        centroidDistances(spread(table(spark, dir, "embeddings"))),
+        "q283:d2"))),
+
+    // CALINSKI–HARABASZ — the variance-ratio cluster validity index on
+    // the same label clustering: SSB from |labels|·dim centroid-vs-grand
+    // deviations (aggregation-sized), SSW as the BIGINT sum of every
+    // vector's own-centroid squared distance from the shared
+    // [[centroidDistances]] frame. Both sums are exact integers in
+    // 1e-9ths; CH = (SSB/(k−1))/(SSW/(N−k)) is two divisions at the
+    // end. One corpus-sized aggregation total (shared with q283 via the
+    // tcache).
+    "q284_calinski_harabasz" -> ((spark, dir) => {
+      val emb = spread(table(spark, dir, "embeddings"))
+      calinskiHarabaszOf(emb, tcache(centroidDistances(emb), "q283:d2"))
+    })
   )
+
+  /** q283's silhouette tail on a [[centroidDistances]]-shaped frame —
+    * factored so the spec can drive planted clusters through the exact
+    * production algebra. */
+  private[graft] def silhouetteOf(
+      d2: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    d2.groupBy("vec_id", "label")
+      .agg(min(when(col("clabel") === col("label"), col("d2q"))).as("aq"),
+        min(when(col("clabel") =!= col("label"), col("d2q"))).as("bq"))
+      .withColumn("sa", sqrt(col("aq").cast("double")))
+      .withColumn("sb", sqrt(col("bq").cast("double")))
+      .withColumn("sil", when(greatest(col("sa"), col("sb")) > 0.0,
+        pround((col("sb") - col("sa")) / greatest(col("sa"), col("sb")), 6))
+        .otherwise(lit(0.0)))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"), xsum(col("sil"), 6).as("ssum"))
+      .select(col("label"), col("n"),
+        pround(col("ssum") / col("n").cast("double"), 6).as("mean_sil"))
+
+  /** q284's CH arithmetic from the embedding frame + its
+    * [[centroidDistances]] frame (same spec rationale). */
+  private[graft] def calinskiHarabaszOf(
+      emb: org.apache.spark.sql.DataFrame,
+      d2: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val ssw = d2.where(col("clabel") === col("label"))
+      .agg(sum("d2q").as("ssw_q"), count(lit(1)).as("n"))
+    val cs = centroidSums(emb).groupBy("label", "pos")
+      .agg(sum("n").as("n_c"), sum("s").as("s"))
+    val grand = cs.groupBy("pos")
+      .agg(sum("s").as("gs"), sum("n_c").as("gn"))
+      .select(col("pos"), pround(col("gs").cast("double") /
+        (col("gn").cast("double") * lit(1.0e6)), 6).as("g"))
+    val ssb = cs
+      .select(col("label"), col("pos"), col("n_c"),
+        pround(col("s").cast("double") /
+          (col("n_c").cast("double") * lit(1.0e6)), 6).as("m"))
+      .join(broadcast(grand), Seq("pos"))
+      .withColumn("dq", floor((col("m") - col("g")) * (col("m") - col("g")) *
+        lit(1.0e9) + lit(0.5)).cast("long"))
+      .groupBy("label").agg(max("n_c").as("n_c"), sum("dq").as("cd2"))
+      .agg(count(lit(1)).as("k"), sum(col("n_c") * col("cd2")).as("ssb_q"))
+    ssw.crossJoin(broadcast(ssb))
+      .select(col("k"), col("n"),
+        pround(col("ssb_q").cast("double") / lit(1.0e9), 6).as("ssb"),
+        pround(col("ssw_q").cast("double") / lit(1.0e9), 6).as("ssw"),
+        when(col("k") > 1L && col("n") > col("k") && col("ssw_q") > 0L,
+          pround((col("ssb_q").cast("double") / (col("k") - 1).cast("double")) /
+            (col("ssw_q").cast("double") /
+              (col("n") - col("k")).cast("double")), 6))
+          .otherwise(lit(0.0)).as("ch"))
+  }
+
+  /** q283/q284's shared per-(vector, centroid) squared-distance frame:
+    * [[centroidSums]]-derived centroids (halves merged), per-dim products
+    * quantized to integer 1e-9ths exactly as q268's scorer, and
+    * d2q = max(0, x² − 2·x·c + |c|²) — the clamp absorbs the ≤ few-ulp
+    * quantization slack on a vector sitting ON its centroid. BIGINT
+    * throughout; |labels| rows per vector against a broadcast centroid
+    * table. */
+  private[graft] def centroidDistances(
+      emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val cen = centroidSums(emb).groupBy("label", "pos")
+      .agg(sum("n").as("n"), sum("s").as("s"))
+      .select(col("label").as("clabel"), col("pos"),
+        pround(col("s").cast("double") /
+          (col("n").cast("double") * lit(1.0e6)), 6).as("m"))
+    val ex = emb.select(col("vec_id"), col("label"), posexplode(col("embedding")))
+      .withColumnRenamed("col", "c")
+    ex.join(broadcast(cen), Seq("pos"))
+      .groupBy("vec_id", "label", "clabel")
+      .agg(sum(floor(col("m") * col("c").cast("double") * lit(1.0e9) + lit(0.5))
+          .cast("long")).as("dot"),
+        sum(floor(col("m") * col("m") * lit(1.0e9) + lit(0.5))
+          .cast("long")).as("nc"),
+        sum(floor(col("c").cast("double") * col("c").cast("double") *
+          lit(1.0e9) + lit(0.5)).cast("long")).as("x2"))
+      .withColumn("d2q",
+        greatest(col("x2") - lit(2L) * col("dot") + col("nc"), lit(0L)))
+  }
 
   /** q269's kappa/accuracy arithmetic on a (label, pred, n) confusion
     * frame — factored so the spec can drive a planted hand-computable
@@ -2176,8 +2341,122 @@ object VectorQueries {
          |       CASE WHEN nn * nn - src <> 0
          |            THEN ${sround("CAST(nn * diag - src AS DOUBLE) / CAST(nn * nn - src AS DOUBLE)", 6)}
          |            ELSE ${dlit(0.0)} END AS kappa
-         |FROM tot CROSS JOIN rc""".stripMargin
+         |FROM tot CROSS JOIN rc""".stripMargin,
+
+    // the same integer-nanos precision terms and min(R,10) normalizer
+    // serially
+    "q282_average_precision" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, label AS qlabel FROM embeddings WHERE vec_id < $QueryCount),
+         |lc AS (SELECT label AS cl, CAST(count(*) AS BIGINT) AS cnt FROM embeddings GROUP BY label),
+         |e AS (SELECT vec_id, embedding, label, unnest(${bucketsSql("embedding")}) AS bucket FROM embeddings),
+         |qb AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM e WHERE vec_id < $QueryCount),
+         |cand AS (SELECT DISTINCT qb.query_id, qb.qe, e.vec_id, e.embedding, e.label
+         |         FROM e JOIN qb USING (bucket) WHERE e.vec_id <> qb.query_id),
+         |ranked AS (SELECT query_id, vec_id, label,
+         |             row_number() OVER (PARTITION BY query_id ORDER BY ${sround(cosSql("qe", "embedding"), 6)} DESC, vec_id) AS rank
+         |           FROM cand),
+         |rr AS (SELECT r.query_id, r.rank,
+         |         CASE WHEN r.label = q.qlabel THEN 1 ELSE 0 END AS rel
+         |       FROM ranked r JOIN q USING (query_id) WHERE r.rank <= $NdcgK),
+         |cr AS (SELECT query_id, rank, rel,
+         |         CAST(sum(rel) OVER (PARTITION BY query_id ORDER BY rank
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumrel
+         |       FROM rr),
+         |t AS (SELECT query_id,
+         |        CAST(sum(CASE WHEN rel = 1 THEN (cumrel * 1000000000) // rank ELSE 0 END) AS BIGINT) AS ap_nanos,
+         |        CAST(sum(rel) AS BIGINT) AS n_rel_top
+         |      FROM cr GROUP BY query_id),
+         |p AS (SELECT q.query_id,
+         |        CAST(coalesce(ap_nanos, 0) AS BIGINT) AS ap_nanos,
+         |        CAST(coalesce(n_rel_top, 0) AS BIGINT) AS n_rel_top,
+         |        CAST(least(cnt - 1, $NdcgK) AS BIGINT) AS denom
+         |      FROM q JOIN lc ON qlabel = cl LEFT JOIN t ON q.query_id = t.query_id),
+         |a AS (SELECT query_id, n_rel_top,
+         |        CASE WHEN denom > 0
+         |             THEN ${sround(s"CAST(ap_nanos AS DOUBLE) / (CAST(denom AS DOUBLE) * ${dlit(1.0e9)})", 9)}
+         |             ELSE ${dlit(0.0)} END AS ap
+         |      FROM p)
+         |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         |       CAST(sum(n_rel_top) AS BIGINT) AS n_rel_hits,
+         |       ${sround(s"(${xsumSql("ap", 9)}) / CAST(count(*) AS DOUBLE)", 9)} AS map
+         |FROM a""".stripMargin,
+
+    // the same integer a/b selection and sqrt-ratio serially
+    "q283_silhouette" ->
+      s"""$CentroidDistancesSql,
+         |pv AS (SELECT vec_id, label,
+         |         CAST(min(CASE WHEN clabel = label THEN d2q END) AS BIGINT) AS aq,
+         |         CAST(min(CASE WHEN clabel <> label THEN d2q END) AS BIGINT) AS bq
+         |       FROM dq GROUP BY vec_id, label),
+         |sl AS (SELECT label, sqrt(CAST(aq AS DOUBLE)) AS sa,
+         |              sqrt(CAST(bq AS DOUBLE)) AS sb
+         |       FROM pv),
+         |s2 AS (SELECT label,
+         |         CASE WHEN greatest(sa, sb) > ${dlit(0.0)}
+         |              THEN ${sround("(sb - sa) / greatest(sa, sb)", 6)}
+         |              ELSE ${dlit(0.0)} END AS sil
+         |       FROM sl)
+         |SELECT label, CAST(count(*) AS BIGINT) AS n,
+         |       ${sround(s"(${xsumSql("sil", 6)}) / CAST(count(*) AS DOUBLE)", 6)} AS mean_sil
+         |FROM s2 GROUP BY label""".stripMargin,
+
+    // the same exact-integer SSB/SSW and two terminal divisions serially
+    "q284_calinski_harabasz" ->
+      s"""$CentroidDistancesSql,
+         |sw AS (SELECT CAST(sum(d2q) AS BIGINT) AS ssw_q,
+         |              CAST(count(*) AS BIGINT) AS n
+         |       FROM dq WHERE clabel = label),
+         |gr AS (SELECT pos,
+         |         ${sround(s"CAST(sum(s) AS DOUBLE) / (CAST(sum(n) AS DOUBLE) * ${dlit(1.0e6)})", 6)} AS g
+         |       FROM m0 GROUP BY pos),
+         |sb0 AS (SELECT m0.clabel, m0.n AS n_c,
+         |          CAST(floor((cen.m - gr.g) * (cen.m - gr.g) * ${dlit(1.0e9)} + ${dlit(0.5)}) AS BIGINT) AS dq2
+         |        FROM m0 JOIN cen ON m0.clabel = cen.clabel AND m0.pos = cen.pos
+         |                JOIN gr ON m0.pos = gr.pos),
+         |sb1 AS (SELECT clabel, CAST(max(n_c) AS BIGINT) AS n_c,
+         |               CAST(sum(dq2) AS BIGINT) AS cd2
+         |        FROM sb0 GROUP BY clabel),
+         |sb AS (SELECT CAST(count(*) AS BIGINT) AS k,
+         |              CAST(sum(n_c * cd2) AS BIGINT) AS ssb_q
+         |       FROM sb1)
+         |SELECT k, n,
+         |       ${sround(s"CAST(ssb_q AS DOUBLE) / ${dlit(1.0e9)}", 6)} AS ssb,
+         |       ${sround(s"CAST(ssw_q AS DOUBLE) / ${dlit(1.0e9)}", 6)} AS ssw,
+         |       CASE WHEN k > 1 AND n > k AND ssw_q > 0
+         |            THEN ${sround("(CAST(ssb_q AS DOUBLE) / CAST(k - 1 AS DOUBLE)) / (CAST(ssw_q AS DOUBLE) / CAST(n - k AS DOUBLE))", 6)}
+         |            ELSE ${dlit(0.0)} END AS ch
+         |FROM sw CROSS JOIN sb""".stripMargin
   )
+
+  /** q283/q284's shared oracle prefix — the SQL twin of
+    * [[centroidDistances]], extending [[CentroidConfusionSql]]'s centroid
+    * machinery with the per-vector x² term and the clamped quadratic.
+    * Final CTE is `dq` (vec_id, label, clabel, d2q); `m0`/`cen` remain in
+    * scope for q284's SSB. A def, not a val: `oracles` initializes
+    * first. */
+  private def CentroidDistancesSql: String =
+    s"""WITH x AS (SELECT label, vec_id, embedding,
+       |                  unnest(range(1, len(embedding) + 1)) AS i
+       |           FROM embeddings),
+       |cq AS (SELECT label, vec_id, (i - 1) AS pos,
+       |         CAST(floor(CAST(embedding[i] AS DOUBLE) * ${dlit(1.0e6)} + ${dlit(0.5)}) AS BIGINT) AS q6,
+       |         CAST(embedding[i] AS DOUBLE) AS cval
+       |       FROM x),
+       |m0 AS (SELECT label AS clabel, pos, CAST(count(*) AS BIGINT) AS n,
+       |              CAST(sum(q6) AS BIGINT) AS s
+       |       FROM cq GROUP BY label, pos),
+       |cen AS (SELECT clabel, pos,
+       |          ${sround(s"CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * ${dlit(1.0e6)})", 6)} AS m
+       |        FROM m0),
+       |sc AS (SELECT v.vec_id, v.label, cen.clabel,
+       |         CAST(sum(CAST(floor(m * cval * ${dlit(1.0e9)} + ${dlit(0.5)}) AS BIGINT)) AS BIGINT) AS dot,
+       |         CAST(sum(CAST(floor(m * m * ${dlit(1.0e9)} + ${dlit(0.5)}) AS BIGINT)) AS BIGINT) AS nc,
+       |         CAST(sum(CAST(floor(cval * cval * ${dlit(1.0e9)} + ${dlit(0.5)}) AS BIGINT)) AS BIGINT) AS x2
+       |       FROM cq v JOIN cen ON v.pos = cen.pos
+       |       GROUP BY v.vec_id, v.label, cen.clabel),
+       |dq AS (SELECT vec_id, label, clabel,
+       |              greatest(x2 - 2 * dot + nc, 0) AS d2q
+       |       FROM sc)""".stripMargin
 
   /** q268/q269's shared oracle prefix — the SQL twin of
     * [[centroidConfusion]]. A def, not a val: `oracles` is a val and
