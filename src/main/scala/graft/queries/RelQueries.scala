@@ -4039,7 +4039,7 @@ object RelQueries {
     * micro-quantized to exact BIGINTs (floor(sv/cnt·10⁴ + ½) — division
     * of two exact-integer-valued doubles, identical IEEE ops in both
     * engines). */
-  private def dailyMeans(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def dailyMeans(spark: org.apache.spark.sql.SparkSession,
                          dir: String): org.apache.spark.sql.DataFrame = {
     val raw = table(spark, dir, "events")
     raw.select(col("event_type"), QueryBase.tsUs(raw).as("ts_us"),
