@@ -3859,8 +3859,45 @@ object RelQueries {
     // either engine. Alarm = first day the sum rises more than λ above
     // its running min. The only double per row is one cs/i division.
     "q280_page_hinkley" -> ((spark, dir) =>
-      pageHinkleyOf(tcache(dailyMeans(spark, dir), "q270:means")))
+      pageHinkleyOf(tcache(dailyMeans(spark, dir), "q270:means"))),
+
+    // CROSS-CORRELATION — do two metrics move TOGETHER? Pearson r
+    // between every type pair's daily-mean series over their common
+    // days: the pair join runs on the bounded |types|·|days| aggregate
+    // (q270's discipline, never raw events), all five correlation
+    // moments are BIGINT-exact products of micro-quantized means
+    // (≤ 2·10¹⁷ ≪ 2⁶³ at 90-day spans), and r is one division + sqrt
+    // at the end — the q274/q205 exact-moment discipline applied across
+    // series instead of within one.
+    "q285_cross_correlation" -> ((spark, dir) =>
+      crossCorrelationOf(tcache(dailyMeans(spark, dir), "q270:means")))
   )
+
+  /** q285's cross-moment tail on a [[dailyMeans]]-shaped frame —
+    * factored so the spec can drive planted co-moving series through the
+    * exact production algebra. */
+  private[graft] def crossCorrelationOf(
+      d: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val a = d.select(col("event_type").as("ta"), col("day"),
+      col("mq").as("ma"))
+    val b = d.select(col("event_type").as("tb"), col("day").as("day2"),
+      col("mq").as("mb"))
+    a.join(b, col("day") === col("day2") && col("ta") < col("tb"))
+      .groupBy("ta", "tb")
+      .agg(count(lit(1)).as("n_days"),
+        sum("ma").as("sx"), sum("mb").as("sy"),
+        sum(col("ma") * col("ma")).as("sxx"),
+        sum(col("mb") * col("mb")).as("syy"),
+        sum(col("ma") * col("mb")).as("sxy"))
+      .withColumn("num", col("n_days") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("d1", col("n_days") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("d2", col("n_days") * col("syy") - col("sy") * col("sy"))
+      .select(col("ta"), col("tb"), col("n_days"),
+        when(col("d1") > 0L && col("d2") > 0L,
+          pround(col("num").cast("double") /
+            sqrt(col("d1").cast("double") * col("d2").cast("double")), 6))
+          .otherwise(lit(0.0)).as("r"))
+  }
 
   /** q275's Mann–Whitney tail on a [[pairDomain]]-shaped frame — factored
     * so the spec can drive planted two-sample fixtures through the exact
@@ -6361,7 +6398,31 @@ object RelQueries {
          |       ${sround(s"CAST(max(dev) AS DOUBLE) / ${dlit(10000.0)}", 4)} AS max_dev,
          |       COALESCE(CAST(min(CASE WHEN dev > $PhLambdaQ THEN day END) AS BIGINT),
          |                CAST(-1 AS BIGINT)) AS alarm_day
-         |FROM dv GROUP BY event_type""".stripMargin
+         |FROM dv GROUP BY event_type""".stripMargin,
+
+    // the same BIGINT cross-moments over common days serially
+    "q285_cross_correlation" ->
+      s"""$DailyMeansSql,
+         |pa AS (SELECT a.event_type AS ta, b.event_type AS tb,
+         |              CAST(count(*) AS BIGINT) AS n_days,
+         |              CAST(sum(a.mq) AS BIGINT) AS sx,
+         |              CAST(sum(b.mq) AS BIGINT) AS sy,
+         |              CAST(sum(a.mq * a.mq) AS BIGINT) AS sxx,
+         |              CAST(sum(b.mq * b.mq) AS BIGINT) AS syy,
+         |              CAST(sum(a.mq * b.mq) AS BIGINT) AS sxy
+         |       FROM m a JOIN m b
+         |         ON a.day = b.day AND a.event_type < b.event_type
+         |       GROUP BY a.event_type, b.event_type),
+         |f AS (SELECT ta, tb, n_days,
+         |             n_days * sxy - sx * sy AS num,
+         |             n_days * sxx - sx * sx AS d1,
+         |             n_days * syy - sy * sy AS d2
+         |      FROM pa)
+         |SELECT ta, tb, n_days,
+         |       CASE WHEN d1 > 0 AND d2 > 0
+         |            THEN ${sround("CAST(num AS DOUBLE) / sqrt(CAST(d1 AS DOUBLE) * CAST(d2 AS DOUBLE))", 6)}
+         |            ELSE ${dlit(0.0)} END AS r
+         |FROM f""".stripMargin
   )
 
   /** q275/q276's shared oracle prefix — the SQL twin of [[pairDomain]]:

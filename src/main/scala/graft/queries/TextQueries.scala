@@ -1046,7 +1046,69 @@ object TextQueries {
       mcnemarOf(spread(table(spark, dir, "documents"))
         .select((length(col("text")) >= McnCharMin).as("pa"),
           (size(filter(split(lower(col("text")), "\\s+"), t => t =!= ""))
-            >= McnTokMin).as("pb"))))
+            >= McnTokMin).as("pb")))),
+
+    // READABILITY SCORING — the Flesch-reading-ease shape as a
+    // deterministic heuristic (syllables ≈ vowel groups, sentences ≈
+    // terminal punctuation, both countable by the SAME regex on both
+    // engines): per doc, score = 206.835 − 1.015·(words/sentences) −
+    // 84.6·(syllables/words) on exact integer counts, pround'd at
+    // birth; per-source means via the order-independent xsum. Pure
+    // map-side counting + one bounded aggregation — the quality-scoring
+    // family's readability member beside q36 heuristics and q124
+    // entropy.
+    "q287_readability" -> ((spark, dir) => {
+      val d = spread(table(spark, dir, "documents"))
+        .select(col("source"),
+          size(filter(split(lower(col("text")), "\\s+"), t => t =!= ""))
+            .cast("long").as("words"),
+          greatest(size(regexp_extract_all(col("text"), lit("[.!?]"), lit(0)))
+            .cast("long"), lit(1L)).as("sents"),
+          size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0)))
+            .cast("long").as("sylls"))
+        .withColumn("score", when(col("words") > 0L,
+          pround(lit(206.835) -
+            lit(1.015) * (col("words").cast("double") / col("sents").cast("double")) -
+            lit(84.6) * (col("sylls").cast("double") / col("words").cast("double")),
+            4)).otherwise(lit(0.0)))
+      d.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("words").as("n_words"),
+          xsum(col("score"), 4).as("ssum"))
+        .select(col("source"), col("n_docs"), col("n_words"),
+          pround(col("ssum") / col("n_docs").cast("double"), 4).as("mean_score"))
+    }),
+
+    // VOCABULARY COVERAGE CURVE — what fraction of all token
+    // OCCURRENCES the top-k vocabulary covers (the tokenizer/OOV budget
+    // readout behind every vocab-size decision): one corpus token count
+    // is the data-sized work; only ranks ≤ max(k) matter, so the rank
+    // window runs over a distributed TakeOrderedAndProject top-max(k)
+    // (never a single-partition sort of the full vocabulary — at 100 TB
+    // that's tens of millions of terms); each probe k sums its prefix,
+    // shares divide exact integers. Deterministic under ties via the
+    // total (freq DESC, token) order.
+    "q288_vocab_coverage" -> ((spark, dir) => {
+      val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+      val tv = spread(table(spark, dir, "documents"))
+        .select(explode(toks).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("freq"))
+      val tot = tv.agg(sum("freq").as("t_total"),
+        count(lit(1)).as("vocab_total"))
+      val ranked = tv.orderBy(desc("freq"), col("token"))
+        .limit(CoverageKs.max)
+        .withColumn("rk",
+          row_number().over(Window.orderBy(desc("freq"), col("token"))))
+      ranked.crossJoin(broadcast(tot))
+        .withColumn("k", explode(array(CoverageKs.map(lit): _*)))
+        .where(col("rk") <= col("k"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("vocab_used"), sum("freq").as("covered"),
+          max("t_total").as("t_total"), max("vocab_total").as("vocab_total"))
+        .select(col("k"), col("vocab_used"), col("vocab_total"),
+          col("covered"), col("t_total"),
+          pround(col("covered").cast("double") / col("t_total").cast("double"),
+            6).as("share"))
+    })
   )
 
   /** q281's McNemar arithmetic on a paired (pa, pb) boolean frame —
@@ -1072,6 +1134,10 @@ object TextQueries {
     * each, embedded into the oracle SQL. */
   private val McnCharMin = 300
   private val McnTokMin = 56
+
+  /** q288's coverage cut points — top-k vocabulary sizes probed. ONE
+    * definition, embedded into the oracle SQL. */
+  private val CoverageKs = Seq(10, 100, 1000)
 
   /** q200's vocabulary cut — top terms by (freq DESC, token); ONE place,
     * embedded into the oracle SQL. */
@@ -1581,6 +1647,44 @@ object TextQueries {
          |       CASE WHEN b + c > 0
          |            THEN ${sround("CAST((abs(b - c) - 1) * (abs(b - c) - 1) AS DOUBLE) / CAST(b + c AS DOUBLE)", 6)}
          |            ELSE ${dlit(0.0)} END AS chi2
-         |FROM g""".stripMargin
+         |FROM g""".stripMargin,
+
+    // the same vowel-group/terminal-punctuation counts and score
+    // arithmetic serially
+    "q287_readability" ->
+      s"""WITH d AS (SELECT source,
+         |    CAST(len($toksSqlD) AS BIGINT) AS words,
+         |    greatest(CAST(len(regexp_extract_all(text, '[.!?]')) AS BIGINT), 1) AS sents,
+         |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS sylls
+         |  FROM documents),
+         |s AS (SELECT source, words,
+         |        CASE WHEN words > 0
+         |             THEN ${sround(s"${dlit(206.835)} - ${dlit(1.015)} * (CAST(words AS DOUBLE) / CAST(sents AS DOUBLE)) - ${dlit(84.6)} * (CAST(sylls AS DOUBLE) / CAST(words AS DOUBLE))", 4)}
+         |             ELSE ${dlit(0.0)} END AS score
+         |      FROM d)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(words) AS BIGINT) AS n_words,
+         |       ${sround(s"(${xsumSql("score", 4)}) / CAST(count(*) AS DOUBLE)", 4)} AS mean_score
+         |FROM s GROUP BY source""".stripMargin,
+
+    // the same deterministic rank order and prefix sums serially
+    "q288_vocab_coverage" ->
+      s"""WITH tv AS (SELECT t AS token, CAST(count(*) AS BIGINT) AS freq
+         |            FROM (SELECT unnest($toksSqlD) AS t FROM documents)
+         |            GROUP BY t),
+         |tot AS (SELECT CAST(sum(freq) AS BIGINT) AS t_total,
+         |               CAST(count(*) AS BIGINT) AS vocab_total
+         |        FROM tv),
+         |rk AS (SELECT token, freq,
+         |              row_number() OVER (ORDER BY freq DESC, token) AS rk
+         |       FROM tv),
+         |ks AS (SELECT unnest([${CoverageKs.mkString(", ")}]) AS k)
+         |SELECT k, CAST(count(*) AS BIGINT) AS vocab_used,
+         |       CAST(max(vocab_total) AS BIGINT) AS vocab_total,
+         |       CAST(sum(freq) AS BIGINT) AS covered,
+         |       CAST(max(t_total) AS BIGINT) AS t_total,
+         |       ${sround("CAST(sum(freq) AS DOUBLE) / CAST(max(t_total) AS DOUBLE)", 6)} AS share
+         |FROM rk CROSS JOIN tot CROSS JOIN ks
+         |WHERE rk <= k GROUP BY k""".stripMargin
   )
 }

@@ -1441,8 +1441,103 @@ object VectorQueries {
     "q284_calinski_harabasz" -> ((spark, dir) => {
       val emb = spread(table(spark, dir, "embeddings"))
       calinskiHarabaszOf(emb, tcache(centroidDistances(emb), "q283:d2"))
-    })
+    }),
+
+    // COVARIANCE SPECTRUM — the top principal eigenvalue of the
+    // embedding covariance by THREE deterministic power iterations (the
+    // PCA-health readout: λ₁/trace is the anisotropy share, a collapsed
+    // embedding space shows one dominant direction). The ONLY
+    // corpus-sized work is the dim² covariance accumulation: centered
+    // components quantize to integer 1e-6ths at birth (one exact IEEE
+    // subtraction against the 6-decimal grand mean), so every C_jk sum
+    // is BIGINT-exact and combinable; the normalized dim²-row matrix
+    // then iterates entirely on aggregation-sized frames, every
+    // matrix·vector row and every norm folding in sorted index order
+    // (the q273 discipline) so chained double sums are deterministic on
+    // both engines. v is re-quantized to 9 decimals each iteration so
+    // drift cannot accumulate. At 100 TB: one map-side dim²-fan-out
+    // aggregation, then constant-size algebra.
+    "q286_covariance_spectrum" -> ((spark, dir) =>
+      covarianceSpectrumOf(spread(table(spark, dir, "embeddings"))))
   )
+
+  /** q286's whole derivation on a caller-supplied (vec_id, label,
+    * embedding) frame — factored so the spec can drive planted diagonal
+    * covariances with exactly-known spectra through the production
+    * algebra. */
+  private[graft] def covarianceSpectrumOf(
+      emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    {
+      val ex = emb.select(col("vec_id"), posexplode(col("embedding")))
+        .withColumnRenamed("col", "c")
+      val mmF = ex.groupBy("pos")
+        .agg(sum(floor(col("c").cast("double") * lit(1.0e6) + lit(0.5))
+          .cast("long")).as("s"), count(lit(1)).as("n"))
+        .select(col("pos"), pround(col("s").cast("double") /
+          (col("n").cast("double") * lit(1.0e6)), 6).as("m"))
+      val marrF = mmF.agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("m")))),
+        x => x.getField("m")).as("marr"))
+      val nF = emb.agg(count(lit(1)).as("nv"))
+      val cs = emb.crossJoin(broadcast(marrF))
+        .select(col("vec_id"),
+          zip_with(col("embedding").cast("array<double>"), col("marr"),
+            (x, mm) => floor((x - mm) * lit(1.0e6) + lit(0.5)).cast("long"))
+            .as("cs"))
+      val e1 = cs.select(col("cs"), posexplode(col("cs")))
+        .withColumnRenamed("pos", "j").withColumnRenamed("col", "cj")
+      val e2 = e1.select(col("j"), col("cj"), posexplode(col("cs")))
+        .withColumnRenamed("pos", "k").withColumnRenamed("col", "ck")
+      val cM = tcache(e2.groupBy("j", "k")
+        .agg(sum(col("cj") * col("ck")).as("cqv"))
+        .crossJoin(broadcast(nF))
+        .select(col("j"), col("k"), pround(col("cqv").cast("double") /
+          (col("nv").cast("double") * lit(1.0e12)), 10).as("c")), "q286:cov")
+      def mult(v: org.apache.spark.sql.DataFrame) =
+        cM.join(broadcast(v), Seq("k"))
+          .withColumn("term", col("c") * col("v"))
+          .groupBy("j")
+          .agg(expr("aggregate(sort_array(collect_list(struct(k, term)))," +
+            " cast(0.0 as double), (acc, x) -> acc + x.term)").as("w"))
+      var v = cM.select("k").distinct().withColumn("v", lit(1.0))
+      for (_ <- 1 to 3) {
+        val w = mult(v)
+        val nrmF = w.select(col("j"), (col("w") * col("w")).as("pw"))
+          .agg(sqrt(expr("aggregate(sort_array(collect_list(struct(j, pw)))," +
+            " cast(0.0 as double), (acc, x) -> acc + x.pw)")).as("nrm"))
+        v = w.crossJoin(broadcast(nrmF))
+          .select(col("j").as("k"),
+            when(col("nrm") > 0.0, pround(col("w") / col("nrm"), 9))
+              .otherwise(lit(0.0)).as("v"))
+      }
+      val cv = mult(v)
+      val rayF = cv.join(v.withColumnRenamed("k", "j"), Seq("j"))
+        .select(col("j"), (col("v") * col("w")).as("pr"),
+          (col("v") * col("v")).as("pv"))
+        .agg(expr("aggregate(sort_array(collect_list(struct(j, pr)))," +
+          " cast(0.0 as double), (acc, x) -> acc + x.pr)").as("vcv"),
+          expr("aggregate(sort_array(collect_list(struct(j, pv)))," +
+            " cast(0.0 as double), (acc, x) -> acc + x.pv)").as("vv"))
+      val trF = cM.where(col("j") === col("k"))
+        .select(col("j"), col("c"))
+        .agg(expr("aggregate(sort_array(collect_list(struct(j, c)))," +
+          " cast(0.0 as double), (acc, x) -> acc + x.c)").as("tr"))
+      val topF = v.select(max(struct(abs(col("v")).as("a"),
+        (-col("k")).as("nk"))).as("t"))
+        .select((-col("t").getField("nk")).as("top_dim"))
+      val dimF = v.agg(count(lit(1)).as("dim"))
+      nF.crossJoin(broadcast(dimF)).crossJoin(broadcast(rayF))
+        .crossJoin(broadcast(trF)).crossJoin(broadcast(topF))
+        .withColumn("lambda1", when(col("vv") > 0.0,
+          pround(col("vcv") / col("vv"), 8)).otherwise(lit(0.0)))
+        .withColumn("trace", pround(col("tr"), 8))
+        .select(col("nv").as("n"), col("dim"), col("lambda1"), col("trace"),
+          when(col("trace") =!= 0.0,
+            pround(col("lambda1") / col("trace"), 6)).otherwise(lit(0.0))
+            .as("explained_share"),
+          col("top_dim"))
+    }
+  }
 
   /** q283's silhouette tail on a [[centroidDistances]]-shaped frame —
     * factored so the spec can drive planted clusters through the exact
@@ -2425,8 +2520,76 @@ object VectorQueries {
          |       CASE WHEN k > 1 AND n > k AND ssw_q > 0
          |            THEN ${sround("(CAST(ssb_q AS DOUBLE) / CAST(k - 1 AS DOUBLE)) / (CAST(ssw_q AS DOUBLE) / CAST(n - k AS DOUBLE))", 6)}
          |            ELSE ${dlit(0.0)} END AS ch
-         |FROM sw CROSS JOIN sb""".stripMargin
+         |FROM sw CROSS JOIN sb""".stripMargin,
+
+    // the same quantize-at-birth covariance, sorted-fold matrix algebra
+    // and three re-quantized iterations serially
+    "q286_covariance_spectrum" ->
+      s"""WITH x AS (SELECT vec_id, embedding,
+         |                  unnest(range(1, len(embedding) + 1)) AS i
+         |           FROM embeddings),
+         |cq0 AS (SELECT vec_id, (i - 1) AS pos,
+         |          CAST(floor(CAST(embedding[i] AS DOUBLE) * ${dlit(1.0e6)} + ${dlit(0.5)}) AS BIGINT) AS q6
+         |        FROM x),
+         |m0 AS (SELECT pos, CAST(count(*) AS BIGINT) AS n,
+         |              CAST(sum(q6) AS BIGINT) AS s
+         |       FROM cq0 GROUP BY pos),
+         |mm AS (SELECT pos,
+         |         ${sround(s"CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * ${dlit(1.0e6)})", 6)} AS m
+         |       FROM m0),
+         |ma AS (SELECT list(m ORDER BY pos) AS marr FROM mm),
+         |nv AS (SELECT CAST(count(*) AS BIGINT) AS nv FROM embeddings),
+         |cs AS (SELECT vec_id,
+         |         list_transform(range(1, len(embedding) + 1),
+         |           i -> CAST(floor((CAST(embedding[i] AS DOUBLE) - marr[i]) * ${dlit(1.0e6)} + ${dlit(0.5)}) AS BIGINT)) AS cs
+         |       FROM embeddings CROSS JOIN ma),
+         |p1 AS (SELECT vec_id, cs, unnest(range(1, len(cs) + 1)) AS ji FROM cs),
+         |p2 AS (SELECT cs, ji, cs[ji] AS cj,
+         |              unnest(range(1, len(cs) + 1)) AS ki
+         |       FROM p1),
+         |c0 AS (SELECT (ji - 1) AS j, (ki - 1) AS k,
+         |              CAST(sum(cj * cs[ki]) AS BIGINT) AS cqv
+         |       FROM p2 GROUP BY ji, ki),
+         |cm AS (SELECT j, k,
+         |         ${sround(s"CAST(cqv AS DOUBLE) / (CAST(nv AS DOUBLE) * ${dlit(1.0e12)})", 10)} AS c
+         |       FROM c0 CROSS JOIN nv),
+         |v0 AS (SELECT DISTINCT k, ${dlit(1.0)} AS v FROM cm),
+         |${powIterSql(1, "v0")},
+         |${powIterSql(2, "v1")},
+         |${powIterSql(3, "v2")},
+         |cv AS (SELECT j, sum(c * v ORDER BY k) AS w
+         |       FROM cm JOIN v3 USING (k) GROUP BY j),
+         |ray AS (SELECT sum(v3.v * cv.w ORDER BY cv.j) AS vcv,
+         |               sum(v3.v * v3.v ORDER BY cv.j) AS vv
+         |        FROM cv JOIN v3 ON cv.j = v3.k),
+         |tr AS (SELECT sum(c ORDER BY j) AS tr FROM cm WHERE j = k),
+         |tp AS (SELECT CAST(first(k ORDER BY abs(v) DESC, k) AS INT) AS top_dim
+         |       FROM v3),
+         |dm AS (SELECT CAST(count(*) AS BIGINT) AS dim FROM v3),
+         |fin AS (SELECT nv AS n, dim,
+         |          CASE WHEN vv > ${dlit(0.0)} THEN ${sround("vcv / vv", 8)}
+         |               ELSE ${dlit(0.0)} END AS lambda1,
+         |          ${sround("tr", 8)} AS trace, top_dim
+         |        FROM nv CROSS JOIN dm CROSS JOIN ray CROSS JOIN tr CROSS JOIN tp)
+         |SELECT n, dim, lambda1, trace,
+         |       CASE WHEN trace <> ${dlit(0.0)}
+         |            THEN ${sround("lambda1 / trace", 6)}
+         |            ELSE ${dlit(0.0)} END AS explained_share,
+         |       top_dim
+         |FROM fin""".stripMargin
   )
+
+  /** One q286 oracle power-iteration step: w = C·v (per-j ordered
+    * aggregate), the j-ordered norm, and the 9-decimal re-quantized unit
+    * vector — the SQL twin of the Spark `mult`/normalize loop body. */
+  private def powIterSql(i: Int, prev: String): String =
+    s"""w$i AS (SELECT j, sum(c * v ORDER BY k) AS w
+       |        FROM cm JOIN $prev USING (k) GROUP BY j),
+       |n$i AS (SELECT sqrt(sum(w * w ORDER BY j)) AS nrm FROM w$i),
+       |v$i AS (SELECT j AS k,
+       |          CASE WHEN nrm > ${dlit(0.0)} THEN ${sround("w / nrm", 9)}
+       |               ELSE ${dlit(0.0)} END AS v
+       |        FROM w$i CROSS JOIN n$i)""".stripMargin
 
   /** q283/q284's shared oracle prefix — the SQL twin of
     * [[centroidDistances]], extending [[CentroidConfusionSql]]'s centroid

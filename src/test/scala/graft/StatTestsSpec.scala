@@ -161,4 +161,41 @@ class StatTestsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getAs[Double]("ssw") == 0.0)
     assert(row.getAs[Double]("ch") == 0.0)
   }
+
+  test("cross-correlation: proportional series give r = 1, opposed give -1") {
+    val up = means(Seq(("a", 1L, 10000L), ("a", 2L, 20000L), ("a", 3L, 30000L),
+      ("b", 1L, 20000L), ("b", 2L, 40000L), ("b", 3L, 60000L)))
+    val r1 = RelQueries.crossCorrelationOf(up).collect().head
+    assert(r1.getAs[Long]("n_days") == 3L)
+    assert(r1.getAs[Double]("r") == 1.0)
+    val down = means(Seq(("a", 1L, 10000L), ("a", 2L, 20000L), ("a", 3L, 30000L),
+      ("b", 1L, 30000L), ("b", 2L, 20000L), ("b", 3L, 10000L)))
+    assert(RelQueries.crossCorrelationOf(down)
+      .collect().head.getAs[Double]("r") == -1.0)
+  }
+
+  test("covariance spectrum: a single-variance axis is found exactly") {
+    // all variance in dim 1: vectors (0, +/-2) -> C = diag(0, 4);
+    // power iteration lands on e_1 exactly, lambda1 = 4, trace = 4
+    val e = emb(Seq((0L, 0, Seq(0f, 2f)), (1L, 0, Seq(0f, -2f)),
+      (2L, 1, Seq(0f, 2f)), (3L, 1, Seq(0f, -2f))))
+    val row = VectorQueries.covarianceSpectrumOf(e).collect().head
+    assert((row.getAs[Long]("n"), row.getAs[Long]("dim")) == (4L, 2L))
+    assert(row.getAs[Double]("lambda1") == 4.0)
+    assert(row.getAs[Double]("trace") == 4.0)
+    assert(row.getAs[Double]("explained_share") == 1.0)
+    assert(row.getAs[Int]("top_dim") == 1)
+  }
+
+  test("covariance spectrum: isotropic 2-d variance splits the trace") {
+    // vectors at (+/-2, 0) and (0, +/-2): C = diag(2, 2) -> lambda1 = 2,
+    // trace = 4, explained share 0.5; the tie-broken top dim is 0
+    val e = emb(Seq((0L, 0, Seq(2f, 0f)), (1L, 0, Seq(-2f, 0f)),
+      (2L, 1, Seq(0f, 2f)), (3L, 1, Seq(0f, -2f))))
+    val row = VectorQueries.covarianceSpectrumOf(e).collect().head
+    assert(row.getAs[Double]("lambda1") == 2.0)
+    assert(row.getAs[Double]("trace") == 4.0)
+    assert(row.getAs[Double]("explained_share") == 0.5)
+    assert(row.getAs[Int]("top_dim") == 0)
+  }
 }
