@@ -3870,7 +3870,105 @@ object RelQueries {
     // at the end — the q274/q205 exact-moment discipline applied across
     // series instead of within one.
     "q285_cross_correlation" -> ((spark, dir) =>
-      crossCorrelationOf(tcache(dailyMeans(spark, dir), "q270:means")))
+      crossCorrelationOf(tcache(dailyMeans(spark, dir), "q270:means"))),
+
+    // AUTOCORRELATION FUNCTION — does a metric predict ITSELF? Per-lag
+    // Pearson r between each type's daily-mean series and its own
+    // lag-shifted copy (the correlogram a seasonality/AR screen starts
+    // from), at lags [[AcfLags]]. Same exact-moment discipline as q285:
+    // the lagged pair join runs on the bounded |types|·|days| aggregate
+    // (day+lag equi-join — never raw events), the five moments are
+    // BIGINT products of micro-quantized means, r is one terminal
+    // division+sqrt. Per-lag overlap means (not one global mean) keep
+    // every lag's r a true Pearson on its common support.
+    "q289_acf" -> ((spark, dir) =>
+      acfOf(tcache(dailyMeans(spark, dir), "q270:means"))),
+
+    // KAPLAN–MEIER SURVIVAL — how long until a user acts again? The
+    // product-limit estimator over per-user inter-event gaps (seconds),
+    // with each user's final open interval to the corpus end entering
+    // as a CENSORED observation — the retention/churn curve read. All
+    // level arithmetic runs on the bounded distinct-gap-value domain
+    // (one combinable gap count per side): at-risk counts come from one
+    // cumulative window over that domain, each event level's
+    // ln((n−d)/n) factor is micro-quantized to a BIGINT at birth (the
+    // q50/q76 proven cross-engine log tolerance) so the cumulative
+    // log-survival is an exact integer prefix sum (the q280 discipline),
+    // and a level that absorbs everyone (n = d) zeroes the curve from
+    // there on instead of producing −∞.
+    "q290_kaplan_meier" -> ((spark, dir) => {
+      val raw = table(spark, dir, "events")
+      val e = raw.select(col("user_id"), QueryBase.tsUs(raw).as("ts_us"),
+        col("event_id"))
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      val obs = e.withColumn("nts", lead("ts_us", 1).over(w))
+        .where(col("nts").isNotNull)
+        .select(expr("(nts - ts_us) div 1000000").as("v"))
+        .groupBy("v").agg(count(lit(1)).as("d"))
+      val gmax = e.agg(max("ts_us").as("gmax"))
+      val cens = e.groupBy("user_id").agg(max("ts_us").as("umax"))
+        .crossJoin(broadcast(gmax))
+        .select(expr("(gmax - umax) div 1000000").as("v"))
+        .groupBy("v").agg(count(lit(1)).as("c"))
+      kaplanMeierOf(obs.join(cens, Seq("v"), "full")
+        .select(col("v"), coalesce(col("d"), lit(0L)).as("d"),
+          coalesce(col("c"), lit(0L)).as("c")))
+    }),
+
+    // GINI CONCENTRATION — how unevenly is activity distributed over
+    // users? Per type, the Gini coefficient of per-user event counts
+    // via the rank-weighted closed form G = (2·Σi·xᵢ − (n+1)·Σx)/(n·Σx)
+    // on the ascending (x, user_id) total order — ties cannot move the
+    // sum because the order is total. One combinable (type, user) count
+    // over events, then ranking and moments on that |types|·|users|
+    // aggregate; everything BIGINT until the single terminal division.
+    "q291_gini" -> ((spark, dir) =>
+      giniOf(table(spark, dir, "events")
+        .groupBy("event_type", "user_id").agg(count(lit(1)).as("x")))),
+
+    // BENFORD FIRST-DIGIT SCREEN — the fabricated-data / fat-finger
+    // detector: per type, χ² of the observed first-significant-digit
+    // distribution of |cents-quantized value| against Benford's
+    // log₁₀(1+1/d) law. The digit histogram is one combinable count
+    // over events; the χ² fold runs on the 9-digit-per-type domain with
+    // every term micro-quantized to a BIGINT at birth (order-independent
+    // integer sum), and ALL nine digits enter (a digit that never occurs contributes
+    // its full n·p_d expectation, which a naive observed-only join
+    // would silently drop). Expected shares live in [[BenfordP]], ONE
+    // place, embedded into the oracle SQL.
+    "q292_benford" -> ((spark, dir) => {
+      import spark.implicits._
+      val f = table(spark, dir, "events")
+        .select(col("event_type"),
+          abs(floor(col("value") * lit(100.0) + lit(0.5)).cast("long")).as("avq"))
+        .where(col("avq") > 0L)
+        .select(col("event_type"),
+          substring(col("avq").cast("string"), 1, 1).cast("int").as("dg"))
+      benfordOf(f, broadcast(BenfordP.zipWithIndex
+        .map { case (p, i) => (i + 1, p) }.toDF("dg", "p")))
+    }),
+
+    // MARKOV STATIONARY DISTRIBUTION — where does the q168 transition
+    // matrix SEND its traffic in the long run? Three power-iteration
+    // steps from the uniform start, entirely in scaled-integer
+    // arithmetic: the row-stochastic matrix quantizes to ppm BIGINTs at
+    // birth, each step's π·P contraction is an exact BIGINT
+    // sum-of-products rescaled by one half-up integer division, and the
+    // terminal normalization is the only double. The per-user lag pass
+    // is the single data-sized stage (q168's shape); every iteration
+    // is a join+agg on the ≤|types|² matrix against the |types|-row π.
+    "q293_markov_stationary" -> ((spark, dir) => {
+      val raw = table(spark, dir, "events")
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      val counts = raw.select(col("user_id"), col("event_id"),
+          col("event_type").as("nt"), QueryBase.tsUs(raw).as("ts_us"))
+        .withColumn("pt", lag("nt", 1).over(w))
+        .where(col("pt").isNotNull)
+        .groupBy("pt", "nt").agg(count(lit(1)).as("n"))
+      // the helper reads the matrix 4× (states, row sums, P, no-out
+      // states) — cache the one data-sized lag pass behind it
+      markovStationaryOf(tcache(counts, "q293:counts"))
+    })
   )
 
   /** q285's cross-moment tail on a [[dailyMeans]]-shaped frame —
@@ -3898,6 +3996,160 @@ object RelQueries {
             sqrt(col("d1").cast("double") * col("d2").cast("double")), 6))
           .otherwise(lit(0.0)).as("r"))
   }
+
+  /** q289's per-lag Pearson tail on a [[dailyMeans]]-shaped frame —
+    * factored so the spec can drive a planted periodic series through
+    * the exact production algebra. The lag fan-out explodes the bounded
+    * |types|·|days| aggregate by |[[AcfLags]]| — never raw events — and
+    * each (type, lag) group folds the same five BIGINT moments as
+    * [[crossCorrelationOf]] over its own overlap window. */
+  private[graft] def acfOf(
+      d: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val a = d.select(col("event_type"), col("day"), col("mq").as("ma"),
+      explode(array(AcfLags.map(l => lit(l.toLong)): _*)).as("lag_d"))
+    val b = d.select(col("event_type").as("et2"), col("day").as("day2"),
+      col("mq").as("mb"))
+    a.join(b, col("event_type") === col("et2") &&
+        col("day2") === col("day") + col("lag_d"))
+      .groupBy("event_type", "lag_d")
+      .agg(count(lit(1)).as("n_days"),
+        sum("ma").as("sx"), sum("mb").as("sy"),
+        sum(col("ma") * col("ma")).as("sxx"),
+        sum(col("mb") * col("mb")).as("syy"),
+        sum(col("ma") * col("mb")).as("sxy"))
+      .withColumn("num", col("n_days") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("d1", col("n_days") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("d2", col("n_days") * col("syy") - col("sy") * col("sy"))
+      .select(col("event_type"), col("lag_d"), col("n_days"),
+        when(col("d1") > 0L && col("d2") > 0L,
+          pround(col("num").cast("double") /
+            sqrt(col("d1").cast("double") * col("d2").cast("double")), 6))
+          .otherwise(lit(0.0)).as("r"))
+  }
+
+  /** q290's product-limit tail on a (v, d, c) level frame (distinct gap
+    * value, event count, censored count) — factored for the spec. The
+    * global ordered windows run over the bounded distinct-gap-value
+    * domain, never raw events. Each event level's ln((n−d)/n) factor is
+    * micro-quantized to a BIGINT at birth, making the cumulative
+    * log-survival an exact (order-free) integer prefix sum; the first
+    * absorbing level (d = n) zeroes the curve from there on. */
+  private[graft] def kaplanMeierOf(
+      lv: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val tot = lv.agg(sum(col("d") + col("c")).as("tot"))
+    val before = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val run = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    lv.crossJoin(broadcast(tot))
+      .withColumn("n",
+        col("tot") - coalesce(sum(col("d") + col("c")).over(before), lit(0L)))
+      .withColumn("lq",
+        when(col("d") === col("n"), lit(null).cast("long"))
+          .otherwise(when(col("d") > 0L,
+            floor(log((col("n") - col("d")).cast("double") /
+                col("n").cast("double")) * lit(1.0e6) + lit(0.5))
+              .cast("long"))
+            .otherwise(lit(0L))))
+      .withColumn("vabs",
+        min(when(col("d") === col("n"), col("v"))).over(Window.partitionBy()))
+      .withColumn("cls", sum("lq").over(run))
+      .select(col("v"), col("d"), col("c"), col("n"),
+        when(col("vabs").isNotNull && col("v") >= col("vabs"), lit(0.0))
+          .otherwise(pround(exp(col("cls").cast("double") / lit(1.0e6)), 6))
+          .as("s"))
+  }
+
+  /** q291's rank-weighted Gini tail on an (event_type, user_id, x)
+    * frame — factored for the spec. The (x, user_id) order is total, so
+    * row_number is deterministic and the closed form is tie-proof;
+    * everything BIGINT until the one terminal division. */
+  private[graft] def giniOf(
+      g: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(col("x"), col("user_id"))
+    g.withColumn("i", row_number().over(w).cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"), sum("x").as("sx"),
+        sum(col("i") * col("x")).as("six"))
+      .select(col("event_type"), col("n_users"),
+        when(col("n_users") > 0L && col("sx") > 0L,
+          pround((lit(2L) * col("six") - (col("n_users") + lit(1L)) * col("sx"))
+            .cast("double") /
+            (col("n_users") * col("sx")).cast("double"), 6))
+          .otherwise(lit(0.0)).as("gini"))
+  }
+
+  /** q292's all-nine-digits χ² tail on an (event_type, dg) observation
+    * frame against a broadcast (dg, p) expectation frame — factored for
+    * the spec. The left join from the dense type×digit lattice keeps
+    * zero-count digits (they still contribute n·p_d to χ²); each term is
+    * micro-quantized to a BIGINT at birth so the per-type fold is an
+    * order-free integer sum. */
+  private[graft] def benfordOf(
+      f: org.apache.spark.sql.DataFrame,
+      p: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val counts = f.groupBy("event_type", "dg").agg(count(lit(1)).as("nd"))
+    val totals = f.groupBy("event_type").agg(count(lit(1)).as("n"))
+    totals.crossJoin(p)
+      .join(counts, Seq("event_type", "dg"), "left")
+      .withColumn("nd", coalesce(col("nd"), lit(0L)))
+      .withColumn("expn", col("n").cast("double") * col("p"))
+      .withColumn("tq",
+        floor((col("nd").cast("double") - col("expn")) *
+          (col("nd").cast("double") - col("expn")) / col("expn") *
+          lit(1.0e6) + lit(0.5)).cast("long"))
+      .groupBy("event_type")
+      .agg(max("n").as("n"), sum("tq").as("chi2q"))
+      .select(col("event_type"), col("n"),
+        pround(col("chi2q").cast("double") / lit(1.0e6), 6).as("chi2"))
+  }
+
+  /** q293's scaled-integer power iteration on a (pt, nt, n) transition
+    * count frame — factored for the spec. The row-stochastic matrix
+    * quantizes to ppm BIGINTs with one exact half-up integer division
+    * per cell; states with no outgoing transitions get an explicit
+    * self-loop (the standard absorbing fix, keeping every row
+    * stochastic); [[MarkovIters]] π·P contractions each rescale by one
+    * half-up ppm division, so both engines walk identical integers; the
+    * terminal normalization is the only double. Every frame here is
+    * ≤ |types|² rows — the caller pays the one data-sized lag pass. */
+  private[graft] def markovStationaryOf(
+      counts: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val states = counts.select(col("pt").as("s"))
+      .union(counts.select(col("nt").as("s"))).distinct()
+    val rs = counts.groupBy("pt").agg(sum("n").as("rsum"))
+    val pq = counts.join(rs, "pt")
+      .select(col("pt"), col("nt"),
+        expr("(2 * n * 1000000 + rsum) div (2 * rsum)").as("p_q"))
+    val noOut = states.join(counts.select("pt").distinct(),
+        col("s") === col("pt"), "left_anti")
+      .select(col("s").as("pt"), col("s").as("nt"),
+        lit(1000000L).as("p_q"))
+    val pm = pq.union(noOut)
+    val k = states.agg(count(lit(1)).as("k"))
+    var pi = states.crossJoin(broadcast(k))
+      .select(col("s"), expr("1000000 div k").as("v"))
+    for (_ <- 1 to MarkovIters) {
+      pi = pm.join(broadcast(pi), col("pt") === col("s"))
+        .groupBy("nt")
+        .agg(sum(col("v") * col("p_q")).as("sp"))
+        .select(col("nt").as("s"), expr("(sp + 500000) div 1000000").as("v"))
+    }
+    val totV = pi.agg(sum("v").as("tv"))
+    states.join(pi, Seq("s"), "left")
+      .select(col("s"), coalesce(col("v"), lit(0L)).as("v"))
+      .crossJoin(broadcast(totV))
+      .select(col("s").as("event_type"), col("v").as("pi_q"),
+        pround(col("v").cast("double") / col("tv").cast("double"), 6).as("pi"))
+  }
+
+  /** q289's correlogram lags, in days — ONE definition, embedded into
+    * the oracle SQL's VALUES list. */
+  private[graft] val AcfLags: Seq[Int] = 1 to 7
+
+  /** q293's fixed power-iteration count — ONE definition, unrolled into
+    * the oracle SQL's CTE chain. */
+  private[graft] val MarkovIters: Int = 3
 
   /** q275's Mann–Whitney tail on a [[pairDomain]]-shaped frame — factored
     * so the spec can drive planted two-sample fixtures through the exact
@@ -6422,7 +6674,161 @@ object RelQueries {
          |       CASE WHEN d1 > 0 AND d2 > 0
          |            THEN ${sround("CAST(num AS DOUBLE) / sqrt(CAST(d1 AS DOUBLE) * CAST(d2 AS DOUBLE))", 6)}
          |            ELSE ${dlit(0.0)} END AS r
+         |FROM f""".stripMargin,
+
+    // the same lagged BIGINT cross-moments, lags from AcfLags (ONE place)
+    "q289_acf" -> {
+      val lagVals = AcfLags.map(l => s"($l)").mkString(", ")
+      s"""$DailyMeansSql,
+         |lg AS (SELECT CAST(l AS BIGINT) AS lag_d FROM (VALUES $lagVals) t(l)),
+         |pa AS (SELECT a.event_type, l.lag_d,
+         |              CAST(count(*) AS BIGINT) AS n_days,
+         |              CAST(sum(a.mq) AS BIGINT) AS sx,
+         |              CAST(sum(b.mq) AS BIGINT) AS sy,
+         |              CAST(sum(a.mq * a.mq) AS BIGINT) AS sxx,
+         |              CAST(sum(b.mq * b.mq) AS BIGINT) AS syy,
+         |              CAST(sum(a.mq * b.mq) AS BIGINT) AS sxy
+         |       FROM m a CROSS JOIN lg l
+         |       JOIN m b ON b.event_type = a.event_type
+         |              AND b.day = a.day + l.lag_d
+         |       GROUP BY a.event_type, l.lag_d),
+         |f AS (SELECT event_type, lag_d, n_days,
+         |             n_days * sxy - sx * sy AS num,
+         |             n_days * sxx - sx * sx AS d1,
+         |             n_days * syy - sy * sy AS d2
+         |      FROM pa)
+         |SELECT event_type, lag_d, n_days,
+         |       CASE WHEN d1 > 0 AND d2 > 0
+         |            THEN ${sround("CAST(num AS DOUBLE) / sqrt(CAST(d1 AS DOUBLE) * CAST(d2 AS DOUBLE))", 6)}
+         |            ELSE ${dlit(0.0)} END AS r
          |FROM f""".stripMargin
+    },
+
+    // the same micro-quantized log-survival prefix sum over the
+    // bounded distinct-gap-value domain
+    "q290_kaplan_meier" ->
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events),
+         |nx AS (SELECT user_id, ts_us,
+         |              lead(ts_us, 1) OVER
+         |                (PARTITION BY user_id ORDER BY ts_us, event_id) AS nts
+         |       FROM e),
+         |obs AS (SELECT (nts - ts_us) // 1000000 AS v,
+         |               CAST(count(*) AS BIGINT) AS d
+         |        FROM nx WHERE nts IS NOT NULL GROUP BY 1),
+         |gm AS (SELECT max(ts_us) AS gmax FROM e),
+         |um AS (SELECT user_id, max(ts_us) AS umax FROM e GROUP BY user_id),
+         |cen AS (SELECT (gmax - umax) // 1000000 AS v,
+         |               CAST(count(*) AS BIGINT) AS c
+         |        FROM um CROSS JOIN gm GROUP BY 1),
+         |lv AS (SELECT COALESCE(obs.v, cen.v) AS v,
+         |              CAST(COALESCE(obs.d, 0) AS BIGINT) AS d,
+         |              CAST(COALESCE(cen.c, 0) AS BIGINT) AS c
+         |       FROM obs FULL JOIN cen ON obs.v = cen.v),
+         |tt AS (SELECT CAST(sum(d + c) AS BIGINT) AS tot FROM lv),
+         |nr AS (SELECT lv.*,
+         |              tot - COALESCE(CAST(sum(d + c) OVER (ORDER BY v
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+         |                0) AS n
+         |       FROM lv CROSS JOIN tt),
+         |lf AS (SELECT *,
+         |              CASE WHEN d = n THEN NULL
+         |                   WHEN d > 0 THEN CAST(floor(ln(CAST(n - d AS DOUBLE) /
+         |                     CAST(n AS DOUBLE)) * ${dlit(1.0e6)} + ${dlit(0.5)}) AS BIGINT)
+         |                   ELSE CAST(0 AS BIGINT) END AS lq
+         |       FROM nr),
+         |ab AS (SELECT min(CASE WHEN d = n THEN v END) AS vabs FROM lf),
+         |cs AS (SELECT *, CAST(sum(lq) OVER (ORDER BY v
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cls
+         |       FROM lf)
+         |SELECT v, d, c, n,
+         |       CASE WHEN vabs IS NOT NULL AND v >= vabs THEN ${dlit(0.0)}
+         |            ELSE ${sround(s"exp(CAST(cls AS DOUBLE) / ${dlit(1.0e6)})", 6)} END AS s
+         |FROM cs CROSS JOIN ab""".stripMargin,
+
+    // the same BIGINT rank-weighted closed form on the (x, user_id)
+    // total order
+    "q291_gini" ->
+      s"""WITH xs AS (SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS x
+         |  FROM events GROUP BY event_type, user_id),
+         |r AS (SELECT event_type, x,
+         |             CAST(row_number() OVER (PARTITION BY event_type
+         |               ORDER BY x, user_id) AS BIGINT) AS i
+         |      FROM xs),
+         |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+         |             CAST(sum(x) AS BIGINT) AS sx,
+         |             CAST(sum(i * x) AS BIGINT) AS six
+         |      FROM r GROUP BY event_type)
+         |SELECT event_type, n_users,
+         |       CASE WHEN n_users > 0 AND sx > 0
+         |            THEN ${sround("CAST(2 * six - (n_users + 1) * sx AS DOUBLE) / CAST(n_users * sx AS DOUBLE)", 6)}
+         |            ELSE ${dlit(0.0)} END AS gini
+         |FROM a""".stripMargin,
+
+    // the same dense type×digit lattice with BenfordP embedded from the
+    // ONE Scala definition, χ² terms micro-quantized at birth
+    "q292_benford" -> {
+      val bpVals = BenfordP.zipWithIndex
+        .map { case (p, i) => s"(${i + 1}, ${dlit(p)})" }.mkString(", ")
+      s"""WITH f AS (SELECT event_type,
+         |    abs(CAST(floor(value * ${dlit(100.0)} + ${dlit(0.5)}) AS BIGINT)) AS avq
+         |  FROM events),
+         |g AS (SELECT event_type,
+         |             CAST(substr(CAST(avq AS VARCHAR), 1, 1) AS INTEGER) AS dg
+         |      FROM f WHERE avq > 0),
+         |cn AS (SELECT event_type, dg, CAST(count(*) AS BIGINT) AS nd
+         |       FROM g GROUP BY event_type, dg),
+         |tt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+         |       FROM g GROUP BY event_type),
+         |bp AS (SELECT CAST(d AS INTEGER) AS dg, p FROM (VALUES $bpVals) t(d, p)),
+         |fu AS (SELECT tt.event_type, tt.n, bp.dg, bp.p,
+         |              CAST(COALESCE(cn.nd, 0) AS BIGINT) AS nd
+         |       FROM tt CROSS JOIN bp
+         |       LEFT JOIN cn ON cn.event_type = tt.event_type AND cn.dg = bp.dg),
+         |tq AS (SELECT event_type, n,
+         |              CAST(floor((CAST(nd AS DOUBLE) - CAST(n AS DOUBLE) * p) *
+         |                (CAST(nd AS DOUBLE) - CAST(n AS DOUBLE) * p) /
+         |                (CAST(n AS DOUBLE) * p) * ${dlit(1.0e6)} + ${dlit(0.5)}) AS BIGINT) AS tq
+         |       FROM fu)
+         |SELECT event_type, n, ${sround(s"CAST(sum(tq) AS DOUBLE) / ${dlit(1.0e6)}", 6)} AS chi2
+         |FROM tq GROUP BY event_type, n""".stripMargin
+    },
+
+    // the same scaled-integer power iteration, CTE-unrolled per
+    // MarkovIters (ONE place)
+    "q293_markov_stationary" -> {
+      val steps = (1 to MarkovIters).map { i =>
+        val prev = s"p${i - 1}"
+        s"""p$i AS (SELECT pm.nt AS s,
+           |            (CAST(sum($prev.v * pm.p_q) AS BIGINT) + 500000) // 1000000 AS v
+           |       FROM pm JOIN $prev ON pm.pt = $prev.s GROUP BY pm.nt)""".stripMargin
+      }.mkString(",\n")
+      val last = s"p$MarkovIters"
+      s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+         |  FROM events),
+         |b AS (SELECT event_type AS nt,
+         |             lag(event_type, 1) OVER
+         |               (PARTITION BY user_id ORDER BY ts_us, event_id) AS pt
+         |      FROM e),
+         |c AS (SELECT pt, nt, CAST(count(*) AS BIGINT) AS n
+         |      FROM b WHERE pt IS NOT NULL GROUP BY pt, nt),
+         |st AS (SELECT DISTINCT s FROM
+         |         (SELECT pt AS s FROM c UNION ALL SELECT nt AS s FROM c)),
+         |rs AS (SELECT pt, CAST(sum(n) AS BIGINT) AS rsum FROM c GROUP BY pt),
+         |pm AS (SELECT c.pt, c.nt,
+         |              (2 * c.n * 1000000 + rs.rsum) // (2 * rs.rsum) AS p_q
+         |       FROM c JOIN rs ON rs.pt = c.pt
+         |       UNION ALL
+         |       SELECT s AS pt, s AS nt, CAST(1000000 AS BIGINT) AS p_q
+         |       FROM st WHERE s NOT IN (SELECT pt FROM c)),
+         |k AS (SELECT CAST(count(*) AS BIGINT) AS k FROM st),
+         |p0 AS (SELECT s, 1000000 // k.k AS v FROM st CROSS JOIN k),
+         |$steps,
+         |tv AS (SELECT CAST(sum(v) AS BIGINT) AS tv FROM $last)
+         |SELECT st.s AS event_type,
+         |       CAST(COALESCE($last.v, 0) AS BIGINT) AS pi_q,
+         |       ${sround(s"CAST(COALESCE($last.v, 0) AS DOUBLE) / CAST(tv AS DOUBLE)", 6)} AS pi
+         |FROM st LEFT JOIN $last ON $last.s = st.s CROSS JOIN tv""".stripMargin
+    }
   )
 
   /** q275/q276's shared oracle prefix — the SQL twin of [[pairDomain]]:
