@@ -3725,6 +3725,13 @@ object RelQueries {
         sum("n_t").as("n"), count(lit(1)).as("k"),
         expr("aggregate(sort_array(collect_list(struct(event_type, term)))," +
           " cast(0.0 as double), (acc, x) -> acc + x.term)").as("s"))
+      // tie-term headroom (TieOverflowSpec pins this contract): the cubic
+      // (n_v·(n_v−1))·(n_v+1) = n_v³−n_v stays BIGINT-exact while no
+      // single quantized value carries more than 2²¹ ≈ 2.1M rows. Past
+      // that BOTH engines raise loudly — this session runs ANSI mode
+      // (Spark 4.x default) and DuckDB always checks — so a pathological
+      // value distribution at 100 TB is a cross-engine-identical error,
+      // never a silent wrap divergence.
       val ties = ranks.agg(
         sum(col("n_v") * (col("n_v") - 1) * (col("n_v") + 1)).as("tie_sum"))
       folded.crossJoin(broadcast(ties))
@@ -4159,6 +4166,9 @@ object RelQueries {
     val ag = pd.groupBy("ta", "tb")
       .agg(sum(col("na_v") * col("r2")).as("ra2"),
         sum("na_v").as("n_a"), sum("nb_v").as("n_b"),
+        // tie-term headroom: BIGINT-exact while n_v ≤ 2²¹ per quantized
+        // value; past that both engines raise (ANSI / checked BIGINT) —
+        // see the q273 twin and TieOverflowSpec.
         sum(col("n_v") * (col("n_v") - 1) * (col("n_v") + 1)).as("tie_sum"))
       .withColumn("u2", col("ra2") - col("n_a") * (col("n_a") + 1))
       .withColumn("n", col("n_a") + col("n_b"))
