@@ -4036,36 +4036,80 @@ object RelQueries {
 
   /** q290's product-limit tail on a (v, d, c) level frame (distinct gap
     * value, event count, censored count) — factored for the spec. The
-    * global ordered windows run over the bounded distinct-gap-value
-    * domain, never raw events. Each event level's ln((n−d)/n) factor is
-    * micro-quantized to a BIGINT at birth, making the cumulative
-    * log-survival an exact (order-free) integer prefix sum; the first
-    * absorbing level (d = n) zeroes the curve from there on. */
+    * level domain is distinct gap VALUES, never raw events, but at 100 TB
+    * a multi-year corpus makes that domain span-sized (~10⁸ distinct
+    * seconds), so no single-task global window is allowed here (r13's
+    * version drew the `WindowExec: No Partition Defined` warning). Both
+    * cumulative passes are instead range-bucketed prefix sums stitched
+    * through a driver-side offset table: bucket `b = v div
+    * [[KmStitchWidth]]` holds ≤ KmStitchWidth CONSECUTIVE distinct values
+    * (bounded per task by construction, skew-proof), the per-bucket
+    * running sums are ordinary partitioned windows, and the ≤ span/width
+    * bucket-total frame — the only thing collected — is prefix-summed on
+    * the driver and broadcast back. All stitch arithmetic is exact
+    * BIGINT, so the result is bit-identical to the single-window form.
+    *
+    * Each event level's ln((n−d)/n) factor is micro-quantized to a
+    * BIGINT at birth, making the cumulative log-survival an exact
+    * (order-free) integer prefix sum; the first absorbing level (d = n)
+    * zeroes the curve from there on — and because every level at or past
+    * the absorber takes the literal-0 branch, the exp branch never reads
+    * a prefix that crossed an absorbing level, so folding the absorber's
+    * null factor as 0 in the stitch is value-identical. */
   private[graft] def kaplanMeierOf(
       lv: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val tot = lv.agg(sum(col("d") + col("c")).as("tot"))
-    val before = Window.orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val run = Window.orderBy("v")
+    val spark = lv.sparkSession
+    import spark.implicits._
+    val wIn = Window.partitionBy("b").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, 0)
-    lv.crossJoin(broadcast(tot))
+    val base = tcache(
+      lv.withColumn("b", expr(s"v div $KmStitchWidth"))
+        .withColumn("cum_in", sum(col("d") + col("c")).over(wIn)),
+      "q290:levels")
+    // stitch 1: at-risk counts need the exclusive global cumulative of
+    // (d+c); collect the bounded bucket totals and prefix-sum them
+    val bt = base.groupBy("b").agg(sum(col("d") + col("c")).as("bt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val tot = bt.iterator.map(_._2).sum
+    var acc1 = 0L
+    val off1 = bt.map { case (b, x) => val o = acc1; acc1 += x; (b, o) }
+    val withN = base.join(broadcast(off1.toSeq.toDF("b", "off")), Seq("b"))
       .withColumn("n",
-        col("tot") - coalesce(sum(col("d") + col("c")).over(before), lit(0L)))
+        lit(tot) - (col("off") + col("cum_in") - col("d") - col("c")))
       .withColumn("lq",
-        when(col("d") === col("n"), lit(null).cast("long"))
+        when(col("d") === col("n"), lit(0L))
           .otherwise(when(col("d") > 0L,
             floor(log((col("n") - col("d")).cast("double") /
                 col("n").cast("double")) * lit(1.0e6) + lit(0.5))
               .cast("long"))
             .otherwise(lit(0L))))
-      .withColumn("vabs",
-        min(when(col("d") === col("n"), col("v"))).over(Window.partitionBy()))
-      .withColumn("cls", sum("lq").over(run))
-      .select(col("v"), col("d"), col("c"), col("n"),
-        when(col("vabs").isNotNull && col("v") >= col("vabs"), lit(0.0))
-          .otherwise(pround(exp(col("cls").cast("double") / lit(1.0e6)), 6))
-          .as("s"))
+      .withColumn("cls_in", sum("lq").over(wIn))
+    // stitch 2: the cumulative log-survival prefix, plus the global
+    // first-absorbing level, off the same bounded bucket frame
+    val bs = withN.groupBy("b")
+      .agg(sum("lq").as("blq"),
+        min(when(col("d") === col("n"), col("v"))).as("babs"))
+      .collect()
+    val vabs = bs.iterator
+      .filterNot(_.isNullAt(2)).map(_.getLong(2))
+      .foldLeft(Option.empty[Long])((m, x) => Some(m.fold(x)(math.min(_, x))))
+    var acc2 = 0L
+    val off2 = bs.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      .map { case (b, x) => val o = acc2; acc2 += x; (b, o) }
+    val curve = withN.join(broadcast(off2.toSeq.toDF("b", "off2")), Seq("b"))
+      .withColumn("cls", col("off2") + col("cls_in"))
+    val sCol = pround(exp(col("cls").cast("double") / lit(1.0e6)), 6)
+    curve.select(col("v"), col("d"), col("c"), col("n"),
+      vabs.fold(sCol)(a =>
+        when(col("v") >= lit(a), lit(0.0)).otherwise(sCol)).as("s"))
   }
+
+  /** q290's stitch-bucket width: each bucket covers this many consecutive
+    * gap-second values, so a per-bucket window task sees at most this
+    * many rows and the collected bucket-total frame is ≤ span/width rows
+    * — bounded by construction at any corpus scale. Pure plan shape; no
+    * oracle surface. */
+  private[graft] val KmStitchWidth: Long = 4096L
 
   /** q291's rank-weighted Gini tail on an (event_type, user_id, x)
     * frame — factored for the spec. The (x, user_id) order is total, so
