@@ -1,0 +1,61 @@
+package graft.queries
+
+import scala.collection.immutable.ArraySeq
+
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.Encoder
+
+/** Partial-Gram accumulation for q286's covariance matrix: one buffer of
+  * dim² BIGINT cells per partition, fed a micro-quantized centered
+  * component array per row and emitting the flat row-major Σ cᵢcᵀᵢ sum.
+  *
+  * This replaces the r12–r13 posexplode-of-posexplode plan, which emitted
+  * dim² rows per VECTOR (and carried the full centered array on every row
+  * of the first explode) before the partial aggregation collapsed them —
+  * |corpus|·dim rows of dim-array payload through the generator stage.
+  * Here the corpus-sized stage stays |corpus| rows: each task folds its
+  * vectors into one dim²-long buffer (the q65/q254 combinable-moments
+  * discipline), and the shuffle carries one ~dim²·8-byte buffer per
+  * partition regardless of corpus size. Cell values are the identical
+  * exact BIGINT sums (integer addition is associative and commutative),
+  * so the downstream algebra and the DuckDB oracle replay are untouched.
+  */
+class GramAggregator extends Aggregator[Seq[Long], Array[Long], Seq[Long]] {
+
+  override def zero: Array[Long] = Array.emptyLongArray
+
+  override def reduce(b: Array[Long], a: Seq[Long]): Array[Long] = {
+    if (a == null) return b
+    val arr = a.toArray
+    val d = arr.length
+    val buf = if (b.length == d * d) b else {
+      require(b.isEmpty, s"inconsistent embedding dims: ${b.length} vs $d²")
+      new Array[Long](d * d)
+    }
+    var j = 0
+    while (j < d) {
+      val cj = arr(j)
+      val row = j * d
+      var k = 0
+      while (k < d) { buf(row + k) += cj * arr(k); k += 1 }
+      j += 1
+    }
+    buf
+  }
+
+  override def merge(x: Array[Long], y: Array[Long]): Array[Long] =
+    if (x.isEmpty) y
+    else if (y.isEmpty) x
+    else {
+      var i = 0
+      while (i < x.length) { x(i) += y(i); i += 1 }
+      x
+    }
+
+  override def finish(b: Array[Long]): Seq[Long] = ArraySeq.unsafeWrapArray(b)
+
+  override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+
+  override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
+}

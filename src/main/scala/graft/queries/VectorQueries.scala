@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.SparkUtil.table
 import graft.sql.OracleGen.{dlit, sround, xsumSql}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import QueryBase._
@@ -1484,15 +1485,23 @@ object VectorQueries {
           zip_with(col("embedding").cast("array<double>"), col("marr"),
             (x, mm) => floor((x - mm) * lit(1.0e6) + lit(0.5)).cast("long"))
             .as("cs"))
-      val e1 = cs.select(col("cs"), posexplode(col("cs")))
-        .withColumnRenamed("pos", "j").withColumnRenamed("col", "cj")
-      val e2 = e1.select(col("j"), col("cj"), posexplode(col("cs")))
-        .withColumnRenamed("pos", "k").withColumnRenamed("col", "ck")
-      val cM = tcache(e2.groupBy("j", "k")
-        .agg(sum(col("cj") * col("ck")).as("cqv"))
+      // the ONE corpus-sized stage: a per-partition partial-Gram fold
+      // ([[GramAggregator]] — dim² BIGINT cells per task, |corpus| input
+      // rows, no generator fan-out), then the flat matrix explodes into
+      // (j, k) cells on the 1-row aggregate. Cell sums are bit-identical
+      // to the former posexplode² formulation (exact integer addition),
+      // and j/k keep their INT pos type so the output schema is stable.
+      val ddF = marrF.select(size(col("marr")).as("dim"))
+      val gramSum = udaf(new GramAggregator(),
+        ExpressionEncoder[Seq[Long]]())
+      val cM = tcache(cs.agg(gramSum(col("cs")).as("g"))
+        .select(posexplode(col("g")).as(Seq("idx", "cqv")))
+        .crossJoin(broadcast(ddF))
         .crossJoin(broadcast(nF))
-        .select(col("j"), col("k"), pround(col("cqv").cast("double") /
-          (col("nv").cast("double") * lit(1.0e12)), 10).as("c")), "q286:cov")
+        .select(expr("cast(idx div dim as int)").as("j"),
+          expr("cast(idx % dim as int)").as("k"),
+          pround(col("cqv").cast("double") /
+            (col("nv").cast("double") * lit(1.0e12)), 10).as("c")), "q286:cov")
       def mult(v: org.apache.spark.sql.DataFrame) =
         cM.join(broadcast(v), Seq("k"))
           .withColumn("term", col("c") * col("v"))
