@@ -144,4 +144,72 @@ object QueryBase {
     * scale inputs arrive in many files and this is a no-op decision.) */
   def spread(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+  /** Global 1-based row_number over the TOTAL order (`key` ASC, `tie` ASC)
+    * with NO single-task window — the q290 bucket-stitch generalized for
+    * ranking, so corpus-sized ntile/rank frames (q197's deciles, q202's
+    * RFM quartiles) survive 100 TB:
+    *
+    *  - the per-KEY count frame (the bounded value domain) range-buckets
+    *    by `key div width`, so each per-bucket cumulative window task
+    *    sees ≤ width consecutive distinct keys — skew-proof by
+    *    construction;
+    *  - the ≤ range/width bucket-total frame is collected, prefix-summed
+    *    on the driver and broadcast back (bounded by construction — pick
+    *    `width` so range/width stays collectable, e.g. a day of µs for
+    *    timestamp keys);
+    *  - each row's rank = its key's strictly-below count + a tie-local
+    *    row_number partitioned by the EXACT key (parallel across keys;
+    *    single-task only in tie multiplicity, the q61/q79 skew caveat).
+    *
+    * All arithmetic is exact BIGINT, so ranks are bit-identical to the
+    * single-window `row_number().over(Window.orderBy(key, tie))`. Returns
+    * (frame + `rnName` column, total row count). For DESC order pass the
+    * negated key (trunc-toward-zero `div` stays monotone on negatives —
+    * buckets near 0 just span up to 2·width keys). */
+  def stitchedRowNumber(df: DataFrame, key: Column, tie: Column,
+      width: Long, site: String, rnName: String): (DataFrame, Long) = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val withK = df.withColumn("__k", key.cast("long"))
+    val wIn = Window.partitionBy("__b").orderBy("__k")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val dom = tcache(withK.groupBy("__k").agg(count(lit(1)).as("__n"))
+      .withColumn("__b", expr(s"__k div $width"))
+      .withColumn("__cum_in", sum("__n").over(wIn)), site)
+    val bt = dom.groupBy("__b").agg(sum("__n").as("__bt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val tot = bt.iterator.map(_._2).sum
+    var acc = 0L
+    val off = bt.map { case (b, x) => val o = acc; acc += x; (b, o) }
+    val below = dom.join(broadcast(off.toSeq.toDF("__b", "__boff")), Seq("__b"))
+      .select(col("__k"),
+        (col("__boff") + col("__cum_in") - col("__n")).as("__lt"))
+    val ranked = withK.join(below, Seq("__k"))
+      .withColumn(rnName, col("__lt") +
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("__k").orderBy(tie)).cast("long"))
+      .drop("__k", "__lt")
+    (ranked, tot)
+  }
+
+  /** The exact Spark/DuckDB `ntile(k)` bucket from a
+    * [[stitchedRowNumber]] rank and its driver-known total: n div k rows
+    * per bucket, the first n mod k buckets one extra — integral `div`
+    * arithmetic on the rank column (named, so the expression splices), no
+    * window. Bit-identical to `ntile(k).over(orderBy(...))` on the same
+    * total order. */
+  def ntileOf(rnName: String, total: Long, k: Int): Column = {
+    val base = total / k
+    val rem = total % k
+    if (base == 0L) expr(s"cast($rnName as int)")
+    else {
+      val cut = rem * (base + 1)
+      expr(s"cast(case when $rnName <= $cut" +
+        s" then ($rnName - 1) div ${base + 1} + 1" +
+        s" else $rem + ($rnName - $cut - 1) div $base + 1 end as int)")
+    }
+  }
 }

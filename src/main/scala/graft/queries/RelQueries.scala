@@ -2454,17 +2454,21 @@ object RelQueries {
     // targeting score: users ranked by total spend, split into NTILE
     // deciles, per-decile conversion (any purchase) and CUMULATIVE lift
     // vs the base rate. The only data-sized work is one per-user
-    // aggregation; the ranked frame is USER-sized (at extreme scale the
-    // ntile can ride the q167 bounded-offset scheme — deciles only need
-    // counts per rank range), and every rate divides exact integers under
-    // the same pround order on both engines.
+    // aggregation — and the USER-sized ranked frame no longer rides a
+    // single-task ntile window: the global rank is the bucket-stitched
+    // QueryBase.stitchedRowNumber (per-spend-range windows + driver
+    // offsets) and the decile is the exact ntile arithmetic from that
+    // rank (QueryBase.ntileOf) — bit-identical to the former
+    // ntile().over(), survives any user count. Every rate divides exact
+    // integers under the same pround order on both engines.
     "q197_decile_lift" -> ((spark, dir) => {
       val u = table(spark, dir, "events")
         .groupBy("user_id")
         .agg(sum(floor(col("value") * lit(100.0) + lit(0.5)).cast("long")).as("spend"),
           max(when(col("event_type") === "purchase", lit(1L)).otherwise(lit(0L))).as("conv"))
-      val d = u.withColumn("decile",
-        ntile(10).over(Window.orderBy(col("spend").desc, col("user_id"))))
+      val (ranked, nUsers) = QueryBase.stitchedRowNumber(
+        u, -col("spend"), col("user_id"), 4096L, "q197:rank", "rn")
+      val d = ranked.withColumn("decile", QueryBase.ntileOf("rn", nUsers, 10))
       val g = d.groupBy("decile")
         .agg(count(lit(1)).as("n_users"), sum("conv").as("n_conv"))
       val wcum = Window.orderBy("decile")
@@ -2484,8 +2488,9 @@ object RelQueries {
     // conversion counts: per user, first view → first purchase gap in µs,
     // then the exact median and p90 by the q72 rank arithmetic (value at
     // rank floor(q·(n−1))+1 under the unique (gap, user) order). The gap
-    // frame is CONVERTED-USER-sized — the global rank window runs over
-    // that reduced set, never the event stream.
+    // frame is CONVERTED-USER-sized and its rank is bucket-stitched
+    // (QueryBase.stitchedRowNumber) — no single-task window even when
+    // the converted set itself is corpus-proportional.
     "q198_time_to_convert" -> ((spark, dir) => {
       val raw = table(spark, dir, "events")
       val u = raw.select(col("user_id"), col("event_type"),
@@ -2496,13 +2501,15 @@ object RelQueries {
       val gaps = u.where(col("tv").isNotNull && col("tp").isNotNull &&
           col("tp") >= col("tv"))
         .select(col("user_id"), (col("tp") - col("tv")).as("gap_us"))
-      gaps
-        .withColumn("rn", row_number().over(Window.orderBy(col("gap_us"), col("user_id"))))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy(lit(1))))
-        .select(
+      // bucket-stitched global rank (hour-wide gap buckets) instead of a
+      // single-task row_number + count-over-constant window — the
+      // converted-user frame is reduced but still corpus-proportional
+      val (ranked, nConv) = QueryBase.stitchedRowNumber(
+        gaps, col("gap_us"), col("user_id"), 3600000000L, "q198:rank", "rn")
+      ranked.select(
           explode(filter(array(Seq(0.5, 0.9).map(lit): _*),
-            q => col("rn") === floor(q * (col("n") - 1)) + lit(1))).as("q"),
-          col("gap_us"), col("n").as("n_converted"))
+            q => col("rn") === floor(q * (lit(nConv) - lit(1L))) + lit(1))).as("q"),
+          col("gap_us"), lit(nConv).as("n_converted"))
     }),
 
     // INTERVAL MAX-CONCURRENCY — the overlap sweep: each event opens a
@@ -2798,8 +2805,8 @@ object RelQueries {
     // deterministic (metric DESC, custkey) order so quartile 1 is always
     // the best; the report histograms the 4³ segment lattice. One
     // customer-sized aggregation is the data-sized work — the three
-    // ranking passes run over that reduced frame (at extreme scale each
-    // becomes the q167 offset scheme), and the segment report is ≤64
+    // ranking passes ride the bucket-stitched rank (no single-task
+    // window at any customer count), and the segment report is ≤64
     // rows at any scale.
     "q202_rfm_segments" -> ((spark, dir) => {
       val o = table(spark, dir, "orders")
@@ -2809,13 +2816,21 @@ object RelQueries {
         .groupBy("o_custkey")
         .agg(max("od_us").as("recency"), count(lit(1)).as("frequency"),
           sum("cents").as("monetary"))
-      val scored = cust
-        .withColumn("r_q", ntile(4).over(
-          Window.orderBy(col("recency").desc, col("o_custkey"))))
-        .withColumn("f_q", ntile(4).over(
-          Window.orderBy(col("frequency").desc, col("o_custkey"))))
-        .withColumn("m_q", ntile(4).over(
-          Window.orderBy(col("monetary").desc, col("o_custkey"))))
+      // three bucket-stitched global ranks instead of three single-task
+      // ntile windows (QueryBase.stitchedRowNumber — bit-identical, scale
+      // path per axis): recency keys are µs, so its stitch buckets by
+      // day; frequency/monetary by 4096-wide value ranges
+      val cc = tcache(cust, "q202:cust")
+      val (rr, nCust) = QueryBase.stitchedRowNumber(
+        cc, -col("recency"), col("o_custkey"), DayUs, "q202:r", "rn_r")
+      val (rf, _) = QueryBase.stitchedRowNumber(
+        rr, -col("frequency"), col("o_custkey"), 4096L, "q202:f", "rn_f")
+      val (rm, _) = QueryBase.stitchedRowNumber(
+        rf, -col("monetary"), col("o_custkey"), 4096L, "q202:m", "rn_m")
+      val scored = rm
+        .withColumn("r_q", QueryBase.ntileOf("rn_r", nCust, 4))
+        .withColumn("f_q", QueryBase.ntileOf("rn_f", nCust, 4))
+        .withColumn("m_q", QueryBase.ntileOf("rn_m", nCust, 4))
       scored.groupBy("r_q", "f_q", "m_q")
         .agg(count(lit(1)).as("n_customers"), sum("monetary").as("seg_cents"))
         .withColumn("avg_monetary",

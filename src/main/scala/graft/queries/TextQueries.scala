@@ -715,8 +715,10 @@ object TextQueries {
           sequence(lit(1), length(col("word")) - 1),
           i => col("word").substr(i, lit(2)))).as("pair"))
         .groupBy("pair").agg(sum(col("wf")).as("cnt"))
+        // top-k FIRST (TakeOrderedAndProject, distributed) so the rank
+        // window runs on ≤20 rows, never the full pair domain
+        .orderBy(desc("cnt"), col("pair")).limit(20)
         .withColumn("rk", row_number().over(Window.orderBy(desc("cnt"), col("pair"))))
-        .where(col("rk") <= 20)
         .select(col("rk").cast("int").as("rk"), col("pair"), col("cnt"))
     }),
 
@@ -968,9 +970,11 @@ object TextQueries {
         .select(explode(toks).as("token"))
         .groupBy("token").agg(count(lit(1)).as("freq"))
       val ranked = vocab
+        // top-k FIRST (TakeOrderedAndProject, distributed) so the rank
+        // window runs on ≤ZipfTop rows, never the full vocabulary
+        .orderBy(desc("freq"), col("token")).limit(ZipfTop)
         .withColumn("rank", row_number().over(
           Window.orderBy(desc("freq"), col("token"))))
-        .where(col("rank") <= ZipfTop)
         .withColumn("qx", floor(log(col("rank").cast("double")) * lit(1.0e6) + lit(0.5)).cast("long"))
         .withColumn("qy", floor(log(col("freq").cast("double")) * lit(1.0e6) + lit(0.5)).cast("long"))
       ranked.agg(count(lit(1)).as("n_terms"),

@@ -148,4 +148,38 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("SortMergeJoin"),
       s"q259 must not shuffle-join the fact side:\n$plan")
   }
+
+  /** Logical windows whose partition spec is empty or all-literal — the
+    * single-task shape the r14 stitched-rank rewrites removed. Counted on
+    * the optimized plan (AQE hides the physical tree pre-execution). */
+  private def singleTaskWindows(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+        if w.partitionSpec.forall(_.foldable) => w
+    }.size
+
+  test("the r14 stitched ranks keep corpus-sized frames out of single-task windows") {
+    // q197: the only surviving global window is the ≤10-row decile cumsum
+    assert(singleTaskWindows(RelQueries.defs("q197_decile_lift")(spark, dir)) == 1)
+    // q202/q198/q290: none at all — ranks ride the bucket stitch
+    assert(singleTaskWindows(RelQueries.defs("q202_rfm_segments")(spark, dir)) == 0)
+    assert(singleTaskWindows(RelQueries.defs("q198_time_to_convert")(spark, dir)) == 0)
+    assert(singleTaskWindows(RelQueries.defs("q290_kaplan_meier")(spark, dir)) == 0)
+  }
+
+  test("q200/q114 rank only a distributed top-k, never the full vocabulary") {
+    for (q <- Seq("q200_zipf_fit", "q114_bpe_merge")) {
+      val plan = graft.queries.TextQueries.defs(q)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"$q must cut to top-k with TakeOrderedAndProject before ranking:\n$plan")
+    }
+  }
+
+  test("q286 accumulates the Gram matrix with the partial aggregator, no pair explode") {
+    val plan = VectorQueries.defs("q286_covariance_spectrum")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("gramaggregator"),
+      s"q286 must fold the covariance through GramAggregator:\n$plan")
+  }
 }
