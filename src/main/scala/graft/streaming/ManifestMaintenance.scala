@@ -43,7 +43,14 @@ object ManifestMaintenance {
   def update(spark: SparkSession, layoutPath: String, manifestPath: String,
              key: String = "user_id"): Int = {
     val listed = listDataFiles(layoutPath)
-    val manifestExists = new java.io.File(manifestPath).exists()
+    // a manifest is "present" only when it holds COMMITTED part files: a
+    // first-ever update killed mid-append leaves the directory existing
+    // with nothing but `_temporary` trash, and reading that as a manifest
+    // throws (no schema to infer) — the crash would wedge every later
+    // update. Uncommitted trash is invisible to the commit protocol, so
+    // treating such a directory as absent is exactly the recovery the
+    // protocol intends (AtRestFaultSpec pins it).
+    val manifestExists = listDataFiles(manifestPath).nonEmpty
     val known: Set[String] =
       if (!manifestExists) Set.empty
       else spark.read.parquet(manifestPath)

@@ -1,0 +1,125 @@
+package graft
+
+import graft.streaming.{ManifestMaintenance, PartitionedIngest}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Fault-path verification for the AT-REST maintenance half (the
+  * [[StreamingRestartSpec]] counterpart for files instead of state): a
+  * maintenance job killed mid-write must never corrupt the serving
+  * layout, and a re-run must converge to the clean result.
+  *
+  *  - compaction: [[PartitionedIngest.compactDaily]] writes to a FRESH
+  *    path, so a kill leaves the observable crash end-state — a partial
+  *    day subset, leftover `_temporary`, NO `_SUCCESS` marker — while the
+  *    source layout stays untouched. The spec builds exactly that
+  *    end-state, asserts the atomic-swap precondition (`_SUCCESS` absent
+  *    → the pointer must not flip), and proves a re-run converges:
+  *    content identical to the source, one file per day, no trash.
+  *  - manifest upkeep: a killed [[ManifestMaintenance.update]] append
+  *    leaves only uncommitted `_temporary` trash (the commit protocol
+  *    publishes nothing) — including on a FIRST-EVER update, where the
+  *    manifest directory then exists with no committed files; the next
+  *    update must treat it as absent instead of failing to read it, and
+  *    re-runs must stay duplicate-free and rebuild-identical.
+  */
+class AtRestFaultSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private var base: String = _
+
+  override def beforeAll(): Unit = {
+    spark = graft.SparkUtil.configure(
+      SparkSession.builder().master("local[4]"), "4").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    base = java.nio.file.Files.createTempDirectory("graft-atrest-fault-").toString
+  }
+
+  override def afterAll(): Unit = {
+    if (spark != null) spark.stop()
+    graft.queries.AtRestTables.deleteRecursively(base)
+  }
+
+  /** The observable end-state of a job killed mid-write under Spark's
+    * commit protocol: uncommitted task trash, no success marker. */
+  private def plantCrashDebris(path: String): Unit = {
+    new java.io.File(s"$path/_temporary/0").mkdirs()
+    new java.io.File(s"$path/_SUCCESS").delete()
+  }
+
+  private def daily(ids: Range, wave: Int): Unit =
+    spark.range(ids.start, ids.end)
+      .select(col("id").as("event_id"), (col("id") % 5).as("day"),
+        (col("id") * wave).as("v"))
+      .coalesce(2).write.mode("append").partitionBy("day")
+      .parquet(s"$base/ingested")
+
+  test("a killed compaction cannot corrupt the layout; the re-run converges") {
+    daily(0 until 200, 1); daily(200 until 500, 2) // multi-file days
+    val in = s"$base/ingested"
+    val out = s"$base/compacted"
+    val srcRows = spark.read.parquet(in).count()
+
+    // crash end-state: a partial compaction (2 of 5 days), trash, no marker
+    spark.read.parquet(in).where(col("day") < 2)
+      .repartition(col("day"))
+      .write.mode("overwrite").partitionBy("day").parquet(out)
+    plantCrashDebris(out)
+
+    // the serving side is safe: source untouched, and the atomic-swap
+    // precondition correctly refuses the partial output
+    assert(spark.read.parquet(in).count() == srcRows)
+    assert(!new java.io.File(s"$out/_SUCCESS").exists(),
+      "partial output must not carry the success marker")
+
+    // re-run converges: content identity, one file per day, no trash
+    PartitionedIngest.compactDaily(spark, in, out)
+    val got = spark.read.parquet(out)
+      .select("event_id", "day", "v").orderBy("event_id")
+      .collect().map(_.toString).toSeq
+    val want = spark.read.parquet(in)
+      .select("event_id", "day", "v").orderBy("event_id")
+      .collect().map(_.toString).toSeq
+    assert(got == want)
+    assert(new java.io.File(s"$out/_SUCCESS").exists())
+    assert(!new java.io.File(s"$out/_temporary").exists(),
+      "recovered layout must not retain crash debris")
+    for (d <- 0 until 5) {
+      val files = Option(new java.io.File(s"$out/day=$d").listFiles())
+        .map(_.count(f => f.getName.endsWith(".parquet"))).getOrElse(0)
+      assert(files == 1, s"day=$d holds $files files after compaction")
+    }
+  }
+
+  test("a killed manifest append recovers: first-ever crash, mid-life crash, no dupes") {
+    val layout = s"$base/mlayout"
+    val manifest = s"$base/mmanifest"
+    def wave(ids: Range): Unit =
+      spark.range(ids.start, ids.end)
+        .select(col("id").as("user_id"), (col("id") % 7).as("v"))
+        .coalesce(1).write.mode("append").parquet(layout)
+
+    // FIRST-EVER update killed mid-append: the manifest dir exists with
+    // nothing committed — the next update must treat it as absent (this
+    // threw before the r14 fix: no committed files, no schema to infer)
+    wave(0 until 100); wave(100 until 250)
+    plantCrashDebris(manifest)
+    assert(ManifestMaintenance.update(spark, layout, manifest) == 2)
+    assert(ManifestMaintenance.update(spark, layout, manifest) == 0)
+
+    // mid-life crash: new file lands, the update toward it dies leaving
+    // trash beside the committed manifest — the re-run scans exactly the
+    // one unknown file and converges to the from-scratch rebuild
+    wave(250 until 400)
+    plantCrashDebris(manifest)
+    assert(ManifestMaintenance.update(spark, layout, manifest) == 1)
+    val got = spark.read.parquet(manifest)
+      .orderBy("file").collect().map(_.toString).toSeq
+    val want = ManifestMaintenance.rebuild(spark, layout)
+      .orderBy("file").collect().map(_.toString).toSeq
+    assert(got == want, s"recovered manifest diverges from rebuild:\n$got\n$want")
+    assert(got.size == 3, s"expected 3 manifest rows (no duplicates), got ${got.size}")
+  }
+}
