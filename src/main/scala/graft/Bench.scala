@@ -40,6 +40,21 @@ object Bench {
     } catch { case _: Throwable => () }
     spark.catalog.clearCache()
 
+    // ambient-load probe: a fixed, data-independent CPU-bound workload
+    // timed before and after the run (min-of-3 each). Wall times here
+    // swing up to 4× with container co-tenancy (CLAUDE.md), and every
+    // round's adjudication has had to argue about it from the loadavg
+    // strings alone; the probe makes artifacts self-normalizing — compare
+    // totals round-over-round only after dividing by the probe ratio.
+    def probe(): Double = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      // pmod keeps each term ≤ 2^20 so the 2^28-term ANSI sum stays ≤ 2^48
+      spark.range(1L << 28)
+        .selectExpr("sum(pmod(id * 2654435761, 1048576))").collect()
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    val probeStart = probe()
+
     // One UNTIMED warm pass over every query, then three timed passes,
     // min per query. The warm pass pays each query's first-execution
     // codegen/JIT once (the r8 probe measured 3-5 s of it on q88's 5-join
@@ -112,6 +127,7 @@ object Bench {
     }
     if (ladderShared == Double.MaxValue) ladderShared = -1.0
     val loadEnd = loadAvg()
+    val probeEnd = probe()
     val results = names.map { case (name, _) => name -> best.getOrElse(name, -1.0) }
     val ladderStandalone = ladder.map(n => math.max(best.getOrElse(n, 0.0), 0.0)).sum
     val errors = results.count(_._2 < 0)
@@ -141,6 +157,7 @@ object Bench {
     def jsonLine(qs: String, slowestOnly: Boolean): String =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","passes":3,"warm_pass":true,"errors":$errors,""" +
         s""""load_start":"$loadStart","load_end":"$loadEnd",""" +
+        s""""probe_start":${f2(probeStart)},"probe_end":${f2(probeEnd)},""" +
         s""""warm_pass1_total":${f3(pass1Total)},""" +
         s""""ladder_shared":${f2(ladderShared)},"ladder_standalone":${f2(ladderStandalone)},""" +
         s""""queries_all":${results.size},"queries_slowest_only":$slowestOnly,""" +
