@@ -224,8 +224,11 @@ object DedupQueries {
   /** q248's acceptance: either direction's containment ≥ this. */
   private val ContainThreshold = 0.5
 
-  /** Shared 60-bit simhash CTE (doc_id, simhash) + a trailing query. */
-  private def simhashOracle(tail: String, withCte: Boolean = false): String = {
+  /** Shared 60-bit simhash CTE (doc_id, simhash) + a trailing query.
+    * `private[queries]` so q294's composed pipeline oracle chains its
+    * stages onto the SAME simhash definition (one place, per the shared-
+    * constants invariant). */
+  private[queries] def simhashOracle(tail: String, withCte: Boolean = false): String = {
     val bits = (0 until TextHash.SimBits).map { j =>
       s"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString(" + ")

@@ -1116,6 +1116,83 @@ object TextQueries {
           col("covered"), col("t_total"),
           pround(col("covered").cast("double") / col("t_total").cast("double"),
             6).as("share"))
+    }),
+
+    // END-TO-END TRAINING-DATA PIPELINE — the composed flagship: the full
+    // corpus-preparation funnel a pre-training run executes, as ONE
+    // query. Stage arithmetic is the proven single-operator formulations
+    // (q35 language-ID, q36 quality, q30/q56 exact dedup, q33 simhash
+    // fingerprint dedup, q47 deterministic split), sequenced:
+    //   documents → language identified → quality ≥ 0.5 → exact-dedup
+    //   survivors (min doc_id per normalized-text md5) → fingerprint-
+    //   dedup survivors (min doc_id per 60-bit simhash) → hash split.
+    // Output: per-split kept-doc/token counts with the funnel stage
+    // counts broadcast onto every row (≤3 rows total). Scale shape: ONE
+    // projection computes every per-doc feature (no doc-sized joins to
+    // recover signals), each dedup stage is a combinable min + LEFT SEMI
+    // join back (the q56 discipline — no window, uniform md5/simhash
+    // keys), and the funnel is one pass of combinable aggregates over
+    // the cached feature frame. [[PipelineQuerySpec]]-style end-to-end
+    // behavior is pinned by the oracle row itself (an 8-column funnel
+    // can't drift silently).
+    "q294_training_pipeline" -> ((spark, dir) => {
+      val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+      val norm = trim(regexp_replace(regexp_replace(
+        lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+      val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 100).cast("int")
+      val base = spread(table(spark, dir, "documents"))
+        .select(col("doc_id"), col("text"), toks.as("toks"))
+      val scores = Profiles.map { case (lang, words) =>
+        size(filter(col("toks"),
+          t => words.map(w => t === w).reduce(_ || _))).as(s"s_$lang")
+      }
+      val g = greatest(Profiles.map(p => col(s"s_${p._1}")): _*)
+      val pred = Profiles.foldRight(lit("und")) { case ((lang, _), acc) =>
+        when(col(s"s_$lang") === g, lang).otherwise(acc)
+      }
+      val quality = pround(
+        col("n_types").cast("double") / col("n_tokens") * 0.5 +
+          (lit(1.0) - col("n_punct").cast("double") / col("n_chars")) * 0.3 +
+          (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")) * 0.2, 6)
+      val feat = tcache(base
+        .select(Seq(col("doc_id"),
+          size(col("toks")).as("n_tokens"),
+          size(array_distinct(col("toks"))).as("n_types"),
+          length(regexp_replace(lower(col("text")), "[a-z0-9\\s]", "")).as("n_punct"),
+          length(col("text")).as("n_chars"),
+          size(filter(col("toks"),
+            t => Stopwords.map(w => t === w).reduce(_ || _))).as("n_stop"),
+          md5(norm).as("h"),
+          graft.functions.TextFunctions.doc_simhash(col("text")).as("simhash"),
+          bucket.as("bkt")) ++ scores: _*)
+        .withColumn("pred_lang", when(g === 0, "und").otherwise(pred))
+        .withColumn("quality", quality)
+        .select("doc_id", "n_tokens", "h", "simhash", "bkt",
+          "pred_lang", "quality"), "q294:feat")
+      val isLang = col("pred_lang") =!= "und"
+      val isQual = isLang && col("quality") >= lit(0.5)
+      val s2 = feat.where(isQual)
+      val ek = s2.groupBy("h").agg(min("doc_id").as("doc_id"))
+      val s3 = tcache(
+        s2.join(ek.select("doc_id"), Seq("doc_id"), "left_semi"), "q294:s3")
+      val nk = s3.groupBy("simhash").agg(min("doc_id").as("doc_id"))
+      val s4 = tcache(
+        s3.join(nk.select("doc_id"), Seq("doc_id"), "left_semi"), "q294:kept")
+      val funnel = feat.agg(
+        count(lit(1)).as("docs_in"),
+        sum(when(isLang, 1L).otherwise(0L)).as("after_lang"),
+        sum(when(isQual, 1L).otherwise(0L)).as("after_quality"),
+        countDistinct(when(isQual, col("h"))).as("after_exact"))
+      val kept = s4.agg(count(lit(1)).as("after_near"))
+      s4.withColumn("split",
+          when(col("bkt") < 80, "train")
+            .when(col("bkt") < 90, "val").otherwise("test"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens").cast("long")).as("ws_tokens"))
+        .crossJoin(broadcast(funnel))
+        .crossJoin(broadcast(kept))
     })
   )
 
@@ -1693,6 +1770,56 @@ object TextQueries {
          |       CAST(max(t_total) AS BIGINT) AS t_total,
          |       ${sround("CAST(sum(freq) AS DOUBLE) / CAST(max(t_total) AS DOUBLE)", 6)} AS share
          |FROM rk CROSS JOIN tot CROSS JOIN ks
-         |WHERE rk <= k GROUP BY k""".stripMargin
+         |WHERE rk <= k GROUP BY k""".stripMargin,
+
+    // the q294 funnel replays every stage's PROVEN oracle arithmetic in
+    // one CTE chain: DedupQueries.simhashOracle supplies the shared
+    // toks/simhash CTEs, q35's scores/CASE chain, q36's quality with
+    // sround, q30/q56's md5(norm) grouping, q47's bucket CASE
+    "q294_training_pipeline" -> graft.queries.DedupQueries.simhashOracle({
+      val scores = Profiles.map { case (lang, words) =>
+        val in = words.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(t.toks, x -> x IN ($in))) AS s_$lang"
+      }.mkString(", ")
+      val g = Profiles.map(p => s"s_${p._1}").mkString("greatest(", ", ", ")")
+      val chain = Profiles.map { case (lang, _) =>
+        s"WHEN s_$lang = $g THEN '$lang'"
+      }.mkString(" ")
+      val stopIn = Stopwords.map(w => s"'$w'").mkString(", ")
+      s"""feat AS (SELECT t.doc_id,
+         |        CAST(len(t.toks) AS INT) AS n_tokens,
+         |        CAST(len(list_distinct(t.toks)) AS INT) AS n_types,
+         |        CAST(length(regexp_replace(lower(d.text), '[a-z0-9\\s]', '', 'g')) AS INT) AS n_punct,
+         |        CAST(length(d.text) AS INT) AS n_chars,
+         |        CAST(len(list_filter(t.toks, x -> x IN ($stopIn))) AS INT) AS n_stop,
+         |        md5(${graft.sql.TextSql.norm}) AS h,
+         |        CAST(CAST(concat('0x', substr(md5(d.doc_id::VARCHAR), 1, 15)) AS BIGINT) % 100 AS INT) AS bkt,
+         |        $scores
+         |      FROM toks t JOIN documents d USING (doc_id)),
+         |lang AS (SELECT *,
+         |        CASE WHEN $g = 0 THEN 'und' $chain ELSE 'und' END AS pred_lang,
+         |        ${sround("n_types::DOUBLE / n_tokens * 0.5 + (1.0 - n_punct::DOUBLE / n_chars) * 0.3 + (1.0 - n_stop::DOUBLE / n_tokens) * 0.2", 6)} AS quality
+         |      FROM feat),
+         |s2 AS (SELECT l.doc_id, l.n_tokens, l.h, s.simhash, l.bkt
+         |       FROM lang l JOIN s USING (doc_id)
+         |       WHERE pred_lang <> 'und' AND quality >= ${dlit(0.5)}),
+         |ek AS (SELECT min(doc_id) AS doc_id FROM s2 GROUP BY h),
+         |s3 AS (SELECT * FROM s2 WHERE doc_id IN (SELECT doc_id FROM ek)),
+         |nk AS (SELECT min(doc_id) AS doc_id FROM s3 GROUP BY simhash),
+         |s4 AS (SELECT * FROM s3 WHERE doc_id IN (SELECT doc_id FROM nk)),
+         |funnel AS (SELECT
+         |    (SELECT CAST(count(*) AS BIGINT) FROM documents) AS docs_in,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM lang WHERE pred_lang <> 'und') AS after_lang,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM s2) AS after_quality,
+         |    (SELECT CAST(count(DISTINCT h) AS BIGINT) FROM s2) AS after_exact,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM s4) AS after_near)
+         |SELECT sp.split, sp.n_docs, sp.ws_tokens, f.docs_in, f.after_lang,
+         |       f.after_quality, f.after_exact, f.after_near
+         |FROM (SELECT CASE WHEN bkt < 80 THEN 'train'
+         |                  WHEN bkt < 90 THEN 'val' ELSE 'test' END AS split,
+         |             CAST(count(*) AS BIGINT) AS n_docs,
+         |             CAST(sum(CAST(n_tokens AS BIGINT)) AS BIGINT) AS ws_tokens
+         |      FROM s4 GROUP BY 1) sp CROSS JOIN funnel f""".stripMargin
+    }, withCte = true)
   )
 }
