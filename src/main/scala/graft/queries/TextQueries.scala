@@ -1136,43 +1136,8 @@ object TextQueries {
     // behavior is pinned by the oracle row itself (an 8-column funnel
     // can't drift silently).
     "q294_training_pipeline" -> ((spark, dir) => {
-      val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
-      val norm = trim(regexp_replace(regexp_replace(
-        lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
-      val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
-        .cast("long") % 100).cast("int")
-      val base = spread(table(spark, dir, "documents"))
-        .select(col("doc_id"), col("text"), toks.as("toks"))
-      val scores = Profiles.map { case (lang, words) =>
-        size(filter(col("toks"),
-          t => words.map(w => t === w).reduce(_ || _))).as(s"s_$lang")
-      }
-      val g = greatest(Profiles.map(p => col(s"s_${p._1}")): _*)
-      val pred = Profiles.foldRight(lit("und")) { case ((lang, _), acc) =>
-        when(col(s"s_$lang") === g, lang).otherwise(acc)
-      }
-      val quality = pround(
-        col("n_types").cast("double") / col("n_tokens") * 0.5 +
-          (lit(1.0) - col("n_punct").cast("double") / col("n_chars")) * 0.3 +
-          (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")) * 0.2, 6)
-      val feat = tcache(base
-        .select(Seq(col("doc_id"),
-          size(col("toks")).as("n_tokens"),
-          size(array_distinct(col("toks"))).as("n_types"),
-          length(regexp_replace(lower(col("text")), "[a-z0-9\\s]", "")).as("n_punct"),
-          length(col("text")).as("n_chars"),
-          size(filter(col("toks"),
-            t => Stopwords.map(w => t === w).reduce(_ || _))).as("n_stop"),
-          md5(norm).as("h"),
-          graft.functions.TextFunctions.doc_simhash(col("text")).as("simhash"),
-          bucket.as("bkt")) ++ scores: _*)
-        .withColumn("pred_lang", when(g === 0, "und").otherwise(pred))
-        .withColumn("quality", quality)
-        .select("doc_id", "n_tokens", "h", "simhash", "bkt",
-          "pred_lang", "quality"), "q294:feat")
-      val isLang = col("pred_lang") =!= "und"
-      val isQual = isLang && col("quality") >= lit(0.5)
-      val s2 = feat.where(isQual)
+      val feat = pipelineFeatures(spark, dir)
+      val s2 = feat.where(pipeIsQual)
       val ek = s2.groupBy("h").agg(min("doc_id").as("doc_id"))
       val s3 = tcache(
         s2.join(ek.select("doc_id"), Seq("doc_id"), "left_semi"), "q294:s3")
@@ -1181,20 +1146,138 @@ object TextQueries {
         s3.join(nk.select("doc_id"), Seq("doc_id"), "left_semi"), "q294:kept")
       val funnel = feat.agg(
         count(lit(1)).as("docs_in"),
-        sum(when(isLang, 1L).otherwise(0L)).as("after_lang"),
-        sum(when(isQual, 1L).otherwise(0L)).as("after_quality"),
-        countDistinct(when(isQual, col("h"))).as("after_exact"))
+        sum(when(pipeIsLang, 1L).otherwise(0L)).as("after_lang"),
+        sum(when(pipeIsQual, 1L).otherwise(0L)).as("after_quality"),
+        countDistinct(when(pipeIsQual, col("h"))).as("after_exact"))
       val kept = s4.agg(count(lit(1)).as("after_near"))
-      s4.withColumn("split",
-          when(col("bkt") < 80, "train")
-            .when(col("bkt") < 90, "val").otherwise("test"))
-        .groupBy("split")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_tokens").cast("long")).as("ws_tokens"))
-        .crossJoin(broadcast(funnel))
-        .crossJoin(broadcast(kept))
+      pipelineReport(s4, funnel, kept)
+    }),
+
+    // INCREMENTAL PIPELINE DELTA — the production form of q294: a 100 TB
+    // corpus is never re-piped from scratch; a new batch is processed
+    // AGAINST the standing survivor state. The corpus splits at
+    // T = max(doc_id)·4 div 5 into base (already piped) and delta (the
+    // arriving batch — later ids, the arrival-order premise every
+    // incremental dedup needs and q62 established). Base runs the q294
+    // stages; the delta's exact stage anti-joins the BASE survivor hash
+    // set before taking within-delta minima (a base doc always outranks
+    // a colliding delta doc — lower id), and its fingerprint stage
+    // anti-joins the base EXACT-survivor simhash set the same way. The
+    // union report is PROVABLY the full q294 rerun (base ids < delta ids
+    // make every combined min resolve to the incremental winner) —
+    // IncrementalPipelineSpec asserts bit-equality of the shared columns,
+    // and the oracle replays the incremental formulation itself. Scale
+    // shape: the delta-side work is |delta| plus aggregation-sized
+    // anti-join builds; the base state enters only as its (bounded
+    // survivor-key) aggregates, exactly what a standing pipeline persists.
+    "q295_pipeline_delta" -> ((spark, dir) => {
+      val feat = pipelineFeatures(spark, dir)
+      val tF = feat.agg(expr("max(doc_id) * 4 div 5").as("t"))
+      val s2 = feat.where(pipeIsQual)
+        .crossJoin(broadcast(tF))
+      val s2b = s2.where(col("doc_id") < col("t")).drop("t")
+      val s2d = s2.where(col("doc_id") >= col("t")).drop("t")
+      val ekb = tcache(
+        s2b.groupBy("h").agg(min("doc_id").as("doc_id")), "q295:ekb")
+      val s3b = tcache(
+        s2b.join(ekb.select("doc_id"), Seq("doc_id"), "left_semi"), "q295:s3b")
+      val ekd = s2d.join(ekb.select("h"), Seq("h"), "left_anti")
+        .groupBy("h").agg(min("doc_id").as("doc_id"))
+      val s3d = tcache(
+        s2d.join(ekd.select("doc_id"), Seq("doc_id"), "left_semi"), "q295:s3d")
+      val nkb = s3b.groupBy("simhash").agg(min("doc_id").as("doc_id"))
+      val s4b = s3b.join(nkb.select("doc_id"), Seq("doc_id"), "left_semi")
+      val nkd = s3d.join(s3b.select("simhash"), Seq("simhash"), "left_anti")
+        .groupBy("simhash").agg(min("doc_id").as("doc_id"))
+      val s4d = tcache(
+        s3d.join(nkd.select("doc_id"), Seq("doc_id"), "left_semi"), "q295:s4d")
+      val s4 = s4b.unionByName(s4d)
+      val exacts = s3b.agg(count(lit(1)).as("nb"))
+        .crossJoin(broadcast(s3d.agg(count(lit(1)).as("nd"))))
+        .select((col("nb") + col("nd")).as("after_exact"))
+      val funnel = feat.agg(
+        count(lit(1)).as("docs_in"),
+        sum(when(pipeIsLang, 1L).otherwise(0L)).as("after_lang"),
+        sum(when(pipeIsQual, 1L).otherwise(0L)).as("after_quality"))
+        .crossJoin(broadcast(exacts))
+      val kept = s4d.agg(count(lit(1)).as("delta_kept"))
+        .crossJoin(broadcast(tF.select(col("t").as("t_split"))))
+      val near = s4d.agg(count(lit(1)).as("nd"))
+        .crossJoin(broadcast(s4b.agg(count(lit(1)).as("nb"))))
+        .select((col("nb") + col("nd")).as("after_near"))
+      pipelineReport(s4, funnel.crossJoin(broadcast(near)), kept)
     })
   )
+
+  /** q294/q295's shared per-split report tail: the 3-row split aggregate
+    * crossed with the broadcast funnel/extra 1-row frames. */
+  private def pipelineReport(s4: org.apache.spark.sql.DataFrame,
+                             funnel: org.apache.spark.sql.DataFrame,
+                             extra: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    s4.withColumn("split",
+        when(col("bkt") < 80, "train")
+          .when(col("bkt") < 90, "val").otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("ws_tokens"))
+      .crossJoin(broadcast(funnel))
+      .crossJoin(broadcast(extra))
+
+  /** The q294/q295 shared language gate... */
+  private def pipeIsLang: org.apache.spark.sql.Column =
+    col("pred_lang") =!= "und"
+
+  /** ...and quality gate (threshold shared with the oracle via dlit). */
+  private def pipeIsQual: org.apache.spark.sql.Column =
+    pipeIsLang && col("quality") >= lit(PipelineQualityFloor)
+
+  /** q294/q295's quality admission floor — ONE definition, embedded into
+    * both oracles via dlit. */
+  private val PipelineQualityFloor = 0.5
+
+  /** q294/q295's shared per-doc feature frame: ONE projection off the
+    * documents scan computes every pipeline signal (tokens, q36 quality
+    * ingredients, q35 language scores, the q30/q56 normalized-text md5,
+    * the codegen'd q33 simhash, the q47 split bucket) — no doc-sized
+    * joins to recover signals, cached once for the funnel + stages. */
+  private def pipelineFeatures(spark: org.apache.spark.sql.SparkSession,
+                               dir: String): org.apache.spark.sql.DataFrame = {
+    val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+    val norm = trim(regexp_replace(regexp_replace(
+      lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long") % 100).cast("int")
+    val base = spread(table(spark, dir, "documents"))
+      .select(col("doc_id"), col("text"), toks.as("toks"))
+    val scores = Profiles.map { case (lang, words) =>
+      size(filter(col("toks"),
+        t => words.map(w => t === w).reduce(_ || _))).as(s"s_$lang")
+    }
+    val g = greatest(Profiles.map(p => col(s"s_${p._1}")): _*)
+    val pred = Profiles.foldRight(lit("und")) { case ((lang, _), acc) =>
+      when(col(s"s_$lang") === g, lang).otherwise(acc)
+    }
+    val quality = pround(
+      col("n_types").cast("double") / col("n_tokens") * 0.5 +
+        (lit(1.0) - col("n_punct").cast("double") / col("n_chars")) * 0.3 +
+        (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")) * 0.2, 6)
+    tcache(base
+      .select(Seq(col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_types"),
+        length(regexp_replace(lower(col("text")), "[a-z0-9\\s]", "")).as("n_punct"),
+        length(col("text")).as("n_chars"),
+        size(filter(col("toks"),
+          t => Stopwords.map(w => t === w).reduce(_ || _))).as("n_stop"),
+        md5(norm).as("h"),
+        graft.functions.TextFunctions.doc_simhash(col("text")).as("simhash"),
+        bucket.as("bkt")) ++ scores: _*)
+      .withColumn("pred_lang", when(g === 0, "und").otherwise(pred))
+      .withColumn("quality", quality)
+      .select("doc_id", "n_tokens", "h", "simhash", "bkt",
+        "pred_lang", "quality"), "q294:feat")
+  }
 
   /** q281's McNemar arithmetic on a paired (pa, pb) boolean frame —
     * factored so the spec can drive hand-computable discordant counts
@@ -1774,35 +1857,10 @@ object TextQueries {
 
     // the q294 funnel replays every stage's PROVEN oracle arithmetic in
     // one CTE chain: DedupQueries.simhashOracle supplies the shared
-    // toks/simhash CTEs, q35's scores/CASE chain, q36's quality with
-    // sround, q30/q56's md5(norm) grouping, q47's bucket CASE
-    "q294_training_pipeline" -> graft.queries.DedupQueries.simhashOracle({
-      val scores = Profiles.map { case (lang, words) =>
-        val in = words.map(w => s"'$w'").mkString(", ")
-        s"len(list_filter(t.toks, x -> x IN ($in))) AS s_$lang"
-      }.mkString(", ")
-      val g = Profiles.map(p => s"s_${p._1}").mkString("greatest(", ", ", ")")
-      val chain = Profiles.map { case (lang, _) =>
-        s"WHEN s_$lang = $g THEN '$lang'"
-      }.mkString(" ")
-      val stopIn = Stopwords.map(w => s"'$w'").mkString(", ")
-      s"""feat AS (SELECT t.doc_id,
-         |        CAST(len(t.toks) AS INT) AS n_tokens,
-         |        CAST(len(list_distinct(t.toks)) AS INT) AS n_types,
-         |        CAST(length(regexp_replace(lower(d.text), '[a-z0-9\\s]', '', 'g')) AS INT) AS n_punct,
-         |        CAST(length(d.text) AS INT) AS n_chars,
-         |        CAST(len(list_filter(t.toks, x -> x IN ($stopIn))) AS INT) AS n_stop,
-         |        md5(${graft.sql.TextSql.norm}) AS h,
-         |        CAST(CAST(concat('0x', substr(md5(d.doc_id::VARCHAR), 1, 15)) AS BIGINT) % 100 AS INT) AS bkt,
-         |        $scores
-         |      FROM toks t JOIN documents d USING (doc_id)),
-         |lang AS (SELECT *,
-         |        CASE WHEN $g = 0 THEN 'und' $chain ELSE 'und' END AS pred_lang,
-         |        ${sround("n_types::DOUBLE / n_tokens * 0.5 + (1.0 - n_punct::DOUBLE / n_chars) * 0.3 + (1.0 - n_stop::DOUBLE / n_tokens) * 0.2", 6)} AS quality
-         |      FROM feat),
-         |s2 AS (SELECT l.doc_id, l.n_tokens, l.h, s.simhash, l.bkt
-         |       FROM lang l JOIN s USING (doc_id)
-         |       WHERE pred_lang <> 'und' AND quality >= ${dlit(0.5)}),
+    // toks/simhash CTEs, pipelineOracleHead the q35 scores/CASE chain,
+    // q36 quality with sround, q30/q56 md5(norm), q47 bucket CASE
+    "q294_training_pipeline" -> graft.queries.DedupQueries.simhashOracle(
+      s"""$pipelineOracleHead,
          |ek AS (SELECT min(doc_id) AS doc_id FROM s2 GROUP BY h),
          |s3 AS (SELECT * FROM s2 WHERE doc_id IN (SELECT doc_id FROM ek)),
          |nk AS (SELECT min(doc_id) AS doc_id FROM s3 GROUP BY simhash),
@@ -1815,11 +1873,82 @@ object TextQueries {
          |    (SELECT CAST(count(*) AS BIGINT) FROM s4) AS after_near)
          |SELECT sp.split, sp.n_docs, sp.ws_tokens, f.docs_in, f.after_lang,
          |       f.after_quality, f.after_exact, f.after_near
-         |FROM (SELECT CASE WHEN bkt < 80 THEN 'train'
-         |                  WHEN bkt < 90 THEN 'val' ELSE 'test' END AS split,
-         |             CAST(count(*) AS BIGINT) AS n_docs,
-         |             CAST(sum(CAST(n_tokens AS BIGINT)) AS BIGINT) AS ws_tokens
-         |      FROM s4 GROUP BY 1) sp CROSS JOIN funnel f""".stripMargin
-    }, withCte = true)
+         |FROM ($pipelineOracleSplit) sp CROSS JOIN funnel f""".stripMargin,
+      withCte = true),
+
+    // q295 replays the INCREMENTAL formulation itself (base/delta split
+    // at T, delta stages anti-joined against the base survivor key sets)
+    // — IncrementalPipelineSpec separately proves it equals the full
+    // q294 rerun row-for-row on the shared columns
+    "q295_pipeline_delta" -> graft.queries.DedupQueries.simhashOracle(
+      s"""$pipelineOracleHead,
+         |tt AS (SELECT max(doc_id) * 4 // 5 AS t FROM feat),
+         |s2b AS (SELECT * FROM s2 WHERE doc_id < (SELECT t FROM tt)),
+         |s2d AS (SELECT * FROM s2 WHERE doc_id >= (SELECT t FROM tt)),
+         |ekb AS (SELECT h, min(doc_id) AS doc_id FROM s2b GROUP BY h),
+         |s3b AS (SELECT * FROM s2b WHERE doc_id IN (SELECT doc_id FROM ekb)),
+         |ekd AS (SELECT min(doc_id) AS doc_id FROM s2d
+         |        WHERE h NOT IN (SELECT h FROM ekb) GROUP BY h),
+         |s3d AS (SELECT * FROM s2d WHERE doc_id IN (SELECT doc_id FROM ekd)),
+         |nkb AS (SELECT min(doc_id) AS doc_id FROM s3b GROUP BY simhash),
+         |s4b AS (SELECT * FROM s3b WHERE doc_id IN (SELECT doc_id FROM nkb)),
+         |nkd AS (SELECT min(doc_id) AS doc_id FROM s3d
+         |        WHERE simhash NOT IN (SELECT simhash FROM s3b) GROUP BY simhash),
+         |s4d AS (SELECT * FROM s3d WHERE doc_id IN (SELECT doc_id FROM nkd)),
+         |s4 AS (SELECT * FROM s4b UNION ALL SELECT * FROM s4d),
+         |funnel AS (SELECT
+         |    (SELECT CAST(count(*) AS BIGINT) FROM documents) AS docs_in,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM lang WHERE pred_lang <> 'und') AS after_lang,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM s2) AS after_quality,
+         |    (SELECT (SELECT CAST(count(*) AS BIGINT) FROM s3b)
+         |           + (SELECT CAST(count(*) AS BIGINT) FROM s3d)) AS after_exact,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM s4) AS after_near,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM s4d) AS delta_kept,
+         |    (SELECT CAST(t AS BIGINT) FROM tt) AS t_split)
+         |SELECT sp.split, sp.n_docs, sp.ws_tokens, f.docs_in, f.after_lang,
+         |       f.after_quality, f.after_exact, f.after_near,
+         |       f.delta_kept, f.t_split
+         |FROM ($pipelineOracleSplit) sp CROSS JOIN funnel f""".stripMargin,
+      withCte = true)
   )
+
+  /** q294/q295's shared oracle CTE chain from the simhashOracle `toks`/`s`
+    * CTEs down to the quality-passed `s2` frame — ONE definition so the
+    * two pipelines cannot drift. */
+  private def pipelineOracleHead: String = {
+    val scores = Profiles.map { case (lang, words) =>
+      val in = words.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(t.toks, x -> x IN ($in))) AS s_$lang"
+    }.mkString(", ")
+    val g = Profiles.map(p => s"s_${p._1}").mkString("greatest(", ", ", ")")
+    val chain = Profiles.map { case (lang, _) =>
+      s"WHEN s_$lang = $g THEN '$lang'"
+    }.mkString(" ")
+    val stopIn = Stopwords.map(w => s"'$w'").mkString(", ")
+    s"""feat AS (SELECT t.doc_id,
+       |        CAST(len(t.toks) AS INT) AS n_tokens,
+       |        CAST(len(list_distinct(t.toks)) AS INT) AS n_types,
+       |        CAST(length(regexp_replace(lower(d.text), '[a-z0-9\\s]', '', 'g')) AS INT) AS n_punct,
+       |        CAST(length(d.text) AS INT) AS n_chars,
+       |        CAST(len(list_filter(t.toks, x -> x IN ($stopIn))) AS INT) AS n_stop,
+       |        md5(${graft.sql.TextSql.norm}) AS h,
+       |        CAST(CAST(concat('0x', substr(md5(d.doc_id::VARCHAR), 1, 15)) AS BIGINT) % 100 AS INT) AS bkt,
+       |        $scores
+       |      FROM toks t JOIN documents d USING (doc_id)),
+       |lang AS (SELECT *,
+       |        CASE WHEN $g = 0 THEN 'und' $chain ELSE 'und' END AS pred_lang,
+       |        ${sround("n_types::DOUBLE / n_tokens * 0.5 + (1.0 - n_punct::DOUBLE / n_chars) * 0.3 + (1.0 - n_stop::DOUBLE / n_tokens) * 0.2", 6)} AS quality
+       |      FROM feat),
+       |s2 AS (SELECT l.doc_id, l.n_tokens, l.h, s.simhash, l.bkt
+       |       FROM lang l JOIN s USING (doc_id)
+       |       WHERE pred_lang <> 'und' AND quality >= ${dlit(PipelineQualityFloor)})""".stripMargin
+  }
+
+  /** The shared per-split report subquery over an `s4` kept-docs CTE. */
+  private def pipelineOracleSplit: String =
+    """SELECT CASE WHEN bkt < 80 THEN 'train'
+      |            WHEN bkt < 90 THEN 'val' ELSE 'test' END AS split,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(CAST(n_tokens AS BIGINT)) AS BIGINT) AS ws_tokens
+      |FROM s4 GROUP BY 1""".stripMargin
 }
