@@ -48,6 +48,10 @@ class GramAggregator extends Aggregator[Seq[Long], Array[Long], Seq[Long]] {
     if (x.isEmpty) y
     else if (y.isEmpty) x
     else {
+      // same dimension guard as reduce(): a ragged input must fail loudly,
+      // never silently drop the longer buffer's tail cells
+      require(x.length == y.length,
+        s"inconsistent Gram buffers: ${x.length} vs ${y.length}")
       var i = 0
       while (i < x.length) { x(i) += y(i); i += 1 }
       x

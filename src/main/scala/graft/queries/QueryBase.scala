@@ -179,7 +179,16 @@ object QueryBase {
       .withColumn("__b", expr(s"__k div $width"))
       .withColumn("__cum_in", sum("__n").over(wIn)), site)
     val bt = dom.groupBy("__b").agg(sum("__n").as("__bt"))
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      .collect().map { r =>
+        // contract: keys must be non-null (every current caller ranks a
+        // non-null aggregate). The single-window forms this replaces order
+        // NULL keys; here a null would land in a null bucket and surface
+        // as an opaque NPE below — fail with the contract instead.
+        require(!r.isNullAt(0),
+          s"stitchedRowNumber($site): ranking key is NULL for ${r.getLong(1)} " +
+            "rows — callers must coalesce or filter null keys first")
+        (r.getLong(0), r.getLong(1))
+      }.sortBy(_._1)
     val tot = bt.iterator.map(_._2).sum
     var acc = 0L
     val off = bt.map { case (b, x) => val o = acc; acc += x; (b, o) }

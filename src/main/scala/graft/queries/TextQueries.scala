@@ -169,6 +169,46 @@ object TextQueries {
     * value: a flip now needs an idf within 1 ulp of a rounding boundary,
     * ~1e-10 per DISTINCT TERM rather than per score. */
 
+  /** The q36 quality-signal ingredient columns over (toks, text) — ONE
+    * Spark definition shared by [[qualityFrame]] (q36/q255) and
+    * [[pipelineFeatures]] (q294/q295), mirroring [[qualityIngredientsSql]]
+    * so the arithmetic cannot drift between the per-doc report and the
+    * composed pipelines. */
+  private def qualityIngredientCols(toks: org.apache.spark.sql.Column,
+                                    text: org.apache.spark.sql.Column)
+      : Seq[org.apache.spark.sql.Column] = Seq(
+    size(toks).as("n_tokens"),
+    size(array_distinct(toks)).as("n_types"),
+    length(regexp_replace(lower(text), "[a-z0-9\\s]", "")).as("n_punct"),
+    length(text).as("n_chars"),
+    size(filter(toks,
+      t => Stopwords.map(w => t === w).reduce(_ || _))).as("n_stop"))
+
+  /** The q36 composite quality over the ingredient columns — ONE Spark
+    * definition (twin of [[qualitySql]]). */
+  private def qualityCol: org.apache.spark.sql.Column = pround(
+    col("n_types").cast("double") / col("n_tokens") * 0.5 +
+      (lit(1.0) - col("n_punct").cast("double") / col("n_chars")) * 0.3 +
+      (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")) * 0.2, 6)
+
+  /** The q35 per-language marker-count columns — ONE Spark definition
+    * (twin of [[langScoresSql]]), shared by q35 and the pipelines. */
+  private def langScoreCols(toks: org.apache.spark.sql.Column)
+      : Seq[org.apache.spark.sql.Column] = Profiles.map { case (lang, words) =>
+    size(filter(toks, t => words.map(w => t === w).reduce(_ || _))).as(s"s_$lang")
+  }
+
+  /** The q35 argmax CASE over the score columns — ONE Spark definition
+    * (twin of [[langCaseSql]]; foldRight gives de→en→es→fr priority like
+    * the SQL CASE chain). */
+  private def predLangCol: org.apache.spark.sql.Column = {
+    val g = greatest(Profiles.map(p => col(s"s_${p._1}")): _*)
+    val pred = Profiles.foldRight(lit("und")) { case ((lang, _), acc) =>
+      when(col(s"s_$lang") === g, lang).otherwise(acc)
+    }
+    when(g === 0, "und").otherwise(pred)
+  }
+
   /** The q36 per-doc quality frame WITH lang — one scan computes every
     * signal, so q36 (per-doc report) and q255 (mix table) share the
     * arithmetic without a doc-sized join to recover the language. */
@@ -177,21 +217,13 @@ object TextQueries {
     val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
     val d = spread(table(spark, dir, "documents"))
       .select(col("doc_id"), col("lang"), col("text"), toks.as("toks"))
-      .select(col("doc_id"), col("lang"),
-        size(col("toks")).as("n_tokens"),
-        size(array_distinct(col("toks"))).as("n_types"),
-        length(regexp_replace(lower(col("text")), "[a-z0-9\\s]", "")).as("n_punct"),
-        length(col("text")).as("n_chars"),
-        size(filter(col("toks"),
-          t => Stopwords.map(w => t === w).reduce(_ || _))).as("n_stop"))
+      .select(Seq(col("doc_id"), col("lang")) ++
+        qualityIngredientCols(col("toks"), col("text")): _*)
     d.select(col("doc_id"), col("lang"), col("n_tokens"),
       pround(col("n_types").cast("double") / col("n_tokens"), 6).as("ttr"),
       pround(col("n_punct").cast("double") / col("n_chars"), 6).as("punct_ratio"),
       pround(col("n_stop").cast("double") / col("n_tokens"), 6).as("stop_ratio"),
-      pround(
-        col("n_types").cast("double") / col("n_tokens") * 0.5 +
-          (lit(1.0) - col("n_punct").cast("double") / col("n_chars")) * 0.3 +
-          (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")) * 0.2, 6).as("quality"))
+      qualityCol.as("quality"))
   }
 
   val defs: Map[String, QFn] = Map(
@@ -223,22 +255,14 @@ object TextQueries {
             col("total_tokens").cast("double"), 6).as("token_share"))
     }),
 
-    // language ID: argmax of marker-token counts (ties by profile order)
+    // language ID: argmax of marker-token counts (ties by profile order);
+    // scores/argmax via the shared langScoreCols/predLangCol definitions
     "q35_lang_id" -> ((spark, dir) => {
       val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
-      val scored = spread(table(spark, dir, "documents"))
+      spread(table(spark, dir, "documents"))
         .select(col("doc_id"), toks.as("toks"))
-        .select(Seq(col("doc_id")) ++ Profiles.map { case (lang, words) =>
-          size(filter(col("toks"),
-            t => words.map(w => t === w).reduce(_ || _))).as(s"s_$lang")
-        }: _*)
-      val g = greatest(Profiles.map(p => col(s"s_${p._1}")): _*)
-      val pred = Profiles.foldRight(lit("und")) { case ((lang, _), acc) =>
-        when(col(s"s_$lang") === g, lang).otherwise(acc)
-      }
-      // NOTE foldRight gives de->en->es->fr priority like the SQL CASE chain
-      scored.select(col("doc_id"),
-        when(g === 0, "und").otherwise(pred).as("pred_lang"))
+        .select(Seq(col("doc_id")) ++ langScoreCols(col("toks")): _*)
+        .select(col("doc_id"), predLangCol.as("pred_lang"))
     }),
 
     // quality score: token stats + punctuation + stopword density
@@ -1186,7 +1210,8 @@ object TextQueries {
       val s3d = tcache(
         s2d.join(ekd.select("doc_id"), Seq("doc_id"), "left_semi"), "q295:s3d")
       val nkb = s3b.groupBy("simhash").agg(min("doc_id").as("doc_id"))
-      val s4b = s3b.join(nkb.select("doc_id"), Seq("doc_id"), "left_semi")
+      val s4b = tcache(
+        s3b.join(nkb.select("doc_id"), Seq("doc_id"), "left_semi"), "q295:s4b")
       val nkd = s3d.join(s3b.select("simhash"), Seq("simhash"), "left_anti")
         .groupBy("simhash").agg(min("doc_id").as("doc_id"))
       val s4d = tcache(
@@ -1250,31 +1275,15 @@ object TextQueries {
       .cast("long") % 100).cast("int")
     val base = spread(table(spark, dir, "documents"))
       .select(col("doc_id"), col("text"), toks.as("toks"))
-    val scores = Profiles.map { case (lang, words) =>
-      size(filter(col("toks"),
-        t => words.map(w => t === w).reduce(_ || _))).as(s"s_$lang")
-    }
-    val g = greatest(Profiles.map(p => col(s"s_${p._1}")): _*)
-    val pred = Profiles.foldRight(lit("und")) { case ((lang, _), acc) =>
-      when(col(s"s_$lang") === g, lang).otherwise(acc)
-    }
-    val quality = pround(
-      col("n_types").cast("double") / col("n_tokens") * 0.5 +
-        (lit(1.0) - col("n_punct").cast("double") / col("n_chars")) * 0.3 +
-        (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")) * 0.2, 6)
     tcache(base
       .select(Seq(col("doc_id"),
-        size(col("toks")).as("n_tokens"),
-        size(array_distinct(col("toks"))).as("n_types"),
-        length(regexp_replace(lower(col("text")), "[a-z0-9\\s]", "")).as("n_punct"),
-        length(col("text")).as("n_chars"),
-        size(filter(col("toks"),
-          t => Stopwords.map(w => t === w).reduce(_ || _))).as("n_stop"),
         md5(norm).as("h"),
         graft.functions.TextFunctions.doc_simhash(col("text")).as("simhash"),
-        bucket.as("bkt")) ++ scores: _*)
-      .withColumn("pred_lang", when(g === 0, "und").otherwise(pred))
-      .withColumn("quality", quality)
+        bucket.as("bkt")) ++
+        qualityIngredientCols(col("toks"), col("text")) ++
+        langScoreCols(col("toks")): _*)
+      .withColumn("pred_lang", predLangCol)
+      .withColumn("quality", qualityCol)
       .select("doc_id", "n_tokens", "h", "simhash", "bkt",
         "pred_lang", "quality"), "q294:feat")
   }
@@ -1394,32 +1403,19 @@ object TextQueries {
          |  SELECT pair, cnt, row_number() OVER (ORDER BY cnt DESC, pair) AS rk FROM p)
          |WHERE rk <= 20""".stripMargin,
 
-    "q35_lang_id" -> {
-      val scores = Profiles.map { case (lang, words) =>
-        val in = words.map(w => s"'$w'").mkString(", ")
-        s"len(list_filter(toks, t -> t IN ($in))) AS s_$lang"
-      }.mkString(", ")
-      val g = Profiles.map(p => s"s_${p._1}").mkString("greatest(", ", ", ")")
-      val chain = Profiles.map { case (lang, _) =>
-        s"WHEN s_$lang = $g THEN '$lang'"
-      }.mkString(" ")
+    "q35_lang_id" ->
       s"""WITH t AS (SELECT doc_id, $toksSqlD AS toks FROM documents),
-         |s AS (SELECT doc_id, $scores FROM t)
-         |SELECT doc_id, CASE WHEN $g = 0 THEN 'und' $chain ELSE 'und' END AS pred_lang FROM s""".stripMargin
-    },
+         |s AS (SELECT doc_id, ${langScoresSql("toks")} FROM t)
+         |SELECT doc_id, $langCaseSql AS pred_lang FROM s""".stripMargin,
 
     // the same q36 quality arithmetic + fixed band cuts serially
     "q255_training_mix" ->
       s"""WITH t AS (SELECT doc_id, lang, text, $toksSqlD AS toks FROM documents),
          |d AS (SELECT doc_id, lang,
-         |        CAST(len(toks) AS INT) AS n_tokens,
-         |        CAST(len(list_distinct(toks)) AS INT) AS n_types,
-         |        CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS INT) AS n_punct,
-         |        CAST(length(text) AS INT) AS n_chars,
-         |        CAST(len(list_filter(toks, t -> t IN (${Stopwords.map(w => s"'$w'").mkString(", ")}))) AS INT) AS n_stop
+         |        ${qualityIngredientsSql("toks", "text")}
          |      FROM t),
          |q AS (SELECT doc_id, lang, n_tokens,
-         |        ${sround("n_types::DOUBLE / n_tokens * 0.5 + (1.0 - n_punct::DOUBLE / n_chars) * 0.3 + (1.0 - n_stop::DOUBLE / n_tokens) * 0.2", 6)} AS quality
+         |        $qualitySql AS quality
          |      FROM d),
          |b AS (SELECT lang,
          |        CASE WHEN quality < 0.25 THEN 'q1'
@@ -1439,17 +1435,13 @@ object TextQueries {
     "q36_quality_score" ->
       s"""WITH t AS (SELECT doc_id, text, $toksSqlD AS toks FROM documents),
          |d AS (SELECT doc_id,
-         |        CAST(len(toks) AS INT) AS n_tokens,
-         |        CAST(len(list_distinct(toks)) AS INT) AS n_types,
-         |        CAST(length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS INT) AS n_punct,
-         |        CAST(length(text) AS INT) AS n_chars,
-         |        CAST(len(list_filter(toks, t -> t IN (${Stopwords.map(w => s"'$w'").mkString(", ")}))) AS INT) AS n_stop
+         |        ${qualityIngredientsSql("toks", "text")}
          |      FROM t)
          |SELECT doc_id, n_tokens,
          |  ${sround("n_types::DOUBLE / n_tokens", 6)} AS ttr,
          |  ${sround("n_punct::DOUBLE / n_chars", 6)} AS punct_ratio,
          |  ${sround("n_stop::DOUBLE / n_tokens", 6)} AS stop_ratio,
-         |  ${sround("n_types::DOUBLE / n_tokens * 0.5 + (1.0 - n_punct::DOUBLE / n_chars) * 0.3 + (1.0 - n_stop::DOUBLE / n_tokens) * 0.2", 6)} AS quality
+         |  $qualitySql AS quality
          |FROM d""".stripMargin,
 
     "q37_token_count" ->
@@ -1912,37 +1904,62 @@ object TextQueries {
       withCte = true)
   )
 
-  /** q294/q295's shared oracle CTE chain from the simhashOracle `toks`/`s`
-    * CTEs down to the quality-passed `s2` frame — ONE definition so the
-    * two pipelines cannot drift. */
-  private def pipelineOracleHead: String = {
-    val scores = Profiles.map { case (lang, words) =>
+  /** The q36 quality-signal ingredient select-list over (toks, text) SQL
+    * expressions — ONE definition shared by the q36/q255 oracles and
+    * [[pipelineOracleHead]] (twin of [[qualityIngredientCols]]). */
+  private def qualityIngredientsSql(toksE: String, textE: String): String = {
+    val stopIn = Stopwords.map(w => s"'$w'").mkString(", ")
+    s"""CAST(len($toksE) AS INT) AS n_tokens,
+       |        CAST(len(list_distinct($toksE)) AS INT) AS n_types,
+       |        CAST(length(regexp_replace(lower($textE), '[a-z0-9\\s]', '', 'g')) AS INT) AS n_punct,
+       |        CAST(length($textE) AS INT) AS n_chars,
+       |        CAST(len(list_filter($toksE, x -> x IN ($stopIn))) AS INT) AS n_stop""".stripMargin
+  }
+
+  /** The q36 composite quality over the ingredient columns — ONE SQL
+    * definition (twin of [[qualityCol]]); weights via dlit per the
+    * no-bare-literals invariant. */
+  private def qualitySql: String = sround(
+    s"n_types::DOUBLE / n_tokens * ${dlit(0.5)} + " +
+      s"(${dlit(1.0)} - n_punct::DOUBLE / n_chars) * ${dlit(0.3)} + " +
+      s"(${dlit(1.0)} - n_stop::DOUBLE / n_tokens) * ${dlit(0.2)}", 6)
+
+  /** The q35 per-language marker-count select-list over a toks SQL
+    * expression — ONE definition (twin of [[langScoreCols]]). */
+  private def langScoresSql(toksE: String): String =
+    Profiles.map { case (lang, words) =>
       val in = words.map(w => s"'$w'").mkString(", ")
-      s"len(list_filter(t.toks, x -> x IN ($in))) AS s_$lang"
+      s"len(list_filter($toksE, x -> x IN ($in))) AS s_$lang"
     }.mkString(", ")
+
+  /** The q35 argmax CASE over the score columns — ONE SQL definition
+    * (twin of [[predLangCol]]). */
+  private def langCaseSql: String = {
     val g = Profiles.map(p => s"s_${p._1}").mkString("greatest(", ", ", ")")
     val chain = Profiles.map { case (lang, _) =>
       s"WHEN s_$lang = $g THEN '$lang'"
     }.mkString(" ")
-    val stopIn = Stopwords.map(w => s"'$w'").mkString(", ")
+    s"CASE WHEN $g = 0 THEN 'und' $chain ELSE 'und' END"
+  }
+
+  /** q294/q295's shared oracle CTE chain from the simhashOracle `toks`/`s`
+    * CTEs down to the quality-passed `s2` frame — ONE definition so the
+    * two pipelines cannot drift, assembled from the SAME fragments the
+    * q35/q36/q255 oracles embed. */
+  private def pipelineOracleHead: String =
     s"""feat AS (SELECT t.doc_id,
-       |        CAST(len(t.toks) AS INT) AS n_tokens,
-       |        CAST(len(list_distinct(t.toks)) AS INT) AS n_types,
-       |        CAST(length(regexp_replace(lower(d.text), '[a-z0-9\\s]', '', 'g')) AS INT) AS n_punct,
-       |        CAST(length(d.text) AS INT) AS n_chars,
-       |        CAST(len(list_filter(t.toks, x -> x IN ($stopIn))) AS INT) AS n_stop,
+       |        ${qualityIngredientsSql("t.toks", "d.text")},
        |        md5(${graft.sql.TextSql.norm}) AS h,
        |        CAST(CAST(concat('0x', substr(md5(d.doc_id::VARCHAR), 1, 15)) AS BIGINT) % 100 AS INT) AS bkt,
-       |        $scores
+       |        ${langScoresSql("t.toks")}
        |      FROM toks t JOIN documents d USING (doc_id)),
        |lang AS (SELECT *,
-       |        CASE WHEN $g = 0 THEN 'und' $chain ELSE 'und' END AS pred_lang,
-       |        ${sround("n_types::DOUBLE / n_tokens * 0.5 + (1.0 - n_punct::DOUBLE / n_chars) * 0.3 + (1.0 - n_stop::DOUBLE / n_tokens) * 0.2", 6)} AS quality
+       |        $langCaseSql AS pred_lang,
+       |        $qualitySql AS quality
        |      FROM feat),
        |s2 AS (SELECT l.doc_id, l.n_tokens, l.h, s.simhash, l.bkt
        |       FROM lang l JOIN s USING (doc_id)
        |       WHERE pred_lang <> 'und' AND quality >= ${dlit(PipelineQualityFloor)})""".stripMargin
-  }
 
   /** The shared per-split report subquery over an `s4` kept-docs CTE. */
   private def pipelineOracleSplit: String =
