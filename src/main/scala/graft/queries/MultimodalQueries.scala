@@ -185,8 +185,63 @@ object MultimodalQueries {
           regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1)
             .cast("long").as("doc_id"),
           col("length"), md5(col("content")).as("content_md5"))
+    }),
+
+    // MULTIMODAL EXTRACT → ANN — the bridge from the codec stub to the
+    // similarity-search path: the partition-level batch operator "embeds"
+    // each binary payload into a 16-dim byte-bucket histogram (the stub a
+    // real pipeline swaps for an encoder call with the SAME batch shape
+    // and output schema), fractions quantized to integer 1e-6ths at
+    // birth, then each of the [[MmQueryCount]] query payloads takes its
+    // exact cosine top-5 over the corpus — BIGINT-exact dot/norms (16
+    // terms of ≤1e12 products), one terminal division + sqrt, the q40
+    // brute-baseline broadcast/top-k discipline (queries broadcast, the
+    // corpus never shuffles before the per-query rank).
+    "q296_multimodal_knn" -> ((spark, dir) => {
+      val docs = spread(table(spark, dir, "documents"))
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      val outSchema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("emb", ArrayType(LongType, containsNull = false))))
+      val enc = org.apache.spark.sql.Encoders.row(outSchema)
+      val fe = docs.mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val p = r.getAs[Array[Byte]](1)
+          val c = new Array[Long](16)
+          var i = 0
+          while (i < p.length) { c((p(i) & 0xff) >> 4) += 1; i += 1 }
+          val e =
+            if (p.isEmpty) new Array[Long](16)
+            else c.map(x =>
+              math.floor(x.toDouble / p.length * 1e6 + 0.5).toLong)
+          Row(id, e.toSeq)
+        }
+      }(enc)
+      val q = fe.where(col("doc_id") < MmQueryCount)
+        .select(col("doc_id").as("query_id"), col("emb").as("qe"))
+      val scored = fe.join(broadcast(q), col("doc_id") =!= col("query_id"))
+        .withColumn("dot", expr(
+          "aggregate(zip_with(qe, emb, (x, y) -> x * y), cast(0 as bigint), (a, v) -> a + v)"))
+        .withColumn("n1", expr(
+          "aggregate(qe, cast(0 as bigint), (a, v) -> a + v * v)"))
+        .withColumn("n2", expr(
+          "aggregate(emb, cast(0 as bigint), (a, v) -> a + v * v)"))
+        .select(col("query_id"), col("doc_id"),
+          when(col("n1") > 0L && col("n2") > 0L,
+            pround(col("dot").cast("double") /
+              sqrt(col("n1").cast("double") * col("n2").cast("double")), 6))
+            .otherwise(lit(0.0)).as("cos"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(desc("cos"), col("doc_id"))
+      scored.withColumn("rn", row_number().over(w)).where(col("rn") <= 5)
+        .select("query_id", "doc_id", "cos")
     })
   )
+
+  /** q296's fixed query-payload count — ONE place, embedded into the
+    * oracle WHERE (the q40 QueryCount discipline). */
+  private val MmQueryCount = 3L
 
   /** q263's bounded blob count — ONE place, embedded into the oracle
     * WHERE. */
@@ -276,7 +331,34 @@ object MultimodalQueries {
     "q263_binaryfile_ingest" ->
       s"""SELECT doc_id, CAST(strlen(text) AS BIGINT) AS length,
          |       md5(text) AS content_md5
-         |FROM documents WHERE doc_id < $BinFileDocs""".stripMargin
+         |FROM documents WHERE doc_id < $BinFileDocs""".stripMargin,
+
+    // byte-bucket embedding replayed from the (ASCII) text — ascii codes
+    // ARE the payload bytes (the q45 contract); integer 1e-6 fractions,
+    // BIGINT dot/norms, one terminal division + sqrt
+    "q296_multimodal_knn" ->
+      s"""WITH codes AS (SELECT doc_id,
+         |  list_transform(range(1, len(text) + 1),
+         |                 i -> ascii(substr(text, i, 1)) // 16) AS bs
+         |  FROM documents),
+         |emb AS (SELECT doc_id,
+         |  list_transform(range(0, 16), b -> CASE WHEN len(bs) = 0 THEN CAST(0 AS BIGINT)
+         |    ELSE CAST(floor(len(list_filter(bs, x -> x = b))::DOUBLE / len(bs) * 1000000.0 + 0.5) AS BIGINT) END) AS e
+         |  FROM codes),
+         |q AS (SELECT doc_id AS query_id, e AS qe FROM emb WHERE doc_id < $MmQueryCount),
+         |sc AS (SELECT q.query_id, m.doc_id,
+         |         CAST(list_sum(list_transform(range(1, 17), i -> qe[i] * e[i])) AS BIGINT) AS dot,
+         |         CAST(list_sum(list_transform(qe, v -> v * v)) AS BIGINT) AS n1,
+         |         CAST(list_sum(list_transform(e, v -> v * v)) AS BIGINT) AS n2
+         |       FROM emb m CROSS JOIN q WHERE m.doc_id <> q.query_id),
+         |cosd AS (SELECT query_id, doc_id,
+         |           CASE WHEN n1 > 0 AND n2 > 0
+         |                THEN ${sround("CAST(dot AS DOUBLE) / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))", 6)}
+         |                ELSE 0.0 END AS cos
+         |         FROM sc),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id) AS rn
+         |      FROM cosd)
+         |SELECT query_id, doc_id, cos FROM r WHERE rn <= 5""".stripMargin
   )
 
   /** Shared q57/q96 frame-geometry CTE chain (mirrors the Spark-side
