@@ -191,53 +191,258 @@ object MultimodalQueries {
     // similarity-search path: the partition-level batch operator "embeds"
     // each binary payload into a 16-dim byte-bucket histogram (the stub a
     // real pipeline swaps for an encoder call with the SAME batch shape
-    // and output schema), fractions quantized to integer 1e-6ths at
-    // birth, then each of the [[MmQueryCount]] query payloads takes its
-    // exact cosine top-5 over the corpus — BIGINT-exact dot/norms (16
-    // terms of ≤1e12 products), one terminal division + sqrt, the q40
-    // brute-baseline broadcast/top-k discipline (queries broadcast, the
-    // corpus never shuffles before the per-query rank).
+    // and output schema — [[mmEmbed]], shared with the q297/q298 at-rest
+    // index), fractions quantized to integer 1e-6ths at birth, then each
+    // of the [[MmQueryCount]] query payloads takes its exact cosine top-5
+    // over the corpus — BIGINT-exact dot/norms (16 terms of ≤1e12
+    // products), one terminal division + sqrt, the q40 brute-baseline
+    // broadcast discipline (queries broadcast, the corpus never shuffles
+    // before the rank). The top-5 itself is the q79 SALTED TWO-PHASE
+    // rank: row_number on (query_id, salt) cuts each query's candidates
+    // to MmSaltFan·5 survivors in parallel tasks, and only those re-rank
+    // per query — every true top-5 row is top-5 within its own salt
+    // group, so the survivor set is a superset and the final ranks are
+    // bit-identical to the oracle's direct window (which would otherwise
+    // sort |corpus| rows in MmQueryCount tasks at 100× scale).
     "q296_multimodal_knn" -> ((spark, dir) => {
-      val docs = spread(table(spark, dir, "documents"))
-        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-      val outSchema = StructType(Seq(
-        StructField("doc_id", LongType),
-        StructField("emb", ArrayType(LongType, containsNull = false))))
-      val enc = org.apache.spark.sql.Encoders.row(outSchema)
-      val fe = docs.mapPartitions { rows =>
-        rows.map { r =>
-          val id = r.getLong(0)
-          val p = r.getAs[Array[Byte]](1)
-          val c = new Array[Long](16)
-          var i = 0
-          while (i < p.length) { c((p(i) & 0xff) >> 4) += 1; i += 1 }
-          val e =
-            if (p.isEmpty) new Array[Long](16)
-            else c.map(x =>
-              math.floor(x.toDouble / p.length * 1e6 + 0.5).toLong)
-          Row(id, e.toSeq)
-        }
-      }(enc)
+      val fe = mmEmbedFrame(spread(table(spark, dir, "documents")))
       val q = fe.where(col("doc_id") < MmQueryCount)
         .select(col("doc_id").as("query_id"), col("emb").as("qe"))
       val scored = fe.join(broadcast(q), col("doc_id") =!= col("query_id"))
-        .withColumn("dot", expr(
-          "aggregate(zip_with(qe, emb, (x, y) -> x * y), cast(0 as bigint), (a, v) -> a + v)"))
-        .withColumn("n1", expr(
-          "aggregate(qe, cast(0 as bigint), (a, v) -> a + v * v)"))
-        .withColumn("n2", expr(
-          "aggregate(emb, cast(0 as bigint), (a, v) -> a + v * v)"))
-        .select(col("query_id"), col("doc_id"),
-          when(col("n1") > 0L && col("n2") > 0L,
-            pround(col("dot").cast("double") /
-              sqrt(col("n1").cast("double") * col("n2").cast("double")), 6))
-            .otherwise(lit(0.0)).as("cos"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("query_id").orderBy(desc("cos"), col("doc_id"))
-      scored.withColumn("rn", row_number().over(w)).where(col("rn") <= 5)
-        .select("query_id", "doc_id", "cos")
+      saltedTop5(mmCosine(scored))
+    }),
+
+    // MULTIMODAL INDEX BUILD — the q127 at-rest discipline applied to the
+    // multimodal column (the iSAX-bucketing story, SURVEY §4 /
+    // reference src/symtseries.c:578-636, for the codec-stub features):
+    // the extracted 16-dim embeddings land ONCE in a coarse-quantized,
+    // cell-BUCKETED serving layout ([[mmIndexTables]] — centroids by
+    // deterministic doc_id stride, exact BIGINT L2 assignment, ties to
+    // the lowest centroid id), and this query emits the per-cell manifest
+    // FROM THE PERSISTED TABLE — (cell, n_docs, position-weighted
+    // emb_sum, id_sum) pins every code row the build wrote, so the
+    // oracle's full replay gate-checks the artifact, not a live
+    // recomputation. At 100 TB this is the nightly multimodal-embedding
+    // pipeline's output: one bucketed write, every extract→ANN query
+    // after it probes files.
+    "q297_mm_index_build" -> ((spark, dir) => {
+      val (_, codesT) = mmIndexTables(spark, dir)
+      spark.table(codesT).groupBy("cell")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(expr("aggregate(zip_with(emb, sequence(cast(1 as bigint), cast(16 as bigint)), " +
+            "(v, i) -> v * i), cast(0 as bigint), (a, x) -> a + x)")).as("emb_sum"),
+          sum("doc_id").as("id_sum"))
+    }),
+
+    // MULTIMODAL INDEX PROBE — q296's workload landed on the serving
+    // layout: each query embedding routes to its [[MmNProbe]] nearest
+    // cells (exact BIGINT L2 over the ≤ MmCentroidBudget persisted
+    // centroids), the probed cell ids are collected driver-side (≤
+    // queries·nprobe longs, the bounded q128 discipline) so the literal
+    // `cell IN (...)` bucket-prunes the code scan, and the exact cosine
+    // top-5 runs over ONLY the probed cells' rows — zero extraction or
+    // training stages in the plan, no corpus-sized window
+    // ([[saltedTop5]]). MmIndexPlanSpec pins the shape.
+    "q298_mm_index_probe" -> ((spark, dir) => {
+      val q = mmEmbedFrame(
+        table(spark, dir, "documents").where(col("doc_id") < MmQueryCount))
+        .select(col("doc_id").as("query_id"), col("emb").as("qe"))
+      mmProbe(spark, dir, q)
+    }),
+
+    // BLOB → EXTRACT → ANN — the unified multimodal lifecycle: queries
+    // arrive as AT-REST BINARY FILES (the q263 blob store, read through
+    // Spark's real binaryFile source — the object-store scan every
+    // multimodal pipeline starts from), the partition-level batch
+    // operator embeds the raw payload bytes, and the embeddings probe
+    // the q297 persisted index. The plan touches NO documents parquet at
+    // all: query side = blob scan + embed, corpus side = the bucketed
+    // code table. The oracle replays the whole chain from the documents
+    // the blobs were derived from (the q263 lossless round-trip makes
+    // payload == encode(text) exact).
+    "q299_blob_extract_ann" -> ((spark, dir) => {
+      val blobs = binaryFilesDir(spark, dir)
+      val qdocs = spark.read.format("binaryFile").load(blobs)
+        .select(
+          regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1)
+            .cast("long").as("doc_id"),
+          col("content").as("payload"))
+        .where(col("doc_id") % MmBlobQueryMod === MmBlobQueryRes)
+      val q = mmEmbedPayload(qdocs)
+        .select(col("doc_id").as("query_id"), col("emb").as("qe"))
+      mmProbe(spark, dir, q)
     })
   )
+
+  /** q298/q299's shared probe: route each (query_id, qe) to its
+    * [[MmNProbe]] nearest cells against the PERSISTED centroids, collect
+    * the probed cell ids (≤ queries·nprobe, driver-bounded), bucket-prune
+    * the persisted code table with the literal IN, and take the exact
+    * cosine top-5 over the probed rows with the salted two-phase rank.
+    * The probe-cell window partitions per query over ≤ MmCentroidBudget
+    * centroid rows — constant-bounded at any corpus size. */
+  private def mmProbe(spark: org.apache.spark.sql.SparkSession, dir: String,
+                      q: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val (centT, codesT) = mmIndexTables(spark, dir)
+    val cents = spark.table(centT)
+    val wQ = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("d2"), col("cent_id"))
+    val pc = q.crossJoin(broadcast(cents))
+      .withColumn("d2", expr(
+        "aggregate(zip_with(qe, ce, (x, y) -> (x - y) * (x - y)), cast(0 as bigint), (a, v) -> a + v)"))
+      .withColumn("pr", row_number().over(wQ))
+      .where(col("pr") <= MmNProbe)
+      .select(col("query_id"), col("qe"), col("cent_id").as("cell"))
+    val cells = pc.select("cell").distinct().collect().map(_.getLong(0)).sorted
+    val codes =
+      if (cells.isEmpty) spark.table(codesT).limit(0)
+      else spark.table(codesT).where(col("cell").isin(cells: _*))
+    val scored = codes.join(broadcast(pc), Seq("cell"))
+      .where(col("doc_id") =!= col("query_id"))
+    saltedTop5(mmCosine(scored))
+  }
+
+  /** Coarse-quantizer budget for the multimodal index (the q46/q127
+    * CentroidBudget discipline): centroid COUNT is fixed — stride
+    * sampling keeps assignment work O(n·budget) at every scale. ONE
+    * place, embedded into the oracle SQL. */
+  private val MmCentroidBudget = 16L
+
+  /** Probe width for q298/q299 — shared with the oracle. */
+  private val MmNProbe = 2
+
+  /** Bucket count for the at-rest multimodal code table (fixed so the
+    * layout's hash partitioning is stable across writers; at 100 TB size
+    * it to the cell count). Pure layout — no oracle surface. */
+  private val MmCellBuckets = 8
+
+  /** q299's blob-query selector (doc_id % Mod == Res among the
+    * [[BinFileDocs]] blobs → ids 4/13/22/31): disjoint from q296/q298's
+    * doc_id < 3 so the blob-fed probe exercises its own query set. Both
+    * constants are embedded into the oracle WHERE. */
+  private val MmBlobQueryMod = 9L
+  private val MmBlobQueryRes = 4L
+
+  /** The PERSISTED multimodal index — centroids + cell-bucketed embedding
+    * codes, written once per (session, dataset) via [[AtRestTables]]:
+    * centroids are the embeddings of every stride-th doc_id (stride =
+    * max(1, |docs| / MmCentroidBudget) — deterministic, oracle-replayable),
+    * each doc assigns to the argmin exact-BIGINT-L2 centroid (ties to the
+    * lowest centroid id, the assignNearest discipline), and the code table
+    * (doc_id, cell, emb) lands bucketed by cell so probes prune buckets. */
+  private def mmIndexTables(spark: org.apache.spark.sql.SparkSession,
+                            dir: String): (String, String) = {
+    val names = AtRestTables.get(spark, s"mmidx|$dir") { base =>
+      val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val fe = mmEmbedFrame(spread(table(spark, dir, "documents")))
+      val n = table(spark, dir, "documents").count()
+      val stride = math.max(1L, n / MmCentroidBudget)
+      val cents = fe.where(col("doc_id") % stride === 0)
+        .select(col("doc_id").as("cent_id"), col("emb").as("ce"))
+      val assigned = fe.crossJoin(broadcast(cents))
+        .withColumn("d2", expr(
+          "aggregate(zip_with(emb, ce, (x, y) -> (x - y) * (x - y)), cast(0 as bigint), (a, v) -> a + v)"))
+        .groupBy("doc_id")
+        .agg(min(struct(col("d2"), col("cent_id"), col("emb"))).as("m"))
+        .select(col("doc_id"), col("m.cent_id").as("cell"), col("m.emb").as("emb"))
+      val centT = s"graft_mm_cents_$sfx"
+      val codesT = s"graft_mm_codes_$sfx"
+      cents.write.mode("overwrite").option("path", s"$base/cents").saveAsTable(centT)
+      assigned.write.mode("overwrite").option("path", s"$base/codes")
+        .bucketBy(MmCellBuckets, "cell").sortBy("cell").saveAsTable(codesT)
+      Seq(centT, codesT)
+    }
+    (names(0), names(1))
+  }
+
+  /** q296/q298/q299's shared exact-cosine projection over a scored frame
+    * carrying (query_id, doc_id, qe, emb): BIGINT dot/norms (16 terms of
+    * ≤1e12 products each), one terminal division + sqrt, zero-norm guard
+    * — ONE definition so the brute bridge and the index probes cannot
+    * drift from each other or the oracle replay. */
+  private def mmCosine(scored: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    scored
+      .withColumn("dot", expr(
+        "aggregate(zip_with(qe, emb, (x, y) -> x * y), cast(0 as bigint), (a, v) -> a + v)"))
+      .withColumn("n1", expr(
+        "aggregate(qe, cast(0 as bigint), (a, v) -> a + v * v)"))
+      .withColumn("n2", expr(
+        "aggregate(emb, cast(0 as bigint), (a, v) -> a + v * v)"))
+      .select(col("query_id"), col("doc_id"),
+        when(col("n1") > 0L && col("n2") > 0L,
+          pround(col("dot").cast("double") /
+            sqrt(col("n1").cast("double") * col("n2").cast("double")), 6))
+          .otherwise(lit(0.0)).as("cos"))
+
+  /** Per-query top-5 by (cos DESC, doc_id) with NO corpus-sized window
+    * task — the q79 salted two-phase rank: phase 1 ranks inside
+    * (query_id, doc_id % MmSaltFan) so the big sort runs MmSaltFan-way
+    * parallel per query and keeps ≤ 5 rows per salt; phase 2 re-ranks
+    * only the ≤ MmSaltFan·5 survivors per query. Bit-identical to the
+    * direct per-query window (each true top-5 row is top-5 within its
+    * own salt group), which is what the oracle replays. */
+  private def saltedTop5(scored: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val bySalt = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id", "salt").orderBy(desc("cos"), col("doc_id"))
+    val byQuery = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("cos"), col("doc_id"))
+    scored.withColumn("salt", pmod(col("doc_id"), lit(MmSaltFan)))
+      .withColumn("rn", row_number().over(bySalt)).where(col("rn") <= 5)
+      .withColumn("rnk", row_number().over(byQuery)).where(col("rnk") <= 5)
+      .select("query_id", "doc_id", "cos")
+  }
+
+  /** q296's phase-1 salt fan-out (the q79 SkewSaltFan analogue): pure
+    * plan shape — survivor supersets make the result independent of the
+    * value, so there is no oracle surface. */
+  private val MmSaltFan = 16
+
+  /** The shared multimodal "embed" stub: a 16-dim byte-bucket histogram
+    * of the payload, fractions quantized to integer 1e-6ths at birth
+    * (BIGINT from here on). Asserts the ALL-ASCII payload contract
+    * loudly: the oracle derives the same embedding from per-CHARACTER
+    * codepoints (ascii(substr)//16 over len(text) characters), which
+    * equals the byte derivation only while every byte is < 0x80 — a
+    * non-ASCII document in a future testdata regen must fail with the
+    * contract, not silently hash-mismatch. */
+  private[queries] def mmEmbed(p: Array[Byte]): Array[Long] = {
+    val c = new Array[Long](16)
+    var i = 0
+    while (i < p.length) {
+      val b = p(i) & 0xff
+      if (b >= 0x80) throw new IllegalArgumentException(
+        s"graft multimodal embed: non-ASCII byte 0x${b.toHexString} at offset $i — " +
+          "the oracle embeds from codepoints (== bytes only under ASCII); " +
+          "re-derive both sides from characters before admitting non-ASCII corpora")
+      c(b >> 4) += 1; i += 1
+    }
+    if (p.isEmpty) new Array[Long](16)
+    else c.map(x => math.floor(x.toDouble / p.length * 1e6 + 0.5).toLong)
+  }
+
+  /** [[mmEmbed]] over any (doc_id, payload BINARY) frame as the
+    * partition-level batch operator (one iterator pass per partition —
+    * the codec-call shape): (doc_id, emb ARRAY<BIGINT>). Shared by the
+    * in-table path (q296/q297/q298 via [[mmEmbedFrame]]) and the
+    * blob-store path (q299 feeds binaryFile content directly). */
+  private def mmEmbedPayload(src: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("emb", ArrayType(LongType, containsNull = false))))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    src.select(col("doc_id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          Row(r.getLong(0), mmEmbed(r.getAs[Array[Byte]](1)).toSeq)
+        }
+      }(enc)
+  }
+
+  /** [[mmEmbedPayload]] with the q45 text→UTF-8-payload contract applied
+    * to a documents frame. */
+  private def mmEmbedFrame(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    mmEmbedPayload(
+      docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")))
 
   /** q296's fixed query-payload count — ONE place, embedded into the
     * oracle WHERE (the q40 QueryCount discipline). */
@@ -335,31 +540,109 @@ object MultimodalQueries {
 
     // byte-bucket embedding replayed from the (ASCII) text — ascii codes
     // ARE the payload bytes (the q45 contract); integer 1e-6 fractions,
-    // BIGINT dot/norms, one terminal division + sqrt
+    // BIGINT dot/norms, one terminal division + sqrt. The Spark side's
+    // salted two-phase rank is bit-identical to this direct window
+    // (survivor supersets), so the oracle keeps the simple form.
     "q296_multimodal_knn" ->
-      s"""WITH codes AS (SELECT doc_id,
-         |  list_transform(range(1, len(text) + 1),
-         |                 i -> ascii(substr(text, i, 1)) // 16) AS bs
-         |  FROM documents),
-         |emb AS (SELECT doc_id,
-         |  list_transform(range(0, 16), b -> CASE WHEN len(bs) = 0 THEN CAST(0 AS BIGINT)
-         |    ELSE CAST(floor(len(list_filter(bs, x -> x = b))::DOUBLE / len(bs) * 1000000.0 + 0.5) AS BIGINT) END) AS e
-         |  FROM codes),
+      s"""WITH $mmEmbCte,
          |q AS (SELECT doc_id AS query_id, e AS qe FROM emb WHERE doc_id < $MmQueryCount),
-         |sc AS (SELECT q.query_id, m.doc_id,
-         |         CAST(list_sum(list_transform(range(1, 17), i -> qe[i] * e[i])) AS BIGINT) AS dot,
-         |         CAST(list_sum(list_transform(qe, v -> v * v)) AS BIGINT) AS n1,
-         |         CAST(list_sum(list_transform(e, v -> v * v)) AS BIGINT) AS n2
-         |       FROM emb m CROSS JOIN q WHERE m.doc_id <> q.query_id),
-         |cosd AS (SELECT query_id, doc_id,
-         |           CASE WHEN n1 > 0 AND n2 > 0
-         |                THEN ${sround("CAST(dot AS DOUBLE) / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))", 6)}
-         |                ELSE 0.0 END AS cos
-         |         FROM sc),
-         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id) AS rn
-         |      FROM cosd)
-         |SELECT query_id, doc_id, cos FROM r WHERE rn <= 5""".stripMargin
+         |cand AS (SELECT q.query_id, m.doc_id FROM emb m CROSS JOIN q
+         |         WHERE m.doc_id <> q.query_id),
+         |$mmCosTopkSql""".stripMargin,
+
+    // full replay of the index build: stride centroids, exact BIGINT L2
+    // assignment (ties to the lowest centroid id), then the per-cell
+    // manifest — green proves the persisted artifact equals a from-
+    // scratch rebuild, row for row
+    "q297_mm_index_build" ->
+      s"""WITH $mmEmbCte,
+         |$mmCentAsgCtes
+         |SELECT cell, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(list_sum(list_transform(range(1, 17), i -> e[i] * i))) AS BIGINT) AS emb_sum,
+         |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+         |FROM asg JOIN emb USING (doc_id) GROUP BY cell""".stripMargin,
+
+    // the probe replayed end to end: same centroids/assignment, each
+    // query routes to its MmNProbe nearest cells, candidates are exactly
+    // the probed cells' members, cosine/top-5 identical to q296's tail
+    "q298_mm_index_probe" ->
+      s"""WITH $mmEmbCte,
+         |$mmCentAsgCtes,
+         |q AS (SELECT doc_id AS query_id, e AS qe FROM emb WHERE doc_id < $MmQueryCount),
+         |$mmProbeCandCte,
+         |$mmCosTopkSql""".stripMargin,
+
+    // the blob-fed probe: the q263 round trip is byte-lossless, so the
+    // oracle re-derives the blob queries' embeddings from the documents
+    // the blobs were written from — same index replay, q299's query set
+    "q299_blob_extract_ann" ->
+      s"""WITH $mmEmbCte,
+         |$mmCentAsgCtes,
+         |q AS (SELECT doc_id AS query_id, e AS qe FROM emb
+         |      WHERE doc_id < $BinFileDocs AND doc_id % $MmBlobQueryMod = $MmBlobQueryRes),
+         |$mmProbeCandCte,
+         |$mmCosTopkSql""".stripMargin
   )
+
+  /** The shared byte-bucket embedding CTEs (`codes`, `emb`) — ONE
+    * definition feeds q296/q297/q298/q299 so the four oracle replays
+    * cannot drift from each other (the Spark side shares [[mmEmbed]] the
+    * same way). Ascii codepoints ARE the payload bytes under the
+    * all-ASCII contract [[mmEmbed]] asserts loudly. */
+  private def mmEmbCte: String =
+    s"""codes AS (SELECT doc_id,
+       |  list_transform(range(1, len(text) + 1),
+       |                 i -> ascii(substr(text, i, 1)) // 16) AS bs
+       |  FROM documents),
+       |emb AS (SELECT doc_id,
+       |  list_transform(range(0, 16), b -> CASE WHEN len(bs) = 0 THEN CAST(0 AS BIGINT)
+       |    ELSE CAST(floor(len(list_filter(bs, x -> x = b))::DOUBLE / len(bs) * 1000000.0 + 0.5) AS BIGINT) END) AS e
+       |  FROM codes)""".stripMargin
+
+  /** Stride centroids + exact BIGINT L2 cell assignment (`cents`, `asg`)
+    * — mirrors [[mmIndexTables]]' build arithmetic term for term. */
+  private def mmCentAsgCtes: String =
+    s"""cents AS (SELECT doc_id AS cent_id, e AS ce FROM emb
+       |  WHERE doc_id % (SELECT greatest(1, count(*) // $MmCentroidBudget) FROM documents) = 0),
+       |dist AS (SELECT m.doc_id, c.cent_id,
+       |    list_sum(list_transform(range(1, 17), i -> (m.e[i] - c.ce[i]) * (m.e[i] - c.ce[i]))) AS d2
+       |  FROM emb m CROSS JOIN cents c),
+       |asg AS (SELECT doc_id, cent_id AS cell FROM (
+       |    SELECT doc_id, cent_id,
+       |           row_number() OVER (PARTITION BY doc_id ORDER BY d2, cent_id) AS rn
+       |    FROM dist) WHERE rn = 1)""".stripMargin
+
+  /** Probe routing + candidate set (`pc`, `cand`) for a `q` CTE carrying
+    * (query_id, qe): each query's [[MmNProbe]] nearest cells, then the
+    * probed cells' members minus self — mirrors [[mmProbe]]. */
+  private def mmProbeCandCte: String =
+    s"""pc AS (SELECT query_id, cell FROM (
+       |    SELECT q.query_id, c.cent_id AS cell,
+       |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |        list_sum(list_transform(range(1, 17), i -> (q.qe[i] - c.ce[i]) * (q.qe[i] - c.ce[i]))), c.cent_id) AS pr
+       |    FROM q CROSS JOIN cents c) WHERE pr <= $MmNProbe),
+       |cand AS (SELECT pc.query_id, a.doc_id FROM pc JOIN asg a USING (cell)
+       |         WHERE a.doc_id <> pc.query_id)""".stripMargin
+
+  /** The exact-cosine + top-5 tail over a `cand` CTE of (query_id,
+    * doc_id) — mirrors [[mmCosine]]'s BIGINT dot/norms and the direct
+    * per-query rank [[saltedTop5]] is bit-identical to. Ends the
+    * statement (SELECT included). */
+  private def mmCosTopkSql: String =
+    s"""sc AS (SELECT cd.query_id, cd.doc_id,
+       |         CAST(list_sum(list_transform(range(1, 17), i -> qq.qe[i] * m.e[i])) AS BIGINT) AS dot,
+       |         CAST(list_sum(list_transform(qq.qe, v -> v * v)) AS BIGINT) AS n1,
+       |         CAST(list_sum(list_transform(m.e, v -> v * v)) AS BIGINT) AS n2
+       |       FROM cand cd JOIN emb m ON m.doc_id = cd.doc_id
+       |                    JOIN q qq ON qq.query_id = cd.query_id),
+       |cosd AS (SELECT query_id, doc_id,
+       |           CASE WHEN n1 > 0 AND n2 > 0
+       |                THEN ${sround("CAST(dot AS DOUBLE) / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))", 6)}
+       |                ELSE 0.0 END AS cos
+       |         FROM sc),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id) AS rn
+       |      FROM cosd)
+       |SELECT query_id, doc_id, cos FROM r WHERE rn <= 5""".stripMargin
 
   /** Shared q57/q96 frame-geometry CTE chain (mirrors the Spark-side
     * fan-out in q57): frame offsets and true (tail-shortened) lengths. */

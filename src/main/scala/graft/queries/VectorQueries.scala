@@ -1480,11 +1480,18 @@ object VectorQueries {
         array_sort(collect_list(struct(col("pos"), col("m")))),
         x => x.getField("m")).as("marr"))
       val nF = emb.agg(count(lit(1)).as("nv"))
+      // loud dim guard: a vector shorter/longer than the corpus mean array
+      // zip_with-pads with nulls, which would otherwise die as an opaque
+      // encoder NPE inside the aggregator — fail with the contract instead
+      val csCol = zip_with(col("embedding").cast("array<double>"), col("marr"),
+        (x, mm) => floor((x - mm) * lit(1.0e6) + lit(0.5)).cast("long"))
       val cs = emb.crossJoin(broadcast(marrF))
         .select(col("vec_id"),
-          zip_with(col("embedding").cast("array<double>"), col("marr"),
-            (x, mm) => floor((x - mm) * lit(1.0e6) + lit(0.5)).cast("long"))
-            .as("cs"))
+          when(exists(csCol, _.isNull),
+            raise_error(concat(lit("graft q286: embedding dim mismatch at vec_id="),
+              col("vec_id").cast("string"),
+              lit(" — GramAggregator requires every vector to carry the corpus dim"))))
+            .otherwise(csCol).as("cs"))
       // the ONE corpus-sized stage: a per-partition partial-Gram fold
       // ([[GramAggregator]] — dim² BIGINT cells per task, |corpus| input
       // rows, no generator fan-out), then the flat matrix explodes into

@@ -176,6 +176,21 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q296 ranks via the salted two-phase: no single-task or low-cardinality corpus window") {
+    val df = graft.queries.MultimodalQueries.defs("q296_multimodal_knn")(spark, dir)
+    assert(singleTaskWindows(df) == 0)
+    // the window tree must be exactly [per-query re-rank of the bounded
+    // survivors] over [the (query_id, salt) phase-1 cut] — logical collect
+    // is top-down, so partition-spec widths read (1, 2). A regression back
+    // to one per-query window over the corpus shows up as Seq(1).
+    val widths = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+        w.partitionSpec.size
+    }
+    assert(widths == Seq(1, 2),
+      s"q296 must cut candidates on (query_id, salt) before the per-query rank, got $widths")
+  }
+
   test("q286 accumulates the Gram matrix with the partial aggregator, no pair explode") {
     val plan = VectorQueries.defs("q286_covariance_spectrum")(spark, dir)
       .queryExecution.executedPlan.toString
