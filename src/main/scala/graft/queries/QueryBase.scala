@@ -166,9 +166,17 @@ object QueryBase {
     * single-window `row_number().over(Window.orderBy(key, tie))`. Returns
     * (frame + `rnName` column, total row count). For DESC order pass the
     * negated key (trunc-toward-zero `div` stays monotone on negatives —
-    * buckets near 0 just span up to 2·width keys). */
+    * buckets near 0 just span up to 2·width keys).
+    *
+    * The driver-side prefix sum collects one row per NON-EMPTY bucket —
+    * bounded only by the caller's width choice against the key domain, so
+    * a mis-picked width (µs keys with width 1) is a silent driver OOM.
+    * `maxBuckets` makes that loud: the bucket count is checked (one cheap
+    * job on the cached domain frame) BEFORE anything is collected, and a
+    * breach fails with the width contract instead of an OOM. */
   def stitchedRowNumber(df: DataFrame, key: Column, tie: Column,
-      width: Long, site: String, rnName: String): (DataFrame, Long) = {
+      width: Long, site: String, rnName: String,
+      maxBuckets: Long = 1L << 21): (DataFrame, Long) = {
     import org.apache.spark.sql.expressions.Window
     val spark = df.sparkSession
     import spark.implicits._
@@ -178,7 +186,14 @@ object QueryBase {
     val dom = tcache(withK.groupBy("__k").agg(count(lit(1)).as("__n"))
       .withColumn("__b", expr(s"__k div $width"))
       .withColumn("__cum_in", sum("__n").over(wIn)), site)
-    val bt = dom.groupBy("__b").agg(sum("__n").as("__bt"))
+    val btF = dom.groupBy("__b").agg(sum("__n").as("__bt"))
+    val nBuckets = btF.count()
+    require(nBuckets <= maxBuckets,
+      s"stitchedRowNumber($site): $nBuckets stitch buckets exceed the " +
+        s"$maxBuckets collect bound — width=$width is too narrow for this " +
+        "key domain; pick a width so (key range / width) stays " +
+        "driver-collectable (e.g. a day of µs for timestamp keys)")
+    val bt = btF
       .collect().map { r =>
         // contract: keys must be non-null (every current caller ranks a
         // non-null aggregate). The single-window forms this replaces order

@@ -58,6 +58,20 @@ class StitchedRankSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("a width too narrow for the key domain fails loudly, before collecting") {
+    val ss = spark; import ss.implicits._
+    // 64 distinct keys spread 1e9 apart: width 1 puts each in its own
+    // bucket, breaching a maxBuckets of 16 — the guard must name the
+    // width contract instead of collecting the bucket frame
+    val df = (0L until 64L).map(i => (i, i * 1000000000L)).toDF("uid", "k")
+    val ex = intercept[IllegalArgumentException] {
+      QueryBase.stitchedRowNumber(
+        df, col("k"), col("uid"), 1L, "spec:guard", "rn", maxBuckets = 16L)
+    }
+    assert(ex.getMessage.contains("width=1"), ex.getMessage)
+    assert(ex.getMessage.contains("key domain"), ex.getMessage)
+  }
+
   test("ntileOf edge: fewer rows than tiles numbers them 1..n") {
     val ss = spark; import ss.implicits._
     val df = Seq((1L, 5L), (2L, 3L), (3L, 9L)).toDF("uid", "k")
