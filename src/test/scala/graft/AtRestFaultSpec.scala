@@ -93,6 +93,70 @@ class AtRestFaultSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("a killed at-rest index build publishes nothing; probes rebuild and converge") {
+    // The q127/q297 nightly-build lifecycle under a mid-flight kill: the
+    // build closure writes centroids, then dies before the cell-bucketed
+    // code table lands — exactly the crash window of the real
+    // ivfIndexTables/mmIndexTables three-write sequence (spec-owned table
+    // names so the real per-dataset registrations are untouched).
+    val ss = spark; import ss.implicits._
+    def cents() = Seq((0L, 10L), (5L, 20L)).toDF("cent_id", "v")
+    def codes() = (0L until 40L).map(i => (i, i % 2 * 5L, i * 3L))
+      .toDF("vec_id", "cell", "code")
+    var builds = 0
+    def build(kill: Boolean)(base: String): Seq[String] = {
+      builds += 1
+      cents().write.mode("overwrite")
+        .option("path", s"$base/cents").saveAsTable("graft_faultidx_cents")
+      if (kill) throw new RuntimeException("simulated mid-build kill")
+      codes().write.mode("overwrite").option("path", s"$base/codes")
+        .bucketBy(2, "cell").sortBy("cell").saveAsTable("graft_faultidx_codes")
+      Seq("graft_faultidx_cents", "graft_faultidx_codes")
+    }
+
+    // the kill: get() must propagate, and must NOT memoize the entry
+    val ex = intercept[RuntimeException] {
+      graft.queries.AtRestTables.get(spark, "faultidx|spec")(build(kill = true))
+    }
+    assert(ex.getMessage.contains("simulated mid-build kill"))
+    // crash debris IS real — the partial centroid table got registered —
+    // but the serving path never reads table names outside the registry,
+    // and the registry refuses to serve: the next access re-enters the
+    // build instead of returning the partial artifact
+    assert(spark.catalog.tableExists("graft_faultidx_cents"),
+      "the crash window leaves a committed first write (that's the hazard)")
+    assert(!spark.catalog.tableExists("graft_faultidx_codes"))
+
+    val names = graft.queries.AtRestTables.get(spark, "faultidx|spec")(build(kill = false))
+    assert(builds == 2, "the re-run must rebuild, not serve the partial entry")
+    assert(names == Seq("graft_faultidx_cents", "graft_faultidx_codes"))
+
+    // convergence: the recovered layout equals the clean frames, the
+    // bucketed table serves with its bucket spec intact, and a THIRD
+    // access is a pure memo hit (no rebuild)
+    val gotCents = spark.table(names(0)).orderBy("cent_id")
+      .collect().map(_.toString).toSeq
+    assert(gotCents == cents().orderBy("cent_id").collect().map(_.toString).toSeq)
+    val gotCodes = spark.table(names(1)).orderBy("vec_id")
+      .collect().map(_.toString).toSeq
+    assert(gotCodes == codes().orderBy("vec_id").collect().map(_.toString).toSeq)
+    // a bare filter scan has no distribution-requiring operator, so the
+    // auto-bucketed-scan rule would hide the bucket layout ("Bucketed:
+    // false (disabled by query planner)") — pin the pruning with the
+    // rule off, which is how a probe-shaped join plan reads it anyway
+    val auto = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(auto)
+    try {
+      spark.conf.set(auto, "false")
+      val scan = spark.table(names(1)).where(col("cell") === 5L)
+        .queryExecution.executedPlan.toString
+      assert(scan.contains("SelectedBucketsCount"),
+        s"recovered code table must still bucket-prune:\n$scan")
+    } finally spark.conf.set(auto, prev)
+    graft.queries.AtRestTables.get(spark, "faultidx|spec")(build(kill = false))
+    assert(builds == 2, "a clean entry must serve from the memo")
+  }
+
   test("a killed manifest append recovers: first-ever crash, mid-life crash, no dupes") {
     val layout = s"$base/mlayout"
     val manifest = s"$base/mmanifest"
