@@ -164,11 +164,21 @@ object Bench {
         s""""queries":$qs,"sf":"$sfDir"}"""
     // stdout for the driver (build.sbt routes `run` output straight to
     // stdout, no [info] prefix): the slowest-60 subset, sized to survive
-    // the driver's tail capture. The full map goes to bench_out.json.
+    // the driver's tail capture. The full map goes to bench_out.json
+    // (ignored scratch, env-overridable) AND to the COMMITTED
+    // /root/repo/BENCH_FULL.json — the r14 verdict found only 33/293
+    // per-query numbers were comparable round-over-round because the
+    // driver artifact keeps just the stdout tail and bench_out.json was
+    // gitignored; the absolute-path copy survives any driver cwd and
+    // rides the end-of-round commit, so every round carries all
+    // per-query timings machine-parseable.
     println(jsonLine(qsTop, slowestOnly = true))
+    val fullLine = jsonLine(qsFull, slowestOnly = false) + "\n"
     try Files.writeString(
       Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")),
-      jsonLine(qsFull, slowestOnly = false) + "\n")
+      fullLine)
+    catch { case _: Throwable => () }
+    try Files.writeString(Paths.get("/root/repo/BENCH_FULL.json"), fullLine)
     catch { case _: Throwable => () }
     spark.stop()
   }

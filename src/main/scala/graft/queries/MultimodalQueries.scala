@@ -261,18 +261,68 @@ object MultimodalQueries {
     // the blobs were derived from (the q263 lossless round-trip makes
     // payload == encode(text) exact).
     "q299_blob_extract_ann" -> ((spark, dir) => {
-      val blobs = binaryFilesDir(spark, dir)
-      val qdocs = spark.read.format("binaryFile").load(blobs)
-        .select(
-          regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1)
-            .cast("long").as("doc_id"),
-          col("content").as("payload"))
-        .where(col("doc_id") % MmBlobQueryMod === MmBlobQueryRes)
+      val qdocs = blobBatch(spark, dir, MmBlobQueryMod, MmBlobQueryRes)
       val q = mmEmbedPayload(qdocs)
         .select(col("doc_id").as("query_id"), col("emb").as("qe"))
       mmProbe(spark, dir, q)
+    }),
+
+    // MULTIMODAL RECALL MONITOR — the evaluation loop closed for the
+    // extract→ANN index (the q99/q101 discipline applied to q297/q298):
+    // recall@5 of the index probe against the q296 exact-scan truth,
+    // measured entirely in-engine. A serving layout is only as good as
+    // the recall a pipeline measures for it — this is the number the
+    // MmNProbe knob is tuned against (nprobe=2 routing can miss true
+    // neighbors; this query says how often). Truth and probe share the
+    // SAME embedding/cosine definitions, so the measurement cannot drift
+    // from the layouts it evaluates.
+    "q300_mm_recall" -> ((spark, dir) => {
+      val truth = defs("q296_multimodal_knn")(spark, dir)
+        .select("query_id", "doc_id")
+      val approx = defs("q298_mm_index_probe")(spark, dir)
+        .select("query_id", "doc_id")
+      val hits = truth.join(approx, Seq("query_id", "doc_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+      truth.select("query_id").distinct()
+        .join(hits, Seq("query_id"), "left")
+        .select(coalesce(col("hits"), lit(0L)).as("hits"))
+        .agg(count(lit(1)).as("n_queries"),
+          pround(sum(col("hits")).cast("double") / (count(lit(1)) * 5), 6)
+            .as("recall_at_5"))
+    }),
+
+    // INCREMENTAL MULTIMODAL ENCODE — the q129 maintenance story for the
+    // multimodal index: a batch of NEWLY-ARRIVED blobs (the binaryFile
+    // store, a disjoint selector from q299's queries) is embedded and
+    // cell-assigned map-side against the PERSISTED centroids — no
+    // training or corpus stage anywhere in the plan, the nightly
+    // append's exact shape. The oracle replays the assignment from the
+    // full build arithmetic, so a green row proves batch-encode ==
+    // rebuild-encode for the batch (the index stays correct under
+    // incremental maintenance).
+    "q301_mm_incremental_encode" -> ((spark, dir) => {
+      val (centT, _) = mmIndexTables(spark, dir)
+      val batch = mmEmbedPayload(
+        blobBatch(spark, dir, MmIncrMod, MmIncrRes))
+      batch.crossJoin(broadcast(spark.table(centT)))
+        .withColumn("d2", expr(
+          "aggregate(zip_with(emb, ce, (x, y) -> (x - y) * (x - y)), cast(0 as bigint), (a, v) -> a + v)"))
+        .groupBy("doc_id")
+        .agg(min(struct(col("d2"), col("cent_id"))).as("m"))
+        .select(col("doc_id"), col("m.cent_id").as("cell"))
     })
   )
+
+  /** A doc_id-selected batch from the q263 blob store, payload = raw file
+    * bytes — the shared q299/q301 ingest shape. */
+  private def blobBatch(spark: org.apache.spark.sql.SparkSession, dir: String,
+                        mod: Long, res: Long): org.apache.spark.sql.DataFrame =
+    spark.read.format("binaryFile").load(binaryFilesDir(spark, dir))
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1)
+          .cast("long").as("doc_id"),
+        col("content").as("payload"))
+      .where(col("doc_id") % mod === res)
 
   /** q298/q299's shared probe: route each (query_id, qe) to its
     * [[MmNProbe]] nearest cells against the PERSISTED centroids, collect
@@ -322,6 +372,13 @@ object MultimodalQueries {
     * constants are embedded into the oracle WHERE. */
   private val MmBlobQueryMod = 9L
   private val MmBlobQueryRes = 4L
+
+  /** q301's incremental-batch selector among the blobs (doc_id % 4 == 2 →
+    * 8 of the 32 blobs) — disjoint in spirit from q299's query set so the
+    * two blob consumers exercise different arrival shapes. Embedded into
+    * the oracle WHERE. */
+  private val MmIncrMod = 4L
+  private val MmIncrRes = 2L
 
   /** The PERSISTED multimodal index — centroids + cell-bucketed embedding
     * codes, written once per (session, dataset) via [[AtRestTables]]:
@@ -581,7 +638,37 @@ object MultimodalQueries {
          |q AS (SELECT doc_id AS query_id, e AS qe FROM emb
          |      WHERE doc_id < $BinFileDocs AND doc_id % $MmBlobQueryMod = $MmBlobQueryRes),
          |$mmProbeCandCte,
-         |$mmCosTopkSql""".stripMargin
+         |$mmCosTopkSql""".stripMargin,
+
+    // recall@5 replayed whole: the brute truth (bcand/br) and the probe
+    // (pc/cand/r) rank side by side from the same emb/q CTEs, then the
+    // per-query hit counts fold exactly like the Spark harness
+    "q300_mm_recall" ->
+      s"""WITH $mmEmbCte,
+         |$mmCentAsgCtes,
+         |q AS (SELECT doc_id AS query_id, e AS qe FROM emb WHERE doc_id < $MmQueryCount),
+         |bcand AS (SELECT q.query_id, m.doc_id FROM emb m CROSS JOIN q
+         |          WHERE m.doc_id <> q.query_id),
+         |${mmCosCtes("b")},
+         |$mmProbeCandCte,
+         |${mmCosCtes("")},
+         |truth AS (SELECT query_id, doc_id FROM br WHERE rn <= 5),
+         |appr AS (SELECT query_id, doc_id FROM r WHERE rn <= 5),
+         |hits AS (SELECT t.query_id, CAST(count(*) AS BIGINT) AS h
+         |         FROM truth t JOIN appr a USING (query_id, doc_id)
+         |         GROUP BY t.query_id),
+         |uq AS (SELECT DISTINCT query_id FROM truth)
+         |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+         |       ${sround("CAST(sum(coalesce(h, 0)) AS DOUBLE) / (count(*) * 5)", 6)} AS recall_at_5
+         |FROM uq LEFT JOIN hits USING (query_id)""".stripMargin,
+
+    // the incremental batch's cell assignment replayed from the full
+    // build arithmetic — equality proves batch-encode == rebuild-encode
+    "q301_mm_incremental_encode" ->
+      s"""WITH $mmEmbCte,
+         |$mmCentAsgCtes
+         |SELECT doc_id, cell FROM asg
+         |WHERE doc_id < $BinFileDocs AND doc_id % $MmIncrMod = $MmIncrRes""".stripMargin
   )
 
   /** The shared byte-bucket embedding CTEs (`codes`, `emb`) — ONE
@@ -624,24 +711,30 @@ object MultimodalQueries {
        |cand AS (SELECT pc.query_id, a.doc_id FROM pc JOIN asg a USING (cell)
        |         WHERE a.doc_id <> pc.query_id)""".stripMargin
 
-  /** The exact-cosine + top-5 tail over a `cand` CTE of (query_id,
+  /** The exact-cosine + rank CTEs over a `${p}cand` CTE of (query_id,
     * doc_id) — mirrors [[mmCosine]]'s BIGINT dot/norms and the direct
-    * per-query rank [[saltedTop5]] is bit-identical to. Ends the
-    * statement (SELECT included). */
-  private def mmCosTopkSql: String =
-    s"""sc AS (SELECT cd.query_id, cd.doc_id,
+    * per-query rank [[saltedTop5]] is bit-identical to. The prefix lets
+    * one statement carry two scored pipelines (q300 ranks the brute
+    * truth and the probe side by side). */
+  private def mmCosCtes(p: String): String =
+    s"""${p}sc AS (SELECT cd.query_id, cd.doc_id,
        |         CAST(list_sum(list_transform(range(1, 17), i -> qq.qe[i] * m.e[i])) AS BIGINT) AS dot,
        |         CAST(list_sum(list_transform(qq.qe, v -> v * v)) AS BIGINT) AS n1,
        |         CAST(list_sum(list_transform(m.e, v -> v * v)) AS BIGINT) AS n2
-       |       FROM cand cd JOIN emb m ON m.doc_id = cd.doc_id
+       |       FROM ${p}cand cd JOIN emb m ON m.doc_id = cd.doc_id
        |                    JOIN q qq ON qq.query_id = cd.query_id),
-       |cosd AS (SELECT query_id, doc_id,
+       |${p}cosd AS (SELECT query_id, doc_id,
        |           CASE WHEN n1 > 0 AND n2 > 0
        |                THEN ${sround("CAST(dot AS DOUBLE) / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))", 6)}
        |                ELSE 0.0 END AS cos
-       |         FROM sc),
-       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id) AS rn
-       |      FROM cosd)
+       |         FROM ${p}sc),
+       |${p}r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, doc_id) AS rn
+       |      FROM ${p}cosd)""".stripMargin
+
+  /** [[mmCosCtes]] + the top-5 SELECT — the statement tail q296/q298/q299
+    * share. */
+  private def mmCosTopkSql: String =
+    s"""${mmCosCtes("")}
        |SELECT query_id, doc_id, cos FROM r WHERE rn <= 5""".stripMargin
 
   /** Shared q57/q96 frame-geometry CTE chain (mirrors the Spark-side

@@ -60,6 +60,20 @@ class MmIndexPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.count() == 20, "4 blob queries x top-5")
   }
 
+  test("q301 incremental encode: binaryFile batch, zero documents scans, no training") {
+    val df = MultimodalQueries.defs("q301_mm_incremental_encode")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(docScans(plan) == 0,
+      s"the batch encode must not touch documents parquet (batch from blobs, centroids persisted):\n$plan")
+    assert(plan.contains("binaryFile"),
+      s"batch side must be the binaryFile source scan:\n$plan")
+    assert(plan.contains("graft_mm_cents"),
+      s"assignment must read the persisted centroid table:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"encode joins must all be broadcast:\n$plan")
+    assert(df.count() == 8, "32 blobs / mod 4 selector")
+  }
+
   test("q296/q298 agree wherever the probe's cells contain the true top-5") {
     // not an equality (nprobe=2 routing can miss true neighbors — that's
     // what recall ladders measure) but a containment sanity: every probe
