@@ -11,10 +11,20 @@ object QueryBase {
 
   /** Portable round-half-up — the SAME IEEE ops the oracle SQL uses
     * (floor(x*10^d + 0.5)/10^d), so rounded doubles hash-match. Engine
-    * round() differs between Spark/DuckDB on ties, this does not. */
+    * round() differs between Spark/DuckDB on ties, this does not.
+    *
+    * Overflow care: Spark's floor() returns LONG and SATURATES at ±2^63
+    * (q221's µs means at sf0.001 hash-mismatched exactly there), while
+    * DuckDB's floor stays DOUBLE. Below 2^52 the long floor IS the exact
+    * double floor; at or above 2^52 every double is already integral, so
+    * floor is the identity — branching there keeps the whole computation
+    * in IEEE doubles like the oracle's, bit-identical at every magnitude
+    * (and ±Inf passes through instead of saturating, also like DuckDB). */
   def pround(c: Column, digits: Int): Column = {
     val p = math.pow(10, digits)
-    floor(c * lit(p) + lit(0.5)) / lit(p)
+    val x = c * lit(p) + lit(0.5)
+    when(abs(x) >= lit(4503599627370496.0), x)
+      .otherwise(floor(x).cast("double")) / lit(p)
   }
 
   /** Epoch-MICROSECOND integer column for a time column, whatever type the

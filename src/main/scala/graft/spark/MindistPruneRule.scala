@@ -97,13 +97,27 @@ object MindistPruneRule extends Rule[LogicalPlan] {
   private def unwrapDist(e: Expression): Option[(SaxMindistExpr, Double)] =
     stripCast(e) match {
       case GetStructField(md: SaxMindistExpr, 0, _) => Some((md, 0.0))
-      // floor(dist * p + 0.5) / p  (QueryBase.pround / OracleGen.sround);
-      // Floor yields LONG so Catalyst inserts Casts around it
       case Divide(num, Literal(p2: Double, DoubleType), _) =>
         stripCast(num) match {
+          // bare floor(dist * p + 0.5) / p (OracleGen.sround's shape;
+          // QueryBase.pround pre-r15). Floor yields LONG so Catalyst
+          // inserts Casts around it
           case Floor(Add(Multiply(inner, Literal(p1: Double, DoubleType), _), _, _))
             if p1 == p2 && p1 > 0 =>
             unwrapDist(inner).map { case (md, m) => (md, m + 0.5 / p1) }
+          // r15 pround: CASE WHEN abs(x) >= 2^52 THEN x ELSE floor(x) END
+          // — the overflow-guarded double floor. Both branches stay within
+          // 1 of x, so the slack bound is the same 0.5/p (and mindist
+          // magnitudes never reach the passthrough branch anyway)
+          case CaseWhen(Seq((GreaterThanOrEqual(Abs(xa, _), Literal(_, DoubleType)), thenV)),
+                        Some(elseV))
+            if thenV.semanticEquals(xa) =>
+            (stripCast(elseV), xa) match {
+              case (Floor(fx), Add(Multiply(inner, Literal(p1: Double, DoubleType), _), _, _))
+                if fx.semanticEquals(xa) && p1 == p2 && p1 > 0 =>
+                unwrapDist(inner).map { case (md, m) => (md, m + 0.5 / p1) }
+              case _ => None
+            }
           case _ => None
         }
       case _ => None

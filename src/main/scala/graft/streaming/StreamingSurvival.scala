@@ -46,7 +46,7 @@ object StreamingSurvival {
     import events.sparkSession.implicits._
     events.groupByKey(_.userId)
       .flatMapGroupsWithState[SurvState, SurvOut](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (userId: Long, rows: Iterator[SurvEvent], state: GroupState[SurvState]) =>
           val sorted = rows.toArray.sortBy(e => (e.ts, e.eventId))
           var st = state.getOption.orNull

@@ -33,7 +33,7 @@ class StreamingSurvivalSpec extends AnyFunSuite with BeforeAndAfterAll {
     val stream = MemoryStream[StreamingSurvival.SurvEvent](spark)
     val q = StreamingSurvival.survivalStream(stream.toDS())
       .writeStream.format("memory").queryName(name)
-      .outputMode("update").start()
+      .outputMode("append").start()
     rows.grouped(500).foreach { chunk =>
       stream.addData(chunk.toIndexedSeq); q.processAllAvailable()
     }
@@ -74,6 +74,62 @@ class StreamingSurvivalSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"onlyBatch=${(batch -- live).take(3)}")
   }
 
+  test("survival state survives kill/restart and the curve stays bit-equal") {
+    // the StreamingRestartSpec discipline applied to the new module: a
+    // durable checkpoint + file source/sink, THREE query instances (one
+    // hard-stopped without awaiting progress, so its in-flight batch is
+    // uncommitted and must redeliver exactly-once), then the sink's
+    // contents drive the same readout as the clean-drain test
+    val ss = spark; import ss.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-surv-restart-").toString
+    try {
+      val rng = new scala.util.Random(7)
+      val all = (1L to 90L).map { i =>
+        StreamingSurvival.SurvEvent(i % 4, i * 1000000L + rng.nextInt(1000), i)
+      }.sortBy(e => (e.ts, e.eventId))
+      def startQuery() = {
+        val events = spark.readStream
+          .schema("userId LONG, ts LONG, eventId LONG")
+          .parquet(s"$tmp/in").as[StreamingSurvival.SurvEvent]
+        StreamingSurvival.survivalStream(events)
+          .writeStream.format("parquet")
+          .option("path", s"$tmp/out")
+          .option("checkpointLocation", s"$tmp/cp")
+          .outputMode("append").start()
+      }
+      val chunks = all.grouped(30).toSeq
+      chunks(0).toDF().repartition(1).write.mode("append").parquet(s"$tmp/in")
+      val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+      chunks(1).toDF().repartition(1).write.mode("append").parquet(s"$tmp/in")
+      val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+      chunks(2).toDF().repartition(1).write.mode("append").parquet(s"$tmp/in")
+      val q3 = startQuery(); q3.stop() // hard interrupt: nothing awaited
+      val q4 = startQuery(); q4.processAllAvailable(); q4.stop()
+
+      val outs = spark.read.parquet(s"$tmp/out")
+        .as[StreamingSurvival.SurvOut].collect().toSeq
+      // exactly-once closed gaps: one per event beyond each user's first
+      val users = all.map(_.userId).distinct
+      val closed = outs.filter(_.closed).map(_.v)
+      assert(closed.length == all.length - users.length,
+        s"expected ${all.length - users.length} closed gaps, got ${closed.length}")
+      // bit-equal to the scalar replay of the same arrival order
+      val want = all.groupBy(_.userId).values.flatMap { evs =>
+        evs.sortBy(e => (e.ts, e.eventId)).sliding(2)
+          .collect { case Seq(a, b) => (b.ts - a.ts) / 1000000L }
+      }.toSeq
+      assert(closed.sorted == want.toSeq.sorted,
+        "restored state must close the exact same gap multiset")
+      // open rows: the max-rev row per user carries that user's true
+      // final timestamp across both restarts and the uncommitted batch
+      val umax = outs.filterNot(_.closed)
+        .groupBy(_.userId).map { case (u, os) => u -> os.maxBy(_.rev).v }
+      val wantLast = all.groupBy(_.userId)
+        .map { case (u, evs) => u -> evs.map(_.ts).max }
+      assert(umax == wantLast)
+    } finally graft.queries.AtRestTables.deleteRecursively(tmp)
+  }
+
   test("gaps close across batch boundaries with O(1) per-user state") {
     // one user fed across THREE batches: each arrival after the first
     // closes exactly one gap; the open row re-emits with a rising rev
@@ -88,7 +144,7 @@ class StreamingSurvivalSpec extends AnyFunSuite with BeforeAndAfterAll {
       ss2.implicits.newProductEncoder)
     val q = StreamingSurvival.survivalStream(stream.toDS())
       .writeStream.format("memory").queryName("surv_incr")
-      .outputMode("update").start()
+      .outputMode("append").start()
     Seq(b1, b2, b3).foreach { b => stream.addData(b); q.processAllAvailable() }
     q.stop()
     import ss2.implicits._
