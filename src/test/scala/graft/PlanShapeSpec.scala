@@ -176,6 +176,21 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("q294/q295 flagship pipelines never shuffle-join: every dedup stage broadcasts") {
+    // the funnel's dedup stages must stay [combinable min + BROADCAST
+    // semi/anti join] — a SortMergeJoin here means the corpus shuffles
+    // for dedup, the exact shape the q56 discipline exists to prevent
+    for (q <- Seq("q294_training_pipeline", "q295_pipeline_delta")) {
+      val plan = graft.queries.TextQueries.defs(q)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+        s"$q must broadcast its survivor key sets, never shuffle the corpus:\n$plan")
+      val semi = "BroadcastHashJoin .*LeftSemi|LeftSemi.*BuildRight".r
+      assert(semi.findFirstIn(plan).isDefined,
+        s"$q's dedup stages must be broadcast semi joins:\n$plan")
+    }
+  }
+
   test("q296 ranks via the salted two-phase: no single-task or low-cardinality corpus window") {
     val df = graft.queries.MultimodalQueries.defs("q296_multimodal_knn")(spark, dir)
     assert(singleTaskWindows(df) == 0)
