@@ -305,8 +305,7 @@ object MultimodalQueries {
       val batch = mmEmbedPayload(
         blobBatch(spark, dir, MmIncrMod, MmIncrRes))
       batch.crossJoin(broadcast(spark.table(centT)))
-        .withColumn("d2", expr(
-          "aggregate(zip_with(emb, ce, (x, y) -> (x - y) * (x - y)), cast(0 as bigint), (a, v) -> a + v)"))
+        .withColumn("d2", mmL2("emb", "ce"))
         .groupBy("doc_id")
         .agg(min(struct(col("d2"), col("cent_id"))).as("m"))
         .select(col("doc_id"), col("m.cent_id").as("cell"))
@@ -324,6 +323,14 @@ object MultimodalQueries {
         col("content").as("payload"))
       .where(col("doc_id") % mod === res)
 
+  /** Exact BIGINT squared-L2 between two 16-dim embedding columns —
+    * ONE definition for the build assignment (q297), the probe routing
+    * (q298/q299), and the incremental encode (q301), mirroring the
+    * oracle's list_sum((e[i]-ce[i])^2). */
+  private def mmL2(a: String, b: String): org.apache.spark.sql.Column =
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), " +
+      "cast(0 as bigint), (a, v) -> a + v)")
+
   /** q298/q299's shared probe: route each (query_id, qe) to its
     * [[MmNProbe]] nearest cells against the PERSISTED centroids, collect
     * the probed cell ids (≤ queries·nprobe, driver-bounded), bucket-prune
@@ -338,8 +345,7 @@ object MultimodalQueries {
     val wQ = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("d2"), col("cent_id"))
     val pc = q.crossJoin(broadcast(cents))
-      .withColumn("d2", expr(
-        "aggregate(zip_with(qe, ce, (x, y) -> (x - y) * (x - y)), cast(0 as bigint), (a, v) -> a + v)"))
+      .withColumn("d2", mmL2("qe", "ce"))
       .withColumn("pr", row_number().over(wQ))
       .where(col("pr") <= MmNProbe)
       .select(col("query_id"), col("qe"), col("cent_id").as("cell"))
@@ -374,9 +380,9 @@ object MultimodalQueries {
   private val MmBlobQueryRes = 4L
 
   /** q301's incremental-batch selector among the blobs (doc_id % 4 == 2 →
-    * 8 of the 32 blobs) — disjoint in spirit from q299's query set so the
-    * two blob consumers exercise different arrival shapes. Embedded into
-    * the oracle WHERE. */
+    * 8 of the 32 blobs) — a different arrival shape from q299's query
+    * set (the two overlap only at id 22). Embedded into the oracle
+    * WHERE. */
   private val MmIncrMod = 4L
   private val MmIncrRes = 2L
 
@@ -397,8 +403,7 @@ object MultimodalQueries {
       val cents = fe.where(col("doc_id") % stride === 0)
         .select(col("doc_id").as("cent_id"), col("emb").as("ce"))
       val assigned = fe.crossJoin(broadcast(cents))
-        .withColumn("d2", expr(
-          "aggregate(zip_with(emb, ce, (x, y) -> (x - y) * (x - y)), cast(0 as bigint), (a, v) -> a + v)"))
+        .withColumn("d2", mmL2("emb", "ce"))
         .groupBy("doc_id")
         .agg(min(struct(col("d2"), col("cent_id"), col("emb"))).as("m"))
         .select(col("doc_id"), col("m.cent_id").as("cell"), col("m.emb").as("emb"))
