@@ -1482,12 +1482,17 @@ object VectorQueries {
       val nF = emb.agg(count(lit(1)).as("nv"))
       // loud dim guard: a vector shorter/longer than the corpus mean array
       // zip_with-pads with nulls, which would otherwise die as an opaque
-      // encoder NPE inside the aggregator — fail with the contract instead
+      // encoder NPE inside the aggregator — fail with the contract
+      // instead. Guarding on size() is O(1) per row (an element scan
+      // would also force the zip_with to evaluate twice on the one
+      // corpus-sized stage), and length mismatch is the only way padding
+      // nulls can arise here (the embedding schema carries no null
+      // elements).
       val csCol = zip_with(col("embedding").cast("array<double>"), col("marr"),
         (x, mm) => floor((x - mm) * lit(1.0e6) + lit(0.5)).cast("long"))
       val cs = emb.crossJoin(broadcast(marrF))
         .select(col("vec_id"),
-          when(exists(csCol, _.isNull),
+          when(size(col("embedding")) =!= size(col("marr")),
             raise_error(concat(lit("graft q286: embedding dim mismatch at vec_id="),
               col("vec_id").cast("string"),
               lit(" — GramAggregator requires every vector to carry the corpus dim"))))
