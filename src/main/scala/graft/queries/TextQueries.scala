@@ -81,11 +81,12 @@ object TextQueries {
       .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
   }
 
-  private def invertedIndexTables(spark: org.apache.spark.sql.SparkSession,
-                                  dir: String): (String, String) = {
+  private[queries] def invertedIndexTables(spark: org.apache.spark.sql.SparkSession,
+                                           dir: String): (String, String, String) = {
     val names = AtRestTables.get(spark, s"invidx|$dir") { base =>
       val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
       val pT = s"graft_inv_post_$sfx"; val tT = s"graft_inv_lex_$sfx"
+      val dT = s"graft_inv_dl_$sfx"
       postingsOf(spread(table(spark, dir, "documents")))
         .write.mode("overwrite").option("path", s"$base/post")
         .bucketBy(PostingBuckets, "term").sortBy("term", "doc_id")
@@ -94,9 +95,16 @@ object TextQueries {
       // that will serve, the q141 manifest discipline)
       spark.table(pT).groupBy("term").agg(count(lit(1)).as("df"))
         .write.mode("overwrite").option("path", s"$base/lex").saveAsTable(tT)
-      Seq(pT, tT)
+      // per-doc token lengths — the BM25 normalization metadata a text
+      // index persists beside its postings (q302 serves from it; doc-id
+      // keyed, docs-sized, one INT per doc)
+      val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+      spread(table(spark, dir, "documents"))
+        .select(col("doc_id"), size(toks).as("dl"))
+        .write.mode("overwrite").option("path", s"$base/dl").saveAsTable(dT)
+      Seq(pT, tT, dT)
     }
-    (names(0), names(1))
+    (names(0), names(1), names(2))
   }
 
   /** q261's POSITIONAL postings — (term, doc_id, pos), 1-based, the
@@ -875,7 +883,7 @@ object TextQueries {
       // is the entire point of a term-bucketed postings layout (q139/
       // q142's child-session idiom for confs that default wrong at test
       // shape).
-      val (pT, tT) = invertedIndexTables(spark0, dir)
+      val (pT, tT, _) = invertedIndexTables(spark0, dir)
       val spark = spark0.newSession()
       spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
       val qterms = spark.table(tT)
@@ -907,7 +915,7 @@ object TextQueries {
     // collect is the q148/q128 literal-plan idiom (2 strings).
     "q261_phrase_search" -> ((spark0, dir) => {
       val posT = positionalIndexTable(spark0, dir)
-      val (_, tT) = invertedIndexTables(spark0, dir)
+      val (_, tT, _) = invertedIndexTables(spark0, dir)
       val spark = spark0.newSession()
       spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
       val ph = spark.table(tT).orderBy(col("df").desc, col("term").asc)

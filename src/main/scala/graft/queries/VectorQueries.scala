@@ -88,6 +88,33 @@ object VectorQueries {
 
   private val QueryCount = 10 // vec_id < 10 are the query vectors
 
+  /** q302 hybrid-retrieval geometry: query docs (ids shared between the
+    * documents and embeddings tables — the q98 correspondence), per-query
+    * term count, per-list candidate depth, and the RRF constant (60 is
+    * the published default). ONE place, embedded into the oracle SQL. */
+  private val HybridQueries = 3L
+  private val HybridQTerms = 3
+  private val HybridDepth = 10
+  private val RrfC = 60
+
+  /** Per-query top-[[HybridDepth]] with EXACT rank values and no
+    * corpus-sized window task — the q79/q296 salted two-phase on a
+    * (query_id, doc_id, sc) frame: phase 1 ranks inside (query_id,
+    * doc_id % 16) keeping ≤ depth rows per salt, phase 2 re-ranks the ≤
+    * 16·depth survivors per query. Rank values are bit-identical to the
+    * direct window the oracle replays. */
+  private def hybridTopK(scored: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val bySalt = Window.partitionBy("query_id", "salt")
+      .orderBy(desc("sc"), col("doc_id"))
+    val byQ = Window.partitionBy("query_id").orderBy(desc("sc"), col("doc_id"))
+    scored.withColumn("salt", pmod(col("doc_id"), lit(16)))
+      .withColumn("srn", row_number().over(bySalt))
+      .where(col("srn") <= HybridDepth)
+      .withColumn("rnk", row_number().over(byQ))
+      .where(col("rnk") <= HybridDepth)
+      .select(col("query_id"), col("doc_id"), col("rnk"))
+  }
+
   /** q116/q117 cascade geometry: stage 1 scores the first [[TruncDim]]
     * dims (the Matryoshka prefix), stage 2 exactly reranks the top
     * [[RerankC]] stage-1 candidates. ONE definition, embedded into the
@@ -418,15 +445,17 @@ object VectorQueries {
     * query batch; only q94/q100 keep the one-shot train+serve shape (they
     * ARE the live-pipeline measurement). */
   private def ivfAdcFromIndex(spark: org.apache.spark.sql.SparkSession,
-                              dir: String, nprobe: Int): org.apache.spark.sql.DataFrame = {
+                              dir: String, nprobe: Int,
+                              queryCount: Long = QueryCount,
+                              k: Int = 5): org.apache.spark.sql.DataFrame = {
     val (centT, cbT, codesT) = ivfIndexTables(spark, dir)
     val cents = spark.table(centT)
     val cb = spark.table(cbT)
-    val q = spread(table(spark, dir, "embeddings")).where(col("vec_id") < QueryCount)
+    val q = spread(table(spark, dir, "embeddings")).where(col("vec_id") < queryCount)
     val cells = probeCells(q, cents, nprobe)
       .select("cell").distinct().collect().map(_.getLong(0)).sorted
     val codes = spark.table(codesT).where(col("cell").isin(cells: _*))
-    ivfProbe(q, cents, cb, codes, nprobe)
+    ivfProbe(q, cents, cb, codes, nprobe, k)
   }
 
   /** Bucket count for the at-rest code table — fixed so the layout's
@@ -749,6 +778,80 @@ object VectorQueries {
       docs.join(broadcast(hits), docs("doc_id") === hits("vec_id"))
         .select(col("query_id"), col("doc_id"), col("cos"), col("rk"),
           col("lang"), col("snippet"))
+    }),
+
+    // HYBRID SERVE — reciprocal-rank fusion answered ENTIRELY from the
+    // persisted serving layouts (q176 is this operator's live/brute
+    // form; this is what production actually runs): the DENSE list is
+    // the q127/q128 at-rest IVF-PQ index's nprobe ADC
+    // top-[[HybridDepth]], the SPARSE list is BM25 over the q148 at-rest
+    // inverted index (bucket-pruned postings for the query's
+    // [[HybridQTerms]] terms + the lexicon's df + the persisted doc-length
+    // table), and rrf = Σ 1/([[RrfC]] + rank) fuses the two rank lists.
+    // The only corpus-shaped work is the two bucket-pruned index scans —
+    // no extraction, no training, no tokenization of the corpus, no
+    // documents scan beyond the 3 query docs (plan-pinned). Ranks are
+    // integers, each reciprocal one exact IEEE division in a FIXED
+    // two-term expression — deterministic on both engines; the oracle
+    // replays both pipelines from the raw tables, so a green row ALSO
+    // proves persisted-serve == full rebuild across both indexes at
+    // once.
+    "q302_hybrid_serve" -> ((spark, dir) => {
+      import TextQueries.{K1, B, K1p1, OneMinusB}
+      // dense: ADC ranks from the persisted IVF index (≤ depth rows per
+      // query out of the probe, so the re-rank window is bounded)
+      val wd = Window.partitionBy("query_id").orderBy(col("adc"), col("vec_id"))
+      val dense = ivfAdcFromIndex(spark, dir, NProbe, HybridQueries, HybridDepth)
+        .withColumn("dr", row_number().over(wd))
+        .select(col("query_id"), col("vec_id").as("doc_id"), col("dr"))
+      // sparse: BM25 served from the persisted postings/lexicon/doclen.
+      // Query terms tokenize ONLY the query docs (filter pushed to the
+      // documents scan); the ≤ queries·terms term strings collect
+      // driver-side (the q148 literal idiom) so the posting and lexicon
+      // scans bucket-prune.
+      val toksC = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+      val (pT, tT, dlT) = TextQueries.invertedIndexTables(spark, dir)
+      val qtf = table(spark, dir, "documents")
+        .where(col("doc_id") < HybridQueries)
+        .select(col("doc_id"), explode(toksC).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val wq = Window.partitionBy("doc_id").orderBy(desc("tf"), col("term"))
+      val qterms = qtf.withColumn("rn", row_number().over(wq))
+        .where(col("rn") <= HybridQTerms)
+        .select(col("doc_id").as("query_id"), col("term"))
+      val terms = qterms.select("term").distinct()
+        .collect().map(_.getString(0)).sorted
+      val post =
+        if (terms.isEmpty) spark.table(pT).limit(0)
+        else spark.table(pT).where(col("term").isin(terms: _*))
+      val lex = spark.table(tT).where(col("term").isin(terms: _*))
+      val dlt = spark.table(dlT)
+      val stats = dlt.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+      val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+      val idfR = pround(log(
+        ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)) + lit(1.0)), 6)
+      val tnorm = (col("tf").cast("double") * lit(K1p1)) /
+        (col("tf").cast("double") +
+          lit(K1) * (lit(OneMinusB) + lit(B) * (col("dl").cast("double") / avgdl)))
+      val sparse = hybridTopK(
+        post.join(broadcast(qterms), Seq("term"))
+          .where(col("doc_id") =!= col("query_id"))
+          .join(broadcast(lex), Seq("term"))
+          .join(dlt, Seq("doc_id"))
+          .crossJoin(broadcast(stats))
+          .select(col("query_id"), col("doc_id"), pround(idfR * tnorm, 6).as("s"))
+          .groupBy("query_id", "doc_id").agg(xsum(col("s"), 6).as("sc")))
+        .withColumnRenamed("rnk", "sr")
+      // rank-space fusion + the final bounded (≤ 2·depth rows/query) rank
+      def recip(r: org.apache.spark.sql.Column) =
+        coalesce(lit(1.0) / (lit(RrfC) + r).cast("double"), lit(0.0))
+      val fused = dense.join(sparse, Seq("query_id", "doc_id"), "full")
+        .select(col("query_id"), col("doc_id"),
+          pround(recip(col("dr")) + recip(col("sr")), 9).as("rrf"))
+      val wf = Window.partitionBy("query_id").orderBy(desc("rrf"), col("doc_id"))
+      fused.withColumn("rn", row_number().over(wf)).where(col("rn") <= 5)
+        .select("query_id", "doc_id", "rrf")
     }),
 
     // recall@5 of the composed IVFADC layout against the exact scan —
@@ -1887,11 +1990,11 @@ object VectorQueries {
     * distances `adc` — mirrors [[ivfAdcResidual]] clause for clause
     * (float→double subtraction is exact on both engines, so residuals
     * carry no rounding step). */
-  private def ivfAdcResidualCtes(nprobe: Int): String =
+  private def ivfAdcResidualCtes(nprobe: Int, queryCount: Long = QueryCount): String =
     s"""$ivfResidualBuildCtes,
        |qprobe AS (SELECT vec_id AS query_id, embedding AS qe, cent_id AS qc FROM (
        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS rn
-       |  FROM scored WHERE vec_id < $QueryCount) WHERE rn <= $nprobe),
+       |  FROM scored WHERE vec_id < $queryCount) WHERE rn <= $nprobe),
        |qres AS (SELECT p.query_id, p.qc,
        |                list_transform(range(1, len(p.qe) + 1),
        |                               i -> (p.qe[i]::DOUBLE) - (c.ce[i]::DOUBLE)) AS qe
@@ -2008,6 +2111,55 @@ object VectorQueries {
       s"""WITH ${ivfCte()},
          |${ivfAdcResidualCtes(NProbeWide)},
          |$recallTailSql""".stripMargin,
+
+    // both SERVING pipelines replayed whole from the raw tables — the
+    // dense side retrains the full residual-IVFADC chain (so green also
+    // proves the persisted index lossless under this workload), the
+    // sparse side rebuilds postings/lexicon/doc-lengths and replays
+    // q51's exact BM25 — then the identical rank-space fusion
+    "q302_hybrid_serve" -> {
+      import graft.sql.OracleGen.dlit
+      import TextQueries.{K1, B, K1p1, OneMinusB}
+      val idf = sround(
+        s"ln((CAST(n_docs - df AS DOUBLE) + ${dlit(0.5)}) / (CAST(df AS DOUBLE) + ${dlit(0.5)}) + ${dlit(1.0)})", 6)
+      val avgdl = "(CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+      val tnorm = s"(tf::DOUBLE * ${dlit(K1p1)}) / (tf::DOUBLE + ${dlit(K1)} * (${dlit(OneMinusB)} + ${dlit(B)} * (dl::DOUBLE / $avgdl)))"
+      def recip(r: String) =
+        s"coalesce(${dlit(1.0)} / CAST($RrfC + $r AS DOUBLE), ${dlit(0.0)})"
+      s"""WITH ${ivfCte()},
+         |${ivfAdcResidualCtes(NProbe, HybridQueries)},
+         |dense AS (SELECT query_id, vec_id AS doc_id, CAST(rn AS INT) AS dr FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rn
+         |  FROM adc) WHERE rn <= $HybridDepth),
+         |tdoc AS (SELECT doc_id, ${graft.sql.TextSql.toks} AS toks FROM documents),
+         |dld AS (SELECT doc_id, CAST(len(toks) AS INT) AS dl FROM tdoc),
+         |pp AS (SELECT doc_id, unnest(toks) AS term FROM tdoc),
+         |tfp AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM pp GROUP BY term, doc_id),
+         |stt AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dld),
+         |qt AS (SELECT doc_id AS query_id, term FROM (
+         |    SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, term) AS rn
+         |    FROM tfp WHERE doc_id < $HybridQueries) WHERE rn <= $HybridQTerms),
+         |lexq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tfp
+         |         WHERE term IN (SELECT term FROM qt) GROUP BY term),
+         |sbm AS (SELECT qt.query_id, tfp.doc_id, ${sround(s"($idf) * ($tnorm)", 6)} AS s
+         |        FROM tfp JOIN qt USING (term) JOIN lexq USING (term)
+         |        JOIN dld ON tfp.doc_id = dld.doc_id CROSS JOIN stt
+         |        WHERE tfp.doc_id <> qt.query_id),
+         |spq AS (SELECT query_id, doc_id, ${graft.sql.OracleGen.xsumSql("s", 6)} AS sc
+         |        FROM sbm GROUP BY query_id, doc_id),
+         |sr0 AS (SELECT query_id, doc_id,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY sc DESC, doc_id) AS sr
+         |       FROM spq),
+         |sparse AS (SELECT query_id, doc_id, CAST(sr AS INT) AS sr FROM sr0 WHERE sr <= $HybridDepth),
+         |f AS (SELECT coalesce(dense.query_id, sparse.query_id) AS query_id,
+         |             coalesce(dense.doc_id, sparse.doc_id) AS doc_id,
+         |             ${sround(s"${recip("dr")} + ${recip("sr")}", 9)} AS rrf
+         |      FROM dense FULL JOIN sparse
+         |        ON dense.query_id = sparse.query_id AND dense.doc_id = sparse.doc_id)
+         |SELECT query_id, doc_id, rrf FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rn FROM f)
+         |WHERE rn <= 5""".stripMargin
+    },
 
     "q98_rag_retrieve" ->
       s"""WITH ${ivfCte()},

@@ -206,6 +206,27 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"q296 must cut candidates on (query_id, salt) before the per-query rank, got $widths")
   }
 
+  test("q302 serves hybrid fusion from both persisted indexes, bucket-pruned") {
+    val df = VectorQueries.defs("q302_hybrid_serve")(spark, dir)
+    assert(singleTaskWindows(df) == 0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("documents\\.parquet".r.findAllIn(plan).length == 1,
+      s"only the query docs may scan documents (corpus text serves from the index):\n$plan")
+    assert(plan.contains("graft_inv_post") && plan.contains("graft_ivf_codes"),
+      s"both persisted indexes must appear in the plan:\n$plan")
+    assert("SelectedBucketsCount".r.findAllIn(plan).length >= 2,
+      s"the posting AND code scans must bucket-prune on their literal probes:\n$plan")
+    // sparse candidates (corpus-proportional for common terms) must ride
+    // the salted two-phase; everything else is bounded
+    val salted = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+        if w.partitionSpec.size == 2 => w
+    }.size
+    assert(salted == 1,
+      s"expected the sparse candidate rank on (query_id, salt), got $salted")
+    assert(df.count() == 15, "3 queries x top-5 fused")
+  }
+
   test("q286 accumulates the Gram matrix with the partial aggregator, no pair explode") {
     val plan = VectorQueries.defs("q286_covariance_spectrum")(spark, dir)
       .queryExecution.executedPlan.toString
