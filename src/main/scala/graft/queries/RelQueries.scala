@@ -4082,8 +4082,18 @@ object RelQueries {
         .withColumn("cum_in", sum(col("d") + col("c")).over(wIn)),
       "q290:levels")
     // stitch 1: at-risk counts need the exclusive global cumulative of
-    // (d+c); collect the bounded bucket totals and prefix-sum them
-    val bt = base.groupBy("b").agg(sum(col("d") + col("c")).as("bt"))
+    // (d+c); collect the bounded bucket totals and prefix-sum them —
+    // with the stitchedRowNumber collect guard (one cheap count on the
+    // cached level frame): gap-second domains are span/KmStitchWidth
+    // buckets by construction, but a future caller feeding µs-scaled
+    // levels would otherwise OOM the driver silently
+    val btF = base.groupBy("b").agg(sum(col("d") + col("c")).as("bt"))
+    val nBuckets = btF.count()
+    require(nBuckets <= (1L << 21),
+      s"kaplanMeierOf: $nBuckets stitch buckets exceed the driver-collect " +
+        s"bound — level values span too wide a domain for width $KmStitchWidth; " +
+        "rescale the levels or widen KmStitchWidth")
+    val bt = btF
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     val tot = bt.iterator.map(_._2).sum
     var acc1 = 0L
