@@ -199,7 +199,7 @@ object MultimodalQueries {
     // broadcast discipline (queries broadcast, the corpus never shuffles
     // before the rank). The top-5 itself is the q79 SALTED TWO-PHASE
     // rank: row_number on (query_id, salt) cuts each query's candidates
-    // to MmSaltFan·5 survivors in parallel tasks, and only those re-rank
+    // to SaltFan·5 survivors in parallel tasks, and only those re-rank
     // per query — every true top-5 row is top-5 within its own salt
     // group, so the survivor set is a superset and the final ranks are
     // bit-identical to the oracle's direct window (which would otherwise
@@ -437,27 +437,12 @@ object MultimodalQueries {
           .otherwise(lit(0.0)).as("cos"))
 
   /** Per-query top-5 by (cos DESC, doc_id) with NO corpus-sized window
-    * task — the q79 salted two-phase rank: phase 1 ranks inside
-    * (query_id, doc_id % MmSaltFan) so the big sort runs MmSaltFan-way
-    * parallel per query and keeps ≤ 5 rows per salt; phase 2 re-ranks
-    * only the ≤ MmSaltFan·5 survivors per query. Bit-identical to the
-    * direct per-query window (each true top-5 row is top-5 within its
-    * own salt group), which is what the oracle replays. */
-  private def saltedTop5(scored: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val bySalt = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id", "salt").orderBy(desc("cos"), col("doc_id"))
-    val byQuery = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(desc("cos"), col("doc_id"))
-    scored.withColumn("salt", pmod(col("doc_id"), lit(MmSaltFan)))
-      .withColumn("rn", row_number().over(bySalt)).where(col("rn") <= 5)
-      .withColumn("rnk", row_number().over(byQuery)).where(col("rnk") <= 5)
+    * task — [[QueryBase.saltedTopK]]; bit-identical to the direct
+    * per-query window, which is what the oracle replays. */
+  private def saltedTop5(scored: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    saltedTopK(scored, Seq("query_id"), Seq(desc("cos"), col("doc_id")),
+        col("doc_id"), 5)
       .select("query_id", "doc_id", "cos")
-  }
-
-  /** q296's phase-1 salt fan-out (the q79 SkewSaltFan analogue): pure
-    * plan shape — survivor supersets make the result independent of the
-    * value, so there is no oracle surface. */
-  private val MmSaltFan = 16
 
   /** The shared multimodal "embed" stub: a 16-dim byte-bucket histogram
     * of the payload, fractions quantized to integer 1e-6ths at birth

@@ -155,6 +155,51 @@ object QueryBase {
   def spread(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
+  /** Phase-1 fan-out for [[saltedTopK]] (q79's SkewSaltFan discipline):
+    * pure plan shape — survivor supersets make results independent of the
+    * value, so there is no oracle surface. ONE constant for every salted
+    * rank in the engine. */
+  val SaltFan = 16
+
+  /** Per-group top-`depth` by a TOTAL order with NO group-sized window
+    * task — the q79/q296 salted two-phase rank, generalized (the r15
+    * verdict's #1: this used to live as two private copies and five
+    * queries still ranked corpus-sized frames with direct windows):
+    *
+    *  - phase 1 ranks inside (part, salt % [[SaltFan]]) and keeps ≤ depth
+    *    rows per salt group, so the big sort runs SaltFan-way parallel
+    *    per group and the surviving frame is ≤ SaltFan·depth rows/group;
+    *  - phase 2 re-ranks only those survivors per group.
+    *
+    * Bit-identical to `row_number().over(partitionBy(part).orderBy(order))
+    * <= depth`: `order` must be a TOTAL order of the group (include the
+    * tie-break id), so every true top-depth row is also top-depth within
+    * its own salt slice — phase 1 keeps a superset and phase 2 assigns
+    * the exact ranks the direct window (and the oracle) would. Returns
+    * the input columns plus `rankName` (callers select it away when the
+    * oracle surface has no rank). `salt` must be deterministic per row —
+    * pass the tie-break id column. */
+  def saltedTopK(df: DataFrame, part: Seq[String], order: Seq[Column],
+      salt: Column, depth: Int, rankName: String = "__stk_rnk"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bySalt = Window.partitionBy((part :+ "__stk_salt").map(col): _*)
+      .orderBy(order: _*)
+    val byPart = Window.partitionBy(part.map(col): _*).orderBy(order: _*)
+    df.withColumn("__stk_salt", pmod(salt, lit(SaltFan)))
+      .withColumn("__stk_srn", row_number().over(bySalt))
+      .where(col("__stk_srn") <= depth)
+      .withColumn(rankName, row_number().over(byPart))
+      .where(col(rankName) <= depth)
+      .drop("__stk_salt", "__stk_srn")
+  }
+
+  /** Driver-collect bound shared by [[stitchedRowNumber]]'s bucket guard
+    * and `RelQueries.kaplanMeierOf`'s (the r15 ADVICE drift hazard: the
+    * two guards protect the same collect shape, so they must retune
+    * together). 2M (bucket, total) pairs ≈ tens of MB on the driver —
+    * loud headroom, not a perf knob. */
+  val StitchCollectBound = 1L << 21
+
   /** Global 1-based row_number over the TOTAL order (`key` ASC, `tie` ASC)
     * with NO single-task window — the q290 bucket-stitch generalized for
     * ranking, so corpus-sized ntile/rank frames (q197's deciles, q202's
@@ -186,7 +231,7 @@ object QueryBase {
     * breach fails with the width contract instead of an OOM. */
   def stitchedRowNumber(df: DataFrame, key: Column, tie: Column,
       width: Long, site: String, rnName: String,
-      maxBuckets: Long = 1L << 21): (DataFrame, Long) = {
+      maxBuckets: Long = StitchCollectBound): (DataFrame, Long) = {
     import org.apache.spark.sql.expressions.Window
     val spark = df.sparkSession
     import spark.implicits._

@@ -4089,7 +4089,7 @@ object RelQueries {
     // levels would otherwise OOM the driver silently
     val btF = base.groupBy("b").agg(sum(col("d") + col("c")).as("bt"))
     val nBuckets = btF.count()
-    require(nBuckets <= (1L << 21),
+    require(nBuckets <= StitchCollectBound,
       s"kaplanMeierOf: $nBuckets stitch buckets exceed the driver-collect " +
         s"bound — level values span too wide a domain for width $KmStitchWidth; " +
         "rescale the levels or widen KmStitchWidth")

