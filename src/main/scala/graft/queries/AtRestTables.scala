@@ -51,6 +51,16 @@ private[graft] object AtRestTables {
   private val buildLocks = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), Object]()
 
+  /** Test-only fault seam: the real build closures call [[faultPoint]]
+    * between their table writes (the hook is a no-op in production), so
+    * `AtRestFaultSpec` can kill the REAL q127 IVF-PQ and q148 postings/
+    * doclen builds in every inter-write window — not just a synthetic
+    * stand-in — and prove a partial build never serves. The registry
+    * contract under a throw is unchanged: get() propagates and memoizes
+    * nothing, so the next access re-enters the build. */
+  @volatile private[graft] var faultHook: String => Unit = _ => ()
+  private[graft] def faultPoint(tag: String): Unit = faultHook(tag)
+
   private[graft] def deleteRecursively(path: String): Unit =
     try {
       import scala.jdk.CollectionConverters._

@@ -91,10 +91,12 @@ object TextQueries {
         .write.mode("overwrite").option("path", s"$base/post")
         .bucketBy(PostingBuckets, "term").sortBy("term", "doc_id")
         .saveAsTable(pT)
+      AtRestTables.faultPoint("invidx:post")
       // lexicon derived from the postings AT REST (stats from the bytes
       // that will serve, the q141 manifest discipline)
       spark.table(pT).groupBy("term").agg(count(lit(1)).as("df"))
         .write.mode("overwrite").option("path", s"$base/lex").saveAsTable(tT)
+      AtRestTables.faultPoint("invidx:lex")
       // per-doc token lengths — the BM25 normalization metadata a text
       // index persists beside its postings (q302 serves from it; doc-id
       // keyed, docs-sized, one INT per doc)

@@ -470,7 +470,9 @@ object VectorQueries {
       val cbT = s"graft_ivf_cb_$sfx"
       val codesT = s"graft_ivf_codes_$sfx"
       cents.write.mode("overwrite").option("path", s"$base/cents").saveAsTable(centT)
+      AtRestTables.faultPoint("ivfidx:cents")
       cb.write.mode("overwrite").option("path", s"$base/cb").saveAsTable(cbT)
+      AtRestTables.faultPoint("ivfidx:cb")
       codes.write.mode("overwrite").option("path", s"$base/codes")
         .bucketBy(CellBuckets, "cell").sortBy("cell").saveAsTable(codesT)
       Seq(centT, cbT, codesT)

@@ -157,6 +157,79 @@ class AtRestFaultSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(builds == 2, "a clean entry must serve from the memo")
   }
 
+  /** A spec-owned data dir holding single-table copies of sf0.001 files:
+    * the at-rest registries key and NAME their tables by the data dir, so
+    * a unique dir per fault case keeps the spec's killed builds fully
+    * isolated from the real per-sf registrations other suites share. */
+  private def dataDir(tag: String, tables: String*): String = {
+    val d = s"$base/data_$tag"
+    new java.io.File(d).mkdirs()
+    for (t <- tables)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"/root/testdata/sf0.001/$t.parquet"),
+        java.nio.file.Paths.get(s"$d/$t.parquet"))
+    d
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    val cols = df.columns.sorted.toIndexedSeq
+    df.select(cols.map(col): _*).orderBy(cols.map(col): _*)
+      .collect().map(_.toString).toSeq
+  }
+
+  /** Kill the REAL build of an at-rest index in a given inter-write
+    * window (via the [[graft.queries.AtRestTables.faultPoint]] seam),
+    * assert the kill propagates, then prove the recovered probe equals
+    * the never-faulted probe bit-for-bit. */
+  private def killAndRecover(tag: String,
+      probe: () => org.apache.spark.sql.DataFrame,
+      expected: Seq[String]): Unit = {
+    graft.queries.AtRestTables.faultHook =
+      t => if (t == tag) throw new RuntimeException(s"simulated kill at $t")
+    try {
+      val ex = intercept[RuntimeException] { probe().collect() }
+      assert(ex.getMessage.contains(s"simulated kill at $tag"))
+    } finally graft.queries.AtRestTables.faultHook = _ => ()
+    assert(rows(probe()) == expected,
+      s"recovered probe after a kill at $tag must equal the clean build")
+  }
+
+  test("the REAL q127 IVF-PQ build killed in each inter-write window publishes nothing; q128 recovers") {
+    // clean truth: the q128 probe over a never-faulted build of a
+    // spec-owned embeddings copy (unique dir → unique table names)
+    val expected = rows(graft.queries.VectorQueries
+      .defs("q128_ivf_index_probe")(spark, dataDir("ivf_clean", "embeddings")))
+    assert(expected.nonEmpty)
+    // window 1: centroids landed, codebook + codes did not
+    val d1 = dataDir("ivf_k1", "embeddings")
+    def probe1() = graft.queries.VectorQueries.defs("q128_ivf_index_probe")(spark, d1)
+    killAndRecover("ivfidx:cents", () => probe1(), expected)
+    // window 2: centroids + codebook landed, the bucketed code table did not
+    val d2 = dataDir("ivf_k2", "embeddings")
+    val sfx2 = d2.replaceAll("[^A-Za-z0-9]", "_")
+    def probe2() = graft.queries.VectorQueries.defs("q128_ivf_index_probe")(spark, d2)
+    killAndRecover("ivfidx:cb", () => probe2(), expected)
+    // the crash window leaves committed leading writes (that's the
+    // hazard) — but never the full set, and the registry refuses to
+    // serve them, which killAndRecover just proved by rebuilding
+    assert(spark.catalog.tableExists(s"graft_ivf_cents_$sfx2"))
+  }
+
+  test("the REAL q148 postings/lexicon/doclen build killed in each inter-write window publishes nothing; the search recovers") {
+    val expected = rows(graft.queries.TextQueries
+      .defs("q148_inverted_search")(spark, dataDir("inv_clean", "documents")))
+    assert(expected.nonEmpty)
+    // window 1: postings landed, lexicon + doc-length table did not
+    val d1 = dataDir("inv_k1", "documents")
+    def probe1() = graft.queries.TextQueries.defs("q148_inverted_search")(spark, d1)
+    killAndRecover("invidx:post", () => probe1(), expected)
+    // window 2: postings + lexicon landed, the doc-length table did not
+    // (q302's BM25 normalization side — the window the r15 verdict named)
+    val d2 = dataDir("inv_k2", "documents")
+    def probe2() = graft.queries.TextQueries.defs("q148_inverted_search")(spark, d2)
+    killAndRecover("invidx:lex", () => probe2(), expected)
+  }
+
   test("a killed manifest append recovers: first-ever crash, mid-life crash, no dupes") {
     val layout = s"$base/mlayout"
     val manifest = s"$base/mmanifest"
