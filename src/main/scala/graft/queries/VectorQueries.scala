@@ -829,11 +829,17 @@ object VectorQueries {
       val tnorm = (col("tf").cast("double") * lit(K1p1)) /
         (col("tf").cast("double") +
           lit(K1) * (lit(OneMinusB) + lit(B) * (col("dl").cast("double") / avgdl)))
+      // candidate posting rows: Σ df over the ≤ queries·terms probed
+      // terms — bounded by the probed lists, never the corpus (a serve
+      // stack caps per-term traversal before this ever outgrows a
+      // broadcast). The docs-sized dl table is the big side of its join,
+      // so broadcast the candidates EXPLICITLY instead of leaving AQE to
+      // pick the build side at runtime (the r15 verdict's #3).
+      val cand = post.join(broadcast(qterms), Seq("term"))
+        .where(col("doc_id") =!= col("query_id"))
+        .join(broadcast(lex), Seq("term"))
       val sparse = hybridTopK(
-        post.join(broadcast(qterms), Seq("term"))
-          .where(col("doc_id") =!= col("query_id"))
-          .join(broadcast(lex), Seq("term"))
-          .join(dlt, Seq("doc_id"))
+        dlt.join(broadcast(cand), Seq("doc_id"))
           .crossJoin(broadcast(stats))
           .select(col("query_id"), col("doc_id"), pround(idfR * tnorm, 6).as("s"))
           .groupBy("query_id", "doc_id").agg(xsum(col("s"), 6).as("sc")))

@@ -225,6 +225,17 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }.size
     assert(salted == 2,
       s"expected the sparse AND dense candidate ranks on (query_id, salt), got $salted")
+    // every corpus-adjacent join must broadcast its bounded side
+    // deterministically — in particular the docs-sized dl table joins
+    // the Σ-df candidate frame, which must be the explicit build side,
+    // never an AQE coin-flip into a corpus shuffle. The ONE allowed
+    // sort-merge is the rank-space RRF fusion: FULL OUTER (no broadcast
+    // hash form exists) over two ≤ queries·depth rank lists — bounded by
+    // construction, never corpus-shaped.
+    val smj = "SortMergeJoin".r.findAllIn(plan).size
+    assert(smj <= 1 && !plan.contains("ShuffledHashJoin") &&
+        (smj == 0 || "SortMergeJoin.*FullOuter".r.findFirstIn(plan).isDefined),
+      s"q302 may sort-merge only the bounded full-outer fusion:\n$plan")
     assert(df.count() == 15, "3 queries x top-5 fused")
   }
 
