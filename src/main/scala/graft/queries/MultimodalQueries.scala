@@ -302,20 +302,16 @@ object MultimodalQueries {
     // incremental maintenance).
     "q301_mm_incremental_encode" -> ((spark, dir) => {
       val (centT, _) = mmIndexTables(spark, dir)
-      val batch = mmEmbedPayload(
-        blobBatch(spark, dir, MmIncrMod, MmIncrRes))
-      batch.crossJoin(broadcast(spark.table(centT)))
-        .withColumn("d2", mmL2("emb", "ce"))
-        .groupBy("doc_id")
-        .agg(min(struct(col("d2"), col("cent_id"))).as("m"))
-        .select(col("doc_id"), col("m.cent_id").as("cell"))
+      mmEncodeAgainstIndex(blobBatch(spark, dir, MmIncrMod, MmIncrRes),
+          spark.table(centT))
+        .select("doc_id", "cell")
     })
   )
 
   /** A doc_id-selected batch from the q263 blob store, payload = raw file
     * bytes — the shared q299/q301 ingest shape. */
-  private def blobBatch(spark: org.apache.spark.sql.SparkSession, dir: String,
-                        mod: Long, res: Long): org.apache.spark.sql.DataFrame =
+  private[graft] def blobBatch(spark: org.apache.spark.sql.SparkSession, dir: String,
+                               mod: Long, res: Long): org.apache.spark.sql.DataFrame =
     spark.read.format("binaryFile").load(binaryFilesDir(spark, dir))
       .select(
         regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1)
@@ -327,9 +323,40 @@ object MultimodalQueries {
     * ONE definition for the build assignment (q297), the probe routing
     * (q298/q299), and the incremental encode (q301), mirroring the
     * oracle's list_sum((e[i]-ce[i])^2). */
+  private def mmL2C(a: org.apache.spark.sql.Column,
+                    b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+
   private def mmL2(a: String, b: String): org.apache.spark.sql.Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), " +
-      "cast(0 as bigint), (a, v) -> a + v)")
+    mmL2C(col(a), col(b))
+
+  /** Map-side argmin cell assignment over the broadcast centroid ARRAY —
+    * the vector family's `assignNearest` discipline applied to the
+    * 16-dim multimodal embeddings (ONE assignment shape engine-wide, the
+    * r15 verdict's #4): every centroid scores inside one projection
+    * (`transform` + `array_min` over struct(d2, cent_id)), so the
+    * assignment never leaves the scan stage. The former formulation
+    * crossJoined the frame against the centroid ROWS and folded with a
+    * groupBy-min — a |cents|× row amplification through the exchange,
+    * each copy carrying the full embedding. Struct min is lexicographic
+    * on (d2, cent_id): exact-BIGINT argmin, ties toward the LOWEST
+    * centroid id — the exact ordering of the previous min(struct) fold
+    * and of the oracle's `ORDER BY d2, cent_id LIMIT 1` replay. ONE
+    * definition for the q297 build, the q301 batch encode, and
+    * [[graft.streaming.StreamingMmEncode]]'s micro-batches. */
+  private[graft] def mmAssignCell(fe: org.apache.spark.sql.DataFrame,
+                                  cents: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val packed = cents
+      .agg(collect_list(struct(col("cent_id"), col("ce"))).as("cs"))
+    fe.join(broadcast(packed))
+      .select(col("doc_id"), col("emb"),
+        array_min(transform(col("cs"), c =>
+          struct(mmL2C(col("emb"), c.getField("ce")).as("d2"),
+            c.getField("cent_id").as("cent_id")))).as("best"))
+      .select(col("doc_id"), col("best.cent_id").as("cell"), col("emb"))
+  }
 
   /** q298/q299's shared probe: route each (query_id, qe) to its
     * [[MmNProbe]] nearest cells against the PERSISTED centroids, collect
@@ -402,11 +429,7 @@ object MultimodalQueries {
       val stride = math.max(1L, n / MmCentroidBudget)
       val cents = fe.where(col("doc_id") % stride === 0)
         .select(col("doc_id").as("cent_id"), col("emb").as("ce"))
-      val assigned = fe.crossJoin(broadcast(cents))
-        .withColumn("d2", mmL2("emb", "ce"))
-        .groupBy("doc_id")
-        .agg(min(struct(col("d2"), col("cent_id"), col("emb"))).as("m"))
-        .select(col("doc_id"), col("m.cent_id").as("cell"), col("m.emb").as("emb"))
+      val assigned = mmAssignCell(fe, cents)
       val centT = s"graft_mm_cents_$sfx"
       val codesT = s"graft_mm_codes_$sfx"
       cents.write.mode("overwrite").option("path", s"$base/cents").saveAsTable(centT)
@@ -484,6 +507,18 @@ object MultimodalQueries {
         }
       }(enc)
   }
+
+  /** Embed + cell-assign one batch of (doc_id, payload BINARY) rows
+    * against a persisted mm index's centroids — no training or corpus
+    * stage anywhere in the plan. ONE definition shared by q301's batch
+    * delta and [[graft.streaming.StreamingMmEncode]]'s micro-batches
+    * (the encodeAgainstIndex discipline applied to the multimodal
+    * index), so the two maintenance surfaces cannot drift. Output:
+    * (doc_id, cell, emb) — the q297 code-table row shape. */
+  private[graft] def mmEncodeAgainstIndex(batch: org.apache.spark.sql.DataFrame,
+                                          cents: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    mmAssignCell(mmEmbedPayload(batch), cents)
 
   /** [[mmEmbedPayload]] with the q45 text→UTF-8-payload contract applied
     * to a documents frame. */
