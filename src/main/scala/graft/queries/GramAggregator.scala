@@ -21,14 +21,27 @@ import org.apache.spark.sql.Encoder
   * exact BIGINT sums (integer addition is associative and commutative),
   * so the downstream algebra and the DuckDB oracle replay are untouched.
   */
-class GramAggregator extends Aggregator[Seq[Long], Array[Long], Seq[Long]] {
+class GramAggregator extends Aggregator[Seq[java.lang.Long], Array[Long], Seq[Long]] {
 
   override def zero: Array[Long] = Array.emptyLongArray
 
-  override def reduce(b: Array[Long], a: Seq[Long]): Array[Long] = {
+  override def reduce(b: Array[Long], a: Seq[java.lang.Long]): Array[Long] = {
     if (a == null) return b
-    val arr = a.toArray
-    val d = arr.length
+    // the input type is BOXED so a null ELEMENT reaches this labeled
+    // contract check instead of dying as an opaque deserializer NPE
+    // (r14/r15 ADVICE): a sparse/NULL component has no defined Gram
+    // contribution — scrub or impute upstream
+    val d = a.length
+    val arr = new Array[Long](d)
+    var i = 0
+    while (i < d) {
+      val v = a(i)
+      require(v != null,
+        s"graft GramAggregator: null element at component $i of a $d-dim " +
+          "vector — the embedding-dim contract requires dense non-null " +
+          "components (scrub or impute nulls before the Gram fold)")
+      arr(i) = v.longValue(); i += 1
+    }
     val buf = if (b.length == d * d) b else {
       require(b.isEmpty, s"inconsistent embedding dims: ${b.length} vs $d²")
       new Array[Long](d * d)

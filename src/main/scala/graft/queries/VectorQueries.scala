@@ -1611,7 +1611,7 @@ object VectorQueries {
       // and j/k keep their INT pos type so the output schema is stable.
       val ddF = marrF.select(size(col("marr")).as("dim"))
       val gramSum = udaf(new GramAggregator(),
-        ExpressionEncoder[Seq[Long]]())
+        ExpressionEncoder[Seq[java.lang.Long]]())
       val cM = tcache(cs.agg(gramSum(col("cs")).as("g"))
         .select(posexplode(col("g")).as(Seq("idx", "cqv")))
         .crossJoin(broadcast(ddF))

@@ -187,6 +187,23 @@ class StatTestsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getAs[Int]("top_dim") == 1)
   }
 
+  test("covariance spectrum: a planted NULL component fails with the labeled Gram contract") {
+    // a null ELEMENT inside the embedding array (not a null array, not a
+    // ragged dim — those have their own guards) must surface the
+    // GramAggregator contract message, never an opaque deserializer NPE
+    val ss = spark; import ss.implicits._
+    val e = Seq[(Long, Int, Seq[java.lang.Float])](
+      (0L, 0, Seq(1f, 2f)), (1L, 0, Seq(3f, null)))
+      .toDF("vec_id", "label", "embedding")
+    val ex = intercept[Exception] {
+      VectorQueries.covarianceSpectrumOf(e).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("null element at component")),
+      s"expected the labeled Gram contract failure, got: ${messages(ex).mkString(" | ")}")
+  }
+
   test("covariance spectrum: isotropic 2-d variance splits the trace") {
     // vectors at (+/-2, 0) and (0, +/-2): C = diag(2, 2) -> lambda1 = 2,
     // trace = 4, explained share 0.5; the tie-broken top dim is 0
