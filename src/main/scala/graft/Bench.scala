@@ -174,12 +174,20 @@ object Bench {
     // per-query timings machine-parseable.
     println(jsonLine(qsTop, slowestOnly = true))
     val fullLine = jsonLine(qsFull, slowestOnly = false) + "\n"
-    try Files.writeString(
-      Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")),
-      fullLine)
-    catch { case _: Throwable => () }
-    try Files.writeString(Paths.get("/root/repo/BENCH_FULL.json"), fullLine)
-    catch { case _: Throwable => () }
+    def writeArtifact(path: String, what: String): Unit =
+      try Files.writeString(Paths.get(path), fullLine)
+      catch {
+        case t: Throwable =>
+          // never fail the bench over an artifact write, but never let it
+          // go silently stale either (r15 ADVICE: a read-only or relocated
+          // repo would otherwise keep reporting success over old numbers)
+          System.err.println(s"graft.Bench: WARNING could not write $what " +
+            s"to $path: ${t.getClass.getSimpleName}: ${t.getMessage}")
+      }
+    writeArtifact(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"),
+      "the scratch per-query map")
+    writeArtifact(sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo") + "/BENCH_FULL.json",
+      "the committed per-query artifact")
     spark.stop()
   }
 }

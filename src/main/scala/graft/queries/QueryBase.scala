@@ -19,7 +19,12 @@ object QueryBase {
     * double floor; at or above 2^52 every double is already integral, so
     * floor is the identity — branching there keeps the whole computation
     * in IEEE doubles like the oracle's, bit-identical at every magnitude
-    * (and ±Inf passes through instead of saturating, also like DuckDB). */
+    * (and ±Inf passes through instead of saturating, also like DuckDB).
+    *
+    * NaN also passes through (= DuckDB's floor(NaN)): Spark's SQL NaN
+    * semantics order NaN GREATER than every other double — the >= 2^52
+    * guard is true, not null, for NaN — so the passthrough branch takes
+    * it. ProundSpec pins all three non-finite cases. */
   def pround(c: Column, digits: Int): Column = {
     val p = math.pow(10, digits)
     val x = c * lit(p) + lit(0.5)

@@ -108,10 +108,13 @@ object MindistPruneRule extends Rule[LogicalPlan] {
           // r15 pround: CASE WHEN abs(x) >= 2^52 THEN x ELSE floor(x) END
           // — the overflow-guarded double floor. Both branches stay within
           // 1 of x, so the slack bound is the same 0.5/p (and mindist
-          // magnitudes never reach the passthrough branch anyway)
-          case CaseWhen(Seq((GreaterThanOrEqual(Abs(xa, _), Literal(_, DoubleType)), thenV)),
+          // magnitudes never reach the passthrough branch anyway). The
+          // threshold literal is PINNED to pround's 2^52 so the pattern
+          // can't claim an unrelated abs-guarded CASE WHEN that merely
+          // shares the shape (r15 ADVICE #5).
+          case CaseWhen(Seq((GreaterThanOrEqual(Abs(xa, _), Literal(t: Double, DoubleType)), thenV)),
                         Some(elseV))
-            if thenV.semanticEquals(xa) =>
+            if t == 4503599627370496.0 && thenV.semanticEquals(xa) =>
             (stripCast(elseV), xa) match {
               case (Floor(fx), Add(Multiply(inner, Literal(p1: Double, DoubleType), _), _, _))
                 if fx.semanticEquals(xa) && p1 == p2 && p1 > 0 =>

@@ -56,4 +56,13 @@ class ProundSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pr(edge, 0) == oracle(edge, 0))
     assert(pr(edge - 0.5, 0) == oracle(edge - 0.5, 0))
   }
+
+  test("non-finite inputs propagate like the oracle's double floor") {
+    // DuckDB: floor(NaN) = NaN, floor(±Inf) = ±Inf — pround must agree
+    // (no oracle-facing path feeds these today; this is the robustness
+    // contract so a future one can't silently diverge)
+    assert(pr(Double.NaN, 6).isNaN, "pround(NaN) must stay NaN")
+    assert(pr(Double.PositiveInfinity, 6).isPosInfinity)
+    assert(pr(Double.NegativeInfinity, 6).isNegInfinity)
+  }
 }
