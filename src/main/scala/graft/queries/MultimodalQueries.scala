@@ -305,8 +305,96 @@ object MultimodalQueries {
       mmEncodeAgainstIndex(blobBatch(spark, dir, MmIncrMod, MmIncrRes),
           spark.table(centT))
         .select("doc_id", "cell")
+    }),
+
+    // BLUE/GREEN INDEX GENERATIONS — the production swap the incremental
+    // pieces compose into (the r15 verdict's stretch): generation 1
+    // (BLUE) is the index as of the last full build, over the
+    // PRE-ARRIVAL corpus (docs with doc_id % MmIncrMod ≠ MmIncrRes);
+    // generation 2 (GREEN) lands beside it as gen 1's codes PLUS the
+    // arrived batch encoded against gen 1's centroids (the q301 append —
+    // a delta never retrains). Both generations are separate persisted
+    // tables, so a reader pinned to "index as of build 1" keeps serving
+    // the EXACT pre-rebuild answer while gen 2 serves fresh — this query
+    // emits both probes side by side (gen, query_id, doc_id, cos),
+    // routing once against the shared centroids and bucket-pruning each
+    // generation's code table with the literal probed-cell IN. The
+    // oracle replays gen 1 from the filtered corpus and gen 2 from
+    // filtered-corpus centroids + full-corpus assignment, so ONE green
+    // row proves the pinned probe equals the pre-rebuild answer AND the
+    // fresh probe equals a full post-append rebuild.
+    "q303_mm_index_generations" -> ((spark, dir) => {
+      val (centT, c1T, c2T) = mmGenTables(spark, dir)
+      val cents = spark.table(centT)
+      val q = mmEmbedFrame(
+        table(spark, dir, "documents").where(col("doc_id") < MmQueryCount))
+        .select(col("doc_id").as("query_id"), col("emb").as("qe"))
+      val wQ = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("d2"), col("cent_id"))
+      // the routed probe list is ≤ queries·nprobe rows — materialize it
+      // driver-side (the q128 literal discipline, already paid for the
+      // cell IN) so BOTH generation branches share the one bounded local
+      // frame instead of each re-deriving the query scan under the union
+      import spark.implicits._
+      val pcRows = q.crossJoin(broadcast(cents))
+        .withColumn("d2", mmL2("qe", "ce"))
+        .withColumn("pr", row_number().over(wQ))
+        .where(col("pr") <= MmNProbe)
+        .select(col("query_id"), col("qe"), col("cent_id").as("cell"))
+        .as[(Long, Seq[Long], Long)].collect().toIndexedSeq
+      val pc = pcRows.toDF("query_id", "qe", "cell")
+      val cells = pcRows.map(_._3).distinct.sorted
+      def probe(codesT: String, gen: Int) = {
+        val codes =
+          if (cells.isEmpty) spark.table(codesT).limit(0)
+          else spark.table(codesT).where(col("cell").isin(cells: _*))
+        saltedTop5(mmCosine(codes.join(broadcast(pc), Seq("cell"))
+            .where(col("doc_id") =!= col("query_id"))))
+          .withColumn("gen", lit(gen))
+      }
+      probe(c1T, 1).unionByName(probe(c2T, 2))
+        .select("gen", "query_id", "doc_id", "cos")
     })
   )
+
+  /** The q303 generation pair: shared (gen-1) centroids + one bucketed
+    * code table PER GENERATION — gen 1 over the pre-arrival corpus, gen 2
+    * read back from gen 1's persisted bytes plus the batch delta encoded
+    * through the SAME [[mmAssignCell]] the build uses. Landing the green
+    * generation as its own table (instead of appending in place) is the
+    * blue/green contract: the swap is a pointer flip and the blue table
+    * stays immutable for pinned readers. */
+  private def mmGenTables(spark: org.apache.spark.sql.SparkSession,
+                          dir: String): (String, String, String) = {
+    val names = AtRestTables.get(spark, s"mmgen|$dir") { base =>
+      val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val full = mmEmbedFrame(spread(table(spark, dir, "documents")))
+      val pre = full.where(col("doc_id") % MmIncrMod =!= MmIncrRes)
+      val n = table(spark, dir, "documents")
+        .where(col("doc_id") % MmIncrMod =!= MmIncrRes).count()
+      val stride = math.max(1L, n / MmCentroidBudget)
+      val cents = pre.where(col("doc_id") % stride === 0)
+        .select(col("doc_id").as("cent_id"), col("emb").as("ce"))
+      val centT = s"graft_mmg_cents_$sfx"
+      val c1T = s"graft_mmg_codes1_$sfx"
+      val c2T = s"graft_mmg_codes2_$sfx"
+      cents.write.mode("overwrite").option("path", s"$base/cents").saveAsTable(centT)
+      AtRestTables.faultPoint("mmgen:cents")
+      mmAssignCell(pre, cents)
+        .write.mode("overwrite").option("path", s"$base/codes1")
+        .bucketBy(MmCellBuckets, "cell").sortBy("cell").saveAsTable(c1T)
+      AtRestTables.faultPoint("mmgen:codes1")
+      // GREEN = blue's persisted bytes (read back — stats from the bytes
+      // that serve) + the delta, encoded against the frozen centroids
+      val delta = mmAssignCell(
+        full.where(col("doc_id") % MmIncrMod === MmIncrRes), cents)
+      spark.table(c1T).unionByName(delta)
+        .write.mode("overwrite").option("path", s"$base/codes2")
+        .bucketBy(MmCellBuckets, "cell").sortBy("cell").saveAsTable(c2T)
+      Seq(centT, c1T, c2T)
+    }
+    (names(0), names(1), names(2))
+  }
 
   /** A doc_id-selected batch from the q263 blob store, payload = raw file
     * bytes — the shared q299/q301 ingest shape. */
@@ -693,7 +781,44 @@ object MultimodalQueries {
       s"""WITH $mmEmbCte,
          |$mmCentAsgCtes
          |SELECT doc_id, cell FROM asg
-         |WHERE doc_id < $BinFileDocs AND doc_id % $MmIncrMod = $MmIncrRes""".stripMargin
+         |WHERE doc_id < $BinFileDocs AND doc_id % $MmIncrMod = $MmIncrRes""".stripMargin,
+
+    // both generations replayed from first principles: gen-1 centroids
+    // stride-sample the PRE-ARRIVAL corpus, the shared asg assigns EVERY
+    // doc against them (gen 1 = the pre-arrival members, gen 2 = all —
+    // exactly blue ∪ delta, since the delta encodes against the frozen
+    // centroids), and the two probes rank side by side through the
+    // shared cosine CTEs. Green proves pinned-serve == pre-rebuild AND
+    // fresh-serve == post-append rebuild in one row set.
+    "q303_mm_index_generations" ->
+      s"""WITH $mmEmbCte,
+         |cents AS (SELECT doc_id AS cent_id, e AS ce FROM emb
+         |  WHERE doc_id % $MmIncrMod <> $MmIncrRes
+         |    AND doc_id % (SELECT greatest(1, count(*) // $MmCentroidBudget)
+         |                  FROM documents WHERE doc_id % $MmIncrMod <> $MmIncrRes) = 0),
+         |dist AS (SELECT m.doc_id, c.cent_id,
+         |    list_sum(list_transform(range(1, 17), i -> (m.e[i] - c.ce[i]) * (m.e[i] - c.ce[i]))) AS d2
+         |  FROM emb m CROSS JOIN cents c),
+         |asg AS (SELECT doc_id, cent_id AS cell FROM (
+         |    SELECT doc_id, cent_id,
+         |           row_number() OVER (PARTITION BY doc_id ORDER BY d2, cent_id) AS rn
+         |    FROM dist) WHERE rn = 1),
+         |q AS (SELECT doc_id AS query_id, e AS qe FROM emb WHERE doc_id < $MmQueryCount),
+         |pc AS (SELECT query_id, cell FROM (
+         |    SELECT q.query_id, c.cent_id AS cell,
+         |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |        list_sum(list_transform(range(1, 17), i -> (q.qe[i] - c.ce[i]) * (q.qe[i] - c.ce[i]))), c.cent_id) AS pr
+         |    FROM q CROSS JOIN cents c) WHERE pr <= $MmNProbe),
+         |cand AS (SELECT pc.query_id, a.doc_id FROM pc JOIN asg a USING (cell)
+         |         WHERE a.doc_id <> pc.query_id
+         |           AND a.doc_id % $MmIncrMod <> $MmIncrRes),
+         |gcand AS (SELECT pc.query_id, a.doc_id FROM pc JOIN asg a USING (cell)
+         |          WHERE a.doc_id <> pc.query_id),
+         |${mmCosCtes("")},
+         |${mmCosCtes("g")}
+         |SELECT 1 AS gen, query_id, doc_id, cos FROM r WHERE rn <= 5
+         |UNION ALL
+         |SELECT 2 AS gen, query_id, doc_id, cos FROM gr WHERE rn <= 5""".stripMargin
   )
 
   /** The shared byte-bucket embedding CTEs (`codes`, `emb`) — ONE

@@ -230,6 +230,19 @@ class AtRestFaultSpec extends AnyFunSuite with BeforeAndAfterAll {
     killAndRecover("invidx:lex", () => probe2(), expected)
   }
 
+  test("the REAL q303 generation build killed between the blue and green writes publishes neither") {
+    // the blue/green hazard window: blue (codes1) landed, green (codes2)
+    // did not — a registry that served now would hand out a generation
+    // pair whose green table does not exist
+    val expected = rows(graft.queries.MultimodalQueries
+      .defs("q303_mm_index_generations")(spark, dataDir("mmg_clean", "documents")))
+    assert(expected.nonEmpty)
+    val d1 = dataDir("mmg_k1", "documents")
+    def probe1() = graft.queries.MultimodalQueries
+      .defs("q303_mm_index_generations")(spark, d1)
+    killAndRecover("mmgen:codes1", () => probe1(), expected)
+  }
+
   test("a killed manifest append recovers: first-ever crash, mid-life crash, no dupes") {
     val layout = s"$base/mlayout"
     val manifest = s"$base/mmanifest"

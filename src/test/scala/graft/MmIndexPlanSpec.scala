@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -72,6 +73,28 @@ class MmIndexPlanSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
       s"encode joins must all be broadcast:\n$plan")
     assert(df.count() == 8, "32 blobs / mod 4 selector")
+  }
+
+  test("q303 probes both generations bucket-pruned, one documents scan, broadcast-only joins") {
+    val df = MultimodalQueries.defs("q303_mm_index_generations")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(docScans(plan) == 0,
+      s"the served plan must not scan documents at all (queries route once, driver-bounded; both corpora serve from the generation tables):\n$plan")
+    assert(plan.contains("graft_mmg_codes1") && plan.contains("graft_mmg_codes2"),
+      s"both generation code tables must appear in the plan:\n$plan")
+    assert("SelectedBucketsCount".r.findAllIn(plan).length >= 2,
+      s"both generation scans must bucket-prune on the literal probed cells:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"probe joins must all be broadcast:\n$plan")
+    assert(df.count() == 30, "2 generations x 3 queries x top-5")
+    // the blue/green contract itself: the pinned (gen-1) probe must be
+    // IMMUTABLE under the green landing — re-probing after the green
+    // table exists returns the identical row set (the oracle separately
+    // proves gen 1 == pre-rebuild arithmetic and gen 2 == post-append)
+    val pinned1 = df.where(col("gen") === 1).collect().map(_.toString).toSet
+    val pinned2 = MultimodalQueries.defs("q303_mm_index_generations")(spark, dir)
+      .where(col("gen") === 1).collect().map(_.toString).toSet
+    assert(pinned1 == pinned2, "the pinned generation drifted between probes")
   }
 
   test("q296/q298 agree wherever the probe's cells contain the true top-5") {
