@@ -909,10 +909,14 @@ object DedupQueries {
         .distinct()
         .select(col("source"), conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("h")),
         "q122:hashes")
-      val perSrc = hs
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("source").orderBy("h")))
-        .where(col("rn") <= K)
+      // per-source bottom-K over the shingle-level frame: sources are a
+      // LOW-cardinality partition key on a corpus×shingles-sized frame,
+      // so the direct window would funnel everything through |sources|
+      // tasks — salted two-phase instead. Ties on h (hash collisions)
+      // may land in either order, but the kept h MULTISET is identical
+      // (ordering by value alone), and the sketch reads only count +
+      // max(h) off it.
+      val perSrc = saltedTopK(hs, Seq("source"), Seq(col("h")), col("h"), K)
       val srcSketch = perSrc
         .groupBy(concat(lit("src:"), col("source")).as("part"))
         .agg(count(lit(1)).as("k_actual"), max("h").as("kth_min"))

@@ -981,13 +981,13 @@ object VectorQueries {
         .select(col("vec_id"), col("embedding"), col("cell"))
       val q = assigned.where(col("vec_id") < QueryCount)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("cell"))
-      assigned.join(broadcast(q), Seq("cell"))
+      val scored = assigned.join(broadcast(q), Seq("cell"))
         .where(col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id"),
           pround(cosUdf(col("qe"), col("embedding")), 6).as("cos"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("query_id").orderBy(desc("cos"), col("vec_id"))))
-        .where(col("rn") <= 5)
+      // probed-cell candidates are ~|corpus|/cells rows: salted two-phase
+      saltedTopK(scored, Seq("query_id"), Seq(desc("cos"), col("vec_id")),
+          col("vec_id"), 5)
         .select("query_id", "vec_id", "cos")
     }),
 
@@ -1007,13 +1007,13 @@ object VectorQueries {
         .select(col("vec_id"), col("embedding"), col("cell"))
       val q = probeCells(emb.where(col("vec_id") < QueryCount), cents, NProbe)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("cell"))
-      assigned.join(broadcast(q), Seq("cell"))
+      val scored = assigned.join(broadcast(q), Seq("cell"))
         .where(col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id"),
           pround(cosUdf(col("qe"), col("embedding")), 6).as("cos"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("query_id").orderBy(desc("cos"), col("vec_id"))))
-        .where(col("rn") <= 5)
+      // probed-cell candidates are ~|corpus|/cells rows: salted two-phase
+      saltedTopK(scored, Seq("query_id"), Seq(desc("cos"), col("vec_id")),
+          col("vec_id"), 5)
         .select("query_id", "vec_id", "cos")
     }),
 
@@ -1227,18 +1227,20 @@ object VectorQueries {
         .crossJoin(broadcast(stats))
         .select(col("query_id"), col("doc_id"), pround(idfR * tnorm, 6).as("s"))
         .groupBy("query_id", "doc_id").agg(xsum(col("s"), 6).as("bm25"))
-      val wt = Window.partitionBy("query_id").orderBy(desc("bm25"), col("doc_id"))
-      val tr = tscored.withColumn("t_rank", row_number().over(wt))
-        .where(col("t_rank") <= RrfDepth).select("query_id", "doc_id", "t_rank")
+      // both rank lists score corpus-proportional frames (BM25 candidates
+      // for common terms; the dense side the whole corpus): salted two-phase
+      val tr = saltedTopK(tscored, Seq("query_id"),
+          Seq(desc("bm25"), col("doc_id")), col("doc_id"), RrfDepth, "t_rank")
+        .select("query_id", "doc_id", "t_rank")
       val emb = spread(table(spark, dir, "embeddings"))
       val q = emb.where(col("vec_id") < QueryCount)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-      val wv = Window.partitionBy("query_id").orderBy(desc("cos"), col("doc_id"))
-      val vr = emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      val vscored = emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id").as("doc_id"),
           pround(cosUdf(col("qe"), col("embedding")), 6).as("cos"))
-        .withColumn("v_rank", row_number().over(wv))
-        .where(col("v_rank") <= RrfDepth).select("query_id", "doc_id", "v_rank")
+      val vr = saltedTopK(vscored, Seq("query_id"),
+          Seq(desc("cos"), col("doc_id")), col("doc_id"), RrfDepth, "v_rank")
+        .select("query_id", "doc_id", "v_rank")
       val fused = tr.join(vr, Seq("query_id", "doc_id"), "full_outer")
         .select(col("query_id"), col("doc_id"), col("t_rank"), col("v_rank"),
           pround(
@@ -1326,26 +1328,49 @@ object VectorQueries {
       val emb = spread(table(spark, dir, "embeddings"))
       val q = emb.where(col("vec_id") < QueryCount)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-      val wq = Window.partitionBy("query_id").orderBy(desc("cos"), col("vec_id"))
-      val truth = emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      val tscored = emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id"),
           pround(cosUdf(col("qe"), col("embedding")), 6).as("cos"))
-        .withColumn("rn", row_number().over(wq)).where(col("rn") === 1)
-        .select(col("query_id"), col("vec_id").as("true_nn"))
+      // truth = exact top-1 per query (the depth-1 salted two-phase),
+      // materialized driver-side (<= |q| rows) so the brute-truth
+      // subtree is computed ONCE, not replicated into every downstream
+      // branch of the rank arithmetic below
+      import spark.implicits._
+      val truthRows = saltedTopK(tscored, Seq("query_id"),
+          Seq(desc("cos"), col("vec_id")), col("vec_id"), 1)
+        .select(col("query_id"), col("vec_id"))
+        .as[(Long, Long)].collect().toIndexedSeq
+      val truth = truthRows.toDF("tq", "true_nn")
       val embB = emb.select(col("vec_id"), col("embedding"),
         explode(bucketsCol(col("embedding"))).as("bucket"))
       val qb = embB.where(col("vec_id") < QueryCount)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("bucket"))
-      val cands = embB.join(broadcast(qb), Seq("bucket"))
+      // the scored candidate set feeds both the hit lookup and the
+      // better-count — tcache so the one corpus-proportional pass pays once
+      val cands = tcache(embB.join(broadcast(qb), Seq("bucket"))
         .where(col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("qe"), col("vec_id"), col("embedding"))
         .distinct()
         .select(col("query_id"), col("vec_id"),
-          pround(cosUdf(col("qe"), col("embedding")), 6).as("cos"))
-        .withColumn("rank", row_number().over(wq))
-        .select(col("query_id").as("cq"), col("vec_id").as("cand_id"), col("rank"))
-      truth.join(cands,
-          col("query_id") === col("cq") && col("true_nn") === col("cand_id"), "left")
+          pround(cosUdf(col("qe"), col("embedding")), 6).as("cos")), "q215:cands")
+      // MRR needs only the TRUE hit's rank, so never rank the whole
+      // candidate list: under the total order (cos DESC, vec_id),
+      // row_number(t) = 1 + |{strictly better candidates}| — one
+      // broadcast join with the <= |q|-row hit frame plus a count
+      // aggregation replaces the corpus-proportional per-query rank
+      // window, bit-identically
+      val hitRows = cands.join(broadcast(truth),
+          col("query_id") === col("tq") && col("vec_id") === col("true_nn"))
+        .select(col("tq"), col("true_nn"), col("cos"))
+        .as[(Long, Long, Double)].collect().toIndexedSeq
+      val hit = hitRows.toDF("hq", "hnn", "tcos")
+      val nbetter = cands.join(broadcast(hit), col("query_id") === col("hq"))
+        .where(col("cos") > col("tcos") ||
+          (col("cos") === col("tcos") && col("vec_id") < col("hnn")))
+        .groupBy("hq").agg(count(lit(1)).as("nb"))
+      val rankOf = hit.join(nbetter, Seq("hq"), "left")
+        .select(col("hq"), (coalesce(col("nb"), lit(0L)) + lit(1L)).as("rank"))
+      truth.join(rankOf, col("tq") === col("hq"), "left")
         .withColumn("rr", when(col("rank").isNotNull,
           pround(lit(1.0) / col("rank"), 9)).otherwise(lit(0.0)))
         .agg(count(lit(1)).as("n_queries"),
@@ -1374,9 +1399,9 @@ object VectorQueries {
       val scored = train.crossJoin(broadcast(q))
         .select(col("query_id"), col("true_label"), col("vec_id"), col("label"),
           pround(cosUdf(col("qe"), col("embedding")), 6).as("cos"))
-      val w = Window.partitionBy("query_id").orderBy(desc("cos"), col("vec_id"))
-      val votes = scored.withColumn("rn", row_number().over(w))
-        .where(col("rn") <= 5)
+      // 5-NN cut over the corpus-sized scored frame: salted two-phase
+      val votes = saltedTopK(scored, Seq("query_id"),
+          Seq(desc("cos"), col("vec_id")), col("vec_id"), 5)
         .groupBy("query_id", "true_label", "label")
         .agg(count(lit(1)).as("v"))
       val pick = Window.partitionBy("query_id").orderBy(desc("v"), col("label"))
@@ -1405,20 +1430,23 @@ object VectorQueries {
         .select(col("vec_id").as("query_id"), col("label").as("qlabel"))
       val labelCnt = emb.groupBy(col("label").as("cl"))
         .agg(count(lit(1)).as("cnt"))
-      val wq = Window.partitionBy("query_id").orderBy(desc("cos"), col("vec_id"))
       val embB = emb.select(col("vec_id"), col("embedding"), col("label"),
         explode(bucketsCol(col("embedding"))).as("bucket"))
       val qb = embB.where(col("vec_id") < QueryCount)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("bucket"))
       val wArr = array(NdcgWMicros.map(lit): _*)
       val iArr = array(NdcgIdealMicros.map(lit): _*)
-      val dcg = embB.join(broadcast(qb), Seq("bucket"))
+      val scored = embB.join(broadcast(qb), Seq("bucket"))
         .where(col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("qe"), col("vec_id"), col("embedding"), col("label"))
         .distinct()
         .select(col("query_id"), col("vec_id"), col("label"),
           pround(cosUdf(col("qe"), col("embedding")), 6).as("cos"))
-        .withColumn("rank", row_number().over(wq)).where(col("rank") <= NdcgK)
+      // top-NdcgK cut over the bucket candidates (corpus-proportional
+      // for hot buckets): salted two-phase, exact rank values kept for
+      // the position discounts
+      val dcg = saltedTopK(scored, Seq("query_id"),
+          Seq(desc("cos"), col("vec_id")), col("vec_id"), NdcgK, "rank")
         .join(broadcast(q), Seq("query_id"))
         .groupBy("query_id")
         .agg(sum(when(col("label") === col("qlabel"),
@@ -1479,7 +1507,6 @@ object VectorQueries {
         .select(col("vec_id").as("query_id"), col("label").as("qlabel"))
       val labelCnt = emb.groupBy(col("label").as("cl"))
         .agg(count(lit(1)).as("cnt"))
-      val wq = Window.partitionBy("query_id").orderBy(desc("cos"), col("vec_id"))
       val embB = emb.select(col("vec_id"), col("embedding"), col("label"),
         explode(bucketsCol(col("embedding"))).as("bucket"))
       val qb = embB.where(col("vec_id") < QueryCount)
@@ -1487,14 +1514,17 @@ object VectorQueries {
           col("bucket"))
       val wr = Window.partitionBy("query_id").orderBy("rank")
         .rowsBetween(Window.unboundedPreceding, 0)
-      val terms = embB.join(broadcast(qb), Seq("bucket"))
+      val scored = embB.join(broadcast(qb), Seq("bucket"))
         .where(col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("qe"), col("vec_id"), col("embedding"),
           col("label"))
         .distinct()
         .select(col("query_id"), col("vec_id"), col("label"),
           pround(cosUdf(col("qe"), col("embedding")), 6).as("cos"))
-        .withColumn("rank", row_number().over(wq)).where(col("rank") <= NdcgK)
+      // q260's salted candidate cut; the wr cumsum above then runs over
+      // <= NdcgK rows per query (bounded)
+      val terms = saltedTopK(scored, Seq("query_id"),
+          Seq(desc("cos"), col("vec_id")), col("vec_id"), NdcgK, "rank")
         .join(broadcast(q), Seq("query_id"))
         .withColumn("rel", when(col("label") === col("qlabel"), 1L)
           .otherwise(0L))

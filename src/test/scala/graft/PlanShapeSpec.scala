@@ -253,9 +253,26 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
                                                // bounded (≤ RerankC rows/query)
       "q89_pq_adc" -> Seq(1, 2),               // pure-ADC scan (q104 shares it)
       "q104_opq_adc" -> Seq(1, 2),
-      "q128_ivf_index_probe" -> Seq(1, 2))     // probed-cell ADC tail
+      "q128_ivf_index_probe" -> Seq(1, 2),     // probed-cell ADC tail
+      // the r16 sweep below the verdict's top-5 cut — same anti-pattern,
+      // same fix (candidate frames are corpus-proportional: in-cell
+      // members, hot LSH buckets, the BM25 postings, the kNN crossJoin)
+      "q46_ann_ivf" -> Seq(1, 2),              // in-cell exact top-5
+      "q110_ivf_nprobe" -> Seq(1, 2),
+      "q176_hybrid_rrf" -> Seq(1, 1, 2, 1, 1, 2), // both fused rank lists
+      "q199_knn_classify" -> Seq(1, 1, 2),     // 5-NN vote cut
+      "q260_retrieval_ndcg" -> Seq(1, 2),      // top-NdcgK candidate cut
+      "q282_average_precision" -> Seq(1, 1, 2), // cut + bounded cumsum
+      // q215's truth (a depth-1 salted pair) materializes driver-side at
+      // construction, and the hit's rank is a COUNT against the bounded
+      // hit frame — so the SERVED plan carries no window at all
+      "q215_retrieval_mrr" -> Seq(),
+      // per-source bottom-K (KMV); perSrc feeds both the sketch and the
+      // merged union, so the salted pair appears once per branch
+      "q122_kmv_merge" -> Seq(1, 2, 1, 2))
+    val all = VectorQueries.defs ++ graft.queries.DedupQueries.defs
     for ((q, want) <- expected) {
-      val df = VectorQueries.defs(q)(spark, dir)
+      val df = all(q)(spark, dir)
       assert(singleTaskWindows(df) == 0, s"$q grew a single-task window")
       val widths = df.queryExecution.optimizedPlan.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
