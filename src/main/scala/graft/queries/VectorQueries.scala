@@ -1120,6 +1120,10 @@ object VectorQueries {
     // is lead() columns over ONE per-cell window sort — no self-join, no
     // quadratic in-cluster blowup; per-vector work is O(SemWindow) at any
     // corpus size. Dropped vectors attribute to their best-ranked keeper.
+    // The per-cell sort's parallelism knob is K itself: real SemDeDup
+    // sizes K proportional to the corpus (n/10³-ish), keeping every cell
+    // frame bounded — KmeansK=8 is this fixture's demo size, not the
+    // scale design (assignment is map-side at any K, see assignNearest).
     "q66_semantic_dedup" -> ((spark, dir) => {
       val byCell = Window.partitionBy("cell").orderBy(desc("ccos"), col("vec_id"))
       val ranked = kmeansAssign(spark, dir).withColumn("rnk", row_number().over(byCell))
