@@ -166,6 +166,29 @@ object QueryBase {
     * rank in the engine. */
   val SaltFan = 16
 
+  /** GDPR document-erasure cohort over the shared doc/vec id space
+    * (q304/q305/q307 and [[graft.streaming.StreamingErasure]]): ids with
+    * `id % EraseMod == EraseRes` are erased, EXCEPT ids below
+    * [[EraseProtect]] — those are the serving workload's own query
+    * docs/vectors (q302's HybridQueries, the ANN QueryCount), retained so
+    * the post-erasure serve still has its queries. ONE place; both
+    * engines embed these as literals ([[erasedId]] / [[erasedSql]]). The
+    * mod-7 cohort is deliberately LARGE (~14% of the corpus) so erasure
+    * visibly rewrites the served top-k — a forgotten tombstone join
+    * cannot hash-match by luck. */
+  val EraseMod = 7L
+  val EraseRes = 3L
+  val EraseProtect = 10L
+
+  /** The erased-id predicate, Spark side. */
+  def erasedId(id: Column): Column =
+    (pmod(id, lit(EraseMod)) === lit(EraseRes)) && id >= lit(EraseProtect)
+
+  /** The erased-id predicate, oracle side — same arithmetic as
+    * [[erasedId]] (ids are non-negative, so `%` == pmod). */
+  def erasedSql(idExpr: String): String =
+    s"($idExpr % $EraseMod = $EraseRes AND $idExpr >= $EraseProtect)"
+
   /** Per-group top-`depth` by a TOTAL order with NO group-sized window
     * task — the q79/q296 salted two-phase rank, generalized (the r15
     * verdict's #1: this used to live as two private copies and five

@@ -3990,6 +3990,33 @@ object RelQueries {
       // the helper reads the matrix 4× (states, row sums, P, no-out
       // states) — cache the one data-sized lag pass behind it
       markovStationaryOf(tcache(counts, "q293:counts"))
+    }),
+
+    // ERASURE PROPAGATED INTO THE MATERIALIZED AGGREGATE — the GDPR
+    // delete's derived-artifact half. q161/q162 prove the BASE table
+    // forgets the flagged users; this proves a DERIVED artifact (the
+    // q138 at-rest aggregate MV) forgets them too, by DECREMENT: the
+    // erased users' own events re-aggregate through the same
+    // dayTypePartials unit, negate, and merge into the stored partials
+    // by plain addition — the integer partials make subtraction as
+    // exact and order-independent as the q138 delta-add. Cost is
+    // O(|erased slice|), never O(corpus): at 100 TB a user-erasure
+    // request touches the flagged users' rows (partition/bucket-pruned
+    // upstream) and the day×type-sized MV — history is never
+    // recomputed. Groups whose count reaches zero leave the MV (a
+    // rebuilt MV has no such row). The oracle recomputes the aggregate
+    // from retained raw events — equality proves decremented-MV ==
+    // rebuild-from-retained exactly, the erasure-propagation theorem
+    // for additive aggregates.
+    "q306_erasure_mv_decrement" -> ((spark, dir) => {
+      val bT = aggBaseTable(spark, dir)
+      val dec = dayTypePartials(table(spark, dir, "events")
+          .where(col("event_id") % 10 =!= 0 &&
+            pmod(col("user_id"), lit(PurgeUserMod)) === PurgeUserRes))
+        .select(col("day"), col("event_type"),
+          (-col("n")).as("n"), (-col("s")).as("s"))
+      mergePartials(spark.table(bT).unionByName(dec))
+        .where(col("n_events") > 0L)
     })
   )
 
@@ -6907,7 +6934,20 @@ object RelQueries {
          |       CAST(COALESCE($last.v, 0) AS BIGINT) AS pi_q,
          |       ${sround(s"CAST(COALESCE($last.v, 0) AS DOUBLE) / CAST(tv AS DOUBLE)", 6)} AS pi
          |FROM st LEFT JOIN $last ON $last.s = st.s CROSS JOIN tv""".stripMargin
-    }
+    },
+
+    // the full recompute over RETAINED raw events (same WHERE as the
+    // Spark-side decrement, inverted) — equality proves the decremented
+    // MV equals a rebuild that never saw the erased users
+    "q306_erasure_mv_decrement" ->
+      s"""WITH base AS (
+         |  SELECT epoch_us(ts) // $DayUs AS day, event_type, value FROM events
+         |  WHERE event_id % 10 <> 0
+         |    AND NOT (user_id % $PurgeUserMod = $PurgeUserRes))
+         |SELECT CAST(day AS BIGINT) AS day, event_type,
+         |       CAST(count(*) AS BIGINT) AS n_events,
+         |       ${xsumSql("value", 6)} AS sum_value
+         |FROM base GROUP BY day, event_type""".stripMargin
   )
 
   /** q275/q276's shared oracle prefix — the SQL twin of [[pairDomain]]:

@@ -109,6 +109,64 @@ object TextQueries {
     (names(0), names(1), names(2))
   }
 
+  /** q304 serving geometry — the BM25 workload the erased index keeps
+    * answering: query docs (ids below [[QueryBase.EraseProtect]], so the
+    * cohort never erases them), per-query term count, served depth. ONE
+    * place, embedded into the oracle SQL. */
+  private val EraseQueries = 3L
+  private val EraseQTerms = 3
+  private val EraseDepth = 10
+
+  /** q304's at-rest ERASURE PROPAGATION store beside the q148 inverted
+    * index — the GDPR delete carried into a DERIVED serving artifact
+    * (q161/q162 prove the base table forgets; production also has to
+    * prove its INDEXES forget). Three tables, all O(|erased|) except one
+    * build-time stats scan:
+    *
+    *  - tombstones: the erased doc ids — the merge-on-read unit, applied
+    *    to term-pruned posting lists at serve time (q162's deletion
+    *    vector, pointed at the index instead of the base table);
+    *  - df decrements: per-term counts of erased docs, tokenized from the
+    *    ERASED DOCS ONLY (the documents table is its own forward index,
+    *    so the decrement costs O(|erased|) — never a postings scan);
+    *  - retained BM25 stats: (n_docs, sum_dl) with the tombstoned rows
+    *    removed, read from the index's own persisted doc-length bytes
+    *    (the q141 manifest discipline: maintenance trusts what serves).
+    *
+    * The test cohort is deliberately corpus-proportional (~14%) so a
+    * dropped tombstone join can't luck into a hash match; production
+    * erasure batches are small (thousands of ids — broadcastable), and a
+    * corpus-proportional purge would instead co-bucket tombstones with
+    * the postings so the anti join stays shuffle-free. Retraining-free by
+    * construction: posting rows and dl values of RETAINED docs are
+    * untouched, so serve-side equality with a full rebuild is exact, not
+    * approximate. [[AtRestTables.faultPoint]]s between the writes let
+    * AtRestFaultSpec kill the build in every inter-write window. */
+  private def erasureTextTables(spark: org.apache.spark.sql.SparkSession,
+                                dir: String): (String, String, String) = {
+    val names = AtRestTables.get(spark, s"erasetxt|$dir") { base =>
+      val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val tombT = s"graft_erase_docs_$sfx"
+      val decT = s"graft_erase_dfdec_$sfx"
+      val statT = s"graft_erase_dlstat_$sfx"
+      val (_, _, dlT) = invertedIndexTables(spark, dir)
+      val docs = table(spark, dir, "documents")
+      val erased = docs.where(QueryBase.erasedId(col("doc_id"))).select("doc_id")
+      erased.write.mode("overwrite").option("path", s"$base/tomb").saveAsTable(tombT)
+      AtRestTables.faultPoint("erasetxt:tomb")
+      postingsOf(docs.where(QueryBase.erasedId(col("doc_id"))))
+        .groupBy("term").agg(count(lit(1)).as("ddf"))
+        .write.mode("overwrite").option("path", s"$base/dfdec").saveAsTable(decT)
+      AtRestTables.faultPoint("erasetxt:dfdec")
+      spark.table(dlT)
+        .join(broadcast(spark.table(tombT)), Seq("doc_id"), "left_anti")
+        .agg(count(lit(1)).as("n_docs"), sum("dl").cast("long").as("sum_dl"))
+        .write.mode("overwrite").option("path", s"$base/dlstat").saveAsTable(statT)
+      Seq(tombT, decT, statT)
+    }
+    (names(0), names(1), names(2))
+  }
+
   /** q261's POSITIONAL postings — (term, doc_id, pos), 1-based, the
     * occurrence-level sibling of the q148 (term, doc_id, tf) table. Same
     * tokenization, same term-bucketed layout; ~n_tokens rows instead of
@@ -1241,6 +1299,72 @@ object TextQueries {
         .crossJoin(broadcast(s4b.agg(count(lit(1)).as("nb"))))
         .select((col("nb") + col("nd")).as("after_near"))
       pipelineReport(s4, funnel.crossJoin(broadcast(near)), kept)
+    }),
+
+    // ERASURE-PROPAGATED BM25 SERVE — the q302 sparse pipeline kept
+    // running AFTER a GDPR purge, answered from the FULL persisted q148
+    // index plus the q304 erasure store (tombstones + df decrements +
+    // retained stats), with NOTHING rebuilt:
+    //   postings: term-pruned (bucket-pruned literal IN) then tombstoned
+    //     by a broadcast anti join — candidates stay Σ df-bounded;
+    //   df: the full lexicon MINUS the decrements (never recounted; a
+    //     term every retained doc lost leaves the lexicon at df = 0);
+    //   length norm: the retained (n_docs, sum_dl) row — avgdl shifts
+    //     under erasure, and using the stale stats is the subtle bug
+    //     this query exists to catch;
+    //   dl: per-candidate values from the untouched persisted table
+    //     (retained docs' lengths don't change).
+    // The oracle rebuilds BM25 from scratch over the retained corpus —
+    // a green row IS the erasure-propagation theorem for the text
+    // index: decremental maintenance == rebuild, at O(|erased|)
+    // maintenance cost instead of O(corpus). The final rank rides
+    // saltedTopK (candidate lists are corpus-proportional in df).
+    "q304_erasure_text_serve" -> ((spark, dir) => {
+      val (pT, tT, dlT) = invertedIndexTables(spark, dir)
+      val (tombT, decT, statT) = erasureTextTables(spark, dir)
+      val toksC = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+      // query terms tokenize ONLY the query docs (retained by the
+      // EraseProtect floor, so the workload survives its own purge)
+      val qtf = table(spark, dir, "documents")
+        .where(col("doc_id") < EraseQueries)
+        .select(col("doc_id"), explode(toksC).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val wq = Window.partitionBy("doc_id").orderBy(desc("tf"), col("term"))
+      val qterms = qtf.withColumn("rn", row_number().over(wq))
+        .where(col("rn") <= EraseQTerms)
+        .select(col("doc_id").as("query_id"), col("term"))
+      val terms = qterms.select("term").distinct()
+        .collect().map(_.getString(0)).sorted
+      val post0 =
+        if (terms.isEmpty) spark.table(pT).limit(0)
+        else spark.table(pT).where(col("term").isin(terms: _*))
+      val post = post0
+        .join(broadcast(spark.table(tombT)), Seq("doc_id"), "left_anti")
+      val dec = spark.table(decT).where(col("term").isin(terms: _*))
+      val lex = spark.table(tT).where(col("term").isin(terms: _*))
+        .join(broadcast(dec), Seq("term"), "left")
+        .select(col("term"),
+          (col("df") - coalesce(col("ddf"), lit(0L))).as("df"))
+        .where(col("df") > 0L)
+      val stats = spark.table(statT)
+      val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+      val idfR = pround(log(
+        ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)) + lit(1.0)), 6)
+      val tnorm = (col("tf").cast("double") * lit(K1p1)) /
+        (col("tf").cast("double") +
+          lit(K1) * (lit(OneMinusB) + lit(B) * (col("dl").cast("double") / avgdl)))
+      val cand = post.join(broadcast(qterms), Seq("term"))
+        .where(col("doc_id") =!= col("query_id"))
+        .join(broadcast(lex), Seq("term"))
+      saltedTopK(
+        spark.table(dlT).join(broadcast(cand), Seq("doc_id"))
+          .crossJoin(broadcast(stats))
+          .select(col("query_id"), col("doc_id"), pround(idfR * tnorm, 6).as("s"))
+          .groupBy("query_id", "doc_id").agg(xsum(col("s"), 6).as("sc")),
+        Seq("query_id"), Seq(desc("sc"), col("doc_id")),
+        col("doc_id"), EraseDepth, "rnk")
+        .select(col("query_id"), col("doc_id"), col("sc"), col("rnk"))
     })
   )
 
@@ -1911,7 +2035,40 @@ object TextQueries {
          |       f.after_quality, f.after_exact, f.after_near,
          |       f.delta_kept, f.t_split
          |FROM ($pipelineOracleSplit) sp CROSS JOIN funnel f""".stripMargin,
-      withCte = true)
+      withCte = true),
+
+    // the FULL rebuild over the retained corpus (the erasure predicate
+    // inverted in ONE WHERE) — postings, lexicon, stats, BM25, rank all
+    // recomputed from scratch; equality proves the Spark side's
+    // tombstone + decrement serve reconstructs it exactly
+    "q304_erasure_text_serve" -> {
+      val idf = sround(
+        s"ln((CAST(n_docs - df AS DOUBLE) + ${dlit(0.5)}) / (CAST(df AS DOUBLE) + ${dlit(0.5)}) + ${dlit(1.0)})", 6)
+      val avgdl = "(CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))"
+      val tnorm = s"(tf::DOUBLE * ${dlit(K1p1)}) / (tf::DOUBLE + ${dlit(K1)} * (${dlit(OneMinusB)} + ${dlit(B)} * (dl::DOUBLE / $avgdl)))"
+      s"""WITH docs AS (SELECT doc_id, text FROM documents
+         |              WHERE NOT ${QueryBase.erasedSql("doc_id")}),
+         |tdoc AS (SELECT doc_id, $toksSqlD AS toks FROM docs),
+         |dld AS (SELECT doc_id, CAST(len(toks) AS INT) AS dl FROM tdoc),
+         |pp AS (SELECT doc_id, unnest(toks) AS term FROM tdoc),
+         |tfp AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM pp GROUP BY term, doc_id),
+         |stt AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dld),
+         |qt AS (SELECT doc_id AS query_id, term FROM (
+         |    SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, term) AS rn
+         |    FROM tfp WHERE doc_id < $EraseQueries) WHERE rn <= $EraseQTerms),
+         |lexq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tfp
+         |         WHERE term IN (SELECT term FROM qt) GROUP BY term),
+         |sbm AS (SELECT qt.query_id, tfp.doc_id, ${sround(s"($idf) * ($tnorm)", 6)} AS s
+         |        FROM tfp JOIN qt USING (term) JOIN lexq USING (term)
+         |        JOIN dld ON tfp.doc_id = dld.doc_id CROSS JOIN stt
+         |        WHERE tfp.doc_id <> qt.query_id),
+         |spq AS (SELECT query_id, doc_id, ${xsumSql("s", 6)} AS sc
+         |        FROM sbm GROUP BY query_id, doc_id)
+         |SELECT query_id, doc_id, sc, CAST(rnk AS INT) AS rnk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sc DESC, doc_id) AS rnk
+         |  FROM spq)
+         |WHERE rnk <= $EraseDepth""".stripMargin
+    }
   )
 
   /** The q36 quality-signal ingredient select-list over (toks, text) SQL

@@ -480,6 +480,39 @@ object VectorQueries {
     (names(0), names(1), names(2))
   }
 
+  /** q305's at-rest ANN-erasure tombstones — the GDPR delete carried into
+    * the q127 IVF-PQ index (q304's theorem for vectors): (cell, vec_id)
+    * rows for the erased cohort, located by joining the erased ids
+    * against the index's OWN persisted codes (the routing the serve path
+    * trusts — recomputing cells from raw embeddings could disagree with
+    * what's actually stored). Written cell-bucketed with the SAME
+    * [[CellBuckets]] geometry as the code table, so even a
+    * corpus-proportional tombstone set applies as a co-located anti join
+    * with zero index-side shuffle; the serve path below additionally
+    * prunes both sides to the probed cells first, so it broadcasts the
+    * bounded tombstone slice instead. Centroids and the codebook stay:
+    * they are cluster REPRESENTATIVES, and retained vectors' codes are
+    * untouched, so tombstoned-serve == erased-candidate rebuild is EXACT
+    * — full forgetting of the erased vectors' training influence is the
+    * next q303 blue/green generation, which trains on the retained
+    * corpus by construction. */
+  private def annTombstoneTable(spark: org.apache.spark.sql.SparkSession,
+                                dir: String): String =
+    AtRestTables.get(spark, s"eraseann|$dir") { base =>
+      val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val tombT = s"graft_erase_vecs_$sfx"
+      val (_, _, codesT) = ivfIndexTables(spark, dir)
+      val erased = table(spark, dir, "embeddings")
+        .where(QueryBase.erasedId(col("vec_id"))).select("vec_id")
+      spark.table(codesT)
+        .join(broadcast(erased), Seq("vec_id"), "left_semi")
+        .select("cell", "vec_id").distinct()
+        .write.mode("overwrite").option("path", s"$base/tomb")
+        .bucketBy(CellBuckets, "cell").sortBy("cell", "vec_id")
+        .saveAsTable(tombT)
+      Seq(tombT)
+    }.head
+
   /** q129 batch split: vectors with `vec_id % IncrMod == IncrMod - 1` are
     * the NEW batch; the index is trained on everything else. ONE constant
     * shared with the oracle (embedded as literals in both WHEREs). */
@@ -1599,7 +1632,33 @@ object VectorQueries {
     // drift cannot accumulate. At 100 TB: one map-side dim²-fan-out
     // aggregation, then constant-size algebra.
     "q286_covariance_spectrum" -> ((spark, dir) =>
-      covarianceSpectrumOf(spread(table(spark, dir, "embeddings"))))
+      covarianceSpectrumOf(spread(table(spark, dir, "embeddings")))),
+
+    // ERASURE-PROPAGATED ANN SERVE — the q128 nprobe ADC workload kept
+    // running AFTER a GDPR purge, answered from the FULL persisted q127
+    // index with the q305 tombstones anti-joined in (merge-on-read for
+    // vectors): both the code and tombstone reads prune to the probed
+    // cells' buckets via the same literal IN, the anti join drops erased
+    // candidates BEFORE any scoring work, and nothing retrains. The
+    // oracle replays the full-corpus-trained index's ADC with the erased
+    // cohort excluded from candidacy — equality proves the tombstoned
+    // index serves exactly what a read-time-filtered rebuild would, at
+    // O(|erased|) maintenance cost. (The erased vectors' influence on
+    // centroids/codebook is a TRAINING artifact; purging that is the
+    // q303 blue/green rebuild, not a serve-path patch.)
+    "q305_erasure_ann_serve" -> ((spark, dir) => {
+      val (centT, cbT, codesT) = ivfIndexTables(spark, dir)
+      val tombT = annTombstoneTable(spark, dir)
+      val cents = spark.table(centT)
+      val q = spread(table(spark, dir, "embeddings"))
+        .where(col("vec_id") < QueryCount)
+      val cells = probeCells(q, cents, NProbe)
+        .select("cell").distinct().collect().map(_.getLong(0)).sorted
+      val codes = spark.table(codesT).where(col("cell").isin(cells: _*))
+      val tomb = spark.table(tombT).where(col("cell").isin(cells: _*))
+      val live = codes.join(broadcast(tomb), Seq("cell", "vec_id"), "left_anti")
+      ivfProbe(q, cents, spark.table(cbT), live, NProbe)
+    })
   )
 
   /** q286's whole derivation on a caller-supplied (vec_id, label,
@@ -2197,6 +2256,18 @@ object VectorQueries {
          |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rn FROM f)
          |WHERE rn <= 5""".stripMargin
     },
+
+    // the full-corpus-trained ADC replay with the erased cohort barred
+    // from candidacy (the exclusion is per-(query, candidate), so
+    // filtering the aggregated adc frame equals filtering the code rows)
+    // — equality proves tombstoned-serve == read-time-filtered rebuild
+    "q305_erasure_ann_serve" ->
+      s"""WITH ${ivfCte()},
+         |${ivfAdcResidualCtes(NProbe)}
+         |SELECT query_id, vec_id, adc FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rn
+         |  FROM adc WHERE NOT ${QueryBase.erasedSql("vec_id")})
+         |WHERE rn <= 5""".stripMargin,
 
     "q98_rag_retrieve" ->
       s"""WITH ${ivfCte()},
