@@ -167,6 +167,48 @@ object TextQueries {
     (names(0), names(1), names(2))
   }
 
+  /** q308's COMPACTED index — the copy-on-write half of text erasure
+    * (q304's tombstones are merge-on-read: correct immediately, but the
+    * erased bytes still sit in the posting files, and GDPR ultimately
+    * requires them GONE). The compaction rewrites the q148 layout minus
+    * the tombstoned docs — postings anti-joined ONCE at rewrite time
+    * into a fresh term-bucketed generation, the lexicon recounted from
+    * the compacted bytes (stats from what will serve, the q141
+    * discipline — and by the decrement theorem equal to df − ddf), the
+    * doc-length table and stats likewise. After the swap the serve plan
+    * carries NO tombstone or decrement tables (ErasureCompactionSpec
+    * pins that, plus zero erased rows in the compacted bytes), and the
+    * q161 (CoW) / q162 (MoR) pairing is complete at the index level:
+    * q308/q304 must answer identically, which sharing q304's oracle
+    * verbatim proves. */
+  private def compactedIndexTables(spark: org.apache.spark.sql.SparkSession,
+                                   dir: String): (String, String, String, String) = {
+    val names = AtRestTables.get(spark, s"erasecmp|$dir") { base =>
+      val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val (pT, _, dlT) = invertedIndexTables(spark, dir)
+      val (tombT, _, _) = erasureTextTables(spark, dir)
+      val cpT = s"graft_cmp_post_$sfx"; val clT = s"graft_cmp_lex_$sfx"
+      val cdT = s"graft_cmp_dl_$sfx"; val csT = s"graft_cmp_stat_$sfx"
+      val tomb = broadcast(spark.table(tombT))
+      spark.table(pT).join(tomb, Seq("doc_id"), "left_anti")
+        .write.mode("overwrite").option("path", s"$base/post")
+        .bucketBy(PostingBuckets, "term").sortBy("term", "doc_id")
+        .saveAsTable(cpT)
+      AtRestTables.faultPoint("erasecmp:post")
+      spark.table(cpT).groupBy("term").agg(count(lit(1)).as("df"))
+        .write.mode("overwrite").option("path", s"$base/lex").saveAsTable(clT)
+      AtRestTables.faultPoint("erasecmp:lex")
+      spark.table(dlT).join(tomb, Seq("doc_id"), "left_anti")
+        .write.mode("overwrite").option("path", s"$base/dl").saveAsTable(cdT)
+      AtRestTables.faultPoint("erasecmp:dl")
+      spark.table(cdT)
+        .agg(count(lit(1)).as("n_docs"), sum("dl").cast("long").as("sum_dl"))
+        .write.mode("overwrite").option("path", s"$base/stat").saveAsTable(csT)
+      Seq(cpT, clT, cdT, csT)
+    }
+    (names(0), names(1), names(2), names(3))
+  }
+
   /** q261's POSITIONAL postings — (term, doc_id, pos), 1-based, the
     * occurrence-level sibling of the q148 (term, doc_id, tf) table. Same
     * tokenization, same term-bucketed layout; ~n_tokens rows instead of
@@ -1320,53 +1362,112 @@ object TextQueries {
     // maintenance cost instead of O(corpus). The final rank rides
     // saltedTopK (candidate lists are corpus-proportional in df).
     "q304_erasure_text_serve" -> ((spark, dir) => {
-      val (pT, tT, dlT) = invertedIndexTables(spark, dir)
       val (tombT, decT, statT) = erasureTextTables(spark, dir)
-      val toksC = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
-      // query terms tokenize ONLY the query docs (retained by the
-      // EraseProtect floor, so the workload survives its own purge)
-      val qtf = table(spark, dir, "documents")
-        .where(col("doc_id") < EraseQueries)
-        .select(col("doc_id"), explode(toksC).as("term"))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val wq = Window.partitionBy("doc_id").orderBy(desc("tf"), col("term"))
-      val qterms = qtf.withColumn("rn", row_number().over(wq))
-        .where(col("rn") <= EraseQTerms)
-        .select(col("doc_id").as("query_id"), col("term"))
-      val terms = qterms.select("term").distinct()
-        .collect().map(_.getString(0)).sorted
-      val post0 =
-        if (terms.isEmpty) spark.table(pT).limit(0)
-        else spark.table(pT).where(col("term").isin(terms: _*))
-      val post = post0
-        .join(broadcast(spark.table(tombT)), Seq("doc_id"), "left_anti")
-      val dec = spark.table(decT).where(col("term").isin(terms: _*))
-      val lex = spark.table(tT).where(col("term").isin(terms: _*))
-        .join(broadcast(dec), Seq("term"), "left")
-        .select(col("term"),
-          (col("df") - coalesce(col("ddf"), lit(0L))).as("df"))
-        .where(col("df") > 0L)
-      val stats = spark.table(statT)
-      val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
-      val idfR = pround(log(
-        ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
-          (col("df").cast("double") + lit(0.5)) + lit(1.0)), 6)
-      val tnorm = (col("tf").cast("double") * lit(K1p1)) /
-        (col("tf").cast("double") +
-          lit(K1) * (lit(OneMinusB) + lit(B) * (col("dl").cast("double") / avgdl)))
-      val cand = post.join(broadcast(qterms), Seq("term"))
-        .where(col("doc_id") =!= col("query_id"))
-        .join(broadcast(lex), Seq("term"))
-      saltedTopK(
-        spark.table(dlT).join(broadcast(cand), Seq("doc_id"))
-          .crossJoin(broadcast(stats))
-          .select(col("query_id"), col("doc_id"), pround(idfR * tnorm, 6).as("s"))
-          .groupBy("query_id", "doc_id").agg(xsum(col("s"), 6).as("sc")),
-        Seq("query_id"), Seq(desc("sc"), col("doc_id")),
-        col("doc_id"), EraseDepth, "rnk")
-        .select(col("query_id"), col("doc_id"), col("sc"), col("rnk"))
+      erasedBm25Serve(spark, dir, spark.table(tombT), spark.table(decT),
+        spark.table(statT))
+    }),
+
+    // ERASURE COMPACTION SERVE — the copy-on-write answer to the same
+    // workload q304 serves merge-on-read: BM25 over the COMPACTED index
+    // generation (postings/lexicon/doc-lengths/stats rewritten minus the
+    // tombstoned docs, erased bytes physically gone), with no tombstone
+    // or decrement table anywhere in the plan. Shares q304's oracle
+    // verbatim — the two delete styles answering one truth is the
+    // q161/q162 CoW/MoR agreement at the index level.
+    "q308_erasure_compaction" -> ((spark, dir) => {
+      val (cpT, clT, cdT, csT) = compactedIndexTables(spark, dir)
+      val (qterms, terms) = eraseQueryTerms(spark, dir)
+      val post =
+        if (terms.isEmpty) spark.table(cpT).limit(0)
+        else spark.table(cpT).where(col("term").isin(terms: _*))
+      val lex = spark.table(clT).where(col("term").isin(terms: _*))
+      bm25Tail(qterms, post, lex, spark.table(cdT), spark.table(csT))
     })
   )
+
+  /** The q304 erased-BM25 serve over a caller-supplied erasure store
+    * (tombstone doc set; per-term df decrements; retained one-row
+    * (n_docs, sum_dl) stats) — ONE definition shared by the q304 at-rest
+    * path and [[graft.streaming.StreamingErasure]]'s replay proof (the
+    * encodeAgainstIndex discipline applied to forgetting), so the
+    * stream-maintained erasure state cannot drift from the batch purge.
+    * Serving shape: query terms tokenize ONLY the query docs (retained by
+    * the EraseProtect floor, so the workload survives its own purge),
+    * posting/lexicon/decrement scans prune to the ≤ queries·terms literal
+    * term set, tombstones drop candidates via a broadcast anti join, df
+    * comes from the full lexicon MINUS the decrements, and the length
+    * norm uses the retained stats row (stale avgdl is the subtle bug this
+    * query exists to catch). */
+  private[graft] def erasedBm25Serve(spark: org.apache.spark.sql.SparkSession,
+      dir: String, tomb: org.apache.spark.sql.DataFrame,
+      dec0: org.apache.spark.sql.DataFrame,
+      stats: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val (pT, tT, dlT) = invertedIndexTables(spark, dir)
+    val (qterms, terms) = eraseQueryTerms(spark, dir)
+    val post0 =
+      if (terms.isEmpty) spark.table(pT).limit(0)
+      else spark.table(pT).where(col("term").isin(terms: _*))
+    val post = post0.join(broadcast(tomb), Seq("doc_id"), "left_anti")
+    val dec = dec0.where(col("term").isin(terms: _*))
+    val lex = spark.table(tT).where(col("term").isin(terms: _*))
+      .join(broadcast(dec), Seq("term"), "left")
+      .select(col("term"),
+        (col("df") - coalesce(col("ddf"), lit(0L))).as("df"))
+      .where(col("df") > 0L)
+    bm25Tail(qterms, post, lex, spark.table(dlT), stats)
+  }
+
+  /** The q304/q308 query-term derivation: the top-[[EraseQTerms]] terms
+    * of each query doc (ids < [[EraseQueries]], retained by the
+    * EraseProtect floor), tokenized from the query docs only; the term
+    * strings come back driver-side (≤ queries·terms rows, the q148
+    * literal idiom) so every store scan bucket-prunes. */
+  private def eraseQueryTerms(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame, Seq[String]) = {
+    val toksC = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+    val qtf = table(spark, dir, "documents")
+      .where(col("doc_id") < EraseQueries)
+      .select(col("doc_id"), explode(toksC).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val wq = Window.partitionBy("doc_id").orderBy(desc("tf"), col("term"))
+    val qterms = qtf.withColumn("rn", row_number().over(wq))
+      .where(col("rn") <= EraseQTerms)
+      .select(col("doc_id").as("query_id"), col("term"))
+    val terms = qterms.select("term").distinct()
+      .collect().map(_.getString(0)).sorted.toIndexedSeq
+    (qterms, terms)
+  }
+
+  /** The BM25 scoring + salted rank tail over whichever (post, lex, dl,
+    * stats) frames serve — ONE arithmetic for the q304 tombstone path
+    * and the q308 compacted path, so the two erasure styles cannot
+    * drift. All inputs except `dl` are bounded (term-pruned / one row)
+    * and broadcast; `dl` is the docs-sized side its candidates broadcast
+    * into. */
+  private def bm25Tail(qterms: org.apache.spark.sql.DataFrame,
+      post: org.apache.spark.sql.DataFrame,
+      lex: org.apache.spark.sql.DataFrame,
+      dl: org.apache.spark.sql.DataFrame,
+      stats: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+    val idfR = pround(log(
+      ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)) + lit(1.0)), 6)
+    val tnorm = (col("tf").cast("double") * lit(K1p1)) /
+      (col("tf").cast("double") +
+        lit(K1) * (lit(OneMinusB) + lit(B) * (col("dl").cast("double") / avgdl)))
+    val cand = post.join(broadcast(qterms), Seq("term"))
+      .where(col("doc_id") =!= col("query_id"))
+      .join(broadcast(lex), Seq("term"))
+    saltedTopK(
+      dl.join(broadcast(cand), Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .select(col("query_id"), col("doc_id"), pround(idfR * tnorm, 6).as("s"))
+        .groupBy("query_id", "doc_id").agg(xsum(col("s"), 6).as("sc")),
+      Seq("query_id"), Seq(desc("sc"), col("doc_id")),
+      col("doc_id"), EraseDepth, "rnk")
+      .select(col("query_id"), col("doc_id"), col("sc"), col("rnk"))
+  }
 
   /** q294/q295's shared per-split report tail: the 3-row split aggregate
     * crossed with the broadcast funnel/extra 1-row frames. */
@@ -2040,8 +2141,14 @@ object TextQueries {
     // the FULL rebuild over the retained corpus (the erasure predicate
     // inverted in ONE WHERE) — postings, lexicon, stats, BM25, rank all
     // recomputed from scratch; equality proves the Spark side's
-    // tombstone + decrement serve reconstructs it exactly
-    "q304_erasure_text_serve" -> {
+    // tombstone + decrement serve reconstructs it exactly. q308 shares
+    // this text VERBATIM (the purgeOracleSql idiom): merge-on-read and
+    // the compacted rewrite must answer the same truth.
+    "q304_erasure_text_serve" -> erasureOracleSql,
+    "q308_erasure_compaction" -> erasureOracleSql
+  )
+
+  private def erasureOracleSql: String = {
       val idf = sround(
         s"ln((CAST(n_docs - df AS DOUBLE) + ${dlit(0.5)}) / (CAST(df AS DOUBLE) + ${dlit(0.5)}) + ${dlit(1.0)})", 6)
       val avgdl = "(CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))"
@@ -2068,8 +2175,7 @@ object TextQueries {
          |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sc DESC, doc_id) AS rnk
          |  FROM spq)
          |WHERE rnk <= $EraseDepth""".stripMargin
-    }
-  )
+  }
 
   /** The q36 quality-signal ingredient select-list over (toks, text) SQL
     * expressions — ONE definition shared by the q36/q255 oracles and

@@ -513,6 +513,35 @@ object VectorQueries {
       Seq(tombT)
     }.head
 
+  /** q307's GREEN generation — the full-forget half of the erasure
+    * lifecycle that q305's tombstones only defer: centroids, codebook and
+    * codes ALL retrained on the retained corpus (the erased vectors'
+    * influence on the quantizers is gone, not just their candidacy),
+    * persisted in the q127 layout beside the tombstoned blue generation.
+    * This is the q303 blue/green swap driven by a purge instead of an
+    * arrival batch: tombstones serve correctness NOW at O(|erased|), the
+    * nightly rebuild makes forgetting total, and after the swap the
+    * cohort's tombstones retire. */
+  private def retainedIvfTables(spark: org.apache.spark.sql.SparkSession,
+                                dir: String): (String, String, String) = {
+    val names = AtRestTables.get(spark, s"eraseann2|$dir") { base =>
+      val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val (cents, cb, codes) = ivfBuildFrames(spark, dir,
+        Some(!QueryBase.erasedId(col("vec_id"))))
+      val centT = s"graft_ivfr_cents_$sfx"
+      val cbT = s"graft_ivfr_cb_$sfx"
+      val codesT = s"graft_ivfr_codes_$sfx"
+      cents.write.mode("overwrite").option("path", s"$base/cents").saveAsTable(centT)
+      AtRestTables.faultPoint("eraseann2:cents")
+      cb.write.mode("overwrite").option("path", s"$base/cb").saveAsTable(cbT)
+      AtRestTables.faultPoint("eraseann2:cb")
+      codes.write.mode("overwrite").option("path", s"$base/codes")
+        .bucketBy(CellBuckets, "cell").sortBy("cell").saveAsTable(codesT)
+      Seq(centT, cbT, codesT)
+    }
+    (names(0), names(1), names(2))
+  }
+
   /** q129 batch split: vectors with `vec_id % IncrMod == IncrMod - 1` are
     * the NEW batch; the index is trained on everything else. ONE constant
     * shared with the oracle (embedded as literals in both WHEREs). */
@@ -1658,6 +1687,30 @@ object VectorQueries {
       val tomb = spark.table(tombT).where(col("cell").isin(cells: _*))
       val live = codes.join(broadcast(tomb), Seq("cell", "vec_id"), "left_anti")
       ivfProbe(q, cents, spark.table(cbT), live, NProbe)
+    }),
+
+    // FULL-FORGET REBUILD — the green generation of the erasure story:
+    // q305 keeps serving NOW by tombstoning the blue index; this is the
+    // nightly rebuild whose quantizers never saw the erased vectors
+    // (centroids stride-sampled from the retained corpus, codebook
+    // trained on retained residuals, codes for retained vectors only),
+    // persisted in the q127 layout and probed identically. The oracle
+    // retrains the whole chain on the retained corpus — a green row
+    // proves the persisted green generation IS the from-scratch retained
+    // index, so after the blue/green swap (q303's mechanism) the
+    // cohort's tombstones can retire. Results differ from q305's by
+    // exactly the quantizer shift, which is the point: candidacy erasure
+    // (q305) and training erasure (q307) are different guarantees, and
+    // the engine serves both.
+    "q307_erasure_forget_rebuild" -> ((spark, dir) => {
+      val (centT, cbT, codesT) = retainedIvfTables(spark, dir)
+      val cents = spark.table(centT)
+      val q = spread(table(spark, dir, "embeddings"))
+        .where(col("vec_id") < QueryCount)
+      val cells = probeCells(q, cents, NProbe)
+        .select("cell").distinct().collect().map(_.getLong(0)).sorted
+      val codes = spark.table(codesT).where(col("cell").isin(cells: _*))
+      ivfProbe(q, cents, spark.table(cbT), codes, NProbe)
     })
   )
 
@@ -2267,6 +2320,20 @@ object VectorQueries {
          |SELECT query_id, vec_id, adc FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rn
          |  FROM adc WHERE NOT ${QueryBase.erasedSql("vec_id")})
+         |WHERE rn <= 5""".stripMargin,
+
+    // the ENTIRE training chain replayed over the retained corpus (one
+    // WHERE; stride, centroids, codebook, codes, probe all derive from
+    // it) — equality proves the persisted green generation is the
+    // from-scratch retained index, quantizers included
+    "q307_erasure_forget_rebuild" ->
+      s"""WITH embr AS (SELECT * FROM embeddings
+         |              WHERE NOT ${QueryBase.erasedSql("vec_id")}),
+         |${ivfCte("embr")},
+         |${ivfAdcResidualCtes(NProbe)}
+         |SELECT query_id, vec_id, adc FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rn
+         |  FROM adc)
          |WHERE rn <= 5""".stripMargin,
 
     "q98_rag_retrieve" ->

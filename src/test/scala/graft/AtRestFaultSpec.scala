@@ -243,6 +243,53 @@ class AtRestFaultSpec extends AnyFunSuite with BeforeAndAfterAll {
     killAndRecover("mmgen:codes1", () => probe1(), expected)
   }
 
+  test("the REAL q304 erasure-store build killed in each inter-write window publishes nothing; the erased serve recovers") {
+    // the erasure-propagation hazard: a purge job that dies after the
+    // tombstones land but before the df decrements (or the retained
+    // stats) would serve a HALF-FORGOTTEN index — candidates gone but
+    // ranking still computed with the pre-purge statistics. The registry
+    // must refuse the partial store and the re-run must converge to the
+    // clean erased serve bit-for-bit.
+    val expected = rows(graft.queries.TextQueries
+      .defs("q304_erasure_text_serve")(spark, dataDir("ers_clean", "documents")))
+    assert(expected.nonEmpty)
+    // window 1: tombstones landed, decrements + retained stats did not
+    val d1 = dataDir("ers_k1", "documents")
+    def probe1() = graft.queries.TextQueries.defs("q304_erasure_text_serve")(spark, d1)
+    killAndRecover("erasetxt:tomb", () => probe1(), expected)
+    // window 2: tombstones + decrements landed, retained stats did not
+    val d2 = dataDir("ers_k2", "documents")
+    def probe2() = graft.queries.TextQueries.defs("q304_erasure_text_serve")(spark, d2)
+    killAndRecover("erasetxt:dfdec", () => probe2(), expected)
+  }
+
+  test("the REAL q307 retained-index build killed in each inter-write window publishes nothing") {
+    val expected = rows(graft.queries.VectorQueries
+      .defs("q307_erasure_forget_rebuild")(spark, dataDir("fgt_clean", "embeddings")))
+    assert(expected.nonEmpty)
+    val d1 = dataDir("fgt_k1", "embeddings")
+    def probe1() = graft.queries.VectorQueries.defs("q307_erasure_forget_rebuild")(spark, d1)
+    killAndRecover("eraseann2:cents", () => probe1(), expected)
+    val d2 = dataDir("fgt_k2", "embeddings")
+    def probe2() = graft.queries.VectorQueries.defs("q307_erasure_forget_rebuild")(spark, d2)
+    killAndRecover("eraseann2:cb", () => probe2(), expected)
+  }
+
+  test("the REAL q308 compaction killed in each inter-write window publishes nothing; the swap never half-lands") {
+    // the compaction hazard is worse than a build's: a half-landed
+    // rewrite that served would mix compacted postings with
+    // pre-compaction statistics — the same half-forgotten state the q304
+    // window guards against, now on the CoW path
+    val expected = rows(graft.queries.TextQueries
+      .defs("q308_erasure_compaction")(spark, dataDir("cmp_clean", "documents")))
+    assert(expected.nonEmpty)
+    for ((tag, i) <- Seq("erasecmp:post", "erasecmp:lex", "erasecmp:dl").zipWithIndex) {
+      val d = dataDir(s"cmp_k$i", "documents")
+      def probe() = graft.queries.TextQueries.defs("q308_erasure_compaction")(spark, d)
+      killAndRecover(tag, () => probe(), expected)
+    }
+  }
+
   test("a killed manifest append recovers: first-ever crash, mid-life crash, no dupes") {
     val layout = s"$base/mlayout"
     val manifest = s"$base/mmanifest"

@@ -254,6 +254,7 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       "q89_pq_adc" -> Seq(1, 2),               // pure-ADC scan (q104 shares it)
       "q104_opq_adc" -> Seq(1, 2),
       "q128_ivf_index_probe" -> Seq(1, 2),     // probed-cell ADC tail
+      "q307_erasure_forget_rebuild" -> Seq(1, 2), // the retained green generation's probe
       // the r16 sweep below the verdict's top-5 cut — same anti-pattern,
       // same fix (candidate frames are corpus-proportional: in-cell
       // members, hot LSH buckets, the BM25 postings, the kNN crossJoin)
@@ -281,6 +282,48 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(widths == want,
         s"$q must cut candidates on (query_id, salt) before the per-query rank, got $widths")
     }
+  }
+
+  test("q304 serves the erased BM25 from the persisted index + tombstones, nothing rebuilt") {
+    val df = graft.queries.TextQueries.defs("q304_erasure_text_serve")(spark, dir)
+    assert(singleTaskWindows(df) == 0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_inv_post") && plan.contains("graft_erase_docs"),
+      s"the persisted postings AND the tombstone store must both serve:\n$plan")
+    assert(plan.contains("SelectedBucketsCount"),
+      s"the posting scan must bucket-prune on the literal query terms:\n$plan")
+    assert("documents\\.parquet".r.findAllIn(plan).length == 1,
+      s"only the query docs may scan documents (the erased corpus is never re-read):\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"every q304 join is bounded and must broadcast:\n$plan")
+    // window tree, top-down: the salted per-query rank pair over the
+    // Σ df candidates, then the bounded per-query-doc term cut
+    val widths = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+        w.partitionSpec.size
+    }
+    assert(widths == Seq(1, 2, 1),
+      s"q304 must rank candidates via the salted two-phase, got $widths")
+  }
+
+  test("q305 serves the erased ADC from the persisted index + tombstones, both bucket-pruned") {
+    val df = VectorQueries.defs("q305_erasure_ann_serve")(spark, dir)
+    assert(singleTaskWindows(df) == 0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_ivf_codes") && plan.contains("graft_erase_vecs"),
+      s"the persisted codes AND the tombstone store must both serve:\n$plan")
+    assert("SelectedBucketsCount".r.findAllIn(plan).length >= 2,
+      s"the code AND tombstone scans must both prune to the probed cells' buckets:\n$plan")
+    assert("embeddings\\.parquet".r.findAllIn(plan).length == 1,
+      s"only the query vectors may scan embeddings (no training stage, no corpus rescan):\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"the tombstone anti join and the LUT joins must broadcast:\n$plan")
+    val widths = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+        w.partitionSpec.size
+    }
+    assert(widths == Seq(1, 2),
+      s"q305's ADC rank must ride the salted two-phase, got $widths")
   }
 
   test("q286 accumulates the Gram matrix with the partial aggregator, no pair explode") {
