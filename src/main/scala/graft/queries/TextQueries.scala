@@ -1382,6 +1382,33 @@ object TextQueries {
         else spark.table(cpT).where(col("term").isin(terms: _*))
       val lex = spark.table(clT).where(col("term").isin(terms: _*))
       bm25Tail(qterms, post, lex, spark.table(cdT), spark.table(csT))
+    }),
+
+    // ERASURE AUDIT — the compliance report a purge pipeline files: how
+    // many rows of the erased cohort are still PHYSICALLY PRESENT in
+    // each at-rest artifact. The merge-on-read generation is expected to
+    // hold them (tombstones defer the bytes, that's its contract); the
+    // compacted generation must hold ZERO. Each count is measured from
+    // the persisted serving bytes themselves (semi join against the
+    // tombstones — at scale this audit scan is the same one the
+    // compaction already pays); the oracle derives the expected ledger
+    // from the raw corpus: the MoR rows are the erased docs' distinct
+    // (term, doc) pairs / doc count, and the compacted rows are
+    // identically zero. A red row here is a GDPR violation, found by
+    // the gate instead of an auditor.
+    "q309_erasure_audit" -> ((spark, dir) => {
+      val (pT, _, dlT) = invertedIndexTables(spark, dir)
+      val (tombT, _, _) = erasureTextTables(spark, dir)
+      val (cpT, _, cdT, _) = compactedIndexTables(spark, dir)
+      val tomb = broadcast(spark.table(tombT))
+      def leaks(t: String, label: String) =
+        spark.table(t).join(tomb, Seq("doc_id"), "left_semi")
+          .agg(count(lit(1)).as("erased_rows"))
+          .select(lit(label).as("artifact"), col("erased_rows"))
+      leaks(pT, "postings_mor_bytes")
+        .unionByName(leaks(cpT, "postings_compacted"))
+        .unionByName(leaks(dlT, "doclen_mor_bytes"))
+        .unionByName(leaks(cdT, "doclen_compacted"))
     })
   )
 
@@ -2145,7 +2172,23 @@ object TextQueries {
     // this text VERBATIM (the purgeOracleSql idiom): merge-on-read and
     // the compacted rewrite must answer the same truth.
     "q304_erasure_text_serve" -> erasureOracleSql,
-    "q308_erasure_compaction" -> erasureOracleSql
+    "q308_erasure_compaction" -> erasureOracleSql,
+
+    // the expected compliance ledger from the raw corpus: MoR bytes hold
+    // exactly the erased docs' postings / doc rows, compacted bytes hold
+    // zero — the Spark side measures the PERSISTED tables, so a green
+    // row proves the physical state matches the ledger
+    "q309_erasure_audit" ->
+      s"""WITH er AS (SELECT doc_id, $toksSqlD AS toks FROM documents
+         |            WHERE ${QueryBase.erasedSql("doc_id")}),
+         |pm AS (SELECT CAST(count(*) AS BIGINT) AS c FROM (
+         |  SELECT DISTINCT doc_id, term FROM (
+         |    SELECT doc_id, unnest(toks) AS term FROM er))),
+         |dm AS (SELECT CAST(count(*) AS BIGINT) AS c FROM er)
+         |SELECT 'postings_mor_bytes' AS artifact, c AS erased_rows FROM pm
+         |UNION ALL SELECT 'postings_compacted', CAST(0 AS BIGINT) FROM pm
+         |UNION ALL SELECT 'doclen_mor_bytes', c FROM dm
+         |UNION ALL SELECT 'doclen_compacted', CAST(0 AS BIGINT) FROM dm""".stripMargin
   )
 
   private def erasureOracleSql: String = {
