@@ -273,7 +273,7 @@ object DedupQueries {
     * (positional grams need that many). The filter-nonempty tokenization
     * shared with TextHash.tokenize / TextSql.toks. */
   private def spanDocs(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+    val toks = toksCol
     spread(table(spark, dir, "documents"))
       .select(col("doc_id"), toks.as("toks"))
       .where(size(col("toks")) >= 3)
@@ -1541,7 +1541,7 @@ object DedupQueries {
           col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
-      val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+      val toks = toksCol
       val tf = tcache(spread(table(spark, dir, "documents"))
         .select(col("doc_id"), explode(toks).as("tok"))
         .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf")), "q214:tf")

@@ -160,6 +160,15 @@ object QueryBase {
   def spread(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
+  /** THE tokenize, Spark surface — the filter-nonempty formulation of
+    * the engine-wide tokenization invariant (twins:
+    * `graft.sax.TextHash.tokenize` for driver-side Scala,
+    * `graft.sql.TextSql.toks` for generated DuckDB SQL). Every Spark
+    * query that tokenizes `text` uses THIS column, so the formulation
+    * cannot drift per site (it was 33 inline copies before r16's
+    * consolidation). */
+  def toksCol: Column = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+
   /** Phase-1 fan-out for [[saltedTopK]] (q79's SkewSaltFan discipline):
     * pure plan shape — survivor supersets make results independent of the
     * value, so there is no oracle surface. ONE constant for every salted

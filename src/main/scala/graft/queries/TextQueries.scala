@@ -76,7 +76,7 @@ object TextQueries {
     * construction (the encodeAgainstIndex discipline applied to text). */
   private[graft] def postingsOf(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+    val toks = toksCol
     docs.select(col("doc_id"), explode(toks).as("term"))
       .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
   }
@@ -100,7 +100,7 @@ object TextQueries {
       // per-doc token lengths — the BM25 normalization metadata a text
       // index persists beside its postings (q302 serves from it; doc-id
       // keyed, docs-sized, one INT per doc)
-      val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+      val toks = toksCol
       spread(table(spark, dir, "documents"))
         .select(col("doc_id"), size(toks).as("dl"))
         .write.mode("overwrite").option("path", s"$base/dl").saveAsTable(dT)
@@ -150,11 +150,12 @@ object TextQueries {
       val decT = s"graft_erase_dfdec_$sfx"
       val statT = s"graft_erase_dlstat_$sfx"
       val (_, _, dlT) = invertedIndexTables(spark, dir)
-      val docs = table(spark, dir, "documents")
-      val erased = docs.where(QueryBase.erasedId(col("doc_id"))).select("doc_id")
-      erased.write.mode("overwrite").option("path", s"$base/tomb").saveAsTable(tombT)
+      val erasedDocs = table(spark, dir, "documents")
+        .where(QueryBase.erasedId(col("doc_id")))
+      erasedDocs.select("doc_id")
+        .write.mode("overwrite").option("path", s"$base/tomb").saveAsTable(tombT)
       AtRestTables.faultPoint("erasetxt:tomb")
-      postingsOf(docs.where(QueryBase.erasedId(col("doc_id"))))
+      postingsOf(erasedDocs)
         .groupBy("term").agg(count(lit(1)).as("ddf"))
         .write.mode("overwrite").option("path", s"$base/dfdec").saveAsTable(decT)
       AtRestTables.faultPoint("erasetxt:dfdec")
@@ -219,7 +220,7 @@ object TextQueries {
     AtRestTables.get(spark, s"invpos|$dir") { base =>
       val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
       val posT = s"graft_inv_ppos_$sfx"
-      val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+      val toks = toksCol
       spread(table(spark, dir, "documents"))
         .select(col("doc_id"), posexplode(toks).as(Seq("p0", "term")))
         .select(col("term"), col("doc_id"), (col("p0") + lit(1L)).as("pos"))
@@ -256,7 +257,7 @@ object TextQueries {
         .repartitionByRange(BloomFiles, col("doc_id"))
         .sortWithinPartitions("doc_id")
         .write.mode("overwrite").option("path", s"$base/bloomed").saveAsTable(dT)
-      val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+      val toks = toksCol
       // manifest derived from the bytes that will serve (the q141
       // discipline); hash60 = conv(md5 prefix) matches TextHash.hash60
       spark.read.parquet(s"$base/bloomed")
@@ -324,7 +325,7 @@ object TextQueries {
     * arithmetic without a doc-sized join to recover the language. */
   private def qualityFrame(spark: org.apache.spark.sql.SparkSession,
                            dir: String): org.apache.spark.sql.DataFrame = {
-    val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+    val toks = toksCol
     val d = spread(table(spark, dir, "documents"))
       .select(col("doc_id"), col("lang"), col("text"), toks.as("toks"))
       .select(Seq(col("doc_id"), col("lang")) ++
@@ -368,7 +369,7 @@ object TextQueries {
     // language ID: argmax of marker-token counts (ties by profile order);
     // scores/argmax via the shared langScoreCols/predLangCol definitions
     "q35_lang_id" -> ((spark, dir) => {
-      val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+      val toks = toksCol
       spread(table(spark, dir, "documents"))
         .select(col("doc_id"), toks.as("toks"))
         .select(Seq(col("doc_id")) ++ langScoreCols(col("toks")): _*)
@@ -393,7 +394,7 @@ object TextQueries {
     // explode parallelizes per document with no shuffle.
     "q39_chunking" -> ((spark, dir) => {
       val size = 20; val stride = 15
-      val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+      val toks = toksCol
       spread(table(spark, dir, "documents"))
         .select(col("doc_id"), toks.as("toks"))
         .select(col("doc_id"), col("toks"),
@@ -475,7 +476,7 @@ object TextQueries {
       val h = conv(substring(md5(concat(lit("wsamp:"), col("doc_id").cast("string"))), 1, 15), 16, 10)
         .cast("long")
       val u = (h + lit(1L)).cast("double") / lit(math.pow(2, 60))
-      val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+      val toks = toksCol
       spread(table(spark, dir, "documents"))
         .select(col("doc_id"), (size(toks) + 1).cast("long").as("w"), u.as("u"))
         .select(col("doc_id"), col("w"),
@@ -491,7 +492,7 @@ object TextQueries {
     // dedup groupBy — filters run BEFORE the expensive stage, the order
     // that matters at 100 TB.
     "q60_pipeline_e2e" -> ((spark, dir) => {
-      val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+      val toks = toksCol
       val d = spread(table(spark, dir, "documents"))
         .select(col("doc_id"), col("lang"), col("text"), toks.as("toks"))
         .select(col("doc_id"), col("lang"), col("text"),
@@ -531,7 +532,7 @@ object TextQueries {
     "q69_sequence_packing" -> ((spark, dir) => {
       val budget = 512L
       val nShards = 8
-      val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+      val toks = toksCol
       val shard = (conv(substring(md5(concat(lit("pack:"), col("doc_id").cast("string"))), 1, 15), 16, 10)
         .cast("long") % nShards).cast("int")
       val d = spread(table(spark, dir, "documents"))
@@ -549,7 +550,7 @@ object TextQueries {
     // corpus vocabulary stats: top-50 tokens by frequency (map-side
     // combinable token counts; ties broken lexicographically)
     "q48_vocab" -> ((spark, dir) => {
-      val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+      val toks = toksCol
       spread(table(spark, dir, "documents"))
         .select(explode(toks).as("token"))
         .groupBy("token").agg(count(lit(1)).as("freq"))
@@ -566,7 +567,7 @@ object TextQueries {
     // still broadcasts it while genuinely small), one per-doc top-k
     // window.
     "q50_tfidf" -> ((spark, dir) => {
-      val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+      val toks = toksCol
       val pairs = spread(table(spark, dir, "documents"))
         .select(col("doc_id"), explode(toks).as("token"))
       val tf = pairs.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
@@ -588,7 +589,7 @@ object TextQueries {
     // with the order-independent scaled-integer sum, and ranked — the
     // composition a search pipeline runs (vocab stats → scoring → top-k).
     "q51_bm25" -> ((spark, dir) => {
-      val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+      val toks = toksCol
       val docs = spread(table(spark, dir, "documents"))
         .select(col("doc_id"), toks.as("toks"))
       val dl = docs.select(col("doc_id"), size(col("toks")).as("dl"))
@@ -624,7 +625,7 @@ object TextQueries {
     // docs (< 3 tokens) degrade to one whole-doc gram like TextHash
     // .shingles, so rep_frac = 0 rather than a divide-by-zero.
     "q67_intradoc_repetition" -> ((spark, dir) => {
-      val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+      val toks = toksCol
       spread(table(spark, dir, "documents"))
         .select(col("doc_id"), toks.as("toks"))
         .select(col("doc_id"),
@@ -648,7 +649,7 @@ object TextQueries {
     // vocabulary dictionary joins unhinted (it grows with the corpus);
     // the 1-row total is the broadcast side.
     "q76_unigram_logprob" -> ((spark, dir) => {
-      val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+      val toks = toksCol
       val pairs = spread(table(spark, dir, "documents"))
         .select(col("doc_id"), explode(toks).as("token"))
       val freq = pairs.groupBy("token").agg(count(lit(1)).as("freq"))
@@ -670,7 +671,7 @@ object TextQueries {
     // as a single in-memory map — the shape that survives documents wider
     // than one task's heap.
     "q85_token_burstiness" -> ((spark, dir) => {
-      val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+      val toks = toksCol
       val tf = spread(table(spark, dir, "documents"))
         .select(col("doc_id"), explode(toks).as("token"))
         .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
@@ -722,7 +723,7 @@ object TextQueries {
     // < 2 tokens have no bigram slots and emit no row (documented).
     "q88_bigram_logprob" -> ((spark, dir) => {
       val alpha = 0.4
-      val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+      val toks = toksCol
       val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
         .cast("long") % 100).cast("int")
       val d = spread(table(spark, dir, "documents"))
@@ -775,7 +776,7 @@ object TextQueries {
     // while genuinely small) plus the 1-row (t_total, vocab) broadcast.
     "q93_trigram_logprob" -> ((spark, dir) => {
       val alpha = 0.4
-      val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+      val toks = toksCol
       val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
         .cast("long") % 100).cast("int")
       val d = spread(table(spark, dir, "documents"))
@@ -870,7 +871,7 @@ object TextQueries {
     // constants are embedded into the oracle SQL from [[ScrubTerms]] /
     // [[ScrubRegex]].
     "q115_blocklist_scrub" -> ((spark, dir) => {
-      val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+      val toks = toksCol
       val red = transform(col("toks"), t =>
         when(t.isInCollection(ScrubTerms), lit("<redacted>"))
           .when(t.rlike(ScrubRegex), lit("<redacted>"))
@@ -896,7 +897,7 @@ object TextQueries {
     // per distinct term. Two combinable aggs on (doc, token) and (doc) —
     // scan-shaped at any corpus size.
     "q124_token_entropy" -> ((spark, dir) => {
-      val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+      val toks = toksCol
       val tf = spread(table(spark, dir, "documents"))
         .select(col("doc_id"), explode(toks).as("t"))
         .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
@@ -921,7 +922,7 @@ object TextQueries {
     // for entropy, map-side scrub, one hash-dedup shuffle, one bounded
     // lang agg — q60's scale discipline with the new signals in line.
     "q125_prep_pipeline_v2" -> ((spark, dir) => {
-      val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+      val toks = toksCol
       val d0 = spread(table(spark, dir, "documents"))
         .select(col("doc_id"), col("lang"), toks.as("toks"))
       val tf = d0.select(col("doc_id"), explode(col("toks")).as("t"))
@@ -1099,7 +1100,7 @@ object TextQueries {
     // integer micros, so the closed form divides identical integers —
     // chained doubles never accumulate across rows.
     "q200_zipf_fit" -> ((spark, dir) => {
-      val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+      val toks = toksCol
       val vocab = spread(table(spark, dir, "documents"))
         .select(explode(toks).as("token"))
         .groupBy("token").agg(count(lit(1)).as("freq"))
@@ -1141,7 +1142,7 @@ object TextQueries {
     // pins the opened-file subset.
     "q212_bloom_file_skip" -> ((spark, dir) => {
       val (dT, mT) = bloomDocsTables(spark, dir)
-      val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+      val toks = toksCol
       val rare = table(spark, dir, "documents")
         .select(explode(toks).as("t"))
         .groupBy("t").agg(count(lit(1)).as("freq"))
@@ -1187,7 +1188,7 @@ object TextQueries {
     "q281_mcnemar" -> ((spark, dir) =>
       mcnemarOf(spread(table(spark, dir, "documents"))
         .select((length(col("text")) >= McnCharMin).as("pa"),
-          (size(filter(split(lower(col("text")), "\\s+"), t => t =!= ""))
+          (size(toksCol)
             >= McnTokMin).as("pb")))),
 
     // READABILITY SCORING — the Flesch-reading-ease shape as a
@@ -1202,7 +1203,7 @@ object TextQueries {
     "q287_readability" -> ((spark, dir) => {
       val d = spread(table(spark, dir, "documents"))
         .select(col("source"),
-          size(filter(split(lower(col("text")), "\\s+"), t => t =!= ""))
+          size(toksCol)
             .cast("long").as("words"),
           greatest(size(regexp_extract_all(col("text"), lit("[.!?]"), lit(0)))
             .cast("long"), lit(1L)).as("sents"),
@@ -1230,7 +1231,7 @@ object TextQueries {
     // shares divide exact integers. Deterministic under ties via the
     // total (freq DESC, token) order.
     "q288_vocab_coverage" -> ((spark, dir) => {
-      val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+      val toks = toksCol
       val tv = spread(table(spark, dir, "documents"))
         .select(explode(toks).as("token"))
         .groupBy("token").agg(count(lit(1)).as("freq"))
@@ -1451,7 +1452,7 @@ object TextQueries {
     * literal idiom) so every store scan bucket-prunes. */
   private def eraseQueryTerms(spark: org.apache.spark.sql.SparkSession,
       dir: String): (org.apache.spark.sql.DataFrame, Seq[String]) = {
-    val toksC = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+    val toksC = toksCol
     val qtf = table(spark, dir, "documents")
       .where(col("doc_id") < EraseQueries)
       .select(col("doc_id"), explode(toksC).as("term"))
@@ -1530,7 +1531,7 @@ object TextQueries {
     * joins to recover signals, cached once for the funnel + stages. */
   private def pipelineFeatures(spark: org.apache.spark.sql.SparkSession,
                                dir: String): org.apache.spark.sql.DataFrame = {
-    val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+    val toks = toksCol
     val norm = trim(regexp_replace(regexp_replace(
       lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
     val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)

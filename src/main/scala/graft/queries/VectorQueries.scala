@@ -866,7 +866,7 @@ object VectorQueries {
       // documents scan); the ≤ queries·terms term strings collect
       // driver-side (the q148 literal idiom) so the posting and lexicon
       // scans bucket-prune.
-      val toksC = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+      val toksC = toksCol
       val (pT, tT, dlT) = TextQueries.invertedIndexTables(spark, dir)
       val qtf = table(spark, dir, "documents")
         .where(col("doc_id") < HybridQueries)
@@ -1264,7 +1264,7 @@ object VectorQueries {
     // RRF uses only integer ranks → the doubles are 1/(k+r) for small
     // ints, identical IEEE on both engines.
     "q176_hybrid_rrf" -> ((spark, dir) => {
-      val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+      val toks = toksCol
       val docs = spread(table(spark, dir, "documents"))
         .select(col("doc_id"), toks.as("toks"))
       val dl = docs.select(col("doc_id"), size(col("toks")).as("dl"))

@@ -40,7 +40,7 @@ object StreamingErasure {
 
   /** The q148 tokenize (filter-nonempty formulation — the engine-wide
     * invariant), for the per-doc length the stat decrement needs. */
-  private def toksC = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+  private def toksC = graft.queries.QueryBase.toksCol
 
   /** Tombstone ids already landed by batches BEFORE `batchId` (None when
     * none landed yet). The strict `<` keeps a replayed id from
@@ -88,10 +88,18 @@ object StreamingErasure {
       }
       .start()
 
+  /** Batch ids whose directory COMMITTED under `sub` — the `_SUCCESS`
+    * marker is required, not just the directory: a write killed
+    * mid-flight leaves the directory with `_temporary` trash and no
+    * marker, and counting it would let [[readStore]]'s all-three
+    * intersection admit a torn batch (the crash-during-the-THIRD-write
+    * window, where tomb and dfdec are complete and only dlstat is
+    * torn). */
   private def landedIds(outDir: String, sub: String): Set[Long] = {
     val d = new java.io.File(s"$outDir/$sub")
     if (!d.isDirectory) Set.empty
     else d.listFiles().toIndexedSeq
+      .filter(f => new java.io.File(f, "_SUCCESS").isFile)
       .flatMap(f => "batch=(\\d+)".r.findFirstMatchIn(f.getName).map(_.group(1).toLong))
       .toSet
   }

@@ -144,4 +144,29 @@ class StreamingErasureSpec extends AnyFunSuite with BeforeAndAfterAll {
         StreamingErasure.readStore(spark, outDir)._3.as[(Long, Long)].head(),
       "completing the batch must extend the decrements")
   }
+
+  test("a write killed MID-FLIGHT (directory exists, no _SUCCESS) stays invisible") {
+    // the worst window: tomb and dfdec for batch 1 committed, the dlstat
+    // write died mid-flight — its directory exists with only _temporary
+    // trash. Counting the bare directory as landed would admit the torn
+    // batch through the all-three intersection.
+    val ss = spark; import ss.implicits._
+    val outDir = java.nio.file.Files.createTempDirectory("graft-sers5-").toString
+    val ids = cohort()
+    val (a, b) = ids.splitAt(ids.size / 2)
+    StreamingErasure.writeBatch(a.toDF("doc_id"), docs(), outDir, 0L)
+    b.toDF("doc_id").write.parquet(s"$outDir/tomb/batch=1")
+    Seq.empty[(String, Long)].toDF("term", "ddf")
+      .write.parquet(s"$outDir/dfdec/batch=1")
+    new java.io.File(s"$outDir/dlstat/batch=1/_temporary/0").mkdirs()
+    val (tomb, _, stat) = StreamingErasure.readStore(spark, outDir)
+    assert(tomb.as[Long].collect().sorted.toIndexedSeq == a.sorted,
+      "a torn batch's tombstones leaked into the served store")
+    assert(stat.as[(Long, Long)].head()._1 == a.size.toLong,
+      "a torn batch's stats leaked into the served store")
+    // the replay completes batch 1 atomically
+    StreamingErasure.writeBatch(b.toDF("doc_id"), docs(), outDir, 1L)
+    assert(StreamingErasure.readStore(spark, outDir)
+      ._1.as[Long].collect().sorted.toIndexedSeq == ids)
+  }
 }
