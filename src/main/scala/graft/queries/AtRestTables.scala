@@ -30,14 +30,17 @@ private[graft] object AtRestTables {
     * newSession() and discarded mid-application would otherwise pin
     * their temp tables (and the session objects) until context stop.
     * Must comfortably exceed the number of DISTINCT at-rest keys one
-    * (session, sf dir) uses — 25 as of q308 (q78 / ivfidx / ivfincr /
+    * (session, sf dir) uses — 26 as of q310 (q78 / ivfidx / ivfincr /
     * srcfmt / orcfmt / evpart / factbkt / aggmv / evrange / invidx /
     * invpos / binfiles / upsert / zorder / hllmv / mvsnap / schevo /
     * gdpr / docbloom / mmidx / mmgen / erasetxt / eraseann / eraseann2 /
-    * erasecmp) — or a single Verify/Bench run FIFO-churns: the
+    * erasecmp / erasemm) — or a single Verify/Bench run FIFO-churns: the
     * (MaxEntries+1)th insert evicts the 1st key's tables and the next
-    * query that needs them pays a full rebuild, every pass. */
-  private val MaxEntries = 32
+    * query that needs them pays a full rebuild, every pass. Raised
+    * 32 → 48 in r16 when the erasure arc brought the census to 26 —
+    * the bound must stay comfortably ahead of the census, not within
+    * one arc of it. */
+  private val MaxEntries = 48
 
   // (session, key) -> (registered table names, temp base dir)
   private val once = new java.util.concurrent.ConcurrentHashMap[

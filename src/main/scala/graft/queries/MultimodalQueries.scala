@@ -354,6 +354,21 @@ object MultimodalQueries {
       }
       probe(c1T, 1).unionByName(probe(c2T, 2))
         .select("gen", "query_id", "doc_id", "cos")
+    }),
+
+    // ERASURE-PROPAGATED MULTIMODAL SERVE — the q305 tombstone story for
+    // the mm index, closing "every at-rest serving index forgets" (q304
+    // text, q305 vectors, this one blobs): the q298 probe over the FULL
+    // persisted index with (cell, doc_id) tombstones anti-joined in,
+    // both scans pruned to the probed cells' buckets, zero re-embedding
+    // of the corpus. The oracle replays the probe with the erased cohort
+    // barred from candidacy — tombstoned-serve == read-time-filtered
+    // rebuild, exactly.
+    "q310_erasure_mm_serve" -> ((spark, dir) => {
+      val q = mmEmbedFrame(
+        table(spark, dir, "documents").where(col("doc_id") < MmQueryCount))
+        .select(col("doc_id").as("query_id"), col("emb").as("qe"))
+      mmProbe(spark, dir, q, Some(mmTombstoneTable(spark, dir)))
     })
   )
 
@@ -454,7 +469,8 @@ object MultimodalQueries {
     * The probe-cell window partitions per query over ≤ MmCentroidBudget
     * centroid rows — constant-bounded at any corpus size. */
   private def mmProbe(spark: org.apache.spark.sql.SparkSession, dir: String,
-                      q: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+                      q: org.apache.spark.sql.DataFrame,
+                      tombT: Option[String] = None): org.apache.spark.sql.DataFrame = {
     val (centT, codesT) = mmIndexTables(spark, dir)
     val cents = spark.table(centT)
     val wQ = org.apache.spark.sql.expressions.Window
@@ -465,13 +481,43 @@ object MultimodalQueries {
       .where(col("pr") <= MmNProbe)
       .select(col("query_id"), col("qe"), col("cent_id").as("cell"))
     val cells = pc.select("cell").distinct().collect().map(_.getLong(0)).sorted
-    val codes =
+    val codes0 =
       if (cells.isEmpty) spark.table(codesT).limit(0)
       else spark.table(codesT).where(col("cell").isin(cells: _*))
+    // q310's merge-on-read leg: tombstones prune to the same probed
+    // cells (co-bucketed with the codes, the q305 layout) and drop
+    // erased candidates before any scoring
+    val codes = tombT.map { t =>
+      val tomb =
+        if (cells.isEmpty) spark.table(t).limit(0)
+        else spark.table(t).where(col("cell").isin(cells: _*))
+      codes0.join(broadcast(tomb), Seq("cell", "doc_id"), "left_anti")
+    }.getOrElse(codes0)
     val scored = codes.join(broadcast(pc), Seq("cell"))
       .where(col("doc_id") =!= col("query_id"))
     saltedTop5(mmCosine(scored))
   }
+
+  /** q310's multimodal erasure tombstones — the q305 discipline applied
+    * to the mm index: (cell, doc_id) rows for the erased cohort, located
+    * from the index's OWN persisted codes (one row per doc here, so the
+    * predicate pushes straight into the bucketed scan) and stored
+    * co-bucketed with them. With q304 (text) and q305 (vectors) this
+    * closes "every at-rest serving index forgets". */
+  private def mmTombstoneTable(spark: org.apache.spark.sql.SparkSession,
+                               dir: String): String =
+    AtRestTables.get(spark, s"erasemm|$dir") { base =>
+      val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val tombT = s"graft_erase_mm_$sfx"
+      val (_, codesT) = mmIndexTables(spark, dir)
+      spark.table(codesT)
+        .where(QueryBase.erasedId(col("doc_id")))
+        .select("cell", "doc_id")
+        .write.mode("overwrite").option("path", s"$base/tomb")
+        .bucketBy(MmCellBuckets, "cell").sortBy("cell", "doc_id")
+        .saveAsTable(tombT)
+      Seq(tombT)
+    }.head
 
   /** Coarse-quantizer budget for the multimodal index (the q46/q127
     * CentroidBudget discipline): centroid COUNT is fixed — stride
@@ -818,7 +864,18 @@ object MultimodalQueries {
          |${mmCosCtes("g")}
          |SELECT 1 AS gen, query_id, doc_id, cos FROM r WHERE rn <= 5
          |UNION ALL
-         |SELECT 2 AS gen, query_id, doc_id, cos FROM gr WHERE rn <= 5""".stripMargin
+         |SELECT 2 AS gen, query_id, doc_id, cos FROM gr WHERE rn <= 5""".stripMargin,
+
+    // the q298 replay with the erased cohort barred from candidacy (the
+    // exclusion rides the cand CTE, exactly where the tombstone anti
+    // join cuts) — equality proves the tombstoned mm index serves what a
+    // read-time-filtered rebuild would
+    "q310_erasure_mm_serve" ->
+      s"""WITH $mmEmbCte,
+         |$mmCentAsgCtes,
+         |q AS (SELECT doc_id AS query_id, e AS qe FROM emb WHERE doc_id < $MmQueryCount),
+         |${mmProbeCandCteWhere(s" AND NOT ${QueryBase.erasedSql("a.doc_id")}")},
+         |$mmCosTopkSql""".stripMargin
   )
 
   /** The shared byte-bucket embedding CTEs (`codes`, `emb`) — ONE
@@ -852,14 +909,19 @@ object MultimodalQueries {
   /** Probe routing + candidate set (`pc`, `cand`) for a `q` CTE carrying
     * (query_id, qe): each query's [[MmNProbe]] nearest cells, then the
     * probed cells' members minus self — mirrors [[mmProbe]]. */
-  private def mmProbeCandCte: String =
+  private def mmProbeCandCte: String = mmProbeCandCteWhere("")
+
+  /** [[mmProbeCandCte]] with an extra candidate predicate — q310 bars
+    * the erased cohort from candidacy here, mirroring its tombstone
+    * anti join. */
+  private def mmProbeCandCteWhere(extra: String): String =
     s"""pc AS (SELECT query_id, cell FROM (
        |    SELECT q.query_id, c.cent_id AS cell,
        |      row_number() OVER (PARTITION BY q.query_id ORDER BY
        |        list_sum(list_transform(range(1, 17), i -> (q.qe[i] - c.ce[i]) * (q.qe[i] - c.ce[i]))), c.cent_id) AS pr
        |    FROM q CROSS JOIN cents c) WHERE pr <= $MmNProbe),
        |cand AS (SELECT pc.query_id, a.doc_id FROM pc JOIN asg a USING (cell)
-       |         WHERE a.doc_id <> pc.query_id)""".stripMargin
+       |         WHERE a.doc_id <> pc.query_id$extra)""".stripMargin
 
   /** The exact-cosine + rank CTEs over a `${p}cand` CTE of (query_id,
     * doc_id) — mirrors [[mmCosine]]'s BIGINT dot/norms and the direct

@@ -3999,11 +3999,12 @@ object RelQueries {
     // erased users' own events re-aggregate through the same
     // dayTypePartials unit, negate, and merge into the stored partials
     // by plain addition — the integer partials make subtraction as
-    // exact and order-independent as the q138 delta-add. Cost is
-    // O(|erased slice|), never O(corpus): at 100 TB a user-erasure
-    // request touches the flagged users' rows (partition/bucket-pruned
-    // upstream) and the day×type-sized MV — history is never
-    // recomputed. Groups whose count reaches zero leave the MV (a
+    // exact and order-independent as the q138 delta-add. Everything
+    // past the scan is O(|erased slice|) + the day×type-sized MV —
+    // history is never recomputed; the scan side carries the user
+    // predicate pushed into parquet, and at 100 TB rides whatever
+    // user-clustered layout the store keeps (the q137 bucket
+    // discipline) so it too prunes to the flagged users' files. Groups whose count reaches zero leave the MV (a
     // rebuilt MV has no such row). The oracle recomputes the aggregate
     // from retained raw events — equality proves decremented-MV ==
     // rebuild-from-retained exactly, the erasure-propagation theorem

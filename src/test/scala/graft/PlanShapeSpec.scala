@@ -326,6 +326,20 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"q305's ADC rank must ride the salted two-phase, got $widths")
   }
 
+  test("q310 serves the erased mm probe from the persisted index + tombstones, both bucket-pruned") {
+    val df = graft.queries.MultimodalQueries.defs("q310_erasure_mm_serve")(spark, dir)
+    assert(singleTaskWindows(df) == 0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_mm_codes") && plan.contains("graft_erase_mm"),
+      s"the persisted mm codes AND the tombstone store must both serve:\n$plan")
+    assert("SelectedBucketsCount".r.findAllIn(plan).length >= 2,
+      s"the code AND tombstone scans must both prune to the probed cells' buckets:\n$plan")
+    assert("documents\\.parquet".r.findAllIn(plan).length == 1,
+      s"only the query docs may scan documents (no corpus re-embed):\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"the tombstone anti join and the probe joins must broadcast:\n$plan")
+  }
+
   test("q286 accumulates the Gram matrix with the partial aggregator, no pair explode") {
     val plan = VectorQueries.defs("q286_covariance_spectrum")(spark, dir)
       .queryExecution.executedPlan.toString
