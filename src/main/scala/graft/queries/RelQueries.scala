@@ -27,10 +27,10 @@ object RelQueries {
   // surfaces, per the oracle-parity discipline)
   private[graft] val SessionGapUs = 2L * 24 * 3600 * 1000000L
 
-  /** q79 rank depth + salt fan-out; the oracle ranks the same top-k with
-    * one direct window, so k feeds both surfaces from here. */
+  /** q79 rank depth; the oracle ranks the same top-k with one direct
+    * window, so k feeds both surfaces from here (the fan-out is
+    * [[QueryBase.SaltFan]], shared by every salted rank). */
   private val SkewTopK = 3
-  private val SkewSaltFan = 16
 
   /** q118 sketch geometry — [[QSketchBins]] equal-width bins over the
     * events.value range; [[QSketchQs]] the probed quantiles. ONE
@@ -1165,26 +1165,20 @@ object RelQueries {
 
     // deliberately-skewed window top-k: event_type has FIVE values, so a
     // direct per-type rank funnels 1/5 of the corpus through one reducer
-    // at any scale. Two-phase salted ranking runs the big sort on
-    // (event_type, salt) — SkewSaltFan× the parallelism — then re-ranks
-    // only the 5·fan·k survivors. Each true top-k row is top-k within its
-    // own salt group, so the survivor set is a superset of the answer and
-    // the final ranks are bit-identical to the direct-window oracle.
-    // (q61 is the aggregation face of this pattern; this is the row face.)
-    "q79_skew_type_topk" -> ((spark, dir) => {
-      val bySalt = Window.partitionBy("event_type", "salt")
-        .orderBy(desc("value"), col("event_id"))
-      val byType = Window.partitionBy("event_type")
-        .orderBy(desc("value"), col("event_id"))
-      table(spark, dir, "events")
-        .select(col("event_type"), col("event_id"), col("value"))
-        .withColumn("salt", pmod(col("event_id"), lit(SkewSaltFan)))
-        .withColumn("rn", row_number().over(bySalt))
-        .where(col("rn") <= SkewTopK)
-        .withColumn("rnk", row_number().over(byType))
-        .where(col("rnk") <= SkewTopK)
-        .select(col("event_type"), col("rnk"), col("event_id"), col("value"))
-    }),
+    // at any scale. This query ORIGINATED the two-phase salted ranking
+    // that r15 generalized into QueryBase.saltedTopK — it now rides the
+    // shared definition like every other salted rank (the r16 review
+    // closed the one remaining hand-rolled copy), so the fan-out and the
+    // superset argument live in exactly one place. Ranks are
+    // bit-identical to the direct-window oracle. (q61 is the aggregation
+    // face of this pattern; this is the row face.)
+    "q79_skew_type_topk" -> ((spark, dir) =>
+      saltedTopK(
+        table(spark, dir, "events")
+          .select(col("event_type"), col("event_id"), col("value")),
+        Seq("event_type"), Seq(desc("value"), col("event_id")),
+        col("event_id"), SkewTopK, "rnk")
+        .select(col("event_type"), col("rnk"), col("event_id"), col("value"))),
 
     // set op: customers that are both big spenders and BUILDING segment
     "q25_segment_intersect" -> ((spark, dir) => {

@@ -42,15 +42,19 @@ object StreamingErasure {
     * invariant), for the per-doc length the stat decrement needs. */
   private def toksC = graft.queries.QueryBase.toksCol
 
-  /** Tombstone ids already landed by batches BEFORE `batchId` (None when
-    * none landed yet). The strict `<` keeps a replayed id from
-    * anti-joining against its own previous run's output. */
+  /** Tombstone ids already landed by COMMITTED batches BEFORE `batchId`
+    * (None when none committed yet). The strict `<` keeps a replayed id
+    * from anti-joining against its own previous run's output, and the
+    * committed-id restriction keeps a FIRST-batch crash from wedging the
+    * stream: a torn tomb/batch=0 directory holds only `_temporary` trash,
+    * and an unguarded parquet read of the root would throw
+    * schema-inference errors on every replay forever. */
   private def priorTombstones(spark: SparkSession, outDir: String,
                               batchId: Long): Option[DataFrame] = {
-    val dir = new java.io.File(s"$outDir/tomb")
-    if (!dir.isDirectory) None
+    val ok = landedIds(outDir, "tomb").filter(_ < batchId)
+    if (ok.isEmpty) None
     else Some(spark.read.parquet(s"$outDir/tomb")
-      .where(col("batch") < batchId).select("doc_id"))
+      .where(col("batch").isin(ok.toSeq: _*)).select("doc_id"))
   }
 
   /** Land one micro-batch of erasure requests against the static
@@ -59,6 +63,15 @@ object StreamingErasure {
   def writeBatch(reqs: DataFrame, docs: DataFrame,
                  outDir: String, batchId: Long): Unit = {
     val spark = reqs.sparkSession
+    // a FULLY-published batch replays as a no-op: its content is a
+    // deterministic function of (requests, committed prior batches), so
+    // rewriting could only reproduce the same bytes — and the overwrite
+    // would first DELETE tomb/batch=N's marker, transiently un-publishing
+    // the batch from the all-three intersection mid-replay (erased docs
+    // would serve again for the rewrite's duration)
+    if (Seq("tomb", "dfdec", "dlstat").forall(s =>
+        new java.io.File(s"$outDir/$s/batch=$batchId/_SUCCESS").isFile))
+      return
     val ids0 = reqs.select("doc_id").distinct()
     val ids = priorTombstones(spark, outDir, batchId)
       .map(p => ids0.join(p, Seq("doc_id"), "left_anti")).getOrElse(ids0)
@@ -88,21 +101,13 @@ object StreamingErasure {
       }
       .start()
 
-  /** Batch ids whose directory COMMITTED under `sub` — the `_SUCCESS`
-    * marker is required, not just the directory: a write killed
-    * mid-flight leaves the directory with `_temporary` trash and no
-    * marker, and counting it would let [[readStore]]'s all-three
-    * intersection admit a torn batch (the crash-during-the-THIRD-write
-    * window, where tomb and dfdec are complete and only dlstat is
-    * torn). */
-  private def landedIds(outDir: String, sub: String): Set[Long] = {
-    val d = new java.io.File(s"$outDir/$sub")
-    if (!d.isDirectory) Set.empty
-    else d.listFiles().toIndexedSeq
-      .filter(f => new java.io.File(f, "_SUCCESS").isFile)
-      .flatMap(f => "batch=(\\d+)".r.findFirstMatchIn(f.getName).map(_.group(1).toLong))
-      .toSet
-  }
+  /** Batch ids whose directory COMMITTED under `sub` (the
+    * [[IdKeyedStore]] `_SUCCESS` discipline) — counting a bare torn
+    * directory would let [[readStore]]'s all-three intersection admit a
+    * half-written batch (the crash-during-the-THIRD-write window, where
+    * tomb and dfdec are complete and only dlstat is torn). */
+  private def landedIds(outDir: String, sub: String): Set[Long] =
+    IdKeyedStore.committedIds(s"$outDir/$sub")
 
   /** The accumulated store, restricted to FULLY-landed batches (ids
     * present in all three subdirectories — see the publish-atomicity

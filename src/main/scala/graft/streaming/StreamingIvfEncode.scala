@@ -48,5 +48,5 @@ object StreamingIvfEncode {
   /** The accumulated code store (all landed batches; the discovery
     * column `batch` is the lineage tag, dropped for serving reads). */
   def readCodes(spark: SparkSession, outDir: String): DataFrame =
-    spark.read.parquet(outDir).drop("batch")
+    IdKeyedStore.readCommitted(spark, outDir)
 }

@@ -46,7 +46,7 @@ object StreamingPostingsAppend {
   /** The accumulated posting store (all landed batches; the discovery
     * column `batch` is the lineage tag, dropped for serving reads). */
   def readPostings(spark: SparkSession, outDir: String): DataFrame =
-    spark.read.parquet(outDir).drop("batch")
+    IdKeyedStore.readCommitted(spark, outDir)
 
   /** Compact the per-batch directories into one term-clustered layout —
     * the [[PartitionedIngest.compactDaily]] discipline for the text leg:

@@ -68,10 +68,16 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
             if w.partitionSpec.forall(_.foldable) => w
         }.size
         if (st > 0) got(name) = st
+        // a condition-less join is exempt ONLY under a BROADCAST-strategy
+        // hint (the deliberate all-pairs scans broadcast their bounded
+        // side) — any other hint (shuffle_replicate_nl, merge, …) still
+        // replicates a corpus against a corpus at scale
         val cart = plan.collect {
           case j: org.apache.spark.sql.catalyst.plans.logical.Join
-            if j.condition.isEmpty && j.hint.leftHint.isEmpty &&
-              j.hint.rightHint.isEmpty => j
+            if j.condition.isEmpty &&
+              !Seq(j.hint.leftHint, j.hint.rightHint).flatten.exists(
+                _.strategy.contains(
+                  org.apache.spark.sql.catalyst.plans.logical.BROADCAST)) => j
         }.size
         if (cart > 0) cartesians += s"$name ($cart)"
       } catch {

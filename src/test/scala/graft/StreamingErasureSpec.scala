@@ -74,7 +74,7 @@ class StreamingErasureSpec extends AnyFunSuite with BeforeAndAfterAll {
     val decGot = dec.as[(String, Long)].collect().toSet
     assert(decGot == decTruth,
       s"streamed df decrements != batch decrements (${decGot.size} vs ${decTruth.size})")
-    val toksC = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+    val toksC = graft.queries.QueryBase.toksCol
     val statTruth = docs().where(graft.queries.QueryBase.erasedId(col("doc_id")))
       .agg(count(lit(1)).as("n"), sum(size(toksC)).cast("long").as("s"))
       .as[(Long, Long)].head()
@@ -87,7 +87,7 @@ class StreamingErasureSpec extends AnyFunSuite with BeforeAndAfterAll {
     streamCohort(outDir)
     val (tomb, dec, stat) = StreamingErasure.readStore(spark, outDir)
     // retained stats = the full corpus stats minus the streamed decrement
-    val toksC = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+    val toksC = graft.queries.QueryBase.toksCol
     val stats = docs()
       .agg(count(lit(1)).as("n"), sum(size(toksC)).cast("long").as("s"))
       .crossJoin(broadcast(stat))

@@ -37,8 +37,7 @@ class StreamingMmEncodeSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def centTable(): String = {
     SparkEntry.queries("q301_mm_incremental_encode")(spark, dir)
       .queryExecution.toRdd.count()
-    spark.catalog.listTables()
-      .filter(col("name").startsWith("graft_mm_cents")).collect()(0).name
+    s"graft_mm_cents_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
   }
 
   private def codeRows(df: org.apache.spark.sql.DataFrame): Set[String] =
