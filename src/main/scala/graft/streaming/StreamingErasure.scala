@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -35,15 +36,38 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * committed, decrements absent — the exact half-forgotten hazard
   * AtRestFaultSpec pins for the at-rest build). [[readStore]] therefore
   * serves ONLY batch ids present in all three subdirectories; the
-  * replayed batch completes the set and becomes visible atomically. */
+  * replayed batch completes the set and becomes visible atomically.
+  *
+  * Store COMPACTION ([[compact]]): a long-lived request stream otherwise
+  * accumulates one tiny directory triple per micro-batch forever — the
+  * batch-id enumeration and the read-side `isin` literal grow without
+  * bound (the r16 verdict's weak-in-waiting). Compaction rolls every
+  * fully-landed batch into ONE generation triple under `gen/`, keyed and
+  * committed by the SAME [[IdKeyedStore]] discipline (`batch=<coveredId>`
+  * + `_SUCCESS` per subdirectory, so a compaction killed between its
+  * three writes is invisible until re-run — the intersection rule again).
+  * Decrements are additive integer partials and tombstone sets are
+  * disjoint across batches (the anti-join discipline), so the roll-up is
+  * a union/re-group — bit-equal served state by construction, which
+  * StreamingErasureCompactionSpec proves over ≥50 micro-batches.
+  * Replay stays idempotent across the roll-up: a replayed id at or below
+  * the active generation's coverage no-ops on the generation check even
+  * after its own directories are garbage-collected. GC keeps ONE
+  * superseded generation (and its uncovered batch dirs) so a reader that
+  * resolved the old generation just before the flip still finds every
+  * directory it needs — the [[MvMaintenance]] keep-one discipline. */
 object StreamingErasure {
 
   /** The q148 tokenize (filter-nonempty formulation — the engine-wide
     * invariant), for the per-doc length the stat decrement needs. */
   private def toksC = graft.queries.QueryBase.toksCol
 
-  /** Tombstone ids already landed by COMMITTED batches BEFORE `batchId`
-    * (None when none committed yet). The strict `<` keeps a replayed id
+  private val Subs = Seq("tomb", "dfdec", "dlstat")
+
+  /** Tombstone ids already landed by COMMITTED work BEFORE `batchId`:
+    * the active generation's roll-up (its coverage is always below any
+    * live batch id) plus committed loose batches in (coverage, batchId).
+    * None when nothing landed yet. The strict `<` keeps a replayed id
     * from anti-joining against its own previous run's output, and the
     * committed-id restriction keeps a FIRST-batch crash from wedging the
     * stream: a torn tomb/batch=0 directory holds only `_temporary` trash,
@@ -51,28 +75,49 @@ object StreamingErasure {
     * schema-inference errors on every replay forever. */
   private def priorTombstones(spark: SparkSession, outDir: String,
                               batchId: Long): Option[DataFrame] = {
-    val ok = landedIds(outDir, "tomb").filter(_ < batchId)
-    if (ok.isEmpty) None
-    else Some(spark.read.parquet(s"$outDir/tomb")
-      .where(col("batch").isin(ok.toSeq: _*)).select("doc_id"))
+    val gen = activeGeneration(spark, outDir)
+    val ok = landedIds(spark, outDir, "tomb")
+      .filter(id => id < batchId && gen.forall(id > _))
+    val loose =
+      if (ok.isEmpty) None
+      else Some(spark.read.parquet(s"$outDir/tomb")
+        .where(col("batch").isin(ok.toSeq: _*)).select("doc_id"))
+    val rolled = gen.map(g => spark.read
+      .parquet(s"$outDir/gen/tomb/batch=$g").select("doc_id"))
+    (rolled, loose) match {
+      case (Some(r), Some(l)) => Some(r.unionByName(l))
+      case (r, l) => r.orElse(l)
+    }
   }
 
   /** Land one micro-batch of erasure requests against the static
     * documents relation (exposed separately so the replay and crash
-    * paths are testable). */
+    * paths are testable). Requests below [[graft.queries.QueryBase
+    * .EraseProtect]] are dropped at the door: the floor is part of the
+    * cohort DEFINITION (the serving workload's own query docs are never
+    * erasable), and without the filter a stray request for a query doc
+    * would drive the stream into a state the batch purge cannot
+    * represent — the stream/batch equivalence the spec proves would then
+    * hold only for well-formed request streams (the r16 ADVICE). */
   def writeBatch(reqs: DataFrame, docs: DataFrame,
                  outDir: String, batchId: Long): Unit = {
     val spark = reqs.sparkSession
-    // a FULLY-published batch replays as a no-op: its content is a
+    // a batch already rolled into the active generation replays as a
+    // no-op even though its own directories may be garbage-collected —
+    // its content is in the generation triple
+    if (activeGeneration(spark, outDir).exists(batchId <= _)) return
+    // a FULLY-published loose batch replays as a no-op: its content is a
     // deterministic function of (requests, committed prior batches), so
     // rewriting could only reproduce the same bytes — and the overwrite
     // would first DELETE tomb/batch=N's marker, transiently un-publishing
     // the batch from the all-three intersection mid-replay (erased docs
     // would serve again for the rewrite's duration)
-    if (Seq("tomb", "dfdec", "dlstat").forall(s =>
-        new java.io.File(s"$outDir/$s/batch=$batchId/_SUCCESS").isFile))
+    if (Subs.forall(s =>
+        IdKeyedStore.batchCommitted(spark, s"$outDir/$s", batchId)))
       return
-    val ids0 = reqs.select("doc_id").distinct()
+    val ids0 = reqs.select("doc_id")
+      .where(col("doc_id") >= lit(graft.queries.QueryBase.EraseProtect))
+      .distinct()
     val ids = priorTombstones(spark, outDir, batchId)
       .map(p => ids0.join(p, Seq("doc_id"), "left_anti")).getOrElse(ids0)
       .cache()
@@ -106,31 +151,107 @@ object StreamingErasure {
     * directory would let [[readStore]]'s all-three intersection admit a
     * half-written batch (the crash-during-the-THIRD-write window, where
     * tomb and dfdec are complete and only dlstat is torn). */
-  private def landedIds(outDir: String, sub: String): Set[Long] =
-    IdKeyedStore.committedIds(s"$outDir/$sub")
+  private def landedIds(spark: SparkSession, outDir: String,
+                        sub: String): Set[Long] =
+    IdKeyedStore.committedIds(spark, s"$outDir/$sub")
 
-  /** The accumulated store, restricted to FULLY-landed batches (ids
-    * present in all three subdirectories — see the publish-atomicity
-    * note above): merged tombstone ids, per-term df decrements summed
-    * across batches (decrements are additive, the q138 integer-partial
-    * discipline), and the one-row total stat decrement (zeros when no
-    * batch landed). */
+  /** The active compacted generation's covered-through batch id — the
+    * LARGEST id committed in all three `gen/` subdirectories (a
+    * compaction killed between its writes leaves a partial triple, which
+    * the intersection makes invisible exactly like a torn batch). None
+    * before the first compaction. */
+  private def activeGeneration(spark: SparkSession, outDir: String): Option[Long] = {
+    val ok = IdKeyedStore.committedIds(spark, s"$outDir/gen/tomb")
+      .intersect(IdKeyedStore.committedIds(spark, s"$outDir/gen/dfdec"))
+      .intersect(IdKeyedStore.committedIds(spark, s"$outDir/gen/dlstat"))
+    if (ok.isEmpty) None else Some(ok.max)
+  }
+
+  /** Roll every fully-landed batch into one compacted generation, so the
+    * store's directory count and the read-side batch-id `isin` stay
+    * bounded under an unbounded request stream. No-op (returning the
+    * unchanged coverage) when nothing new landed. The new generation is
+    * written triple-by-triple under its covered-through id and becomes
+    * active only when all three commit; then superseded directories are
+    * garbage-collected with one-generation lag (see the class doc).
+    * Returns the active coverage after the call. */
+  def compact(spark: SparkSession, outDir: String): Option[Long] = {
+    val prev = activeGeneration(spark, outDir)
+    val live = landedIds(spark, outDir, "tomb")
+      .intersect(landedIds(spark, outDir, "dfdec"))
+      .intersect(landedIds(spark, outDir, "dlstat"))
+      .filter(id => prev.forall(id > _))
+    if (live.isEmpty) return prev
+    // the roll-up reads exactly (prev generation + `live`) — the id set
+    // the new generation's coverage claims — not a racy re-listing that
+    // could admit a batch landing mid-compaction without covering it
+    val (tomb, dec, stat) = storeAt(spark, outDir, prev, live)
+    val covered = live.max
+    tomb.write.mode("overwrite").parquet(s"$outDir/gen/tomb/batch=$covered")
+    dec.write.mode("overwrite").parquet(s"$outDir/gen/dfdec/batch=$covered")
+    stat.write.mode("overwrite").parquet(s"$outDir/gen/dlstat/batch=$covered")
+    // GC with one-generation lag: drop generations older than the one
+    // just superseded, and loose batch dirs the SUPERSEDED generation
+    // already covers (a reader that resolved `prev` just before this
+    // flip still finds everything it needs; nothing a reader of the new
+    // generation could resolve is touched)
+    val fs = new Path(outDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Subs.foreach { s =>
+      IdKeyedStore.committedIds(spark, s"$outDir/gen/$s")
+        .filter(g => g != covered && prev.forall(g != _))
+        .foreach(g => fs.delete(new Path(s"$outDir/gen/$s/batch=$g"), true))
+      prev.foreach { p =>
+        IdKeyedStore.committedIds(spark, s"$outDir/$s").filter(_ <= p)
+          .foreach(id => fs.delete(new Path(s"$outDir/$s/batch=$id"), true))
+      }
+    }
+    Some(covered)
+  }
+
+  /** The accumulated store: the active compacted generation (if any)
+    * plus loose batches above its coverage, each restricted to
+    * FULLY-landed ids (present in all three subdirectories — see the
+    * publish-atomicity note above): merged tombstone ids, per-term df
+    * decrements summed across batches (decrements are additive, the q138
+    * integer-partial discipline), and the one-row total stat decrement
+    * (zeros when nothing landed). The generation is resolved FIRST, then
+    * the loose batches — with the keep-one GC lag that order can never
+    * observe a store state with a hole. */
   def readStore(spark: SparkSession, outDir: String)
       : (DataFrame, DataFrame, DataFrame) = {
-    val ok = landedIds(outDir, "tomb")
-      .intersect(landedIds(outDir, "dfdec"))
-      .intersect(landedIds(outDir, "dlstat"))
-    def committed(sub: String): Option[DataFrame] =
-      if (ok.isEmpty) None
-      else Some(spark.read.parquet(s"$outDir/$sub")
-        .where(col("batch").isin(ok.toSeq: _*)).drop("batch"))
+    val gen = activeGeneration(spark, outDir)
+    val ok = landedIds(spark, outDir, "tomb")
+      .intersect(landedIds(spark, outDir, "dfdec"))
+      .intersect(landedIds(spark, outDir, "dlstat"))
+      .filter(id => gen.forall(id > _))
+    storeAt(spark, outDir, gen, ok)
+  }
+
+  /** The store state over an EXPLICIT (generation, loose-batch-id) pair —
+    * shared by [[readStore]] (which resolves the current pair) and
+    * [[compact]] (which must roll up exactly the ids its new generation
+    * claims to cover). */
+  private def storeAt(spark: SparkSession, outDir: String,
+                      gen: Option[Long], ok: Set[Long])
+      : (DataFrame, DataFrame, DataFrame) = {
+    def part(sub: String): Option[DataFrame] = {
+      val rolled = gen.map(g => spark.read.parquet(s"$outDir/gen/$sub/batch=$g"))
+      val loose =
+        if (ok.isEmpty) None
+        else Some(spark.read.parquet(s"$outDir/$sub")
+          .where(col("batch").isin(ok.toSeq: _*)).drop("batch"))
+      (rolled, loose) match {
+        case (Some(r), Some(l)) => Some(r.unionByName(l))
+        case (r, l) => r.orElse(l)
+      }
+    }
     import spark.implicits._
-    val tomb = committed("tomb")
+    val tomb = part("tomb")
       .getOrElse(Seq.empty[Long].toDF("doc_id"))
-    val dec = committed("dfdec")
+    val dec = part("dfdec")
       .map(_.groupBy("term").agg(sum("ddf").as("ddf")))
       .getOrElse(Seq.empty[(String, Long)].toDF("term", "ddf"))
-    val stat = committed("dlstat")
+    val stat = part("dlstat")
       .map(_.agg(coalesce(sum("n_erased"), lit(0L)).cast("long").as("n_erased"),
         coalesce(sum("sum_dl_erased"), lit(0L)).cast("long").as("sum_dl_erased")))
       .getOrElse(Seq((0L, 0L)).toDF("n_erased", "sum_dl_erased"))

@@ -45,8 +45,23 @@ object StreamingIvfEncode {
       }
       .start()
 
+  /** The store's served schema — the (vec_id, cell, s, code) contract
+    * [[writeBatch]] lands (StreamingIvfEncodeSpec pins constant ==
+    * landed bytes), so a reader racing the first micro-batch gets an
+    * EMPTY store of the right shape instead of a crash. */
+  val storeSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cell",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("s",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("code",
+        org.apache.spark.sql.types.LongType)))
+
   /** The accumulated code store (all landed batches; the discovery
     * column `batch` is the lineage tag, dropped for serving reads). */
   def readCodes(spark: SparkSession, outDir: String): DataFrame =
-    IdKeyedStore.readCommitted(spark, outDir)
+    IdKeyedStore.readCommitted(spark, outDir, Some(storeSchema))
 }

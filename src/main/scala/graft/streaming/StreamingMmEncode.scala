@@ -46,8 +46,24 @@ object StreamingMmEncode {
       }
       .start()
 
+  /** The store's served schema — the (doc_id, cell, emb) contract
+    * [[writeBatch]] lands (StreamingMmEncodeSpec pins constant == landed
+    * bytes), so a reader racing the first micro-batch gets an EMPTY
+    * store of the right shape instead of a crash. */
+  val storeSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cell",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("emb",
+        // containsNull=true: parquet groups read back as optional-element
+        // lists, and the contract is what a READER of the store sees
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, containsNull = true))))
+
   /** The accumulated code store (all landed batches; the discovery
     * column `batch` is the lineage tag, dropped for serving reads). */
   def readCodes(spark: SparkSession, outDir: String): DataFrame =
-    IdKeyedStore.readCommitted(spark, outDir)
+    IdKeyedStore.readCommitted(spark, outDir, Some(storeSchema))
 }

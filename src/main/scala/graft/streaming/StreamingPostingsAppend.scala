@@ -43,10 +43,23 @@ object StreamingPostingsAppend {
       }
       .start()
 
+  /** The store's served schema — the (term, doc_id, tf) posting contract
+    * [[writeBatch]] lands (StreamingPostingsSpec pins constant == landed
+    * bytes), so a reader racing the first micro-batch gets an EMPTY
+    * store of the right shape instead of a crash. */
+  val storeSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("term",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("tf",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+
   /** The accumulated posting store (all landed batches; the discovery
     * column `batch` is the lineage tag, dropped for serving reads). */
   def readPostings(spark: SparkSession, outDir: String): DataFrame =
-    IdKeyedStore.readCommitted(spark, outDir)
+    IdKeyedStore.readCommitted(spark, outDir, Some(storeSchema))
 
   /** Compact the per-batch directories into one term-clustered layout —
     * the [[PartitionedIngest.compactDaily]] discipline for the text leg:

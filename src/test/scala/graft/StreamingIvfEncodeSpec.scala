@@ -83,4 +83,23 @@ class StreamingIvfEncodeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(after1 == after2, s"replay duplicated codes: $after1 -> $after2")
     assert(after1 > 0)
   }
+
+  test("a probe racing the first micro-batch sees an empty store of the declared schema") {
+    val (centT, cbT) = indexTables()
+    val outDir = java.nio.file.Files.createTempDirectory("graft-sivf3-").toString
+    def shape(s: org.apache.spark.sql.types.StructType) =
+      s.map(f => (f.name, f.dataType))
+    val empty = StreamingIvfEncode.readCodes(spark, outDir)
+    assert(shape(empty.schema) == shape(StreamingIvfEncode.storeSchema) &&
+      empty.count() == 0L, "nothing-committed read must be an empty store")
+    val one = spark.read.parquet(s"$dir/embeddings.parquet")
+      .where(col("vec_id") % 5 === 4).limit(4)
+      .select(col("vec_id"), col("embedding"))
+    StreamingIvfEncode.writeBatch(one, spark.table(centT), spark.table(cbT), outDir, 0L)
+    // the constant IS the landed contract — drift here silently changes
+    // what racing readers see
+    assert(shape(StreamingIvfEncode.readCodes(spark, outDir).schema) ==
+      shape(StreamingIvfEncode.storeSchema),
+      "declared store schema drifted from the landed bytes")
+  }
 }

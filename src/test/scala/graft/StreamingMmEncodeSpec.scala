@@ -86,4 +86,20 @@ class StreamingMmEncodeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(after1 == after2, s"replay duplicated codes: $after1 -> $after2")
     assert(after1 > 0)
   }
+
+  test("a probe racing the first micro-batch sees an empty store of the declared schema") {
+    val centT = centTable()
+    val outDir = java.nio.file.Files.createTempDirectory("graft-smm3-").toString
+    def shape(s: org.apache.spark.sql.types.StructType) =
+      s.map(f => (f.name, f.dataType))
+    val empty = StreamingMmEncode.readCodes(spark, outDir)
+    assert(shape(empty.schema) == shape(StreamingMmEncode.storeSchema) &&
+      empty.count() == 0L, "nothing-committed read must be an empty store")
+    StreamingMmEncode.writeBatch(
+      MultimodalQueries.blobBatch(spark, dir, 4L, 2L).limit(4),
+      spark.table(centT), outDir, 0L)
+    assert(shape(StreamingMmEncode.readCodes(spark, outDir).schema) ==
+      shape(StreamingMmEncode.storeSchema),
+      "declared store schema drifted from the landed bytes")
+  }
 }

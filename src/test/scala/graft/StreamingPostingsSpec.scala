@@ -124,4 +124,19 @@ class StreamingPostingsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(parquetFiles(compactDir) < parquetFiles(outDir),
       "compaction did not reduce the file count")
   }
+
+  test("a probe racing the first micro-batch sees an empty store of the declared schema") {
+    val ss = spark; import ss.implicits._
+    val outDir = java.nio.file.Files.createTempDirectory("graft-spost5-").toString
+    def shape(s: org.apache.spark.sql.types.StructType) =
+      s.map(f => (f.name, f.dataType))
+    val empty = StreamingPostingsAppend.readPostings(spark, outDir)
+    assert(shape(empty.schema) == shape(StreamingPostingsAppend.storeSchema) &&
+      empty.count() == 0L, "nothing-committed read must be an empty store")
+    StreamingPostingsAppend.writeBatch(
+      Seq(Doc(1L, "a b a")).toDF(), outDir, 0L)
+    assert(shape(StreamingPostingsAppend.readPostings(spark, outDir).schema) ==
+      shape(StreamingPostingsAppend.storeSchema),
+      "declared store schema drifted from the landed bytes")
+  }
 }
