@@ -364,13 +364,24 @@ object MultimodalQueries {
     // of the corpus. The oracle replays the probe with the erased cohort
     // barred from candidacy — tombstoned-serve == read-time-filtered
     // rebuild, exactly.
-    "q310_erasure_mm_serve" -> ((spark, dir) => {
-      val q = mmEmbedFrame(
-        table(spark, dir, "documents").where(col("doc_id") < MmQueryCount))
-        .select(col("doc_id").as("query_id"), col("emb").as("qe"))
-      mmProbe(spark, dir, q, Some(mmTombstoneTable(spark, dir)))
-    })
+    "q310_erasure_mm_serve" -> ((spark, dir) =>
+      mmTombstonedServe(spark, dir,
+        spark.table(mmTombstoneTable(spark, dir))))
   )
+
+  /** The q310 tombstoned mm serve over a caller-supplied (cell, doc_id)
+    * tombstone frame — ONE definition shared by the q310 at-rest path
+    * and [[graft.streaming.StreamingIndexErasure]]'s replay proof, so
+    * the stream-maintained tombstone store cannot drift from the batch
+    * purge. */
+  private[graft] def mmTombstonedServe(spark: org.apache.spark.sql.SparkSession,
+      dir: String, tomb: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val q = mmEmbedFrame(
+      table(spark, dir, "documents").where(col("doc_id") < MmQueryCount))
+      .select(col("doc_id").as("query_id"), col("emb").as("qe"))
+    mmProbe(spark, dir, q, Some(tomb))
+  }
 
   /** The q303 generation pair: shared (gen-1) centroids + one bucketed
     * code table PER GENERATION — gen 1 over the pre-arrival corpus, gen 2
@@ -470,7 +481,8 @@ object MultimodalQueries {
     * centroid rows — constant-bounded at any corpus size. */
   private def mmProbe(spark: org.apache.spark.sql.SparkSession, dir: String,
                       q: org.apache.spark.sql.DataFrame,
-                      tombT: Option[String] = None): org.apache.spark.sql.DataFrame = {
+                      tombF: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame = {
     val (centT, codesT) = mmIndexTables(spark, dir)
     val cents = spark.table(centT)
     val wQ = org.apache.spark.sql.expressions.Window
@@ -487,10 +499,10 @@ object MultimodalQueries {
     // q310's merge-on-read leg: tombstones prune to the same probed
     // cells (co-bucketed with the codes, the q305 layout) and drop
     // erased candidates before any scoring
-    val codes = tombT.map { t =>
+    val codes = tombF.map { t =>
       val tomb =
-        if (cells.isEmpty) spark.table(t).limit(0)
-        else spark.table(t).where(col("cell").isin(cells: _*))
+        if (cells.isEmpty) t.limit(0)
+        else t.where(col("cell").isin(cells: _*))
       codes0.join(broadcast(tomb), Seq("cell", "doc_id"), "left_anti")
     }.getOrElse(codes0)
     val scored = codes.join(broadcast(pc), Seq("cell"))

@@ -4005,15 +4005,30 @@ object RelQueries {
     // for additive aggregates.
     "q306_erasure_mv_decrement" -> ((spark, dir) => {
       val bT = aggBaseTable(spark, dir)
-      val dec = dayTypePartials(table(spark, dir, "events")
-          .where(col("event_id") % 10 =!= 0 &&
-            pmod(col("user_id"), lit(PurgeUserMod)) === PurgeUserRes))
-        .select(col("day"), col("event_type"),
-          (-col("n")).as("n"), (-col("s")).as("s"))
-      mergePartials(spark.table(bT).unionByName(dec))
-        .where(col("n_events") > 0L)
+      val dec = negatePartials(dayTypePartials(table(spark, dir, "events")
+        .where(col("event_id") % 10 =!= 0 &&
+          pmod(col("user_id"), lit(PurgeUserMod)) === PurgeUserRes)))
+      erasedMvServe(spark.table(bT), dec)
     })
   )
+
+  /** Negate a [[dayTypePartials]] frame — the erasure-side unit of the
+    * additive MV algebra: integer partials make subtraction as exact and
+    * order-independent as the q138 delta-add. ONE definition for q306's
+    * batch decrement and [[graft.streaming.StreamingMvErasure]]'s
+    * micro-batches, so the two forgetting surfaces cannot drift. */
+  private[graft] def negatePartials(p: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    p.select(col("day"), col("event_type"),
+      (-col("n")).as("n"), (-col("s")).as("s"))
+
+  /** The q306 serve: merge the stored MV partials with (negated)
+    * decrement partials and drop groups whose count reached zero (a
+    * rebuilt MV has no such row). ONE definition shared with the
+    * streaming erasure leg's replay proof. */
+  private[graft] def erasedMvServe(base: org.apache.spark.sql.DataFrame,
+      decs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    mergePartials(base.unionByName(decs)).where(col("n_events") > 0L)
 
   /** q285's cross-moment tail on a [[dailyMeans]]-shaped frame —
     * factored so the spec can drive planted co-moving series through the

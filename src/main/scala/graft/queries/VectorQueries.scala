@@ -1675,19 +1675,9 @@ object VectorQueries {
     // O(|erased|) maintenance cost. (The erased vectors' influence on
     // centroids/codebook is a TRAINING artifact; purging that is the
     // q303 blue/green rebuild, not a serve-path patch.)
-    "q305_erasure_ann_serve" -> ((spark, dir) => {
-      val (centT, cbT, codesT) = ivfIndexTables(spark, dir)
-      val tombT = annTombstoneTable(spark, dir)
-      val cents = spark.table(centT)
-      val q = spread(table(spark, dir, "embeddings"))
-        .where(col("vec_id") < QueryCount)
-      val cells = probeCells(q, cents, NProbe)
-        .select("cell").distinct().collect().map(_.getLong(0)).sorted
-      val codes = spark.table(codesT).where(col("cell").isin(cells: _*))
-      val tomb = spark.table(tombT).where(col("cell").isin(cells: _*))
-      val live = codes.join(broadcast(tomb), Seq("cell", "vec_id"), "left_anti")
-      ivfProbe(q, cents, spark.table(cbT), live, NProbe)
-    }),
+    "q305_erasure_ann_serve" -> ((spark, dir) =>
+      tombstonedAnnServe(spark, dir,
+        spark.table(annTombstoneTable(spark, dir)))),
 
     // FULL-FORGET REBUILD — the green generation of the erasure story:
     // q305 keeps serving NOW by tombstoning the blue index; this is the
@@ -1713,6 +1703,29 @@ object VectorQueries {
       ivfProbe(q, cents, spark.table(cbT), codes, NProbe)
     })
   )
+
+  /** The q305 tombstoned-ADC serve over a caller-supplied (cell, vec_id)
+    * tombstone frame — ONE definition shared by the q305 at-rest path
+    * and [[graft.streaming.StreamingIndexErasure]]'s replay proof (the
+    * erasedBm25Serve discipline applied to the vector index), so the
+    * stream-maintained tombstone store cannot drift from the batch
+    * purge. Both the code and tombstone reads prune to the probed cells'
+    * literal IN; the anti join drops erased candidates BEFORE any
+    * scoring work. */
+  private[graft] def tombstonedAnnServe(spark: org.apache.spark.sql.SparkSession,
+      dir: String, tomb: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val (centT, cbT, codesT) = ivfIndexTables(spark, dir)
+    val cents = spark.table(centT)
+    val q = spread(table(spark, dir, "embeddings"))
+      .where(col("vec_id") < QueryCount)
+    val cells = probeCells(q, cents, NProbe)
+      .select("cell").distinct().collect().map(_.getLong(0)).sorted
+    val codes = spark.table(codesT).where(col("cell").isin(cells: _*))
+    val tombP = tomb.where(col("cell").isin(cells: _*))
+    val live = codes.join(broadcast(tombP), Seq("cell", "vec_id"), "left_anti")
+    ivfProbe(q, cents, spark.table(cbT), live, NProbe)
+  }
 
   /** q286's whole derivation on a caller-supplied (vec_id, label,
     * embedding) frame — factored so the spec can drive planted diagonal
