@@ -408,11 +408,17 @@ object DedupQueries {
       // union form. Pre-partitioned on dst so the cached edge relation
       // satisfies the join's required distribution — rounds re-shuffle
       // only the thin label frame, never the edges.
-      val e = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      val e0 = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
         .union(docs.select(col("doc_id").as("src"), col("doc_id").as("dst")))
         .repartition(col("dst"))
-        .cache()
+      // a re-run (Bench's min-of-N reps) re-derives the same plan while
+      // the CacheManager still holds it — cache() again would WARN and
+      // no-op; storageLevel consults the manager by canonicalized plan
+      val e =
+        if (e0.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+          e0.cache()
+        else e0
       // One barrier — the standard iterative-graph pattern (GraphX/MLlib
       // do the same): derive the pair graph exactly once, so the three
       // per-round join stages never race to recompute the uncached q32

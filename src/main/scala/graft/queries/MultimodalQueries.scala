@@ -566,7 +566,7 @@ object MultimodalQueries {
     * each doc assigns to the argmin exact-BIGINT-L2 centroid (ties to the
     * lowest centroid id, the assignNearest discipline), and the code table
     * (doc_id, cell, emb) lands bucketed by cell so probes prune buckets. */
-  private def mmIndexTables(spark: org.apache.spark.sql.SparkSession,
+  private[queries] def mmIndexTables(spark: org.apache.spark.sql.SparkSession,
                             dir: String): (String, String) = {
     val names = AtRestTables.get(spark, s"mmidx|$dir") { base =>
       val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")

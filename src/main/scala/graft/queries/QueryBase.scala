@@ -111,8 +111,14 @@ object QueryBase {
     // still recomputes inside the timed query exactly as before).
     val hit = tcacheMap.get(key)
     if (hit != null && ((hit eq df) ||
-        hit.queryExecution.analyzed.sameResult(df.queryExecution.analyzed)))
-      return hit.cache()
+        hit.queryExecution.analyzed.sameResult(df.queryExecution.analyzed))) {
+      // re-register only when a clearCache() actually dropped it — an
+      // unconditional cache() here was the r16 bench tail's repeated
+      // "Asked to cache already cached data" warning (one per memo hit)
+      if (hit.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        hit.cache()
+      return hit
+    }
     // ORDER MATTERS on the replace path: unpersist the predecessor BEFORE
     // caching the new frame. A replaced frame can still share the
     // canonicalized plan the CacheManager keys entries by — unpersisting

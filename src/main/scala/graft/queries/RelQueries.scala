@@ -82,7 +82,7 @@ object RelQueries {
     * JSON/CSV scan paths. Full text rides in JSONL (JSON escaping makes
     * embedded newlines/quotes round-trip-safe); the CSV side carries the
     * typed projection a warehouse export would. */
-  private def fileSourceTables(spark: org.apache.spark.sql.SparkSession,
+  private[queries] def fileSourceTables(spark: org.apache.spark.sql.SparkSession,
                                dir: String): (String, String) = {
     val names = AtRestTables.get(spark, s"srcfmt|$dir") { base =>
       val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
@@ -105,7 +105,7 @@ object RelQueries {
     * typed columns ride in one table; probes read through Spark's native
     * vectorized ORC scan. Same [[AtRestTables]] lifecycle as the q132
     * JSONL/CSV sources. */
-  private def orcSourceTable(spark: org.apache.spark.sql.SparkSession,
+  private[queries] def orcSourceTable(spark: org.apache.spark.sql.SparkSession,
                              dir: String): String =
     AtRestTables.get(spark, s"orcfmt|$dir") { base =>
       val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
@@ -172,7 +172,7 @@ object RelQueries {
     * index. The partition column is the integer epoch-day of
     * [[QueryBase.tsUs]], so the layout derives from the same µs rule as
     * every other time surface. */
-  private def partitionedEventsTable(spark: org.apache.spark.sql.SparkSession,
+  private[queries] def partitionedEventsTable(spark: org.apache.spark.sql.SparkSession,
                                      dir: String): (String, String) = {
     val names = AtRestTables.get(spark, s"evpart|$dir") { base =>
       val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
@@ -231,7 +231,7 @@ object RelQueries {
     * + exact scaled-integer value sum ([[sint6]]). The stored partials
     * are integers, so the incremental-maintenance merge is plain
     * addition — no recompute of history when a delta batch lands. */
-  private def aggBaseTable(spark: org.apache.spark.sql.SparkSession,
+  private[queries] def aggBaseTable(spark: org.apache.spark.sql.SparkSession,
                            dir: String): String =
     AtRestTables.get(spark, s"aggmv|$dir") { base =>
       val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
@@ -261,7 +261,7 @@ object RelQueries {
     * LATEST-VALUE state — the other CDC semantic (MERGE INTO ... WHEN
     * MATCHED THEN UPDATE), the shape every mutable-dimension table at
     * rest has. */
-  private def upsertStateTable(spark: org.apache.spark.sql.SparkSession,
+  private[queries] def upsertStateTable(spark: org.apache.spark.sql.SparkSession,
                                dir: String): String =
     AtRestTables.get(spark, s"upsert|$dir") { base =>
       val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
@@ -292,7 +292,7 @@ object RelQueries {
     * discipline). The z value exists only at write time (pure integer
     * bit-shifts, codegen'd); probes never compute it — they consult the
     * manifest boxes. */
-  private def zorderedEventsTables(spark: org.apache.spark.sql.SparkSession,
+  private[queries] def zorderedEventsTables(spark: org.apache.spark.sql.SparkSession,
                                    dir: String): (String, String) = {
     val names = AtRestTables.get(spark, s"zorder|$dir") { base =>
       val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
@@ -365,7 +365,7 @@ object RelQueries {
     * readers pick a version; writers only ever add new ones. The v2
     * build reads v1's TABLE plus the delta rows, never raw history (the
     * q138 O(delta) discipline applied at write time). */
-  private def mvSnapshotTables(spark: org.apache.spark.sql.SparkSession,
+  private[queries] def mvSnapshotTables(spark: org.apache.spark.sql.SparkSession,
                                dir: String): (String, String) = {
     val names = AtRestTables.get(spark, s"mvsnap|$dir") { base =>
       val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
@@ -390,7 +390,7 @@ object RelQueries {
     * shape every long-lived dataset reaches (columns get added; history
     * is never rewritten). The split is event_id parity, replayed by the
     * oracle. */
-  private def schemaEvoTables(spark: org.apache.spark.sql.SparkSession,
+  private[queries] def schemaEvoTables(spark: org.apache.spark.sql.SparkSession,
                               dir: String): (String, String) = {
     val names = AtRestTables.get(spark, s"schevo|$dir") { base =>
       val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
@@ -443,7 +443,7 @@ object RelQueries {
     * variant: the same logical delete stored as keys, applied at read
     * time by an anti join with zero rewrite — the CoW/MoR pair every
     * table format offers, proven equal here. */
-  private def purgedLayoutTables(spark: org.apache.spark.sql.SparkSession,
+  private[queries] def purgedLayoutTables(spark: org.apache.spark.sql.SparkSession,
                                  dir: String): (String, String) = {
     val names = AtRestTables.get(spark, s"gdpr|$dir") { base =>
       val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
@@ -521,7 +521,7 @@ object RelQueries {
     * manifest first and open only the files whose [min,max] intersects
     * the predicate. Same [[AtRestTables]] lifecycle as the q134 day
     * partitions / q137 buckets. */
-  private def rangedEventsTables(spark: org.apache.spark.sql.SparkSession,
+  private[queries] def rangedEventsTables(spark: org.apache.spark.sql.SparkSession,
                                  dir: String): (String, String) = {
     val names = AtRestTables.get(spark, s"evrange|$dir") { base =>
       val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
