@@ -72,3 +72,109 @@ private[streaming] object IdKeyedStore {
       .where(col("batch").isin(ok.toSeq: _*)).drop("batch")
   }
 }
+
+/** The COMPACTION side of the id-keyed protocol — ONE generational
+  * discipline for every streaming maintenance store here (the text
+  * erasure triple, the ANN/mm tombstones, the MV decrement pair): a
+  * long-lived stream otherwise accumulates one tiny `batch=<id>/`
+  * directory (per artifact) per micro-batch forever, growing the
+  * directory listing and the read-side `isin` literal without bound.
+  * Rolling every fully-landed batch into a GENERATION bounds both.
+  *
+  * A generation is itself id-keyed: one `batch=<coveredId>/` directory
+  * per artifact under `gen/`, committed by the same `_SUCCESS` markers —
+  * so a compaction killed between its artifact writes leaves a partial
+  * generation the all-artifact intersection keeps invisible until the
+  * re-run completes it (exactly the torn-batch rule, applied one level
+  * up). The ACTIVE generation is the largest fully-committed id; readers
+  * resolve it FIRST, then list loose batches above its coverage, and the
+  * keep-one GC lag (the just-superseded generation and the loose batches
+  * only IT covers survive one more compaction) guarantees that order can
+  * never observe a hole. Replay idempotence survives the roll-up: a
+  * replayed batch id at or below the active coverage must no-op on the
+  * generation check even after its own directories are garbage-collected
+  * — every store's writeBatch consults [[activeGeneration]] before its
+  * per-batch `_SUCCESS` probe.
+  *
+  * `subs`: the store's artifact subdirectories; `""` means the store's
+  * batches land at the root (single-artifact stores). */
+private[streaming] final class GenerationalStore(
+    outDir: String, subs: Seq[String]) {
+
+  private def dataPath(sub: String): String =
+    if (sub.isEmpty) outDir else s"$outDir/$sub"
+  private def genPath(sub: String): String =
+    if (sub.isEmpty) s"$outDir/gen" else s"$outDir/gen/$sub"
+
+  /** Batch ids fully landed across every artifact (the torn-batch
+    * intersection), loose only — ids the active generation covers are
+    * excluded. */
+  def looseIds(spark: SparkSession): Set[Long] = {
+    val gen = activeGeneration(spark)
+    subs.map(s => IdKeyedStore.committedIds(spark, dataPath(s)))
+      .reduce(_ intersect _)
+      .filter(id => gen.forall(id > _))
+  }
+
+  /** The active generation's covered-through id — the largest id
+    * committed in EVERY artifact's gen directory. */
+  def activeGeneration(spark: SparkSession): Option[Long] = {
+    val ok = subs.map(s => IdKeyedStore.committedIds(spark, genPath(s)))
+      .reduce(_ intersect _)
+    if (ok.isEmpty) None else Some(ok.max)
+  }
+
+  /** Whether `batchId`'s write may be skipped: already rolled into the
+    * active generation, or fully committed loose. */
+  def batchApplied(spark: SparkSession, batchId: Long): Boolean =
+    activeGeneration(spark).exists(batchId <= _) ||
+      subs.forall(s =>
+        IdKeyedStore.batchCommitted(spark, dataPath(s), batchId))
+
+  /** One artifact's accumulated content over an EXPLICIT (generation,
+    * loose-id) pair — None when neither exists. Callers pass the SAME
+    * pair to every artifact read (and compaction passes the pair its new
+    * generation claims to cover). */
+  def readPart(spark: SparkSession, sub: String,
+               gen: Option[Long], ok: Set[Long]): Option[DataFrame] = {
+    val rolled = gen.map(g => spark.read.parquet(s"${genPath(sub)}/batch=$g"))
+    // EXPLICIT committed leaf directories, never a root read: partition
+    // discovery over the root would trip on the `gen/` sibling (mixed
+    // directory depths), and listing exactly the committed ids also
+    // drops the root-scan + isin-literal cost the compaction bounds
+    val loose =
+      if (ok.isEmpty) None
+      else Some(spark.read.parquet(
+        ok.toSeq.sorted.map(id => s"${dataPath(sub)}/batch=$id"): _*))
+    (rolled, loose) match {
+      case (Some(r), Some(l)) => Some(r.unionByName(l))
+      case (r, l) => r.orElse(l)
+    }
+  }
+
+  /** Land a new generation (per-artifact roll-up frames keyed by sub)
+    * covering through `covered`, then garbage-collect with the keep-one
+    * lag. The artifact writes commit in `subs` order; the generation
+    * becomes active only when the last one lands. */
+  def writeGeneration(spark: SparkSession, covered: Long,
+                      prev: Option[Long],
+                      parts: Map[String, DataFrame]): Unit = {
+    subs.foreach { s =>
+      parts(s).write.mode("overwrite")
+        .parquet(s"${genPath(s)}/batch=$covered")
+    }
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    subs.foreach { s =>
+      IdKeyedStore.committedIds(spark, genPath(s))
+        .filter(g => g != covered && prev.forall(g != _))
+        .foreach(g => fs.delete(
+          new org.apache.hadoop.fs.Path(s"${genPath(s)}/batch=$g"), true))
+      prev.foreach { p =>
+        IdKeyedStore.committedIds(spark, dataPath(s)).filter(_ <= p)
+          .foreach(id => fs.delete(
+            new org.apache.hadoop.fs.Path(s"${dataPath(s)}/batch=$id"), true))
+      }
+    }
+  }
+}

@@ -1,6 +1,5 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -64,6 +63,10 @@ object StreamingErasure {
 
   private val Subs = Seq("tomb", "dfdec", "dlstat")
 
+  /** The store's generational-compaction state (ONE discipline for every
+    * id-keyed maintenance store — see [[GenerationalStore]]). */
+  private def store(outDir: String) = new GenerationalStore(outDir, Subs)
+
   /** Tombstone ids already landed by COMMITTED work BEFORE `batchId`:
     * the active generation's roll-up (its coverage is always below any
     * live batch id) plus committed loose batches in (coverage, batchId).
@@ -75,19 +78,10 @@ object StreamingErasure {
     * schema-inference errors on every replay forever. */
   private def priorTombstones(spark: SparkSession, outDir: String,
                               batchId: Long): Option[DataFrame] = {
-    val gen = activeGeneration(spark, outDir)
-    val ok = landedIds(spark, outDir, "tomb")
-      .filter(id => id < batchId && gen.forall(id > _))
-    val loose =
-      if (ok.isEmpty) None
-      else Some(spark.read.parquet(s"$outDir/tomb")
-        .where(col("batch").isin(ok.toSeq: _*)).select("doc_id"))
-    val rolled = gen.map(g => spark.read
-      .parquet(s"$outDir/gen/tomb/batch=$g").select("doc_id"))
-    (rolled, loose) match {
-      case (Some(r), Some(l)) => Some(r.unionByName(l))
-      case (r, l) => r.orElse(l)
-    }
+    val st = store(outDir)
+    val gen = st.activeGeneration(spark)
+    val ok = st.looseIds(spark).filter(_ < batchId)
+    st.readPart(spark, "tomb", gen, ok).map(_.select("doc_id"))
   }
 
   /** Land one micro-batch of erasure requests against the static
@@ -102,19 +96,16 @@ object StreamingErasure {
   def writeBatch(reqs: DataFrame, docs: DataFrame,
                  outDir: String, batchId: Long): Unit = {
     val spark = reqs.sparkSession
-    // a batch already rolled into the active generation replays as a
-    // no-op even though its own directories may be garbage-collected —
-    // its content is in the generation triple
-    if (activeGeneration(spark, outDir).exists(batchId <= _)) return
-    // a FULLY-published loose batch replays as a no-op: its content is a
-    // deterministic function of (requests, committed prior batches), so
-    // rewriting could only reproduce the same bytes — and the overwrite
-    // would first DELETE tomb/batch=N's marker, transiently un-publishing
-    // the batch from the all-three intersection mid-replay (erased docs
-    // would serve again for the rewrite's duration)
-    if (Subs.forall(s =>
-        IdKeyedStore.batchCommitted(spark, s"$outDir/$s", batchId)))
-      return
+    // an APPLIED batch replays as a no-op — rolled into the active
+    // generation (its own directories may be garbage-collected; the
+    // content lives in the generation triple) or fully published loose:
+    // its content is a deterministic function of (requests, committed
+    // prior batches), so rewriting could only reproduce the same bytes —
+    // and the overwrite would first DELETE tomb/batch=N's marker,
+    // transiently un-publishing the batch from the all-three
+    // intersection mid-replay (erased docs would serve again for the
+    // rewrite's duration)
+    if (store(outDir).batchApplied(spark, batchId)) return
     val ids0 = reqs.select("doc_id")
       .where(col("doc_id") >= lit(graft.queries.QueryBase.EraseProtect))
       .distinct()
@@ -146,65 +137,24 @@ object StreamingErasure {
       }
       .start()
 
-  /** Batch ids whose directory COMMITTED under `sub` (the
-    * [[IdKeyedStore]] `_SUCCESS` discipline) — counting a bare torn
-    * directory would let [[readStore]]'s all-three intersection admit a
-    * half-written batch (the crash-during-the-THIRD-write window, where
-    * tomb and dfdec are complete and only dlstat is torn). */
-  private def landedIds(spark: SparkSession, outDir: String,
-                        sub: String): Set[Long] =
-    IdKeyedStore.committedIds(spark, s"$outDir/$sub")
-
-  /** The active compacted generation's covered-through batch id — the
-    * LARGEST id committed in all three `gen/` subdirectories (a
-    * compaction killed between its writes leaves a partial triple, which
-    * the intersection makes invisible exactly like a torn batch). None
-    * before the first compaction. */
-  private def activeGeneration(spark: SparkSession, outDir: String): Option[Long] = {
-    val ok = IdKeyedStore.committedIds(spark, s"$outDir/gen/tomb")
-      .intersect(IdKeyedStore.committedIds(spark, s"$outDir/gen/dfdec"))
-      .intersect(IdKeyedStore.committedIds(spark, s"$outDir/gen/dlstat"))
-    if (ok.isEmpty) None else Some(ok.max)
-  }
-
   /** Roll every fully-landed batch into one compacted generation, so the
     * store's directory count and the read-side batch-id `isin` stay
-    * bounded under an unbounded request stream. No-op (returning the
-    * unchanged coverage) when nothing new landed. The new generation is
-    * written triple-by-triple under its covered-through id and becomes
-    * active only when all three commit; then superseded directories are
-    * garbage-collected with one-generation lag (see the class doc).
+    * bounded under an unbounded request stream ([[GenerationalStore]] —
+    * ONE discipline with the ANN/mm tombstone and MV decrement stores).
+    * No-op (returning the unchanged coverage) when nothing new landed.
     * Returns the active coverage after the call. */
   def compact(spark: SparkSession, outDir: String): Option[Long] = {
-    val prev = activeGeneration(spark, outDir)
-    val live = landedIds(spark, outDir, "tomb")
-      .intersect(landedIds(spark, outDir, "dfdec"))
-      .intersect(landedIds(spark, outDir, "dlstat"))
-      .filter(id => prev.forall(id > _))
+    val st = store(outDir)
+    val prev = st.activeGeneration(spark)
+    val live = st.looseIds(spark)
     if (live.isEmpty) return prev
     // the roll-up reads exactly (prev generation + `live`) — the id set
     // the new generation's coverage claims — not a racy re-listing that
     // could admit a batch landing mid-compaction without covering it
     val (tomb, dec, stat) = storeAt(spark, outDir, prev, live)
     val covered = live.max
-    tomb.write.mode("overwrite").parquet(s"$outDir/gen/tomb/batch=$covered")
-    dec.write.mode("overwrite").parquet(s"$outDir/gen/dfdec/batch=$covered")
-    stat.write.mode("overwrite").parquet(s"$outDir/gen/dlstat/batch=$covered")
-    // GC with one-generation lag: drop generations older than the one
-    // just superseded, and loose batch dirs the SUPERSEDED generation
-    // already covers (a reader that resolved `prev` just before this
-    // flip still finds everything it needs; nothing a reader of the new
-    // generation could resolve is touched)
-    val fs = new Path(outDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Subs.foreach { s =>
-      IdKeyedStore.committedIds(spark, s"$outDir/gen/$s")
-        .filter(g => g != covered && prev.forall(g != _))
-        .foreach(g => fs.delete(new Path(s"$outDir/gen/$s/batch=$g"), true))
-      prev.foreach { p =>
-        IdKeyedStore.committedIds(spark, s"$outDir/$s").filter(_ <= p)
-          .foreach(id => fs.delete(new Path(s"$outDir/$s/batch=$id"), true))
-      }
-    }
+    st.writeGeneration(spark, covered, prev,
+      Map("tomb" -> tomb, "dfdec" -> dec, "dlstat" -> stat))
     Some(covered)
   }
 
@@ -219,12 +169,8 @@ object StreamingErasure {
     * observe a store state with a hole. */
   def readStore(spark: SparkSession, outDir: String)
       : (DataFrame, DataFrame, DataFrame) = {
-    val gen = activeGeneration(spark, outDir)
-    val ok = landedIds(spark, outDir, "tomb")
-      .intersect(landedIds(spark, outDir, "dfdec"))
-      .intersect(landedIds(spark, outDir, "dlstat"))
-      .filter(id => gen.forall(id > _))
-    storeAt(spark, outDir, gen, ok)
+    val st = store(outDir)
+    storeAt(spark, outDir, st.activeGeneration(spark), st.looseIds(spark))
   }
 
   /** The store state over an EXPLICIT (generation, loose-batch-id) pair —
@@ -234,24 +180,14 @@ object StreamingErasure {
   private def storeAt(spark: SparkSession, outDir: String,
                       gen: Option[Long], ok: Set[Long])
       : (DataFrame, DataFrame, DataFrame) = {
-    def part(sub: String): Option[DataFrame] = {
-      val rolled = gen.map(g => spark.read.parquet(s"$outDir/gen/$sub/batch=$g"))
-      val loose =
-        if (ok.isEmpty) None
-        else Some(spark.read.parquet(s"$outDir/$sub")
-          .where(col("batch").isin(ok.toSeq: _*)).drop("batch"))
-      (rolled, loose) match {
-        case (Some(r), Some(l)) => Some(r.unionByName(l))
-        case (r, l) => r.orElse(l)
-      }
-    }
+    val st = store(outDir)
     import spark.implicits._
-    val tomb = part("tomb")
+    val tomb = st.readPart(spark, "tomb", gen, ok)
       .getOrElse(Seq.empty[Long].toDF("doc_id"))
-    val dec = part("dfdec")
+    val dec = st.readPart(spark, "dfdec", gen, ok)
       .map(_.groupBy("term").agg(sum("ddf").as("ddf")))
       .getOrElse(Seq.empty[(String, Long)].toDF("term", "ddf"))
-    val stat = part("dlstat")
+    val stat = st.readPart(spark, "dlstat", gen, ok)
       .map(_.agg(coalesce(sum("n_erased"), lit(0L)).cast("long").as("n_erased"),
         coalesce(sum("sum_dl_erased"), lit(0L)).cast("long").as("sum_dl_erased")))
       .getOrElse(Seq((0L, 0L)).toDF("n_erased", "sum_dl_erased"))

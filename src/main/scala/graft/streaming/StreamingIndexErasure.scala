@@ -42,15 +42,19 @@ object StreamingIndexErasure {
   def storeSchema(idCol: String): StructType =
     StructType(Seq(StructField("cell", LongType), StructField(idCol, LongType)))
 
-  /** Tombstones landed by COMMITTED batches strictly before `batchId`
-    * (the [[StreamingErasure]] prior-batch rule: a replayed id must not
-    * anti-join against its own previous run's output). */
+  /** The store's generational-compaction state — single-artifact, so
+    * batches land at the root ([[GenerationalStore]]'s `""` sub). */
+  private def store(outDir: String) = new GenerationalStore(outDir, Seq(""))
+
+  /** Tombstones landed by COMMITTED work strictly before `batchId` —
+    * the active generation's roll-up plus committed loose batches below
+    * it (the [[StreamingErasure]] prior-batch rule: a replayed id must
+    * not anti-join against its own previous run's output). */
   private def priorTombstones(spark: SparkSession, outDir: String,
                               batchId: Long): Option[DataFrame] = {
-    val ok = IdKeyedStore.committedIds(spark, outDir).filter(_ < batchId)
-    if (ok.isEmpty) None
-    else Some(spark.read.parquet(outDir)
-      .where(col("batch").isin(ok.toSeq: _*)).drop("batch"))
+    val st = store(outDir)
+    st.readPart(spark, "", st.activeGeneration(spark),
+      st.looseIds(spark).filter(_ < batchId))
   }
 
   /** Land one micro-batch of erasure requests against the persisted
@@ -60,9 +64,10 @@ object StreamingIndexErasure {
   def writeBatch(reqs: DataFrame, codes: DataFrame, idCol: String,
                  outDir: String, batchId: Long): Unit = {
     val spark = reqs.sparkSession
-    // a fully-published batch replays as a no-op (the StreamingErasure
+    // an APPLIED batch replays as a no-op — rolled into the active
+    // generation or fully published loose (the StreamingErasure
     // rationale: the overwrite would transiently un-publish the batch)
-    if (IdKeyedStore.batchCommitted(spark, outDir, batchId)) return
+    if (store(outDir).batchApplied(spark, batchId)) return
     val ids0 = reqs.select(idCol)
       .where(col(idCol) >= lit(graft.queries.QueryBase.EraseProtect))
       .distinct()
@@ -86,12 +91,33 @@ object StreamingIndexErasure {
       }
       .start()
 
-  /** The accumulated (cell, id) tombstone set over committed batches —
-    * exactly what [[graft.queries.VectorQueries.tombstonedAnnServe]] /
+  /** Roll every fully-landed batch into one compacted generation
+    * ([[GenerationalStore]] — ONE discipline with the text erasure
+    * store), so the directory count and the read-side `isin` stay
+    * bounded under an unbounded request stream. Tombstone batches are
+    * disjoint by the anti-join discipline, so the roll-up is a plain
+    * union. Returns the active coverage after the call. */
+  def compact(spark: SparkSession, outDir: String): Option[Long] = {
+    val st = store(outDir)
+    val prev = st.activeGeneration(spark)
+    val live = st.looseIds(spark)
+    if (live.isEmpty) return prev
+    val rolled = st.readPart(spark, "", prev, live).get
+    st.writeGeneration(spark, live.max, prev, Map("" -> rolled))
+    Some(live.max)
+  }
+
+  /** The accumulated (cell, id) tombstone set — the active generation
+    * plus committed loose batches above its coverage — exactly what
+    * [[graft.queries.VectorQueries.tombstonedAnnServe]] /
     * [[graft.queries.MultimodalQueries.mmTombstonedServe]] anti-join.
     * Empty (typed) before the first commit, so a serve racing the first
     * micro-batch simply filters nothing. */
   def readTombstones(spark: SparkSession, outDir: String,
-                     idCol: String): DataFrame =
-    IdKeyedStore.readCommitted(spark, outDir, Some(storeSchema(idCol)))
+                     idCol: String): DataFrame = {
+    val st = store(outDir)
+    st.readPart(spark, "", st.activeGeneration(spark), st.looseIds(spark))
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], storeSchema(idCol)))
+  }
 }

@@ -50,6 +50,10 @@ object StreamingMvErasure {
 
   private val Subs = Seq("users", "dec")
 
+  /** The store's generational-compaction state (ONE discipline with the
+    * text/ANN/mm erasure stores — see [[GenerationalStore]]). */
+  private def store(outDir: String) = new GenerationalStore(outDir, Subs)
+
   /** Served schemas (the empty-store defaults): the applied-user set and
     * the decrement partials — day/event_type keyed, negated count + the
     * scaled-integer sum the q138 algebra stores. */
@@ -61,19 +65,14 @@ object StreamingMvErasure {
     StructField("n", LongType),
     StructField("s", LongType)))
 
-  /** Batch ids with BOTH directories committed (the pair-intersection
-    * publish rule). */
-  private def landedPairs(spark: SparkSession, outDir: String): Set[Long] =
-    Subs.map(s => IdKeyedStore.committedIds(spark, s"$outDir/$s"))
-      .reduce(_ intersect _)
-
-  /** Users applied by fully-landed pairs strictly before `batchId`. */
+  /** Users applied by fully-landed COMMITTED work strictly before
+    * `batchId` — the active generation's roll-up plus loose pairs below
+    * it. */
   private def priorUsers(spark: SparkSession, outDir: String,
                          batchId: Long): Option[DataFrame] = {
-    val ok = landedPairs(spark, outDir).filter(_ < batchId)
-    if (ok.isEmpty) None
-    else Some(spark.read.parquet(s"$outDir/users")
-      .where(col("batch").isin(ok.toSeq: _*)).select("user_id"))
+    val st = store(outDir)
+    st.readPart(spark, "users", st.activeGeneration(spark),
+      st.looseIds(spark).filter(_ < batchId)).map(_.select("user_id"))
   }
 
   /** Land one micro-batch of user-erasure requests against the static
@@ -84,9 +83,9 @@ object StreamingMvErasure {
   def writeBatch(reqs: DataFrame, events: DataFrame,
                  outDir: String, batchId: Long): Unit = {
     val spark = reqs.sparkSession
-    if (Subs.forall(s =>
-        IdKeyedStore.batchCommitted(spark, s"$outDir/$s", batchId)))
-      return
+    // an APPLIED batch replays as a no-op — rolled into the active
+    // generation or fully published loose
+    if (store(outDir).batchApplied(spark, batchId)) return
     val users0 = reqs.select("user_id").distinct()
     val users = priorUsers(spark, outDir, batchId)
       .map(p => users0.join(p, Seq("user_id"), "left_anti")).getOrElse(users0)
@@ -112,15 +111,35 @@ object StreamingMvErasure {
       }
       .start()
 
-  /** The accumulated store over fully-landed pairs: (applied users,
-    * decrement partials). Both empty (typed) before the first commit. */
+  /** Roll every fully-landed pair into one compacted generation
+    * ([[GenerationalStore]]): applied users union as-is (disjoint by the
+    * anti-join discipline); decrements re-collapse to per-(day, type)
+    * partials by plain integer addition — the q138 merge, so the rolled
+    * store serves bit-identically. Returns the active coverage. */
+  def compact(spark: SparkSession, outDir: String): Option[Long] = {
+    val st = store(outDir)
+    val prev = st.activeGeneration(spark)
+    val live = st.looseIds(spark)
+    if (live.isEmpty) return prev
+    val users = st.readPart(spark, "users", prev, live).get
+    val dec = st.readPart(spark, "dec", prev, live).get
+      .groupBy("day", "event_type")
+      .agg(sum("n").as("n"), sum("s").as("s"))
+    st.writeGeneration(spark, live.max, prev,
+      Map("users" -> users, "dec" -> dec))
+    Some(live.max)
+  }
+
+  /** The accumulated store — the active generation plus fully-landed
+    * loose pairs above its coverage: (applied users, decrement
+    * partials). Both empty (typed) before the first commit. */
   def readStore(spark: SparkSession, outDir: String): (DataFrame, DataFrame) = {
-    val ok = landedPairs(spark, outDir)
+    val st = store(outDir)
+    val gen = st.activeGeneration(spark)
+    val ok = st.looseIds(spark)
     def part(sub: String, schema: StructType): DataFrame =
-      if (ok.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-      else spark.read.parquet(s"$outDir/$sub")
-        .where(col("batch").isin(ok.toSeq: _*)).drop("batch")
+      st.readPart(spark, sub, gen, ok).getOrElse(
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema))
     (part("users", usersSchema), part("dec", decSchema))
   }
 

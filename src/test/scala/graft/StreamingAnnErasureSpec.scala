@@ -156,4 +156,41 @@ class StreamingAnnErasureSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(storeSet(outDir, "vec_id") == truthOf(codesT, "vec_id"),
       "a below-floor request tombstoned a protected id")
   }
+
+  test("compaction collapses the tombstone store; the served top-k and replay guarantees survive the roll-up") {
+    val ss = spark; import ss.implicits._
+    val codesT = annCodesTable()
+    val ids = cohortOf(codesT, "vec_id")
+    assert(ids.size >= 16, s"fixture too small: ${ids.size} erased vecs")
+    val outDir = java.nio.file.Files.createTempDirectory("graft-sanne3-").toString
+    def looseDirs() = Option(new java.io.File(outDir).listFiles())
+      .map(_.count(_.getName.startsWith("batch="))).getOrElse(0)
+    var nBatches = 0L
+    ids.grouped(2).foreach { chunk =>
+      StreamingIndexErasure.writeBatch(chunk.toDF("vec_id"),
+        spark.table(codesT), "vec_id", outDir, nBatches)
+      nBatches += 1
+      if (nBatches % 8 == 0) StreamingIndexErasure.compact(spark, outDir)
+    }
+    StreamingIndexErasure.compact(spark, outDir)
+    StreamingIndexErasure.compact(spark, outDir) // GC-lag tick
+    assert(looseDirs() < 10,
+      s"compaction left ${looseDirs()} of $nBatches loose batch dirs")
+    assert(storeSet(outDir, "vec_id") == truthOf(codesT, "vec_id"),
+      "the rolled-up store != the batch purge's tombstone set")
+    // a replayed ROLLED-UP batch id no-ops — its directories are gone,
+    // and re-landing would re-tombstone already-rolled ids in a loose dir
+    val before = (storeSet(outDir, "vec_id"), looseDirs())
+    StreamingIndexErasure.writeBatch(ids.take(2).toDF("vec_id"),
+      spark.table(codesT), "vec_id", outDir, 0L)
+    assert((storeSet(outDir, "vec_id"), looseDirs()) == before,
+      "a replayed pre-compaction batch id changed the store")
+    // the serve is bit-equal through the compacted store
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.orderBy(df.columns.map(col): _*).collect().map(_.toString).toIndexedSeq
+    assert(rows(graft.queries.VectorQueries.tombstonedAnnServe(spark, dir,
+        StreamingIndexErasure.readTombstones(spark, outDir, "vec_id"))) ==
+      rows(SparkEntry.queries("q305_erasure_ann_serve")(spark, dir)),
+      "top-k served from the compacted tombstones != q305")
+  }
 }

@@ -154,4 +154,34 @@ class StreamingMvErasureSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(served(baseT, outDir) == batchServe(baseT, users),
       "completed replay + duplicate re-requests must land the exact batch decrement")
   }
+
+  test("compaction collapses the decrement store; the served MV and replay guarantees survive the roll-up") {
+    val ss = spark; import ss.implicits._
+    val baseT = baseMvTable()
+    val users = wideCohort()
+    val outDir = java.nio.file.Files.createTempDirectory("graft-smve4-").toString
+    def looseDirs(sub: String) =
+      Option(new java.io.File(s"$outDir/$sub").listFiles())
+        .map(_.count(_.getName.startsWith("batch="))).getOrElse(0)
+    users.zipWithIndex.foreach { case (u, i) =>
+      StreamingMvErasure.writeBatch(Seq(u).toDF("user_id"), ingested(),
+        outDir, i.toLong)
+      if ((i + 1) % 2 == 0) StreamingMvErasure.compact(spark, outDir)
+    }
+    StreamingMvErasure.compact(spark, outDir)
+    StreamingMvErasure.compact(spark, outDir) // GC-lag tick
+    Seq("users", "dec").foreach { sub =>
+      assert(looseDirs(sub) < users.size,
+        s"compaction left ${looseDirs(sub)}/${users.size} loose $sub dirs")
+    }
+    assert(served(baseT, outDir) == batchServe(baseT, users),
+      "the MV served from the compacted store != the batch decrement")
+    // a replayed rolled-up batch id must no-op — re-landing it would
+    // double-decrement every group its user touched
+    val before = served(baseT, outDir)
+    StreamingMvErasure.writeBatch(Seq(users.head).toDF("user_id"),
+      ingested(), outDir, 0L)
+    assert(served(baseT, outDir) == before,
+      "a replayed pre-compaction batch id decremented the MV again")
+  }
 }
