@@ -1584,8 +1584,92 @@ object TextQueries {
       stage("a_pre_purge", physMor(), physMor(), zero())
         .unionByName(stage("b_tombstoned_mor", physMor(), servedMor(), nTomb()))
         .unionByName(stage("c_compacted_cow", physCow(), physCow(), zero()))
+    }),
+
+    // ESTATE REMEDIATION, EXECUTED — q311 DECLARES rewrite policies for
+    // the artifacts that hold erased bytes; this query RUNS them (a
+    // declared-but-never-exercised policy is compliance theater): the
+    // positional index, the JSONL/CSV/ORC document exports, and the CDC
+    // upsert state are each rewritten copy-on-write minus their cohort
+    // (the q308 discipline applied across the estate — same at-rest
+    // lifecycle, fault points between writes), and the audit then
+    // measures BOTH sides from the remediated bytes: zero erased rows
+    // AND the exact retained row count (a rewrite that dropped too much
+    // would pass an erased-only audit; the retained count catches it).
+    // The oracle re-derives both numbers per artifact from the raw
+    // corpus. Cost is one bounded rewrite per artifact per purge epoch —
+    // the same price q308 pays for the inverted index.
+    "q314_erasure_estate_remediation" -> ((spark, dir) => {
+      val names = remediatedEstateTables(spark, dir)
+      val (remPosT, remJT, remCvT, remOrcT, remUsT) =
+        (names(0), names(1), names(2), names(3), names(4))
+      val (tombT, _, _) = erasureTextTables(spark, dir)
+      val tomb = broadcast(spark.table(tombT)
+        .select(col("doc_id"), lit(1L).as("__e")))
+      def docAudit(t: String, label: String) =
+        spark.table(t).join(tomb, Seq("doc_id"), "left")
+          .agg(coalesce(sum("__e"), lit(0L)).cast("long").as("erased_rows"),
+            count(lit(1)).as("total"))
+          .select(lit(label).as("artifact"), col("erased_rows"),
+            (col("total") - col("erased_rows")).as("retained_rows"))
+      val flaggedU = pmod(col("user_id"), lit(RelQueries.PurgeUserMod)) ===
+        RelQueries.PurgeUserRes
+      val userAudit = spark.table(remUsT)
+        .agg(coalesce(sum(when(flaggedU, 1L).otherwise(0L)), lit(0L))
+          .cast("long").as("erased_rows"), count(lit(1)).as("total"))
+        .select(lit("upsert_state").as("artifact"), col("erased_rows"),
+          (col("total") - col("erased_rows")).as("retained_rows"))
+      docAudit(remPosT, "postings_positional")
+        .unionByName(docAudit(remJT, "docs_jsonl"))
+        .unionByName(docAudit(remCvT, "docs_csv"))
+        .unionByName(docAudit(remOrcT, "docs_orc"))
+        .unionByName(userAudit)
     })
   )
+
+  /** The q314 remediated estate: each rewrite-policy artifact rebuilt
+    * minus its erasure cohort, in its ORIGINAL layout and format (the
+    * remediated export must stay consumable by whatever read the
+    * original — a JSONL export remediates to JSONL, the term-bucketed
+    * positional index stays term-bucketed). Built once per (session,
+    * dataset) with [[AtRestTables.faultPoint]]s between writes, so
+    * AtRestFaultSpec's kill-window discipline applies. */
+  private def remediatedEstateTables(spark: org.apache.spark.sql.SparkSession,
+                                     dir: String): Seq[String] =
+    AtRestTables.get(spark, s"eraserem|$dir") { base =>
+      val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val (tombT, _, _) = erasureTextTables(spark, dir)
+      val tomb = broadcast(spark.table(tombT))
+      val posT = positionalIndexTable(spark, dir)
+      val (jT, cvT) = RelQueries.fileSourceTables(spark, dir)
+      val orcT = RelQueries.orcSourceTable(spark, dir)
+      val usT = RelQueries.upsertStateTable(spark, dir)
+      val rPosT = s"graft_rem_ppos_$sfx"; val rJT = s"graft_rem_jsonl_$sfx"
+      val rCvT = s"graft_rem_csv_$sfx"; val rOrcT = s"graft_rem_orc_$sfx"
+      val rUsT = s"graft_rem_state_$sfx"
+      spark.table(posT).join(tomb, Seq("doc_id"), "left_anti")
+        .write.mode("overwrite").option("path", s"$base/pos")
+        .bucketBy(PostingBuckets, "term").sortBy("term", "doc_id")
+        .saveAsTable(rPosT)
+      AtRestTables.faultPoint("eraserem:pos")
+      spark.table(jT).join(tomb, Seq("doc_id"), "left_anti")
+        .write.mode("overwrite").format("json")
+        .option("path", s"$base/jsonl").saveAsTable(rJT)
+      AtRestTables.faultPoint("eraserem:jsonl")
+      spark.table(cvT).join(tomb, Seq("doc_id"), "left_anti")
+        .write.mode("overwrite").format("csv").option("header", "true")
+        .option("path", s"$base/csv").saveAsTable(rCvT)
+      AtRestTables.faultPoint("eraserem:csv")
+      spark.table(orcT).join(tomb, Seq("doc_id"), "left_anti")
+        .write.mode("overwrite").format("orc")
+        .option("path", s"$base/orc").saveAsTable(rOrcT)
+      AtRestTables.faultPoint("eraserem:orc")
+      spark.table(usT)
+        .where(!(pmod(col("user_id"), lit(RelQueries.PurgeUserMod)) ===
+          RelQueries.PurgeUserRes))
+        .write.mode("overwrite").option("path", s"$base/state").saveAsTable(rUsT)
+      Seq(rPosT, rJT, rCvT, rOrcT, rUsT)
+    }
 
   /** The q304 erased-BM25 serve over a caller-supplied erasure store
     * (tombstone doc set; per-term df decrements; retained one-row
@@ -2435,7 +2519,28 @@ object TextQueries {
          |UNION ALL SELECT 'b_tombstoned_mor', pm.c, CAST(0 AS BIGINT), dm.c
          |FROM pm, dm
          |UNION ALL SELECT 'c_compacted_cow', CAST(0 AS BIGINT),
-         |       CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM pm""".stripMargin
+         |       CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM pm""".stripMargin,
+
+    // the expected remediated estate from the raw corpus: zero erased
+    // rows everywhere, and the retained counts the rewrites must land —
+    // token occurrences of retained docs (positional), retained doc
+    // counts (the three exports), distinct retained-user (user, type)
+    // pairs over the ingested subset (the CDC state)
+    "q314_erasure_estate_remediation" ->
+      s"""WITH rd AS (SELECT doc_id, $toksSqlD AS toks FROM documents
+         |            WHERE NOT ${QueryBase.erasedSql("doc_id")}),
+         |ps AS (SELECT CAST(coalesce(sum(len(toks)), 0) AS BIGINT) AS c FROM rd),
+         |dm AS (SELECT CAST(count(*) AS BIGINT) AS c FROM rd),
+         |us AS (SELECT CAST(count(*) AS BIGINT) AS c FROM (
+         |  SELECT DISTINCT user_id, event_type FROM events
+         |  WHERE event_id % 10 <> 0
+         |    AND NOT user_id % ${RelQueries.PurgeUserMod} = ${RelQueries.PurgeUserRes}))
+         |SELECT 'postings_positional' AS artifact,
+         |       CAST(0 AS BIGINT) AS erased_rows, c AS retained_rows FROM ps
+         |UNION ALL SELECT 'docs_jsonl', CAST(0 AS BIGINT), c FROM dm
+         |UNION ALL SELECT 'docs_csv', CAST(0 AS BIGINT), c FROM dm
+         |UNION ALL SELECT 'docs_orc', CAST(0 AS BIGINT), c FROM dm
+         |UNION ALL SELECT 'upsert_state', CAST(0 AS BIGINT), c FROM us""".stripMargin
   )
 
   private def erasureOracleSql: String = {

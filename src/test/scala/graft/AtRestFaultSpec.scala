@@ -290,6 +290,24 @@ class AtRestFaultSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("the REAL q314 estate remediation killed in an inter-write window publishes nothing; the audit recovers") {
+    // the remediation hazard: a purge job that dies after rewriting the
+    // positional index but before the exports would leave HALF the
+    // estate remediated — and an audit trusting the registry would read
+    // a mixed generation. The registry must refuse the partial set and
+    // the re-run must converge to the clean remediation bit-for-bit.
+    val expected = rows(graft.queries.TextQueries
+      .defs("q314_erasure_estate_remediation")(
+        spark, dataDir("rem_clean", "documents", "events")))
+    assert(expected.nonEmpty)
+    for ((tag, i) <- Seq("eraserem:pos", "eraserem:csv").zipWithIndex) {
+      val d = dataDir(s"rem_k$i", "documents", "events")
+      def probe() = graft.queries.TextQueries
+        .defs("q314_erasure_estate_remediation")(spark, d)
+      killAndRecover(tag, () => probe(), expected)
+    }
+  }
+
   test("a killed manifest append recovers: first-ever crash, mid-life crash, no dupes") {
     val layout = s"$base/mlayout"
     val manifest = s"$base/mmanifest"
