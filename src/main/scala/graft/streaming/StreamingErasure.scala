@@ -126,14 +126,23 @@ object StreamingErasure {
   }
 
   /** Start maintaining the erasure store for a stream of (doc_id)
-    * requests against the static documents relation. */
+    * requests against the static documents relation. `compactEvery`
+    * wires the generational roll-up into the stream itself (every k-th
+    * batch), so a production deployment needs no external maintenance
+    * tick to stay bounded; a compaction interrupted by a crash is
+    * invisible (the generation intersection) and the next tick re-runs
+    * it. */
   def start(reqs: DataFrame, docs: DataFrame, outDir: String,
-            checkpoint: String): StreamingQuery =
+            checkpoint: String,
+            compactEvery: Option[Long] = None): StreamingQuery =
     reqs.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (df: Dataset[Row], id: Long) =>
         writeBatch(df, docs, outDir, id)
+        if (compactEvery.exists(k => k > 0 && (id + 1) % k == 0)) {
+          compact(df.sparkSession, outDir); ()
+        }
       }
       .start()
 

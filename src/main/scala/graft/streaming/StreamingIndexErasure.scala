@@ -80,14 +80,20 @@ object StreamingIndexErasure {
   }
 
   /** Start maintaining the tombstone store for a stream of (idCol)
-    * requests against the static persisted code table. */
+    * requests against the static persisted code table. `compactEvery`
+    * wires the generational roll-up into the stream (every k-th batch) —
+    * no external maintenance tick needed to stay bounded. */
   def start(reqs: DataFrame, codes: DataFrame, idCol: String,
-            outDir: String, checkpoint: String): StreamingQuery =
+            outDir: String, checkpoint: String,
+            compactEvery: Option[Long] = None): StreamingQuery =
     reqs.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (df: Dataset[Row], id: Long) =>
         writeBatch(df, codes, idCol, outDir, id)
+        if (compactEvery.exists(k => k > 0 && (id + 1) % k == 0)) {
+          compact(df.sparkSession, outDir); ()
+        }
       }
       .start()
 

@@ -100,14 +100,20 @@ object StreamingMvErasure {
   }
 
   /** Start maintaining the decrement store for a stream of (user_id)
-    * requests against the static events relation. */
+    * requests against the static events relation. `compactEvery` wires
+    * the generational roll-up into the stream (every k-th batch) — no
+    * external maintenance tick needed to stay bounded. */
   def start(reqs: DataFrame, events: DataFrame, outDir: String,
-            checkpoint: String): StreamingQuery =
+            checkpoint: String,
+            compactEvery: Option[Long] = None): StreamingQuery =
     reqs.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
       .foreachBatch { (df: Dataset[Row], id: Long) =>
         writeBatch(df, events, outDir, id)
+        if (compactEvery.exists(k => k > 0 && (id + 1) % k == 0)) {
+          compact(df.sparkSession, outDir); ()
+        }
       }
       .start()
 

@@ -122,6 +122,33 @@ class StreamingErasureCompactionSpec extends AnyFunSuite with BeforeAndAfterAll 
       "the replayed pre-compaction id re-landed its directory")
   }
 
+  test("start(compactEvery) keeps the store bounded with no external maintenance tick") {
+    val ss = spark; import ss.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val outDir = java.nio.file.Files.createTempDirectory("graft-serc3-").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-serc3-ckpt-").toString
+    val ids = cohort()
+    val stream = MemoryStream[StreamingErasureSpec.Req](spark)
+    val q = StreamingErasure.start(stream.toDF(), docs(), outDir, ckpt,
+      compactEvery = Some(3L))
+    ids.grouped(math.max(1, ids.size / 10)).foreach { chunk =>
+      stream.addData(chunk.map(StreamingErasureSpec.Req.apply))
+      q.processAllAvailable()
+    }
+    q.stop()
+    // the stream compacted itself: a generation exists and the loose
+    // tail is shorter than the roll-up interval + keep-one lag allows
+    assert(batchDirCount(s"$outDir/gen", "tomb") >= 1,
+      "no generation landed — compactEvery never fired")
+    Seq("tomb", "dfdec", "dlstat").foreach { s =>
+      assert(batchDirCount(outDir, s) <= 6,
+        s"auto-compaction left ${batchDirCount(outDir, s)} loose $s dirs")
+    }
+    val (tomb, _, _) = StreamingErasure.readStore(spark, outDir)
+    assert(tomb.as[Long].collect().sorted.toIndexedSeq == ids,
+      "the auto-compacted store != the batch cohort")
+  }
+
   test("a compaction killed between its generation writes is invisible until re-run") {
     val ss = spark; import ss.implicits._
     val outDir = java.nio.file.Files.createTempDirectory("graft-serc2-").toString
