@@ -1454,6 +1454,12 @@ object TextQueries {
     //                          once the CoW rewrite lands everywhere.
     // The oracle derives every expected count from the raw corpus; a
     // mismatch is a leak found by the gate instead of an auditor.
+    // Scale note: the broadcast tombstone semi joins ride the test
+    // cohort's deliberate ~14% size here; a production purge batch is
+    // thousands of ids (broadcastable outright), and a truly
+    // corpus-proportional audit would co-bucket the tombstones with each
+    // doc-keyed artifact (the q305 layout) instead — the audit scan
+    // itself is the same one the artifact's compaction already pays.
     "q311_erasure_estate_ledger" -> ((spark, dir) => {
       val (pT, _, dlT) = invertedIndexTables(spark, dir)
       val (tombT, _, _) = erasureTextTables(spark, dir)

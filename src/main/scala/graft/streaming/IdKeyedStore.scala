@@ -96,6 +96,12 @@ private[streaming] object IdKeyedStore {
   * — every store's writeBatch consults [[activeGeneration]] before its
   * per-batch `_SUCCESS` probe.
   *
+  * Single-maintainer discipline (the [[MvMaintenance]] assumption): one
+  * compactor runs at a time — the streaming `compactEvery` hook
+  * guarantees it by construction (foreachBatch is serial), and an
+  * external tick must not race it. Concurrent WRITERS of new batches
+  * are safe: compaction never touches ids above its claimed coverage.
+  *
   * `subs`: the store's artifact subdirectories; `""` means the store's
   * batches land at the root (single-artifact stores). */
 private[streaming] final class GenerationalStore(
