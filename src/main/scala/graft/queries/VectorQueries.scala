@@ -1794,18 +1794,26 @@ object VectorQueries {
       Seq(t)
     }.head
 
+  /** The serve for a GIVEN generation state — green with tombstones
+    * retired (no anti join), anything else blue WITH tombstones. Split
+    * from [[swappedAnnServe]] so ErasureRetirementSpec can prove BOTH
+    * resolver branches (the pre-swap blue path must serve exactly q305's
+    * tombstoned answer — a rollback flips the pointer back and readers
+    * must land here). */
+  private[graft] def servedGeneration(spark: org.apache.spark.sql.SparkSession,
+      dir: String, active: String): org.apache.spark.sql.DataFrame =
+    if (active == "green") retainedAnnServe(spark, dir)
+    else tombstonedAnnServe(spark, dir,
+      spark.table(annTombstoneTable(spark, dir)))
+
   /** The unpinned reader's serve: resolve the generation pointer and
-    * serve the ACTIVE generation — green with tombstones retired (no
-    * anti join) after the swap, blue WITH tombstones before it. The
-    * pointer read is load-bearing: this function never decides the
-    * branch itself. */
+    * serve the ACTIVE generation. The pointer read is load-bearing: this
+    * function never decides the branch itself. */
   private[graft] def swappedAnnServe(spark: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     val active = spark.table(eraseGenPointerTable(spark, dir))
       .select("active_gen").collect()(0).getString(0)
-    if (active == "green") retainedAnnServe(spark, dir)
-    else tombstonedAnnServe(spark, dir,
-      spark.table(annTombstoneTable(spark, dir)))
+    servedGeneration(spark, dir, active)
   }
 
   /** The q305 tombstoned-ADC serve over a caller-supplied (cell, vec_id)

@@ -48,6 +48,15 @@ class ErasureRetirementSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"the post-swap serve must read the green generation's codes:\n$plan")
   }
 
+  test("a pointer rolled back to blue serves exactly the tombstoned q305 answer") {
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.orderBy("query_id", "adc", "vec_id").collect()
+        .map(_.toString).toIndexedSeq
+    assert(rows(graft.queries.VectorQueries.servedGeneration(spark, dir, "blue")) ==
+      rows(SparkEntry.queries("q305_erasure_ann_serve")(spark, dir)),
+      "the resolver's blue branch must serve the merge-on-read answer")
+  }
+
   test("q312 carries exactly one anti join — the pinned blue reader's") {
     val plan = SparkEntry.queries("q312_erasure_generation_swap")(spark, dir)
       .queryExecution.executedPlan.toString
