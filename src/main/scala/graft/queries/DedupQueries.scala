@@ -138,6 +138,54 @@ object DedupQueries {
       Seq(t)
     }.head
 
+  /** q311's SKETCH-contamination measure: registers of the persisted
+    * q151 HLL MV that would CHANGE if the flagged cohort's events were
+    * removed — a max-merged register is NOT subtractable (unlike the
+    * q138 additive partials), so the only erasure a sketch admits is a
+    * rebuild from the retained stream (policy `rebuild_from_retained`,
+    * bounded at days × m rows), and until that runs the ledger carries
+    * HOW MUCH of the sketch state is contaminated. Measured against the
+    * persisted bytes: recompute the retained registers through the SAME
+    * [[hllRegisters]] derivation and count persisted (day, bucket) rows
+    * whose register differs or disappears (a retained register can never
+    * exceed the persisted max over a superset, and a bucket present in
+    * the retained recompute is present in the persisted MV — so the left
+    * join sees every difference). */
+  private[queries] def hllContaminationCount(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      flagged: org.apache.spark.sql.Column): DataFrame = {
+    val persisted = spark.table(hllMvBaseTable(spark, dir))
+    val retained = hllRegisters(dayUsers(table(spark, dir, "events")
+        .where(col("event_id") % 10 =!= 0).where(!flagged)), "uid", Seq("day"))
+      .withColumnRenamed("r", "r_ret")
+    persisted.join(retained, Seq("day", "bucket"), "left")
+      .where(col("r_ret").isNull || col("r") =!= col("r_ret"))
+      .agg(count(lit(1)).as("erased_rows"))
+  }
+
+  /** The DuckDB twin of [[hllContaminationCount]] as a WITH-fragment
+    * (CTEs `hc_p`/`hc_r`/`hc`, final count in `hc.c`) — spliced into the
+    * q311 estate-ledger oracle. Mirrors the q151 oracle's register
+    * derivation term for term. */
+  private[queries] def hllContaminationSql: String = {
+    val ladder = (51 to 0 by -1)
+      .map(b => s"WHEN rest >= ${1L << b} THEN ${52 - b}").mkString(" ")
+    def regs(name: String, extraWhere: String) =
+      s"""${name}0 AS (SELECT epoch_us(ts) // ${graft.queries.RelQueries.DayUs} AS day,
+         |              ${graft.sql.TextSql.hexcast("CAST(user_id AS VARCHAR)")} AS h
+         |       FROM events WHERE event_id % 10 <> 0$extraWhere),
+         |$name AS (SELECT day, bucket, max(CASE $ladder ELSE 53 END) AS r FROM (
+         |    SELECT day, h // ${1L << 52} AS bucket, h % ${1L << 52} AS rest FROM ${name}0)
+         |  GROUP BY day, bucket)""".stripMargin
+    s"""${regs("hc_p", "")},
+       |${regs("hc_r",
+        s" AND NOT user_id % ${graft.queries.RelQueries.PurgeUserMod} = ${graft.queries.RelQueries.PurgeUserRes}")},
+       |hc AS (SELECT CAST(count(*) AS BIGINT) AS c
+       |       FROM hc_p LEFT JOIN (SELECT day, bucket, r AS r2 FROM hc_r)
+       |         USING (day, bucket)
+       |       WHERE r2 IS NULL OR r <> r2)""".stripMargin
+  }
+
   /** q109 count-min geometry: d rows × w counters, row hashes via the
     * bloom-style double hashing off two md5 slices. Pure integer
     * arithmetic end to end. */

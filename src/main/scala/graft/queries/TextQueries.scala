@@ -1537,7 +1537,13 @@ object TextQueries {
         groupLeak(v2T, "snapshot_v2_groups", "snapshot_expiry_horizon",
           ingestedOnly = false),
         row("purge_deletion_vector", "retire_after_compaction",
-          spark.table(dvT).agg(count(lit(1)).as("erased_rows"))))
+          spark.table(dvT).agg(count(lit(1)).as("erased_rows"))),
+        // the sketch class: max-merged HLL registers are not
+        // subtractable, so the measure is CONTAMINATED REGISTERS
+        // (persisted rows that change under a retained-only recompute)
+        // and the policy is a bounded rebuild
+        row("hll_mv_registers", "rebuild_from_retained",
+          DedupQueries.hllContaminationCount(spark, dir, flaggedU)))
         .reduce(_ unionByName _)
     }),
 
@@ -2485,7 +2491,8 @@ object TextQueries {
          |  SELECT DISTINCT day, event_type FROM fu)),
          |ct AS (SELECT min(day) + ${RelQueries.PurgeDays} AS cutoff FROM ue),
          |dv AS (SELECT CAST(count(*) AS BIGINT) AS c FROM fu, ct
-         |       WHERE day < cutoff)
+         |       WHERE day < cutoff),
+         |${DedupQueries.hllContaminationSql}
          |SELECT 'postings_mor' AS artifact, 'tombstone_mor' AS policy, c AS erased_rows FROM pm
          |UNION ALL SELECT 'postings_compacted', 'compacted_cow', CAST(0 AS BIGINT) FROM pm
          |UNION ALL SELECT 'doclen_mor', 'tombstone_mor', c FROM dm
@@ -2505,7 +2512,8 @@ object TextQueries {
          |UNION ALL SELECT 'agg_mv_groups', 'decrement', c FROM g1
          |UNION ALL SELECT 'snapshot_v1_groups', 'snapshot_expiry_horizon', c FROM g1
          |UNION ALL SELECT 'snapshot_v2_groups', 'snapshot_expiry_horizon', c FROM g2
-         |UNION ALL SELECT 'purge_deletion_vector', 'retire_after_compaction', c FROM dv""".stripMargin,
+         |UNION ALL SELECT 'purge_deletion_vector', 'retire_after_compaction', c FROM dv
+         |UNION ALL SELECT 'hll_mv_registers', 'rebuild_from_retained', c FROM hc""".stripMargin,
 
     // the expected lifecycle frame from the raw corpus: pre-purge the
     // cohort's postings are present and served; tombstoned they are
