@@ -141,9 +141,12 @@ object Bench {
         graft.queries.DedupQueries.invalidateComponentMemo()
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
+        // log EVERY failed pass (r17 ADVICE): a twin that warms fine but
+        // throws on the timed passes would otherwise report -1.0 with no
+        // visible signal at all
         val ok = try { force(fn(spark, sfDir)); true }
         catch { case scala.util.control.NonFatal(e) =>
-          if (pass == 0) System.err.println(s"[bench] serve twin $name threw: ${e.getMessage}")
+          System.err.println(s"[bench] serve twin $name pass $pass threw: ${e.getMessage}")
           false
         }
         val dt = (System.nanoTime() - t0) / 1e9
@@ -155,7 +158,9 @@ object Bench {
     val probeEnd = probe()
     val results = names.map { case (name, _) => name -> best.getOrElse(name, -1.0) }
     val ladderStandalone = ladder.map(n => math.max(best.getOrElse(n, 0.0), 0.0)).sum
-    val errors = results.count(_._2 < 0)
+    // serve-twin failures count as errors too (r17 ADVICE): a degraded
+    // train_serve_split must redden the artifact, not just print -1.0
+    val errors = results.count(_._2 < 0) + serveBest.values.count(_ < 0)
     // the driver's artifact keeps only a ~2,000-char tail of this line;
     // at 290 queries even 2-decimal qNN-keyed entries blow past that
     // (r13's artifact recorded "parsed": null with the tail starting

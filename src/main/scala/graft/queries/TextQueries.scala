@@ -1567,7 +1567,7 @@ object TextQueries {
     // means some stage of the purge pipeline silently didn't happen.
     "q313_erasure_governance_transition" -> ((spark, dir) => {
       val (pT, _, _) = invertedIndexTables(spark, dir)
-      val (tombT, _, _) = erasureTextTables(spark, dir)
+      val (tombT, decT, statT) = erasureTextTables(spark, dir)
       val (cpT, _, _, _) = compactedIndexTables(spark, dir)
       val tomb = broadcast(spark.table(tombT))
       def cnt(df: org.apache.spark.sql.DataFrame) =
@@ -1578,10 +1578,15 @@ object TextQueries {
       def zero() = spark.range(1).select(lit(0L).as("c"))
       // bytes at rest: cohort rows physically inside the MoR postings
       def physMor() = cnt(spark.table(pT).join(tomb, Seq("doc_id"), "left_semi"))
-      // what the MoR SERVE emits for the cohort: the q304 anti-joined
-      // relation, then the cohort filter — measured, not assumed zero
-      def servedMor() = cnt(spark.table(pT)
-        .join(tomb, Seq("doc_id"), "left_anti")
+      // what the MoR SERVE emits for the cohort: THE q304 serve relation
+      // (erasedBm25Serve — the exact plan the production path runs, not
+      // an inline re-derivation of its anti join, which was zero by
+      // relational algebra regardless of the serve path's behavior — the
+      // r17 ADVICE), filtered to cohort candidates. A serve-path
+      // regression (dropped anti join, stale stats routing a cohort doc
+      // back into the ranks) now lands HERE as a nonzero cell
+      def servedMor() = cnt(erasedBm25Serve(spark, dir,
+        spark.table(tombT), spark.table(decT), spark.table(statT))
         .join(tomb, Seq("doc_id"), "left_semi"))
       def physCow() = cnt(spark.table(cpT).join(tomb, Seq("doc_id"), "left_semi"))
       def nTomb() = cnt(spark.table(tombT))

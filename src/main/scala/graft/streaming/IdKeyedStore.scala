@@ -51,6 +51,22 @@ private[streaming] object IdKeyedStore {
     fs.exists(new Path(p, s"batch=$batchId/_SUCCESS"))
   }
 
+  /** Batch ids with ANY directory present under `dir` — committed or
+    * torn (no `_SUCCESS`, crash debris awaiting replay). The compaction
+    * contiguity guard needs the distinction: a torn id is a batch that
+    * was ATTEMPTED but has not landed, and a generation must never roll
+    * coverage past it (the coverage check would then skip its replay
+    * forever — silent request loss). */
+  def presentIds(spark: SparkSession, dir: String): Set[Long] = {
+    val (fs, p) = fsOf(spark, dir)
+    if (!fs.exists(p) || !fs.getFileStatus(p).isDirectory) Set.empty
+    else fs.listStatus(p).toIndexedSeq
+      .filter(_.isDirectory)
+      .flatMap(st => "batch=(\\d+)".r.findFirstMatchIn(st.getPath.getName)
+        .map(_.group(1).toLong))
+      .toSet
+  }
+
   /** The accumulated store restricted to committed batches, lineage
     * column dropped. When nothing has committed yet: with `emptySchema`
     * supplied, returns an EMPTY frame of that schema (a serve/monitor
@@ -113,13 +129,45 @@ private[streaming] final class GenerationalStore(
     if (sub.isEmpty) s"$outDir/gen" else s"$outDir/gen/$sub"
 
   /** Batch ids fully landed across every artifact (the torn-batch
-    * intersection), loose only — ids the active generation covers are
-    * excluded. */
-  def looseIds(spark: SparkSession): Set[Long] = {
-    val gen = activeGeneration(spark)
+    * intersection), loose only — ids at or below `gen`'s coverage are
+    * excluded. `gen` is the generation the CALLER already resolved (via
+    * [[activeGeneration]]): the (generation, loose-id) pair a reader
+    * serves must be resolved as ONE consistent snapshot — re-resolving
+    * the generation here could pair an OLD generation with loose ids
+    * filtered against a NEWER one that a racing compaction just
+    * published, silently dropping every batch in (old, new] from the
+    * served state. Threading the caller's gen makes the pair consistent
+    * by construction (the r17 ADVICE). */
+  def looseIds(spark: SparkSession, gen: Option[Long]): Set[Long] =
     subs.map(s => IdKeyedStore.committedIds(spark, dataPath(s)))
       .reduce(_ intersect _)
       .filter(id => gen.forall(id > _))
+
+  /** The loose ids a compaction may safely roll up: the committed ids
+    * above `gen`'s coverage, truncated below the smallest TORN id (a
+    * batch directory present in some artifact without its `_SUCCESS`, or
+    * committed in only a subset of the artifacts). Covering a torn id
+    * would make [[batchApplied]] return true for a batch whose replay
+    * has not landed yet — its requests would be skipped forever (silent
+    * data loss, the r17 ADVICE). Under serial foreachBatch ids the torn
+    * id is always the newest in-flight batch and the truncation is a
+    * no-op; the guard exists for the OUT-OF-ORDER writer / external
+    * compaction tick the scaladoc contract forbids but cannot enforce. */
+  def compactableIds(spark: SparkSession, gen: Option[Long]): Set[Long] = {
+    val committed = looseIds(spark, gen)
+    val torn = subs.map(s => IdKeyedStore.presentIds(spark, dataPath(s)))
+      .reduce(_ union _)
+      .filter(id => gen.forall(id > _)) -- committed
+    if (torn.isEmpty) committed
+    else {
+      val cut = torn.min
+      val safe = committed.filter(_ < cut)
+      org.apache.log4j.Logger.getLogger(getClass).warn(
+        s"graft: compaction of $outDir truncated below torn batch $cut " +
+          s"(skipping ${committed.size - safe.size} committed ids above it " +
+          "until the torn batch's replay lands)")
+      safe
+    }
   }
 
   /** The active generation's covered-through id — the largest id

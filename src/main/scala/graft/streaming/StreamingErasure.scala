@@ -80,7 +80,7 @@ object StreamingErasure {
                               batchId: Long): Option[DataFrame] = {
     val st = store(outDir)
     val gen = st.activeGeneration(spark)
-    val ok = st.looseIds(spark).filter(_ < batchId)
+    val ok = st.looseIds(spark, gen).filter(_ < batchId)
     st.readPart(spark, "tomb", gen, ok).map(_.select("doc_id"))
   }
 
@@ -155,7 +155,7 @@ object StreamingErasure {
   def compact(spark: SparkSession, outDir: String): Option[Long] = {
     val st = store(outDir)
     val prev = st.activeGeneration(spark)
-    val live = st.looseIds(spark)
+    val live = st.compactableIds(spark, prev)
     if (live.isEmpty) return prev
     // the roll-up reads exactly (prev generation + `live`) — the id set
     // the new generation's coverage claims — not a racy re-listing that
@@ -179,7 +179,8 @@ object StreamingErasure {
   def readStore(spark: SparkSession, outDir: String)
       : (DataFrame, DataFrame, DataFrame) = {
     val st = store(outDir)
-    storeAt(spark, outDir, st.activeGeneration(spark), st.looseIds(spark))
+    val gen = st.activeGeneration(spark)
+    storeAt(spark, outDir, gen, st.looseIds(spark, gen))
   }
 
   /** The store state over an EXPLICIT (generation, loose-batch-id) pair —

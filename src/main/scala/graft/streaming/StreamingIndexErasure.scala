@@ -53,8 +53,8 @@ object StreamingIndexErasure {
   private def priorTombstones(spark: SparkSession, outDir: String,
                               batchId: Long): Option[DataFrame] = {
     val st = store(outDir)
-    st.readPart(spark, "", st.activeGeneration(spark),
-      st.looseIds(spark).filter(_ < batchId))
+    val gen = st.activeGeneration(spark)
+    st.readPart(spark, "", gen, st.looseIds(spark, gen).filter(_ < batchId))
   }
 
   /** Land one micro-batch of erasure requests against the persisted
@@ -106,7 +106,7 @@ object StreamingIndexErasure {
   def compact(spark: SparkSession, outDir: String): Option[Long] = {
     val st = store(outDir)
     val prev = st.activeGeneration(spark)
-    val live = st.looseIds(spark)
+    val live = st.compactableIds(spark, prev)
     if (live.isEmpty) return prev
     val rolled = st.readPart(spark, "", prev, live).get
     st.writeGeneration(spark, live.max, prev, Map("" -> rolled))
@@ -122,7 +122,8 @@ object StreamingIndexErasure {
   def readTombstones(spark: SparkSession, outDir: String,
                      idCol: String): DataFrame = {
     val st = store(outDir)
-    st.readPart(spark, "", st.activeGeneration(spark), st.looseIds(spark))
+    val gen = st.activeGeneration(spark)
+    st.readPart(spark, "", gen, st.looseIds(spark, gen))
       .getOrElse(spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], storeSchema(idCol)))
   }

@@ -71,8 +71,9 @@ object StreamingMvErasure {
   private def priorUsers(spark: SparkSession, outDir: String,
                          batchId: Long): Option[DataFrame] = {
     val st = store(outDir)
-    st.readPart(spark, "users", st.activeGeneration(spark),
-      st.looseIds(spark).filter(_ < batchId)).map(_.select("user_id"))
+    val gen = st.activeGeneration(spark)
+    st.readPart(spark, "users", gen,
+      st.looseIds(spark, gen).filter(_ < batchId)).map(_.select("user_id"))
   }
 
   /** Land one micro-batch of user-erasure requests against the static
@@ -125,7 +126,7 @@ object StreamingMvErasure {
   def compact(spark: SparkSession, outDir: String): Option[Long] = {
     val st = store(outDir)
     val prev = st.activeGeneration(spark)
-    val live = st.looseIds(spark)
+    val live = st.compactableIds(spark, prev)
     if (live.isEmpty) return prev
     val users = st.readPart(spark, "users", prev, live).get
     val dec = st.readPart(spark, "dec", prev, live).get
@@ -142,7 +143,7 @@ object StreamingMvErasure {
   def readStore(spark: SparkSession, outDir: String): (DataFrame, DataFrame) = {
     val st = store(outDir)
     val gen = st.activeGeneration(spark)
-    val ok = st.looseIds(spark)
+    val ok = st.looseIds(spark, gen)
     def part(sub: String, schema: StructType): DataFrame =
       st.readPart(spark, sub, gen, ok).getOrElse(
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema))

@@ -149,6 +149,32 @@ class StreamingErasureCompactionSpec extends AnyFunSuite with BeforeAndAfterAll 
       "the auto-compacted store != the batch cohort")
   }
 
+  test("compaction never rolls coverage past a torn batch — its replay still lands (the r17 ADVICE guard)") {
+    val ss = spark; import ss.implicits._
+    val outDir = java.nio.file.Files.createTempDirectory("graft-serc4-").toString
+    val ids = cohort()
+    val (a, rest) = ids.splitAt(ids.size / 3)
+    val (b, c) = rest.splitAt(rest.size / 2)
+    StreamingErasure.writeBatch(a.toDF("doc_id"), docs(), outDir, 0L)
+    StreamingErasure.writeBatch(b.toDF("doc_id"), docs(), outDir, 1L)
+    StreamingErasure.writeBatch(c.toDF("doc_id"), docs(), outDir, 2L)
+    // tear batch 1 AFTER batch 2 landed — the out-of-order-writer /
+    // external-tick hazard: an unguarded compaction would roll coverage
+    // through 2, making batchApplied(1) true forever and silently
+    // dropping b's erasure requests
+    val torn = new java.io.File(s"$outDir/tomb/batch=1/_SUCCESS")
+    assert(torn.delete(), "fixture: could not tear batch 1")
+    val cov1 = StreamingErasure.compact(spark, outDir)
+    assert(cov1.contains(0L),
+      s"compaction coverage $cov1 rolled past the torn batch 1")
+    // the torn batch's replay must still land (not no-op on coverage)
+    StreamingErasure.writeBatch(b.toDF("doc_id"), docs(), outDir, 1L)
+    StreamingErasure.compact(spark, outDir)
+    val (tomb, _, _) = StreamingErasure.readStore(spark, outDir)
+    assert(tomb.as[Long].collect().sorted.toIndexedSeq == ids,
+      "the replayed torn batch did not restore the full cohort")
+  }
+
   test("a compaction killed between its generation writes is invisible until re-run") {
     val ss = spark; import ss.implicits._
     val outDir = java.nio.file.Files.createTempDirectory("graft-serc2-").toString
