@@ -390,7 +390,7 @@ object MultimodalQueries {
     * generation as its own table (instead of appending in place) is the
     * blue/green contract: the swap is a pointer flip and the blue table
     * stays immutable for pinned readers. */
-  private def mmGenTables(spark: org.apache.spark.sql.SparkSession,
+  private[queries] def mmGenTables(spark: org.apache.spark.sql.SparkSession,
                           dir: String): (String, String, String) = {
     val names = AtRestTables.get(spark, s"mmgen|$dir") { base =>
       val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
@@ -516,7 +516,7 @@ object MultimodalQueries {
     * predicate pushes straight into the bucketed scan) and stored
     * co-bucketed with them. With q304 (text) and q305 (vectors) this
     * closes "every at-rest serving index forgets". */
-  private def mmTombstoneTable(spark: org.apache.spark.sql.SparkSession,
+  private[queries] def mmTombstoneTable(spark: org.apache.spark.sql.SparkSession,
                                dir: String): String =
     AtRestTables.get(spark, s"erasemm|$dir") { base =>
       val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
@@ -535,7 +535,7 @@ object MultimodalQueries {
     * CentroidBudget discipline): centroid COUNT is fixed — stride
     * sampling keeps assignment work O(n·budget) at every scale. ONE
     * place, embedded into the oracle SQL. */
-  private val MmCentroidBudget = 16L
+  private[queries] val MmCentroidBudget = 16L
 
   /** Probe width for q298/q299 — shared with the oracle. */
   private val MmNProbe = 2
@@ -556,8 +556,8 @@ object MultimodalQueries {
     * 8 of the 32 blobs) — a different arrival shape from q299's query
     * set (the two overlap only at id 22). Embedded into the oracle
     * WHERE. */
-  private val MmIncrMod = 4L
-  private val MmIncrRes = 2L
+  private[queries] val MmIncrMod = 4L
+  private[queries] val MmIncrRes = 2L
 
   /** The PERSISTED multimodal index — centroids + cell-bucketed embedding
     * codes, written once per (session, dataset) via [[AtRestTables]]:
@@ -678,7 +678,7 @@ object MultimodalQueries {
 
   /** q263's bounded blob count — ONE place, embedded into the oracle
     * WHERE. */
-  private val BinFileDocs = 32L
+  private[queries] val BinFileDocs = 32L
 
   /** q263's at-rest BINARY FILE store: one `.bin` blob per sampled
     * document, bytes = the UTF-8 text (the q45 payload contract). The
@@ -686,7 +686,7 @@ object MultimodalQueries {
     * deliberate q128/q141 bounded idiom; a production corpus's blobs are
     * landed by whatever produced them, and THIS query demonstrates the
     * ingest scan, not the landing. */
-  private def binaryFilesDir(spark: org.apache.spark.sql.SparkSession,
+  private[queries] def binaryFilesDir(spark: org.apache.spark.sql.SparkSession,
                              dir: String): String = {
     // path-only entry: the blob store is a plain directory, not a catalog
     // table — getPath registers no table names, so registry eviction never

@@ -138,6 +138,22 @@ object SaxQueries {
     (names(0), names(1))
   }
 
+  /** The q78 dictionary's at-rest tables, exposed for the q311 estate
+    * ledger: the (user_id, word) rows are user-derived personal data and
+    * must appear in the erasure census like every other at-rest artifact. */
+  private[queries] def wordDictTables(spark: org.apache.spark.sql.SparkSession,
+                                      dir: String): (String, String) =
+    bucketedWordTables(spark, dir)
+
+  /** Oracle-side count of the flagged purge cohort's rows in the persisted
+    * q78 word dictionary — distinct (user_id, word) of flagged users,
+    * re-derived from raw events through the SAME window-encode SQL whose
+    * bit-parity q02 proves. Emitted as a parenthesized scalar subquery. */
+  private[queries] def wordDictCohortSql: String =
+    s"""SELECT CAST(count(*) AS BIGINT) AS c FROM (
+       |  SELECT DISTINCT user_id, word FROM ($windowWordsSql)
+       |  WHERE user_id % ${RelQueries.PurgeUserMod} = ${RelQueries.PurgeUserRes})""".stripMargin
+
   private def firstNWords(w: Int, c: Int, masked: Boolean): QFn = (spark, dir) => {
     val ev = table(spark, dir, "events")
     val v =

@@ -142,7 +142,7 @@ object TextQueries {
     * untouched, so serve-side equality with a full rebuild is exact, not
     * approximate. [[AtRestTables.faultPoint]]s between the writes let
     * AtRestFaultSpec kill the build in every inter-write window. */
-  private def erasureTextTables(spark: org.apache.spark.sql.SparkSession,
+  private[queries] def erasureTextTables(spark: org.apache.spark.sql.SparkSession,
                                 dir: String): (String, String, String) = {
     val names = AtRestTables.get(spark, s"erasetxt|$dir") { base =>
       val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
@@ -248,7 +248,7 @@ object TextQueries {
     * the needle over raw parquet). */
   private val BloomFiles = 8
 
-  private def bloomDocsTables(spark: org.apache.spark.sql.SparkSession,
+  private[queries] def bloomDocsTables(spark: org.apache.spark.sql.SparkSession,
                               dir: String): (String, String) = {
     val names = AtRestTables.get(spark, s"docbloom|$dir") { base =>
       val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
@@ -1461,90 +1461,17 @@ object TextQueries {
     // doc-keyed artifact (the q305 layout) instead — the audit scan
     // itself is the same one the artifact's compaction already pays.
     "q311_erasure_estate_ledger" -> ((spark, dir) => {
-      val (pT, _, dlT) = invertedIndexTables(spark, dir)
-      val (tombT, _, _) = erasureTextTables(spark, dir)
-      val (cpT, _, cdT, _) = compactedIndexTables(spark, dir)
-      val posT = positionalIndexTable(spark, dir)
-      val (jT, cvT) = RelQueries.fileSourceTables(spark, dir)
-      val orcT = RelQueries.orcSourceTable(spark, dir)
-      val ivfCodesT = VectorQueries.ivfIndexTables(spark, dir)._3
-      val greenCodesT = VectorQueries.retainedIvfTables(spark, dir)._3
-      val mmCodesT = MultimodalQueries.mmIndexTables(spark, dir)._2
-      val (peT, _) = RelQueries.partitionedEventsTable(spark, dir)
-      val (zT, _) = RelQueries.zorderedEventsTables(spark, dir)
-      val (rT, _) = RelQueries.rangedEventsTables(spark, dir)
-      val (g1T, g2T) = RelQueries.schemaEvoTables(spark, dir)
-      val usT = RelQueries.upsertStateTable(spark, dir)
-      val mvT = RelQueries.aggBaseTable(spark, dir)
-      val (v1T, v2T) = RelQueries.mvSnapshotTables(spark, dir)
-      val (_, dvT) = RelQueries.purgedLayoutTables(spark, dir)
-      val tomb = broadcast(spark.table(tombT))
-      def row(label: String, policy: String,
-              c: org.apache.spark.sql.DataFrame) =
-        c.select(lit(label).as("artifact"), lit(policy).as("policy"),
-          col("erased_rows"))
-      def docLeak(t: String, label: String, policy: String) =
-        row(label, policy, spark.table(t)
-          .join(tomb, Seq("doc_id"), "left_semi")
-          .agg(count(lit(1)).as("erased_rows")))
-      val flaggedU = pmod(col("user_id"), lit(RelQueries.PurgeUserMod)) ===
-        RelQueries.PurgeUserRes
-      def userLeak(t: String, label: String, policy: String) =
-        row(label, policy, spark.table(t).where(flaggedU)
-          .agg(count(lit(1)).as("erased_rows")))
-      // contaminated (day, type) groups: the cohort's own partials give
-      // the group keys (O(|cohort|), the q306 discipline), semi-joined
-      // into the persisted MV/snapshot bytes
-      def groupsOf(ingestedOnly: Boolean) = {
-        val ev = table(spark, dir, "events").where(flaggedU)
-        RelQueries.dayTypePartials(
-          if (ingestedOnly) ev.where(col("event_id") % 10 =!= 0) else ev)
-          .select("day", "event_type")
-      }
-      def groupLeak(t: String, label: String, policy: String,
-                    ingestedOnly: Boolean) =
-        row(label, policy, spark.table(t)
-          .join(broadcast(groupsOf(ingestedOnly)),
-            Seq("day", "event_type"), "left_semi")
-          .agg(count(lit(1)).as("erased_rows")))
-      Seq(
-        docLeak(pT, "postings_mor", "tombstone_mor"),
-        docLeak(cpT, "postings_compacted", "compacted_cow"),
-        docLeak(dlT, "doclen_mor", "tombstone_mor"),
-        docLeak(cdT, "doclen_compacted", "compacted_cow"),
-        docLeak(posT, "postings_positional", "compact_on_purge"),
-        docLeak(jT, "docs_jsonl", "rewrite_on_purge"),
-        docLeak(cvT, "docs_csv", "rewrite_on_purge"),
-        docLeak(orcT, "docs_orc", "rewrite_on_purge"),
-        row("ivf_codes_blue", "tombstone_mor", spark.table(ivfCodesT)
-          .where(QueryBase.erasedId(col("vec_id")))
-          .agg(countDistinct(col("vec_id")).as("erased_rows"))),
-        row("ivf_codes_green", "retrained_forget", spark.table(greenCodesT)
-          .where(QueryBase.erasedId(col("vec_id")))
-          .agg(countDistinct(col("vec_id")).as("erased_rows"))),
-        docLeak(mmCodesT, "mm_codes", "tombstone_mor"),
-        userLeak(peT, "events_by_day", "partition_rewrite"),
-        userLeak(zT, "events_zorder", "recluster_on_purge"),
-        userLeak(rT, "events_ranged", "recluster_on_purge"),
-        row("events_schema_gens", "rewrite_on_purge",
-          spark.table(g1T).select("user_id")
-            .unionByName(spark.table(g2T).select("user_id"))
-            .where(flaggedU).agg(count(lit(1)).as("erased_rows"))),
-        userLeak(usT, "upsert_state", "cdc_delete"),
-        groupLeak(mvT, "agg_mv_groups", "decrement", ingestedOnly = true),
-        groupLeak(v1T, "snapshot_v1_groups", "snapshot_expiry_horizon",
-          ingestedOnly = true),
-        groupLeak(v2T, "snapshot_v2_groups", "snapshot_expiry_horizon",
-          ingestedOnly = false),
-        row("purge_deletion_vector", "retire_after_compaction",
-          spark.table(dvT).agg(count(lit(1)).as("erased_rows"))),
-        // the sketch class: max-merged HLL registers are not
-        // subtractable, so the measure is CONTAMINATED REGISTERS
-        // (persisted rows that change under a retained-only recompute)
-        // and the policy is a bounded rebuild
-        row("hll_mv_registers", "rebuild_from_retained",
-          DedupQueries.hllContaminationCount(spark, dir, flaggedU)))
-        .reduce(_ unionByName _)
+      val measures = estateMeasures(spark, dir)
+      val declared = EstateLedgerClasses.map(_._1).toSet
+      // the inventory is STRUCTURAL: a declared class with no measure (or
+      // a measure no class) must fail the build, not shrink the census
+      require(measures.keySet == declared,
+        s"estate ledger drift — unmeasured: ${(declared -- measures.keySet).toSeq.sorted}; " +
+          s"undeclared: ${(measures.keySet -- declared).toSeq.sorted}")
+      EstateLedgerClasses.map { case (label, policy) =>
+        measures(label).select(lit(label).as("artifact"),
+          lit(policy).as("policy"), col("erased_rows"))
+      }.reduce(_ unionByName _)
     }),
 
     // THE GOVERNANCE TRANSITION, IN ONE FRAME — q309/q311 audit each
@@ -1687,6 +1614,185 @@ object TextQueries {
         .write.mode("overwrite").option("path", s"$base/state").saveAsTable(rUsT)
       Seq(rPosT, rJT, rCvT, rOrcT, rUsT)
     }
+
+  /** THE ESTATE INVENTORY — q311's single source of truth: every ledger
+    * artifact class with its declared erasure policy, as a plain value so
+    * `EstateCoverageSpec` can structurally tie each [[AtRestTables]]
+    * lifecycle key to a ledger row (or a named exemption) WITHOUT a
+    * SparkSession — adding an at-rest artifact that escapes governance
+    * reddens `sbt test` (the r17 verdict's #2). q311 constructs its frame
+    * FROM this list and requires measure/class parity, so a drifted
+    * inventory fails loudly instead of silently shrinking the census.
+    * Policy vocabulary (each names the artifact's remediation contract):
+    *   tombstone_mor / compacted_cow / retrained_forget — the q304/q308/
+    *     q307 serving-index triad;
+    *   compact_on_purge / rewrite_on_purge / recluster_on_purge /
+    *     partition_rewrite — copies awaiting their rewrite epoch, in the
+    *     original format/layout (q314 executes five of them);
+    *   cdc_delete / decrement — keyed-state deletes and additive-MV
+    *     subtraction (q306);
+    *   snapshot_expiry_horizon — immutable snapshots expire past a
+    *     bounded retention horizon instead of mutating (SnapshotSpec);
+    *   rebuild_from_retained — non-subtractable artifacts (max-merged HLL
+    *     registers; index centroids) rebuilt from the retained corpus;
+    *   retire_on_swap — blue/superseded index generations retired
+    *     wholesale by the q312 pointer swap;
+    *   retire_after_compaction — erasure-control state (tombstone stores,
+    *     the deletion vector) that itself lists personal identifiers,
+    *     retired once every dependent rewrite lands (ErasureRetirementSpec
+    *     proves the text/ANN legs). */
+  private[graft] val EstateLedgerClasses: Seq[(String, String)] = Seq(
+    "postings_mor" -> "tombstone_mor",
+    "postings_compacted" -> "compacted_cow",
+    "doclen_mor" -> "tombstone_mor",
+    "doclen_compacted" -> "compacted_cow",
+    "postings_positional" -> "compact_on_purge",
+    "docs_jsonl" -> "rewrite_on_purge",
+    "docs_csv" -> "rewrite_on_purge",
+    "docs_orc" -> "rewrite_on_purge",
+    "docs_bloom_layout" -> "recluster_on_purge",
+    "blob_store" -> "rewrite_on_purge",
+    "word_dict_users" -> "rewrite_on_purge",
+    "ivf_codes_blue" -> "tombstone_mor",
+    "ivf_codes_green" -> "retrained_forget",
+    "ivf_cents_blue" -> "retire_on_swap",
+    "ivf_cents_green" -> "retrained_forget",
+    "ivf_cents_incr" -> "retire_on_swap",
+    "mm_codes" -> "tombstone_mor",
+    "mm_cents" -> "rebuild_from_retained",
+    "mm_cents_gen" -> "rebuild_from_retained",
+    "mm_codes_gen1" -> "rewrite_on_purge",
+    "mm_codes_gen2" -> "rewrite_on_purge",
+    "events_by_day" -> "partition_rewrite",
+    "events_zorder" -> "recluster_on_purge",
+    "events_ranged" -> "recluster_on_purge",
+    "events_schema_gens" -> "rewrite_on_purge",
+    "upsert_state" -> "cdc_delete",
+    "agg_mv_groups" -> "decrement",
+    "snapshot_v1_groups" -> "snapshot_expiry_horizon",
+    "snapshot_v2_groups" -> "snapshot_expiry_horizon",
+    "purge_deletion_vector" -> "retire_after_compaction",
+    "erase_tomb_text" -> "retire_after_compaction",
+    "erase_tomb_ann" -> "retire_after_compaction",
+    "erase_tomb_mm" -> "retire_after_compaction",
+    "hll_mv_registers" -> "rebuild_from_retained")
+
+  /** q314's audited artifact labels, declared for the same structural
+    * coverage tie (the remediated-estate key maps here, not to q311). */
+  private[graft] val RemediatedEstateClasses: Seq[String] =
+    Seq("postings_positional", "docs_jsonl", "docs_csv", "docs_orc",
+      "upsert_state")
+
+  /** One 1-row `erased_rows` frame per [[EstateLedgerClasses]] label —
+    * each measured from the PERSISTED artifact's own bytes (never from
+    * the raw corpus; the oracle independently re-derives every expected
+    * count from raw, so a mismatch is a physical leak). Kept beside the
+    * inventory so the two lists are reviewed together. */
+  private def estateMeasures(spark: org.apache.spark.sql.SparkSession,
+                             dir: String)
+      : Map[String, org.apache.spark.sql.DataFrame] = {
+    val (pT, _, dlT) = invertedIndexTables(spark, dir)
+    val (tombT, _, _) = erasureTextTables(spark, dir)
+    val (cpT, _, cdT, _) = compactedIndexTables(spark, dir)
+    val posT = positionalIndexTable(spark, dir)
+    val (jT, cvT) = RelQueries.fileSourceTables(spark, dir)
+    val orcT = RelQueries.orcSourceTable(spark, dir)
+    val (bloomT, _) = bloomDocsTables(spark, dir)
+    val blobDir = MultimodalQueries.binaryFilesDir(spark, dir)
+    val (uwT, _) = SaxQueries.wordDictTables(spark, dir)
+    val (ivfCentT, _, ivfCodesT) = VectorQueries.ivfIndexTables(spark, dir)
+    val (greenCentT, _, greenCodesT) = VectorQueries.retainedIvfTables(spark, dir)
+    val (incrCentT, _) = VectorQueries.ivfIncrTables(spark, dir)
+    val annTombT = VectorQueries.annTombstoneTable(spark, dir)
+    val (mmCentT, mmCodesT) = MultimodalQueries.mmIndexTables(spark, dir)
+    val (mmgCentT, mmg1T, mmg2T) = MultimodalQueries.mmGenTables(spark, dir)
+    val mmTombT = MultimodalQueries.mmTombstoneTable(spark, dir)
+    val (peT, _) = RelQueries.partitionedEventsTable(spark, dir)
+    val (zT, _) = RelQueries.zorderedEventsTables(spark, dir)
+    val (rT, _) = RelQueries.rangedEventsTables(spark, dir)
+    val (g1T, g2T) = RelQueries.schemaEvoTables(spark, dir)
+    val usT = RelQueries.upsertStateTable(spark, dir)
+    val mvT = RelQueries.aggBaseTable(spark, dir)
+    val (v1T, v2T) = RelQueries.mvSnapshotTables(spark, dir)
+    val (_, dvT) = RelQueries.purgedLayoutTables(spark, dir)
+    val tomb = broadcast(spark.table(tombT))
+    def cnt(df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)).as("erased_rows"))
+    def docLeak(t: String) =
+      cnt(spark.table(t).join(tomb, Seq("doc_id"), "left_semi"))
+    def idLeak(t: String, idCol: String) =
+      cnt(spark.table(t).where(QueryBase.erasedId(col(idCol))))
+    val flaggedU = pmod(col("user_id"), lit(RelQueries.PurgeUserMod)) ===
+      RelQueries.PurgeUserRes
+    def userLeak(t: String) = cnt(spark.table(t).where(flaggedU))
+    // contaminated (day, type) groups: the cohort's own partials give
+    // the group keys (O(|cohort|), the q306 discipline), semi-joined
+    // into the persisted MV/snapshot bytes
+    def groupsOf(ingestedOnly: Boolean) = {
+      val ev = table(spark, dir, "events").where(flaggedU)
+      RelQueries.dayTypePartials(
+        if (ingestedOnly) ev.where(col("event_id") % 10 =!= 0) else ev)
+        .select("day", "event_type")
+    }
+    def groupLeak(t: String, ingestedOnly: Boolean) =
+      cnt(spark.table(t).join(broadcast(groupsOf(ingestedOnly)),
+        Seq("day", "event_type"), "left_semi"))
+    // the blob store is files, not a table: the measure parses each
+    // persisted file's NAME (the doc_NNNNN.bin layout contract) — content
+    // is never read, so column pruning keeps the scan metadata-only
+    val blobLeak = cnt(spark.read.format("binaryFile").load(blobDir)
+      .select(regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1)
+        .cast("long").as("doc_id"))
+      .where(QueryBase.erasedId(col("doc_id"))))
+    Map(
+      "postings_mor" -> docLeak(pT),
+      "postings_compacted" -> docLeak(cpT),
+      "doclen_mor" -> docLeak(dlT),
+      "doclen_compacted" -> docLeak(cdT),
+      "postings_positional" -> docLeak(posT),
+      "docs_jsonl" -> docLeak(jT),
+      "docs_csv" -> docLeak(cvT),
+      "docs_orc" -> docLeak(orcT),
+      "docs_bloom_layout" -> docLeak(bloomT),
+      "blob_store" -> blobLeak,
+      "word_dict_users" -> userLeak(uwT),
+      "ivf_codes_blue" -> cnt(spark.table(ivfCodesT)
+        .where(QueryBase.erasedId(col("vec_id")))
+        .select("vec_id").distinct()),
+      "ivf_codes_green" -> cnt(spark.table(greenCodesT)
+        .where(QueryBase.erasedId(col("vec_id")))
+        .select("vec_id").distinct()),
+      // centroid tables hold SAMPLED RAW EMBEDDINGS under their source
+      // ids — personal data the code-table rows don't cover
+      "ivf_cents_blue" -> idLeak(ivfCentT, "cent_id"),
+      "ivf_cents_green" -> idLeak(greenCentT, "cent_id"),
+      "ivf_cents_incr" -> idLeak(incrCentT, "cent_id"),
+      "mm_codes" -> docLeak(mmCodesT),
+      "mm_cents" -> idLeak(mmCentT, "cent_id"),
+      "mm_cents_gen" -> idLeak(mmgCentT, "cent_id"),
+      "mm_codes_gen1" -> docLeak(mmg1T),
+      "mm_codes_gen2" -> docLeak(mmg2T),
+      "events_by_day" -> userLeak(peT),
+      "events_zorder" -> userLeak(zT),
+      "events_ranged" -> userLeak(rT),
+      "events_schema_gens" -> cnt(spark.table(g1T).select("user_id")
+        .unionByName(spark.table(g2T).select("user_id")).where(flaggedU)),
+      "upsert_state" -> userLeak(usT),
+      "agg_mv_groups" -> groupLeak(mvT, ingestedOnly = true),
+      "snapshot_v1_groups" -> groupLeak(v1T, ingestedOnly = true),
+      "snapshot_v2_groups" -> groupLeak(v2T, ingestedOnly = false),
+      "purge_deletion_vector" -> cnt(spark.table(dvT)),
+      // the erasure-control state itself lists personal identifiers
+      "erase_tomb_text" -> cnt(spark.table(tombT)),
+      "erase_tomb_ann" -> cnt(spark.table(annTombT)),
+      "erase_tomb_mm" -> cnt(spark.table(mmTombT)),
+      // the sketch class: max-merged HLL registers are not subtractable,
+      // so the measure is CONTAMINATED REGISTERS (persisted rows that
+      // change under a retained-only recompute)
+      "hll_mv_registers" ->
+        DedupQueries.hllContaminationCount(spark, dir, flaggedU)
+          .select(col("erased_rows")))
+  }
 
   /** The q304 erased-BM25 serve over a caller-supplied erasure store
     * (tombstone doc set; per-term df decrements; retained one-row
@@ -2482,6 +2588,35 @@ object TextQueries {
          |ps AS (SELECT CAST(coalesce(sum(len(toks)), 0) AS BIGINT) AS c FROM er),
          |vm AS (SELECT CAST(count(*) AS BIGINT) AS c FROM embeddings
          |       WHERE ${QueryBase.erasedSql("vec_id")}),
+         |bl AS (SELECT CAST(count(*) AS BIGINT) AS c FROM documents
+         |       WHERE ${QueryBase.erasedSql("doc_id")}
+         |         AND doc_id < ${MultimodalQueries.BinFileDocs}),
+         |wd AS (${SaxQueries.wordDictCohortSql}),
+         |icb AS (SELECT CAST(count(*) AS BIGINT) AS c FROM embeddings
+         |        WHERE ${QueryBase.erasedSql("vec_id")} AND vec_id %
+         |          (SELECT greatest(1, count(*) // ${VectorQueries.CentroidBudget})
+         |           FROM embeddings) = 0),
+         |ici AS (SELECT CAST(count(*) AS BIGINT) AS c FROM embeddings
+         |        WHERE ${QueryBase.erasedSql("vec_id")}
+         |          AND vec_id % ${VectorQueries.IncrMod} <> ${VectorQueries.IncrMod - 1}
+         |          AND vec_id %
+         |          (SELECT greatest(1, count(*) // ${VectorQueries.CentroidBudget})
+         |           FROM embeddings
+         |           WHERE vec_id % ${VectorQueries.IncrMod} <> ${VectorQueries.IncrMod - 1}) = 0),
+         |mcs AS (SELECT CAST(count(*) AS BIGINT) AS c FROM documents
+         |        WHERE ${QueryBase.erasedSql("doc_id")} AND doc_id %
+         |          (SELECT greatest(1, count(*) // ${MultimodalQueries.MmCentroidBudget})
+         |           FROM documents) = 0),
+         |mcg AS (SELECT CAST(count(*) AS BIGINT) AS c FROM documents
+         |        WHERE ${QueryBase.erasedSql("doc_id")}
+         |          AND doc_id % ${MultimodalQueries.MmIncrMod} <> ${MultimodalQueries.MmIncrRes}
+         |          AND doc_id %
+         |          (SELECT greatest(1, count(*) // ${MultimodalQueries.MmCentroidBudget})
+         |           FROM documents
+         |           WHERE doc_id % ${MultimodalQueries.MmIncrMod} <> ${MultimodalQueries.MmIncrRes}) = 0),
+         |mg1 AS (SELECT CAST(count(*) AS BIGINT) AS c FROM documents
+         |        WHERE ${QueryBase.erasedSql("doc_id")}
+         |          AND doc_id % ${MultimodalQueries.MmIncrMod} <> ${MultimodalQueries.MmIncrRes}),
          |ue AS (SELECT user_id, event_type, event_id,
          |              epoch_us(ts) // ${RelQueries.DayUs} AS day FROM events),
          |fu AS (SELECT * FROM ue
@@ -2506,9 +2641,19 @@ object TextQueries {
          |UNION ALL SELECT 'docs_jsonl', 'rewrite_on_purge', c FROM dm
          |UNION ALL SELECT 'docs_csv', 'rewrite_on_purge', c FROM dm
          |UNION ALL SELECT 'docs_orc', 'rewrite_on_purge', c FROM dm
+         |UNION ALL SELECT 'docs_bloom_layout', 'recluster_on_purge', c FROM dm
+         |UNION ALL SELECT 'blob_store', 'rewrite_on_purge', c FROM bl
+         |UNION ALL SELECT 'word_dict_users', 'rewrite_on_purge', c FROM wd
          |UNION ALL SELECT 'ivf_codes_blue', 'tombstone_mor', c FROM vm
          |UNION ALL SELECT 'ivf_codes_green', 'retrained_forget', CAST(0 AS BIGINT) FROM vm
+         |UNION ALL SELECT 'ivf_cents_blue', 'retire_on_swap', c FROM icb
+         |UNION ALL SELECT 'ivf_cents_green', 'retrained_forget', CAST(0 AS BIGINT) FROM icb
+         |UNION ALL SELECT 'ivf_cents_incr', 'retire_on_swap', c FROM ici
          |UNION ALL SELECT 'mm_codes', 'tombstone_mor', c FROM dm
+         |UNION ALL SELECT 'mm_cents', 'rebuild_from_retained', c FROM mcs
+         |UNION ALL SELECT 'mm_cents_gen', 'rebuild_from_retained', c FROM mcg
+         |UNION ALL SELECT 'mm_codes_gen1', 'rewrite_on_purge', c FROM mg1
+         |UNION ALL SELECT 'mm_codes_gen2', 'rewrite_on_purge', c FROM dm
          |UNION ALL SELECT 'events_by_day', 'partition_rewrite', c FROM fa
          |UNION ALL SELECT 'events_zorder', 'recluster_on_purge', c FROM fa
          |UNION ALL SELECT 'events_ranged', 'recluster_on_purge', c FROM fa
@@ -2518,6 +2663,9 @@ object TextQueries {
          |UNION ALL SELECT 'snapshot_v1_groups', 'snapshot_expiry_horizon', c FROM g1
          |UNION ALL SELECT 'snapshot_v2_groups', 'snapshot_expiry_horizon', c FROM g2
          |UNION ALL SELECT 'purge_deletion_vector', 'retire_after_compaction', c FROM dv
+         |UNION ALL SELECT 'erase_tomb_text', 'retire_after_compaction', c FROM dm
+         |UNION ALL SELECT 'erase_tomb_ann', 'retire_after_compaction', c FROM vm
+         |UNION ALL SELECT 'erase_tomb_mm', 'retire_after_compaction', c FROM dm
          |UNION ALL SELECT 'hll_mv_registers', 'rebuild_from_retained', c FROM hc""".stripMargin,
 
     // the expected lifecycle frame from the raw corpus: pre-purge the

@@ -162,7 +162,7 @@ object VectorQueries {
     * assignment work is O(n·budget) at every scale. A stride constant
     * would make |centroids| ∝ n and assignment quadratic — the round-1
     * design flaw this replaces. */
-  private val CentroidBudget = 32L
+  private[queries] val CentroidBudget = 32L
 
   /** Product-quantization geometry for the NON-residual family (q89/q90/
     * q104/q105): Dim split into [[PqM]] subspaces of [[PqSubDim]] dims;
@@ -508,7 +508,7 @@ object VectorQueries {
     * — full forgetting of the erased vectors' training influence is the
     * next q303 blue/green generation, which trains on the retained
     * corpus by construction. */
-  private def annTombstoneTable(spark: org.apache.spark.sql.SparkSession,
+  private[queries] def annTombstoneTable(spark: org.apache.spark.sql.SparkSession,
                                 dir: String): String =
     AtRestTables.get(spark, s"eraseann|$dir") { base =>
       val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
@@ -557,13 +557,13 @@ object VectorQueries {
   /** q129 batch split: vectors with `vec_id % IncrMod == IncrMod - 1` are
     * the NEW batch; the index is trained on everything else. ONE constant
     * shared with the oracle (embedded as literals in both WHEREs). */
-  private val IncrMod = 5L
+  private[queries] val IncrMod = 5L
 
   /** The q129 pre-batch index: centroids + codebook trained WITHOUT the
     * batch vectors (so encoding the batch against it is honest
     * incremental maintenance, the q62 batch-vs-corpus shape for
     * vectors). */
-  private def ivfIncrTables(spark: org.apache.spark.sql.SparkSession,
+  private[queries] def ivfIncrTables(spark: org.apache.spark.sql.SparkSession,
                             dir: String): (String, String) = {
     val names = AtRestTables.get(spark, s"ivfincr|$dir") { base =>
       val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
