@@ -153,38 +153,64 @@ object DedupQueries {
     * join sees every difference). */
   private[queries] def hllContaminationCount(
       spark: org.apache.spark.sql.SparkSession, dir: String,
-      flagged: org.apache.spark.sql.Column): DataFrame = {
-    val persisted = spark.table(hllMvBaseTable(spark, dir))
-    val retained = hllRegisters(dayUsers(table(spark, dir, "events")
-        .where(col("event_id") % 10 =!= 0).where(!flagged)), "uid", Seq("day"))
-      .withColumnRenamed("r", "r_ret")
-    persisted.join(retained, Seq("day", "bucket"), "left")
+      flagged: org.apache.spark.sql.Column): DataFrame =
+    hllContaminationCountOf(spark.table(hllMvBaseTable(spark, dir)),
+      retainedHllRegisters(spark, dir, flagged))
+
+  /** The retained-cohort register recompute — the q151 derivation over
+    * retained ingested events. ONE definition feeding the contamination
+    * baseline AND q315's `rebuild_from_retained` execution, so the
+    * rebuilt MV is zero-contaminated by shared construction. */
+  private[queries] def retainedHllRegisters(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      flagged: org.apache.spark.sql.Column): DataFrame =
+    hllRegisters(dayUsers(table(spark, dir, "events")
+      .where(col("event_id") % 10 =!= 0).where(!flagged)), "uid", Seq("day"))
+
+  /** Contamination of an arbitrary persisted register MV against a
+    * retained recompute (see [[hllContaminationCount]]'s left-join
+    * argument for why the join sees every difference). */
+  private[queries] def hllContaminationCountOf(
+      persisted: DataFrame, retained: DataFrame): DataFrame =
+    persisted.join(retained.withColumnRenamed("r", "r_ret"),
+        Seq("day", "bucket"), "left")
       .where(col("r_ret").isNull || col("r") =!= col("r_ret"))
       .agg(count(lit(1)).as("erased_rows"))
-  }
 
   /** The DuckDB twin of [[hllContaminationCount]] as a WITH-fragment
     * (CTEs `hc_p`/`hc_r`/`hc`, final count in `hc.c`) — spliced into the
     * q311 estate-ledger oracle. Mirrors the q151 oracle's register
     * derivation term for term. */
-  private[queries] def hllContaminationSql: String = {
+  /** The DuckDB twin of the q151 register derivation as a named
+    * WITH-fragment pair (`<name>0`, `<name>`) — shared by the q311
+    * contamination oracle and the q315 retained-rebuild oracle. */
+  private def hllRegsSql(name: String, extraWhere: String): String = {
     val ladder = (51 to 0 by -1)
       .map(b => s"WHEN rest >= ${1L << b} THEN ${52 - b}").mkString(" ")
-    def regs(name: String, extraWhere: String) =
-      s"""${name}0 AS (SELECT epoch_us(ts) // ${graft.queries.RelQueries.DayUs} AS day,
-         |              ${graft.sql.TextSql.hexcast("CAST(user_id AS VARCHAR)")} AS h
-         |       FROM events WHERE event_id % 10 <> 0$extraWhere),
-         |$name AS (SELECT day, bucket, max(CASE $ladder ELSE 53 END) AS r FROM (
-         |    SELECT day, h // ${1L << 52} AS bucket, h % ${1L << 52} AS rest FROM ${name}0)
-         |  GROUP BY day, bucket)""".stripMargin
-    s"""${regs("hc_p", "")},
-       |${regs("hc_r",
-        s" AND NOT user_id % ${graft.queries.RelQueries.PurgeUserMod} = ${graft.queries.RelQueries.PurgeUserRes}")},
+    s"""${name}0 AS (SELECT epoch_us(ts) // ${graft.queries.RelQueries.DayUs} AS day,
+       |              ${graft.sql.TextSql.hexcast("CAST(user_id AS VARCHAR)")} AS h
+       |       FROM events WHERE event_id % 10 <> 0$extraWhere),
+       |$name AS (SELECT day, bucket, max(CASE $ladder ELSE 53 END) AS r FROM (
+       |    SELECT day, h // ${1L << 52} AS bucket, h % ${1L << 52} AS rest FROM ${name}0)
+       |  GROUP BY day, bucket)""".stripMargin
+  }
+
+  private def retainedWhereSql: String =
+    s" AND NOT user_id % ${graft.queries.RelQueries.PurgeUserMod} = ${graft.queries.RelQueries.PurgeUserRes}"
+
+  private[queries] def hllContaminationSql: String =
+    s"""${hllRegsSql("hc_p", "")},
+       |${hllRegsSql("hc_r", retainedWhereSql)},
        |hc AS (SELECT CAST(count(*) AS BIGINT) AS c
        |       FROM hc_p LEFT JOIN (SELECT day, bucket, r AS r2 FROM hc_r)
        |         USING (day, bucket)
        |       WHERE r2 IS NULL OR r <> r2)""".stripMargin
-  }
+
+  /** CTE counting the retained-rebuild register rows (`hrc.c`) — the
+    * q315 oracle's expected retained_rows for the rebuilt HLL MV. */
+  private[queries] def hllRetainedCountSql: String =
+    s"""${hllRegsSql("hr", retainedWhereSql)},
+       |hrc AS (SELECT CAST(count(*) AS BIGINT) AS c FROM hr)""".stripMargin
 
   /** q109 count-min geometry: d rows × w counters, row hashes via the
     * bloom-style double hashing off two md5 slices. Pure integer

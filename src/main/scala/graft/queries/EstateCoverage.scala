@@ -62,8 +62,9 @@ private[graft] object EstateCoverage {
     "erasetxt" -> Audited("q311", Seq("erase_tomb_text")),
     "eraseann" -> Audited("q311", Seq("erase_tomb_ann")),
     "erasemm" -> Audited("q311", Seq("erase_tomb_mm")),
-    // --- remediated outputs (audited by q314, cohort-free by build) ----
+    // --- remediated outputs (audited by q314/q315, cohort-free by build)
     "eraserem" -> Audited("q314", TextQueries.RemediatedEstateClasses),
+    "eraserem2" -> Audited("q315", RelQueries.UserEstateRemediationClasses),
     // --- exemptions ----------------------------------------------------
     "factbkt" -> Exempt(
       "holds only the TPC-H business relations (orders/lineitem bucketed " +

@@ -298,43 +298,53 @@ object RelQueries {
       val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
       val zT = s"graft_events_zorder_$sfx"
       val mT = s"graft_events_zman_$sfx"
-      val raw = table(spark, dir, "events")
-      val ev = raw.select(col("event_id"), col("user_id"), col("event_type"),
-          col("value"), QueryBase.tsUs(raw).as("ts_us"))
-        .withColumn("day", expr(s"ts_us div $DayUs"))
-      // domain bounds for rank normalization: one bounded driver-side
-      // aggregate (the q141/q128 literal idiom — 4 longs, never data)
-      val b = ev.agg(min("user_id"), max("user_id"), min("day"), max("day"))
-        .collect()(0)
-      val zdata =
-        if (b.isNullAt(0)) ev.select("event_id", "user_id", "event_type", "value", "day")
-        else {
-          val (u0, u1, d0, d1) =
-            (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
-          val scale = 1L << ZNormBits
-          val zbits = (0 until ZNormBits).map(i =>
-            s"(((zu >> $i) & 1) << ${2 * i}) | (((zd >> $i) & 1) << ${2 * i + 1})")
-            .mkString(" | ")
-          ev.withColumn("zu",
-              expr(s"((user_id - ${u0}L) * ${scale}L) div ${u1 - u0 + 1}L"))
-            .withColumn("zd",
-              expr(s"((day - ${d0}L) * ${scale}L) div ${d1 - d0 + 1}L"))
-            .withColumn("z", expr(zbits))
-            .repartitionByRange(ZFiles, col("z"))
-            .sortWithinPartitions("z")
-            .select("event_id", "user_id", "event_type", "value", "day")
-        }
-      zdata.write.mode("overwrite").option("path", s"$base/zdata").saveAsTable(zT)
-      spark.read.parquet(s"$base/zdata")
-        .select(input_file_name().as("file"), col("user_id"), col("day"))
-        .groupBy("file")
-        .agg(min("user_id").as("min_uid"), max("user_id").as("max_uid"),
-          min("day").as("min_day"), max("day").as("max_day"),
-          count(lit(1)).as("n_rows"))
-        .write.mode("overwrite").option("path", s"$base/zman").saveAsTable(mT)
+      buildZorderLayout(spark, table(spark, dir, "events"),
+        s"$base/zdata", zT, s"$base/zman", mT)
       Seq(zT, mT)
     }
     (names(0), names(1))
+  }
+
+  /** The z-order clustering write, shared by the q150 at-rest build and
+    * the q315 recluster-on-purge remediation (the remediated copy must
+    * keep the ORIGINAL layout, bounds re-derived from what it holds). */
+  private def buildZorderLayout(spark: org.apache.spark.sql.SparkSession,
+                                raw: org.apache.spark.sql.DataFrame,
+                                dataPath: String, zT: String,
+                                manPath: String, mT: String): Unit = {
+    val ev = raw.select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), QueryBase.tsUs(raw).as("ts_us"))
+      .withColumn("day", expr(s"ts_us div $DayUs"))
+    // domain bounds for rank normalization: one bounded driver-side
+    // aggregate (the q141/q128 literal idiom — 4 longs, never data)
+    val b = ev.agg(min("user_id"), max("user_id"), min("day"), max("day"))
+      .collect()(0)
+    val zdata =
+      if (b.isNullAt(0)) ev.select("event_id", "user_id", "event_type", "value", "day")
+      else {
+        val (u0, u1, d0, d1) =
+          (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+        val scale = 1L << ZNormBits
+        val zbits = (0 until ZNormBits).map(i =>
+          s"(((zu >> $i) & 1) << ${2 * i}) | (((zd >> $i) & 1) << ${2 * i + 1})")
+          .mkString(" | ")
+        ev.withColumn("zu",
+            expr(s"((user_id - ${u0}L) * ${scale}L) div ${u1 - u0 + 1}L"))
+          .withColumn("zd",
+            expr(s"((day - ${d0}L) * ${scale}L) div ${d1 - d0 + 1}L"))
+          .withColumn("z", expr(zbits))
+          .repartitionByRange(ZFiles, col("z"))
+          .sortWithinPartitions("z")
+          .select("event_id", "user_id", "event_type", "value", "day")
+      }
+    zdata.write.mode("overwrite").option("path", dataPath).saveAsTable(zT)
+    spark.read.parquet(dataPath)
+      .select(input_file_name().as("file"), col("user_id"), col("day"))
+      .groupBy("file")
+      .agg(min("user_id").as("min_uid"), max("user_id").as("max_uid"),
+        min("day").as("min_day"), max("day").as("max_day"),
+        count(lit(1)).as("n_rows"))
+      .write.mode("overwrite").option("path", manPath).saveAsTable(mT)
   }
 
   /** q153's correlated query text — ONE definition parameterized only by
@@ -527,20 +537,30 @@ object RelQueries {
       val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
       val rT = s"graft_events_ranged_$sfx"
       val mT = s"graft_events_skipman_$sfx"
-      table(spark, dir, "events")
-        .select("event_id", "user_id", "event_type", "value")
-        .repartitionByRange(SkipFiles, col("user_id"))
-        .sortWithinPartitions("user_id")
-        .write.mode("overwrite").option("path", s"$base/ranged").saveAsTable(rT)
-      spark.read.parquet(s"$base/ranged")
-        .select(input_file_name().as("file"), col("user_id"))
-        .groupBy("file")
-        .agg(min("user_id").as("min_uid"), max("user_id").as("max_uid"),
-          count(lit(1)).as("n_rows"))
-        .write.mode("overwrite").option("path", s"$base/skipman").saveAsTable(mT)
+      buildRangedLayout(spark, table(spark, dir, "events"),
+        s"$base/ranged", rT, s"$base/skipman", mT)
       Seq(rT, mT)
     }
     (names(0), names(1))
+  }
+
+  /** The range-clustering write, shared by the q141 at-rest build and the
+    * q315 recluster-on-purge remediation (original layout preserved:
+    * same range fan-out, manifest re-derived from the written bytes). */
+  private def buildRangedLayout(spark: org.apache.spark.sql.SparkSession,
+                                raw: org.apache.spark.sql.DataFrame,
+                                dataPath: String, rT: String,
+                                manPath: String, mT: String): Unit = {
+    raw.select("event_id", "user_id", "event_type", "value")
+      .repartitionByRange(SkipFiles, col("user_id"))
+      .sortWithinPartitions("user_id")
+      .write.mode("overwrite").option("path", dataPath).saveAsTable(rT)
+    spark.read.parquet(dataPath)
+      .select(input_file_name().as("file"), col("user_id"))
+      .groupBy("file")
+      .agg(min("user_id").as("min_uid"), max("user_id").as("max_uid"),
+        count(lit(1)).as("n_rows"))
+      .write.mode("overwrite").option("path", manPath).saveAsTable(mT)
   }
 
   val defs: Map[String, QFn] = Map(
@@ -4009,8 +4029,225 @@ object RelQueries {
         .where(col("event_id") % 10 =!= 0 &&
           pmod(col("user_id"), lit(PurgeUserMod)) === PurgeUserRes)))
       erasedMvServe(spark.table(bT), dec)
+    }),
+
+    // USER-ESTATE REMEDIATION, EXECUTED — the five q311 policies that r17
+    // declared but never ran (the r17 verdict's #1), each performed by
+    // [[remediatedUserEstateTables]] and then audited from the REMEDIATED
+    // bytes (the q314 discipline: zero erased rows AND the exact retained
+    // count, so a rewrite that dropped too much fails the gate):
+    //   recluster_on_purge  — the z-order and ranged layouts rebuilt over
+    //     the retained corpus through the SAME layout builders the
+    //     originals used (same clustering, bounds re-derived, manifests
+    //     from the written bytes);
+    //   rewrite_on_purge    — each schema GENERATION rewritten from its
+    //     own persisted bytes minus the cohort, original schema kept
+    //     (gen1 stays 3-column, gen2 widened);
+    //   rebuild_from_retained — the HLL register MV rebuilt from the
+    //     retained stream (max-merged registers are not subtractable);
+    //     the audit measure is CONTAMINATION of the rebuilt MV against
+    //     the retained recompute — zero by shared construction, but
+    //     MEASURED from the persisted rebuild;
+    //   snapshot_expiry_horizon — snapshot v1 (superseded, past the
+    //     horizon) EXPIRES from the remediated catalog while v2 (live)
+    //     stays immutable and horizon-bounded: its contaminated-group
+    //     count is reported, not zeroed — that IS the policy;
+    //   retire_after_compaction — the deletion vector (which itself
+    //     lists the flagged keys) retires to an empty store, written
+    //     LAST so a build killed at the gate leaves it unretired.
+    // The oracle re-derives all 7 (erased, retained) pairs from raw.
+    "q315_user_estate_remediation" -> ((spark, dir) => {
+      val n = remediatedUserEstateTables(spark, dir)
+      val (rzT, rrT, rg1T, rg2T, rhT, rsmT, rdvT, rv3T) =
+        (n(0), n(1), n(2), n(3), n(4), n(5), n(6), n(7))
+      val flagged = pmod(col("user_id"), lit(PurgeUserMod)) === PurgeUserRes
+      def audit(label: String, df: org.apache.spark.sql.DataFrame) =
+        df.agg(coalesce(sum(when(flagged, 1L).otherwise(0L)), lit(0L))
+            .cast("long").as("erased_rows"), count(lit(1)).as("total"))
+          .select(lit(label).as("artifact"), col("erased_rows"),
+            (col("total") - col("erased_rows")).as("retained_rows"))
+      // the HLL audit: contamination of the REBUILT registers vs the
+      // retained recompute (must be 0), retained = the rebuilt MV's size
+      val hllRow = DedupQueries.hllContaminationCountOf(spark.table(rhT),
+          DedupQueries.retainedHllRegisters(spark, dir, flagged))
+        .crossJoin(broadcast(spark.table(rhT).agg(count(lit(1)).as("total"))))
+        .select(lit("hll_mv_registers").as("artifact"), col("erased_rows"),
+          (col("total") - col("erased_rows")).as("retained_rows"))
+      // snapshots are measured THROUGH the remediated catalog (the shared
+      // snapshotCatalogRead): v1 expired → empty, v2 live-contaminated
+      def snapRow(label: String, v: Long) = {
+        val fg = dayTypePartials(table(spark, dir, "events").where(flagged))
+          .select("day", "event_type")
+        snapshotCatalogRead(spark, rsmT, v)
+          .join(broadcast(fg), Seq("day", "event_type"), "left_semi")
+          .agg(count(lit(1)).as("erased_rows"))
+          .crossJoin(broadcast(snapshotCatalogRead(spark, rsmT, v)
+            .agg(count(lit(1)).as("total"))))
+          .select(lit(label).as("artifact"), col("erased_rows"),
+            (col("total") - col("erased_rows")).as("retained_rows"))
+      }
+      // v3 (rebuilt from retained): contamination is DIFFERENCE from the
+      // retained recompute (a group flagged users also touched legally
+      // exists — its aggregate just excludes them), zero by construction
+      // but measured from the persisted bytes
+      val retPart = dayTypePartials(table(spark, dir, "events").where(!flagged))
+        .withColumnRenamed("n", "n2").withColumnRenamed("s", "s2")
+      val v3Row = spark.table(rv3T)
+        .join(retPart, Seq("day", "event_type"), "full")
+        .where(!(col("n") <=> col("n2")) || !(col("s") <=> col("s2")))
+        .agg(count(lit(1)).as("erased_rows"))
+        .crossJoin(broadcast(spark.table(rv3T).agg(count(lit(1)).as("total"))))
+        .select(lit("snapshot_v3_groups").as("artifact"), col("erased_rows"),
+          (col("total") - col("erased_rows")).as("retained_rows"))
+      val dvRow = spark.table(rdvT).agg(count(lit(1)).as("erased_rows"))
+        .select(lit("purge_deletion_vector").as("artifact"),
+          col("erased_rows"), lit(0L).as("retained_rows"))
+      audit("events_zorder", spark.table(rzT))
+        .unionByName(audit("events_ranged", spark.table(rrT)))
+        .unionByName(audit("events_schema_gens",
+          spark.table(rg1T).select("user_id")
+            .unionByName(spark.table(rg2T).select("user_id"))))
+        .unionByName(hllRow)
+        .unionByName(snapRow("snapshot_v1_groups", 1L))
+        .unionByName(snapRow("snapshot_v2_groups", 2L))
+        .unionByName(v3Row)
+        .unionByName(dvRow)
+    }),
+
+    // ERASURE-AWARE TIME TRAVEL — the horizon contract itself as
+    // gate-checked data (the r17 verdict's stretch #8): snapshots are the
+    // one artifact where "forget" and "time travel" conflict by design,
+    // and the q315 catalog resolves it with a bounded retention horizon.
+    // One frame, three reads, all THROUGH the remediated catalog:
+    //   a_within_horizon_v2 — the pre-purge snapshot is still reachable
+    //     inside the horizon and its totals INCLUDE the cohort (that is
+    //     the contract: bounded contaminated time travel, not a leak);
+    //   b_post_horizon_v3   — the CoW-rewritten state a reader gets once
+    //     the horizon passes: same coverage, cohort excluded;
+    //   c_expired_v1        — the expired snapshot resolves to nothing.
+    // The oracle re-derives a from ALL events and b from retained events
+    // (the scaled-integer xsum discipline), pinning that v2's reachable
+    // bytes still carry exactly the full-corpus aggregate and v3's
+    // exactly the retained one.
+    "q316_snapshot_horizon_travel" -> ((spark, dir) => {
+      val rsmT = remediatedUserEstateTables(spark, dir)(5)
+      def report(stage: String, v: Long) =
+        snapshotCatalogRead(spark, rsmT, v)
+          .agg(count(lit(1)).as("n_groups"),
+            coalesce(sum("n"), lit(0L)).cast("long").as("n_events"),
+            (coalesce(sum("s"), lit(0L)).cast("double") / lit(1000000.0))
+              .as("sum_value"))
+          .select(lit(stage).as("stage"), col("n_groups"), col("n_events"),
+            col("sum_value"))
+      report("a_within_horizon_v2", 2L)
+        .unionByName(report("b_post_horizon_v3", 3L))
+        .unionByName(report("c_expired_v1", 1L))
     })
   )
+
+  /** q315's declared artifact labels (the [[graft.queries.EstateCoverage]]
+    * tie for the `eraserem2` lifecycle key). */
+  private[graft] val UserEstateRemediationClasses: Seq[String] = Seq(
+    "events_zorder", "events_ranged", "events_schema_gens",
+    "hll_mv_registers", "snapshot_v1_groups", "snapshot_v2_groups",
+    "snapshot_v3_groups", "purge_deletion_vector")
+
+  /** The q315 remediated user estate — the five declared policies
+    * EXECUTED, each in the artifact's original layout, with
+    * [[AtRestTables.faultPoint]]s between writes (AtRestFaultSpec's
+    * kill-window discipline). Ordering contract: the deletion vector's
+    * retirement is the LAST write, gated behind every dependent rewrite —
+    * a build killed at `eraserem2:dvgate` leaves the vector live (the
+    * EstateRemediationSpec pin), because retiring it first would lose the
+    * only record of which keys the pending rewrites must drop. Scale
+    * note: the z-order/ranged reclusters re-run the original builders
+    * over the retained corpus — with the cohort spread uniformly
+    * (user % 50), every file holds cohort rows and a manifest-pruned
+    * partial rewrite would touch every file anyway; a skewed production
+    * cohort would instead rewrite only manifest-positive files (the q161
+    * partition-rewrite discipline). Snapshot expiry is CATALOG-level (the
+    * Iceberg expire-snapshots mechanism): the remediated catalog lists
+    * only the live version's files; the superseded version's bytes are
+    * reclaimed by the registry's deferred-delete lifecycle, never read
+    * again through this store. */
+  private def remediatedUserEstateTables(spark: org.apache.spark.sql.SparkSession,
+                                         dir: String): Seq[String] =
+    AtRestTables.get(spark, s"eraserem2|$dir") { base =>
+      val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val flagged = pmod(col("user_id"), lit(PurgeUserMod)) === PurgeUserRes
+      val retained = table(spark, dir, "events").where(!flagged)
+      // the deletion vector's dependents must exist BEFORE it retires:
+      // the q161 CoW purged layout (its source) and the rewrites below
+      val (_, dvT) = purgedLayoutTables(spark, dir)
+      val (g1T, g2T) = schemaEvoTables(spark, dir)
+      val (_, v2T) = mvSnapshotTables(spark, dir)
+      val rzT = s"graft_rem_zorder_$sfx"; val rzmT = s"graft_rem_zman_$sfx"
+      val rrT = s"graft_rem_ranged_$sfx"; val rrmT = s"graft_rem_skipman_$sfx"
+      val rg1T = s"graft_rem_evo_g1_$sfx"; val rg2T = s"graft_rem_evo_g2_$sfx"
+      val rhT = s"graft_rem_hllmv_$sfx"
+      val rsmT = s"graft_rem_snapman_$sfx"
+      val rdvT = s"graft_rem_dv_$sfx"
+      buildZorderLayout(spark, retained, s"$base/zdata", rzT, s"$base/zman", rzmT)
+      AtRestTables.faultPoint("eraserem2:z")
+      buildRangedLayout(spark, retained, s"$base/ranged", rrT, s"$base/skipman", rrmT)
+      AtRestTables.faultPoint("eraserem2:ranged")
+      spark.table(g1T).where(!flagged)
+        .write.mode("overwrite").option("path", s"$base/evo1").saveAsTable(rg1T)
+      AtRestTables.faultPoint("eraserem2:g1")
+      spark.table(g2T).where(!flagged)
+        .write.mode("overwrite").option("path", s"$base/evo2").saveAsTable(rg2T)
+      AtRestTables.faultPoint("eraserem2:g2")
+      DedupQueries.retainedHllRegisters(spark, dir, flagged)
+        .write.mode("overwrite").option("path", s"$base/hllmv").saveAsTable(rhT)
+      AtRestTables.faultPoint("eraserem2:hll")
+      // snapshot v3: the POST-HORIZON state — the full-coverage aggregate
+      // rewritten copy-on-write from the retained corpus (what a reader
+      // gets once the horizon passes and the contaminated snapshots are
+      // gone); landed as its own immutable version, never touching v2
+      val rv3T = s"graft_rem_snap_v3_$sfx"
+      dayTypePartials(retained)
+        .write.mode("overwrite").option("path", s"$base/snapv3").saveAsTable(rv3T)
+      AtRestTables.faultPoint("eraserem2:v3")
+      // snapshot expiry: the remediated catalog references each LIVE
+      // version's files by path (v2 never copied — SnapshotSpec's
+      // immutability pin keeps holding on the original bytes) and omits
+      // the expired v1 entirely; the status column is the horizon
+      // contract made data (q316 gate-checks both reads)
+      import spark.implicits._
+      (spark.table(v2T).inputFiles.toIndexedSeq
+          .map(f => (2L, f, "contaminated_within_horizon")) ++
+        spark.table(rv3T).inputFiles.toIndexedSeq.map(f => (3L, f, "clean")))
+        .toDF("version", "file", "status").coalesce(1)
+        .write.mode("overwrite").option("path", s"$base/snapman").saveAsTable(rsmT)
+      AtRestTables.faultPoint("eraserem2:snap")
+      AtRestTables.faultPoint("eraserem2:dvgate")
+      spark.table(dvT).limit(0)
+        .write.mode("overwrite").option("path", s"$base/dv").saveAsTable(rdvT)
+      Seq(rzT, rrT, rg1T, rg2T, rhT, rsmT, rdvT, rv3T)
+    }
+
+  /** Read one snapshot version THROUGH the remediated catalog — an
+    * expired version resolves to zero reachable files (the empty typed
+    * frame), a live one to its untouched persisted bytes. Shared by the
+    * q315 audit and the q316 horizon-travel read. */
+  private def snapshotCatalogRead(spark: org.apache.spark.sql.SparkSession,
+                                  rsmT: String, v: Long)
+      : org.apache.spark.sql.DataFrame = {
+    val files = spark.table(rsmT).where(col("version") === v)
+      .select("file").collect().map(_.getString(0)) // bounded: manifest
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("day",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("event_type",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("s",
+            org.apache.spark.sql.types.LongType))))
+    else spark.read.parquet(files.toIndexedSeq: _*)
+  }
 
   /** Negate a [[dayTypePartials]] frame — the erasure-side unit of the
     * additive MV algebra: integer partials make subtraction as exact and
@@ -6957,7 +7194,56 @@ object RelQueries {
          |SELECT CAST(day AS BIGINT) AS day, event_type,
          |       CAST(count(*) AS BIGINT) AS n_events,
          |       ${xsumSql("value", 6)} AS sum_value
-         |FROM base GROUP BY day, event_type""".stripMargin
+         |FROM base GROUP BY day, event_type""".stripMargin,
+
+    // the expected remediated user estate from raw: zero flagged rows and
+    // the exact retained counts in every rewritten layout, the retained
+    // register count for the rebuilt HLL MV, zeros for the expired
+    // snapshot and the retired deletion vector, and the HORIZON-BOUNDED
+    // (unchanged) contamination of the live snapshot
+    "q315_user_estate_remediation" ->
+      s"""WITH rt AS (SELECT CAST(count(*) AS BIGINT) AS c FROM events
+         |            WHERE NOT user_id % $PurgeUserMod = $PurgeUserRes),
+         |${DedupQueries.hllRetainedCountSql},
+         |ue AS (SELECT user_id, event_type,
+         |              epoch_us(ts) // $DayUs AS day FROM events),
+         |fg AS (SELECT CAST(count(*) AS BIGINT) AS c FROM (
+         |  SELECT DISTINCT day, event_type FROM ue
+         |  WHERE user_id % $PurgeUserMod = $PurgeUserRes)),
+         |tg AS (SELECT CAST(count(*) AS BIGINT) AS c FROM (
+         |  SELECT DISTINCT day, event_type FROM ue)),
+         |rg AS (SELECT CAST(count(*) AS BIGINT) AS c FROM (
+         |  SELECT DISTINCT day, event_type FROM ue
+         |  WHERE NOT user_id % $PurgeUserMod = $PurgeUserRes))
+         |SELECT 'events_zorder' AS artifact,
+         |       CAST(0 AS BIGINT) AS erased_rows, c AS retained_rows FROM rt
+         |UNION ALL SELECT 'events_ranged', CAST(0 AS BIGINT), c FROM rt
+         |UNION ALL SELECT 'events_schema_gens', CAST(0 AS BIGINT), c FROM rt
+         |UNION ALL SELECT 'hll_mv_registers', CAST(0 AS BIGINT), c FROM hrc
+         |UNION ALL SELECT 'snapshot_v1_groups', CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM rt
+         |UNION ALL SELECT 'snapshot_v2_groups', fg.c, tg.c - fg.c FROM fg, tg
+         |UNION ALL SELECT 'snapshot_v3_groups', CAST(0 AS BIGINT), c FROM rg
+         |UNION ALL SELECT 'purge_deletion_vector', CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM rt""".stripMargin,
+
+    // the expected horizon-travel frame from raw: the within-horizon
+    // snapshot read carries the FULL corpus aggregate (cohort included —
+    // the contract), the post-horizon read the retained one, the expired
+    // read nothing
+    "q316_snapshot_horizon_travel" ->
+      s"""WITH ue AS (SELECT user_id, event_type, value,
+         |                   epoch_us(ts) // $DayUs AS day FROM events),
+         |a AS (SELECT CAST(count(DISTINCT (day, event_type)) AS BIGINT) AS g,
+         |             CAST(count(*) AS BIGINT) AS n,
+         |             ${xsumSql("value", 6)} AS s FROM ue),
+         |b AS (SELECT CAST(count(DISTINCT (day, event_type)) AS BIGINT) AS g,
+         |             CAST(count(*) AS BIGINT) AS n,
+         |             ${xsumSql("value", 6)} AS s FROM ue
+         |      WHERE NOT user_id % $PurgeUserMod = $PurgeUserRes)
+         |SELECT 'a_within_horizon_v2' AS stage, g AS n_groups,
+         |       n AS n_events, s AS sum_value FROM a
+         |UNION ALL SELECT 'b_post_horizon_v3', g, n, s FROM b
+         |UNION ALL SELECT 'c_expired_v1', CAST(0 AS BIGINT),
+         |       CAST(0 AS BIGINT), CAST(0 AS DOUBLE) FROM a""".stripMargin
   )
 
   /** q275/q276's shared oracle prefix — the SQL twin of [[pairDomain]]:

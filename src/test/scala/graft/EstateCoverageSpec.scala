@@ -72,7 +72,8 @@ class EstateCoverageSpec extends AnyFunSuite {
   test("audited classes exist in the named query's declared inventory") {
     val inventories = Map(
       "q311" -> EstateLedgerClasses.map(_._1).toSet,
-      "q314" -> RemediatedEstateClasses.toSet)
+      "q314" -> RemediatedEstateClasses.toSet,
+      "q315" -> graft.queries.RelQueries.UserEstateRemediationClasses.toSet)
     EstateCoverage.coverage.foreach {
       case (key, Audited(q, classes)) =>
         assert(inventories.contains(q),
