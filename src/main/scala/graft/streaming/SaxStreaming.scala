@@ -52,19 +52,25 @@ object SaxStreaming {
     import events.sparkSession.implicits._
     events.groupByKey(_.userId)
       .flatMapGroupsWithState[SaxState, WordOut](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (userId: Long, rows: Iterator[SeriesEvent], state: GroupState[SaxState]) =>
-          val win = state.getOption match {
-            case Some(s) => restore(s, n, w, c)
-            case None    => new SaxWindow(n, w, c)
-          }
-          val out = rows.toSeq.sortBy(e => (e.ts, e.eventId)).map { e =>
-            WordOut(userId, e.eventId, win.append(e.value))
-          }
-          state.update(snapshot(win))
-          out.iterator
-      }
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(encodeUpdate(n, w, c))
   }
+
+  /** The per-key update body, exposed so
+    * [[StreamingStateErasure.saxEncodeForgetting]] wraps the IDENTICAL
+    * algebra (one definition — the forgetting twin cannot drift). */
+  private[streaming] def encodeUpdate(n: Int, w: Int, c: Int)
+      : (Long, Iterator[SeriesEvent], GroupState[SaxState]) => Iterator[WordOut] =
+    (userId: Long, rows: Iterator[SeriesEvent], state: GroupState[SaxState]) => {
+      val win = state.getOption match {
+        case Some(s) => restore(s, n, w, c)
+        case None    => new SaxWindow(n, w, c)
+      }
+      val out = rows.toSeq.sortBy(e => (e.ts, e.eventId)).map { e =>
+        WordOut(userId, e.eventId, win.append(e.value))
+      }
+      state.update(snapshot(win))
+      out.iterator
+    }
 
   /** Streaming numerosity reduction: running count per SAX word
     * (Update-mode aggregation downstream of the stateful encode). */

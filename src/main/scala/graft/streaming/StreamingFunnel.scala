@@ -42,27 +42,33 @@ object StreamingFunnel {
     import events.sparkSession.implicits._
     events.groupByKey(_.userId)
       .flatMapGroupsWithState[FunnelState, FunnelOut](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
-        (userId: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
-          val s0 = state.getOption.getOrElse(FunnelState(Unseen, Unseen, Unseen, 0L))
-          var t1 = s0.t1; var t2 = s0.t2; var t3 = s0.t3
-          rows.foreach { e =>
-            e.eventType match {
-              case "view"     => if (e.ts < t1) t1 = e.ts
-              case "click"    => if (e.ts < t2) t2 = e.ts
-              case "purchase" => if (e.ts < t3) t3 = e.ts
-              case _          => ()
-            }
-          }
-          if (t1 == s0.t1 && t2 == s0.t2 && t3 == s0.t3 && s0.rev > 0L)
-            Iterator.empty // nothing improved — no re-emission
-          else {
-            val s1 = FunnelState(t1, t2, t3, s0.rev + 1L)
-            state.update(s1)
-            def opt(v: Long): Option[Long] = if (v == Unseen) None else Some(v)
-            Iterator.single(FunnelOut(userId, s1.rev, opt(t1), opt(t2), opt(t3),
-              t1 < t2, t1 < t2 && t2 < t3))
-          }
-      }
+        OutputMode.Update(), GroupStateTimeout.NoTimeout())(funnelUpdate)
   }
+
+  /** The per-key update body, exposed so
+    * [[StreamingStateErasure.funnelStreamForgetting]] wraps the IDENTICAL
+    * algebra (one definition — the forgetting twin cannot drift). */
+  private[streaming] val funnelUpdate
+      : (Long, Iterator[FunnelEvent], GroupState[FunnelState]) => Iterator[FunnelOut] =
+    (userId: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelState]) => {
+      val s0 = state.getOption.getOrElse(FunnelState(Unseen, Unseen, Unseen, 0L))
+      var t1 = s0.t1; var t2 = s0.t2; var t3 = s0.t3
+      rows.foreach { e =>
+        e.eventType match {
+          case "view"     => if (e.ts < t1) t1 = e.ts
+          case "click"    => if (e.ts < t2) t2 = e.ts
+          case "purchase" => if (e.ts < t3) t3 = e.ts
+          case _          => ()
+        }
+      }
+      if (t1 == s0.t1 && t2 == s0.t2 && t3 == s0.t3 && s0.rev > 0L)
+        Iterator.empty // nothing improved — no re-emission
+      else {
+        val s1 = FunnelState(t1, t2, t3, s0.rev + 1L)
+        state.update(s1)
+        def opt(v: Long): Option[Long] = if (v == Unseen) None else Some(v)
+        Iterator.single(FunnelOut(userId, s1.rev, opt(t1), opt(t2), opt(t3),
+          t1 < t2, t1 < t2 && t2 < t3))
+      }
+    }
 }
