@@ -71,6 +71,9 @@ object Bench {
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     val best = scala.collection.mutable.Map[String, Double]()
     var pass1Total = 0.0 // first TIMED pass total, comparable to pre-r7 rounds
+    var pass0Total = 0.0 // the untimed WARM pass: bootstrap (builds) + first
+                         // execution — emitted so cold-start cost is visible
+    graft.queries.AtRestTables.resetBuildSeconds()
     for (pass <- 0 to 3; (name, fn) <- names) {
       graft.queries.DedupQueries.invalidateComponentMemo()
       spark.catalog.clearCache() // queries may cache(); don't leak across timings
@@ -85,7 +88,8 @@ object Bench {
         false
       }
       val dt = (System.nanoTime() - t0) / 1e9
-      if (pass >= 1 && ok) { // pass 0 is the warm pass: never recorded
+      if (pass == 0 && ok) pass0Total += dt
+      if (pass >= 1 && ok) { // pass 0 is the warm pass: never timed per query
         if (pass == 1) pass1Total += dt
         best(name) = math.min(best.getOrElse(name, Double.MaxValue), dt)
       }
@@ -156,6 +160,14 @@ object Bench {
     }.toMap
     val loadEnd = loadAvg()
     val probeEnd = probe()
+    // per-at-rest-key EXCLUSIVE build seconds, accumulated during the
+    // warm pass (the memo serves every later pass) — the cold-start
+    // attribution the r17 verdict asked for: warm_pass0_total is the
+    // bootstrap wall time, builds names which artifact each share of it
+    // came from, and a pass-0 jump with a flat builds map is ambient
+    // load, not new build work
+    val builds = graft.queries.AtRestTables.buildSeconds.toSeq.sortBy(-_._2)
+    val buildsTotal = builds.map(_._2).sum
     val results = names.map { case (name, _) => name -> best.getOrElse(name, -1.0) }
     val ladderStandalone = ladder.map(n => math.max(best.getOrElse(n, 0.0), 0.0)).sum
     // serve-twin failures count as errors too (r17 ADVICE): a degraded
@@ -191,11 +203,16 @@ object Bench {
       "\"" + name.split("_").head + "\":{\"total\":" + f2(tot) +
         ",\"serve\":" + f2(sv) + ",\"train_est\":" + f2(tr) + "}"
     }.mkString("{", ",", "}")
-    def jsonLine(qs: String, slowestOnly: Boolean): String =
+    def buildsJson(bs: Seq[(String, Double)]): String =
+      bs.map { case (k, v) => "\"" + k + "\":" + f2(v) }.mkString("{", ",", "}")
+    // stdout carries only the top-10 builds (tail-budget discipline, the
+    // slowest-60 rationale); the full map rides BENCH_FULL.json
+    def jsonLine(qs: String, slowestOnly: Boolean, bs: Seq[(String, Double)]): String =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","passes":3,"warm_pass":true,"errors":$errors,""" +
         s""""load_start":"$loadStart","load_end":"$loadEnd",""" +
         s""""probe_start":${f2(probeStart)},"probe_end":${f2(probeEnd)},""" +
-        s""""warm_pass1_total":${f3(pass1Total)},""" +
+        s""""warm_pass1_total":${f3(pass1Total)},"warm_pass0_total":${f3(pass0Total)},""" +
+        s""""builds_total":${f2(buildsTotal)},"builds":${buildsJson(bs)},""" +
         s""""ladder_shared":${f2(ladderShared)},"ladder_standalone":${f2(ladderStandalone)},""" +
         s""""train_serve_split":$splitJson,""" +
         s""""queries_all":${results.size},"queries_slowest_only":$slowestOnly,""" +
@@ -210,8 +227,8 @@ object Bench {
     // gitignored; the absolute-path copy survives any driver cwd and
     // rides the end-of-round commit, so every round carries all
     // per-query timings machine-parseable.
-    println(jsonLine(qsTop, slowestOnly = true))
-    val fullLine = jsonLine(qsFull, slowestOnly = false) + "\n"
+    println(jsonLine(qsTop, slowestOnly = true, builds.take(10)))
+    val fullLine = jsonLine(qsFull, slowestOnly = false, builds) + "\n"
     def writeArtifact(path: String, what: String): Unit =
       try Files.writeString(Paths.get(path), fullLine)
       catch {

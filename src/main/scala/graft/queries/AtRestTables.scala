@@ -65,6 +65,39 @@ private[graft] object AtRestTables {
   @volatile private[graft] var faultHook: String => Unit = _ => ()
   private[graft] def faultPoint(tag: String): Unit = faultHook(tag)
 
+  /** EXCLUSIVE build seconds per key prefix (the part of the cold start
+    * each at-rest artifact itself costs, children subtracted — builders
+    * legitimately nest, e.g. the purge layout builds ON the day
+    * partitions). Bench snapshots this after its warm pass and emits it
+    * as the artifact's `builds` map, so a warm-pass jump is attributable
+    * to the key that caused it instead of being argued from loadavg (the
+    * r17 verdict's #3: at 100× the warm pass IS the bootstrap migration
+    * cost, and it should be measurable per key). */
+  private val buildTimes =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
+  private val nestStack = new ThreadLocal[java.util.ArrayDeque[Array[Double]]] {
+    override def initialValue() = new java.util.ArrayDeque[Array[Double]]()
+  }
+  private[graft] def buildSeconds: Map[String, Double] = {
+    import scala.jdk.CollectionConverters._
+    buildTimes.asScala.map { case (k, v) => k -> v.doubleValue() }.toMap
+  }
+  private[graft] def resetBuildSeconds(): Unit = buildTimes.clear()
+
+  private def timedBuild[A](key: String)(build: => A): A = {
+    val stack = nestStack.get()
+    stack.push(Array(0.0))
+    val t0 = System.nanoTime()
+    try build finally {
+      val total = (System.nanoTime() - t0) / 1e9
+      val childSum = stack.pop()(0)
+      if (!stack.isEmpty) stack.peek()(0) += total
+      buildTimes.merge(key.takeWhile(_ != '|'),
+        Double.box(math.max(0.0, total - childSum)),
+        (a, b) => Double.box(a.doubleValue() + b.doubleValue()))
+    }
+  }
+
   private[graft] def deleteRecursively(path: String): Unit =
     try {
       import scala.jdk.CollectionConverters._
@@ -125,7 +158,7 @@ private[graft] object AtRestTables {
         if (again != null) again._1
         else {
           val base = java.nio.file.Files.createTempDirectory("graft-atrest-").toString
-          val built = build(base)
+          val built = timedBuild(key)(build(base))
           once.put(kp, (built, base))
           order.add(kp)
           built

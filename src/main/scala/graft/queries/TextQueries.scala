@@ -1583,7 +1583,11 @@ object TextQueries {
     AtRestTables.get(spark, s"eraserem|$dir") { base =>
       val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
       val (tombT, _, _) = erasureTextTables(spark, dir)
-      val tomb = broadcast(spark.table(tombT))
+      // ONE tombstone scan feeds all four anti-joined rewrites (the r17
+      // verdict's #3): each write job builds its own broadcast, but from
+      // the cached rows, not four parquet scans
+      val tombCached = spark.table(tombT).cache()
+      val tomb = broadcast(tombCached)
       val posT = positionalIndexTable(spark, dir)
       val (jT, cvT) = RelQueries.fileSourceTables(spark, dir)
       val orcT = RelQueries.orcSourceTable(spark, dir)
@@ -1612,6 +1616,7 @@ object TextQueries {
         .where(!(pmod(col("user_id"), lit(RelQueries.PurgeUserMod)) ===
           RelQueries.PurgeUserRes))
         .write.mode("overwrite").option("path", s"$base/state").saveAsTable(rUsT)
+      tombCached.unpersist()
       Seq(rPosT, rJT, rCvT, rOrcT, rUsT)
     }
 
