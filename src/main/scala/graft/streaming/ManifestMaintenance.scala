@@ -15,7 +15,17 @@ import org.apache.spark.sql.functions._
   * viable on a layout that grows by thousands of files a day at 100 TB.
   * ManifestMaintenanceSpec proves the incrementally-maintained manifest
   * row-identical to a from-scratch rebuild, and that an update after k
-  * appended files scans exactly k files. */
+  * appended files scans exactly k files.
+  *
+  * Deliberately NOT on [[GenerationalStore]] (the r17 verdict's #5 asked
+  * each bespoke compaction to migrate or say why): this store is keyed
+  * by LAYOUT FILE, not by micro-batch id — idempotence comes from the
+  * listing-vs-manifest set diff (an update that finds nothing fresh
+  * appends nothing), so there is no batch-id space for a generation to
+  * cover, and growth is bounded by the layout's file count rather than
+  * by stream length: the manifest gains at most one append per file
+  * ever, not one directory per micro-batch forever. The unbounded-growth
+  * hazard the generational protocol exists to cap cannot arise here. */
 object ManifestMaintenance {
 
   /** input_file_name() yields `file:///…` URIs while filesystem listings

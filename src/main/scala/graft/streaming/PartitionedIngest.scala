@@ -43,6 +43,17 @@ object PartitionedIngest {
     * job every streaming-ingested store needs: each micro-batch leaves
     * one file per (batch, day), so a day ingested across k batches holds
     * k small files and scan cost grows with file COUNT, not data size.
+    *
+    * Deliberately NOT on [[GenerationalStore]] (the r17 verdict's #5
+    * asked each bespoke compaction to migrate or say why): this layout
+    * is written by Spark's FILE SINK, whose own transaction log — not
+    * id-keyed `batch=` directories — provides exactly-once and replay
+    * idempotence, and whose directory key is EVENT day, not batch id.
+    * Wrapping it in the generational protocol would mean re-implementing
+    * the sink's append path under foreachBatch just to regain guarantees
+    * the sink already gives natively; the atomicity this compaction
+    * needs (never rewrite in place, caller flips a pointer) is the same
+    * contract writeGeneration provides, kept here at day granularity.
     * Rewrites the layout to `outPath` with exactly one file per day:
     * `repartition(col("day"))` puts a day's rows in one task, so the
     * dynamic partitioned write emits one file per day directory. Writes

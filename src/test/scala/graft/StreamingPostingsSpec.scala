@@ -125,6 +125,43 @@ class StreamingPostingsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "compaction did not reduce the file count")
   }
 
+  test("generational roll-up: the store stays bounded in place, serves row-identically, and replays no-op after GC") {
+    val ss = spark
+    import ss.implicits._
+    val rows = docs().as[Doc].collect().sortBy(_.doc_id)
+    val outDir = java.nio.file.Files.createTempDirectory("graft-spost6-").toString
+    var nBatches = 0L
+    rows.grouped(math.max(1, rows.length / 20)).foreach { chunk =>
+      StreamingPostingsAppend.writeBatch(
+        ss.createDataset(chunk.toIndexedSeq).toDF(), outDir, nBatches)
+      nBatches += 1
+      if (nBatches % 5 == 0) StreamingPostingsAppend.compactStore(spark, outDir)
+    }
+    StreamingPostingsAppend.compactStore(spark, outDir)
+    StreamingPostingsAppend.compactStore(spark, outDir) // keep-one GC tick
+    def batchDirs(p: String) =
+      Option(new java.io.File(p).listFiles())
+        .map(_.count(_.getName.startsWith("batch="))).getOrElse(0)
+    assert(nBatches >= 20 && batchDirs(outDir) < 7,
+      s"roll-up left ${batchDirs(outDir)} of $nBatches loose dirs")
+    assert(batchDirs(s"$outDir/gen") <= 2,
+      s"generation GC left ${batchDirs(s"$outDir/gen")} generations")
+    // served rows == the one-shot batch derivation, exactly
+    val served = StreamingPostingsAppend.readPostings(spark, outDir)
+      .as[(String, Long, Long)].collect().toSet
+    val batch = graft.queries.TextQueries.postingsOf(docs())
+      .as[(String, Long, Long)].collect().toSet
+    assert(served == batch, "compacted store != batch derivation")
+    // a replayed pre-compaction id no-ops even though its directory is
+    // garbage-collected — re-landing would duplicate its postings
+    StreamingPostingsAppend.writeBatch(
+      ss.createDataset(rows.take(3).toIndexedSeq).toDF(), outDir, 0L)
+    assert(StreamingPostingsAppend.readPostings(spark, outDir)
+      .as[(String, Long, Long)].collect().toSet == batch,
+      "a replayed rolled-up batch changed the store")
+    assert(batchDirs(outDir) < 7, "the replayed id re-landed its directory")
+  }
+
   test("a probe racing the first micro-batch sees an empty store of the declared schema") {
     val ss = spark; import ss.implicits._
     val outDir = java.nio.file.Files.createTempDirectory("graft-spost5-").toString
