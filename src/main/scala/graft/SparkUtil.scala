@@ -19,6 +19,11 @@ object SparkUtil {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // bucket-subset co-location: a join on (k, extra) over two tables
+      // bucketed on k must read the buckets co-located instead of
+      // re-shuffling both sides on the full key pair (the q311
+      // co-bucketed postings audit rides this; pre-3.3 Spark behavior)
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")
 

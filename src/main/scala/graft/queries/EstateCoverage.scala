@@ -60,6 +60,7 @@ private[graft] object EstateCoverage {
     "gdpr" -> Audited("q311", Seq("purge_deletion_vector")),
     // --- erasure-control state (itself lists personal identifiers) ----
     "erasetxt" -> Audited("q311", Seq("erase_tomb_text")),
+    "erasepost" -> Audited("q311", Seq("erase_tomb_postings")),
     "eraseann" -> Audited("q311", Seq("erase_tomb_ann")),
     "erasemm" -> Audited("q311", Seq("erase_tomb_mm")),
     // --- remediated outputs (audited by q314/q315, cohort-free by build)

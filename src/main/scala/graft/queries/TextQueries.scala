@@ -168,6 +168,48 @@ object TextQueries {
     (names(0), names(1), names(2))
   }
 
+  /** The CO-BUCKETED tombstone-postings store — the q305 (cell, id)
+    * layout applied to the text index (the r17 verdict's #7): the erased
+    * cohort's (term, doc_id) rows, LOCATED from the persisted posting
+    * store's own bytes (the routing the serve path trusts) and written
+    * back in the SAME bucket geometry ([[PostingBuckets]] on term,
+    * sorted (term, doc_id)). A corpus-proportional purge batch — too big
+    * to broadcast — then audits or anti-joins the postings as a
+    * CO-LOCATED sort-merge join with zero Exchange on either side:
+    * hash(term) bucketing satisfies the (term, doc_id) join's clustering
+    * requirement because the partitioning keys are a subset of the join
+    * keys. PostingsAuditPlanSpec pins the shuffle-free plan. */
+  private[queries] def erasedPostingsTable(spark: org.apache.spark.sql.SparkSession,
+                                           dir: String): String =
+    AtRestTables.get(spark, s"erasepost|$dir") { base =>
+      val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val t = s"graft_erase_post_$sfx"
+      val (pT, _, _) = invertedIndexTables(spark, dir)
+      val (tombT, _, _) = erasureTextTables(spark, dir)
+      spark.table(pT)
+        .join(broadcast(spark.table(tombT)), Seq("doc_id"), "left_semi")
+        .select("term", "doc_id")
+        .write.mode("overwrite").option("path", s"$base/post")
+        .bucketBy(PostingBuckets, "term").sortBy("term", "doc_id")
+        .saveAsTable(t)
+      Seq(t)
+    }.head
+
+  /** The production-shape postings audit: cohort rows physically present
+    * in the posting store, measured by the co-bucketed SMJ (merge-hinted
+    * so the test-scale optimizer cannot fall back to broadcasting the
+    * tombstone side — at production scale it could not anyway). Output is
+    * hash-identical to the broadcast-semi measure it replaces. */
+  private[graft] def cobucketedPostingsAudit(spark: org.apache.spark.sql.SparkSession,
+                                             dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val (pT, _, _) = invertedIndexTables(spark, dir)
+    val tp = erasedPostingsTable(spark, dir)
+    spark.table(pT)
+      .join(spark.table(tp).hint("merge"), Seq("term", "doc_id"), "left_semi")
+      .agg(count(lit(1)).as("erased_rows"))
+  }
+
   /** q308's COMPACTED index — the copy-on-write half of text erasure
     * (q304's tombstones are merge-on-read: correct immediately, but the
     * erased bytes still sit in the posting files, and GDPR ultimately
@@ -1678,6 +1720,7 @@ object TextQueries {
     "snapshot_v2_groups" -> "snapshot_expiry_horizon",
     "purge_deletion_vector" -> "retire_after_compaction",
     "erase_tomb_text" -> "retire_after_compaction",
+    "erase_tomb_postings" -> "retire_after_compaction",
     "erase_tomb_ann" -> "retire_after_compaction",
     "erase_tomb_mm" -> "retire_after_compaction",
     "hll_mv_registers" -> "rebuild_from_retained")
@@ -1750,7 +1793,11 @@ object TextQueries {
         .cast("long").as("doc_id"))
       .where(QueryBase.erasedId(col("doc_id"))))
     Map(
-      "postings_mor" -> docLeak(pT),
+      // the largest artifact audits through the PRODUCTION purge-batch
+      // shape: the co-bucketed tombstone-postings SMJ (zero Exchange on
+      // the artifact side, plan-pinned) instead of the broadcast semi
+      // that rides the test cohort's size
+      "postings_mor" -> cobucketedPostingsAudit(spark, dir),
       "postings_compacted" -> docLeak(cpT),
       "doclen_mor" -> docLeak(dlT),
       "doclen_compacted" -> docLeak(cdT),
@@ -1789,6 +1836,7 @@ object TextQueries {
       "purge_deletion_vector" -> cnt(spark.table(dvT)),
       // the erasure-control state itself lists personal identifiers
       "erase_tomb_text" -> cnt(spark.table(tombT)),
+      "erase_tomb_postings" -> cnt(spark.table(erasedPostingsTable(spark, dir))),
       "erase_tomb_ann" -> cnt(spark.table(annTombT)),
       "erase_tomb_mm" -> cnt(spark.table(mmTombT)),
       // the sketch class: max-merged HLL registers are not subtractable,
@@ -2669,6 +2717,7 @@ object TextQueries {
          |UNION ALL SELECT 'snapshot_v2_groups', 'snapshot_expiry_horizon', c FROM g2
          |UNION ALL SELECT 'purge_deletion_vector', 'retire_after_compaction', c FROM dv
          |UNION ALL SELECT 'erase_tomb_text', 'retire_after_compaction', c FROM dm
+         |UNION ALL SELECT 'erase_tomb_postings', 'retire_after_compaction', c FROM pm
          |UNION ALL SELECT 'erase_tomb_ann', 'retire_after_compaction', c FROM vm
          |UNION ALL SELECT 'erase_tomb_mm', 'retire_after_compaction', c FROM dm
          |UNION ALL SELECT 'hll_mv_registers', 'rebuild_from_retained', c FROM hc""".stripMargin,
