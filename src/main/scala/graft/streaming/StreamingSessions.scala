@@ -43,29 +43,36 @@ object StreamingSessions {
     import events.sparkSession.implicits._
     events.groupByKey(_.userId)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
-        (userId: Long, rows: Iterator[SpanEvent], state: GroupState[SessionState]) =>
-          val sorted = rows.toArray.sortBy(e => (e.ts, e.eventId))
-          var st = state.getOption.orNull
-          var rev = if (st == null) 0L else st.rev
-          val out = Seq.newBuilder[SessionOut]
-          sorted.foreach { e =>
-            if (st == null) st = SessionState(e.ts, e.ts, rev)
-            else if (e.ts - st.eUs > gapUs) {
-              // the old session can never extend again — emit its FINAL row
-              rev += 1
-              out += SessionOut(userId, st.sUs, st.eUs, rev, closed = true)
-              st = SessionState(e.ts, e.ts, rev)
-            } else if (e.ts > st.eUs) st = SessionState(st.sUs, e.ts, st.rev)
-          }
-          if (st != null) {
-            // current open session: re-emit its extent once per batch
-            rev += 1
-            st = SessionState(st.sUs, st.eUs, rev)
-            state.update(st)
-            out += SessionOut(userId, st.sUs, st.eUs, rev, closed = false)
-          }
-          out.result().iterator
-      }
+        OutputMode.Update(), GroupStateTimeout.NoTimeout())(sessionUpdate(gapUs))
   }
+
+  /** The per-key update body, exposed so
+    * [[StreamingStateErasure.sessionStreamForgetting]] wraps the
+    * IDENTICAL algebra (one definition — the forgetting twin cannot
+    * drift). */
+  private[streaming] def sessionUpdate(gapUs: Long)
+      : (Long, Iterator[SpanEvent], GroupState[SessionState]) => Iterator[SessionOut] =
+    (userId: Long, rows: Iterator[SpanEvent], state: GroupState[SessionState]) => {
+      val sorted = rows.toArray.sortBy(e => (e.ts, e.eventId))
+      var st = state.getOption.orNull
+      var rev = if (st == null) 0L else st.rev
+      val out = Seq.newBuilder[SessionOut]
+      sorted.foreach { e =>
+        if (st == null) st = SessionState(e.ts, e.ts, rev)
+        else if (e.ts - st.eUs > gapUs) {
+          // the old session can never extend again — emit its FINAL row
+          rev += 1
+          out += SessionOut(userId, st.sUs, st.eUs, rev, closed = true)
+          st = SessionState(e.ts, e.ts, rev)
+        } else if (e.ts > st.eUs) st = SessionState(st.sUs, e.ts, st.rev)
+      }
+      if (st != null) {
+        // current open session: re-emit its extent once per batch
+        rev += 1
+        st = SessionState(st.sUs, st.eUs, rev)
+        state.update(st)
+        out += SessionOut(userId, st.sUs, st.eUs, rev, closed = false)
+      }
+      out.result().iterator
+    }
 }

@@ -92,6 +92,26 @@ object StreamingStateErasure {
       SaxStreaming.encodeUpdate(n, w, c))
   }
 
+  // ---- sessions leg --------------------------------------------------------
+
+  import StreamingSessions.{SessionOut, SessionState, SpanEvent}
+
+  /** [[StreamingSessions.sessionStream]] with the same in-band forgetting
+    * channel: the open session (the ONLY retained state) is dropped, so
+    * the cohort's in-flight span is never emitted again — the live
+    * sessionizer's GDPR contract. */
+  def sessionStreamForgetting(events: Dataset[SpanEvent],
+                              forgets: Dataset[Forget],
+                              gapUs: Long): Dataset[SessionOut] = {
+    val ss = events.sparkSession; import ss.implicits._
+    val signals = events.map(e => (false, e))
+      .union(forgets.map(f =>
+        (true, SpanEvent(f.userId, Long.MinValue, Long.MinValue))))
+    forgetting[SpanEvent, SessionState, SessionOut](
+      signals.groupByKey(_._2.userId), OutputMode.Update(),
+      StreamingSessions.sessionUpdate(gapUs))
+  }
+
   // ---- funnel leg ----------------------------------------------------------
 
   import StreamingFunnel.{FunnelEvent, FunnelOut, FunnelState}

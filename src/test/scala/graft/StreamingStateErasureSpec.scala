@@ -163,6 +163,43 @@ class StreamingStateErasureSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"post-erasure event continued the old ring: got $got, want $fresh")
   }
 
+  test("sessions: forget drops the open span; survivors equal never-saw-the-cohort") {
+    val ss = spark; import ss.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingSessions.SpanEvent
+    val gap = 100L
+    val pre = Seq(SpanEvent(1L, 10L, 1L), SpanEvent(2L, 10L, 2L),
+      SpanEvent(1L, 50L, 3L), SpanEvent(2L, 60L, 4L), SpanEvent(3L, 5L, 5L))
+    val post = Seq(SpanEvent(2L, 120L, 6L), SpanEvent(4L, 7L, 7L))
+
+    def run(tag: String, preEv: Seq[SpanEvent], forget: Boolean) = {
+      val ev = MemoryStream[SpanEvent](spark)
+      val fg = MemoryStream[Forget](spark)
+      val q = StreamingStateErasure
+        .sessionStreamForgetting(ev.toDS(), fg.toDS(), gap)
+        .writeStream.format("memory").queryName(s"sess_$tag")
+        .option("checkpointLocation", s"$base/sess_$tag/cp")
+        .outputMode("update").start()
+      ev.addData(preEv); q.processAllAvailable()
+      if (forget) { fg.addData(Cohort.toSeq.map(Forget.apply)); q.processAllAvailable() }
+      ev.addData(post.filterNot(e => forget && Cohort(e.userId)))
+      q.processAllAvailable(); q.stop()
+      // latest row per (userId, sUs)
+      spark.table(s"sess_$tag").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+        .groupBy(t => (t._1, t._2))
+        .map { case (k, rs) => k -> { val l = rs.maxBy(_._4); (l._3, l._5) } }
+    }
+    val a = run("a", pre, forget = true)
+    val b = run("b", pre.filterNot(e => Cohort(e.userId)), forget = false)
+    for (k <- b.keySet) assert(a(k) == b(k), s"session $k diverged")
+    // the cohort's state is gone and its open span never re-emits
+    val keys = spark.read.format("statestore").load(s"$base/sess_a/cp")
+      .select("key.*").collect().map(_.getLong(0)).toSet
+    assert(keys.intersect(Cohort).isEmpty,
+      "cohort keys still in the session state store")
+  }
+
   test("erasureGate drops the cohort's records in a live stream-static anti join") {
     val ss = spark; import ss.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
