@@ -66,6 +66,7 @@ private[graft] object EstateCoverage {
     // --- remediated outputs (audited by q314/q315, cohort-free by build)
     "eraserem" -> Audited("q314", TextQueries.RemediatedEstateClasses),
     "eraserem2" -> Audited("q315", RelQueries.UserEstateRemediationClasses),
+    "eraserem3" -> Audited("q317", TextQueries.DocEstateRemediationClasses),
     // --- exemptions ----------------------------------------------------
     "factbkt" -> Exempt(
       "holds only the TPC-H business relations (orders/lineitem bucketed " +

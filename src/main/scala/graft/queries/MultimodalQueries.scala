@@ -692,17 +692,53 @@ object MultimodalQueries {
     // table — getPath registers no table names, so registry eviction never
     // attempts a DROP TABLE on a filesystem path
     val base = AtRestTables.getPath(spark, s"binfiles|$dir") { base =>
-      val rows = spread(table(spark, dir, "documents"))
-        .where(col("doc_id") < BinFileDocs)
-        .select(col("doc_id"), col("text")).collect()
-      val d = java.nio.file.Paths.get(base, "blobs")
-      java.nio.file.Files.createDirectories(d)
-      rows.foreach { r =>
-        java.nio.file.Files.write(d.resolve(f"doc_${r.getLong(0)}%05d.bin"),
-          r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      }
+      writeBlobStore(spread(table(spark, dir, "documents")), base)
     }
     java.nio.file.Paths.get(base, "blobs").toString
+  }
+
+  /** The blob-store write, shared by the at-rest build and the q317
+    * rewrite-on-purge remediation (same `doc_NNNNN.bin` layout contract
+    * the ingest scan and the q311 audit parse). Caller-supplied docs
+    * frame; the [[BinFileDocs]] bound is applied here so the remediated
+    * copy keeps the original store's extent rule. */
+  private[queries] def writeBlobStore(docs: org.apache.spark.sql.DataFrame,
+                                      base: String): Unit = {
+    val rows = docs.where(col("doc_id") < BinFileDocs)
+      .select(col("doc_id"), col("text")).collect()
+    val d = java.nio.file.Paths.get(base, "blobs")
+    java.nio.file.Files.createDirectories(d)
+    rows.foreach { r =>
+      java.nio.file.Files.write(d.resolve(f"doc_${r.getLong(0)}%05d.bin"),
+        r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+  }
+
+  /** The q317 retained multimodal GENERATION — the q307 full-forget
+    * rebuild applied to the mm index family: centroids re-sampled from
+    * the RETAINED corpus (stride over the retained count — a cohort doc
+    * can no longer be a centroid, so its raw embedding leaves the model
+    * artifacts too) and every retained doc re-assigned against them
+    * through the SAME [[mmAssignCell]] the serving builds use. Written
+    * into the caller's remediation base dir (the q317 lifecycle owns the
+    * fault points between these two writes). */
+  private[queries] def writeRetainedMmGen(spark: org.apache.spark.sql.SparkSession,
+                                          dir: String, base: String,
+                                          centT: String, codesT: String,
+                                          midFault: () => Unit): Unit = {
+    val retained = mmEmbedFrame(spread(table(spark, dir, "documents")))
+      .where(!QueryBase.erasedId(col("doc_id")))
+    val n = table(spark, dir, "documents")
+      .where(!QueryBase.erasedId(col("doc_id"))).count()
+    val stride = math.max(1L, n / MmCentroidBudget)
+    val cents = retained.where(col("doc_id") % stride === 0)
+      .select(col("doc_id").as("cent_id"), col("emb").as("ce"))
+    cents.write.mode("overwrite").option("path", s"$base/mmg3cents")
+      .saveAsTable(centT)
+    midFault()
+    mmAssignCell(retained, cents)
+      .write.mode("overwrite").option("path", s"$base/mmg3codes")
+      .bucketBy(MmCellBuckets, "cell").sortBy("cell").saveAsTable(codesT)
   }
 
   val oracles: Map[String, String] = Map(

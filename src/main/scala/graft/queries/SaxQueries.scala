@@ -102,11 +102,17 @@ object SaxQueries {
 
   // ---- Spark-side shared frames -------------------------------------------
 
-  private def windowWordsFor(n: Int, w: Int, c: Int): QFn = (spark, dir) => {
-    val ev = table(spark, dir, "events")
+  private def windowWordsFor(n: Int, w: Int, c: Int): QFn = (spark, dir) =>
+    windowWordsOf(table(spark, dir, "events"), n, w, c)
+
+  /** The sliding-window encode over a caller-supplied events frame — the
+    * unit [[windowWordsFor]] and the q317 word-dict remediation share, so
+    * the retained rebuild cannot drift from the original build. */
+  private def windowWordsOf(ev: org.apache.spark.sql.DataFrame,
+                            n: Int, w: Int, c: Int): org.apache.spark.sql.DataFrame = {
     val spec = byUser(ev).rowsBetween(-(n - 1), 0)
     ev.select(col("event_id"), col("user_id"),
-        sax_encode_window(collect_list(col("value")).over(spec), n, w, c).as("word"))
+      sax_encode_window(collect_list(col("value")).over(spec), n, w, c).as("word"))
   }
 
   private def windowWords: QFn = windowWordsFor(N, W, C)
@@ -124,19 +130,44 @@ object SaxQueries {
   private def bucketedWordTables(spark: org.apache.spark.sql.SparkSession,
                                  dir: String): (String, String) = {
     val names = AtRestTables.get(spark, s"q78|$dir") { base =>
-      val words = windowWords(spark, dir)
       val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
       val uwT = s"graft_q78_uw_$sfx"; val wcT = s"graft_q78_wc_$sfx"
-      words.select("user_id", "word").distinct()
-        .write.mode("overwrite").option("path", s"$base/uw")
-        .bucketBy(WordBuckets, "word").sortBy("word").saveAsTable(uwT)
-      words.groupBy("word").agg(count(lit(1)).as("word_cnt"))
-        .write.mode("overwrite").option("path", s"$base/wc")
-        .bucketBy(WordBuckets, "word").sortBy("word").saveAsTable(wcT)
+      writeWordDict(windowWords(spark, dir), base, uwT, wcT)
       Seq(uwT, wcT)
     }
     (names(0), names(1))
   }
+
+  /** The word-dictionary write (uw + wc, word-bucketed), shared by the
+    * q78 at-rest build and the q317 rewrite-on-purge remediation. */
+  private def writeWordDict(words: org.apache.spark.sql.DataFrame,
+                            base: String, uwT: String, wcT: String): Unit = {
+    words.select("user_id", "word").distinct()
+      .write.mode("overwrite").option("path", s"$base/uw")
+      .bucketBy(WordBuckets, "word").sortBy("word").saveAsTable(uwT)
+    words.groupBy("word").agg(count(lit(1)).as("word_cnt"))
+      .write.mode("overwrite").option("path", s"$base/wc")
+      .bucketBy(WordBuckets, "word").sortBy("word").saveAsTable(wcT)
+  }
+
+  /** The q317 remediated word dictionary: the SAME window encode + write
+    * over retained users only (a user-keyed artifact remediates on the
+    * user cohort), landed into the caller's remediation base dir. */
+  private[queries] def writeRetainedWordDict(spark: org.apache.spark.sql.SparkSession,
+                                             dir: String, base: String,
+                                             uwT: String, wcT: String): Unit =
+    writeWordDict(windowWordsOf(
+      table(spark, dir, "events").where(
+        !(pmod(col("user_id"), lit(RelQueries.PurgeUserMod)) ===
+          RelQueries.PurgeUserRes)), N, W, C), base, uwT, wcT)
+
+  /** Oracle-side count of the RETAINED word dictionary's rows (distinct
+    * (user_id, word) of unflagged users) — the q317 expected
+    * retained_rows, same window-encode SQL as [[wordDictCohortSql]]. */
+  private[queries] def wordDictRetainedSql: String =
+    s"""SELECT CAST(count(*) AS BIGINT) AS c FROM (
+       |  SELECT DISTINCT user_id, word FROM ($windowWordsSql)
+       |  WHERE NOT user_id % ${RelQueries.PurgeUserMod} = ${RelQueries.PurgeUserRes})""".stripMargin
 
   /** The q78 dictionary's at-rest tables, exposed for the q311 estate
     * ledger: the (user_id, word) rows are user-derived personal data and

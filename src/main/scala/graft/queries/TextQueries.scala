@@ -295,23 +295,33 @@ object TextQueries {
     val names = AtRestTables.get(spark, s"docbloom|$dir") { base =>
       val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
       val dT = s"graft_docs_bloomed_$sfx"; val mT = s"graft_docs_bloomman_$sfx"
-      table(spark, dir, "documents")
-        .repartitionByRange(BloomFiles, col("doc_id"))
-        .sortWithinPartitions("doc_id")
-        .write.mode("overwrite").option("path", s"$base/bloomed").saveAsTable(dT)
-      val toks = toksCol
-      // manifest derived from the bytes that will serve (the q141
-      // discipline); hash60 = conv(md5 prefix) matches TextHash.hash60
-      spark.read.parquet(s"$base/bloomed")
-        .select(input_file_name().as("file"), explode(toks).as("tok"))
-        .select(col("file"), explode(array((0 until BloomK).map(j =>
-          pmod(conv(substring(md5(concat_ws(":", col("tok"), lit(j))), 1, 15),
-            16, 10).cast("long"), lit(BloomBits.toLong))): _*)).as("bit"))
-        .distinct()
-        .write.mode("overwrite").option("path", s"$base/bloomman").saveAsTable(mT)
+      buildBloomLayout(spark, table(spark, dir, "documents"),
+        s"$base/bloomed", dT, s"$base/bloomman", mT)
       Seq(dT, mT)
     }
     (names(0), names(1))
+  }
+
+  /** The bloom-clustered layout write, shared by the q212 at-rest build
+    * and the q317 recluster-on-purge remediation (original range
+    * clustering kept, manifest re-derived from the written bytes). */
+  private def buildBloomLayout(spark: org.apache.spark.sql.SparkSession,
+                               docs: org.apache.spark.sql.DataFrame,
+                               dataPath: String, dT: String,
+                               manPath: String, mT: String): Unit = {
+    docs.repartitionByRange(BloomFiles, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .write.mode("overwrite").option("path", dataPath).saveAsTable(dT)
+    val toks = toksCol
+    // manifest derived from the bytes that will serve (the q141
+    // discipline); hash60 = conv(md5 prefix) matches TextHash.hash60
+    spark.read.parquet(dataPath)
+      .select(input_file_name().as("file"), explode(toks).as("tok"))
+      .select(col("file"), explode(array((0 until BloomK).map(j =>
+        pmod(conv(substring(md5(concat_ws(":", col("tok"), lit(j))), 1, 15),
+          16, 10).cast("long"), lit(BloomBits.toLong))): _*)).as("bit"))
+      .distinct()
+      .write.mode("overwrite").option("path", manPath).saveAsTable(mT)
   }
 
   /** Cross-engine log parity: `ln` differs between the JVM intrinsic and
@@ -1610,8 +1620,109 @@ object TextQueries {
         .unionByName(docAudit(remCvT, "docs_csv"))
         .unionByName(docAudit(remOrcT, "docs_orc"))
         .unionByName(userAudit)
+    }),
+
+    // DOC-ESTATE REMEDIATION, EXECUTED — the classes this round's widened
+    // census ADDED to the ledger get the same treatment q314/q315 gave
+    // the rest (a declared-but-unexecuted policy is the r17 gap pattern;
+    // never reopen it): the bloom-clustered documents copy reclusters
+    // minus the cohort (same range geometry, manifest re-derived from the
+    // remediated bytes), the blob store rewrites retained files in the
+    // original doc_NNNNN.bin layout, the SAX word dictionary rebuilds
+    // over retained users through the same window encode, and the
+    // multimodal index gets a GEN-3 full-forget rebuild (centroids
+    // re-sampled from the RETAINED corpus — a cohort doc's raw embedding
+    // leaves the model artifacts too, the q307 discipline for mm). Each
+    // audit measures (erased, retained) from the remediated bytes; the
+    // oracle re-derives both numbers per artifact from raw, including
+    // the retained-stride centroid count and the full window-encode
+    // word-dictionary size.
+    "q317_doc_estate_remediation" -> ((spark, dir) => {
+      val n = remediatedDocEstateTables(spark, dir)
+      val (rbT, rblobPtrT, ruwT, rmcT, rmgT) =
+        (n(0), n(2), n(3), n(5), n(6))
+      val (tombT, _, _) = erasureTextTables(spark, dir)
+      val tomb = broadcast(spark.table(tombT)
+        .select(col("doc_id"), lit(1L).as("__e")))
+      def docAudit(t: String, label: String) =
+        spark.table(t).join(tomb, Seq("doc_id"), "left")
+          .agg(coalesce(sum("__e"), lit(0L)).cast("long").as("erased_rows"),
+            count(lit(1)).as("total"))
+          .select(lit(label).as("artifact"), col("erased_rows"),
+            (col("total") - col("erased_rows")).as("retained_rows"))
+      // the blob store audit parses the remediated files' NAMES (the
+      // layout contract), resolved through the 1-row pointer table
+      val blobDir = spark.table(rblobPtrT).collect()(0).getString(0)
+      val blobRow = spark.read.format("binaryFile").load(blobDir)
+        .select(regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1)
+          .cast("long").as("doc_id"))
+        .agg(coalesce(sum(when(QueryBase.erasedId(col("doc_id")), 1L)
+            .otherwise(0L)), lit(0L)).cast("long").as("erased_rows"),
+          count(lit(1)).as("total"))
+        .select(lit("blob_store").as("artifact"), col("erased_rows"),
+          (col("total") - col("erased_rows")).as("retained_rows"))
+      val flaggedU = pmod(col("user_id"), lit(RelQueries.PurgeUserMod)) ===
+        RelQueries.PurgeUserRes
+      val wdRow = spark.table(ruwT)
+        .agg(coalesce(sum(when(flaggedU, 1L).otherwise(0L)), lit(0L))
+          .cast("long").as("erased_rows"), count(lit(1)).as("total"))
+        .select(lit("word_dict_users").as("artifact"), col("erased_rows"),
+          (col("total") - col("erased_rows")).as("retained_rows"))
+      val mcRow = spark.table(rmcT)
+        .agg(coalesce(sum(when(QueryBase.erasedId(col("cent_id")), 1L)
+            .otherwise(0L)), lit(0L)).cast("long").as("erased_rows"),
+          count(lit(1)).as("total"))
+        .select(lit("mm_cents_gen3").as("artifact"), col("erased_rows"),
+          (col("total") - col("erased_rows")).as("retained_rows"))
+      docAudit(rbT, "docs_bloom_layout")
+        .unionByName(blobRow)
+        .unionByName(wdRow)
+        .unionByName(mcRow)
+        .unionByName(docAudit(rmgT, "mm_codes_gen3"))
     })
   )
+
+  /** q317's declared artifact labels (the [[EstateCoverage]] tie for the
+    * `eraserem3` lifecycle key). */
+  private[graft] val DocEstateRemediationClasses: Seq[String] = Seq(
+    "docs_bloom_layout", "blob_store", "word_dict_users",
+    "mm_cents_gen3", "mm_codes_gen3")
+
+  /** The q317 remediated doc estate — the widened census's rewrite
+    * policies executed, each in the artifact's original layout, fault
+    * points between writes (the q314/q315 lifecycle). */
+  private def remediatedDocEstateTables(spark: org.apache.spark.sql.SparkSession,
+                                        dir: String): Seq[String] =
+    AtRestTables.get(spark, s"eraserem3|$dir") { base =>
+      val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val (tombT, _, _) = erasureTextTables(spark, dir)
+      // one tombstone scan feeds every anti join below (the q314 rule)
+      val tombCached = spark.table(tombT).cache()
+      val tomb = broadcast(tombCached)
+      val retained = table(spark, dir, "documents")
+        .join(tomb, Seq("doc_id"), "left_anti")
+      val rbT = s"graft_rem_bloomed_$sfx"; val rbmT = s"graft_rem_bloomman_$sfx"
+      buildBloomLayout(spark, retained, s"$base/bloomed", rbT,
+        s"$base/bloomman", rbmT)
+      AtRestTables.faultPoint("eraserem3:bloom")
+      MultimodalQueries.writeBlobStore(retained, base)
+      val rblobPtrT = s"graft_rem_blobptr_$sfx"
+      import spark.implicits._
+      Seq(java.nio.file.Paths.get(base, "blobs").toString)
+        .toDF("blob_dir").coalesce(1)
+        .write.mode("overwrite").option("path", s"$base/blobptr")
+        .saveAsTable(rblobPtrT)
+      AtRestTables.faultPoint("eraserem3:blob")
+      val ruwT = s"graft_rem_uw_$sfx"; val rwcT = s"graft_rem_wc_$sfx"
+      SaxQueries.writeRetainedWordDict(spark, dir, base, ruwT, rwcT)
+      AtRestTables.faultPoint("eraserem3:wdict")
+      val rmcT = s"graft_rem_mmg3_cents_$sfx"
+      val rmgT = s"graft_rem_mmg3_codes_$sfx"
+      MultimodalQueries.writeRetainedMmGen(spark, dir, base, rmcT, rmgT,
+        () => AtRestTables.faultPoint("eraserem3:mmcents"))
+      tombCached.unpersist()
+      Seq(rbT, rbmT, rblobPtrT, ruwT, rwcT, rmcT, rmgT)
+    }
 
   /** The q314 remediated estate: each rewrite-policy artifact rebuilt
     * minus its erasure cohort, in its ORIGINAL layout and format (the
@@ -2761,7 +2872,30 @@ object TextQueries {
          |UNION ALL SELECT 'docs_jsonl', CAST(0 AS BIGINT), c FROM dm
          |UNION ALL SELECT 'docs_csv', CAST(0 AS BIGINT), c FROM dm
          |UNION ALL SELECT 'docs_orc', CAST(0 AS BIGINT), c FROM dm
-         |UNION ALL SELECT 'upsert_state', CAST(0 AS BIGINT), c FROM us""".stripMargin
+         |UNION ALL SELECT 'upsert_state', CAST(0 AS BIGINT), c FROM us""".stripMargin,
+
+    // the expected remediated doc estate from raw: zero erased rows
+    // everywhere, and the retained counts per artifact — retained docs
+    // (bloom layout + gen-3 codes), retained blobs under the extent
+    // bound, the retained word dictionary (full window-encode replay),
+    // and the retained-stride centroid sample
+    "q317_doc_estate_remediation" ->
+      s"""WITH rd AS (SELECT doc_id FROM documents
+         |            WHERE NOT ${QueryBase.erasedSql("doc_id")}),
+         |dm AS (SELECT CAST(count(*) AS BIGINT) AS c FROM rd),
+         |bl AS (SELECT CAST(count(*) AS BIGINT) AS c FROM rd
+         |       WHERE doc_id < ${MultimodalQueries.BinFileDocs}),
+         |wdr AS (${SaxQueries.wordDictRetainedSql}),
+         |mc AS (SELECT CAST(count(*) AS BIGINT) AS c FROM rd
+         |       WHERE doc_id %
+         |         (SELECT greatest(1, count(*) // ${MultimodalQueries.MmCentroidBudget})
+         |          FROM rd) = 0)
+         |SELECT 'docs_bloom_layout' AS artifact,
+         |       CAST(0 AS BIGINT) AS erased_rows, c AS retained_rows FROM dm
+         |UNION ALL SELECT 'blob_store', CAST(0 AS BIGINT), c FROM bl
+         |UNION ALL SELECT 'word_dict_users', CAST(0 AS BIGINT), c FROM wdr
+         |UNION ALL SELECT 'mm_cents_gen3', CAST(0 AS BIGINT), c FROM mc
+         |UNION ALL SELECT 'mm_codes_gen3', CAST(0 AS BIGINT), c FROM dm""".stripMargin
   )
 
   private def erasureOracleSql: String = {

@@ -73,7 +73,8 @@ class EstateCoverageSpec extends AnyFunSuite {
     val inventories = Map(
       "q311" -> EstateLedgerClasses.map(_._1).toSet,
       "q314" -> RemediatedEstateClasses.toSet,
-      "q315" -> graft.queries.RelQueries.UserEstateRemediationClasses.toSet)
+      "q315" -> graft.queries.RelQueries.UserEstateRemediationClasses.toSet,
+      "q317" -> graft.queries.TextQueries.DocEstateRemediationClasses.toSet)
     EstateCoverage.coverage.foreach {
       case (key, Audited(q, classes)) =>
         assert(inventories.contains(q),
