@@ -37,16 +37,22 @@ object StreamingDebounce {
     import events.sparkSession.implicits._
     events.groupByKey(_.userId)
       .flatMapGroupsWithState[DebState, DebOut](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (userId: Long, rows: Iterator[DebEvent], state: GroupState[DebState]) =>
-          var last = state.getOption.map(_.lastTs).getOrElse(Long.MinValue)
-          val out = rows.toSeq.sortBy(e => (e.ts, e.eventId)).map { e =>
-            val keep = last == Long.MinValue || e.ts - last >= Tau
-            last = e.ts
-            DebOut(userId, e.eventId, e.eventType, e.value, keep)
-          }
-          state.update(DebState(last))
-          out.iterator
-      }
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(debounceUpdate)
   }
+
+  /** The per-key update body, extracted so
+    * [[StreamingStateErasure.debounceStreamForgetting]] can compose the
+    * one-rule erasure semantics AROUND the unchanged debounce rule. */
+  private[streaming] val debounceUpdate
+      : (Long, Iterator[DebEvent], GroupState[DebState]) => Iterator[DebOut] =
+    (userId: Long, rows: Iterator[DebEvent], state: GroupState[DebState]) => {
+      var last = state.getOption.map(_.lastTs).getOrElse(Long.MinValue)
+      val out = rows.toSeq.sortBy(e => (e.ts, e.eventId)).map { e =>
+        val keep = last == Long.MinValue || e.ts - last >= Tau
+        last = e.ts
+        DebOut(userId, e.eventId, e.eventType, e.value, keep)
+      }
+      state.update(DebState(last))
+      out.iterator
+    }
 }

@@ -58,20 +58,34 @@ object StreamingDedup {
     * same asymptotics as the batch canonical-id aggregation. */
   def firstSeenStream(docs: Dataset[DocEvent]): Dataset[DedupOut] = {
     import docs.sparkSession.implicits._
-    val hashOf = (text: String) => graft.text.TextHash.md5Hex(
-      text.toLowerCase.replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ").trim)
-    docs.groupByKey(d => hashOf(d.text))
+    docs.groupByKey(d => normHash(d.text))
       .flatMapGroupsWithState[Long, DedupOut](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (_: String, rows: Iterator[DocEvent], state: GroupState[Long]) =>
-          // arrival order within the batch: lowest doc id wins like q56
-          val sorted = rows.toSeq.sortBy(_.docId)
-          val canonical = state.getOption.getOrElse {
-            val c = sorted.head.docId
-            state.update(c)
-            c
-          }
-          sorted.iterator.map(d => DedupOut(d.docId, canonical, d.docId != canonical))
-      }
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(firstSeenUpdate)
   }
+
+  /** The exact q30/q56 normalized-content md5, as the plain-Scala twin of
+    * [[contentHash]] (same normalization, same digest — the streaming
+    * group key and an erasure request's content key both derive here). */
+  private[streaming] def normHash(text: String): String =
+    graft.text.TextHash.md5Hex(
+      text.toLowerCase.replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ").trim)
+
+  /** The per-key update body, extracted so
+    * [[StreamingStateErasure.firstSeenForgetting]] can compose the
+    * one-rule erasure semantics AROUND the unchanged survivor rule:
+    * forgetting a hash's state drops the (possibly erased) canonical
+    * pointer, so later identical content elects a FRESH survivor instead
+    * of resurrecting the erased doc's id. */
+  private[streaming] val firstSeenUpdate
+      : (String, Iterator[DocEvent], GroupState[Long]) => Iterator[DedupOut] =
+    (_: String, rows: Iterator[DocEvent], state: GroupState[Long]) => {
+      // arrival order within the batch: lowest doc id wins like q56
+      val sorted = rows.toSeq.sortBy(_.docId)
+      val canonical = state.getOption.getOrElse {
+        val c = sorted.head.docId
+        state.update(c)
+        c
+      }
+      sorted.iterator.map(d => DedupOut(d.docId, canonical, d.docId != canonical))
+    }
 }

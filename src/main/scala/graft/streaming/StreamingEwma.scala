@@ -42,23 +42,29 @@ object StreamingEwma {
     import events.sparkSession.implicits._
     events.groupByKey(_.userId)
       .flatMapGroupsWithState[EwmaState, EwmaOut](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (userId: Long, rows: Iterator[EwmaEvent], state: GroupState[EwmaState]) =>
-          var recent = state.getOption.map(_.recent.toVector).getOrElse(Vector.empty)
-          val out = rows.toSeq.sortBy(e => (e.ts, e.eventId)).map { e =>
-            val vq = math.floor(e.value * Scale + 0.5).toLong
-            recent = (vq +: recent).take(W.length)
-            var num = 0L
-            var den = 0L
-            var k = 0
-            while (k < recent.length) {
-              num += W(k) * recent(k); den += W(k); k += 1
-            }
-            EwmaOut(userId, e.eventId, e.eventType,
-              pround6(num.toDouble / (den.toDouble * Scale)))
-          }
-          state.update(EwmaState(recent.toArray))
-          out.iterator
-      }
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(ewmaUpdate)
   }
+
+  /** The per-key update body, extracted so
+    * [[StreamingStateErasure.ewmaStreamForgetting]] can compose the
+    * one-rule erasure semantics AROUND the unchanged weight algebra. */
+  private[streaming] val ewmaUpdate
+      : (Long, Iterator[EwmaEvent], GroupState[EwmaState]) => Iterator[EwmaOut] =
+    (userId: Long, rows: Iterator[EwmaEvent], state: GroupState[EwmaState]) => {
+      var recent = state.getOption.map(_.recent.toVector).getOrElse(Vector.empty)
+      val out = rows.toSeq.sortBy(e => (e.ts, e.eventId)).map { e =>
+        val vq = math.floor(e.value * Scale + 0.5).toLong
+        recent = (vq +: recent).take(W.length)
+        var num = 0L
+        var den = 0L
+        var k = 0
+        while (k < recent.length) {
+          num += W(k) * recent(k); den += W(k); k += 1
+        }
+        EwmaOut(userId, e.eventId, e.eventType,
+          pround6(num.toDouble / (den.toDouble * Scale)))
+      }
+      state.update(EwmaState(recent.toArray))
+      out.iterator
+    }
 }

@@ -46,29 +46,35 @@ object StreamingSurvival {
     import events.sparkSession.implicits._
     events.groupByKey(_.userId)
       .flatMapGroupsWithState[SurvState, SurvOut](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (userId: Long, rows: Iterator[SurvEvent], state: GroupState[SurvState]) =>
-          val sorted = rows.toArray.sortBy(e => (e.ts, e.eventId))
-          var st = state.getOption.orNull
-          var rev = if (st == null) 0L else st.rev
-          val out = Seq.newBuilder[SurvOut]
-          sorted.foreach { e =>
-            if (st != null) {
-              rev += 1
-              // equal-timestamp events close a 0-second gap, exactly like
-              // the batch lead() over the (ts, event_id) total order
-              out += SurvOut(userId, (e.ts - st.lastTs) / 1000000L, rev,
-                closed = true)
-            }
-            st = SurvState(e.ts, rev)
-          }
-          if (st != null) {
-            rev += 1
-            st = SurvState(st.lastTs, rev)
-            state.update(st)
-            out += SurvOut(userId, st.lastTs, rev, closed = false)
-          }
-          out.result().iterator
-      }
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(survivalUpdate)
   }
+
+  /** The per-key update body, extracted so
+    * [[StreamingStateErasure.survivalStreamForgetting]] can compose the
+    * one-rule erasure semantics AROUND the unchanged gap algebra. */
+  private[streaming] val survivalUpdate
+      : (Long, Iterator[SurvEvent], GroupState[SurvState]) => Iterator[SurvOut] =
+    (userId: Long, rows: Iterator[SurvEvent], state: GroupState[SurvState]) => {
+      val sorted = rows.toArray.sortBy(e => (e.ts, e.eventId))
+      var st = state.getOption.orNull
+      var rev = if (st == null) 0L else st.rev
+      val out = Seq.newBuilder[SurvOut]
+      sorted.foreach { e =>
+        if (st != null) {
+          rev += 1
+          // equal-timestamp events close a 0-second gap, exactly like
+          // the batch lead() over the (ts, event_id) total order
+          out += SurvOut(userId, (e.ts - st.lastTs) / 1000000L, rev,
+            closed = true)
+        }
+        st = SurvState(e.ts, rev)
+      }
+      if (st != null) {
+        rev += 1
+        st = SurvState(st.lastTs, rev)
+        state.update(st)
+        out += SurvOut(userId, st.lastTs, rev, closed = false)
+      }
+      out.result().iterator
+    }
 }

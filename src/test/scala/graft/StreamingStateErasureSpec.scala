@@ -2,8 +2,12 @@ package graft
 
 import graft.streaming.{SaxStreaming, StreamingStateErasure}
 import graft.streaming.SaxStreaming.SeriesEvent
+import graft.streaming.StreamingDebounce.DebEvent
+import graft.streaming.StreamingDedup.DocEvent
+import graft.streaming.StreamingEwma.EwmaEvent
 import graft.streaming.StreamingFunnel.FunnelEvent
-import graft.streaming.StreamingStateErasure.Forget
+import graft.streaming.StreamingStateErasure.{Forget, ForgetDoc}
+import graft.streaming.StreamingSurvival.SurvEvent
 import org.apache.spark.sql.SparkSession
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
@@ -262,5 +266,151 @@ class StreamingStateErasureSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("key.*").collect().map(_.getLong(0)).toSet
     assert(keys.intersect(Cohort).isEmpty,
       "cohort keys still in the funnel state store")
+  }
+
+  /** The shared A/B harness for the three Long-keyed Append-mode legs
+    * (survival/debounce/ewma): run A sees everyone, forgets the cohort,
+    * then gated traffic; run B never saw the cohort. Asserts every
+    * non-cohort row set equal, no cohort row after the forget batch, and
+    * no cohort key left in the state store. */
+  private def appendLegProof[E <: Product : org.apache.spark.sql.Encoder, O](
+      tag: String,
+      pre: Seq[E], post: Seq[E], userOf: E => Long,
+      stream: (org.apache.spark.sql.Dataset[E],
+               org.apache.spark.sql.Dataset[Forget]) => org.apache.spark.sql.Dataset[O],
+      rowUser: org.apache.spark.sql.Row => Long): Unit = {
+    val ss = spark; import ss.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    def run(sub: String, preEv: Seq[E], forget: Boolean): Map[Long, Set[String]] = {
+      val ev = MemoryStream[E](spark)
+      val fg = MemoryStream[Forget](spark)
+      val q = stream(ev.toDS(), fg.toDS())
+        .toDF().writeStream.format("memory").queryName(s"${tag}_$sub")
+        .option("checkpointLocation", s"$base/${tag}_$sub/cp")
+        .outputMode("append").start()
+      ev.addData(preEv); q.processAllAvailable()
+      if (forget) {
+        fg.addData(Cohort.toSeq.sorted.map(Forget.apply)); q.processAllAvailable()
+        fg.addData(Seq(Forget(Cohort.min))); q.processAllAvailable() // duplicate
+      }
+      // post traffic is gated in BOTH runs (the erasureGate leg); run B
+      // additionally never saw the cohort's pre history
+      ev.addData(post.filterNot(e => Cohort(userOf(e))))
+      q.processAllAvailable(); q.stop()
+      spark.table(s"${tag}_$sub").collect()
+        .groupBy(rowUser).map { case (u, rs) => u -> rs.map(_.toString).toSet }
+    }
+
+    val a = run("a", pre, forget = true)
+    val b = run("b", pre.filterNot(e => Cohort(userOf(e))), forget = false)
+    assert(b.nonEmpty, s"$tag fixture: no survivor output")
+    for (u <- b.keySet) assert(a(u) == b(u), s"$tag: user $u diverged")
+    // the fixture must actually exercise the gate (cohort post traffic exists)
+    assert(post.exists(e => Cohort(userOf(e))),
+      s"$tag fixture: no gated cohort traffic")
+    val keys = spark.read.format("statestore").load(s"$base/${tag}_a/cp")
+      .select("key.*").collect().map(_.getLong(0)).toSet
+    assert(keys.intersect(Cohort).isEmpty,
+      s"$tag: cohort keys still in the state store")
+    assert(b.keySet.subsetOf(keys), s"$tag: non-cohort keys must survive")
+  }
+
+  test("survival: forget drops the open interval; survivors equal never-saw-the-cohort") {
+    val ss = spark; import ss.implicits._
+    val pre = Seq(
+      SurvEvent(1L, 1000000L, 1L), SurvEvent(2L, 1000000L, 2L),
+      SurvEvent(1L, 4000000L, 3L), SurvEvent(2L, 9000000L, 4L),
+      SurvEvent(3L, 2000000L, 5L), SurvEvent(4L, 1000000L, 6L))
+    val post = Seq(
+      SurvEvent(2L, 15000000L, 7L), SurvEvent(4L, 8000000L, 8L),
+      SurvEvent(1L, 20000000L, 9L), SurvEvent(3L, 30000000L, 10L))
+    appendLegProof[SurvEvent, graft.streaming.StreamingSurvival.SurvOut](
+      "surv", pre, post, _.userId,
+      StreamingStateErasure.survivalStreamForgetting, _.getLong(0))
+  }
+
+  test("debounce: forget drops the last-event timestamp; survivors equal never-saw-the-cohort") {
+    val ss = spark; import ss.implicits._
+    val tau = graft.queries.RelQueries.DebounceUs
+    val pre = Seq(
+      DebEvent(1L, 1L, 0L, "view", 1.0), DebEvent(2L, 2L, 0L, "view", 2.0),
+      DebEvent(1L, 3L, tau / 2, "click", 3.0), DebEvent(2L, 4L, tau * 2, "click", 4.0),
+      DebEvent(3L, 5L, 10L, "view", 5.0), DebEvent(4L, 6L, 10L, "view", 6.0))
+    val post = Seq(
+      DebEvent(2L, 7L, tau * 2 + tau / 4, "purchase", 7.0),
+      DebEvent(4L, 8L, tau * 3, "click", 8.0),
+      DebEvent(1L, 9L, tau * 5, "view", 9.0), DebEvent(3L, 10L, tau * 5, "view", 10.0))
+    appendLegProof[DebEvent, graft.streaming.StreamingDebounce.DebOut](
+      "deb", pre, post, _.userId,
+      StreamingStateErasure.debounceStreamForgetting, _.getLong(0))
+  }
+
+  test("ewma: forget drops the recent-values ring; survivors equal never-saw-the-cohort") {
+    val ss = spark; import ss.implicits._
+    val pre = (1 to 12).map(i =>
+      EwmaEvent(i % 5, i.toLong, i * 1000L, "view", math.sin(i.toDouble) + 2.0))
+    val post = (13 to 20).map(i =>
+      EwmaEvent(i % 5, i.toLong, i * 1000L, "view", math.cos(i.toDouble) + 2.0))
+    appendLegProof[EwmaEvent, graft.streaming.StreamingEwma.EwmaOut](
+      "ewma", pre, post, _.userId,
+      StreamingStateErasure.ewmaStreamForgetting, _.getLong(0))
+  }
+
+  test("first-seen dedup: forgetting a content hash deposes the erased canonical; later content elects a fresh survivor") {
+    val ss = spark; import ss.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val tsOf = (i: Long) => new java.sql.Timestamp(i)
+    val erasedText = "The Quick  Brown Fox!" // normalizes with case/space/punct folding
+    val otherText = "an entirely different document body"
+    val pre = Seq(DocEvent(5L, tsOf(1), erasedText),
+      DocEvent(7L, tsOf(2), "the quick brown fox"), // same normalized content -> canonical 5
+      DocEvent(9L, tsOf(3), otherText))
+    val post = Seq(DocEvent(11L, tsOf(4), "THE QUICK BROWN FOX."),
+      DocEvent(12L, tsOf(5), otherText))
+    val targetHash = StreamingStateErasure.docHash(erasedText)
+    assert(targetHash == StreamingStateErasure.docHash("the quick brown fox"))
+
+    def run(tag: String, preDocs: Seq[DocEvent], forget: Boolean): Map[Long, (Long, Boolean)] = {
+      val ev = MemoryStream[DocEvent](spark)
+      val fg = MemoryStream[ForgetDoc](spark)
+      val q = StreamingStateErasure.firstSeenForgetting(ev.toDS(), fg.toDS())
+        .writeStream.format("memory").queryName(s"fsd_$tag")
+        .option("checkpointLocation", s"$base/fsd_$tag/cp")
+        .outputMode("append").start()
+      ev.addData(preDocs); q.processAllAvailable()
+      if (forget) {
+        fg.addData(Seq(ForgetDoc(targetHash))); q.processAllAvailable()
+        fg.addData(Seq(ForgetDoc(targetHash))); q.processAllAvailable() // duplicate
+      }
+      ev.addData(post); q.processAllAvailable(); q.stop()
+      spark.table(s"fsd_$tag").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    }
+
+    val a = run("a", pre, forget = true)
+    // run B never saw the erased content at all (docs 5 and 7 gated)
+    val b = run("b", pre.filterNot(d =>
+      StreamingStateErasure.docHash(d.text) == targetHash), forget = false)
+
+    // post-erasure: doc 11 is a FRESH survivor in both runs — the erased
+    // canonical id 5 is never resurrected
+    assert(a(11L) == ((11L, false)), s"doc 11 in A: ${a(11L)}")
+    assert(b(11L) == ((11L, false)), s"doc 11 in B: ${b(11L)}")
+    // untouched content is unaffected: doc 12 still dups onto 9
+    assert(a(12L) == ((9L, true)) && b(12L) == ((9L, true)))
+    // pre-erasure history exists in A (forgetting state, not served output)
+    assert(a(5L) == ((5L, false)) && a(7L) == ((5L, true)))
+    // the state store: the target hash's entry must not map to the erased
+    // canonical anymore (doc 11 re-created it with canonical 11)
+    def longsOf(v: Any): Seq[Long] = v match {
+      case l: Long => Seq(l)
+      case r: org.apache.spark.sql.Row => r.toSeq.flatMap(longsOf)
+      case _ => Seq.empty
+    }
+    val vals = spark.read.format("statestore").load(s"$base/fsd_a/cp")
+      .select("value").collect().flatMap(longsOf).toSet
+    assert(vals.contains(11L), "fresh canonical id missing from state values")
+    assert(!vals.contains(5L), "erased canonical id still present in state values")
   }
 }
