@@ -127,10 +127,15 @@ object StreamingStateErasure {
     * stream-static anti join against the at-rest erased-user store (one
     * broadcastable id column). This is what makes "never saw the
     * cohort" hold for every batch AFTER the store landed; the in-band
-    * signal handles the state that predates it. */
-  def erasureGate(events: DataFrame, erasedUsers: DataFrame): DataFrame =
+    * signal handles the state that predates it. `keyCol` names the
+    * stream side's key (the typed legs use `userId`), so the gate
+    * composes directly upstream of a forgetting leg — a stream-static
+    * join below a flatMapGroupsWithState is a supported plan, proven
+    * live by the composed-wiring test in StreamingStateErasureSpec. */
+  def erasureGate(events: DataFrame, erasedUsers: DataFrame,
+                  keyCol: String = "user_id"): DataFrame =
     events.join(broadcast(erasedUsers.select(col("user_id"))),
-      events("user_id") === erasedUsers("user_id"), "left_anti")
+      events(keyCol) === erasedUsers("user_id"), "left_anti")
 
   /** The forgetting wrapper around any per-key stateful update function:
     * `inner` is the module's existing (key, rows, state) body, untouched

@@ -357,6 +357,39 @@ class StreamingStateErasureSpec extends AnyFunSuite with BeforeAndAfterAll {
       StreamingStateErasure.ewmaStreamForgetting, _.getLong(0))
   }
 
+  test("composed wiring: erasureGate feeds a forgetting leg in ONE live query") {
+    val ss = spark; import ss.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val tau = graft.queries.RelQueries.DebounceUs
+    val ev = MemoryStream[DebEvent](spark)
+    val fg = MemoryStream[Forget](spark)
+    val erased = Cohort.toSeq.toDF("user_id")
+    // the production shape: the at-rest store gates the door AND the
+    // in-band channel clears pre-existing state, in one streaming plan
+    val gated = StreamingStateErasure
+      .erasureGate(ev.toDF(), erased, keyCol = "userId").as[DebEvent]
+    val q = StreamingStateErasure.debounceStreamForgetting(gated, fg.toDS())
+      .writeStream.format("memory").queryName("gateleg_t")
+      .option("checkpointLocation", s"$base/gateleg_t/cp")
+      .outputMode("append").start()
+    // cohort traffic in the SAME batches as survivor traffic: the gate
+    // must drop it before the stateful operator ever keys on it
+    ev.addData(Seq(DebEvent(1L, 1L, 0L, "view", 1.0),
+      DebEvent(2L, 2L, 0L, "view", 2.0), DebEvent(4L, 3L, 0L, "view", 3.0)))
+    q.processAllAvailable()
+    fg.addData(Cohort.toSeq.map(Forget.apply)); q.processAllAvailable()
+    ev.addData(Seq(DebEvent(1L, 4L, tau, "click", 4.0),
+      DebEvent(2L, 5L, tau / 2, "click", 5.0), DebEvent(4L, 6L, tau * 2, "click", 6.0)))
+    q.processAllAvailable(); q.stop()
+    val byUser = spark.table("gateleg_t").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(byUser.keySet == Set(2L, 4L), s"gate leaked: $byUser")
+    assert(byUser(2L) == 2 && byUser(4L) == 2)
+    val keys = spark.read.format("statestore").load(s"$base/gateleg_t/cp")
+      .select("key.*").collect().map(_.getLong(0)).toSet
+    assert(keys == Set(2L, 4L), s"state keys: $keys")
+  }
+
   test("first-seen dedup: forgetting a content hash deposes the erased canonical; later content elects a fresh survivor") {
     val ss = spark; import ss.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
