@@ -1679,6 +1679,48 @@ object TextQueries {
         .unionByName(wdRow)
         .unionByName(mcRow)
         .unionByName(docAudit(rmgT, "mm_codes_gen3"))
+    }),
+
+    // PIPELINE DROP ATTRIBUTION — the "why did my corpus shrink"
+    // debugging readout over the q294 funnel: every document is
+    // attributed to the FIRST stage that drops it (language → quality →
+    // exact-dup → near-dup → kept), aggregated per (stage, predicted
+    // language) with token mass and corpus share. q294's per-stage counts
+    // say HOW MANY survived each gate; this says WHICH docs each gate
+    // costs and in what language — the report a pipeline owner reads
+    // before retuning a threshold, and the data-side EXPLAIN every
+    // production corpus-prep run files next to its output. Stage
+    // arithmetic IS q294's (the shared pipelineFeatures projection, the
+    // shared gates, the same combinable-min survivor-key frames); the
+    // survivor flags come back as two aggregation-keyed equi-joins on
+    // doc_id (the q56 discipline — no windows, no doc×doc work), and the
+    // report is one combinable aggregation over the bounded stage×lang
+    // domain crossed with the broadcast 1-row total.
+    "q318_pipeline_attribution" -> ((spark, dir) => {
+      val feat = pipelineFeatures(spark, dir)
+      val s2 = feat.where(pipeIsQual)
+      val ek = tcache(
+        s2.groupBy("h").agg(min("doc_id").as("doc_id")), "q318:ek")
+      val s3 = s2.join(ek.select("doc_id"), Seq("doc_id"), "left_semi")
+      val nk = s3.groupBy("simhash").agg(min("doc_id").as("doc_id"))
+      val att = feat
+        .join(ek.select(col("doc_id"), lit(1L).as("__ex")), Seq("doc_id"), "left")
+        .join(nk.select(col("doc_id"), lit(1L).as("__nr")), Seq("doc_id"), "left")
+        .withColumn("stage",
+          when(col("pred_lang") === "und", "1_language")
+            .when(col("quality") < lit(PipelineQualityFloor), "2_quality")
+            .when(col("__ex").isNull, "3_exact_dup")
+            .when(col("__nr").isNull, "4_near_dup")
+            .otherwise("5_kept"))
+      val tot = feat.agg(count(lit(1)).as("docs_in"))
+      att.groupBy("stage", "pred_lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens").cast("long")).as("ws_tokens"))
+        .crossJoin(broadcast(tot))
+        .select(col("stage"), col("pred_lang"), col("n_docs"),
+          col("ws_tokens"),
+          pround(col("n_docs").cast("double") / col("docs_in").cast("double"),
+            6).as("share"))
     })
   )
 
@@ -2895,7 +2937,30 @@ object TextQueries {
          |UNION ALL SELECT 'blob_store', CAST(0 AS BIGINT), c FROM bl
          |UNION ALL SELECT 'word_dict_users', CAST(0 AS BIGINT), c FROM wdr
          |UNION ALL SELECT 'mm_cents_gen3', CAST(0 AS BIGINT), c FROM mc
-         |UNION ALL SELECT 'mm_codes_gen3', CAST(0 AS BIGINT), c FROM dm""".stripMargin
+         |UNION ALL SELECT 'mm_codes_gen3', CAST(0 AS BIGINT), c FROM dm""".stripMargin,
+
+    // q318 replays the q294 stage chain per-doc and attributes each doc
+    // to its first failing gate — the CASE arm order and every threshold
+    // literal are the SAME fragments the q294 oracle embeds
+    "q318_pipeline_attribution" -> graft.queries.DedupQueries.simhashOracle(
+      s"""$pipelineOracleHead,
+         |ek AS (SELECT min(doc_id) AS doc_id FROM s2 GROUP BY h),
+         |s3 AS (SELECT * FROM s2 WHERE doc_id IN (SELECT doc_id FROM ek)),
+         |nk AS (SELECT min(doc_id) AS doc_id FROM s3 GROUP BY simhash),
+         |att AS (SELECT l.doc_id, l.n_tokens, l.pred_lang,
+         |        CASE WHEN l.pred_lang = 'und' THEN '1_language'
+         |             WHEN l.quality < ${dlit(PipelineQualityFloor)} THEN '2_quality'
+         |             WHEN l.doc_id NOT IN (SELECT doc_id FROM ek) THEN '3_exact_dup'
+         |             WHEN l.doc_id NOT IN (SELECT doc_id FROM nk) THEN '4_near_dup'
+         |             ELSE '5_kept' END AS stage
+         |        FROM lang l),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS docs_in FROM documents)
+         |SELECT stage, pred_lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(CAST(n_tokens AS BIGINT)) AS BIGINT) AS ws_tokens,
+         |       ${sround("CAST(count(*) AS DOUBLE) / CAST(max(docs_in) AS DOUBLE)", 6)} AS share
+         |FROM att CROSS JOIN tot
+         |GROUP BY stage, pred_lang""".stripMargin,
+      withCte = true)
   )
 
   private def erasureOracleSql: String = {
