@@ -1707,20 +1707,8 @@ object TextQueries {
         .join(ek.select(col("doc_id"), lit(1L).as("__ex")), Seq("doc_id"), "left")
         .join(nk.select(col("doc_id"), lit(1L).as("__nr")), Seq("doc_id"), "left")
         .withColumn("stage",
-          when(col("pred_lang") === "und", "1_language")
-            .when(col("quality") < lit(PipelineQualityFloor), "2_quality")
-            .when(col("__ex").isNull, "3_exact_dup")
-            .when(col("__nr").isNull, "4_near_dup")
-            .otherwise("5_kept"))
-      val tot = feat.agg(count(lit(1)).as("docs_in"))
-      att.groupBy("stage", "pred_lang")
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_tokens").cast("long")).as("ws_tokens"))
-        .crossJoin(broadcast(tot))
-        .select(col("stage"), col("pred_lang"), col("n_docs"),
-          col("ws_tokens"),
-          pround(col("n_docs").cast("double") / col("docs_in").cast("double"),
-            6).as("share"))
+          attributionStageCol(col("__ex").isNotNull, col("__nr").isNotNull))
+      attributionReport(att.select("stage", "pred_lang", "n_tokens"))
     })
   )
 
@@ -2103,8 +2091,10 @@ object TextQueries {
   private def pipeIsLang: org.apache.spark.sql.Column =
     col("pred_lang") =!= "und"
 
-  /** ...and quality gate (threshold shared with the oracle via dlit). */
-  private def pipeIsQual: org.apache.spark.sql.Column =
+  /** ...and quality gate (threshold shared with the oracle via dlit).
+    * `private[graft]` so [[graft.streaming.StreamingAttribution]]'s live
+    * twin admits docs through the SAME gate the batch funnel uses. */
+  private[graft] def pipeIsQual: org.apache.spark.sql.Column =
     pipeIsLang && col("quality") >= lit(PipelineQualityFloor)
 
   /** q294/q295's quality admission floor — ONE definition, embedded into
@@ -2117,15 +2107,24 @@ object TextQueries {
     * the codegen'd q33 simhash, the q47 split bucket) — no doc-sized
     * joins to recover signals, cached once for the funnel + stages. */
   private def pipelineFeatures(spark: org.apache.spark.sql.SparkSession,
-                               dir: String): org.apache.spark.sql.DataFrame = {
+                               dir: String): org.apache.spark.sql.DataFrame =
+    tcache(pipelineFeatureFrame(spread(table(spark, dir, "documents"))),
+      "q294:feat")
+
+  /** The projection itself over an arbitrary (doc_id, text) frame —
+    * factored from [[pipelineFeatures]] so
+    * [[graft.streaming.StreamingAttribution]] computes per-arriving-doc
+    * signals through the IDENTICAL column expressions (same normalize,
+    * same simhash, same quality/language arithmetic) the batch funnel
+    * caches over the corpus scan. */
+  private[graft] def pipelineFeatureFrame(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val toks = toksCol
     val norm = trim(regexp_replace(regexp_replace(
       lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
     val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
       .cast("long") % 100).cast("int")
-    val base = spread(table(spark, dir, "documents"))
-      .select(col("doc_id"), col("text"), toks.as("toks"))
-    tcache(base
+    docs.select(col("doc_id"), col("text"), toks.as("toks"))
       .select(Seq(col("doc_id"),
         md5(norm).as("h"),
         graft.functions.TextFunctions.doc_simhash(col("text")).as("simhash"),
@@ -2135,7 +2134,40 @@ object TextQueries {
       .withColumn("pred_lang", predLangCol)
       .withColumn("quality", qualityCol)
       .select("doc_id", "n_tokens", "h", "simhash", "bkt",
-        "pred_lang", "quality"), "q294:feat")
+        "pred_lang", "quality")
+  }
+
+  /** q318's first-failing-gate attribution — ONE when-chain shared by the
+    * batch report and [[graft.streaming.StreamingAttribution]]'s live
+    * readout, so the arm order and the quality floor can never drift
+    * between the two surfaces. `exCanon`/`nrCanon`: is this doc the
+    * elected exact/near-dup canonical of its content-hash / simhash
+    * group. Evaluated over a [[pipelineFeatureFrame]] row. */
+  private[graft] def attributionStageCol(exCanon: org.apache.spark.sql.Column,
+                                         nrCanon: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    when(col("pred_lang") === "und", "1_language")
+      .when(col("quality") < lit(PipelineQualityFloor), "2_quality")
+      .when(!exCanon, "3_exact_dup")
+      .when(!nrCanon, "4_near_dup")
+      .otherwise("5_kept")
+
+  /** q318's report aggregation over per-doc attribution rows
+    * `(stage, pred_lang, n_tokens)` — shared with the streaming readout.
+    * `docs_in` is the attribution row count itself (exactly one row per
+    * document by construction on both surfaces), broadcast as the 1-row
+    * denominator frame. */
+  private[graft] def attributionReport(att: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val tot = att.agg(count(lit(1)).as("docs_in"))
+    att.groupBy("stage", "pred_lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("ws_tokens"))
+      .crossJoin(broadcast(tot))
+      .select(col("stage"), col("pred_lang"), col("n_docs"),
+        col("ws_tokens"),
+        pround(col("n_docs").cast("double") / col("docs_in").cast("double"),
+          6).as("share"))
   }
 
   /** q281's McNemar arithmetic on a paired (pa, pb) boolean frame —
