@@ -1706,8 +1706,8 @@ object TextQueries {
       val att = feat
         .join(ek.select(col("doc_id"), lit(1L).as("__ex")), Seq("doc_id"), "left")
         .join(nk.select(col("doc_id"), lit(1L).as("__nr")), Seq("doc_id"), "left")
-        .withColumn("stage",
-          attributionStageCol(col("__ex").isNotNull, col("__nr").isNotNull))
+        .withColumn("stage", attributionStageCol(pipeQualFail,
+          col("__ex").isNotNull, col("__nr").isNotNull))
       attributionReport(att.select("stage", "pred_lang", "n_tokens"))
     })
   )
@@ -2139,18 +2139,27 @@ object TextQueries {
 
   /** q318's first-failing-gate attribution — ONE when-chain shared by the
     * batch report and [[graft.streaming.StreamingAttribution]]'s live
-    * readout, so the arm order and the quality floor can never drift
-    * between the two surfaces. `exCanon`/`nrCanon`: is this doc the
+    * readout, so the arm order can never drift between the two surfaces.
+    * `qualFail`: the quality-gate failure for this row's frame (the raw
+    * `quality < floor` over a [[pipelineFeatureFrame]]; `!qpass` over
+    * stored attribution rows — equivalent under the arm order, which
+    * tests the language arm first). `exCanon`/`nrCanon`: is this doc the
     * elected exact/near-dup canonical of its content-hash / simhash
-    * group. Evaluated over a [[pipelineFeatureFrame]] row. */
-  private[graft] def attributionStageCol(exCanon: org.apache.spark.sql.Column,
+    * group. */
+  private[graft] def attributionStageCol(qualFail: org.apache.spark.sql.Column,
+                                         exCanon: org.apache.spark.sql.Column,
                                          nrCanon: org.apache.spark.sql.Column)
       : org.apache.spark.sql.Column =
     when(col("pred_lang") === "und", "1_language")
-      .when(col("quality") < lit(PipelineQualityFloor), "2_quality")
+      .when(qualFail, "2_quality")
       .when(!exCanon, "3_exact_dup")
       .when(!nrCanon, "4_near_dup")
       .otherwise("5_kept")
+
+  /** The `qualFail` arm as the batch surfaces evaluate it (the floor
+    * shared with the oracle via dlit). */
+  private[graft] def pipeQualFail: org.apache.spark.sql.Column =
+    col("quality") < lit(PipelineQualityFloor)
 
   /** q318's report aggregation over per-doc attribution rows
     * `(stage, pred_lang, n_tokens)` — shared with the streaming readout.

@@ -19,81 +19,137 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * contract): the earliest quality-passing arrival of a content hash is
   * its exact canonical, and the earliest elected exact canonical of a
   * simhash is its near-dup canonical — within a micro-batch, ties break
-  * to the smallest doc_id, so replaying the corpus in doc_id order
-  * reproduces the batch report's min-doc_id canonicals BIT-EXACTLY
+  * to the smallest doc_id, so the election order is the (seq, doc_id)
+  * lexicographic minimum (seq = micro-batch id, stamped on every stored
+  * row). Replaying the corpus in doc_id order therefore reproduces the
+  * batch report's min-doc_id canonicals BIT-EXACTLY
   * (StreamingAttributionSpec proves it, share rounding included). Under
   * out-of-order arrival the elected canonical may differ from batch
   * min-doc_id (two raw texts can share a normalized hash but carry
   * different simhashes), which is the defined live behavior, not a bug.
   *
-  * Store protocol: [[GenerationalStore]] over three parts landed per
-  * micro-batch — `att` (doc_id, stage, pred_lang, n_tokens: this batch's
-  * attributions), `ecan` (h, doc_id: exact canonicals ELECTED this
-  * batch), `ncan` (simhash, doc_id: near canonicals elected this batch)
-  * — so a batch is visible only when all three subdirectories committed
-  * (torn batches invisible), a replayed id no-ops (its content is a
-  * deterministic function of the batch's rows and committed prior
-  * batches), and the roll-up keeps the store bounded under an unbounded
-  * document firehose. Each batch's election anti-joins ONLY the
-  * committed prior `ecan`/`ncan` keys — O(batch + canonical-store), no
-  * corpus rescan; at 100 TB the canonical stores are the dedup state a
-  * production firehose keeps anyway, range-clustered by key at each
-  * roll-up so the per-batch anti join prunes to the probed key ranges.
+  * Store protocol: [[GenerationalStore]] over four parts landed per
+  * micro-batch — `att` (the attribution rows, carrying the election
+  * features seq/h/simhash/qpass beside the served stage), `ecan`
+  * (h, doc_id: exact canonicals ELECTED this batch), `ncan`
+  * (simhash, doc_id: near canonicals elected this batch), `fgt` (doc_id:
+  * forget requests landed this batch, usually empty) — a batch is
+  * visible only when all four committed (torn batches invisible), a
+  * replayed id no-ops (its content is a deterministic function of the
+  * batch's rows and committed prior batches), and the roll-up keeps the
+  * store bounded under an unbounded document firehose. Each batch's
+  * election anti-joins ONLY the committed prior `ecan`/`ncan` keys —
+  * O(batch + canonical-store), no corpus rescan; at 100 TB the
+  * canonical stores are the dedup state a production firehose keeps
+  * anyway, range-clustered by key at each roll-up so the per-batch anti
+  * join prunes to the probed key ranges.
   *
-  * Erasure story (the [[StreamingStateErasure]] census does not apply —
-  * no GroupState; all cross-batch state is at rest): the store is
-  * doc-keyed in `att` and content-keyed in `ecan`/`ncan`, so forgetting
-  * a document is the q314 rewrite class — anti-join the cohort out of
-  * `att` at a roll-up, and depose its hashes from `ecan`/`ncan` exactly
-  * as [[StreamingDedup]]'s forgetting leg deposes an erased canonical
-  * (re-arriving content then elects a fresh survivor).
+  * FORGETTING is executed, not declared (the [[StreamingStateErasure]]
+  * census does not apply — no GroupState; all cross-batch state is at
+  * rest, so erasure rides the store's own lifecycle): a forget record
+  * for doc_id d arrives IN-BAND (the [[StreamingStateErasure]] idiom —
+  * the forget wins its batch and [[writeBatch]] drops d at the door
+  * thereafter, exactly as `erasureGate` does for streams), lands in
+  * `fgt` under the same idempotent commit, and takes effect in two
+  * layers, the CoW/MoR pair every erasure store here serves:
+  *
+  *  - MERGE-ON-READ, immediately: while forgets are unfolded,
+  *    [[report]]/[[servedAttribution]] re-derive every election and
+  *    stage from the SURVIVING rows' stored features through
+  *    [[attributionFromFeatures]] — the (seq, doc_id) first-seen
+  *    election replayed over a corpus that never contained the cohort,
+  *    so a doc that was `3_exact_dup` only against an erased canonical
+  *    comes back `4_near_dup`/`5_kept`, exactly as if the cohort never
+  *    streamed (spec-proven bit-equal to such a stream).
+  *  - COPY-ON-WRITE, at the next [[compactStore]]: the roll-up drops
+  *    cohort rows, re-materializes the re-derived stages, and rebuilds
+  *    `ecan`/`ncan` from the survivors (deposed hashes re-elect; a
+  *    re-arriving erased id stays door-gated by the retained `fgt`
+  *    tombstones) — after which the no-forget fast path serves again.
+  *
+  * Interim elections between a forget and its fold may cache a
+  * later-arriving doc as an orphaned hash's canonical; both the MoR
+  * serve and the fold re-derive from row features and IGNORE the cached
+  * stores, so the served answer is unaffected (the stores are an
+  * election cache for the steady state, rebuilt at every fold).
   *
   * Reference context: the attribution stages mirror the reference's
   * filter-cascade reading of corpus prep (symtseries has no pipeline
   * analogue; the stage arithmetic is q294's, see TextQueries). */
 object StreamingAttribution {
 
-  private val Subs = Seq("att", "ecan", "ncan")
+  private val Subs = Seq("att", "ecan", "ncan", "fgt")
 
   /** The store's generational-compaction state (ONE discipline with the
     * erasure and postings stores — see [[GenerationalStore]]). */
   private def store(outDir: String) = new GenerationalStore(outDir, Subs)
 
-  /** The served attribution schema — a reader racing the first
-    * micro-batch gets an EMPTY frame of the right shape, not a crash. */
-  val attSchema: org.apache.spark.sql.types.StructType =
-    org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("doc_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("stage",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("pred_lang",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("n_tokens",
-        org.apache.spark.sql.types.IntegerType)))
+  /** The stored attribution schema — stage beside the election features
+    * that make forgetting re-derivable. A reader racing the first
+    * micro-batch gets an EMPTY frame of this shape, not a crash. */
+  val attSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("seq", LongType, nullable = false),
+      StructField("h", StringType),
+      StructField("simhash", LongType),
+      StructField("pred_lang", StringType),
+      StructField("n_tokens", IntegerType),
+      StructField("qpass", BooleanType, nullable = false),
+      StructField("stage", StringType)))
+  }
 
-  /** Attribute one micro-batch of (doc_id, text) rows against the
-    * committed prior canonical state and land the (att, ecan, ncan)
-    * triple (exposed separately so the replay and crash paths are
-    * testable). An APPLIED id — rolled into the active generation or
+  /** Mark a frame of (doc_id) rows as in-band forget records for
+    * [[start]]'s input stream: a document row carries its text; a forget
+    * row carries `__forget = true`. */
+  def forgetRecords(ids: DataFrame): DataFrame =
+    ids.select(col("doc_id"), lit(null: String).as("text"),
+      lit(true).as("__forget"))
+
+  /** Attribute one micro-batch against the committed prior canonical
+    * state and land the (att, ecan, ncan, fgt) quadruple (exposed
+    * separately so the replay and crash paths are testable). Rows with
+    * `__forget = true` (when the column is present) are forget requests:
+    * they land as `fgt` tombstones, win their batch (a same-batch doc
+    * row for the id is dropped), and gate the id's later re-arrivals at
+    * the door. An APPLIED id — rolled into the active generation or
     * fully committed loose — replays as a no-op: its content is a
     * deterministic function of (batch rows, committed priors), and the
     * overwrite would transiently un-publish the batch mid-replay. */
-  def writeBatch(docs: DataFrame, outDir: String, batchId: Long): Unit = {
-    val spark = docs.sparkSession
+  def writeBatch(batch: DataFrame, outDir: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
     val st = store(outDir)
     if (st.batchApplied(spark, batchId)) return
     // committed prior state STRICTLY below this id — a replayed id must
     // not anti-join against its own previous (possibly torn) run
     val gen = st.activeGeneration(spark)
     val ok = st.looseIds(spark, gen).filter(_ < batchId)
-    val feat = graft.queries.TextQueries.pipelineFeatureFrame(docs).cache()
+    val hasForget = batch.columns.contains("__forget")
+    val newFgt =
+      (if (hasForget) batch.where(col("__forget")) else batch.limit(0))
+        .select("doc_id").distinct().coalesce(1).cache()
+    val priorFgt = st.readPart(spark, "fgt", gen, ok).map(_.select("doc_id"))
+    // the full gate: previously-forgotten ids plus this batch's forgets
+    // (the forget wins its batch)
+    val gate = priorFgt.map(_.unionByName(newFgt)).getOrElse(newFgt)
+    val docRows =
+      (if (hasForget) batch.where(!coalesce(col("__forget"), lit(false)))
+       else batch)
+        .select(col("doc_id"), col("text"))
+        .join(gate, Seq("doc_id"), "left_anti")
+    val feat = graft.queries.TextQueries.pipelineFeatureFrame(docRows).cache()
     try {
       val q = feat.where(graft.queries.TextQueries.pipeIsQual)
-      val priorE = st.readPart(spark, "ecan", gen, ok).map(_.select("h"))
-      val priorN = st.readPart(spark, "ncan", gen, ok).map(_.select("simhash"))
-      // exact canonicals elected THIS batch: min doc_id per content hash
-      // among quality-passing docs whose hash no committed batch has seen
+      // deposed canonicals (their doc erased — by any forget known at
+      // this batch, same-batch included: the forget wins its batch)
+      // leave the election cache: re-arriving content elects a fresh
+      // survivor, the StreamingDedup forgetting contract
+      def undeposed(sub: String, key: String): Option[DataFrame] =
+        st.readPart(spark, sub, gen, ok).map(p =>
+          p.join(gate, Seq("doc_id"), "left_anti").select(key))
+      val priorE = undeposed("ecan", "h")
+      val priorN = undeposed("ncan", "simhash")
       // no broadcast hint on the prior store: it grows with the corpus
       // (the batch is the SMALL side of this anti join). The roll-up
       // range-clusters it by probe key, so Spark's runtime bloom filter
@@ -115,19 +171,24 @@ object StreamingAttribution {
           Seq("doc_id"), "left")
         .join(nkDocs.select(col("doc_id"), lit(1L).as("__nr")),
           Seq("doc_id"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), lit(batchId).as("seq"), col("h"),
+          col("simhash"), col("pred_lang"), col("n_tokens"),
+          graft.queries.TextQueries.pipeIsQual.as("qpass"),
           graft.queries.TextQueries.attributionStageCol(
-            col("__ex").isNotNull, col("__nr").isNotNull).as("stage"),
-          col("pred_lang"), col("n_tokens"))
+            graft.queries.TextQueries.pipeQualFail,
+            col("__ex").isNotNull, col("__nr").isNotNull).as("stage"))
       att.write.mode("overwrite").parquet(s"$outDir/att/batch=$batchId")
       newE.write.mode("overwrite").parquet(s"$outDir/ecan/batch=$batchId")
       newN.write.mode("overwrite").parquet(s"$outDir/ncan/batch=$batchId")
-    } finally { feat.unpersist(); () }
+      newFgt.write.mode("overwrite").parquet(s"$outDir/fgt/batch=$batchId")
+    } finally { feat.unpersist(); newFgt.unpersist(); () }
   }
 
-  /** Start attributing a stream of (doc_id, text) rows. `compactEvery`
-    * wires the generational roll-up into the stream (every k-th batch) —
-    * no external maintenance tick needed to stay bounded. */
+  /** Start attributing a stream of (doc_id, text) rows — optionally
+    * carrying in-band [[forgetRecords]]. `compactEvery` wires the
+    * generational roll-up into the stream (every k-th batch) — no
+    * external maintenance tick needed to stay bounded, and forgets fold
+    * into the store on the same cadence. */
   def start(docs: DataFrame, outDir: String, checkpoint: String,
             compactEvery: Option[Long] = None): StreamingQuery =
     docs.writeStream
@@ -141,40 +202,101 @@ object StreamingAttribution {
       }
       .start()
 
-  /** The accumulated per-doc attributions: the active generation plus
-    * fully-committed loose batches above its coverage — a plain union is
-    * exact because each document lands whole in exactly one batch. */
-  def readAttribution(spark: SparkSession, outDir: String): DataFrame = {
-    val st = store(outDir)
-    val gen = st.activeGeneration(spark)
-    st.readPart(spark, "att", gen, st.looseIds(spark, gen))
-      .getOrElse(spark.createDataFrame(
-        spark.sparkContext.emptyRDD[Row], attSchema))
+  /** The (seq, doc_id) first-seen election re-derived from stored row
+    * features — ONE definition for the MoR serve under unfolded forgets,
+    * the compaction's re-materialization, and the spec's
+    * never-saw-the-cohort equivalence proof. Input: `att`-shaped rows
+    * (already cohort-filtered). Output: the same rows with `stage`
+    * recomputed. Elections are per-group minima (two combinable
+    * aggregations + semi joins — no corpus-wide window). */
+  private[streaming] def attributionFromFeatures(rows: DataFrame): DataFrame = {
+    val q = rows.where(col("qpass"))
+    val eMin = q.groupBy("h")
+      .agg(min(struct(col("seq"), col("doc_id"))).as("m"))
+      .select(col("h"), col("m.doc_id").as("doc_id"))
+    val ekDocs = q.join(eMin, Seq("h", "doc_id"), "left_semi")
+    val nMin = ekDocs.groupBy("simhash")
+      .agg(min(struct(col("seq"), col("doc_id"))).as("m"))
+      .select(col("simhash"), col("m.doc_id").as("doc_id"))
+    rows.drop("stage")
+      .join(eMin.select(col("doc_id"), lit(1L).as("__ex")), Seq("doc_id"), "left")
+      .join(nMin.select(col("doc_id"), lit(1L).as("__nr")), Seq("doc_id"), "left")
+      .withColumn("stage", graft.queries.TextQueries.attributionStageCol(
+        !col("qpass"), col("__ex").isNotNull, col("__nr").isNotNull))
+      .select(attSchema.fieldNames.map(col).toIndexedSeq: _*)
   }
 
+  /** The served per-doc attributions. Steady state (no unfolded
+    * forgets): the stored stages, as landed. With unfolded forget
+    * tombstones: the MoR path — survivors' stages re-derived through
+    * [[attributionFromFeatures]], bit-equal to a stream that never saw
+    * the cohort. The generation is resolved ONCE and threaded through
+    * every part read (the r17 consistent-pair rule). */
+  def servedAttribution(spark: SparkSession, outDir: String): DataFrame = {
+    val st = store(outDir)
+    val gen = st.activeGeneration(spark)
+    val ok = st.looseIds(spark, gen)
+    val att = st.readPart(spark, "att", gen, ok)
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], attSchema))
+    // loose (unfolded) forgets force the MoR re-derivation; the
+    // generation's own fgt rows are already folded into its att part
+    val looseFgt = st.readPart(spark, "fgt", None, ok)
+      .map(_.select("doc_id").distinct())
+    looseFgt match {
+      case Some(f) if !f.isEmpty =>
+        attributionFromFeatures(att.join(f, Seq("doc_id"), "left_anti"))
+      case _ => att
+    }
+  }
+
+  /** Backwards-compatible alias for the served attribution rows. */
+  def readAttribution(spark: SparkSession, outDir: String): DataFrame =
+    servedAttribution(spark, outDir)
+
   /** The live q318 report — the shared `attributionReport` aggregation
-    * over the accumulated attributions, bit-identical to the batch
-    * report after an in-order replay of the same corpus. */
+    * over the served attributions, bit-identical to the batch report
+    * after an in-order replay of the same corpus (and, after forgets,
+    * to a replay that never contained the cohort). */
   def report(spark: SparkSession, outDir: String): DataFrame =
     graft.queries.TextQueries.attributionReport(
-      readAttribution(spark, outDir).select("stage", "pred_lang", "n_tokens"))
+      servedAttribution(spark, outDir)
+        .select("stage", "pred_lang", "n_tokens"))
 
   /** Roll every fully-landed batch into one generation so the directory
-    * count and the read-side id `isin` stay bounded. Attributions are
-    * disjoint by doc and canonicals disjoint by key across batches, so
-    * the roll-up is a union, range-clustered for serving: `att` by
-    * doc_id (the audit-scan layout), `ecan`/`ncan` by their probe keys
-    * so the per-batch anti join prunes. Returns the active coverage. */
+    * count and the read-side id `isin` stay bounded — and FOLD the
+    * accumulated forgets (the CoW leg): cohort rows leave `att`, the
+    * surviving stages are re-materialized through the shared
+    * re-derivation, and `ecan`/`ncan` are rebuilt from the survivors so
+    * no cohort doc_id remains anywhere but the retained `fgt`
+    * tombstones (which keep gating re-arrivals at the door).
+    * Range-clustered for serving: `att` by doc_id (the audit-scan
+    * layout), `ecan`/`ncan` by their probe keys so the per-batch anti
+    * join prunes. Returns the active coverage. */
   def compactStore(spark: SparkSession, outDir: String): Option[Long] = {
     val st = store(outDir)
     val prev = st.activeGeneration(spark)
     val live = st.compactableIds(spark, prev)
     if (live.isEmpty) return prev
     def part(sub: String): DataFrame = st.readPart(spark, sub, prev, live).get
-    st.writeGeneration(spark, live.max, prev, Map(
-      "att" -> part("att").repartitionByRange(4, col("doc_id")),
-      "ecan" -> part("ecan").repartitionByRange(4, col("h")),
-      "ncan" -> part("ncan").repartitionByRange(4, col("simhash"))))
+    val fgt = part("fgt").select("doc_id").distinct()
+    val survivors = part("att").join(fgt, Seq("doc_id"), "left_anti")
+    // re-derive only when forgets exist: the steady-state roll-up is a
+    // pure union and must stay one (stored stages are already exact)
+    val att =
+      if (fgt.isEmpty) survivors else attributionFromFeatures(survivors)
+    val attC = att.cache()
+    try {
+      val ecan = attC.where(col("stage").isin("4_near_dup", "5_kept"))
+        .select("h", "doc_id")
+      val ncan = attC.where(col("stage") === "5_kept")
+        .select("simhash", "doc_id")
+      st.writeGeneration(spark, live.max, prev, Map(
+        "att" -> attC.repartitionByRange(4, col("doc_id")),
+        "ecan" -> ecan.repartitionByRange(4, col("h")),
+        "ncan" -> ncan.repartitionByRange(4, col("simhash")),
+        "fgt" -> fgt.coalesce(1)))
+    } finally { attC.unpersist(); () }
     Some(live.max)
   }
 }

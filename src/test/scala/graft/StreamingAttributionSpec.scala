@@ -92,13 +92,13 @@ class StreamingAttributionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(collectReport(StreamingAttribution.report(spark, outDir)) == before,
       "replaying a committed batch id changed the served report")
 
-    // a half-landed batch (att without ecan/ncan) is invisible: the
+    // a half-landed batch (att without ecan/ncan/fgt) is invisible: the
     // fully-landed id set is the all-parts intersection
     chunks.head.take(5).toSeq.toDF("doc_id", "text")
-      .withColumn("stage", lit("5_kept"))
-      .withColumn("pred_lang", lit("en"))
-      .withColumn("n_tokens", lit(1))
-      .select("doc_id", "stage", "pred_lang", "n_tokens")
+      .select(col("doc_id"), lit(99L).as("seq"), md5(col("text")).as("h"),
+        lit(0L).as("simhash"), lit("en").as("pred_lang"),
+        lit(1).as("n_tokens"), lit(true).as("qpass"),
+        lit("5_kept").as("stage"))
       .write.parquet(s"$outDir/att/batch=99")
     assert(collectReport(StreamingAttribution.report(spark, outDir)) == before,
       "a torn batch leaked into the served report")
@@ -112,6 +112,79 @@ class StreamingAttributionSpec extends AnyFunSuite with BeforeAndAfterAll {
       chunks(1).toSeq.toDF("doc_id", "text"), outDir, 1L)
     assert(collectReport(StreamingAttribution.report(spark, outDir)) == before,
       "replaying a rolled-up batch id changed the served report")
+  }
+
+  test("in-band forgetting equals a stream that never saw the cohort (MoR serve and CoW fold)") {
+    val ss = spark
+    import ss.implicits._
+    // the PipelineAttributionSpec five-arm texts: 3 is the elected
+    // exact+near canonical, 4 its exact duplicate, 5 its word-order
+    // permutation (same simhash, different hash)
+    val t3 = "the quick brown fox jumps over a lazy dog today"
+    val t4 = "The quick brown fox jumps over a lazy dog today!"
+    val t5 = "today dog lazy a over jumps fox brown quick the"
+    val t1 = "7 8 9 44 55 66 % % % 123 456 789"
+    val t2 = "the the the the the the the the the the"
+    def land(dir: String, id: Long, docs: Seq[(Long, String)]): Unit =
+      StreamingAttribution.writeBatch(docs.toDF("doc_id", "text"), dir, id)
+    def forget(dir: String, id: Long, ids: Seq[Long]): Unit =
+      StreamingAttribution.writeBatch(
+        StreamingAttribution.forgetRecords(ids.toDF("doc_id")), dir, id)
+    def served(dir: String): Set[(Long, String)] = {
+      StreamingAttribution.servedAttribution(spark, dir)
+        .select(col("doc_id"), col("stage"))
+        .as[(Long, String)].collect().toSet
+    }
+
+    val a = java.nio.file.Files.createTempDirectory("graft-satt-f-").toString
+    land(a, 0L, Seq(1L -> t1, 2L -> t2, 3L -> t3))
+    land(a, 1L, Seq(4L -> t4, 5L -> t5))
+    assert(served(a) == Set(1L -> "1_language", 2L -> "2_quality",
+      3L -> "5_kept", 4L -> "3_exact_dup", 5L -> "4_near_dup"))
+
+    // forget the canonical: the MoR serve must re-derive every election
+    // from the survivors — doc 4 inherits the hash AND, with its own
+    // punctuated simhash, leaves 5's near group entirely, so BOTH
+    // survive — exactly the stream that never saw 3
+    forget(a, 2L, Seq(3L))
+    val b = java.nio.file.Files.createTempDirectory("graft-satt-nf-").toString
+    land(b, 0L, Seq(1L -> t1, 2L -> t2))
+    land(b, 1L, Seq(4L -> t4, 5L -> t5))
+    val expectNo3 = served(b)
+    assert(expectNo3 == Set(1L -> "1_language", 2L -> "2_quality",
+      4L -> "5_kept", 5L -> "5_kept"))
+    assert(served(a) == expectNo3, "MoR serve != never-saw-cohort stream")
+    assert(collectReport(StreamingAttribution.report(spark, a)) ==
+      collectReport(StreamingAttribution.report(spark, b)),
+      "MoR report != never-saw-cohort report")
+
+    // fold (CoW): same answer from the fast path, no cohort id anywhere
+    // but the retained door-gate tombstones
+    StreamingAttribution.compactStore(spark, a)
+    assert(served(a) == expectNo3, "folded store != never-saw-cohort stream")
+    val attIds = StreamingAttribution.servedAttribution(spark, a)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!attIds.contains(3L), "cohort id survived the fold")
+    assert(spark.read.parquet(s"$a/gen/fgt/batch=2")
+      .as[Long].collect().toSet == Set(3L), "fgt tombstone not retained")
+
+    // a re-arrival of the erased id is dropped at the door
+    land(a, 3L, Seq(3L -> t3))
+    assert(served(a) == expectNo3, "re-arriving erased id re-entered")
+
+    // deposing the inherited canonical re-elects on fresh content: with
+    // 4 forgotten too, a NEW doc with the same text joins the near group
+    // where 5 (earlier-seen elected canonical) now wins the near election
+    forget(a, 4L, Seq(4L))
+    land(a, 5L, Seq(6L -> t3))
+    assert(served(a) == Set(1L -> "1_language", 2L -> "2_quality",
+      5L -> "5_kept", 6L -> "4_near_dup"),
+      "deposed canonical did not re-elect correctly")
+    StreamingAttribution.compactStore(spark, a)
+    assert(served(a) == Set(1L -> "1_language", 2L -> "2_quality",
+      5L -> "5_kept", 6L -> "4_near_dup"))
+    assert(spark.read.parquet(s"$a/gen/fgt/batch=5")
+      .as[Long].collect().toSet == Set(3L, 4L))
   }
 
   test("arrival order shifts canonical election but never the gate counts") {
