@@ -1709,8 +1709,53 @@ object TextQueries {
         .withColumn("stage", attributionStageCol(pipeQualFail,
           col("__ex").isNotNull, col("__nr").isNotNull))
       attributionReport(att.select("stage", "pred_lang", "n_tokens"))
+    }),
+
+    // EPOCH SHARD PLAN — the step between curation and the trainer:
+    // the kept corpus (q294/q318's survivor arithmetic, the SAME shared
+    // frames) is dealt into a DETERMINISTIC seeded permutation per
+    // training epoch (rank of md5(seed:doc_id) — a fresh reshuffle each
+    // epoch, reproducible on any cluster shape with no shuffle service
+    // or RNG state) and cut into balanced shards. The rank is
+    // bucket-stitched (QueryBase.stitchedRowNumber — no corpus-sized
+    // global window) and the shard is the exact ntile arithmetic over
+    // it; the report is the manifest a trainer consumes: docs + token
+    // mass per (epoch, shard) and the order signature Σ doc_id·rank
+    // that pins the permutation itself (any rank drift moves it) —
+    // epochs × shards bounded rows.
+    "q319_epoch_shard_plan" -> ((spark, dir) => {
+      val feat = pipelineFeatures(spark, dir)
+      val s2 = feat.where(pipeIsQual)
+      val ek = tcache(
+        s2.groupBy("h").agg(min("doc_id").as("doc_id")), "q318:ek")
+      val s3 = s2.join(ek.select("doc_id"), Seq("doc_id"), "left_semi")
+      val nk = s3.groupBy("simhash").agg(min("doc_id").as("doc_id"))
+      val kept = tcache(
+        s3.join(nk.select("doc_id"), Seq("doc_id"), "left_semi")
+          .select("doc_id", "n_tokens"), "q319:kept")
+      EpochSeeds.map { seed =>
+        // 60-bit permutation key, the q69/q47 md5-hex idiom (bit-equal
+        // to the oracle's CAST(concat('0x', …) AS BIGINT))
+        val pk = conv(substring(md5(concat(lit(seed + ":"),
+          col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long")
+        val (ranked, n) = QueryBase.stitchedRowNumber(
+          kept, pk, col("doc_id"), 1L << 50, s"q319:rank:$seed", "rn")
+        ranked
+          .withColumn("shard", QueryBase.ntileOf("rn", n, EpochShards))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens").cast("long")).as("ws_tokens"),
+            sum(col("doc_id") * col("rn")).cast("long").as("ord_sig"))
+          .select(lit(seed).as("epoch"), col("shard"), col("n_docs"),
+            col("ws_tokens"), col("ord_sig"))
+      }.reduce(_ unionByName _)
     })
   )
+
+  /** q319's epoch seeds and shard count — ONE definition, embedded into
+    * the oracle SQL verbatim (the shared-constant invariant). */
+  private[graft] val EpochSeeds: Seq[String] = Seq("e1", "e2")
+  private[graft] val EpochShards: Int = 8
 
   /** q317's declared artifact labels (the [[EstateCoverage]] tie for the
     * `eraserem3` lifecycle key). */
@@ -3001,6 +3046,31 @@ object TextQueries {
          |       ${sround("CAST(count(*) AS DOUBLE) / CAST(max(docs_in) AS DOUBLE)", 6)} AS share
          |FROM att CROSS JOIN tot
          |GROUP BY stage, pred_lang""".stripMargin,
+      withCte = true),
+
+    // q319: the same kept-corpus derivation, then a per-epoch seeded
+    // permutation (the q69 md5-hex-to-BIGINT idiom) ranked and ntile-cut
+    // — DuckDB's native ntile over (pk, doc_id) is bit-identical to the
+    // stitched-rank ntileOf arithmetic (the q197-proven pairing)
+    "q319_epoch_shard_plan" -> graft.queries.DedupQueries.simhashOracle(
+      s"""$pipelineOracleHead,
+         |ek AS (SELECT min(doc_id) AS doc_id FROM s2 GROUP BY h),
+         |s3 AS (SELECT * FROM s2 WHERE doc_id IN (SELECT doc_id FROM ek)),
+         |nk AS (SELECT min(doc_id) AS doc_id FROM s3 GROUP BY simhash),
+         |kept AS (SELECT doc_id, n_tokens FROM s3
+         |         WHERE doc_id IN (SELECT doc_id FROM nk)),
+         |perm AS (SELECT e.epoch, k.doc_id, k.n_tokens,
+         |         CAST(concat('0x', substr(md5(e.epoch || ':' || k.doc_id::VARCHAR), 1, 15)) AS BIGINT) AS pk
+         |         FROM kept k CROSS JOIN
+         |           (SELECT unnest([${EpochSeeds.map(s => s"'$s'").mkString(", ")}]) AS epoch) e),
+         |r AS (SELECT epoch, doc_id, n_tokens,
+         |             row_number() OVER (PARTITION BY epoch ORDER BY pk, doc_id) AS rn,
+         |             CAST(ntile($EpochShards) OVER (PARTITION BY epoch ORDER BY pk, doc_id) AS INT) AS shard
+         |      FROM perm)
+         |SELECT epoch, shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(CAST(n_tokens AS BIGINT)) AS BIGINT) AS ws_tokens,
+         |       CAST(sum(CAST(doc_id AS BIGINT) * rn) AS BIGINT) AS ord_sig
+         |FROM r GROUP BY epoch, shard""".stripMargin,
       withCte = true)
   )
 
