@@ -1256,11 +1256,17 @@ object DedupQueries {
         .select("doc_a", "doc_b"), "q144:pairs")
       val e = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
         .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      val nodes = e.select(col("src").as("doc_id")).distinct()
-      val nn = nodes.agg(count(lit(1)).as("n"))
+      // nodes is read by every superstep's update join — materialize it
+      // once instead of re-deriving the distinct per level; n collapses
+      // to ONE driver long (a bounded 1-row aggregate, the q312 pointer
+      // discipline) embedded as a literal, so each superstep's plan stays
+      // flat instead of re-running the node count per level. Same long →
+      // double coercion as the former column form — bit-identical pr.
+      val nodes = tcache(e.select(col("src").as("doc_id")).distinct(), "q144:nodes")
+      val n = nodes.count()
       val deg = tcache(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "q144:deg")
-      var pr = nodes.crossJoin(broadcast(nn))
-        .select(col("doc_id"), pround(lit(1.0) / col("n"), 9).as("pr"))
+      var pr = nodes
+        .select(col("doc_id"), pround(lit(1.0) / lit(n), 9).as("pr"))
       for (_ <- 1 to PrIters) {
         val contrib = e
           .join(pr.withColumnRenamed("doc_id", "src"), "src")
@@ -1269,10 +1275,9 @@ object DedupQueries {
             pround(col("pr") / col("outdeg"), 9).as("c"))
         val inflow = contrib.groupBy("doc_id").agg(xsum(col("c"), 9).as("s"))
         pr = nodes.join(inflow, Seq("doc_id"), "left")
-          .crossJoin(broadcast(nn))
           .select(col("doc_id"),
             pround(
-              pround(lit(1.0) - lit(PrDamp), 9) / col("n") +
+              pround(lit(1.0) - lit(PrDamp), 9) / lit(n) +
                 lit(PrDamp) * coalesce(col("s"), lit(0.0)), 9).as("pr"))
       }
       pr.join(deg.withColumnRenamed("src", "doc_id"), "doc_id")

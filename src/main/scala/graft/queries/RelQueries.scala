@@ -4477,13 +4477,29 @@ object RelQueries {
         lit(1000000L).as("p_q"))
     val pm = pq.union(noOut)
     val k = states.agg(count(lit(1)).as("k"))
-    var pi = states.crossJoin(broadcast(k))
+    // The iteration state pi is STATE-DOMAIN-sized (the event-type
+    // dictionary — bounded at any corpus size), so each round's pi is
+    // collected and re-literalized (the r18 driver-held-iteration-state
+    // discipline, see pqCodebookFrom): lazily, round i's plan re-derived
+    // pm and the whole round-(i−1) aggregation chain once per level.
+    // Every v is still produced by the identical Spark integer
+    // expressions — the collect only cuts the lineage (exact BIGINTs
+    // round-trip trivially), so the oracle's unrolled CTE chain still
+    // hash-matches.
+    val spark = counts.sparkSession
+    def piLit(rows: Array[(String, Long)]) = {
+      import spark.implicits._
+      rows.toSeq.toDF("s", "v")
+    }
+    var pi = piLit(states.crossJoin(broadcast(k))
       .select(col("s"), expr("1000000 div k").as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1))))
     for (_ <- 1 to MarkovIters) {
-      pi = pm.join(broadcast(pi), col("pt") === col("s"))
+      pi = piLit(pm.join(broadcast(pi), col("pt") === col("s"))
         .groupBy("nt")
         .agg(sum(col("v") * col("p_q")).as("sp"))
         .select(col("nt").as("s"), expr("(sp + 500000) div 1000000").as("v"))
+        .collect().map(r => (r.getString(0), r.getLong(1))))
     }
     val totV = pi.agg(sum("v").as("tv"))
     states.join(pi, Seq("s"), "left")

@@ -263,36 +263,49 @@ object VectorQueries {
     * projection, so the training pass never shuffles them. */
   private def pqCodebookFrom(src: org.apache.spark.sql.DataFrame, m: Int = PqM)
       : org.apache.spark.sql.DataFrame = {
-    val sub = pqSub(m)(src)
-    var cb = sub.where(col("vec_id") < PqK)
-      .select(col("s"), col("vec_id").as("cent_id"),
-        transform(col("sv"), x => x.cast("double")).as("ce"))
+    val spark = src.sparkSession
+    // Lloyd state lives on the DRIVER between iterations — the MLlib
+    // KMeans shape, and the r18 optimization of the former single-lineage
+    // formulation: the codebook is ≤ m·[[PqK]] rows BY CONSTRUCTION at
+    // any corpus size (m, k are geometry constants), so collecting it is
+    // bounded, and re-literalizing it per round keeps every iteration's
+    // plan SHALLOW — one aggregate over the cached subvector frame
+    // against a broadcast literal codebook. The lazy formulation nested
+    // each round's assignment inside the next round's plan: q94's r18
+    // capture measured a 2,728-operator plan with 296 Exchanges whose
+    // corpus-side subtree (IVF residuals included) replayed once per
+    // round. Arithmetic is UNCHANGED — the same pqAssign / pround / xsum
+    // expressions produce the means, doubles round-trip collect exactly,
+    // and empty cells keep their previous centroid exactly as the old
+    // left-join coalesce did — so the oracle still replays the
+    // iterations bit-for-bit (PqTrainingSpec's driver-side recompute
+    // pins the values).
+    val sub = tcache(pqSub(m)(src), "vq:subtrain")
+    def literal(rows: Array[(Int, Long, Seq[Double])]) = {
+      import spark.implicits._
+      rows.toSeq.toDF("s", "cent_id", "ce")
+    }
+    var cb: Array[(Int, Long, Seq[Double])] =
+      sub.where(col("vec_id") < PqK)
+        .select(col("s"), col("vec_id").as("cent_id"),
+          transform(col("sv"), x => x.cast("double")).as("ce"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
     for (_ <- 1 to PqIters) {
-      val means = pqAssign(sub, cb)
+      val means = pqAssign(sub, literal(cb))
         .select(col("s"), col("code").as("cent_id"), posexplode(col("sv")).as(Seq("pos", "v")))
         .groupBy("s", "cent_id", "pos")
         .agg(pround(xsum(col("v").cast("double"), 6) / count(lit(1)), 6).as("m"))
         .groupBy("s", "cent_id")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           x => x.getField("m")).as("tce"))
-      // means is ≤ PqM·PqK rows but sits on a deep aggregate plan whose
-      // size estimate defeats auto-broadcast — hint it so the update join
-      // never plans as a sort-merge (the plan pin in KmeansAssignPlanSpec)
-      cb = cb.join(broadcast(means), Seq("s", "cent_id"), "left")
-        .select(col("s"), col("cent_id"),
-          coalesce(col("tce"), col("ce")).as("ce"))
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Double](2)).toMap
+      // a cell left empty by the assignment keeps its PREVIOUS centroid
+      cb = cb.map { case (s, cid, ce) => (s, cid, means.getOrElse((s, cid), ce)) }
     }
-    // Contract note (the q75/q05 eager discipline): train ONCE and cache
-    // the PqM·PqK-row codebook — q89 consumes it from two branches (encode
-    // + query LUT), and lazily each would inline the whole corpus-scale
-    // training assignment into its own subtree, doubling the training
-    // pass. A codebook is a model ARTIFACT: derive it one time, probe it
-    // everywhere. tcache bounds the pin for ALL callers: a re-derivation
-    // (next run, next query) unpersists the previous codebook, so looping
-    // callers hold one codebook, not one per run.
-    tcache(cb, "vq:codebook")
-    cb.count()
-    cb
+    // The returned codebook is a LITERAL local relation: consumers (q89's
+    // encode + LUT branches, the q127 index write) broadcast it with an
+    // exact size estimate and zero training stages in their plans.
+    literal(cb)
   }
 
   /** Production IVF probe width (q100/q101): each query probes its
@@ -1897,16 +1910,33 @@ object VectorQueries {
           .groupBy("j")
           .agg(expr("aggregate(sort_array(collect_list(struct(k, term)))," +
             " cast(0.0 as double), (acc, x) -> acc + x.term)").as("w"))
-      var v = cM.select("k").distinct().withColumn("v", lit(1.0))
+      // The iteration state v is DIM-sized (≤ the embedding dimension, a
+      // constant at any corpus size), so each round's v is collected and
+      // re-literalized — the r18 driver-held-iteration-state discipline
+      // (see pqCodebookFrom): lazily, iteration i's plan referenced w
+      // twice (norm + update), so iteration i−1's subtree replayed ~2^i
+      // times and the 3-round spectrum plan carried dozens of dim-sized
+      // exchanges. Every value is still computed by the IDENTICAL Spark
+      // expressions (mult / norm fold / pround) — the collect only cuts
+      // the lineage, and doubles round-trip collect exactly, so the
+      // oracle's replay still hash-matches.
+      val spark = emb.sparkSession
+      def vLit(rows: Array[(Int, Double)]) = {
+        import spark.implicits._
+        rows.toSeq.toDF("k", "v")
+      }
+      var v = vLit(cM.select("k").distinct().withColumn("v", lit(1.0))
+        .collect().map(r => (r.getInt(0), r.getDouble(1))))
       for (_ <- 1 to 3) {
         val w = mult(v)
         val nrmF = w.select(col("j"), (col("w") * col("w")).as("pw"))
           .agg(sqrt(expr("aggregate(sort_array(collect_list(struct(j, pw)))," +
             " cast(0.0 as double), (acc, x) -> acc + x.pw)")).as("nrm"))
-        v = w.crossJoin(broadcast(nrmF))
+        v = vLit(w.crossJoin(broadcast(nrmF))
           .select(col("j").as("k"),
             when(col("nrm") > 0.0, pround(col("w") / col("nrm"), 9))
               .otherwise(lit(0.0)).as("v"))
+          .collect().map(r => (r.getInt(0), r.getDouble(1))))
       }
       val cv = mult(v)
       val rayF = cv.join(v.withColumnRenamed("k", "j"), Seq("j"))
