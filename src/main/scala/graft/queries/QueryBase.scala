@@ -285,14 +285,20 @@ object QueryBase {
       .withColumn("__b", expr(s"__k div $width"))
       .withColumn("__cum_in", sum("__n").over(wIn)), site)
     val btF = dom.groupBy("__b").agg(sum("__n").as("__bt"))
-    val nBuckets = btF.count()
-    require(nBuckets <= maxBuckets,
-      s"stitchedRowNumber($site): $nBuckets stitch buckets exceed the " +
-        s"$maxBuckets collect bound — width=$width is too narrow for this " +
+    // the bound guard and the prefix-sum input come from ONE bounded
+    // collect: limit(maxBuckets + 1) caps what can ever reach the driver
+    // (a breach surfaces as the loud require below, never an OOM), and
+    // folding the former separate count() job into the collect removes
+    // one full pass over the bucket-total frame per stitched rank (r18:
+    // 8 registry call sites pay this on every run)
+    val btRaw = btF.limit(
+      math.min(maxBuckets + 1, Int.MaxValue.toLong).toInt).collect()
+    require(btRaw.length <= maxBuckets,
+      s"stitchedRowNumber($site): more than $maxBuckets stitch buckets — " +
+        s"width=$width is too narrow for this " +
         "key domain; pick a width so (key range / width) stays " +
         "driver-collectable (e.g. a day of µs for timestamp keys)")
-    val bt = btF
-      .collect().map { r =>
+    val bt = btRaw.map { r =>
         // contract: keys must be non-null (every current caller ranks a
         // non-null aggregate). The single-window forms this replaces order
         // NULL keys; here a null would land in a null bucket and surface

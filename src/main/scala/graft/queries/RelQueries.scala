@@ -4362,13 +4362,16 @@ object RelQueries {
     // buckets by construction, but a future caller feeding µs-scaled
     // levels would otherwise OOM the driver silently
     val btF = base.groupBy("b").agg(sum(col("d") + col("c")).as("bt"))
-    val nBuckets = btF.count()
-    require(nBuckets <= StitchCollectBound,
-      s"kaplanMeierOf: $nBuckets stitch buckets exceed the driver-collect " +
-        s"bound — level values span too wide a domain for width $KmStitchWidth; " +
+    // guard + prefix-sum input from ONE bounded collect (retuned with
+    // stitchedRowNumber's guard, per the shared-guard note): the
+    // limit caps what can reach the driver, the require stays loud
+    val btRaw = btF.limit(
+      math.min(StitchCollectBound + 1, Int.MaxValue.toLong).toInt).collect()
+    require(btRaw.length <= StitchCollectBound,
+      s"kaplanMeierOf: more than $StitchCollectBound stitch buckets — " +
+        s"level values span too wide a domain for width $KmStitchWidth; " +
         "rescale the levels or widen KmStitchWidth")
-    val bt = btF
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val bt = btRaw.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     val tot = bt.iterator.map(_._2).sum
     var acc1 = 0L
     val off1 = bt.map { case (b, x) => val o = acc1; acc1 += x; (b, o) }

@@ -290,15 +290,23 @@ object VectorQueries {
         .select(col("s"), col("vec_id").as("cent_id"),
           transform(col("sv"), x => x.cast("double")).as("ce"))
         .collect().map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
-    for (_ <- 1 to PqIters) {
+    // per-dim means in ONE aggregation per round (the subspace dim is a
+    // geometry constant, so the agg is sd columns wide instead of
+    // posexplode-fanning n·m rows to n·m·sd and paying a second
+    // per-(s, cent) exchange to re-pack them) — same xsum/count/pround
+    // ops per (group, dim) value multiset, so the means are bit-identical
+    val sd = cb.headOption.map(_._3.length).getOrElse(0)
+    val dimAggs = (0 until sd).map(i =>
+      pround(xsum(col("sv").getItem(i).cast("double"), 6) / count(lit(1)), 6)
+        .as(s"m$i"))
+    for (_ <- 1 to PqIters if sd > 0) {
       val means = pqAssign(sub, literal(cb))
-        .select(col("s"), col("code").as("cent_id"), posexplode(col("sv")).as(Seq("pos", "v")))
-        .groupBy("s", "cent_id", "pos")
-        .agg(pround(xsum(col("v").cast("double"), 6) / count(lit(1)), 6).as("m"))
+        .withColumn("cent_id", col("code"))
         .groupBy("s", "cent_id")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          x => x.getField("m")).as("tce"))
-        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Double](2)).toMap
+        .agg(dimAggs.head, dimAggs.tail: _*)
+        .collect().map { r =>
+          (r.getInt(0), r.getLong(1)) -> (0 until sd).map(i => r.getDouble(2 + i))
+        }.toMap
       // a cell left empty by the assignment keeps its PREVIOUS centroid
       cb = cb.map { case (s, cid, ce) => (s, cid, means.getOrElse((s, cid), ce)) }
     }
