@@ -206,7 +206,12 @@ object MultimodalQueries {
     // sort |corpus| rows in MmQueryCount tasks at 100× scale).
     "q296_multimodal_knn" -> ((spark, dir) => {
       val fe = mmEmbedFrame(spread(table(spark, dir, "documents")))
-      val q = fe.where(col("doc_id") < MmQueryCount)
+      // the query side embeds only its MmQueryCount docs: a WHERE above
+      // the opaque mapPartitions embed cannot push down, so deriving q
+      // from fe re-embedded the WHOLE corpus to keep 3 rows (per-row
+      // embed — filtering first is row-identical)
+      val q = mmEmbedFrame(
+        table(spark, dir, "documents").where(col("doc_id") < MmQueryCount))
         .select(col("doc_id").as("query_id"), col("emb").as("qe"))
       val scored = fe.join(broadcast(q), col("doc_id") =!= col("query_id"))
       saltedTop5(mmCosine(scored))
@@ -394,8 +399,16 @@ object MultimodalQueries {
                           dir: String): (String, String, String) = {
     val names = AtRestTables.get(spark, s"mmgen|$dir") { base =>
       val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val full = mmEmbedFrame(spread(table(spark, dir, "documents")))
-      val pre = full.where(col("doc_id") % MmIncrMod =!= MmIncrRes)
+      // the embed is an opaque per-row mapPartitions pass (the batch
+      // decode operator), so a WHERE above it cannot push down — filter
+      // the docs BEFORE embedding (per-row embed: identical rows) and
+      // cache the pre-corpus embedding ONCE for the build's two
+      // consumers (centroid sample, gen-1 encode); the gen-2 delta
+      // embeds only its incremental slice (r18: mmgen's exclusive build
+      // seconds were dominated by repeated full-corpus embed passes)
+      val docs = spread(table(spark, dir, "documents"))
+      val pre = tcache(mmEmbedFrame(
+        docs.where(col("doc_id") % MmIncrMod =!= MmIncrRes)), "mmgen:pre")
       val n = table(spark, dir, "documents")
         .where(col("doc_id") % MmIncrMod =!= MmIncrRes).count()
       val stride = math.max(1L, n / MmCentroidBudget)
@@ -412,8 +425,8 @@ object MultimodalQueries {
       AtRestTables.faultPoint("mmgen:codes1")
       // GREEN = blue's persisted bytes (read back — stats from the bytes
       // that serve) + the delta, encoded against the frozen centroids
-      val delta = mmAssignCell(
-        full.where(col("doc_id") % MmIncrMod === MmIncrRes), cents)
+      val delta = mmAssignCell(mmEmbedFrame(
+        docs.where(col("doc_id") % MmIncrMod === MmIncrRes)), cents)
       spark.table(c1T).unionByName(delta)
         .write.mode("overwrite").option("path", s"$base/codes2")
         .bucketBy(MmCellBuckets, "cell").sortBy("cell").saveAsTable(c2T)
@@ -570,7 +583,10 @@ object MultimodalQueries {
                             dir: String): (String, String) = {
     val names = AtRestTables.get(spark, s"mmidx|$dir") { base =>
       val sfx = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val fe = mmEmbedFrame(spread(table(spark, dir, "documents")))
+      // one embed pass for both consumers (centroid sample + encode) —
+      // the mmgen:pre rationale
+      val fe = tcache(mmEmbedFrame(spread(table(spark, dir, "documents"))),
+        "mmidx:fe")
       val n = table(spark, dir, "documents").count()
       val stride = math.max(1L, n / MmCentroidBudget)
       val cents = fe.where(col("doc_id") % stride === 0)
@@ -726,8 +742,12 @@ object MultimodalQueries {
                                           dir: String, base: String,
                                           centT: String, codesT: String,
                                           midFault: () => Unit): Unit = {
-    val retained = mmEmbedFrame(spread(table(spark, dir, "documents")))
-      .where(!QueryBase.erasedId(col("doc_id")))
+    // filter BEFORE the opaque embed (per-row: identical rows, and the
+    // cohort predicate reaches the scan), one embed pass for both
+    // consumers (centroid sample + encode) — the mmgen:pre rationale
+    val retained = tcache(
+      mmEmbedFrame(spread(table(spark, dir, "documents"))
+        .where(!QueryBase.erasedId(col("doc_id")))), "mmg3:retained")
     val n = table(spark, dir, "documents")
       .where(!QueryBase.erasedId(col("doc_id"))).count()
     val stride = math.max(1L, n / MmCentroidBudget)
