@@ -207,8 +207,11 @@ object Bench {
       bs.map { case (k, v) => "\"" + k + "\":" + f2(v) }.mkString("{", ",", "}")
     // stdout carries only the top-10 builds (tail-budget discipline, the
     // slowest-60 rationale); the full map rides BENCH_FULL.json
+    // "cpus" rides the line so a scaling-run artifact is self-describing
+    // (the r18 verdict's #2: the 8-core sweep's map was indistinguishable
+    // from the 32-core one once written to disk)
     def jsonLine(qs: String, slowestOnly: Boolean, bs: Seq[(String, Double)]): String =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","passes":3,"warm_pass":true,"errors":$errors,""" +
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","cpus":$cpus,"passes":3,"warm_pass":true,"errors":$errors,""" +
         s""""load_start":"$loadStart","load_end":"$loadEnd",""" +
         s""""probe_start":${f2(probeStart)},"probe_end":${f2(probeEnd)},""" +
         s""""warm_pass1_total":${f3(pass1Total)},"warm_pass0_total":${f3(pass0Total)},""" +
@@ -241,7 +244,12 @@ object Bench {
       }
     writeArtifact(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json"),
       "the scratch per-query map")
-    writeArtifact(sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo") + "/BENCH_FULL.json",
+    // topology-qualified committed artifact: a scaling sweep at a
+    // non-default core count writes BENCH_FULL_c<N>.json so it can never
+    // clobber the canonical 32-core map (the r18 verdict's #2 — the
+    // driver's 8-core run overwrote the committed 32-core artifact)
+    val fullName = if (cpus == "32") "BENCH_FULL.json" else s"BENCH_FULL_c$cpus.json"
+    writeArtifact(sys.env.getOrElse("SPARK_GRAFT_REPO", "/root/repo") + s"/$fullName",
       "the committed per-query artifact")
     spark.stop()
   }

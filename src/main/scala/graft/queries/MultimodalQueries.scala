@@ -430,6 +430,9 @@ object MultimodalQueries {
       spark.table(c1T).unionByName(delta)
         .write.mode("overwrite").option("path", s"$base/codes2")
         .bucketBy(MmCellBuckets, "cell").sortBy("cell").saveAsTable(c2T)
+      // build-local frame, no post-build consumer: free its cache slot
+      // now instead of holding the embedded corpus until FIFO eviction
+      QueryBase.tcacheDrop(spark, "mmgen:pre")
       Seq(centT, c1T, c2T)
     }
     (names(0), names(1), names(2))
@@ -597,6 +600,8 @@ object MultimodalQueries {
       cents.write.mode("overwrite").option("path", s"$base/cents").saveAsTable(centT)
       assigned.write.mode("overwrite").option("path", s"$base/codes")
         .bucketBy(MmCellBuckets, "cell").sortBy("cell").saveAsTable(codesT)
+      // build-local frame, no post-build consumer (r18 ADVICE)
+      QueryBase.tcacheDrop(spark, "mmidx:fe")
       Seq(centT, codesT)
     }
     (names(0), names(1))
@@ -759,6 +764,8 @@ object MultimodalQueries {
     mmAssignCell(retained, cents)
       .write.mode("overwrite").option("path", s"$base/mmg3codes")
       .bucketBy(MmCellBuckets, "cell").sortBy("cell").saveAsTable(codesT)
+    // build-local frame, no post-build consumer (r18 ADVICE)
+    QueryBase.tcacheDrop(spark, "mmg3:retained")
   }
 
   val oracles: Map[String, String] = Map(

@@ -158,13 +158,50 @@ object QueryBase {
     cached
   }
 
+  /** Drop a [[tcache]] site eagerly: unpersist the frame and free its
+    * registry slot. For BUILD-LOCAL frames (the one-shot at-rest builds
+    * tcache corpus-sized intermediates that have no post-build consumer —
+    * r18 ADVICE): AtRestTables guarantees the build closure runs once, so
+    * its working frames should not sit in the 64-slot registry holding
+    * memory until FIFO eviction. Safe at any time — a later tcache on the
+    * same site just re-caches. */
+  def tcacheDrop(spark: SparkSession, site: String): Unit = {
+    val key = (spark, site)
+    val dropped = tcacheMap.remove(key)
+    tcacheOrder.remove(key)
+    if (dropped != null)
+      try dropped.unpersist() catch { case _: Throwable => () }
+  }
+
   /** Repartition a small single-file table before UDF-heavy work: the
     * testdata tables are one parquet file each, so Spark plans ONE input
     * split and the whole pipeline above the first shuffle runs on a single
-    * core. One cheap round-robin shuffle buys full parallelism. (At real
-    * scale inputs arrive in many files and this is a no-op decision.) */
-  def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    * core. One cheap round-robin shuffle buys full parallelism.
+    *
+    * SCALE-ADAPTIVE (r19): the exchange is only worth paying when each
+    * target partition receives at least `spark.graft.spread.minBytesPerTask`
+    * of input (estimated from the relation's optimizer stats — file size
+    * for the scans this wraps). Below that, the whole pipeline above the
+    * first keyed shuffle is cheaper single-task than the extra AQE stage
+    * job the repartition costs; above it, the round-robin buys real
+    * parallelism. At 100 TB the corpus side always clears any sane
+    * threshold — and a many-splits scan at real scale should make this a
+    * no-op entirely, which the stats-based rule approximates (the knob is
+    * a conf so a cluster deployment can raise it toward AQE's
+    * minPartitionSize-style sizing). Default 0 keeps the unconditional
+    * repartition. */
+  def spread(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+    val minPerTask =
+      try spark.conf.get("spark.graft.spread.minBytesPerTask", "0").toLong
+      catch { case _: NumberFormatException => 0L }
+    if (minPerTask <= 0L) df.repartition(par)
+    else {
+      val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      if (bytes >= BigInt(par) * minPerTask) df.repartition(par) else df
+    }
+  }
 
   /** THE tokenize, Spark surface — the filter-nonempty formulation of
     * the engine-wide tokenization invariant (twins:
@@ -269,9 +306,11 @@ object QueryBase {
     * The driver-side prefix sum collects one row per NON-EMPTY bucket —
     * bounded only by the caller's width choice against the key domain, so
     * a mis-picked width (µs keys with width 1) is a silent driver OOM.
-    * `maxBuckets` makes that loud: the bucket count is checked (one cheap
-    * job on the cached domain frame) BEFORE anything is collected, and a
-    * breach fails with the width contract instead of an OOM. */
+    * `maxBuckets` makes that loud: the collect is capped at
+    * `limit(maxBuckets + 1)` rows (one fused job — the guard and the
+    * prefix-sum input share a single bounded collect, the r18 fold), and
+    * a breach fails the `require` with the width contract instead of an
+    * OOM — at most maxBuckets+1 rows can ever reach the driver. */
   def stitchedRowNumber(df: DataFrame, key: Column, tie: Column,
       width: Long, site: String, rnName: String,
       maxBuckets: Long = StitchCollectBound): (DataFrame, Long) = {
