@@ -1221,11 +1221,19 @@ object DedupQueries {
       val simCand = defs("q34_simhash_pairs")(spark, dir).select("doc_a", "doc_b")
       def measure(method: String, cand: DataFrame): DataFrame = {
         val c = tcache(cand, s"q140:cand:$method")
-        val nt = truth.agg(count(lit(1)).as("n_truth"))
-        val nc = c.agg(count(lit(1)).as("n_cand"))
-        val nh = truth.join(c, Seq("doc_a", "doc_b"), "left_semi")
-          .agg(count(lit(1)).as("n_hit"))
-        nt.crossJoin(broadcast(nc)).crossJoin(broadcast(nh))
+        // ONE tagged count over the three measurement sets (truth,
+        // candidates, hits) replaces three independent 1-row aggregates
+        // + two broadcast crossJoins (r19 measurement fuse) — same exact
+        // long counts, same recall/precision expressions
+        val cnts = truth.select(lit("t").as("g"))
+          .unionByName(c.select(lit("c").as("g")))
+          .unionByName(truth.join(c, Seq("doc_a", "doc_b"), "left_semi")
+            .select(lit("h").as("g")))
+          .groupBy("g").agg(count(lit(1)).as("n"))
+        cnts.agg(
+            coalesce(sum(when(col("g") === "t", col("n"))), lit(0L)).as("n_truth"),
+            coalesce(sum(when(col("g") === "c", col("n"))), lit(0L)).as("n_cand"),
+            coalesce(sum(when(col("g") === "h", col("n"))), lit(0L)).as("n_hit"))
           .select(lit(method).as("method"),
             col("n_truth"), col("n_cand"), col("n_hit"),
             when(col("n_truth") === 0, lit(0.0))

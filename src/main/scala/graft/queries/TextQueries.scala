@@ -1336,8 +1336,13 @@ object TextQueries {
         sum(when(pipeIsLang, 1L).otherwise(0L)).as("after_lang"),
         sum(when(pipeIsQual, 1L).otherwise(0L)).as("after_quality"),
         countDistinct(when(pipeIsQual, col("h"))).as("after_exact"))
-      val kept = s4.agg(count(lit(1)).as("after_near"))
-      pipelineReport(s4, funnel, kept)
+      // after_near re-aggregates the 3-row split frame (Σ per-split
+      // counts == count(s4) exactly) instead of a second full pass over
+      // the cached survivor frame — r19 measurement fuse
+      val splits = pipelineSplits(s4)
+      val kept = splits.agg(
+        coalesce(sum("n_docs"), lit(0L)).as("after_near"))
+      pipelineReport(splits, funnel, kept)
     }),
 
     // INCREMENTAL PIPELINE DELTA — the production form of q294: a 100 TB
@@ -1380,20 +1385,31 @@ object TextQueries {
       val s4d = tcache(
         s3d.join(nkd.select("doc_id"), Seq("doc_id"), "left_semi"), "q295:s4d")
       val s4 = s4b.unionByName(s4d)
-      val exacts = s3b.agg(count(lit(1)).as("nb"))
-        .crossJoin(broadcast(s3d.agg(count(lit(1)).as("nd"))))
-        .select((col("nb") + col("nd")).as("after_exact"))
+      // ONE tagged count pass over the cached stage frames replaces the
+      // former four independent 1-row aggregates (r19 measurement fuse):
+      // same exact long counts per frame, summed with the identical
+      // nb + nd arithmetic. after_near re-aggregates the 3-row split
+      // frame (Σ per-split counts == count(s4b) + count(s4d) exactly).
+      val cnts = s3b.select(lit("eb").as("t"))
+        .unionByName(s3d.select(lit("ed").as("t")))
+        .unionByName(s4d.select(lit("nd").as("t")))
+        .groupBy("t").agg(count(lit(1)).as("c"))
+      val m1 = cnts.agg(
+        coalesce(sum(when(col("t").isin("eb", "ed"), col("c"))), lit(0L))
+          .as("after_exact"),
+        coalesce(sum(when(col("t") === "nd", col("c"))), lit(0L))
+          .as("delta_kept"))
+      val splits = pipelineSplits(s4)
+      val near = splits.agg(
+        coalesce(sum("n_docs"), lit(0L)).as("after_near"))
       val funnel = feat.agg(
         count(lit(1)).as("docs_in"),
         sum(when(pipeIsLang, 1L).otherwise(0L)).as("after_lang"),
         sum(when(pipeIsQual, 1L).otherwise(0L)).as("after_quality"))
-        .crossJoin(broadcast(exacts))
-      val kept = s4d.agg(count(lit(1)).as("delta_kept"))
+        .crossJoin(broadcast(m1.select("after_exact")))
+      val kept = m1.select("delta_kept")
         .crossJoin(broadcast(tF.select(col("t").as("t_split"))))
-      val near = s4d.agg(count(lit(1)).as("nd"))
-        .crossJoin(broadcast(s4b.agg(count(lit(1)).as("nb"))))
-        .select((col("nb") + col("nd")).as("after_near"))
-      pipelineReport(s4, funnel.crossJoin(broadcast(near)), kept)
+      pipelineReport(splits, funnel.crossJoin(broadcast(near)), kept)
     }),
 
     // ERASURE-PROPAGATED BM25 SERVE — the q302 sparse pipeline kept
@@ -1513,17 +1529,41 @@ object TextQueries {
     // doc-keyed artifact (the q305 layout) instead — the audit scan
     // itself is the same one the artifact's compaction already pays.
     "q311_erasure_estate_ledger" -> ((spark, dir) => {
-      val measures = estateMeasures(spark, dir)
+      val (rowMeasures, aggMeasures) = estateMeasures(spark, dir)
+      val measured = rowMeasures.keySet ++ aggMeasures.keySet
       val declared = EstateLedgerClasses.map(_._1).toSet
       // the inventory is STRUCTURAL: a declared class with no measure (or
       // a measure no class) must fail the build, not shrink the census
-      require(measures.keySet == declared,
-        s"estate ledger drift — unmeasured: ${(declared -- measures.keySet).toSeq.sorted}; " +
-          s"undeclared: ${(measures.keySet -- declared).toSeq.sorted}")
-      EstateLedgerClasses.map { case (label, policy) =>
-        measures(label).select(lit(label).as("artifact"),
-          lit(policy).as("policy"), col("erased_rows"))
+      require(measured == declared &&
+          rowMeasures.keySet.intersect(aggMeasures.keySet).isEmpty,
+        s"estate ledger drift — unmeasured: ${(declared -- measured).toSeq.sorted}; " +
+          s"undeclared: ${(measured -- declared).toSeq.sorted}")
+      // ONE count aggregation for every row-measured class (r19): each
+      // branch contributes its leaked rows tagged with the class label,
+      // the union aggregates once (partial counts fold map-side inside
+      // the single union stage), and the literal inventory LEFT join
+      // restores the zero-leak classes the groupBy would drop — the same
+      // count(1)-per-label arithmetic as the former 33 independent
+      // global aggregates, without their ~66 partial/final stage pairs.
+      val tagged = EstateLedgerClasses.collect {
+        case (label, _) if rowMeasures.contains(label) =>
+          rowMeasures(label).select(lit(label).as("artifact"))
       }.reduce(_ unionByName _)
+      val counts = tagged.groupBy("artifact")
+        .agg(count(lit(1)).as("erased_rows"))
+      import spark.implicits._
+      val inventory = EstateLedgerClasses
+        .filter { case (l, _) => rowMeasures.contains(l) }
+        .toDF("artifact", "policy")
+      val fused = inventory.join(counts, Seq("artifact"), "left")
+        .select(col("artifact"), col("policy"),
+          coalesce(col("erased_rows"), lit(0L)).as("erased_rows"))
+      val special = EstateLedgerClasses.collect {
+        case (label, policy) if aggMeasures.contains(label) =>
+          aggMeasures(label).select(lit(label).as("artifact"),
+            lit(policy).as("policy"), col("erased_rows"))
+      }
+      (fused +: special).reduce(_ unionByName _)
     }),
 
     // THE GOVERNANCE TRANSITION, IN ONE FRAME — q309/q311 audit each
@@ -1917,14 +1957,27 @@ object TextQueries {
     Seq("postings_positional", "docs_jsonl", "docs_csv", "docs_orc",
       "upsert_state")
 
-  /** One 1-row `erased_rows` frame per [[EstateLedgerClasses]] label —
-    * each measured from the PERSISTED artifact's own bytes (never from
-    * the raw corpus; the oracle independently re-derives every expected
-    * count from raw, so a mismatch is a physical leak). Kept beside the
-    * inventory so the two lists are reviewed together. */
+  /** One measure per [[EstateLedgerClasses]] label — each from the
+    * PERSISTED artifact's own bytes (never from the raw corpus; the
+    * oracle independently re-derives every expected count from raw, so a
+    * mismatch is a physical leak). Kept beside the inventory so the two
+    * lists are reviewed together.
+    *
+    * Returns (rowMeasures, aggMeasures): rowMeasures are UNAGGREGATED
+    * leak-row frames (one row per leaked row, any columns) that q311
+    * fuses into ONE union + ONE count aggregation — the former shape ran
+    * ~30 independent global aggregates, each its own partial/final AQE
+    * stage pair (~70 tiny scheduler-bound stages at any SF; r19 floor
+    * audit). aggMeasures stay pre-aggregated 1-row `erased_rows` frames:
+    * the co-bucketed postings audit (its zero-shuffle SMJ shape is
+    * plan-pinned) and the HLL contamination count (itself an aggregate
+    * over register recomputes). Counting rows after the union is the
+    * same count(1) arithmetic per label, so the ledger values are
+    * bit-identical. */
   private def estateMeasures(spark: org.apache.spark.sql.SparkSession,
                              dir: String)
-      : Map[String, org.apache.spark.sql.DataFrame] = {
+      : (Map[String, org.apache.spark.sql.DataFrame],
+         Map[String, org.apache.spark.sql.DataFrame]) = {
     val (pT, _, dlT) = invertedIndexTables(spark, dir)
     val (tombT, _, _) = erasureTextTables(spark, dir)
     val (cpT, _, cdT, _) = compactedIndexTables(spark, dir)
@@ -1950,15 +2003,17 @@ object TextQueries {
     val (v1T, v2T) = RelQueries.mvSnapshotTables(spark, dir)
     val (_, dvT) = RelQueries.purgedLayoutTables(spark, dir)
     val tomb = broadcast(spark.table(tombT))
-    def cnt(df: org.apache.spark.sql.DataFrame) =
-      df.agg(count(lit(1)).as("erased_rows"))
+    // row measures: the LEAKED ROWS themselves (projected to one cheap
+    // column so nothing wide rides the fused union)
     def docLeak(t: String) =
-      cnt(spark.table(t).join(tomb, Seq("doc_id"), "left_semi"))
+      spark.table(t).join(tomb, Seq("doc_id"), "left_semi").select("doc_id")
     def idLeak(t: String, idCol: String) =
-      cnt(spark.table(t).where(QueryBase.erasedId(col(idCol))))
+      spark.table(t).where(QueryBase.erasedId(col(idCol)))
+        .select(col(idCol).as("doc_id"))
     val flaggedU = pmod(col("user_id"), lit(RelQueries.PurgeUserMod)) ===
       RelQueries.PurgeUserRes
-    def userLeak(t: String) = cnt(spark.table(t).where(flaggedU))
+    def userLeak(t: String) = spark.table(t).where(flaggedU)
+      .select(col("user_id").as("doc_id"))
     // contaminated (day, type) groups: the cohort's own partials give
     // the group keys (O(|cohort|), the q306 discipline), semi-joined
     // into the persisted MV/snapshot bytes
@@ -1969,21 +2024,17 @@ object TextQueries {
         .select("day", "event_type")
     }
     def groupLeak(t: String, ingestedOnly: Boolean) =
-      cnt(spark.table(t).join(broadcast(groupsOf(ingestedOnly)),
-        Seq("day", "event_type"), "left_semi"))
+      spark.table(t).join(broadcast(groupsOf(ingestedOnly)),
+        Seq("day", "event_type"), "left_semi")
+        .select(col("day").cast("long").as("doc_id"))
     // the blob store is files, not a table: the measure parses each
     // persisted file's NAME (the doc_NNNNN.bin layout contract) — content
     // is never read, so column pruning keeps the scan metadata-only
-    val blobLeak = cnt(spark.read.format("binaryFile").load(blobDir)
+    val blobLeak = spark.read.format("binaryFile").load(blobDir)
       .select(regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1)
         .cast("long").as("doc_id"))
-      .where(QueryBase.erasedId(col("doc_id"))))
-    Map(
-      // the largest artifact audits through the PRODUCTION purge-batch
-      // shape: the co-bucketed tombstone-postings SMJ (zero Exchange on
-      // the artifact side, plan-pinned) instead of the broadcast semi
-      // that rides the test cohort's size
-      "postings_mor" -> cobucketedPostingsAudit(spark, dir),
+      .where(QueryBase.erasedId(col("doc_id")))
+    val rowMeasures = Map(
       "postings_compacted" -> docLeak(cpT),
       "doclen_mor" -> docLeak(dlT),
       "doclen_compacted" -> docLeak(cdT),
@@ -1994,12 +2045,12 @@ object TextQueries {
       "docs_bloom_layout" -> docLeak(bloomT),
       "blob_store" -> blobLeak,
       "word_dict_users" -> userLeak(uwT),
-      "ivf_codes_blue" -> cnt(spark.table(ivfCodesT)
+      "ivf_codes_blue" -> spark.table(ivfCodesT)
         .where(QueryBase.erasedId(col("vec_id")))
-        .select("vec_id").distinct()),
-      "ivf_codes_green" -> cnt(spark.table(greenCodesT)
+        .select("vec_id").distinct(),
+      "ivf_codes_green" -> spark.table(greenCodesT)
         .where(QueryBase.erasedId(col("vec_id")))
-        .select("vec_id").distinct()),
+        .select("vec_id").distinct(),
       // centroid tables hold SAMPLED RAW EMBEDDINGS under their source
       // ids — personal data the code-table rows don't cover
       "ivf_cents_blue" -> idLeak(ivfCentT, "cent_id"),
@@ -2013,24 +2064,31 @@ object TextQueries {
       "events_by_day" -> userLeak(peT),
       "events_zorder" -> userLeak(zT),
       "events_ranged" -> userLeak(rT),
-      "events_schema_gens" -> cnt(spark.table(g1T).select("user_id")
-        .unionByName(spark.table(g2T).select("user_id")).where(flaggedU)),
+      "events_schema_gens" -> spark.table(g1T).select("user_id")
+        .unionByName(spark.table(g2T).select("user_id")).where(flaggedU),
       "upsert_state" -> userLeak(usT),
       "agg_mv_groups" -> groupLeak(mvT, ingestedOnly = true),
       "snapshot_v1_groups" -> groupLeak(v1T, ingestedOnly = true),
       "snapshot_v2_groups" -> groupLeak(v2T, ingestedOnly = false),
-      "purge_deletion_vector" -> cnt(spark.table(dvT)),
+      "purge_deletion_vector" -> spark.table(dvT),
       // the erasure-control state itself lists personal identifiers
-      "erase_tomb_text" -> cnt(spark.table(tombT)),
-      "erase_tomb_postings" -> cnt(spark.table(erasedPostingsTable(spark, dir))),
-      "erase_tomb_ann" -> cnt(spark.table(annTombT)),
-      "erase_tomb_mm" -> cnt(spark.table(mmTombT)),
+      "erase_tomb_text" -> spark.table(tombT),
+      "erase_tomb_postings" -> spark.table(erasedPostingsTable(spark, dir)),
+      "erase_tomb_ann" -> spark.table(annTombT),
+      "erase_tomb_mm" -> spark.table(mmTombT))
+    val aggMeasures = Map(
+      // the largest artifact audits through the PRODUCTION purge-batch
+      // shape: the co-bucketed tombstone-postings SMJ (zero Exchange on
+      // the artifact side, plan-pinned) instead of the broadcast semi
+      // that rides the test cohort's size
+      "postings_mor" -> cobucketedPostingsAudit(spark, dir),
       // the sketch class: max-merged HLL registers are not subtractable,
       // so the measure is CONTAMINATED REGISTERS (persisted rows that
       // change under a retained-only recompute)
       "hll_mv_registers" ->
         DedupQueries.hllContaminationCount(spark, dir, flaggedU)
           .select(col("erased_rows")))
+    (rowMeasures, aggMeasures)
   }
 
   /** The q304 erased-BM25 serve over a caller-supplied erasure store
@@ -2117,11 +2175,11 @@ object TextQueries {
       .select(col("query_id"), col("doc_id"), col("sc"), col("rnk"))
   }
 
-  /** q294/q295's shared per-split report tail: the 3-row split aggregate
-    * crossed with the broadcast funnel/extra 1-row frames. */
-  private def pipelineReport(s4: org.apache.spark.sql.DataFrame,
-                             funnel: org.apache.spark.sql.DataFrame,
-                             extra: org.apache.spark.sql.DataFrame)
+  /** q294/q295's 3-row split aggregate, factored out (r19) so the
+    * survivor total (`after_near` = Σ n_docs) can be RE-AGGREGATED from
+    * these 3 rows instead of a second full pass over the cached survivor
+    * frame — count(s4) == sum of the per-split counts exactly. */
+  private def pipelineSplits(s4: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
     s4.withColumn("split",
         when(col("bkt") < 80, "train")
@@ -2129,8 +2187,14 @@ object TextQueries {
       .groupBy("split")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens").cast("long")).as("ws_tokens"))
-      .crossJoin(broadcast(funnel))
-      .crossJoin(broadcast(extra))
+
+  /** q294/q295's shared per-split report tail: the 3-row split aggregate
+    * crossed with the broadcast funnel/extra 1-row frames. */
+  private def pipelineReport(splits: org.apache.spark.sql.DataFrame,
+                             funnel: org.apache.spark.sql.DataFrame,
+                             extra: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    splits.crossJoin(broadcast(funnel)).crossJoin(broadcast(extra))
 
   /** The q294/q295 shared language gate... */
   private def pipeIsLang: org.apache.spark.sql.Column =
