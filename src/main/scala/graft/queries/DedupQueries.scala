@@ -1357,33 +1357,46 @@ object DedupQueries {
       val sh = tcache(spread(table(spark, dir, "documents"))
         .select(explode(shinglesUdf(col("text"))).as("s")), "q232:shingles")
       val exact = sh.agg(countDistinct(col("s")).as("exact_distinct"))
-      val perP = HllSweepPs.map { p =>
-        val restBits = 60 - p
-        val m = 1L << p
-        val k = restBits + 1
-        val h = conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long")
+      // ALL geometries' registers build in ONE pass keyed by (p, bucket) —
+      // the former per-p branches each re-passed the cached shingle frame
+      // (3 register aggregations + 3 one-row rollups). Per-(p, bucket)
+      // max-rank and the per-p harmonic sum are the identical arithmetic
+      // (max / integer sums are order-independent; the per-p α·m²·2^K
+      // constants are embedded as the same Scala-computed literals via a
+      // CASE on p), so the 3 output rows are bit-identical (r19 sweep fuse).
+      val h = conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long")
+      def rankOf(restBits: Int) = {
         val rest = h.bitwiseAND(lit((1L << restBits) - 1))
-        val rank = ((restBits - 2) to 0 by -1).foldLeft(
+        ((restBits - 2) to 0 by -1).foldLeft(
             when(rest >= lit(1L << (restBits - 1)), lit(1))) {
           case (acc, b) => acc.when(rest >= lit(1L << b), lit(restBits - b))
         }.otherwise(lit(restBits + 1))
-        val regs = sh.select(shiftrightunsigned(h, restBits).as("bucket"), rank.as("rk"))
-          .groupBy("bucket").agg(max("rk").as("r"))
-        regs.agg(count(lit(1)).as("n_buckets"),
-            sum(expr(s"shiftleft(cast(1 as bigint), $k - r)")).as("s_present"))
-          .withColumn("v_zero", lit(m) - col("n_buckets"))
-          .withColumn("s_total",
-            col("s_present") + col("v_zero") * lit(1L << k))
-          .withColumn("raw_est",
-            pround(lit(hllSweepAlphaC(p)) / col("s_total").cast("double"), 6))
-          .withColumn("est",
-            when(col("raw_est") <= lit(2.5 * m) && col("v_zero") > 0,
-              pround(lit(m.toDouble) *
-                pround(log(lit(m.toDouble) / col("v_zero")), 6), 6))
-              .otherwise(col("raw_est")))
-          .select(lit(p).as("p"), lit(m).as("m"), col("v_zero"), col("est"))
       }
-      perP.reduce(_ unionByName _)
+      val regs = sh.select(explode(array(HllSweepPs.map { p =>
+          val restBits = 60 - p
+          struct(lit(p).as("p"),
+            shiftrightunsigned(h, restBits).as("bucket"), rankOf(restBits).as("rk"))
+        }: _*)).as("pb"))
+        .select(col("pb.p").as("p"), col("pb.bucket").as("bucket"), col("pb.rk").as("rk"))
+        .groupBy("p", "bucket").agg(max("rk").as("r"))
+      val alphaC = HllSweepPs.tail.foldLeft(
+          when(col("p") === HllSweepPs.head, lit(hllSweepAlphaC(HllSweepPs.head)))) {
+        (acc, p) => acc.when(col("p") === p, lit(hllSweepAlphaC(p)))
+      }
+      regs.groupBy("p").agg(count(lit(1)).as("n_buckets"),
+          sum(expr("shiftleft(cast(1 as bigint), (61 - p) - r)")).as("s_present"))
+        .withColumn("m", expr("shiftleft(cast(1 as bigint), p)"))
+        .withColumn("v_zero", col("m") - col("n_buckets"))
+        .withColumn("s_total",
+          col("s_present") + col("v_zero") * expr("shiftleft(cast(1 as bigint), 61 - p)"))
+        .withColumn("raw_est",
+          pround(alphaC / col("s_total").cast("double"), 6))
+        .withColumn("est",
+          when(col("raw_est") <= lit(2.5) * col("m").cast("double") && col("v_zero") > 0,
+            pround(col("m").cast("double") *
+              pround(log(col("m").cast("double") / col("v_zero")), 6), 6))
+            .otherwise(col("raw_est")))
+        .select(col("p"), col("m"), col("v_zero"), col("est"))
         .crossJoin(broadcast(exact))
         .withColumn("rel_err",
           pround(abs(col("est") - col("exact_distinct")) /
@@ -1401,24 +1414,29 @@ object DedupQueries {
         .select(explode(shinglesUdf(col("text"))).as("s")), "q233:shingles")
       val top = tcache(ex.groupBy("s").agg(count(lit(1)).as("exact_df"))
         .orderBy(desc("exact_df"), col("s")).limit(10), "q233:top")
-      def ipCols(item: org.apache.spark.sql.Column, w: Long) = {
+      // ALL widths' counters build in ONE pass keyed by (w, i, p) —
+      // the former per-width branches each re-passed the cached shingle
+      // frame (3 explode+aggregate exchanges, 3 broadcasts, 3 probe
+      // joins); per-(w, i, p) counts and the per-(w, s) min are the
+      // identical arithmetic, so the 30 output rows are bit-identical
+      // (r19 sweep fuse).
+      def ipCols(item: org.apache.spark.sql.Column) = {
         val h1 = conv(substring(md5(item), 1, 15), 16, 10).cast("long")
         val h2 = conv(substring(md5(item), 16, 15), 16, 10).cast("long")
-        array((0 until CmsD).map(i =>
-          struct(lit(i).as("i"), ((h1 + lit(i.toLong) * h2) % w).cast("int").as("p"))): _*)
+        array((for (w <- CmsSweepWs; i <- 0 until CmsD) yield
+          struct(lit(w).as("w"), lit(i).as("i"),
+            ((h1 + lit(i.toLong) * h2) % w).cast("int").as("p"))): _*)
       }
-      val perW = CmsSweepWs.map { w =>
-        val counters = ex.select(explode(ipCols(col("s"), w)).as("ip"))
-          .select(col("ip.i").as("i"), col("ip.p").as("p"))
-          .groupBy("i", "p").agg(count(lit(1)).as("cnt"))
-        top.select(col("s"), col("exact_df"), explode(ipCols(col("s"), w)).as("ip"))
-          .select(col("s"), col("exact_df"), col("ip.i").as("i"), col("ip.p").as("p"))
-          .join(broadcast(counters), Seq("i", "p"))
-          .groupBy("s", "exact_df").agg(min("cnt").as("est_df"))
-          .select(lit(w).as("w"), col("s"), col("exact_df"), col("est_df"),
-            (col("est_df") - col("exact_df")).as("overcount"))
-      }
-      perW.reduce(_ unionByName _)
+      val counters = ex.select(explode(ipCols(col("s"))).as("ip"))
+        .select(col("ip.w").as("w"), col("ip.i").as("i"), col("ip.p").as("p"))
+        .groupBy("w", "i", "p").agg(count(lit(1)).as("cnt"))
+      top.select(col("s"), col("exact_df"), explode(ipCols(col("s"))).as("ip"))
+        .select(col("s"), col("exact_df"), col("ip.w").as("w"),
+          col("ip.i").as("i"), col("ip.p").as("p"))
+        .join(broadcast(counters), Seq("w", "i", "p"))
+        .groupBy("w", "s", "exact_df").agg(min("cnt").as("est_df"))
+        .select(col("w"), col("s"), col("exact_df"), col("est_df"),
+          (col("est_df") - col("exact_df")).as("overcount"))
     }),
 
     // KMV SIZE SWEEP — the third sketch sized in-engine: bottom-K
@@ -1433,9 +1451,15 @@ object DedupQueries {
         .select(conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("h")),
         "q234:hashes")
       val exact = hashes.agg(countDistinct(col("h")).as("exact_distinct"))
+      // bottom-maxK computed ONCE: the bottom-k for every smaller k is a
+      // prefix of it, so each sweep point re-sorts ≤ maxK cached rows
+      // instead of running its own corpus-wide TakeOrdered (r19 sweep
+      // fuse; values identical by the prefix property)
+      val low = tcache(hashes.orderBy("h").limit(KmvSweepKs.max),
+        "q234:low")
       val perK = KmvSweepKs.map { k =>
         val numer = (k - 1).toDouble * math.pow(2.0, 60)
-        hashes.orderBy("h").limit(k)
+        low.orderBy("h").limit(k)
           .agg(count(lit(1)).as("k_actual"), max(col("h")).as("kth_min"))
           .crossJoin(broadcast(exact))
           .select(lit(k).as("k"), col("k_actual"), col("exact_distinct"),
