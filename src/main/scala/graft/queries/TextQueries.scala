@@ -1589,37 +1589,41 @@ object TextQueries {
       val (tombT, decT, statT) = erasureTextTables(spark, dir)
       val (cpT, _, _, _) = compactedIndexTables(spark, dir)
       val tomb = broadcast(spark.table(tombT))
-      def cnt(df: org.apache.spark.sql.DataFrame) =
-        df.agg(count(lit(1)).as("c"))
-      // thunks: a stage row cross-joins its measures, and handing the
-      // SAME frame instance to two slots would self-join one plan —
-      // fresh 1-row aggregates per use keep the lineage unambiguous
-      def zero() = spark.range(1).select(lit(0L).as("c"))
-      // bytes at rest: cohort rows physically inside the MoR postings
-      def physMor() = cnt(spark.table(pT).join(tomb, Seq("doc_id"), "left_semi"))
-      // what the MoR SERVE emits for the cohort: THE q304 serve relation
-      // (erasedBm25Serve — the exact plan the production path runs, not
-      // an inline re-derivation of its anti join, which was zero by
-      // relational algebra regardless of the serve path's behavior — the
-      // r17 ADVICE), filtered to cohort candidates. A serve-path
-      // regression (dropped anti join, stale stats routing a cohort doc
-      // back into the ranks) now lands HERE as a nonzero cell
-      def servedMor() = cnt(erasedBm25Serve(spark, dir,
-        spark.table(tombT), spark.table(decT), spark.table(statT))
-        .join(tomb, Seq("doc_id"), "left_semi"))
-      def physCow() = cnt(spark.table(cpT).join(tomb, Seq("doc_id"), "left_semi"))
-      def nTomb() = cnt(spark.table(tombT))
-      def stage(name: String, phys: org.apache.spark.sql.DataFrame,
-                served: org.apache.spark.sql.DataFrame,
-                tombs: org.apache.spark.sql.DataFrame) =
-        phys.select(col("c").as("physical_rows"))
-          .crossJoin(broadcast(served.select(col("c").as("served_rows"))))
-          .crossJoin(broadcast(tombs.select(col("c").as("tombstones_live"))))
-          .select(lit(name).as("stage"), col("physical_rows"),
-            col("served_rows"), col("tombstones_live"))
-      stage("a_pre_purge", physMor(), physMor(), zero())
-        .unionByName(stage("b_tombstoned_mor", physMor(), servedMor(), nTomb()))
-        .unionByName(stage("c_compacted_cow", physCow(), physCow(), zero()))
+      def cnt(df: org.apache.spark.sql.DataFrame, name: String) =
+        df.agg(count(lit(1)).as(name))
+      // The FOUR distinct measures compute once into a single cached
+      // 1-row frame (four parallel aggregate subtrees in one job) and
+      // the three stage rows project from it — the former per-stage
+      // crossJoin fan rebuilt 9 aggregate subtrees (physMor three times
+      // over) and ran 6 separate 1-row broadcast jobs for the same 4
+      // numbers (r19 measurement fuse; counts are exact longs, the 3
+      // output rows bit-identical).
+      // served_mor is what the MoR SERVE emits for the cohort: THE q304
+      // serve relation (erasedBm25Serve — the exact plan the production
+      // path runs, not an inline re-derivation of its anti join, which
+      // was zero by relational algebra regardless of the serve path's
+      // behavior — the r17 ADVICE), filtered to cohort candidates. A
+      // serve-path regression (dropped anti join, stale stats routing a
+      // cohort doc back into the ranks) lands there as a nonzero cell.
+      val wide = tcache(
+        cnt(spark.table(pT).join(tomb, Seq("doc_id"), "left_semi"),
+            "phys_mor")
+          .crossJoin(cnt(erasedBm25Serve(spark, dir, spark.table(tombT),
+              spark.table(decT), spark.table(statT))
+            .join(tomb, Seq("doc_id"), "left_semi"), "served_mor"))
+          .crossJoin(cnt(spark.table(cpT).join(tomb, Seq("doc_id"),
+            "left_semi"), "phys_cow"))
+          .crossJoin(cnt(spark.table(tombT), "n_tomb")), "q313:wide")
+      def stage(name: String, phys: org.apache.spark.sql.Column,
+                served: org.apache.spark.sql.Column,
+                tombs: org.apache.spark.sql.Column) =
+        wide.select(lit(name).as("stage"), phys.as("physical_rows"),
+          served.as("served_rows"), tombs.as("tombstones_live"))
+      stage("a_pre_purge", col("phys_mor"), col("phys_mor"), lit(0L))
+        .unionByName(stage("b_tombstoned_mor", col("phys_mor"),
+          col("served_mor"), col("n_tomb")))
+        .unionByName(stage("c_compacted_cow", col("phys_cow"),
+          col("phys_cow"), lit(0L)))
     }),
 
     // ESTATE REMEDIATION, EXECUTED — q311 DECLARES rewrite policies for
