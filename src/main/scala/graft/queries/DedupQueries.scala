@@ -106,7 +106,7 @@ object DedupQueries {
   private[graft] val HllSweepPs = Seq(6, 8, 10)
   private[graft] val CmsSweepWs = Seq(256L, 1024L, 4096L)
   private[graft] val KmvSweepKs = Seq(16, 64, 256)
-  private def hllSweepAlphaC(p: Int): Double = {
+  private[graft] def hllSweepAlphaC(p: Int): Double = {
     val m = 1 << p
     val alpha =
       if (m <= 16) 0.673 else if (m <= 32) 0.697
